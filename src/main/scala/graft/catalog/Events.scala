@@ -1,0 +1,295 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.lake.Tables
+import graft.ops.Exact._
+
+/**
+ * Event-stream analytics: the reference's extraction query semantics
+ * (project/flatten/filter/sort — extract_events.sql:5-99) re-expressed on the
+ * testdata `events` table, plus the declared-but-unimplemented gold layer
+ * (funnel, sessionization, attribution, cohort, journey — README.md:23-33).
+ *
+ * Event timestamps surface as epoch-micros longs in outputs (never raw
+ * timestamps — tz-awareness is not portable across engines, SURVEY.md §7.3).
+ *
+ * Scale posture: every window partitions by `user_id` (high cardinality, one
+ * shuffle, no skew hot-spot in GA4-like data); sessionization is the
+ * classic lag+cumsum formulation which needs exactly one shuffle; no
+ * driver-side state anywhere.
+ */
+object Events extends Family {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+
+  /** Window: a user's events in time order, event_id as total tiebreak. */
+  private val byUserTime = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  // -------------------------------------------------------------------------
+  // P1-P4 + O1: the reference's bronze extraction, one day slice —
+  // projection, JSON prop flattening, partition-key filter, global time sort.
+  private val extractDay = Q(
+    "bronze_extract_day",
+    Some("""
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+        event_type, value,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+      FROM events
+      WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+      ORDER BY ts_us, event_id
+    """)) { (spark, dir) =>
+    ev(spark, dir)
+      .filter(to_date(col("ts")) === lit("2024-01-03").cast("date"))
+      .select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      .orderBy(col("ts_us"), col("event_id"))
+  }
+
+  // A3: daily KPIs per event type (count / distinct users / exact revenue).
+  private val dailyKpis = Q(
+    "events_daily_kpis",
+    Some("""
+      SELECT CAST(ts AS DATE) AS event_date, event_type,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY event_date, event_type
+      ORDER BY event_date, event_type
+    """)) { (spark, dir) =>
+    ev(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumMoney(col("value")).as("total_value"))
+      .orderBy(col("event_date"), col("event_type"))
+  }
+
+  // A5/J4: ordered funnel — view, then click strictly after the first view,
+  // then purchase strictly after the first qualifying click.
+  private val funnel = Q(
+    "funnel_view_click_purchase",
+    Some("""
+      WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS vt
+                 FROM events WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ct
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.vt
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.ct
+            GROUP BY e.user_id)
+      SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+             (SELECT COUNT(*) FROM c) AS n_click_users,
+             (SELECT COUNT(*) FROM p) AS n_purchase_users
+    """)) { (spark, dir) =>
+    val e = ev(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+    val c = e.filter(col("event_type") === "click").as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id"))
+      .filter(col("e.ts") > col("v.vt"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("ct"))
+    val p = e.filter(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), col("e.user_id") === col("c.user_id"))
+      .filter(col("e.ts") > col("c.ct"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("pt"))
+    v.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+  }
+
+  // W1: sessionization — a >30 min silence starts a new session.
+  private val sessionize = Q(
+    "sessionize_30min",
+    Some("""
+      WITH o AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                 OR epoch_us(CAST(ts AS TIMESTAMP))
+                    - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      s AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM o)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        COUNT(*) AS n_events,
+        min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id, session_id
+    """)) { (spark, dir) =>
+    val gapUs = 30L * 60 * 1000 * 1000
+    val prevTs = lag(col("ts"), 1).over(byUserTime)
+    val isNew = when(
+      prevTs.isNull || (unix_micros(col("ts")) - unix_micros(prevTs)) > gapUs, 1
+    ).otherwise(0)
+    ev(spark, dir)
+      .withColumn("is_new", isNew)
+      .withColumn("session_id",
+        sum(col("is_new")).over(
+          byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        sumMoney(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // W2: first/last-touch attribution per user + purchase LTV.
+  private val attribution = Q(
+    "attribution_first_last_touch",
+    Some("""
+      WITH b AS (
+        SELECT user_id, event_type, value, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_a,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+        FROM events)
+      SELECT user_id,
+        max(CASE WHEN rn_a = 1 THEN event_type END) AS first_touch,
+        max(CASE WHEN rn_d = 1 THEN event_type END) AS last_touch,
+        min(epoch_us(ts)) AS first_us,
+        max(epoch_us(ts)) AS last_us,
+        COUNT(*) AS n_events,
+        COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+          THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS purchase_ltv
+      FROM b GROUP BY user_id ORDER BY user_id
+    """)) { (spark, dir) =>
+    val descW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev(spark, dir)
+      .withColumn("rn_a", row_number().over(byUserTime))
+      .withColumn("rn_d", row_number().over(descW))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("rn_a") === 1, col("event_type"))).as("first_touch"),
+        max(when(col("rn_d") === 1, col("event_type"))).as("last_touch"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"),
+        coalesce(
+          sum(when(col("event_type") === "purchase", dec2(col("value")))).cast("double"),
+          lit(0.0)).as("purchase_ltv"))
+      .orderBy(col("user_id"))
+  }
+
+  // A7: journey map — each user's first 10 events as an ordered path string.
+  private val journeys = Q(
+    "journey_first10_paths",
+    Some("""
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM (
+        SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events)
+      WHERE rn <= 10
+      GROUP BY user_id
+      ORDER BY user_id
+    """)) { (spark, dir) =>
+    ev(spark, dir)
+      .withColumn("rn", row_number().over(byUserTime))
+      .filter(col("rn") <= 10)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")),
+        ">").as("path"))
+      .orderBy(col("user_id"))
+  }
+
+  // Cohort retention: users grouped by first-seen day, activity by day offset.
+  private val cohort = Q(
+    "cohort_daily_retention",
+    Some("""
+      WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id),
+      activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+      SELECT f.cohort_day,
+        CAST(datediff('day', f.cohort_day, a.active_day) AS INTEGER) AS day_offset,
+        COUNT(DISTINCT a.user_id) AS n_active
+      FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+      GROUP BY f.cohort_day, day_offset
+      ORDER BY f.cohort_day, day_offset
+    """)) { (spark, dir) =>
+    val e = ev(spark, dir)
+    val firstSeen = e.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val activity = e.select(col("user_id"), to_date(col("ts")).as("active_day")).distinct()
+    activity.join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  // J1 analog (reconciliation anti-difference, pipeline.py:252): calendar days
+  // in the observed range with no 'error' events.
+  private val missingDays = Q(
+    "reconcile_days_without_errors",
+    Some("""
+      WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS dmin, max(CAST(ts AS DATE)) AS dmax
+        FROM events),
+      cal AS (
+        SELECT CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP),
+          CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds),
+      err AS (SELECT DISTINCT CAST(ts AS DATE) AS day
+              FROM events WHERE event_type = 'error')
+      SELECT day FROM cal
+      WHERE day NOT IN (SELECT day FROM err)
+      ORDER BY day
+    """)) { (spark, dir) =>
+    val e = ev(spark, dir)
+    val cal = e.agg(min(to_date(col("ts"))).as("dmin"), max(to_date(col("ts"))).as("dmax"))
+      .select(explode(sequence(col("dmin"), col("dmax"))).as("day"))
+    val err = e.filter(col("event_type") === "error")
+      .select(to_date(col("ts")).as("day")).distinct()
+    cal.join(err, Seq("day"), "left_anti").orderBy(col("day"))
+  }
+
+  // F-group: JSON prop extraction + bucketed histogram (get_json_object path).
+  private val propsHistogram = Q(
+    "json_props_histogram",
+    Some("""
+      SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10.0)
+               AS INTEGER) AS bucket,
+        COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY bucket
+      ORDER BY bucket
+    """)) { (spark, dir) =>
+    ev(spark, dir)
+      .select(
+        floor(get_json_object(col("props"), "$.k").cast("int") / 10.0)
+          .cast("int").as("bucket"),
+        col("user_id"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("bucket"))
+  }
+
+  override val specs: Seq[Q] = Seq(
+    extractDay, dailyKpis, funnel, sessionize, attribution,
+    journeys, cohort, missingDays, propsHistogram)
+}

@@ -1,0 +1,412 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.lake.Tables
+import graft.ops.Exact._
+
+/**
+ * Relational core: aggregations, star-schema joins, set ops, grouping sets,
+ * window functions over the TPC-H-ish testdata (SURVEY.md §2.4-2.6).
+ *
+ * Scale posture (100 TB): fact tables (`lineitem`, `orders`) are never
+ * broadcast or collected; tiny dimensions (`region`, `nation`) are broadcast
+ * explicitly; everything else is left to Catalyst + AQE (sort-merge vs
+ * broadcast decided from runtime stats). All aggregates are partial-agg
+ * friendly (sums/counts over decimals), windows partition by high-cardinality
+ * keys (customer/brand), and every filter/projection is pushdown-eligible.
+ */
+object Relational extends Family {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // -------------------------------------------------------------------------
+  // A3/A4: pricing summary (TPC-H Q1 shape) — groupBy + sum/avg/count.
+  // Reference provenance: declared dashboards, README.md:31-33.
+  private val q1 = Q(
+    "q1_pricing_summary",
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """)) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        sum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        avgMoney(col("l_quantity")).as("avg_qty"),
+        avgMoney(col("l_extendedprice")).as("avg_price"),
+        avgMoney(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // -------------------------------------------------------------------------
+  // J2 + top-k: shipping priority (TPC-H Q3 shape) — 3-way join, agg, limit.
+  private val q3 = Q(
+    "q3_shipping_priority",
+    Some("""
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """)) { (spark, dir) =>
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(
+        col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // -------------------------------------------------------------------------
+  // J2 deep star join: regional supplier revenue (TPC-H Q5 shape).
+  // region/nation broadcast (bounded dims); supplier join left to AQE.
+  private val q5 = Q(
+    "q5_regional_revenue",
+    Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """)) { (spark, dir) =>
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val nat = broadcast(t(spark, dir, "nation"))
+    val reg = broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA"))
+    t(spark, dir, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // -------------------------------------------------------------------------
+  // J3: left outer join — per-customer order stats including zero-order rows.
+  private val jLeft = Q(
+    "join_left_customer_orders",
+    Some("""
+      SELECT c_custkey, c_name,
+        COUNT(o_orderkey) AS n_orders,
+        COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey
+    """)) { (spark, dir) =>
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sumMoney(col("o_totalprice")), lit(0.0)).as("total_spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // J4a: left semi — customers having at least one open ('O') order.
+  private val jSemi = Q(
+    "join_semi_open_orders",
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      ORDER BY c_custkey
+    """)) { (spark, dir) =>
+    t(spark, dir, "customer")
+      .join(
+        t(spark, dir, "orders").filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // J4b: left anti — customers with no orders at all.
+  private val jAnti = Q(
+    "join_anti_no_orders",
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey
+    """)) { (spark, dir) =>
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // J5: theta/range self-join — order pairs per customer placed <= 7 days apart.
+  private val jTheta = Q(
+    "join_range_reorders",
+    Some("""
+      SELECT o1.o_custkey AS custkey, COUNT(*) AS n_reorder_pairs
+      FROM orders o1 JOIN orders o2
+        ON o1.o_custkey = o2.o_custkey
+       AND o2.o_orderkey <> o1.o_orderkey
+       AND o2.o_orderdate >= o1.o_orderdate
+       AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+       AND (o2.o_orderdate > o1.o_orderdate OR o2.o_orderkey > o1.o_orderkey)
+      GROUP BY o1.o_custkey
+      ORDER BY custkey
+    """)) { (spark, dir) =>
+    val o1 = t(spark, dir, "orders").alias("o1")
+    val o2 = t(spark, dir, "orders").alias("o2")
+    o1.join(o2,
+        col("o1.o_custkey") === col("o2.o_custkey") &&
+          col("o2.o_orderkey") =!= col("o1.o_orderkey") &&
+          col("o2.o_orderdate") >= col("o1.o_orderdate") &&
+          col("o2.o_orderdate") <= col("o1.o_orderdate") + expr("INTERVAL 7 DAY") &&
+          (col("o2.o_orderdate") > col("o1.o_orderdate") ||
+            col("o2.o_orderkey") > col("o1.o_orderkey")))
+      .groupBy(col("o1.o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_reorder_pairs"))
+      .orderBy(col("custkey"))
+  }
+
+  // -------------------------------------------------------------------------
+  // J7: set ops — EXCEPT / INTERSECT on customer key sets.
+  private val setExcept = Q(
+    "setop_except_custkeys",
+    Some("""
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY custkey
+    """)) { (spark, dir) =>
+    val o = t(spark, dir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+  }
+
+  private val setIntersect = Q(
+    "setop_intersect_custkeys",
+    Some("""
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY custkey
+    """)) { (spark, dir) =>
+    val o = t(spark, dir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+  }
+
+  // J6: union of slices (backfill accumulation analog, pipeline.py:174-200).
+  private val setUnion = Q(
+    "setop_union_priority_slices",
+    Some("""
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '5-LOW'
+      ORDER BY o_orderkey
+    """)) { (spark, dir) =>
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    o.filter(col("o_orderpriority") === "1-URGENT")
+      .unionByName(o.filter(col("o_orderpriority") === "5-LOW"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // -------------------------------------------------------------------------
+  // A6: rollup — region -> nation revenue subtotals with grouping level.
+  private val rollupQ = Q(
+    "agg_rollup_region_nation",
+    Some("""
+      SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        GROUPING(r_name, n_name) AS lvl,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY lvl, region, nation
+    """)) { (spark, dir) =>
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping_id().as("lvl"),
+        count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("lvl"), col("n_orders"), col("revenue"))
+      .orderBy(col("lvl"), col("region"), col("nation"))
+  }
+
+  // A6: cube on order status x priority.
+  private val cubeQ = Q(
+    "agg_cube_status_priority",
+    Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        GROUPING(o_orderstatus, o_orderpriority) AS lvl,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY lvl, status, priority
+    """)) { (spark, dir) =>
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("lvl"),
+        count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("lvl"), col("n_orders"), col("revenue"))
+      .orderBy(col("lvl"), col("status"), col("priority"))
+  }
+
+  // A4: distinct counts — exact + HLL sketch (the scale path) per segment.
+  // approx_count_distinct is NOT oracle-comparable (sketch internals differ),
+  // so the oracle checks the exact column; the approx column is exercised in
+  // ScalaTest instead. Here: exact distinct only, two levels.
+  private val distinctQ = Q(
+    "agg_count_distinct_parts",
+    Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // -------------------------------------------------------------------------
+  // W3: ranking — top-3 parts by revenue within each brand.
+  private val topkQ = Q(
+    "window_topk_parts_per_brand",
+    Some("""
+      SELECT p_brand, p_partkey, revenue, rn FROM (
+        SELECT p_brand, p_partkey,
+          CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY
+            CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) DESC,
+            p_partkey) AS rn
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+      ) WHERE rn <= 3
+      ORDER BY p_brand, rn
+    """)) { (spark, dir) =>
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("revenue"), col("rn"))
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  // W4: running total — cumulative customer spend over order history.
+  private val runningQ = Q(
+    "window_running_customer_spend",
+    Some("""
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      FROM orders
+      ORDER BY o_custkey, o_orderkey
+    """)) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // W2-adjacent: lag/lead — days since previous order per customer.
+  private val lagQ = Q(
+    "window_days_between_orders",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        datediff('day',
+          lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          o_orderdate) AS days_since_prev
+      FROM orders
+      ORDER BY o_custkey, o_orderkey
+    """)) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  override val specs: Seq[Q] = Seq(
+    q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
+    setExcept, setIntersect, setUnion,
+    rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ)
+}
