@@ -1,0 +1,313 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.lake.Tables
+import graft.ops.TextOps
+
+/**
+ * LLM-data-pipeline text operators over the `documents` table: exact and
+ * near deduplication (normalized-hash, MinHash+LSH, n-gram Jaccard, SimHash),
+ * quality scoring, language-ID heuristic, token counting, fingerprinting.
+ *
+ * Oracle-parity notes: all hashing is md5-hex (portable); integer ratios
+ * divide as int/int -> double (exact in IEEE, identical across engines);
+ * SimHash packs 60 bits via `1L << pos` (never double pow).
+ */
+object TextLlm extends Family {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** Shared DuckDB CTE: word-trigram shingles per doc. */
+  private val duckShingles = """
+      tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+          THEN list_transform(generate_series(1, len(t)-2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+          ELSE [] END) AS sh
+        FROM tok)"""
+
+  // -------------------------------------------------------------------------
+  // Exact dedup: one survivor (min doc_id) per identical text.
+  private val dedupExact = Q(
+    "dedup_exact",
+    Some("""
+      SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY doc_id
+    """)) { (spark, dir) =>
+    docs(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Normalized dedup: case/punct/whitespace-insensitive, keyed by md5.
+  private val dedupNorm = Q(
+    "dedup_normalized",
+    Some("""
+      SELECT min(doc_id) AS doc_id,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                ' +', ' ', 'g'))) AS norm_hash,
+        COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY norm_hash
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    docs(spark, dir)
+      .groupBy(md5(TextOps.normalize(col("text"))).as("norm_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("norm_hash"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  // MinHash (8 hashes) + LSH (4 bands x 2 rows): near-dup candidate pairs.
+  private val minhashLsh = Q(
+    "dedup_minhash_lsh_pairs",
+    Some(s"""
+      WITH $duckShingles,
+      mh AS (
+        SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+        FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+          md5(string_agg(mh, '|' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, band),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+    """)) { (spark, dir) =>
+    val mh = TextOps.minhash(docs(spark, dir), "doc_id", "text", numHashes = 8)
+    val bands = TextOps.lshBands(mh, "doc_id", rowsPerBand = 2)
+    TextOps.candidatePairs(bands, "doc_id")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // n-gram Jaccard similarity, evaluated on the LSH candidate pairs only
+  // (the scale path: LSH bounds the quadratic join to near-duplicates).
+  private val jaccard = Q(
+    "dedup_ngram_jaccard",
+    Some(s"""
+      WITH $duckShingles,
+      mh AS (
+        SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+        FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+          md5(string_agg(mh, '|' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, band),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         AND a.doc_id < b.doc_id),
+      shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+      inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+        FROM pairs p
+        JOIN shd a ON a.doc_id = p.doc_a
+        JOIN shd b ON b.doc_id = p.doc_b AND b.sh = a.sh
+        GROUP BY p.doc_a, p.doc_b)
+      SELECT i.doc_a, i.doc_b,
+        i.i / (sa.n + sb.n - i.i) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      ORDER BY doc_a, doc_b
+    """)) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val mh = TextOps.minhash(d, "doc_id", "text", numHashes = 8)
+    val pairs = TextOps.candidatePairs(TextOps.lshBands(mh, "doc_id", rowsPerBand = 2), "doc_id")
+    val shd = d.select(col("doc_id"), explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
+      .distinct()
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shd.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // SimHash: 60-bit fingerprint from per-token md5 nibbles; majority vote per
+  // bit over the document's distinct tokens.
+  private val simhash = Q(
+    "dedup_simhash",
+    Some("""
+      WITH td AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+      h AS (SELECT doc_id, md5(tok) AS h FROM td),
+      bits AS (SELECT doc_id, h, unnest(generate_series(0, 59)) AS bit FROM h),
+      bv AS (SELECT doc_id, bit,
+        ((instr('0123456789abcdef', substr(h, CAST(1 + bit // 4 AS INTEGER), 1)) - 1)
+          >> CAST(3 - bit % 4 AS INTEGER)) & 1 AS bitval
+        FROM bits),
+      agg AS (SELECT doc_id, bit,
+        CASE WHEN SUM(2 * bitval - 1) > 0 THEN CAST(1 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS bit_on
+        FROM bv GROUP BY doc_id, bit)
+      SELECT doc_id, CAST(SUM(bit_on << CAST(bit AS INTEGER)) AS BIGINT) AS simhash
+      FROM agg GROUP BY doc_id ORDER BY doc_id
+    """)) { (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("bit"))
+      .withColumn("bitval",
+        expr("(shiftright(instr('0123456789abcdef', substring(h, cast(1 + bit div 4 as int), 1)) - 1, " +
+          "cast(3 - bit % 4 as int))) & 1"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(when(sum(lit(2) * col("bitval") - 1) > 0, 1L).otherwise(0L).as("bit_on"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(bit_on, cast(bit as int))")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Quality scoring: token stats + stopword/uniqueness ratios.
+  private val quality = Q(
+    "text_quality_scores",
+    Some("""
+      WITH b AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s AS (
+        SELECT doc_id, len(t) AS n_tokens,
+          len(list_distinct(t)) AS n_distinct,
+          len(list_filter(t, x -> x IN ('the', 'a'))) AS n_stop
+        FROM b)
+      SELECT doc_id, n_tokens,
+        n_distinct / n_tokens AS uniq_ratio,
+        n_stop / n_tokens AS stop_ratio,
+        0.3 * (n_distinct / n_tokens) + 0.5 * (1 - n_stop / n_tokens)
+          + 0.2 * least(1.0, n_tokens / 100.0) AS quality_score
+      FROM s ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val t = TextOps.tokens(col("text"))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        size(filter(t, x => x.isin("the", "a"))).as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct") / col("n_tokens")).as("uniq_ratio"),
+        (col("n_stop") / col("n_tokens")).as("stop_ratio"),
+        (lit(0.3) * (col("n_distinct") / col("n_tokens"))
+          + lit(0.5) * (lit(1) - col("n_stop") / col("n_tokens"))
+          + lit(0.2) * least(lit(1.0), col("n_tokens") / 100.0)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Language-ID heuristic: profile-wordlist overlap, deterministic argmax.
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "row", "table"),
+    "de" -> Seq("spark", "stream", "batch"),
+    "fr" -> Seq("join", "merge", "sort"),
+    "zh" -> Seq("vector", "hash", "query"))
+
+  private val langId = Q(
+    "text_lang_id",
+    Some {
+      val scores = langProfiles.map { case (l, ws) =>
+        s"len(list_filter(t, x -> x IN (${ws.map("'" + _ + "'").mkString(", ")}))) AS s_$l"
+      }.mkString(",\n          ")
+      """
+      WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      s AS (SELECT doc_id, lang,
+          """ + scores + """
+        FROM b)
+      SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+        CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END AS predicted_lang,
+        lang AS actual_lang
+      FROM s ORDER BY doc_id
+    """
+    }) { (spark, dir) =>
+    val t = TextOps.tokens(col("text"))
+    val scored = docs(spark, dir).select(
+      Seq(col("doc_id"), col("lang")) ++ langProfiles.map { case (l, ws) =>
+        size(filter(t, x => x.isin(ws: _*))).as(s"s_$l")
+      }: _*)
+    val p = col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+      col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh")
+    scored.select(
+      col("doc_id"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("s_zh"),
+      when(p, "en")
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh").as("predicted_lang"),
+      col("lang").as("actual_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Token counting: whitespace tokens + a BPE-ish segmentation count
+  // (vowel-run / consonant-run pieces) + avg token length.
+  private val tokenCounts = Q(
+    "text_token_counts",
+    Some("""
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_ws_tokens,
+        len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS n_bpe_pieces,
+        length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS avg_token_len
+      FROM documents ORDER BY doc_id
+    """)) { (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_ws_tokens"),
+        expr("size(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0))").as("n_bpe_pieces"),
+        (length(regexp_replace(col("text"), " ", ""))
+          / size(TextOps.tokens(col("text")))).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Document fingerprint: 31-ary rolling hash over per-token 16-bit md5
+  // prefixes, mod 1e9+7 (exact int64 arithmetic in both engines).
+  private val fingerprint = Q(
+    "text_fingerprint_rolling",
+    Some("""
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ' '), t ->
+              CAST((instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+                 + (instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+                 + (instr('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      FROM documents ORDER BY doc_id
+    """)) { (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"),
+        expr("""aggregate(
+          transform(split(text, ' '), t ->
+            cast((instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 4096
+               + (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1) * 256
+               + (instr('0123456789abcdef', substring(md5(t), 3, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substring(md5(t), 4, 1)) - 1) as bigint)),
+          cast(0 as bigint),
+          (acc, x) -> (acc * 31 + x) % 1000000007)""").as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  override val specs: Seq[Q] = Seq(
+    dedupExact, dedupNorm, minhashLsh, jaccard, simhash,
+    quality, langId, tokenCounts, fingerprint)
+}

@@ -1,0 +1,161 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.lake.Tables
+import graft.ops.VectorOps
+
+/**
+ * Similarity search over the `embeddings` table (vec_id, array<float>[64],
+ * label): brute-force cosine top-k as the exact baseline, and an IVF-style
+ * variant (coarse quantization by label centroid, search only the nearest
+ * cluster) as the scale path.
+ *
+ * Scale posture: the query set is small and broadcast; candidates stream
+ * through a map-side cross join — linear in corpus size, no shuffle of the
+ * big side. IVF then cuts the scanned fraction to ~1/n_clusters, the same
+ * shape a 100 TB ANN sweep needs (bucket pruning before distance math).
+ */
+object Vectors extends Family {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+
+  private val topkW = Window.partitionBy(col("q_id"))
+    .orderBy(col("cos_sim").desc, col("vec_id"))
+
+  // Brute-force exact cosine top-10 for query vectors vec_id < 5.
+  private val brute = Q(
+    "ann_cosine_topk_brute",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 5),
+      pairs AS (
+        SELECT q.q_id, n.vec_id,
+          round(list_dot_product(q.q_emb, n.emb) / (q.q_nrm * n.nrm), 4) AS cos_sim
+        FROM q, n WHERE n.vec_id <> q.q_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id) AS rn FROM pairs)
+      SELECT q_id, vec_id, cos_sim, rn FROM r WHERE rn <= 10
+      ORDER BY q_id, rn
+    """)) { (spark, dir) =>
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosine(col("q_emb"), col("embedding")).as("cos_sim"))
+      .withColumn("rn", row_number().over(topkW))
+      .filter(col("rn") <= 10)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // IVF-style: label centroids as the coarse index; probe only the nearest
+  // centroid's cluster.
+  private val ivf = Q(
+    "ann_cosine_topk_ivf",
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      ex AS (SELECT vec_id, label, unnest(emb) AS v,
+               generate_subscripts(emb, 1) AS pos FROM e),
+      cent AS (SELECT label, pos, round(avg(v), 6) AS cv FROM ex GROUP BY label, pos),
+      cl AS (SELECT label, list(cv ORDER BY pos) AS cemb FROM cent GROUP BY label),
+      q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+      qc AS (
+        SELECT q.q_id, q.q_emb, cl.label,
+          round(list_dot_product(q.q_emb, cl.cemb)
+            / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+               * sqrt(list_dot_product(cl.cemb, cl.cemb))), 6) AS ccos
+        FROM q, cl),
+      best AS (
+        SELECT q_id, q_emb, label FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY ccos DESC, label) AS rn FROM qc) WHERE rn = 1),
+      cand AS (
+        SELECT b.q_id, e.vec_id,
+          round(list_dot_product(b.q_emb, e.emb)
+            / (sqrt(list_dot_product(b.q_emb, b.q_emb))
+               * sqrt(list_dot_product(e.emb, e.emb))), 4) AS cos_sim
+        FROM best b JOIN e ON e.label = b.label AND e.vec_id <> b.q_id)
+      SELECT q_id, vec_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cos_sim DESC, vec_id) AS rn FROM cand) WHERE rn <= 10
+      ORDER BY q_id, rn
+    """)) { (spark, dir) =>
+    val e = emb(spark, dir)
+    // Coarse index: per-label centroid, rounded so avg() accumulation order
+    // can never flip downstream comparisons.
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cemb"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val best = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("label"),
+        VectorOps.cosine(col("q_emb"), col("cemb"), scale = 6).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("q_emb"), col("label"))
+    e.join(broadcast(best), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosine(col("q_emb"), col("embedding")).as("cos_sim"))
+      .withColumn("rn", row_number().over(topkW))
+      .filter(col("rn") <= 10)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // Nearest-centroid assignment for every vector (k-means-style E step) —
+  // exercises the all-vectors-vs-all-centroids broadcast pattern.
+  private val assign = Q(
+    "ann_centroid_assign",
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      ex AS (SELECT vec_id, label, unnest(emb) AS v,
+               generate_subscripts(emb, 1) AS pos FROM e),
+      cent AS (SELECT label, pos, round(avg(v), 6) AS cv FROM ex GROUP BY label, pos),
+      cl AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cemb FROM cent GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, e.label, cl.c_label,
+          round(list_dot_product(e.emb, cl.cemb)
+            / (sqrt(list_dot_product(e.emb, e.emb))
+               * sqrt(list_dot_product(cl.cemb, cl.cemb))), 6) AS ccos
+        FROM e, cl)
+      SELECT vec_id, label AS true_label, c_label AS assigned_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, c_label) AS rn FROM scored) WHERE rn = 1
+      ORDER BY vec_id
+    """)) { (spark, dir) =>
+    val e = emb(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cemb"))
+      .select(col("label").as("c_label"), col("cemb"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        VectorOps.cosine(col("embedding"), col("cemb"), scale = 6).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("c_label").as("assigned_label"))
+      .orderBy(col("vec_id"))
+  }
+
+  override val specs: Seq[Q] = Seq(brute, ivf, assign)
+}
