@@ -38,17 +38,17 @@ object Events extends Family {
     Some("""
       SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
         event_type, value,
-        CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+        TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
       FROM events
       WHERE CAST(ts AS DATE) = DATE '2024-01-03'
       ORDER BY ts_us, event_id
     """)) { (spark, dir) =>
-    ev(spark, dir)
-      .filter(to_date(col("ts")) === lit("2024-01-03").cast("date"))
+    Tables.spread(ev(spark, dir)
+        .filter(to_date(col("ts")) === lit("2024-01-03").cast("date")))
       .select(
         col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
         col("event_type"), col("value"),
-        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+        get_json_object(col("props"), "$.k").try_cast("int").as("prop_k"))
       .orderBy(col("ts_us"), col("event_id"))
   }
 
@@ -269,20 +269,26 @@ object Events extends Family {
   }
 
   // F-group: JSON prop extraction + bucketed histogram (get_json_object path).
+  // Missing / non-integer '$.k' buckets to sentinel -1 in BOTH engines
+  // (TRY_CAST + COALESCE) so the total ORDER BY never sorts NULLs — Spark
+  // sorts NULLs first, DuckDB last, which would break the oracle compare.
   private val propsHistogram = Q(
     "json_props_histogram",
     Some("""
-      SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10.0)
-               AS INTEGER) AS bucket,
+      SELECT COALESCE(CAST(FLOOR(
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) / 10.0)
+               AS INTEGER), -1) AS bucket,
         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
       FROM events
       GROUP BY bucket
       ORDER BY bucket
     """)) { (spark, dir) =>
-    ev(spark, dir)
+    Tables.spread(ev(spark, dir))
       .select(
-        floor(get_json_object(col("props"), "$.k").cast("int") / 10.0)
-          .cast("int").as("bucket"),
+        coalesce(
+          floor(get_json_object(col("props"), "$.k").try_cast("int") / 10.0)
+            .cast("int"),
+          lit(-1)).as("bucket"),
         col("user_id"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))

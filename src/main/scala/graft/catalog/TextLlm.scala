@@ -18,18 +18,10 @@ import graft.ops.TextOps
  */
 object TextLlm extends Family {
 
+  // spread(): the per-row work here (md5/regex/higher-order filters) is the
+  // cost center, and the single-file test input would pin it to one core.
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-
-  /** Shared DuckDB CTE: word-trigram shingles per doc. */
-  private val duckShingles = """
-      tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      sh AS (
-        SELECT doc_id, unnest(CASE WHEN len(t) >= 3
-          THEN list_transform(generate_series(1, len(t)-2),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-          ELSE [] END) AS sh
-        FROM tok)"""
+    Tables.spread(Tables.documents(spark, dir))
 
   // -------------------------------------------------------------------------
   // Exact dedup: one survivor (min doc_id) per identical text.
@@ -65,115 +57,79 @@ object TextLlm extends Family {
       .orderBy(col("doc_id"))
   }
 
-  // MinHash (8 hashes) + LSH (4 bands x 2 rows): near-dup candidate pairs.
+  // MinHash (8 perms) + LSH (4 bands x 2 rows): near-dup candidate pairs.
+  // Signatures are one narrow projection per doc (TextOps.lshBands); the only
+  // shuffle is the band-signature self-join — the 100 TB shape.
   private val minhashLsh = Q(
     "dedup_minhash_lsh_pairs",
     Some(s"""
-      WITH $duckShingles,
-      mh AS (
-        SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
-        FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
-        GROUP BY doc_id, seed),
-      bands AS (
-        SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
-          md5(string_agg(mh, '|' ORDER BY seed)) AS sig
-        FROM mh GROUP BY doc_id, band),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-         AND a.doc_id < b.doc_id)
+      WITH ${TextOps.duckPairsCtes}
       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
     """)) { (spark, dir) =>
-    val mh = TextOps.minhash(docs(spark, dir), "doc_id", "text", numHashes = 8)
-    val bands = TextOps.lshBands(mh, "doc_id", rowsPerBand = 2)
+    val bands = TextOps.lshBands(docs(spark, dir), "doc_id", "text")
     TextOps.candidatePairs(bands, "doc_id")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // n-gram Jaccard similarity, evaluated on the LSH candidate pairs only
-  // (the scale path: LSH bounds the quadratic join to near-duplicates).
+  // (the scale path: LSH bounds the quadratic work to near-duplicates), over
+  // per-doc distinct shingle-HASH sets (trigram_hashes kernel — identical
+  // int64 values in both engines) + array_intersect — no shingle explode.
   private val jaccard = Q(
     "dedup_ngram_jaccard",
     Some(s"""
-      WITH $duckShingles,
-      mh AS (
-        SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
-        FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
-        GROUP BY doc_id, seed),
-      bands AS (
-        SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
-          md5(string_agg(mh, '|' ORDER BY seed)) AS sig
-        FROM mh GROUP BY doc_id, band),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-         AND a.doc_id < b.doc_id),
-      shd AS (SELECT DISTINCT doc_id, sh FROM sh),
-      sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-      inter AS (
-        SELECT p.doc_a, p.doc_b, COUNT(*) AS i
-        FROM pairs p
-        JOIN shd a ON a.doc_id = p.doc_a
-        JOIN shd b ON b.doc_id = p.doc_b AND b.sh = a.sh
-        GROUP BY p.doc_a, p.doc_b)
-      SELECT i.doc_a, i.doc_b,
-        i.i / (sa.n + sb.n - i.i) AS jaccard
-      FROM inter i
-      JOIN sizes sa ON sa.doc_id = i.doc_a
-      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WITH ${TextOps.duckPairsCtes},
+      shd AS (SELECT doc_id, list_distinct(hs) AS ds FROM hs)
+      SELECT p.doc_a, p.doc_b,
+        len(list_intersect(a.ds, b.ds))
+          / (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))) AS jaccard
+      FROM pairs p
+      JOIN shd a ON a.doc_id = p.doc_a
+      JOIN shd b ON b.doc_id = p.doc_b
       ORDER BY doc_a, doc_b
     """)) { (spark, dir) =>
     val d = docs(spark, dir)
-    val mh = TextOps.minhash(d, "doc_id", "text", numHashes = 8)
-    val pairs = TextOps.candidatePairs(TextOps.lshBands(mh, "doc_id", rowsPerBand = 2), "doc_id")
-    val shd = d.select(col("doc_id"), explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
-      .distinct()
-    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(shd.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(shd.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+    val pairs = TextOps.candidatePairs(TextOps.lshBands(d, "doc_id", "text"), "doc_id")
+    val shd = d.select(col("doc_id"),
+      array_distinct(graft.functions.trigram_hashes(col("text"))).as("ds"))
+    val inter = size(array_intersect(col("dsa"), col("dsb")))
+    pairs
+      .join(shd.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (col("i") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+        (inter / (size(col("dsa")) + size(col("dsb")) - inter)).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // SimHash: 60-bit fingerprint from per-token md5 nibbles; majority vote per
-  // bit over the document's distinct tokens.
+  // bit over the document's distinct tokens. Map-only: the bit loop runs as
+  // nested higher-order aggregates inside one projection (no 60x explode).
   private val simhash = Q(
     "dedup_simhash",
     Some("""
-      WITH td AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-                  FROM documents),
-      h AS (SELECT doc_id, md5(tok) AS h FROM td),
-      bits AS (SELECT doc_id, h, unnest(generate_series(0, 59)) AS bit FROM h),
-      bv AS (SELECT doc_id, bit,
-        ((instr('0123456789abcdef', substr(h, CAST(1 + bit // 4 AS INTEGER), 1)) - 1)
-          >> CAST(3 - bit % 4 AS INTEGER)) & 1 AS bitval
-        FROM bits),
-      agg AS (SELECT doc_id, bit,
-        CASE WHEN SUM(2 * bitval - 1) > 0 THEN CAST(1 AS BIGINT)
-             ELSE CAST(0 AS BIGINT) END AS bit_on
-        FROM bv GROUP BY doc_id, bit)
-      SELECT doc_id, CAST(SUM(bit_on << CAST(bit AS INTEGER)) AS BIGINT) AS simhash
-      FROM agg GROUP BY doc_id ORDER BY doc_id
+      WITH td AS (SELECT doc_id,
+        list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hs
+        FROM documents)
+      SELECT doc_id,
+        CAST(list_sum(list_transform(generate_series(0, 59), bit ->
+          CASE WHEN list_sum(list_transform(hs, h ->
+              2 * (((instr('0123456789abcdef',
+                           substr(h, CAST(1 + bit // 4 AS INTEGER), 1)) - 1)
+                    >> CAST(3 - bit % 4 AS INTEGER)) & 1) - 1)) > 0
+          THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+          ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      FROM td ORDER BY doc_id
     """)) { (spark, dir) =>
     docs(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(59))).as("bit"))
-      .withColumn("bitval",
-        expr("(shiftright(instr('0123456789abcdef', substring(h, cast(1 + bit div 4 as int), 1)) - 1, " +
-          "cast(3 - bit % 4 as int))) & 1"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(when(sum(lit(2) * col("bitval") - 1) > 0, 1L).otherwise(0L).as("bit_on"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(bit_on, cast(bit as int))")).as("simhash"))
+      .select(col("doc_id"),
+        transform(array_distinct(TextOps.tokens(col("text"))), t => md5(t)).as("hs"))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 59), cast(0 as bigint), (acc, bit) ->
+          acc + if(aggregate(hs, 0, (a, h) ->
+              a + 2 * ((shiftright(instr('0123456789abcdef',
+                          substring(h, cast(1 + bit div 4 as int), 1)) - 1,
+                        cast(3 - bit % 4 as int))) & 1) - 1) > 0,
+            shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))""").as("simhash"))
       .orderBy(col("doc_id"))
   }
 

@@ -15,16 +15,17 @@ import graft.ops.VectorOps
  *
  * Scale posture: the query set is small and broadcast; candidates stream
  * through a map-side cross join — linear in corpus size, no shuffle of the
- * big side. IVF then cuts the scanned fraction to ~1/n_clusters, the same
+ * big side. Top-k is the salted two-stage reduction (VectorOps.topK), so a
+ * handful of query ids never funnels the whole scored corpus into a handful
+ * of reducers. IVF then cuts the scanned fraction to ~1/n_clusters, the same
  * shape a 100 TB ANN sweep needs (bucket pruning before distance math).
  */
 object Vectors extends Family {
 
+  // spread(): cosine over 64-dim arrays is the cost center; the single-file
+  // test input would otherwise pin the whole scan-side scoring to one core.
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-
-  private val topkW = Window.partitionBy(col("q_id"))
-    .orderBy(col("cos_sim").desc, col("vec_id"))
+    Tables.spread(Tables.embeddings(spark, dir))
 
   // Brute-force exact cosine top-10 for query vectors vec_id < 5.
   private val brute = Q(
@@ -45,12 +46,11 @@ object Vectors extends Family {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    e.crossJoin(broadcast(q))
+    val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         VectorOps.cosine(col("q_emb"), col("embedding")).as("cos_sim"))
-      .withColumn("rn", row_number().over(topkW))
-      .filter(col("rn") <= 10)
+    VectorOps.topK(scored, "q_id", "vec_id", "cos_sim", k = 10)
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -106,12 +106,11 @@ object Vectors extends Family {
         Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("label"))))
       .filter(col("rn") === 1)
       .select(col("q_id"), col("q_emb"), col("label"))
-    e.join(broadcast(best), Seq("label"))
+    val scored = e.join(broadcast(best), Seq("label"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         VectorOps.cosine(col("q_emb"), col("embedding")).as("cos_sim"))
-      .withColumn("rn", row_number().over(topkW))
-      .filter(col("rn") <= 10)
+    VectorOps.topK(scored, "q_id", "vec_id", "cos_sim", k = 10)
       .orderBy(col("q_id"), col("rn"))
   }
 

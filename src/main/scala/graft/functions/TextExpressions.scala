@@ -1,0 +1,148 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * JVM kernels for the text-dedup expressions.
+ *
+ * Rationale: the pure-SQL formulation (transform/aggregate higher-order
+ * functions over the shingle array) is semantically right but its lambdas are
+ * interpreted per element (~10µs/el) and CollapseProject re-inlines the array
+ * into every downstream reference, multiplying the work. A custom Catalyst
+ * expression computes the whole per-document signature in ONE call — a tight
+ * JVM loop — and stays inside WholeStageCodegen via doGenCode static calls.
+ *
+ * Portability contract (must match the DuckDB oracle CTEs in
+ * [[graft.ops.TextOps.duckPairsCtes]] bit-for-bit):
+ *   - tokens: split on single space, trailing empties kept (= Spark
+ *     `split(text, ' ')` = DuckDB `string_split(text, ' ')`);
+ *   - shingle: 3 consecutive tokens joined with single spaces;
+ *   - base hash h32: first 8 hex nibbles of md5(shingle) as unsigned int
+ *     (= first 4 digest bytes big-endian);
+ *   - permutation i: (h32 * A(i) + B(i)) mod P, exact int64 arithmetic;
+ *   - band j signature: mh(2j)*P + mh(2j+1)  (< 1.1e18, fits int64).
+ */
+object TextHashing {
+
+  val P = 1000000007L
+  val A: Array[Long] = Array(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
+  val B: Array[Long] = Array(17L, 1000033L, 2000083L, 3000017L,
+    4000037L, 5000011L, 6000011L, 7000003L)
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def h32(s: String): Long = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+  }
+
+  /** Packed LSH band signatures for one document, or null if it has no
+    * trigram shingles. Called from generated code — keep signature stable. */
+  def minhashBands(text: UTF8String, numHashes: Int, rowsPerBand: Int): ArrayData = {
+    if (text == null) return null
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < 3) return null
+    val k = numHashes
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i + 2 < toks.length) {
+      val h = h32(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      var j = 0
+      while (j < k) {
+        val v = (h * A(j) + B(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val nBands = k / rowsPerBand
+    val sigs = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      sigs(b) = mins(2 * b) * P + mins(2 * b + 1)
+      b += 1
+    }
+    ArrayData.toArrayData(sigs)
+  }
+
+  /** h32 of every trigram shingle of the document, in order (empty when the
+    * document is shorter than one shingle). Called from generated code. */
+  def trigramHashes(text: UTF8String): ArrayData = {
+    if (text == null) return null
+    val toks = text.toString.split(" ", -1)
+    val n = math.max(toks.length - 2, 0)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = h32(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/**
+ * `minhash_bands(text)`: array of `numHashes/rowsPerBand` packed int64 LSH
+ * band signatures of the document's trigram-shingle MinHash sketch; NULL for
+ * documents with no shingles (so band equi-joins skip them).
+ */
+case class MinHashBands(child: Expression, numHashes: Int = 8, rowsPerBand: Int = 2)
+    extends UnaryExpression {
+  require(numHashes % rowsPerBand == 0 && rowsPerBand == 2,
+    "band packing assumes pairs of minhashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.minhashBands(input.asInstanceOf[UTF8String], numHashes, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextHashing.minhashBands($c, $numHashes, $rowsPerBand);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** `trigram_hashes(text)`: h32 of each trigram shingle, in document order. */
+case class TrigramHashes(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.trigramHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.trigramHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramHashes =
+    copy(child = newChild)
+}

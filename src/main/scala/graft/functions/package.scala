@@ -1,0 +1,17 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.bridge
+
+/** Column-API wrappers for graft's custom Catalyst expressions. */
+package object functions {
+
+  /** Packed LSH band signatures of a text column's MinHash sketch;
+    * NULL for documents with no trigram shingles. */
+  def minhash_bands(text: Column, numHashes: Int = 8, rowsPerBand: Int = 2): Column =
+    bridge.toColumn(MinHashBands(bridge.toExpression(text), numHashes, rowsPerBand))
+
+  /** h32 base hash of each trigram shingle of a text column, in order. */
+  def trigram_hashes(text: Column): Column =
+    bridge.toColumn(TrigramHashes(bridge.toExpression(text)))
+}

@@ -28,15 +28,31 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /**
+   * Spread a table across the cluster before CPU-heavy per-row map work
+   * (regex, JSON parsing, hashing). The testdata tables are single parquet
+   * files = ONE scan partition, which would serialize such work onto one
+   * core; a real 100 TB lake has thousands of files and gets this
+   * parallelism from the scan itself, so the round-robin shuffle here is a
+   * test-input equalizer, not part of the 100 TB plan shape.
+   */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /**
    * The `events` table ships nanosecond-precision timestamps, which Spark's
    * Parquet reader rejects ([PARQUET_TYPE_ILLEGAL] INT64 TIMESTAMP(NANOS)).
-   * We read them as raw nanos longs (`spark.sql.legacy.parquet.nanosAsLong`)
-   * and surface a microsecond `TimestampType` column, truncating like the
-   * oracle's `CAST(ts_ns AS TIMESTAMP)` does (floor division — timestamps in
-   * the lake are all post-epoch).
+   * Sessions reading it MUST set `spark.sql.legacy.parquet.nanosAsLong=true`
+   * at build time (as Verify/Bench/Scratch and the test fixture do) — the
+   * conf is read at scan planning, so a runtime `spark.conf.set` here would
+   * mutate session-global state and could arrive after schema caching. The
+   * raw nanos longs surface as a microsecond `TimestampType` column,
+   * truncating like the oracle's `CAST(ts_ns AS TIMESTAMP)` does.
    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession builder " +
+        "(events.parquet carries INT64 TIMESTAMP(NANOS))")
     // Integer `div`, NOT `/`: epoch-nanos (~1.7e18) overflow double's 2^53
     // exact-integer range, so float division is off by ±1 µs.
     load(spark, sfDir, "events")

@@ -5,14 +5,18 @@ import org.apache.spark.sql.functions._
 
 /**
  * Text / dedup primitives for LLM-data pipelines, designed to be
- * (a) fully distributed — explode/groupBy shapes, no driver state — and
- * (b) engine-portable for the oracle: all hashing goes through md5 hex
- * strings (identical bytes-in/hex-out in any engine) rather than
- * engine-private hash functions like xxhash64.
+ * (a) fully distributed — per-document map work with a single shuffle on the
+ * LSH band signature, no driver state — and
+ * (b) engine-portable for the oracle: base hashing goes through md5 hex
+ * (identical bytes-in/hex-out in any engine); the MinHash permutation family
+ * is exact int64 arithmetic `(a*h + b) mod p` on a 32-bit base hash, so every
+ * signature is bit-identical in Spark and DuckDB.
  *
- * Scale: every op here is a map + shuffle-on-doc_id (or shuffle-on-signature
- * for LSH); nothing is quadratic in corpus size except the *candidate* pair
- * join, which LSH banding bounds to near-duplicates.
+ * Scale shape: MinHash signatures are computed in ONE narrow projection per
+ * document (no explode, no pre-join shuffle) — at 100 TB the only shuffles
+ * are the band-signature self-join (bounded by near-duplicate density) and
+ * the final ordering. md5 runs once per shingle; the k permutations are
+ * multiply-mod on the cached base hash.
  */
 object TextOps {
 
@@ -33,30 +37,35 @@ object TextOps {
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  /**
-   * (doc_id, seed, mh) MinHash rows: per seed, the lexicographic min of
-   * md5("<seed>:<shingle>") over the document's shingles. String-min of a
-   * uniform hex hash is a valid min-hash and is bit-identical across engines.
-   */
-  def minhash(docs: DataFrame, docId: String, textCol: String, numHashes: Int): DataFrame = {
-    val seeds = array((0 until numHashes).map(lit): _*)
-    docs
-      .select(col(docId), explode(shingles(tokens(col(textCol)))).as("sh"))
-      .select(col(docId), explode(seeds).as("seed"), col("sh"))
-      .groupBy(col(docId), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
-  }
+  // MinHash permutation family: h_i(x) = (A(i)*x + B(i)) mod P over a 32-bit
+  // base hash. P prime > 2^30; A(i)*x <= 167 * 2^32 < 2^63 — no overflow.
+  // Kernel constants live in graft.functions.TextHashing (the codegen side).
+  val P: Long = graft.functions.TextHashing.P
+  val A: IndexedSeq[Long] = graft.functions.TextHashing.A.toIndexedSeq
+  val B: IndexedSeq[Long] = graft.functions.TextHashing.B.toIndexedSeq
+
+  /** 32-bit base hash of a string: first 8 hex nibbles of md5, as int64.
+    * DuckDB twin: `CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)`.
+    * (Column-expression form; the hot path uses TextHashing's JVM kernel.) */
+  def h32(s: Column): Column = conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
   /**
-   * LSH banding: group `rowsPerBand` consecutive min-hashes into one band
-   * signature. Docs sharing any (band, signature) are near-dup candidates.
+   * LSH band rows, (docId, band, sig), `numHashes/rowsPerBand` per document:
+   * the per-document MinHash sketch packed pairwise into int64 band
+   * signatures `mh_{2j}*P + mh_{2j+1}` (< 1.1e18, fits int64).
+   *
+   * The whole sketch is ONE codegen'd expression per document
+   * ([[graft.functions.MinHashBands]]) evaluated once inside the Generate —
+   * map-only, no shuffle of raw text, no interpreted higher-order lambdas,
+   * no CollapseProject re-evaluation. The only shuffles downstream are the
+   * band-signature self-join and the final ordering: the 100 TB shape.
+   * Documents with no shingles return NULL and drop out at the explode.
    */
-  def lshBands(mh: DataFrame, docId: String, rowsPerBand: Int): DataFrame =
-    mh.groupBy(col(docId), floor(col("seed") / rowsPerBand).cast("int").as("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          x => x.getField("mh")),
-        "|")).as("sig"))
+  def lshBands(docs: DataFrame, docId: String, textCol: String,
+               numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    docs.select(col(docId),
+      posexplode(graft.functions.minhash_bands(col(textCol), numHashes, rowsPerBand))
+        .as(Seq("band", "sig")))
 
   /** Candidate near-duplicate pairs (a < b) from shared LSH band signatures. */
   def candidatePairs(bands: DataFrame, docId: String): DataFrame = {
@@ -66,5 +75,38 @@ object TextOps {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
+
+  /** DuckDB twin of [[lshBands]]+[[candidatePairs]] as a WITH-clause body;
+    * expects a `documents(doc_id, text)` view, yields CTE `pairs(doc_a, doc_b)`
+    * plus `sh(doc_id, shs)` with the raw shingle lists for reuse. */
+  val duckPairsCtes: String = {
+    val mins = (0 until 8).map { i =>
+      s"list_min(list_transform(hs, h -> (h*${A(i)} + ${B(i)}) % $P)) AS mh$i"
+    }.mkString(",\n          ")
+    val bands = (0 until 4).map { j =>
+      s"SELECT doc_id, $j AS band, mh${2 * j}*$P + mh${2 * j + 1} AS sig FROM mh"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_transform(generate_series(1, len(t)-2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+          ELSE [] END AS shs
+        FROM tok),
+      hs AS (SELECT doc_id,
+        list_transform(shs, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM sh),
+      mh AS (
+        SELECT doc_id,
+          $mins
+        FROM hs),
+      bands AS (
+        $bands),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         AND a.doc_id < b.doc_id)"""
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -28,4 +28,32 @@ object VectorOps {
     * differences can never reorder a top-k ranking across engines/partitions. */
   def cosine(a: Column, b: Column, scale: Int = 4): Column =
     round(dot(a, b) / (norm(a) * norm(b)), scale)
+
+  /**
+   * Exact global top-k per query key, scale-safe: a low-query-cardinality
+   * window (`partitionBy(qCol)` with a handful of query ids) would funnel the
+   * whole scored corpus into that many reducers. Stage 1 pre-reduces per
+   * (query, salt) bucket — `nSalts`× the parallelism, keeping only k rows per
+   * bucket — so the stage-2 global window sorts at most `nSalts*k` rows per
+   * query. The salt comes from the candidate id, so stage 1 is deterministic
+   * and, because every global top-k row survives its bucket's local top-k,
+   * the result is exactly the unsalted top-k (rn included).
+   *
+   * `scored` must carry (qCol, idCol, simCol); ties break by ascending id.
+   */
+  def topK(scored: DataFrame, qCol: String, idCol: String, simCol: String,
+           k: Int, nSalts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val localW = Window.partitionBy(col(qCol), col("_salt"))
+      .orderBy(col(simCol).desc, col(idCol))
+    val globalW = Window.partitionBy(col(qCol))
+      .orderBy(col(simCol).desc, col(idCol))
+    scored
+      .withColumn("_salt", pmod(hash(col(idCol)), lit(nSalts)))
+      .withColumn("_lrn", row_number().over(localW))
+      .filter(col("_lrn") <= k)
+      .drop("_salt", "_lrn")
+      .withColumn("rn", row_number().over(globalW))
+      .filter(col("rn") <= k)
+  }
 }

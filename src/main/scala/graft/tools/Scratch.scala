@@ -2,24 +2,34 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratch main — not part of the library surface. */
+/** Dev scratch main — not part of the library surface.
+  * Usage: runMain graft.tools.Scratch <sfDir> <queryName>... [--explain]
+  * Times each named catalog query (count()), optionally dumping the
+  * formatted physical plan first.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev.printSchema()
-    ev.withColumn("ts2", timestamp_micros(col("ts") / 1000 cast "long"))
-      .show(3, truncate = false)
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    emb.printSchema()
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val explain = args.contains("--explain")
+    val names = args.drop(1).filterNot(_.startsWith("--"))
+    val qs = graft.SparkEntry.queries
+    names.foreach { n =>
+      val df = qs(n)(spark, sfDir)
+      if (explain) df.explain("formatted")
+      val t0 = System.nanoTime()
+      val c = df.count()
+      printf("TIMING %-32s %8.3f s  (%d rows)%n", n, (System.nanoTime() - t0) / 1e9, c)
+    }
     spark.stop()
   }
 }
