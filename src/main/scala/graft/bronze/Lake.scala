@@ -1,0 +1,125 @@
+package graft.bronze
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Bronze-layer lake I/O: the reference's S3 loader surface (SURVEY.md §2.1
+ * S5-S8) as Spark-native partitioned-Parquet operations.
+ *
+ * Layout mirrors /root/reference/src/pipeline/loaders/s3_loader.py:85-86 —
+ * one calendar day of one data type lives under
+ * `{root}/{dataType}/year=YYYY/month=MM/day=DD/`, with a JSON metadata
+ * sidecar (s3_loader.py:111-145) next to the data files and Spark's own
+ * `_SUCCESS` marker as the idempotence/commit signal (s3_loader.py:147-169's
+ * HEAD-the-object check).
+ *
+ * Scale posture: writes go through the distributed Parquet committer (no
+ * driver materialization — the reference buffered the whole day in driver
+ * RAM, s3_loader.py:90); listings touch only directory metadata, never data;
+ * the day-partition layout is exactly what Catalyst partition-prunes on
+ * read, so a 100 TB lake reads one day by listing one directory.
+ */
+object Lake {
+
+  /** `year=YYYY/month=MM/day=DD` relative partition path for an ISO date
+    * (zero-padded like s3_loader.py:85-86). */
+  def partitionPath(date: String): String = {
+    val d = java.time.LocalDate.parse(date)
+    f"year=${d.getYear}%04d/month=${d.getMonthValue}%02d/day=${d.getDayOfMonth}%02d"
+  }
+
+  def dayDir(root: String, dataType: String, date: String): String =
+    s"$root/$dataType/${partitionPath(date)}"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** S5: write one day-slice as Parquet under the day's partition dir,
+    * overwriting any prior attempt (idempotent re-run). Returns row count. */
+  def writeDay(spark: SparkSession, df: DataFrame, root: String,
+               dataType: String, date: String): Long = {
+    val dir = dayDir(root, dataType, date)
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    val n = spark.read.parquet(dir).count()
+    writeMetadata(spark, df, root, dataType, date, n)
+    n
+  }
+
+  /** S6: JSON metadata sidecar (record_count/columns/schema/bytes/timestamp —
+    * s3_loader.py:121-130) written next to the day's data files. */
+  def writeMetadata(spark: SparkSession, df: DataFrame, root: String,
+                    dataType: String, date: String, recordCount: Long): Unit = {
+    val dir = dayDir(root, dataType, date)
+    val f = fs(spark, dir)
+    val sizeBytes = f.getContentSummary(new Path(dir)).getLength
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json =
+      s"""{
+         |  "date": ${q(date)},
+         |  "data_type": ${q(dataType)},
+         |  "record_count": $recordCount,
+         |  "columns": [${df.columns.map(q).mkString(", ")}],
+         |  "size_mb": ${math.round(sizeBytes / 1048576.0 * 100) / 100.0},
+         |  "upload_timestamp": ${q(java.time.Instant.now.toString)},
+         |  "path": ${q(dir)},
+         |  "schema": ${df.schema.json}
+         |}""".stripMargin
+    val out = f.create(new Path(dir, "_sidecar.json"), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Parsed metadata sidecar for a day, if present. */
+  def readMetadata(spark: SparkSession, root: String, dataType: String,
+                   date: String): Option[String] = {
+    val p = new Path(dayDir(root, dataType, date), "_sidecar.json")
+    val f = fs(spark, p.toString)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  /** S7: has this day been committed? (`_SUCCESS` marker — the committer
+    * writes it last, so a torn job never reads as present.) */
+  def checkExists(spark: SparkSession, root: String, dataType: String,
+                  date: String): Boolean = {
+    val p = new Path(dayDir(root, dataType, date), "_SUCCESS")
+    fs(spark, p.toString).exists(p)
+  }
+
+  /** S8: committed dates for a data type, newest first, capped at `limit`
+    * (s3_loader.py:171-216). Pure directory listing — no data reads. */
+  def listAvailableDates(spark: SparkSession, root: String, dataType: String,
+                         limit: Int = 100): Seq[String] = {
+    val base = new Path(s"$root/$dataType")
+    val f = fs(spark, base.toString)
+    if (!f.exists(base)) return Seq.empty
+    val glob = new Path(base, "year=*/month=*/day=*/_SUCCESS")
+    f.globStatus(glob).toSeq
+      .map(_.getPath.getParent)
+      .flatMap { dir =>
+        val (dStr, mDir) = (dir.getName, dir.getParent)
+        val (mStr, yDir) = (mDir.getName, mDir.getParent)
+        for {
+          y <- yDir.getName.stripPrefix("year=").toIntOption
+          m <- mStr.stripPrefix("month=").toIntOption
+          d <- dStr.stripPrefix("day=").toIntOption
+        } yield f"$y%04d-$m%02d-$d%02d"
+      }
+      .sorted(Ordering[String].reverse)
+      .take(limit)
+  }
+
+  /** J1: reconciliation anti-difference — dates available at the source but
+    * missing from the sink (pipeline.py:252's list comprehension). */
+  def missingDates(sourceDates: Seq[String], sinkDates: Seq[String]): Seq[String] = {
+    val sink = sinkDates.toSet
+    sourceDates.distinct.filterNot(sink).sorted
+  }
+}

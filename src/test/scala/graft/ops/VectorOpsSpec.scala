@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.lake.Tables
+
+class VectorOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("dot/norm/cosine on known vectors") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+    val row = df.select(
+      VectorOps.dot($"a", $"b").as("dot"),
+      VectorOps.norm($"a").as("na"),
+      VectorOps.norm($"b").as("nb"),
+      VectorOps.cosine($"a", $"b").as("cos")).head()
+    assert(row.getDouble(0) == 2.0)
+    assert(row.getDouble(1) == 3.0)
+    assert(row.getDouble(2) == 2.0)
+    assert(row.getDouble(3) == math.floor(2.0 / 6.0 * 1e4 + 0.5) / 1e4)
+  }
+
+  test("salted topK == plain global window top-k (exactness of the 2-stage)") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        VectorOps.cosine($"q_emb", $"embedding").as("cos_sim"))
+    val viaSalt = VectorOps.topK(scored, "q_id", "vec_id", "cos_sim", k = 7)
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+    val viaPlain = scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 7)
+    assert(viaSalt.exceptAll(viaPlain).isEmpty && viaPlain.exceptAll(viaSalt).isEmpty)
+  }
+
+  test("approx_count_distinct tracks exact distinct within its error bound") {
+    // the HLL scale path for A4 (not oracle-comparable, so tested here)
+    val li = Tables.load(spark, sf001, "lineitem")
+    val Array(exact, approx) = li.agg(
+      countDistinct($"l_partkey").cast("double"),
+      approx_count_distinct($"l_partkey", 0.02).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(approx - exact) / exact < 0.1)
+  }
+}
