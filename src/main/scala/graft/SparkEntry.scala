@@ -15,7 +15,8 @@ import graft.catalog._
  */
 object SparkEntry {
 
-  private val families: Seq[Family] = Seq(Relational, Events, TextLlm, Vectors)
+  private val families: Seq[Family] =
+    Seq(Relational, Events, TextLlm, Vectors, MediaCatalog)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -295,7 +295,34 @@ object Events extends Family {
       .orderBy(col("bucket"))
   }
 
+  // As-of join: each event paired with the same user's most recent STRICTLY
+  // PRIOR purchase. Implemented as an ordered carry-forward window (one
+  // shuffle on user_id) rather than a per-row range join — the scalable
+  // formulation; a sort-merge as-of needs exactly this sort anyway.
+  private val asofQ = Q(
+    "join_asof_last_purchase",
+    Some("""
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+        event_type,
+        last_value(CASE WHEN event_type = 'purchase'
+            THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS last_purchase_us
+      FROM events ORDER BY event_id
+    """)) { (spark, dir) =>
+    val carry = byUserTime.rowsBetween(Window.unboundedPreceding, -1)
+    ev(spark, dir)
+      .select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        last(when(col("event_type") === "purchase", unix_micros(col("ts"))),
+          ignoreNulls = true).over(carry).as("last_purchase_us"))
+      .orderBy(col("event_id"))
+  }
+
   override val specs: Seq[Q] = Seq(
     extractDay, dailyKpis, funnel, sessionize, attribution,
-    journeys, cohort, missingDays, propsHistogram)
+    journeys, cohort, missingDays, propsHistogram, asofQ)
 }

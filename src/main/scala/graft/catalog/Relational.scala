@@ -405,8 +405,109 @@ object Relational extends Family {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  // -------------------------------------------------------------------------
+  // A-group: exact interpolated percentiles per group. Inputs are integral
+  // doubles and the probed quantiles are dyadic (0/.25/.5/.75), so the
+  // interpolation `lo + (hi-lo)*frac` is exact in IEEE in both engines.
+  private val percentilesQ = Q(
+    "agg_quantity_percentiles",
+    Some("""
+      SELECT l_returnflag,
+        CAST(min(l_quantity) AS DOUBLE) AS q_min,
+        quantile_cont(l_quantity, 0.25) AS q25,
+        quantile_cont(l_quantity, 0.50) AS q50,
+        quantile_cont(l_quantity, 0.75) AS q75,
+        CAST(max(l_quantity) AS DOUBLE) AS q_max
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_quantity")).cast("double").as("q_min"),
+        expr("percentile(l_quantity, 0.25D)").as("q25"),
+        expr("percentile(l_quantity, 0.50D)").as("q50"),
+        expr("percentile(l_quantity, 0.75D)").as("q75"),
+        max(col("l_quantity")).cast("double").as("q_max"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // A-group: pivot — order revenue, status columns spread per priority row.
+  // Spark side is a genuine RelationalGroupedDataset.pivot with pinned value
+  // list (deterministic column order); oracle is conditional aggregation.
+  private val pivotQ = Q(
+    "agg_pivot_status_revenue",
+    Some("""
+      SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+        CAST(SUM(CASE WHEN o_orderstatus = 'F'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        CAST(SUM(CASE WHEN o_orderstatus = 'P'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)) { (spark, dir) =>
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(sumMoney(col("o_totalprice")))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // Array/collect ops: per-order line profile — ordered CSV of quantities
+  // (array_sort(collect_list(struct)) keeps the line-number order total).
+  private val linesProfileQ = Q(
+    "agg_order_lines_profile",
+    Some("""
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+        string_agg(CAST(CAST(l_quantity AS INTEGER) AS VARCHAR), ','
+                   ORDER BY l_linenumber, l_quantity) AS qty_csv,
+        CAST(max(l_quantity) AS DOUBLE) AS max_qty
+      FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """)) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("l_linenumber"),
+              col("l_quantity").cast("int").as("q")))),
+            x => x.getField("q").cast("string")),
+          ",").as("qty_csv"),
+        max(col("l_quantity")).cast("double").as("max_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  // F-group scalar-function sweep (F1-F3, SURVEY §2.7): date reformatting,
+  // component split, epoch arithmetic, interval add — the reference's
+  // YYYY-MM-DD <-> YYYYMMDD threading and year=/month=/day= splitting.
+  private val datePartsQ = Q(
+    "fn_order_date_parts",
+    Some("""
+      SELECT o_orderkey,
+        strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS yyyymmdd,
+        CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS y,
+        CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS m,
+        CAST(day(CAST(o_orderdate AS DATE)) AS INTEGER) AS d,
+        CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS INTEGER) AS epoch_day,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date
+      FROM orders ORDER BY o_orderkey
+    """)) { (spark, dir) =>
+    val d = col("o_orderdate").cast("date")
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(d, "yyyyMMdd").as("yyyymmdd"),
+        year(d).as("y"), month(d).as("m"), dayofmonth(d).as("d"),
+        datediff(d, lit("1970-01-01").cast("date")).as("epoch_day"),
+        date_add(d, 30).as("due_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
   override val specs: Seq[Q] = Seq(
     q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
-    rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ)
+    rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ,
+    percentilesQ, pivotQ, linesProfileQ, datePartsQ)
 }

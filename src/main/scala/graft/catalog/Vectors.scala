@@ -156,5 +156,34 @@ object Vectors extends Family {
       .orderBy(col("vec_id"))
   }
 
-  override val specs: Seq[Q] = Seq(brute, ivf, assign)
+  // Embedding-cosine near-dup pairs, blocked by the coarse label (compare
+  // only within a bucket — the IVF-style pruning that keeps the pair join
+  // sub-quadratic at corpus scale). Threshold 0.30 is calibrated to this
+  // near-orthogonal synthetic corpus (max within-label cosine ~0.47).
+  private val nearDup = Q(
+    "dedup_embedding_cosine",
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, cos_sim FROM p
+      WHERE cos_sim >= 0.30
+      ORDER BY vec_a, vec_b
+    """)) { (spark, dir) =>
+    val e = emb(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        VectorOps.cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.30)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  override val specs: Seq[Q] = Seq(brute, ivf, assign, nearDup)
 }
