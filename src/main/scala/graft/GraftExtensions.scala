@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{MinHashBands, TrigramHashes}
+
+/**
+ * Session extension registering graft's custom Catalyst expressions as SQL
+ * functions, so `spark.sql("SELECT minhash_bands(text) ...")` works next to
+ * the Column API (graft.functions). Activate with either
+ * `.withExtensions(new GraftExtensions)` on the builder or
+ * `spark.sql.extensions=graft.GraftExtensions` in config.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def oneArg(name: String, build: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[MinHashBands].getName, name),
+      { children: Seq[Expression] =>
+        require(children.size == 1, s"$name expects exactly one argument")
+        build(children.head)
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(oneArg("minhash_bands", MinHashBands(_)))
+    ext.injectFunction(oneArg("trigram_hashes", TrigramHashes(_)))
+  }
+}

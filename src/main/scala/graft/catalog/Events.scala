@@ -322,7 +322,34 @@ object Events extends Family {
       .orderBy(col("event_id"))
   }
 
+  // MapType path: parse the JSON props into map<string,int>, explode to
+  // key/value rows, aggregate per key — the GA4 event_params pivot shape
+  // (array-of-variant-struct -> map -> explode, SURVEY §1.3/§2.7).
+  private val propsKv = Q(
+    "json_props_kv_stats",
+    Some("""
+      WITH kv AS (
+        SELECT unnest(json_keys(props)) AS key, props FROM events),
+      v AS (
+        SELECT key,
+          TRY_CAST(json_extract_string(props, '$."' || key || '"') AS INTEGER) AS val
+        FROM kv)
+      SELECT key, COUNT(*) AS n,
+        CAST(SUM(val) AS BIGINT) AS sum_val,
+        min(val) AS min_val, max(val) AS max_val
+      FROM v GROUP BY key ORDER BY key
+    """)) { (spark, dir) =>
+    Tables.spread(ev(spark, dir))
+      .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+        .as(Seq("key", "val")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+      .orderBy(col("key"))
+  }
+
   override val specs: Seq[Q] = Seq(
     extractDay, dailyKpis, funnel, sessionize, attribution,
-    journeys, cohort, missingDays, propsHistogram, asofQ)
+    journeys, cohort, missingDays, propsHistogram, asofQ, propsKv)
 }

@@ -263,7 +263,33 @@ object TextLlm extends Family {
       .orderBy(col("doc_id"))
   }
 
+  // F4 string parsing (SURVEY §2.7): the reference's prefix/suffix threading
+  // ("events_YYYYMMDD" table names, "year=" path parts) generalized — parse
+  // the numeric id out of the source tag, slice its prefix, count docs.
+  private val sourceParse = Q(
+    "fn_source_parse",
+    Some("""
+      SELECT source,
+        CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS src_num,
+        left(source, 3) AS src_prefix,
+        CAST(length(source) AS INTEGER) AS src_len,
+        COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY source ORDER BY source
+    """)) { (spark, dir) =>
+    docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(
+        col("source"),
+        regexp_extract(col("source"), "([0-9]+)", 1).cast("int").as("src_num"),
+        substring(col("source"), 1, 3).as("src_prefix"),
+        length(col("source")).as("src_len"),
+        col("n_docs"))
+      .orderBy(col("source"))
+  }
+
   override val specs: Seq[Q] = Seq(
     dedupExact, dedupNorm, minhashLsh, jaccard, simhash,
-    quality, langId, tokenCounts, fingerprint)
+    quality, langId, tokenCounts, fingerprint, sourceParse)
 }
