@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.lake.Tables
+
+class SkewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("saltedJoin == plain join (multiset), and spreads the hot key") {
+    val orders = Tables.load(spark, sf001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.load(spark, sf001, "customer")
+      .select("c_custkey", "c_name").withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, "o_custkey")
+    val salted = Skew.saltedJoin(orders, cust, "o_custkey", nSalts = 8)
+      .select(plain.columns.map(col): _*)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedSum == plain grouped sum") {
+    val li = Tables.load(spark, sf001, "lineitem")
+    val plain = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("sum_l_quantity"))
+    val salted = Skew.saltedSum(li, Seq("l_returnflag"), "l_quantity", nSalts = 8)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("hotKeys surfaces keys above the share threshold") {
+    val df = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"cold$i")).toDF("k")
+    val hot = Skew.hotKeys(df, "k", minShare = 0.5).as[(String, Long)].collect()
+    assert(hot.sameElements(Array(("hot", 90L))))
+  }
+}
