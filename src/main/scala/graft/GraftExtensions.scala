@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashBands, TrigramHashes}
+import graft.functions.{MinHashBands, RollingFingerprint, SimHash60, TrigramHashes, VectorDot}
 
 /**
  * Session extension registering graft's custom Catalyst expressions as SQL
@@ -27,5 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(oneArg("minhash_bands", MinHashBands(_)))
     ext.injectFunction(oneArg("trigram_hashes", TrigramHashes(_)))
+    ext.injectFunction(oneArg("rolling_fingerprint", RollingFingerprint))
+    ext.injectFunction(oneArg("simhash60", SimHash60))
+    ext.injectFunction((FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "vector_dot expects exactly two arguments")
+        VectorDot(children.head, children(1))
+      }))
   }
 }

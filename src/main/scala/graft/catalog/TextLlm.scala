@@ -122,14 +122,7 @@ object TextLlm extends Family {
     """)) { (spark, dir) =>
     docs(spark, dir)
       .select(col("doc_id"),
-        transform(array_distinct(TextOps.tokens(col("text"))), t => md5(t)).as("hs"))
-      .select(col("doc_id"),
-        expr("""aggregate(sequence(0, 59), cast(0 as bigint), (acc, bit) ->
-          acc + if(aggregate(hs, 0, (a, h) ->
-              a + 2 * ((shiftright(instr('0123456789abcdef',
-                          substring(h, cast(1 + bit div 4 as int), 1)) - 1,
-                        cast(3 - bit % 4 as int))) & 1) - 1) > 0,
-            shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))""").as("simhash"))
+        graft.functions.simhash60(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
   }
 
@@ -252,14 +245,7 @@ object TextLlm extends Family {
     """)) { (spark, dir) =>
     docs(spark, dir)
       .select(col("doc_id"),
-        expr("""aggregate(
-          transform(split(text, ' '), t ->
-            cast((instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 4096
-               + (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1) * 256
-               + (instr('0123456789abcdef', substring(md5(t), 3, 1)) - 1) * 16
-               + (instr('0123456789abcdef', substring(md5(t), 4, 1)) - 1) as bigint)),
-          cast(0 as bigint),
-          (acc, x) -> (acc * 31 + x) % 1000000007)""").as("fingerprint"))
+        graft.functions.rolling_fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
   }
 

@@ -91,6 +91,58 @@ object TextHashing {
     }
     ArrayData.toArrayData(out)
   }
+
+  /** 31-ary rolling hash over per-token 16-bit md5 prefixes mod P — the
+    * kernel twin of text_fingerprint_rolling's HOF/oracle formulation:
+    * fold (acc*31 + h16(tok)) % P from acc=0 over the whitespace tokens. */
+  def rollingFingerprint(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val d = md5.get()
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      d.reset()
+      val dig = d.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h16 = ((dig(0) & 0xffL) << 8) | (dig(1) & 0xffL)
+      acc = (acc * 31 + h16) % P
+      i += 1
+    }
+    acc
+  }
+
+  /** 60-bit SimHash: per distinct token, md5; per bit b in 0..59, vote
+    * +1/-1 on hex-nibble bit (nibble b/4, bit 3-b%4); set b iff votes > 0.
+    * Matches the nested-HOF/oracle formulation exactly. */
+  def simhash60(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](60)
+    val d = md5.get()
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        d.reset()
+        val dig = d.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var b = 0
+        while (b < 60) {
+          val nib = b / 4
+          val byte = dig(nib / 2)
+          val nibVal = if (nib % 2 == 0) (byte >> 4) & 0xf else byte & 0xf
+          val bitVal = (nibVal >> (3 - b % 4)) & 1
+          votes(b) += 2 * bitVal - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
 }
 
 /**
@@ -144,5 +196,48 @@ case class TrigramHashes(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.trigramHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TrigramHashes =
+    copy(child = newChild)
+}
+
+/** `rolling_fingerprint(text)`: 31-ary rolling hash of md5-16bit token
+  * prefixes mod 1e9+7 (document fingerprint). */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.rollingFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.rollingFingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+/** `simhash60(text)`: 60-bit majority-vote SimHash over distinct tokens. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.simhash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 }

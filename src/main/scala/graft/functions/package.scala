@@ -14,4 +14,16 @@ package object functions {
   /** h32 base hash of each trigram shingle of a text column, in order. */
   def trigram_hashes(text: Column): Column =
     bridge.toColumn(TrigramHashes(bridge.toExpression(text)))
+
+  /** 31-ary rolling document fingerprint mod 1e9+7. */
+  def rolling_fingerprint(text: Column): Column =
+    bridge.toColumn(RollingFingerprint(bridge.toExpression(text)))
+
+  /** 60-bit majority-vote SimHash over distinct tokens. */
+  def simhash60(text: Column): Column =
+    bridge.toColumn(SimHash60(bridge.toExpression(text)))
+
+  /** Sequential double dot product of two float/double array columns. */
+  def vector_dot(a: Column, b: Column): Column =
+    bridge.toColumn(VectorDot(bridge.toExpression(a), bridge.toExpression(b)))
 }

@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
  */
 object VectorOps {
 
-  /** Sequential-order dot product of two float/double array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-order dot product of two float/double array columns —
+    * the codegen kernel ([[graft.functions.VectorDot]]); [[dotHof]] is the
+    * pure-SQL formulation it must (and is spec-checked to) agree with. */
+  def dot(a: Column, b: Column): Column = graft.functions.vector_dot(a, b)
+
+  /** Higher-order-function formulation of [[dot]] (interpreted lambdas;
+    * kept as the cross-engine semantic reference). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

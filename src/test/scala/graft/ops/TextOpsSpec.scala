@@ -70,6 +70,44 @@ class TextOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc
   }
 
+  test("simhash60 / rolling_fingerprint kernels match the HOF formulations") {
+    val d = graft.lake.Tables.documents(spark, sf001).limit(200)
+    val viaKernel = d.select(col("doc_id"),
+      graft.functions.simhash60(col("text")).as("sh"),
+      graft.functions.rolling_fingerprint(col("text")).as("fp"))
+    val viaHof = d
+      .select(col("doc_id"),
+        transform(array_distinct(TextOps.tokens(col("text"))), t => md5(t)).as("hs"),
+        col("text"))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 59), cast(0 as bigint), (acc, bit) ->
+          acc + if(aggregate(hs, 0, (a, h) ->
+              a + 2 * ((shiftright(instr('0123456789abcdef',
+                          substring(h, cast(1 + bit div 4 as int), 1)) - 1,
+                        cast(3 - bit % 4 as int))) & 1) - 1) > 0,
+            shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))""").as("sh"),
+        expr("""aggregate(
+          transform(split(text, ' '), t ->
+            cast((instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 4096
+               + (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1) * 256
+               + (instr('0123456789abcdef', substring(md5(t), 3, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substring(md5(t), 4, 1)) - 1) as bigint)),
+          cast(0 as bigint),
+          (acc, x) -> (acc * 31 + x) % 1000000007)""").as("fp"))
+    assert(viaKernel.exceptAll(viaHof).isEmpty && viaHof.exceptAll(viaKernel).isEmpty)
+  }
+
+  test("vector_dot kernel matches the zip_with/aggregate formulation") {
+    val e = graft.lake.Tables.embeddings(spark, sf001).limit(100)
+    val q = e.select(col("embedding").as("b")).limit(5)
+    val pairs = e.crossJoin(q)
+    val diff = pairs.select(
+      graft.ops.VectorOps.dot(col("embedding"), col("b")).as("k"),
+      graft.ops.VectorOps.dotHof(col("embedding"), col("b")).as("h"))
+      .filter(col("k") =!= col("h"))
+    assert(diff.isEmpty)
+  }
+
   test("normalize collapses case/punct/whitespace") {
     val out = Seq("  The QUICK,   brown-fox!  ").toDF("t")
       .select(TextOps.normalize($"t")).as[String].head()
