@@ -505,9 +505,39 @@ object Relational extends Family {
       .orderBy(col("o_orderkey"))
   }
 
+  // Unpivot/melt — the inverse of pivotQ: wide per-flag measures to long
+  // (measure, value) rows. Spark side is the native Dataset.unpivot
+  // (UNPIVOT plan node); oracle is the portable UNION ALL form.
+  private val unpivotQ = Q(
+    "agg_unpivot_measures",
+    Some("""
+      WITH w AS (
+        SELECT l_returnflag,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+      UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+      UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+      ORDER BY l_returnflag, measure
+    """)) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_price"),
+        sumMoney(col("l_discount")).as("sum_disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
   override val specs: Seq[Q] = Seq(
     q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
     rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ,
-    percentilesQ, pivotQ, linesProfileQ, datePartsQ)
+    percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ)
 }

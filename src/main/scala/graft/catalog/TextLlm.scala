@@ -275,7 +275,31 @@ object TextLlm extends Family {
       .orderBy(col("source"))
   }
 
+  // Deterministic hash-based subsampling — the reproducible alternative to
+  // rand()-based sampling for training-data splits: membership depends only
+  // on the row key, so the sample is stable across engines, partitionings,
+  // and reruns (and any shard can be recomputed independently at 100 TB).
+  private val hashSample = Q(
+    "sample_hash_10pct",
+    Some("""
+      WITH s AS (
+        SELECT doc_id, lang
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 10 = 0)
+      SELECT lang, COUNT(*) AS n_docs, min(doc_id) AS first_doc,
+        max(doc_id) AS last_doc
+      FROM s GROUP BY lang ORDER BY lang
+    """)) { (spark, dir) =>
+    docs(spark, dir)
+      .filter(TextOps.h32(col("doc_id").cast("string")) % 10 === 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"))
+  }
+
   override val specs: Seq[Q] = Seq(
     dedupExact, dedupNorm, minhashLsh, jaccard, simhash,
-    quality, langId, tokenCounts, fingerprint, sourceParse)
+    quality, langId, tokenCounts, fingerprint, sourceParse, hashSample)
 }
