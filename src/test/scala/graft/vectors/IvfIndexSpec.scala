@@ -1,0 +1,71 @@
+package graft.vectors
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.lake.Tables
+import graft.ops.VectorOps
+
+class IvfIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(emb, d, k = 8, iters = 2)
+    d
+  }
+
+  private def queries = emb.filter($"vec_id" < 3)
+    .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+
+  test("build persists k centroids and a complete hive-partitioned posting file") {
+    assert(IvfIndex.centroids(spark, dir).count() == 8)
+    val assigned = spark.read.parquet(s"$dir/assignments")
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    assert(assigned.columns.contains("centroid_id"))
+    // deterministic rebuild: same assignment for every vector
+    val dir2 = Files.createTempDirectory("graft-ivf2").toString
+    IvfIndex.build(emb, dir2, k = 8, iters = 2)
+    val a1 = assigned.select("vec_id", "centroid_id")
+    val a2 = spark.read.parquet(s"$dir2/assignments").select("vec_id", "centroid_id")
+    assert(a1.exceptAll(a2).isEmpty && a2.exceptAll(a1).isEmpty)
+  }
+
+  test("probing all clusters == brute force; pruning hits the partition column") {
+    val viaIndex = IvfIndex.search(spark, dir, queries, nProbes = 8, k = 10)
+      .select("q_id", "vec_id", "cos_sim", "rn")
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+    val brute = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        VectorOps.cosine($"q_emb", $"embedding").as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+    assert(viaIndex.exceptAll(brute).isEmpty && brute.exceptAll(viaIndex).isEmpty)
+  }
+
+  test("probing 2 clusters only returns vectors from the probed partitions") {
+    val out = IvfIndex.search(spark, dir, queries, nProbes = 2, k = 10)
+    val assigned = spark.read.parquet(s"$dir/assignments")
+      .select($"vec_id", $"centroid_id")
+    // every hit's vector must live in one of its query's probed clusters
+    val cents = IvfIndex.centroids(spark, dir)
+    val probeW = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"centroid_id")
+    val probed = queries.crossJoin(broadcast(cents))
+      .select($"q_id", $"centroid_id",
+        VectorOps.cosine($"q_emb", $"cemb", scale = 6).as("ccos"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter($"rn" <= 2)
+      .select($"q_id", $"centroid_id")
+    val bad = out.join(assigned, "vec_id")
+      .join(probed, Seq("q_id", "centroid_id"), "left_anti")
+    assert(bad.isEmpty)
+    assert(out.count() > 0)
+  }
+}
