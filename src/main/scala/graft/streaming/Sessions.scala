@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
  */
 object Sessions {
 
+  /**
+   * Streaming exact dedup with bounded state: duplicates arriving within
+   * the watermark horizon are dropped, state for older keys is evicted —
+   * the streaming twin of the batch `dedup_exact` catalog query (a 100 TB
+   * ingest can't keep every key forever; the watermark is the contract for
+   * how late a duplicate may arrive).
+   */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   def sessionize(events: DataFrame, gap: String = "30 minutes",
                  watermark: String = "1 hour"): DataFrame =
     events

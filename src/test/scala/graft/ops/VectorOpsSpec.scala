@@ -38,6 +38,16 @@ class VectorOpsSpec extends SparkSpec {
     assert(viaSalt.exceptAll(viaPlain).isEmpty && viaPlain.exceptAll(viaSalt).isEmpty)
   }
 
+  test("approx_percentile sketch tracks the exact interpolated percentile") {
+    // the quantile-sketch scale path for agg_quantity_percentiles (sketch
+    // internals are engine-private, so spec-checked rather than oracle'd)
+    val li = Tables.load(spark, sf001, "lineitem")
+    val row = li.agg(
+      expr("percentile(l_quantity, 0.5D)"),
+      expr("approx_percentile(l_quantity, 0.5D, 1000)")).head()
+    assert(math.abs(row.getDouble(0) - row.getDouble(1)) <= 1.0)
+  }
+
   test("approx_count_distinct tracks exact distinct within its error bound") {
     // the HLL scale path for A4 (not oracle-comparable, so tested here)
     val li = Tables.load(spark, sf001, "lineitem")

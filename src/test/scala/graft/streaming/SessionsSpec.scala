@@ -28,6 +28,27 @@ class SessionsSpec extends SparkSpec {
     assert(math.abs(av - bv) < 1e-6)
   }
 
+  test("dropDuplicatesWithinWatermark dedups a replayed stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "payload")
+    val q = Sessions.dedupWithinWatermark(events, Seq("event_id"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+      input.addData((1L, t(0), "a"), (2L, t(1), "b"))
+      q.processAllAvailable()
+      // replay of 1 and 2 within the horizon + one new event
+      input.addData((1L, t(2), "a"), (2L, t(3), "b"), (3L, t(4), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming micro-batches emit closed sessions through the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
