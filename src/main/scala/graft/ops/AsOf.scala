@@ -33,7 +33,7 @@ object AsOf {
     val l = left.select(
       col(key).as("_k"), col(leftTs).as("_ts"), lit(leftTag).as("_tag"),
       lit(null).cast(payloadType).as("_payload"),
-      struct(left.columns.map(col): _*).as("_row"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_row"))
     val r = right.select(
       col(key).as("_k"), col(rightTs).as("_ts"), lit(rightTag).as("_tag"),
       struct(payloadCols.map(col): _*).as("_payload"),

@@ -29,7 +29,7 @@ object Skew {
     // any row->salt assignment is correct; hashing the whole row keeps it
     // deterministic for tests without coordinating with the key distribution
     val bigS = big.withColumn("_salt",
-      pmod(hash(struct(big.columns.map(col): _*)), lit(nSalts)))
+      pmod(hash(struct(big.columns.toIndexedSeq.map(col): _*)), lit(nSalts)))
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     bigS.join(smallS, Seq(key, "_salt"), joinType).drop("_salt")
@@ -42,7 +42,7 @@ object Skew {
    */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
                 nSalts: Int = 16): DataFrame = {
-    val salt = pmod(hash(struct(df.columns.map(col): _*)), lit(nSalts))
+    val salt = pmod(hash(struct(df.columns.toIndexedSeq.map(col): _*)), lit(nSalts))
     df.withColumn("_salt", salt)
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_partial"))
