@@ -42,16 +42,22 @@ object Bench {
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
         val q0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - q0) / 1e9
+        val failed = try { fn(spark, sfDir).count(); false } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            true
+        }
+        (name, (System.nanoTime() - q0) / 1e9, failed)
       }
     }
-    val results = Await.result(Future.sequence(futures), Duration.Inf).toMap
+    val results = Await.result(Future.sequence(futures), Duration.Inf)
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","parallelism":$par}""")
+    val errs = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","parallelism":$par,"errors":$errs}""")
     spark.stop()
   }
 }
