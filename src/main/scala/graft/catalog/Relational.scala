@@ -535,9 +535,36 @@ object Relational extends Family {
       .orderBy(col("l_returnflag"), col("measure"))
   }
 
+  // W3 breadth: distribution-rank window functions — quartile bucket,
+  // percent_rank, cume_dist over each customer's spend history. Ties are
+  // impossible (orderkey tiebreak), so the rank family is deterministic.
+  private val rankMetricsQ = Q(
+    "window_rank_metrics",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(ntile(4) OVER w AS INTEGER) AS spend_quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cume,
+        CAST(first_value(o_orderkey) OVER w AS BIGINT) AS cheapest_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_custkey, o_orderkey
+    """)) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("spend_quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_orderkey")).over(w).as("cheapest_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   override val specs: Seq[Q] = Seq(
     q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
     rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ,
-    percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ)
+    percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ, rankMetricsQ)
 }

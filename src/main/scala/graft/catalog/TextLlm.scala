@@ -299,7 +299,34 @@ object TextLlm extends Family {
       .orderBy(col("lang"))
   }
 
+  // Edit-distance verification of the LSH candidate pairs (bounded to the
+  // 64-char prefix so the O(len^2) DP never explodes on a long outlier) —
+  // the character-level confirm pass layered over the token-level LSH.
+  private val levenshteinPairs = Q(
+    "dedup_levenshtein_pairs",
+    Some(s"""
+      WITH ${TextOps.duckPairsCtes},
+      d AS (SELECT doc_id, substr(text, 1, 64) AS prefix FROM documents)
+      SELECT p.doc_a, p.doc_b,
+        CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+      FROM pairs p
+      JOIN d a ON a.doc_id = p.doc_a
+      JOIN d b ON b.doc_id = p.doc_b
+      ORDER BY doc_a, doc_b
+    """)) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val pairs = TextOps.candidatePairs(TextOps.lshBands(d, "doc_id", "text"), "doc_id")
+    val pre = d.select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"))
+    pairs
+      .join(pre.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), Seq("doc_a"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).as("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   override val specs: Seq[Q] = Seq(
     dedupExact, dedupNorm, minhashLsh, jaccard, simhash,
-    quality, langId, tokenCounts, fingerprint, sourceParse, hashSample)
+    quality, langId, tokenCounts, fingerprint, sourceParse, hashSample,
+    levenshteinPairs)
 }
