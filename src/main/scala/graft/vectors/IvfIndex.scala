@@ -84,8 +84,14 @@ object IvfIndex {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbes)
       .select(col("q_id"), col("q_emb"), col("centroid_id"))
-    // partition-pruned scan: the join key is the hive partition column
+    // Static partition pruning: the probed cluster set is tiny (<= queries x
+    // nProbes), so collect it and filter the hive partition column with
+    // literals — the scan then LISTS only those directories, guaranteed,
+    // rather than relying on runtime dynamic pruning through the join.
+    val probedIds = probes.select(col("centroid_id"))
+      .distinct().collect().map(_.getInt(0)).toSeq
     val assignments = spark.read.parquet(s"$dir/assignments")
+      .filter(col("centroid_id").isin(probedIds: _*))
     val scored = assignments.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),

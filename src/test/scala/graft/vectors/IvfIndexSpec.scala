@@ -67,5 +67,9 @@ class IvfIndexSpec extends SparkSpec {
       .join(probed, Seq("q_id", "centroid_id"), "left_anti")
     assert(bad.isEmpty)
     assert(out.count() > 0)
+    // and the scan itself is partition-pruned to the probed directories
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [centroid_id"),
+      planStr.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 }
