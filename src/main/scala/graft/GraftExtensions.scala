@@ -15,20 +15,22 @@ import graft.functions.{MinHashBands, RollingFingerprint, SimHash60, TrigramHash
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def oneArg(name: String, build: Expression => Expression)
+  private def oneArg(name: String, implClass: Class[_],
+                     build: Expression => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
-      new ExpressionInfo(classOf[MinHashBands].getName, name),
+      new ExpressionInfo(implClass.getName, name),
       { children: Seq[Expression] =>
         require(children.size == 1, s"$name expects exactly one argument")
         build(children.head)
       })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(oneArg("minhash_bands", MinHashBands(_)))
-    ext.injectFunction(oneArg("trigram_hashes", TrigramHashes(_)))
-    ext.injectFunction(oneArg("rolling_fingerprint", RollingFingerprint))
-    ext.injectFunction(oneArg("simhash60", SimHash60))
+    ext.injectFunction(oneArg("minhash_bands", classOf[MinHashBands], MinHashBands(_)))
+    ext.injectFunction(oneArg("trigram_hashes", classOf[TrigramHashes], TrigramHashes))
+    ext.injectFunction(oneArg("rolling_fingerprint", classOf[RollingFingerprint],
+      RollingFingerprint))
+    ext.injectFunction(oneArg("simhash60", classOf[SimHash60], SimHash60))
     ext.injectFunction((FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       { children: Seq[Expression] =>

@@ -38,12 +38,16 @@ object Lake {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** S5: write one day-slice as Parquet under the day's partition dir,
-    * overwriting any prior attempt (idempotent re-run). Returns row count. */
+    * overwriting any prior attempt (idempotent re-run). Returns row count,
+    * observed DURING the write (no second scan of the day's data). */
   def writeDay(spark: SparkSession, df: DataFrame, root: String,
                dataType: String, date: String): Long = {
     val dir = dayDir(root, dataType, date)
-    df.write.mode(SaveMode.Overwrite).parquet(dir)
-    val n = spark.read.parquet(dir).count()
+    val obs = org.apache.spark.sql.Observation(s"writeDay-$dataType-$date")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    val n = obs.get("n").asInstanceOf[Long]
     writeMetadata(spark, df, root, dataType, date, n)
     n
   }

@@ -27,19 +27,25 @@ object PipelineCli {
   private def arg(args: Array[String], name: String): Option[String] =
     args.sliding(2).collectFirst { case Array(`name`, v) => v }
 
+  /** JSON string escape — error messages carry quotes/newlines routinely. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("status")
     val source = arg(args, "--source")
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.001")
     val root = arg(args, "--root").getOrElse(sys.error("--root required"))
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
+    val spark = graft.Conf.local(SparkSession.builder(), 4)
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, cmd, args, source, root) finally spark.stop()
@@ -64,7 +70,7 @@ object PipelineCli {
         Runner.extractEvents(spark, source, _), skipExisting = !force)
       println(s"""{"cmd":"daily","date":"${r.date}","success":${r.success},""" +
         s""""skipped":${r.skipped},"records":${r.recordsExtracted}""" +
-        r.error.map(e => s""","error":"$e"""").getOrElse("") + "}")
+        r.error.map(e => s""","error":${jstr(e)}""").getOrElse("") + "}")
     case "backfill" =>
       val (s, e) = (arg(args, "--start").get, arg(args, "--end").get)
       val r = Runner.backfill(spark, root, "events", s, e,

@@ -110,8 +110,10 @@ object Runner {
    * Cluster-native backfill: one distributed job over the whole range,
    * writing every day partition in a single pass via dynamic partition
    * overwrite — the shape a real cluster wants (no per-day job scheduling,
-   * one scan of the source). Produces the same lake contents as
-   * [[backfill]] minus the metadata sidecars.
+   * one scan of the source). Produces the same lake LAYOUT as [[backfill]]
+   * (zero-padded `year=/month=/day=` directory names and a per-day
+   * `_SUCCESS` marker, so checkExists/listAvailableDates/runDaily interop
+   * and stay idempotent across the two writers) minus the sidecars.
    */
   def backfillUnified(spark: SparkSession, root: String, dataType: String,
                       start: String, end: String, slice: DataFrame): Unit = {
@@ -120,9 +122,12 @@ object Runner {
     slice
       .withColumn("_d", to_date(timestamp_micros(col("ts_us"))))
       .filter(col("_d") >= s && col("_d") <= e)
-      .withColumn("year", year(col("_d")))
-      .withColumn("month", month(col("_d")))
-      .withColumn("day", dayofmonth(col("_d")))
+      // string-typed, zero-padded partition values: the directory names must
+      // match Lake.partitionPath (month=01, not month=1) or the two writers
+      // would create sibling dirs that read back as duplicate partitions
+      .withColumn("year", date_format(col("_d"), "yyyy"))
+      .withColumn("month", date_format(col("_d"), "MM"))
+      .withColumn("day", date_format(col("_d"), "dd"))
       .drop("_d")
       .repartition(col("year"), col("month"), col("day"))
       .write
@@ -132,5 +137,14 @@ object Runner {
       .option("partitionOverwriteMode", "dynamic")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/$dataType")
+    // day-level commit markers (partitionBy only writes a root _SUCCESS):
+    // metadata-only touch per non-empty day, same idempotence signal as S7
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dateRange(start, end).foreach { d =>
+      val dir = new org.apache.hadoop.fs.Path(Lake.dayDir(root, dataType, d))
+      if (fs.exists(dir))
+        fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+    }
   }
 }

@@ -339,10 +339,14 @@ object Events extends Family {
         min(val) AS min_val, max(val) AS max_val
       FROM v GROUP BY key ORDER BY key
     """)) { (spark, dir) =>
+    // parse values as STRING then TRY_CAST per entry: a map<string,int>
+    // parse would null the whole map on one non-integer value, silently
+    // dropping that doc's keys while the oracle still counts them
     Tables.spread(ev(spark, dir))
       .select(explode(from_json(col("props"),
-          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
-        .as(Seq("key", "val")))
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+        .as(Seq("key", "sval")))
+      .select(col("key"), col("sval").try_cast("int").as("val"))
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
         min(col("val")).as("min_val"), max(col("val")).as("max_val"))

@@ -34,7 +34,9 @@ object AsOf {
       col(key).as("_k"), col(leftTs).as("_ts"), lit(leftTag).as("_tag"),
       lit(null).cast(payloadType).as("_payload"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("_row"))
-    val r = right.select(
+    // SQL join semantics: a NULL key matches nothing — without this filter
+    // the window's null partition would hand null-key left rows a payload
+    val r = right.filter(col(key).isNotNull).select(
       col(key).as("_k"), col(rightTs).as("_ts"), lit(rightTag).as("_tag"),
       struct(payloadCols.map(col): _*).as("_payload"),
       lit(null).cast(rowType).as("_row"))

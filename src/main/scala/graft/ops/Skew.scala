@@ -26,6 +26,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  nSalts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(nSalts > 0)
+    // right/full outer would emit one null-extended row PER SALT COPY for an
+    // unmatched small-side key — only joins that preserve the big side (or
+    // filter by it) keep the unsalted multiset
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins of the big side, not $joinType")
     // any row->salt assignment is correct; hashing the whole row keeps it
     // deterministic for tests without coordinating with the key distribution
     val bigS = big.withColumn("_salt",

@@ -65,8 +65,10 @@ object StatefulSessions {
                   closed += ClosedSession(userId, s.startUs, s.lastUs, s.nEvents, s.totalValue)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
-                  cur = Some(SessionState(s.startUs, math.max(s.lastUs, t),
-                    s.nEvents + 1, s.totalValue + e.value))
+                  // out-of-order (non-late) events may precede the current
+                  // session start — widen both bounds
+                  cur = Some(SessionState(math.min(s.startUs, t),
+                    math.max(s.lastUs, t), s.nEvents + 1, s.totalValue + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }

@@ -11,14 +11,7 @@ import graft.GraftExtensions
 object Scratch {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+    val spark = graft.Conf.local(SparkSession.builder(), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -9,14 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * ScalaTest suites run in the same forked JVM, so getOrCreate dedupes). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.adaptive.enabled", "true")
+  lazy val spark: SparkSession = Conf.local(SparkSession.builder(), 4)
     .getOrCreate()
 
   val sf001 = "/root/testdata/sf0.001"

@@ -84,6 +84,18 @@ class BronzeSpec extends SparkSpec {
       .select("event_id", "ts_us", "user_id", "event_type", "value", "prop_k")
     assert(fromLoop.count() == fromUni.count())
     assert(fromLoop.exceptAll(fromUni).isEmpty && fromUni.exceptAll(fromLoop).isEmpty)
+    // the two writers share ONE layout: unified-written days are visible to
+    // the listing, count as committed (runDaily skips them), and a follow-up
+    // day-loop write lands in the SAME directory, not a sibling spelling
+    assert(Lake.listAvailableDates(spark, uniRoot, "events")
+      == Seq("2024-01-04", "2024-01-03", "2024-01-02"))
+    val again = Runner.runDaily(spark, uniRoot, "events", "2024-01-03", extract)
+    assert(again.skipped)
+    val more = Runner.runDaily(spark, uniRoot, "events", "2024-01-05", extract)
+    assert(more.success && !more.skipped)
+    val total = spark.read.parquet(s"$uniRoot/events").count()
+    assert(total == fromUni.count() + more.recordsExtracted,
+      "mixed writers duplicated a partition")
   }
 
   test("partitionPath zero-pads and dateRange is inclusive") {
