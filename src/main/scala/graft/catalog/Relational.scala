@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -562,9 +562,53 @@ object Relational extends Family {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  // A-group: dispersion + correlation from EXACT power sums — built-in
+  // stddev/corr accumulate doubles in partition order (nondeterministic
+  // across engines AND partitionings), so both engines compute the moments
+  // as exact decimal sums first, then one deterministic double formula.
+  // Same single-pass partial-agg shape a 100 TB scan wants.
+  private val dispersionQ = Q(
+    "agg_dispersion_exact",
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        round(sqrt((n*sxx - sx*sx) / (n*(n-1))), 4) AS qty_stddev,
+        round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+          AS qty_price_corr
+      FROM m ORDER BY l_returnflag
+    """)) { (spark, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(c: Column, p: Int, s: Int) = sum(c.cast(DecimalType(p, s))).cast("double")
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity"), 18, 2).as("sx"),
+        dsum(col("l_quantity") * col("l_quantity"), 28, 4).as("sxx"),
+        dsum(col("l_extendedprice"), 18, 2).as("sy"),
+        dsum(col("l_extendedprice") * col("l_extendedprice"), 28, 4).as("syy"),
+        dsum(col("l_quantity") * col("l_extendedprice"), 28, 4).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          / (col("n") * (col("n") - 1))), 4).as("qty_stddev"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("qty_price_corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
   override val specs: Seq[Q] = Seq(
     q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
     rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ,
-    percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ, rankMetricsQ)
+    percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ, rankMetricsQ,
+    dispersionQ)
 }
