@@ -60,6 +60,33 @@ object Media {
     (width, height, nFrames)
   }
 
+  /** Fit-within-box resize plan: integer arithmetic (floor of the exact
+    * rational scale), aspect preserved — deterministic in any engine. A real
+    * pipeline would re-encode bytes here (STUB: dimensions only). */
+  def resizePlan(feats: Dataset[MediaFeatures], maxW: Int, maxH: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    feats.toDF()
+      .withColumn("fit",
+        least(lit(1.0), least(lit(maxW) / col("width"), lit(maxH) / col("height"))))
+      .select(col("doc_id"), col("media_type"),
+        col("width").as("src_width"), col("height").as("src_height"),
+        floor(col("width") * col("fit")).cast("int").as("out_width"),
+        floor(col("height") * col("fit")).cast("int").as("out_height"))
+  }
+
+  /** Frame sampling: every `everyNth` frame index of each video — the
+    * explode shape a frame-level training pipeline fans out on (one row per
+    * sampled frame, ready for a per-frame decode stage). */
+  def sampleFrames(feats: Dataset[MediaFeatures], everyNth: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(everyNth > 0)
+    feats.toDF()
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1,
+          lit(everyNth))).as("frame_idx"))
+  }
+
   /** Distributed decode + feature extraction: one codec "session" per
     * partition, streaming the partition's records through it. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {

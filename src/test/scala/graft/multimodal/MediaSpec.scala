@@ -35,4 +35,28 @@ class MediaSpec extends SparkSpec {
         f.n_frames < 1 || f.n_frames > 24 || f.content_key.length != 16)
     assert(bad.isEmpty)
   }
+
+  test("resizePlan fits within the box preserving aspect; never upscales") {
+    val feats = Media.extractFeatures(Media.mediaTable(spark, sf001))
+    val plan = Media.resizePlan(feats, maxW = 512, maxH = 256)
+    val bad = plan.filter(
+      col("out_width") > 512 || col("out_height") > 256 ||
+        col("out_width") > col("src_width") ||
+        col("out_height") > col("src_height") ||
+        // aspect preserved within floor rounding: w/h ratios agree to 1%
+        abs(col("out_width") / col("out_height")
+          - col("src_width") / col("src_height"))
+          > lit(0.02) * (col("src_width") / col("src_height")))
+    assert(bad.isEmpty, bad.collect().take(3).mkString(", "))
+  }
+
+  test("sampleFrames fans out every Nth frame of videos only") {
+    val feats = Media.extractFeatures(Media.mediaTable(spark, sf001))
+    val frames = Media.sampleFrames(feats, everyNth = 5)
+    val videos = feats.filter(_.media_type == "video")
+    val expected = videos.collect().map(v => (v.n_frames + 4) / 5).sum
+    assert(frames.count() == expected)
+    assert(frames.filter(col("frame_idx") % 5 =!= 0).isEmpty)
+    assert(frames.select("doc_id").distinct().count() == videos.count())
+  }
 }
