@@ -59,7 +59,7 @@ object Lake {
     val dir = dayDir(root, dataType, date)
     val f = fs(spark, dir)
     val sizeBytes = f.getContentSummary(new Path(dir)).getLength
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def q(s: String) = graft.Jsons.quote(s)
     val json =
       s"""{
          |  "date": ${q(date)},

@@ -3,7 +3,6 @@ package graft.bronze
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.GraftExtensions
 import graft.lake.Tables
 
 /**
@@ -26,17 +25,6 @@ object PipelineCli {
 
   private def arg(args: Array[String], name: String): Option[String] =
     args.sliding(2).collectFirst { case Array(`name`, v) => v }
-
-  /** JSON string escape — error messages carry quotes/newlines routinely. */
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
 
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("status")
@@ -70,7 +58,7 @@ object PipelineCli {
         Runner.extractEvents(spark, source, _), skipExisting = !force)
       println(s"""{"cmd":"daily","date":"${r.date}","success":${r.success},""" +
         s""""skipped":${r.skipped},"records":${r.recordsExtracted}""" +
-        r.error.map(e => s""","error":${jstr(e)}""").getOrElse("") + "}")
+        r.error.map(e => s""","error":${graft.Jsons.quote(e)}""").getOrElse("") + "}")
     case "backfill" =>
       val (s, e) = (arg(args, "--start").get, arg(args, "--end").get)
       val r = Runner.backfill(spark, root, "events", s, e,

@@ -584,17 +584,15 @@ object Relational extends Family {
           AS qty_price_corr
       FROM m ORDER BY l_returnflag
     """)) { (spark, dir) =>
-    import org.apache.spark.sql.types.DecimalType
-    def dsum(c: Column, p: Int, s: Int) = sum(c.cast(DecimalType(p, s))).cast("double")
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        dsum(col("l_quantity"), 18, 2).as("sx"),
-        dsum(col("l_quantity") * col("l_quantity"), 28, 4).as("sxx"),
-        dsum(col("l_extendedprice"), 18, 2).as("sy"),
-        dsum(col("l_extendedprice") * col("l_extendedprice"), 28, 4).as("syy"),
-        dsum(col("l_quantity") * col("l_extendedprice"), 28, 4).as("sxy"))
+        sumMoney(col("l_quantity")).as("sx"),
+        sumPow4(col("l_quantity") * col("l_quantity")).as("sxx"),
+        sumMoney(col("l_extendedprice")).as("sy"),
+        sumPow4(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+        sumPow4(col("l_quantity") * col("l_extendedprice")).as("sxy"))
       .select(col("l_returnflag"), col("n"),
         round(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
           / (col("n") * (col("n") - 1))), 4).as("qty_stddev"),

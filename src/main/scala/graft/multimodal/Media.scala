@@ -60,18 +60,27 @@ object Media {
     (width, height, nFrames)
   }
 
-  /** Fit-within-box resize plan: integer arithmetic (floor of the exact
-    * rational scale), aspect preserved — deterministic in any engine. A real
-    * pipeline would re-encode bytes here (STUB: dimensions only). */
+  /** Fit-within-box resize plan: pure integer multiply-then-divide (exact
+    * rational floor — no double rounding drift), aspect preserved, never
+    * upscaling, output clamped to >= 1px. A real pipeline would re-encode
+    * bytes here (STUB: dimensions only). */
   def resizePlan(feats: Dataset[MediaFeatures], maxW: Int, maxH: Int): DataFrame = {
     import org.apache.spark.sql.functions._
+    val w = col("width")
+    val h = col("height")
+    val fits = w <= maxW && h <= maxH
+    // width-limited iff w/maxW >= h/maxH  <=>  w*maxH >= h*maxW (exact ints)
+    val widthLimited = w * maxH >= h * maxW
     feats.toDF()
-      .withColumn("fit",
-        least(lit(1.0), least(lit(maxW) / col("width"), lit(maxH) / col("height"))))
       .select(col("doc_id"), col("media_type"),
-        col("width").as("src_width"), col("height").as("src_height"),
-        floor(col("width") * col("fit")).cast("int").as("out_width"),
-        floor(col("height") * col("fit")).cast("int").as("out_height"))
+        w.as("src_width"), h.as("src_height"),
+        // floor(intA / intB) here == the exact rational floor: operands are
+        // exact small ints in double and quotient granularity (1/h, 1/w)
+        // dwarfs double ulp, so no cross-integer rounding is possible
+        when(fits, w).when(widthLimited, lit(maxW))
+          .otherwise(greatest(lit(1), floor((w * maxH) / h))).cast("int").as("out_width"),
+        when(fits, h).when(widthLimited, greatest(lit(1), floor((h * maxW) / w)))
+          .otherwise(lit(maxH)).cast("int").as("out_height"))
   }
 
   /** Frame sampling: every `everyNth` frame index of each video — the
@@ -81,7 +90,7 @@ object Media {
     import org.apache.spark.sql.functions._
     require(everyNth > 0)
     feats.toDF()
-      .filter(col("media_type") === "video")
+      .filter(col("media_type") === "video" && col("n_frames") > 0)
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1,
           lit(everyNth))).as("frame_idx"))

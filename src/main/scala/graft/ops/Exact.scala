@@ -43,6 +43,11 @@ object Exact {
   /** Exact sum of a 6dp-rational double expression, output as double. */
   def sum6(c: Column): Column = sum(dec6(c)).cast("double")
 
+  /** Exact sum of a 4dp-rational with wide integral headroom (power sums:
+    * squares/cross-products of money columns reach ~1e10 per row). */
+  def sumPow4(c: Column): Column =
+    sum(c.cast(DecimalType(28, 4))).cast("double")
+
   /** Exact mean of a 2dp double column: exact decimal sum / count. */
   def avgMoney(c: Column): Column =
     sum(dec2(c)).cast("double") / count(c)

@@ -30,7 +30,8 @@ object Skew {
     // unmatched small-side key — only joins that preserve the big side (or
     // filter by it) keep the unsalted multiset
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
-      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      "leftsemi", "semi", "left_anti", "leftanti", "anti")
+        .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins of the big side, not $joinType")
     // any row->salt assignment is correct; hashing the whole row keeps it
     // deterministic for tests without coordinating with the key distribution

@@ -64,9 +64,15 @@ object StatefulSessions {
                 case Some(s) if t - s.lastUs > gapUs =>
                   closed += ClosedSession(userId, s.startUs, s.lastUs, s.nEvents, s.totalValue)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) if s.startUs - t > gapUs =>
+                  // out-of-order event a full gap BEFORE the open session:
+                  // its own session, emitted one-shot (a later out-of-order
+                  // neighbor can no longer merge with it — the documented
+                  // trade of incremental state vs session_window's buffering)
+                  closed += ClosedSession(userId, t, t, 1, e.value)
                 case Some(s) =>
-                  // out-of-order (non-late) events may precede the current
-                  // session start — widen both bounds
+                  // out-of-order (non-late) events within the gap may precede
+                  // the current session start — widen both bounds
                   cur = Some(SessionState(math.min(s.startUs, t),
                     math.max(s.lastUs, t), s.nEvents + 1, s.totalValue + e.value))
                 case None =>

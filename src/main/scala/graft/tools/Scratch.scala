@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.GraftExtensions
 
 /** Dev scratch main — not part of the library surface.
   * Usage: runMain graft.tools.Scratch <sfDir> <queryName>... [--explain]

@@ -78,18 +78,23 @@ object IvfIndex {
     val cents = centroids(spark, dir)
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("ccos").desc, col("centroid_id"))
-    val probes = queries.crossJoin(broadcast(cents))
+    // The probe set is tiny (<= queries x nProbes), so compute it ONCE,
+    // collect, and rebuild a local DataFrame from the rows — the probe
+    // subplan (crossJoin + cosine + window) would otherwise execute twice:
+    // eagerly for the prune literals and again inside the returned plan.
+    val probePlan = queries.crossJoin(broadcast(cents))
       .select(col("q_id"), col("q_emb"), col("centroid_id"),
         VectorOps.cosine(col("q_emb"), col("cemb"), scale = 6).as("ccos"))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbes)
       .select(col("q_id"), col("q_emb"), col("centroid_id"))
-    // Static partition pruning: the probed cluster set is tiny (<= queries x
-    // nProbes), so collect it and filter the hive partition column with
-    // literals — the scan then LISTS only those directories, guaranteed,
-    // rather than relying on runtime dynamic pruning through the join.
-    val probedIds = probes.select(col("centroid_id"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val probeRows = probePlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
+    // Static partition pruning: filter the hive partition column with
+    // literals — the scan then LISTS only the probed directories,
+    // guaranteed, rather than relying on runtime dynamic pruning.
+    val probedIds = probeRows.map(_.getInt(2)).distinct.toSeq
     val assignments = spark.read.parquet(s"$dir/assignments")
       .filter(col("centroid_id").isin(probedIds: _*))
     val scored = assignments.join(broadcast(probes), Seq("centroid_id"))
