@@ -1,0 +1,99 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Empirical scale sweep: replicate the sf0.1 tables xN with offset keys
+ * (new users/documents/orders per copy — cardinalities scale, texts are
+ * unique-ified so near-dup structure doesn't explode quadratically) and
+ * time the heavy single-table queries at 1x/4x/16x. Near-linear growth is
+ * the evidence that the plan shapes survive scale-up; anything
+ * super-linear is a plan bug to fix. Writes SCALE.md.
+ *
+ * Usage: runMain graft.tools.ScaleSweep [baseSfDir] [outFile]
+ */
+object ScaleSweep {
+
+  private val queries = Seq(
+    "sessionize_30min", "attribution_first_last_touch",
+    "window_running_customer_spend", "window_rank_metrics",
+    "join_asof_last_purchase", "json_props_histogram",
+    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard", "dedup_normalized",
+    "dedup_simhash", "text_fingerprint_rolling", "sample_hash_10pct")
+
+  /** Replicate one base table `factor`x with per-copy key offsets. */
+  private def scaled(spark: SparkSession, base: String, name: String,
+                     factor: Int): DataFrame = {
+    val t = spark.read.parquet(s"$base/$name.parquet")
+    val copies = (0 until factor).map { i =>
+      name match {
+        case "events" => t
+          .withColumn("event_id", col("event_id") + i.toLong * 1000000000L)
+          .withColumn("user_id", col("user_id") + i.toLong * 10000000L)
+        case "documents" => t
+          .withColumn("doc_id", col("doc_id") + i.toLong * 10000000L)
+          .withColumn("text", concat(col("text"), lit(s" copytoken$i")))
+        case "orders" => t
+          .withColumn("o_orderkey", col("o_orderkey") + i.toLong * 1000000000L)
+          .withColumn("o_custkey", col("o_custkey") + i.toLong * 10000000L)
+        case "embeddings" => t
+          .withColumn("vec_id", col("vec_id") + i.toLong * 10000000L)
+        case _ => t // dims and lineitem ride along unscaled (not swept)
+      }
+    }
+    if (factor == 1) t
+    else copies.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("SCALE.md")
+    val spark = graft.Conf.local(SparkSession.builder(),
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val factors = Seq(1, 4, 16)
+    val dirs = factors.map { f =>
+      val dir = s"/tmp/graft-scale/x$f"
+      graft.lake.Tables.all.foreach { t =>
+        val target = s"$dir/$t.parquet"
+        if (!Files.exists(Paths.get(target)))
+          scaled(spark, base, t, f)
+            .repartition(math.max(1, f / 2))
+            .write.mode("overwrite").parquet(target)
+      }
+      f -> dir
+    }
+
+    val rows = queries.map { q =>
+      val times = dirs.map { case (f, dir) =>
+        val fn = graft.SparkEntry.queries(q)
+        fn(spark, dir).count() // warm plan/codegen per dir
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (q, times)
+    }
+
+    val sb = new StringBuilder
+    sb.append("# SCALE — empirical scale sweep (sf0.1 base, replicated with offset keys)\n\n")
+    sb.append("Second (warm) run per cell, `graft.tools.ScaleSweep`. ")
+    sb.append("`x16/x1` near the data ratio 16 (or below it, while fixed overhead ")
+    sb.append("still dominates) means the plan scales linearly; super-linear growth ")
+    sb.append("would flag a shape that breaks at 100 TB.\n\n")
+    sb.append("| query | 1x (s) | 4x (s) | 16x (s) | x16/x1 |\n|---|---|---|---|---|\n")
+    rows.foreach { case (q, ts) =>
+      sb.append(f"| $q | ${ts(0)}%.2f | ${ts(1)}%.2f | ${ts(2)}%.2f | ${ts(2) / ts(0)}%.1f |\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    rows.foreach { case (q, ts) =>
+      println(f"SCALE $q%-32s ${ts(0)}%6.2f ${ts(1)}%6.2f ${ts(2)}%6.2f  ratio ${ts(2) / ts(0)}%5.1f")
+    }
+    spark.stop()
+  }
+}
