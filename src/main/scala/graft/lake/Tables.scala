@@ -49,10 +49,15 @@ object Tables {
    * truncating like the oracle's `CAST(ts_ns AS TIMESTAMP)` does.
    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession builder " +
-        "(events.parquet carries INT64 TIMESTAMP(NANOS))")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
+      // Fallback for sessions built without the conf (e.g. an external
+      // harness session): setting it before the FIRST events read is safe —
+      // the hazard is only a set that races a previously planned scan.
+      System.err.println(
+        "graft WARN: enabling spark.sql.legacy.parquet.nanosAsLong at runtime; " +
+          "prefer setting it in the SparkSession builder (see graft.Conf.local)")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     // Integer `div`, NOT `/`: epoch-nanos (~1.7e18) overflow double's 2^53
     // exact-integer range, so float division is off by ±1 µs.
     load(spark, sfDir, "events")
