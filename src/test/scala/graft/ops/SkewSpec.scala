@@ -20,6 +20,21 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("saltedJoin left-outer keeps unmatched big rows exactly once") {
+    val orders = Tables.load(spark, sf001, "orders")
+      .select("o_orderkey", "o_custkey")
+    // small side missing most keys: only customers below 50
+    val cust = Tables.load(spark, sf001, "customer")
+      .filter($"c_custkey" < 50)
+      .select($"c_custkey".as("o_custkey"), $"c_name")
+    val plain = orders.join(cust, Seq("o_custkey"), "left")
+    val salted = Skew.saltedJoin(orders, cust, "o_custkey", nSalts = 8, "left")
+      .select(plain.columns.map(col): _*)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assertThrows[IllegalArgumentException](
+      Skew.saltedJoin(orders, cust, "o_custkey", 8, "right_outer"))
+  }
+
   test("saltedSum == plain grouped sum") {
     val li = Tables.load(spark, sf001, "lineitem")
     val plain = li.groupBy($"l_returnflag")
