@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashBands, RollingFingerprint, SimHash60, TrigramHashes, VectorDot}
+import graft.functions.{MinHashBands, NormalizeText, RollingFingerprint, SimHash60, TrigramHashes, VectorDot}
 
 /**
  * Session extension registering graft's custom Catalyst expressions as SQL
@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(oneArg("rolling_fingerprint", classOf[RollingFingerprint],
       RollingFingerprint))
     ext.injectFunction(oneArg("simhash60", classOf[SimHash60], SimHash60))
+    ext.injectFunction(oneArg("normalize_text", classOf[NormalizeText], NormalizeText))
     ext.injectFunction((FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       { children: Seq[Expression] =>

@@ -92,6 +92,35 @@ object TextHashing {
     ArrayData.toArrayData(out)
   }
 
+  /**
+   * Single-pass twin of the normalize regex chain
+   * `trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))`:
+   * lowercase via UTF8String.toLowerCase (the SAME routine Spark's `lower()`
+   * uses, so case mapping is bit-identical), keep [a-z0-9], and emit a
+   * single separating space between kept runs (dropping non-alnum chars
+   * first and THEN collapsing spaces is exactly what the two regexes do).
+   */
+  def normalizeText(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    val s = text.toLowerCase.toString
+    val out = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && out.length > 0) out.append(' ')
+        pendingSpace = false
+        out.append(c)
+      } else if (c == ' ') {
+        pendingSpace = true
+      }
+      // any other char is dropped, joining its neighbors (no space)
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   /** 31-ary rolling hash over per-token 16-bit md5 prefixes mod P — the
     * kernel twin of text_fingerprint_rolling's HOF/oracle formulation:
     * fold (acc*31 + h16(tok)) % P from acc=0 over the whitespace tokens. */
@@ -196,6 +225,29 @@ case class TrigramHashes(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.trigramHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TrigramHashes =
+    copy(child = newChild)
+}
+
+/** `normalize_text(text)`: single-pass lowercase + [a-z0-9] filter +
+  * space-collapse + trim (see TextHashing.normalizeText for the regex-chain
+  * equivalence argument). */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "normalize_text"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.normalizeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.normalizeText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
     copy(child = newChild)
 }
 

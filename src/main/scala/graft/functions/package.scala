@@ -15,6 +15,10 @@ package object functions {
   def trigram_hashes(text: Column): Column =
     bridge.toColumn(TrigramHashes(bridge.toExpression(text)))
 
+  /** Single-pass lowercase/strip/collapse normalization (dedup keying). */
+  def normalize_text(text: Column): Column =
+    bridge.toColumn(NormalizeText(bridge.toExpression(text)))
+
   /** 31-ary rolling document fingerprint mod 1e9+7. */
   def rolling_fingerprint(text: Column): Column =
     bridge.toColumn(RollingFingerprint(bridge.toExpression(text)))

@@ -24,8 +24,13 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Aggressive normalization for near-exact dedup: lowercase, strip
-    * non-alphanumerics, collapse whitespace. */
-  def normalize(text: Column): Column =
+    * non-alphanumerics, collapse whitespace — the single-pass codegen kernel
+    * ([[graft.functions.NormalizeText]]); [[normalizeSql]] is the regex
+    * formulation it is spec-pinned to (and the oracle's shape). */
+  def normalize(text: Column): Column = graft.functions.normalize_text(text)
+
+  /** Regex-chain formulation of [[normalize]] (cross-engine reference). */
+  def normalizeSql(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Word n-gram shingles (n=3) as space-joined strings; empty array when the

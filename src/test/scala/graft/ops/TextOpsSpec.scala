@@ -113,4 +113,17 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.normalize($"t")).as[String].head()
     assert(out == "the quick brownfox")
   }
+
+  test("normalize kernel == regex chain on corpus + crafted edges") {
+    val edges = Seq("", " ", "a ! b", "a!b", "A\tB", "ü über ID-9 ",
+      "  x  ", "1,2;3", "MiXeD   CaSe!!", "trailing space ").toDF("text")
+    val corpus = graft.lake.Tables.documents(spark, sf001).select("text")
+    Seq(edges, corpus).foreach { df =>
+      val diff = df.select(
+        TextOps.normalize(col("text")).as("k"),
+        TextOps.normalizeSql(col("text")).as("r"))
+        .filter(col("k") =!= col("r"))
+      assert(diff.isEmpty, diff.collect().take(3).mkString("; "))
+    }
+  }
 }
