@@ -92,20 +92,24 @@ object Events extends Family {
              (SELECT COUNT(*) FROM c) AS n_click_users,
              (SELECT COUNT(*) FROM p) AS n_purchase_users
     """)) { (spark, dir) =>
-    val e = ev(spark, dir)
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
-    val c = e.filter(col("event_type") === "click").as("e")
-      .join(v.as("v"), col("e.user_id") === col("v.user_id"))
-      .filter(col("e.ts") > col("v.vt"))
-      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("ct"))
-    val p = e.filter(col("event_type") === "purchase").as("e")
-      .join(c.as("c"), col("e.user_id") === col("c.user_id"))
-      .filter(col("e.ts") > col("c.ct"))
-      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("pt"))
-    v.agg(count(lit(1)).as("n_view_users"))
-      .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+    // Single-shuffle shape: the step thresholds are per-user constants, so
+    // three chained window mins over ONE user partition replace the oracle's
+    // join-per-step cascade (same semantics: vt = first view, ct = first
+    // click strictly after vt, pt = first purchase strictly after ct).
+    val w = Window.partitionBy(col("user_id"))
+    ev(spark, dir)
+      .withColumn("vt",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("ct",
+        min(when(col("event_type") === "click" && col("ts") > col("vt"),
+          col("ts"))).over(w))
+      .withColumn("pt",
+        min(when(col("event_type") === "purchase" && col("ts") > col("ct"),
+          col("ts"))).over(w))
+      .agg(
+        countDistinct(when(col("vt").isNotNull, col("user_id"))).as("n_view_users"),
+        countDistinct(when(col("ct").isNotNull, col("user_id"))).as("n_click_users"),
+        countDistinct(when(col("pt").isNotNull, col("user_id"))).as("n_purchase_users"))
   }
 
   // W1: sessionization — a >30 min silence starts a new session.
@@ -231,11 +235,13 @@ object Events extends Family {
       GROUP BY f.cohort_day, day_offset
       ORDER BY f.cohort_day, day_offset
     """)) { (spark, dir) =>
-    val e = ev(spark, dir)
-    val firstSeen = e.groupBy(col("user_id"))
-      .agg(min(to_date(col("ts"))).as("cohort_day"))
-    val activity = e.select(col("user_id"), to_date(col("ts")).as("active_day")).distinct()
-    activity.join(firstSeen, "user_id")
+    // cohort_day is a per-user min — a window over the distinct (user, day)
+    // activity set replaces the firstSeen aggregate + re-join (one shuffle
+    // on user_id serves both the distinct and the min).
+    ev(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("active_day")).distinct()
+      .withColumn("cohort_day",
+        min(col("active_day")).over(Window.partitionBy(col("user_id"))))
       .groupBy(col("cohort_day"),
         datediff(col("active_day"), col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))
