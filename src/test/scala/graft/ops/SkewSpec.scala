@@ -16,7 +16,7 @@ class SkewSpec extends SparkSpec {
       .select("c_custkey", "c_name").withColumnRenamed("c_custkey", "o_custkey")
     val plain = orders.join(cust, "o_custkey")
     val salted = Skew.saltedJoin(orders, cust, "o_custkey", nSalts = 8)
-      .select(plain.columns.map(col): _*)
+      .select(plain.columns.toIndexedSeq.map(col): _*)
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
@@ -29,7 +29,7 @@ class SkewSpec extends SparkSpec {
       .select($"c_custkey".as("o_custkey"), $"c_name")
     val plain = orders.join(cust, Seq("o_custkey"), "left")
     val salted = Skew.saltedJoin(orders, cust, "o_custkey", nSalts = 8, "left")
-      .select(plain.columns.map(col): _*)
+      .select(plain.columns.toIndexedSeq.map(col): _*)
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     assertThrows[IllegalArgumentException](
       Skew.saltedJoin(orders, cust, "o_custkey", 8, "right_outer"))
