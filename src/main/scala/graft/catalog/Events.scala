@@ -175,15 +175,16 @@ object Events extends Family {
           THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS purchase_ltv
       FROM b GROUP BY user_id ORDER BY user_id
     """)) { (spark, dir) =>
-    val descW = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+    // min/max over struct(ts, event_id, event_type) IS first/last touch
+    // ((ts, event_id) is a total order per user): one hash aggregation with
+    // map-side partials instead of two full sort windows — the 100 TB shape
+    // for "first/last per key" whenever the whole row isn't needed.
+    val touch = struct(col("ts"), col("event_id"), col("event_type"))
     ev(spark, dir)
-      .withColumn("rn_a", row_number().over(byUserTime))
-      .withColumn("rn_d", row_number().over(descW))
       .groupBy(col("user_id"))
       .agg(
-        max(when(col("rn_a") === 1, col("event_type"))).as("first_touch"),
-        max(when(col("rn_d") === 1, col("event_type"))).as("last_touch"),
+        min(touch).getField("event_type").as("first_touch"),
+        max(touch).getField("event_type").as("last_touch"),
         min(unix_micros(col("ts"))).as("first_us"),
         max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("n_events"),
@@ -207,13 +208,18 @@ object Events extends Family {
       GROUP BY user_id
       ORDER BY user_id
     """)) { (spark, dir) =>
+    // Collect-sort-slice inside one hash aggregation (no ranking window, no
+    // sort exchange): struct order (ts_us, event_id) is the same total order
+    // the row_number formulation used. Per-group state is the user's events
+    // — bounded for GA4-ish users; a truly unbounded key set would want a
+    // bounded top-k Aggregator instead.
     ev(spark, dir)
-      .withColumn("rn", row_number().over(byUserTime))
-      .filter(col("rn") <= 10)
       .groupBy(col("user_id"))
       .agg(array_join(
         transform(
-          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          slice(array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("ts_us"), col("event_id"),
+            col("event_type")))), 1, 10),
           x => x.getField("event_type")),
         ">").as("path"))
       .orderBy(col("user_id"))
