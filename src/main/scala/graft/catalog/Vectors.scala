@@ -43,13 +43,18 @@ object Vectors extends Family {
       SELECT q_id, vec_id, cos_sim, rn FROM r WHERE rn <= 10
       ORDER BY q_id, rn
     """)) { (spark, dir) =>
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    // Norms projected ONCE per row below the join (mirrors the oracle's CTE
+    // `n`) — each scored pair is 1 dot product, not 3.
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        VectorOps.cosine(col("q_emb"), col("embedding")).as("cos_sim"))
+        VectorOps.cosinePre(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
     VectorOps.topK(scored, "q_id", "vec_id", "cos_sim", k = 10)
       .orderBy(col("q_id"), col("rn"))
   }
@@ -87,8 +92,10 @@ object Vectors extends Family {
       ORDER BY q_id, rn
     """)) { (spark, dir) =>
     val e = emb(spark, dir)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
     // Coarse index: per-label centroid, rounded so avg() accumulation order
-    // can never flip downstream comparisons.
+    // can never flip downstream comparisons. Centroid norm computed once at
+    // build, carried through the probe and never recomputed per query.
     val cent = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -97,19 +104,23 @@ object Vectors extends Family {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("cemb"))
+      .withColumn("c_nrm", VectorOps.norm(col("cemb")))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val best = q.crossJoin(broadcast(cent))
-      .select(col("q_id"), col("q_emb"), col("label"),
-        VectorOps.cosine(col("q_emb"), col("cemb"), scale = 6).as("ccos"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("label"),
+        VectorOps.cosinePre(col("q_emb"), col("cemb"),
+          col("q_nrm"), col("c_nrm"), scale = 6).as("ccos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("label"))))
       .filter(col("rn") === 1)
-      .select(col("q_id"), col("q_emb"), col("label"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("label"))
     val scored = e.join(broadcast(best), Seq("label"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        VectorOps.cosine(col("q_emb"), col("embedding")).as("cos_sim"))
+        VectorOps.cosinePre(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
     VectorOps.topK(scored, "q_id", "vec_id", "cos_sim", k = 10)
       .orderBy(col("q_id"), col("rn"))
   }
@@ -136,6 +147,7 @@ object Vectors extends Family {
       ORDER BY vec_id
     """)) { (spark, dir) =>
     val e = emb(spark, dir)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
     val cent = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -144,10 +156,12 @@ object Vectors extends Family {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("cemb"))
-      .select(col("label").as("c_label"), col("cemb"))
+      .select(col("label").as("c_label"), col("cemb"),
+        VectorOps.norm(col("cemb")).as("c_nrm"))
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("label"), col("c_label"),
-        VectorOps.cosine(col("embedding"), col("cemb"), scale = 6).as("ccos"))
+        VectorOps.cosinePre(col("embedding"), col("cemb"),
+          col("nrm"), col("c_nrm"), scale = 6).as("ccos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_label"))))
       .filter(col("rn") === 1)
@@ -175,12 +189,16 @@ object Vectors extends Family {
       ORDER BY vec_a, vec_b
     """)) { (spark, dir) =>
     val e = emb(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        VectorOps.cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+        VectorOps.cosinePre(col("emb_a"), col("emb_b"),
+          col("nrm_a"), col("nrm_b")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.30)
       .orderBy(col("vec_a"), col("vec_b"))
   }

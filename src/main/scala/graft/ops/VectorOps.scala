@@ -31,9 +31,25 @@ object VectorOps {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity, rounded to `scale` decimals so last-ulp accumulation
-    * differences can never reorder a top-k ranking across engines/partitions. */
+    * differences can never reorder a top-k ranking across engines/partitions.
+    *
+    * SCALE WARNING: inside a join this recomputes BOTH norms per scored
+    * pair (3 dot products instead of 1). Every catalog/index cosine join
+    * projects a per-row `nrm` on each side *below* the join and uses
+    * [[cosinePre]] instead — this form is for one-shot scoring and as the
+    * semantic reference [[cosinePre]] is spec-checked against. */
   def cosine(a: Column, b: Column, scale: Int = 4): Column =
     round(dot(a, b) / (norm(a) * norm(b)), scale)
+
+  /** Cosine with precomputed side norms: 1 dot product per pair. `nrmA`/
+    * `nrmB` must be [[norm]] of `a`/`b` projected below the join (a Project
+    * under a Join is a real barrier — Catalyst's CollapseProject cannot pull
+    * it through, so each norm is evaluated once per input row, not once per
+    * pair). Identical arithmetic to [[cosine]]: same dots, same sqrt, same
+    * rounding — bit-equal results. */
+  def cosinePre(a: Column, b: Column, nrmA: Column, nrmB: Column,
+                scale: Int = 4): Column =
+    round(dot(a, b) / (nrmA * nrmB), scale)
 
   /**
    * Exact global top-k per query key, scale-safe: a low-query-cardinality

@@ -10,8 +10,12 @@ import graft.ops.VectorOps
  * lifecycle behind the `ann_cosine_topk_ivf` catalog query, as a reusable
  * component. Layout:
  *
- *   {dir}/centroids             k rows (centroid_id, cemb: array<double>)
- *   {dir}/assignments           hive-partitioned by centroid_id
+ *   {dir}/centroids             k rows (centroid_id, cemb: array<double>, c_nrm)
+ *   {dir}/assignments           hive-partitioned by centroid_id; each row
+ *                               carries its vector AND its precomputed L2
+ *                               norm (`nrm`) — cosine at search time is one
+ *                               dot product per candidate, norms come from
+ *                               the index bytes
  *
  * Probing N clusters therefore reads ONLY those partition directories —
  * Catalyst partition pruning does the "inverted file" part, which is
@@ -32,28 +36,36 @@ object IvfIndex {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("cemb"))
+      .withColumn("c_nrm", VectorOps.norm(col("cemb")))
 
+  /** `emb` must carry (vec_id, embedding, nrm); output keeps all three plus
+    * the winning centroid_id. Norms come precomputed from both sides — one
+    * dot product per (vector, centroid) pair. */
   private def assignTo(emb: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id"))
     emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        VectorOps.cosine(col("embedding"), col("cemb"), scale = 6).as("ccos"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"),
+        VectorOps.cosinePre(col("embedding"), col("cemb"),
+          col("nrm"), col("c_nrm"), scale = 6).as("ccos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
   }
 
   /** Build the index with `iters` Lloyd iterations from the deterministic
-    * `vec_id % k` seed, and persist it under `dir`. */
+    * `vec_id % k` seed, and persist it under `dir`. Vector norms are
+    * computed once here and stored in the posting lists. */
   def build(emb: DataFrame, dir: String, k: Int, iters: Int = 2): Unit = {
     require(k > 0 && iters >= 0)
-    var assigned = emb.select(col("vec_id"), col("embedding"),
-      pmod(col("vec_id"), lit(k)).cast("int").as("centroid_id"))
+    val embN = emb.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    var assigned = embN.withColumn("centroid_id",
+      pmod(col("vec_id"), lit(k)).cast("int"))
     var cents = centroidsOf(assigned)
     (0 until iters).foreach { _ =>
-      assigned = assignTo(emb.select(col("vec_id"), col("embedding")), cents)
+      assigned = assignTo(embN, cents)
       cents = centroidsOf(assigned)
     }
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -70,6 +82,13 @@ object IvfIndex {
    * partitions and return the exact top-`k` within them. With
    * `nProbes = number of clusters` this equals brute force.
    *
+   * The probe plan (crossJoin + cosine + window) is materialized ONCE via
+   * `localCheckpoint` — on the executors, never the driver, so a 1M-query
+   * batch is fine — and both consumers derive from it: the broadcast join
+   * side directly, and the static partition-prune literals via a
+   * distinct-ids collect that is bounded by the number of CLUSTERS (index
+   * metadata, not data; ≤ k values regardless of query count).
+   *
    * `queries`: (q_id, q_emb). Returns (q_id, vec_id, cos_sim, rn).
    */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
@@ -78,29 +97,30 @@ object IvfIndex {
     val cents = centroids(spark, dir)
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("ccos").desc, col("centroid_id"))
-    // The probe set is tiny (<= queries x nProbes), so compute it ONCE,
-    // collect, and rebuild a local DataFrame from the rows — the probe
-    // subplan (crossJoin + cosine + window) would otherwise execute twice:
-    // eagerly for the prune literals and again inside the returned plan.
-    val probePlan = queries.crossJoin(broadcast(cents))
-      .select(col("q_id"), col("q_emb"), col("centroid_id"),
-        VectorOps.cosine(col("q_emb"), col("cemb"), scale = 6).as("ccos"))
+    val probes = queries
+      .withColumn("q_nrm", VectorOps.norm(col("q_emb")))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id"),
+        VectorOps.cosinePre(col("q_emb"), col("cemb"),
+          col("q_nrm"), col("c_nrm"), scale = 6).as("ccos"))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbes)
-      .select(col("q_id"), col("q_emb"), col("centroid_id"))
-    val probeRows = probePlan.collect()
-    val probes = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id"))
+      .localCheckpoint(true)
     // Static partition pruning: filter the hive partition column with
     // literals — the scan then LISTS only the probed directories,
-    // guaranteed, rather than relying on runtime dynamic pruning.
-    val probedIds = probeRows.map(_.getInt(2)).distinct.toSeq
+    // guaranteed, rather than relying on runtime dynamic pruning. Only the
+    // ≤ k distinct cluster ids cross to the driver, read off the
+    // checkpointed blocks (the probe subplan does not re-execute).
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     val assignments = spark.read.parquet(s"$dir/assignments")
       .filter(col("centroid_id").isin(probedIds: _*))
     val scored = assignments.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        VectorOps.cosine(col("q_emb"), col("embedding")).as("cos_sim"))
+        VectorOps.cosinePre(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
     VectorOps.topK(scored, "q_id", "vec_id", "cos_sim", k)
       .orderBy(col("q_id"), col("rn"))
   }

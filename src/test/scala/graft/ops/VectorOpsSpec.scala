@@ -24,6 +24,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(row.getDouble(3) == math.floor(2.0 / 6.0 * 1e4 + 0.5) / 1e4)
   }
 
+  test("cosinePre over projected norms is bit-equal to the naive cosine") {
+    // the production form (norms computed once per row below the join) must
+    // never diverge from the 3-dot-product reference, down to the last bit —
+    // topK rankings hash into the oracle and a single ulp could reorder them
+    val e = Tables.embeddings(spark, sf001)
+      .withColumn("nrm", VectorOps.norm($"embedding"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val both = e.crossJoin(broadcast(q))
+      .select(
+        VectorOps.cosinePre($"q_emb", $"embedding", $"q_nrm", $"nrm").as("pre"),
+        VectorOps.cosine($"q_emb", $"embedding").as("ref"))
+    assert(both.filter($"pre" =!= $"ref").isEmpty)
+  }
+
   test("salted topK == plain global window top-k (exactness of the 2-stage)") {
     val e = Tables.embeddings(spark, sf001)
     val q = e.filter($"vec_id" < 3)
