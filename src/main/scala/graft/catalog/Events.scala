@@ -208,20 +208,16 @@ object Events extends Family {
       GROUP BY user_id
       ORDER BY user_id
     """)) { (spark, dir) =>
-    // Collect-sort-slice inside one hash aggregation (no ranking window, no
-    // sort exchange): struct order (ts_us, event_id) is the same total order
-    // the row_number formulation used. Per-group state is the user's events
-    // — bounded for GA4-ish users; a truly unbounded key set would want a
-    // bounded top-k Aggregator instead.
+    // Bounded first-10 aggregate (graft.functions.PathFirstK): one hash
+    // aggregation with map-side partials, and per-group state capped at 10
+    // events at every point of the reduce/merge tree — a bot user with
+    // millions of events costs 10 buffer rows, not its whole history. Same
+    // total order (ts_us, event_id) the row_number formulation used.
+    val firstTen = udaf(new graft.functions.PathFirstK(10))
     ev(spark, dir)
       .groupBy(col("user_id"))
-      .agg(array_join(
-        transform(
-          slice(array_sort(collect_list(struct(
-            unix_micros(col("ts")).as("ts_us"), col("event_id"),
-            col("event_type")))), 1, 10),
-          x => x.getField("event_type")),
-        ">").as("path"))
+      .agg(firstTen(
+        unix_micros(col("ts")), col("event_id"), col("event_type")).as("path"))
       .orderBy(col("user_id"))
   }
 
