@@ -111,8 +111,9 @@ object Ga4Extract {
     col("publisher"))
 
   /** GA4 `event_params` array<struct<key,value:struct<slots>>> to
-    * map<string,string>: per-entry coalesce of the typed slots, then
-    * map_from_entries — the variant-union pivot (SURVEY §1.3). */
+    * map<string,string>: per-entry coalesce of ALL FOUR typed slots
+    * (string, int, float, double — SURVEY §1.3 / the GA4 export `value`
+    * union), then map_from_entries — the variant-union pivot. */
   def paramsAsMap(params: Column): Column =
     map_from_entries(transform(params, p =>
       struct(
@@ -120,6 +121,7 @@ object Ga4Extract {
         coalesce(
           p.getField("value").getField("string_value"),
           p.getField("value").getField("int_value").cast("string"),
+          p.getField("value").getField("float_value").cast("string"),
           p.getField("value").getField("double_value").cast("string")
         ).as("value"))))
 

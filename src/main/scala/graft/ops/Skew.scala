@@ -58,11 +58,19 @@ object Skew {
   }
 
   /** Top-`frac` hot keys of `key` by frequency — the monitoring half of skew
-    * handling (decide WHICH keys need salting before paying for it). */
+    * handling (decide WHICH keys need salting before paying for it).
+    *
+    * Single pass over `df`: the grand total is summed FROM the per-key
+    * counts (no separate `count()` action re-scanning the input, no global
+    * window funneling every distinct key through one reducer). Both
+    * branches hang off the identical groupBy exchange, so exchange reuse
+    * runs the scan+shuffle once; the 1-row total is broadcast back. */
   def hotKeys(df: DataFrame, key: String, minShare: Double): DataFrame = {
-    val total = df.count()
-    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= lit(minShare) * lit(total.toDouble))
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("double").as("_total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") >= lit(minShare) * col("_total"))
+      .select(col(key), col("n"))
       .orderBy(col("n").desc, col(key))
   }
 }

@@ -60,10 +60,16 @@ class Ga4ExtractSpec extends SparkSpec {
       array(
         named_struct('key', 'page',
           'value', named_struct('string_value', 'home',
-            'int_value', CAST(NULL AS BIGINT), 'double_value', CAST(NULL AS DOUBLE))),
+            'int_value', CAST(NULL AS BIGINT),
+            'float_value', CAST(NULL AS FLOAT), 'double_value', CAST(NULL AS DOUBLE))),
         named_struct('key', 'ga_session_id',
           'value', named_struct('string_value', CAST(NULL AS STRING),
-            'int_value', 77L, 'double_value', CAST(NULL AS DOUBLE)))
+            'int_value', 77L,
+            'float_value', CAST(NULL AS FLOAT), 'double_value', CAST(NULL AS DOUBLE))),
+        named_struct('key', 'engagement_score',
+          'value', named_struct('string_value', CAST(NULL AS STRING),
+            'int_value', CAST(NULL AS BIGINT),
+            'float_value', CAST(0.5 AS FLOAT), 'double_value', CAST(NULL AS DOUBLE)))
       ) AS event_params,
       1704239000000000L AS event_previous_timestamp,
       12.5D AS event_value_in_usd,
@@ -148,7 +154,7 @@ class Ga4ExtractSpec extends SparkSpec {
       .getAs[String]("hostname") == "shop.example")
     assert(row.getAs[org.apache.spark.sql.Row]("user_ltv")
       .getAs[Double]("revenue") == 99.5)
-    assert(row.getAs[scala.collection.Seq[_]]("event_params").size == 2)
+    assert(row.getAs[scala.collection.Seq[_]]("event_params").size == 3)
     assert(row.getAs[scala.collection.Seq[_]]("items").size == 2)
     assert(row.getAs[scala.collection.Seq[_]]("user_properties").size == 1)
     // epoch-micros surfaced as a real timestamp too
@@ -156,14 +162,17 @@ class Ga4ExtractSpec extends SparkSpec {
       == 1704240000000000L)
   }
 
-  test("paramsAsMap coalesces typed slots; param() does single-key lookup") {
+  test("paramsAsMap coalesces all four typed slots; param() does single-key lookup") {
     val m = ga4.select(Ga4Extract.paramsAsMap($"event_params").as("m"))
       .select(map_keys($"m").as("ks"), $"m".getItem("ga_session_id").as("sid"),
-        $"m".getItem("page").as("page"))
+        $"m".getItem("page").as("page"),
+        $"m".getItem("engagement_score").as("score"))
       .head()
-    assert(m.getAs[scala.collection.Seq[String]]("ks").sorted == scala.collection.Seq("ga_session_id", "page"))
+    assert(m.getAs[scala.collection.Seq[String]]("ks").sorted
+      == scala.collection.Seq("engagement_score", "ga_session_id", "page"))
     assert(m.getAs[String]("sid") == "77") // int slot coalesced to string
     assert(m.getAs[String]("page") == "home")
+    assert(m.getAs[String]("score") == "0.5") // float-only param surfaces
     assert(ga4.select(Ga4Extract.param($"event_params", "page")).as[String].head()
       == "home")
   }

@@ -48,4 +48,20 @@ class SkewSpec extends SparkSpec {
     val hot = Skew.hotKeys(df, "k", minShare = 0.5).as[(String, Long)].collect()
     assert(hot.sameElements(Array(("hot", 90L))))
   }
+
+  test("hotKeys distinguishes a genuinely-null hot key from the rollup total") {
+    val df = (Seq.fill(60)(null: String) ++ Seq.fill(40)("x")).toDF("k")
+    val hot = Skew.hotKeys(df, "k", minShare = 0.5).as[(String, Long)].collect()
+    assert(hot.sameElements(Array((null: String, 60L))))
+  }
+
+  test("hotKeys is single-pass: total branch reuses the counts exchange") {
+    val df = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"cold$i")).toDF("k")
+    val hot = Skew.hotKeys(df, "k", minShare = 0.5)
+    hot.collect() // AQE materializes exchange reuse in the FINAL plan
+    val plan = hot.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("StageReuse")
+      || plan.contains("TableCacheQueryStage"),
+      s"expected the total branch to reuse the counts exchange:\n$plan")
+  }
 }
