@@ -170,32 +170,41 @@ object Vectors extends Family {
       .orderBy(col("vec_id"))
   }
 
-  // Embedding-cosine near-dup pairs, blocked by the coarse label (compare
-  // only within a bucket — the IVF-style pruning that keeps the pair join
-  // sub-quadratic at corpus scale). Threshold 0.30 is calibrated to this
-  // near-orthogonal synthetic corpus (max within-label cosine ~0.47).
+  // Embedding-cosine near-dup pairs, bucketed by fixed-seed random-hyperplane
+  // LSH (graft.functions.HyperplaneLsh): candidates collide on a packed
+  // band signature, then an exact cosine confirm filters at 0.30 (calibrated
+  // to this near-orthogonal synthetic corpus; production thresholds >= 0.8
+  // sit where hyperplane LSH recall is >95%). Unlike the label blocking it
+  // replaces, a hot coarse attribute no longer goes quadratic: 2^8
+  // sub-buckets per band spread dissimilar vectors apart, and candidate
+  // volume tracks true near-dup density, not population skew. The oracle
+  // runs the SAME hyperplanes (duckLshCtes embeds the sign matrix), so both
+  // engines see identical buckets.
   private val nearDup = Q(
     "dedup_embedding_cosine",
-    Some("""
-      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      p AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          round(list_dot_product(a.emb, b.emb)
-            / (sqrt(list_dot_product(a.emb, a.emb))
-               * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos_sim
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-      SELECT vec_a, vec_b, cos_sim FROM p
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      ${VectorOps.duckLshCtes},
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      scored AS (
+        SELECT c.vec_a, c.vec_b,
+          round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+        FROM cand c
+        JOIN n a ON a.vec_id = c.vec_a
+        JOIN n b ON b.vec_id = c.vec_b)
+      SELECT vec_a, vec_b, cos_sim FROM scored
       WHERE cos_sim >= 0.30
       ORDER BY vec_a, vec_b
     """)) { (spark, dir) =>
     val e = emb(spark, dir)
       .withColumn("nrm", VectorOps.norm(col("embedding")))
-    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+    val cand = VectorOps.lshCandidatePairs(
+      VectorOps.lshBuckets(e, "vec_id", "embedding"), "vec_id")
+    val a = e.select(col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+    val b = e.select(col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
+    cand.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         VectorOps.cosinePre(col("emb_a"), col("emb_b"),
           col("nrm_a"), col("nrm_b")).as("cos_sim"))

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** JVM kernel for the vector expressions (see [[TextHashing]] for why:
   * zip_with/aggregate higher-order lambdas run interpreted per element). */
@@ -48,6 +48,104 @@ object VectorKernels {
   }
 
   def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
+}
+
+/**
+ * Random-hyperplane (SimHash-for-vectors) LSH family for cosine near-dup
+ * bucketing: `Planes = Bands * BitsPerBand` fixed ±1 (Rademacher)
+ * hyperplanes drawn once from a seeded PRNG. Bit h of a vector's sketch is
+ * `dot(emb, plane_h) >= 0`; bits pack `BitsPerBand` at a time into int64
+ * band signatures, and vectors colliding on any (band, sig) are candidate
+ * pairs — two similar vectors agree on a bit with probability 1 - theta/pi.
+ *
+ * Portability contract (must match the DuckDB oracle CTEs in
+ * [[graft.ops.VectorOps.duckLshCtes]] bit-for-bit): the oracle embeds THE
+ * SAME sign matrix as literal DOUBLE[] lists, and both engines compute the
+ * dot sequentially in index order with a double accumulator (exactly like
+ * [[VectorKernels.dotFF]] vs `list_dot_product`), so every signature is
+ * bit-identical.
+ */
+object HyperplaneLsh {
+
+  val Dim = 64
+  val Bands = 12
+  val BitsPerBand = 8
+  val Planes: Int = Bands * BitsPerBand
+
+  /** ±1.0 hyperplane components, row-major from a fixed java.util.Random
+    * seed (the LCG is spec-pinned, so regeneration is deterministic on any
+    * JVM — and the oracle SQL embeds these very values as literals). */
+  val signs: Array[Array[Double]] = {
+    val rnd = new java.util.Random(20240801L)
+    Array.fill(Planes)(Array.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Packed band signatures of one embedding; truncates to `Dim` components
+    * like the oracle's fixed-width planes. Called from generated code. */
+  def bandsF(emb: ArrayData): ArrayData = {
+    if (emb == null) return null
+    val n = math.min(emb.numElements(), Dim)
+    val sigs = new Array[Long](Bands)
+    var h = 0
+    while (h < Planes) {
+      val s = signs(h)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += emb.getFloat(i).toDouble * s(i); i += 1 }
+      if (acc >= 0) sigs(h / BitsPerBand) |= 1L << (h % BitsPerBand)
+      h += 1
+    }
+    ArrayData.toArrayData(sigs)
+  }
+
+  def bandsD(emb: ArrayData): ArrayData = {
+    if (emb == null) return null
+    val n = math.min(emb.numElements(), Dim)
+    val sigs = new Array[Long](Bands)
+    var h = 0
+    while (h < Planes) {
+      val s = signs(h)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += emb.getDouble(i) * s(i); i += 1 }
+      if (acc >= 0) sigs(h / BitsPerBand) |= 1L << (h % BitsPerBand)
+      h += 1
+    }
+    ArrayData.toArrayData(sigs)
+  }
+}
+
+/**
+ * `hyperplane_bands(emb)`: array of [[HyperplaneLsh.Bands]] packed int64
+ * random-hyperplane band signatures of a float/double embedding column;
+ * NULL in, NULL out.
+ */
+case class HyperplaneBands(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> column, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  private lazy val kernel: String = child.dataType match {
+    case ArrayType(FloatType, _) => "bandsF"
+    case _ => "bandsD"
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (kernel == "bandsF") HyperplaneLsh.bandsF(a) else HyperplaneLsh.bandsD(a)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HyperplaneLsh.$kernel($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
 }
 
 /**

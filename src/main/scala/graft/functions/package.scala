@@ -30,4 +30,8 @@ package object functions {
   /** Sequential double dot product of two float/double array columns. */
   def vector_dot(a: Column, b: Column): Column =
     bridge.toColumn(VectorDot(bridge.toExpression(a), bridge.toExpression(b)))
+
+  /** Packed random-hyperplane LSH band signatures of an embedding column. */
+  def hyperplane_bands(emb: Column): Column =
+    bridge.toColumn(HyperplaneBands(bridge.toExpression(emb)))
 }

@@ -78,4 +78,57 @@ object VectorOps {
       .withColumn("rn", row_number().over(globalW))
       .filter(col("rn") <= k)
   }
+
+  /**
+   * Random-hyperplane LSH bucket rows (id, band, sig), one per band per
+   * vector: the whole [[graft.functions.HyperplaneLsh]] sketch is ONE
+   * codegen'd expression per row — map-only, no shuffle of embeddings.
+   *
+   * Scale shape: each band has 2^BitsPerBand sub-buckets, so a hot
+   * *population* (many dissimilar vectors that share a coarse attribute —
+   * the failure mode of label blocking) spreads across buckets and the
+   * candidate join stays sub-quadratic; a hot *bucket* that remains is a
+   * genuine duplicate cluster, for which pair output is inherently
+   * quadratic — at corpus scale route those to a cluster-representative
+   * (connected-components) dedup instead of pair emission.
+   */
+  def lshBuckets(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(graft.functions.hyperplane_bands(col(embCol)))
+        .as(Seq("band", "sig")))
+
+  /** Candidate near-dup pairs (a < b) colliding on any (band, sig) bucket. */
+  def lshCandidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col(idCol).as("vec_a"), col("band"), col("sig"))
+    val b = buckets.select(col(idCol).as("vec_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[lshBuckets]]+[[lshCandidatePairs]] as WITH-clause
+    * members; expects a CTE `e(vec_id, emb DOUBLE[])`, yields
+    * `cand(vec_a, vec_b)`. The plane rows embed the SAME sign matrix the
+    * JVM kernel uses (fixed seed), so signatures agree bit-for-bit. */
+  val duckLshCtes: String = {
+    import graft.functions.HyperplaneLsh.{signs, BitsPerBand}
+    val rows = signs.zipWithIndex.map { case (s, h) =>
+      val lits = s.map(v => if (v > 0) "1" else "-1").mkString(",")
+      s"($h, CAST([$lits] AS DOUBLE[]))"
+    }.mkString(",\n        ")
+    s"""
+      planes(h, s) AS (VALUES
+        $rows),
+      lsh AS (
+        SELECT e.vec_id, p.h // $BitsPerBand AS band,
+          SUM(CASE WHEN list_dot_product(e.emb, p.s) >= 0
+                THEN CAST(1 AS BIGINT) << (p.h % $BitsPerBand) ELSE 0 END) AS sig
+        FROM e CROSS JOIN planes p
+        GROUP BY e.vec_id, p.h // $BitsPerBand),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM lsh a JOIN lsh b ON a.band = b.band AND a.sig = b.sig
+         AND a.vec_id < b.vec_id)"""
+  }
 }

@@ -53,6 +53,54 @@ class VectorOpsSpec extends SparkSpec {
     assert(viaSalt.exceptAll(viaPlain).isEmpty && viaPlain.exceptAll(viaSalt).isEmpty)
   }
 
+  test("hyperplane_bands kernel matches an independent Scala recompute") {
+    import graft.functions.HyperplaneLsh
+    val rows = Tables.embeddings(spark, sf001).limit(50)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val kernelSigs = Tables.embeddings(spark, sf001).limit(50)
+      .select($"vec_id", graft.functions.hyperplane_bands($"embedding").as("s"))
+      .as[(Long, Array[Long])].collect().toMap
+    rows.foreach { case (id, emb) =>
+      val expected = new Array[Long](HyperplaneLsh.Bands)
+      for (h <- 0 until HyperplaneLsh.Planes) {
+        var acc = 0.0
+        for (i <- 0 until math.min(emb.length, HyperplaneLsh.Dim))
+          acc += emb(i).toDouble * HyperplaneLsh.signs(h)(i)
+        if (acc >= 0)
+          expected(h / HyperplaneLsh.BitsPerBand) |= 1L << (h % HyperplaneLsh.BitsPerBand)
+      }
+      assert(kernelSigs(id).sameElements(expected), s"vec $id")
+    }
+  }
+
+  test("LSH bucketing keeps a hot population sub-quadratic vs label blocking") {
+    // the label-blocking failure mode: m mutually-dissimilar vectors sharing
+    // one coarse label forced C(m,2) comparisons; hyperplane buckets spread
+    // them, so candidate volume tracks similarity, not population skew
+    val m = 200
+    val rnd = new scala.util.Random(7)
+    val hot = (0 until m).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat), "hot")
+    }.toDF("vec_id", "embedding", "label")
+    val full = m.toLong * (m - 1) / 2 // what label blocking would compare
+    val cand = VectorOps.lshCandidatePairs(
+      VectorOps.lshBuckets(hot, "vec_id", "embedding"), "vec_id").count()
+    assert(cand < full / 4, s"LSH candidates $cand not sub-quadratic vs $full")
+  }
+
+  test("LSH recall: exact duplicates collide in every band and survive confirm") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 20).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    // 20 originals + an exact copy of each under id+1000
+    val dupes = base ++ base.map { case (id, e) => (id + 1000, e.clone()) }
+    val df = dupes.toDF("vec_id", "embedding")
+    val cand = VectorOps.lshCandidatePairs(
+      VectorOps.lshBuckets(df, "vec_id", "embedding"), "vec_id")
+    val dupPairs = cand.filter($"vec_b" - $"vec_a" === 1000).count()
+    assert(dupPairs == 20L, s"expected all 20 duplicate pairs, got $dupPairs")
+  }
+
   test("approx_percentile sketch tracks the exact interpolated percentile") {
     // the quantile-sketch scale path for agg_quantity_percentiles (sketch
     // internals are engine-private, so spec-checked rather than oracle'd)
