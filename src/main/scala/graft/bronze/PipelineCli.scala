@@ -26,17 +26,83 @@ object PipelineCli {
   private def arg(args: Array[String], name: String): Option[String] =
     args.sliding(2).collectFirst { case Array(`name`, v) => v }
 
+  private val DateRe = "\\d{4}-\\d{2}-\\d{2}".r
+
+  /** Required-config validation, reference `settings.py:39-56` parity:
+    * every missing/malformed key for `cmd` is collected BY NAME and
+    * reported at once (not first-failure), before a session spins up. */
+  private[bronze] def configProblems(cmd: String, args: Array[String],
+                                     root: Option[String]): Seq[String] = {
+    def badDate(name: String): Seq[String] =
+      arg(args, name).toSeq.collect {
+        case d if !DateRe.matches(d) => s"$name must be yyyy-MM-dd, got '$d'"
+      }
+    val needRoot =
+      if (root.isEmpty) Seq("missing required argument: --root") else Nil
+    val needRange = cmd match {
+      case "backfill" =>
+        Seq("--start", "--end").filter(arg(args, _).isEmpty)
+          .map(k => s"missing required argument: $k")
+      case _ => Nil
+    }
+    val knownCmd = cmd match {
+      case "daily" | "backfill" | "status" | "test" => Nil
+      case other => Seq(s"unknown command: $other")
+    }
+    knownCmd ++ needRoot ++ needRange ++
+      badDate("--date") ++ badDate("--start") ++ badDate("--end")
+  }
+
+  /** Fail-fast I/O preflight (the reference's connection test, run before
+    * ANY work instead of only under `test`): source events readable, and —
+    * for writing commands — sink root creatable/writable. */
+  private[bronze] def preflightProblems(spark: SparkSession, cmd: String,
+                                        source: String, root: String): Seq[String] = {
+    val srcErr =
+      try { Tables.events(spark, source).schema; Nil }
+      catch { case e: Exception =>
+        Seq(s"source not readable: $source (${e.getClass.getSimpleName})") }
+    val sinkErr = cmd match {
+      case "daily" | "backfill" =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.mkdirs(p)) Nil else Seq(s"sink root not writable: $root")
+        } catch { case e: Exception =>
+          Seq(s"sink root not writable: $root (${e.getClass.getSimpleName})") }
+      case _ => Nil
+    }
+    srcErr ++ sinkErr
+  }
+
+  private def errorJson(cmd: String, problems: Seq[String]): String =
+    s"""{"cmd":${graft.Jsons.quote(cmd)},"ok":false,"errors":[""" +
+      problems.map(graft.Jsons.quote).mkString(",") + "]}"
+
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("status")
     val source = arg(args, "--source")
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.001")
-    val root = arg(args, "--root").getOrElse(sys.error("--root required"))
+    val rootOpt = arg(args, "--root")
+    val argProblems = configProblems(cmd, args, rootOpt)
+    if (argProblems.nonEmpty) {
+      println(errorJson(cmd, argProblems))
+      sys.exit(1)
+    }
+    val root = rootOpt.get
     val spark = graft.Conf.local(SparkSession.builder(), 4)
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, cmd, args, source, root) finally spark.stop()
+    try {
+      val ioProblems = preflightProblems(spark, cmd, source, root)
+      if (ioProblems.nonEmpty) {
+        println(errorJson(cmd, ioProblems))
+        sys.exit(1)
+      }
+      run(spark, cmd, args, source, root)
+    } finally spark.stop()
   }
 
   /** Distinct event days present in the source, newest first (the
