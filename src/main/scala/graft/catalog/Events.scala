@@ -203,7 +203,9 @@ object Events extends Family {
         SELECT user_id, event_type,
           row_number() OVER (PARTITION BY user_id
             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-        FROM events)
+        FROM events
+        WHERE ts IS NOT NULL AND event_id IS NOT NULL
+          AND event_type IS NOT NULL)
       WHERE rn <= 10
       GROUP BY user_id
       ORDER BY user_id
@@ -213,8 +215,13 @@ object Events extends Family {
     // events at every point of the reduce/merge tree — a bot user with
     // millions of events costs 10 buffer rows, not its whole history. Same
     // total order (ts_us, event_id) the row_number formulation used.
+    // Null-field events are dropped BEFORE the aggregate (mirrored in the
+    // oracle's WHERE): PathEvent's input encoder is non-nullable, and a
+    // null ts/id/type carries no position in a path anyway.
     val firstTen = udaf(new graft.functions.PathFirstK(10))
     ev(spark, dir)
+      .filter(col("ts").isNotNull && col("event_id").isNotNull &&
+        col("event_type").isNotNull)
       .groupBy(col("user_id"))
       .agg(firstTen(
         unix_micros(col("ts")), col("event_id"), col("event_type")).as("path"))

@@ -76,6 +76,15 @@ object IvfIndex {
   def centroids(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/centroids")
 
+  /** The on-disk format gained precomputed norms (`nrm` on assignments,
+    * `c_nrm` on centroids). An index persisted by an older build would
+    * otherwise fail deep in analysis with UNRESOLVED_COLUMN — detect the
+    * missing columns up front and say what to do about it. */
+  private def requireNormFormat(df: DataFrame, col: String, dir: String): Unit =
+    require(df.columns.contains(col),
+      s"IVF index at $dir predates the norm-carrying format (missing '$col'); " +
+        "rebuild it with IvfIndex.build")
+
   /**
    * Probe: score queries against the (broadcast) centroids, keep each
    * query's top `nProbes` clusters, then scan ONLY those assignment
@@ -83,18 +92,23 @@ object IvfIndex {
    * `nProbes = number of clusters` this equals brute force.
    *
    * The probe plan (crossJoin + cosine + window) is materialized ONCE via
-   * `localCheckpoint` — on the executors, never the driver, so a 1M-query
-   * batch is fine — and both consumers derive from it: the broadcast join
-   * side directly, and the static partition-prune literals via a
-   * distinct-ids collect that is bounded by the number of CLUSTERS (index
-   * metadata, not data; ≤ k values regardless of query count).
+   * `localCheckpoint` — blocks live on the executors, never the driver —
+   * and both consumers derive from it: the join side, and the static
+   * partition-prune literals via a distinct-ids collect that is bounded by
+   * the number of CLUSTERS (index metadata, not data; ≤ k values regardless
+   * of query count). The probe side is broadcast only while the probe-row
+   * count is small (`maxBroadcastProbes`); past that the q_emb payload
+   * would strain driver/broadcast limits, so a big query batch takes the
+   * shuffled hash join on centroid_id instead.
    *
    * `queries`: (q_id, q_emb). Returns (q_id, vec_id, cos_sim, rn).
    */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
-             nProbes: Int, k: Int): DataFrame = {
+             nProbes: Int, k: Int,
+             maxBroadcastProbes: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = centroids(spark, dir)
+    requireNormFormat(cents, "c_nrm", dir)
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("ccos").desc, col("centroid_id"))
     val probes = queries
@@ -116,7 +130,11 @@ object IvfIndex {
       .collect().map(_.getInt(0)).toSeq
     val assignments = spark.read.parquet(s"$dir/assignments")
       .filter(col("centroid_id").isin(probedIds: _*))
-    val scored = assignments.join(broadcast(probes), Seq("centroid_id"))
+    requireNormFormat(assignments, "nrm", dir)
+    // count() is a cheap checkpointed-block scan, not a probe re-plan
+    val probeSide =
+      if (probes.count() <= maxBroadcastProbes) broadcast(probes) else probes
+    val scored = assignments.join(probeSide, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         VectorOps.cosinePre(col("q_emb"), col("embedding"),

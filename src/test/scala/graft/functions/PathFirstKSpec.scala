@@ -44,6 +44,27 @@ class PathFirstKSpec extends SparkSpec {
     }
   }
 
+  test("null-bearing rows are droppable before the udaf (call-site contract)") {
+    // PathEvent's encoder rejects null fields at runtime; the catalog
+    // pre-filters (journey_first10_paths, mirrored in its oracle). This
+    // pins the pattern: filtered input aggregates cleanly, nulls gone.
+    val firstTen = udaf(new PathFirstK(3))
+    val rows = Seq(
+      (Some(3L), Some(1L), Some("a"), "u1"),
+      (None, Some(2L), Some("x"), "u1"), // null ts
+      (Some(1L), Some(3L), Some("b"), "u1"),
+      (Some(2L), None, Some("x"), "u1"), // null id
+      (Some(4L), Some(4L), None, "u1"), // null type
+      (Some(2L), Some(5L), Some("c"), "u1"))
+      .toDF("ts_us", "event_id", "event_type", "user_id")
+    val out = rows
+      .filter($"ts_us".isNotNull && $"event_id".isNotNull && $"event_type".isNotNull)
+      .groupBy($"user_id")
+      .agg(firstTen($"ts_us", $"event_id", $"event_type").as("path"))
+      .as[(String, String)].collect()
+    assert(out.sameElements(Array(("u1", "b>c>a"))))
+  }
+
   test("udaf == unbounded collect-sort-slice on the events table") {
     val firstTen = udaf(new PathFirstK(10))
     val ev = Tables.events(spark, sf001)

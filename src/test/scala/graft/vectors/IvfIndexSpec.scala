@@ -50,6 +50,27 @@ class IvfIndexSpec extends SparkSpec {
     assert(viaIndex.exceptAll(brute).isEmpty && brute.exceptAll(viaIndex).isEmpty)
   }
 
+  test("large query batches fall back to a shuffle join with identical results") {
+    val viaBroadcast = IvfIndex.search(spark, dir, queries, nProbes = 2, k = 10)
+    val viaShuffle = IvfIndex.search(spark, dir, queries, nProbes = 2, k = 10,
+      maxBroadcastProbes = 0L)
+    assert(viaShuffle.exceptAll(viaBroadcast).isEmpty
+      && viaBroadcast.exceptAll(viaShuffle).isEmpty)
+  }
+
+  test("pre-norm-format index fails with a clear rebuild message, not analysis") {
+    val old = Files.createTempDirectory("graft-ivf-old").toString
+    IvfIndex.centroids(spark, dir).drop("c_nrm")
+      .write.parquet(s"$old/centroids")
+    spark.read.parquet(s"$dir/assignments").drop("nrm")
+      .write.partitionBy("centroid_id").parquet(s"$old/assignments")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.search(spark, old, queries, nProbes = 2, k = 10)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    assert(e.getMessage.contains(old))
+  }
+
   test("probing 2 clusters only returns vectors from the probed partitions") {
     val out = IvfIndex.search(spark, dir, queries, nProbes = 2, k = 10)
     val assigned = spark.read.parquet(s"$dir/assignments")
