@@ -125,6 +125,72 @@ object Vectors extends Family {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // Multi-probe IVF (nProbes=2): scan the TWO nearest centroids' clusters —
+  // the recall/cost dial a real IVF deployment turns (single-probe misses
+  // neighbors that straddle a cluster boundary; each extra probe buys recall
+  // for one more cluster's worth of scan). Clusters partition the corpus,
+  // so the two probed scans are disjoint — no dedup needed before top-k.
+  private val ivf2 = Q(
+    "ann_cosine_topk_ivf2",
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      ex AS (SELECT vec_id, label, unnest(emb) AS v,
+               generate_subscripts(emb, 1) AS pos FROM e),
+      cent AS (SELECT label, pos, round(avg(v), 6) AS cv FROM ex GROUP BY label, pos),
+      cl AS (SELECT label, list(cv ORDER BY pos) AS cemb FROM cent GROUP BY label),
+      q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+      qc AS (
+        SELECT q.q_id, q.q_emb, cl.label,
+          round(list_dot_product(q.q_emb, cl.cemb)
+            / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+               * sqrt(list_dot_product(cl.cemb, cl.cemb))), 6) AS ccos
+        FROM q, cl),
+      best AS (
+        SELECT q_id, q_emb, label FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY ccos DESC, label) AS rn FROM qc) WHERE rn <= 2),
+      cand AS (
+        SELECT b.q_id, e.vec_id,
+          round(list_dot_product(b.q_emb, e.emb)
+            / (sqrt(list_dot_product(b.q_emb, b.q_emb))
+               * sqrt(list_dot_product(e.emb, e.emb))), 4) AS cos_sim
+        FROM best b JOIN e ON e.label = b.label AND e.vec_id <> b.q_id)
+      SELECT q_id, vec_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cos_sim DESC, vec_id) AS rn FROM cand) WHERE rn <= 10
+      ORDER BY q_id, rn
+    """)) { (spark, dir) =>
+    val e = emb(spark, dir)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cemb"))
+      .withColumn("c_nrm", VectorOps.norm(col("cemb")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val best = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("label"),
+        VectorOps.cosinePre(col("q_emb"), col("cemb"),
+          col("q_nrm"), col("c_nrm"), scale = 6).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("label"))))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("label"))
+    val scored = e.join(broadcast(best), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosinePre(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+    VectorOps.topK(scored, "q_id", "vec_id", "cos_sim", k = 10)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   // Nearest-centroid assignment for every vector (k-means-style E step) —
   // exercises the all-vectors-vs-all-centroids broadcast pattern.
   private val assign = Q(
@@ -212,5 +278,5 @@ object Vectors extends Family {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  override val specs: Seq[Q] = Seq(brute, ivf, assign, nearDup)
+  override val specs: Seq[Q] = Seq(brute, ivf, ivf2, assign, nearDup)
 }
