@@ -11,19 +11,20 @@ import org.apache.spark.sql.SparkSession
  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with the wall-clock total and
  * per-query seconds.
  *
- * Queries run `SPARK_GRAFT_PAR`-wide (default 4) through Spark's FAIR
- * scheduler — the deployment shape of an analytics engine (concurrent
- * queries sharing one cluster), and it overlaps the per-query fixed costs
- * (planning, codegen, stage scheduling) that dominate at bench scale.
- * `value` is the honest wall clock for the whole suite; per-query times are
- * measured under that concurrency, so their sum exceeds `value`.
- * Set SPARK_GRAFT_PAR=1 for the sequential mode (sum == value).
+ * Queries run SEQUENTIALLY by default (`SPARK_GRAFT_PAR=1`): per-query
+ * seconds are then attributable — comparable against BASELINE.md's budget
+ * table and across rounds — instead of being scheduler-contention noise.
+ * Set SPARK_GRAFT_PAR>1 to measure the concurrent-deployment shape
+ * (queries sharing one cluster via the FAIR scheduler, overlapping fixed
+ * planning/codegen costs); in that mode per-query times overlap, so their
+ * sum exceeds the `value` wall clock and individual cells are NOT
+ * regression-comparable.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val par = sys.env.getOrElse("SPARK_GRAFT_PAR", "4").toInt.max(1)
+    val par = sys.env.getOrElse("SPARK_GRAFT_PAR", "1").toInt.max(1)
     val spark = Conf.local(SparkSession.builder(), cpus.toInt)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
