@@ -71,6 +71,38 @@ object TextLlm extends Family {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // Duplicate-cluster resolution: the transitive closure of the LSH pairs
+  // (A~B, B~C => one cluster {A,B,C}), each cluster labeled by its min
+  // doc_id, canonical = the label holder — what a dedup pipeline KEEPS.
+  // Spark side is iterative hash-min propagation (graft.ops.Components:
+  // one join + one min-agg per round, O(cluster diameter) rounds); the
+  // oracle computes the same closure with a recursive CTE.
+  private val components = Q(
+    "dedup_components",
+    Some(s"""
+      WITH RECURSIVE ${TextOps.duckPairsCtes},
+      sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS comp_id
+        FROM reach GROUP BY a)
+      SELECT doc_id, comp_id,
+        CAST(doc_id = comp_id AS INTEGER) AS is_canonical
+      FROM comp ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val pairs = TextOps.candidatePairs(
+      TextOps.lshBands(docs(spark, dir), "doc_id", "text"), "doc_id")
+    graft.ops.Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("comp_id"),
+        (col("id") === col("comp")).cast("int").as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   // n-gram Jaccard similarity, evaluated on the LSH candidate pairs only
   // (the scale path: LSH bounds the quadratic work to near-duplicates), over
   // per-doc distinct shingle-HASH sets (trigram_hashes kernel — identical
@@ -275,6 +307,38 @@ object TextLlm extends Family {
       .orderBy(col("source"))
   }
 
+  // Stratified deterministic sampling — training-data mixture control: the
+  // over-represented head stratum (en) is down-sampled to 10% while tail
+  // languages keep 50%, with hash-of-key membership so every stratum's
+  // sample is rerun-stable and shard-independent (same contract as
+  // sample_hash_10pct, per-stratum rates). At 100 TB this is one map-only
+  // filter + one aggregation — rates come from a broadcast-sized literal
+  // table, never a shuffle of the corpus.
+  private val stratifiedSample = Q(
+    "sample_stratified_mix",
+    Some("""
+      WITH kept AS (
+        SELECT lang, doc_id
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+      SELECT d.lang, COUNT(*) AS n_total, COUNT(k.doc_id) AS n_kept,
+        min(k.doc_id) AS first_kept, max(k.doc_id) AS last_kept
+      FROM documents d LEFT JOIN kept k
+        ON d.lang = k.lang AND d.doc_id = k.doc_id
+      GROUP BY d.lang ORDER BY d.lang
+    """)) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val rate = when(col("lang") === "en", 10).otherwise(50)
+    val kept = (TextOps.h32(col("doc_id").cast("string")) % 100) < rate
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(kept, col("doc_id"))).as("n_kept"),
+        min(when(kept, col("doc_id"))).as("first_kept"),
+        max(when(kept, col("doc_id"))).as("last_kept"))
+      .orderBy(col("lang"))
+  }
+
   // Deterministic hash-based subsampling — the reproducible alternative to
   // rand()-based sampling for training-data splits: membership depends only
   // on the row key, so the sample is stable across engines, partitionings,
@@ -326,7 +390,7 @@ object TextLlm extends Family {
   }
 
   override val specs: Seq[Q] = Seq(
-    dedupExact, dedupNorm, minhashLsh, jaccard, simhash,
+    dedupExact, dedupNorm, minhashLsh, components, jaccard, simhash,
     quality, langId, tokenCounts, fingerprint, sourceParse, hashSample,
-    levenshteinPairs)
+    stratifiedSample, levenshteinPairs)
 }

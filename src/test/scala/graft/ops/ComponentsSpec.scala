@@ -1,0 +1,67 @@
+package graft.ops
+
+import scala.util.Random
+
+import graft.SparkSpec
+import graft.lake.Tables
+
+class ComponentsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference union-find on collected edges. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] =
+    Components.connectedComponents(
+      edges.toDF("a", "b"), "a", "b", maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("random graphs match union-find exactly") {
+    val rnd = new Random(13)
+    (1 to 5).foreach { trial =>
+      val n = 100
+      val edges = Seq.fill(80)((rnd.nextLong(n).abs, rnd.nextLong(n).abs))
+        .filter { case (a, b) => a != b }
+      assert(run(edges) == ufComponents(edges), s"trial $trial")
+    }
+  }
+
+  test("a chain converges to its minimum endpoint (diameter-bound rounds)") {
+    val chain = (0L until 15L).sliding(2).map(s => (s(1), s.head)).toSeq
+    val comps = run(chain)
+    assert(comps.values.toSet == Set(0L))
+    assert(comps.size == 15)
+  }
+
+  test("diameter past maxIter fails loudly instead of returning a partial closure") {
+    val chain = (0L until 30L).sliding(2).map(s => (s(1), s.head)).toSeq
+    intercept[IllegalStateException](run(chain, maxIter = 3))
+  }
+
+  test("disjoint clusters keep distinct min labels; self-loops are harmless") {
+    val edges = Seq((5L, 7L), (7L, 9L), (20L, 21L), (30L, 30L))
+    val comps = run(edges)
+    assert(comps == Map(5L -> 5L, 7L -> 5L, 9L -> 5L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
+  test("documents LSH pairs: every cluster's label is its min member") {
+    val pairs = TextOps.candidatePairs(
+      TextOps.lshBands(Tables.documents(spark, sf001), "doc_id", "text"),
+      "doc_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(run(pairs.toSeq) == ufComponents(pairs.toSeq))
+  }
+}
