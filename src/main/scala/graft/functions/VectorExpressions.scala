@@ -68,47 +68,64 @@ object VectorKernels {
 object HyperplaneLsh {
 
   val Dim = 64
+  /** Catalog defaults; callers scale `bitsPerBand` up with corpus size (the
+    * random-pair collision rate per band is 2^-bits, so bits ~ log2(n)
+    * keeps total candidate volume near-linear in n — see the SCALE.md sweep
+    * of `dedup_embedding_cosine` for the fixed-parameter growth curve). */
   val Bands = 12
   val BitsPerBand = 8
-  val Planes: Int = Bands * BitsPerBand
 
   /** ±1.0 hyperplane components, row-major from a fixed java.util.Random
     * seed (the LCG is spec-pinned, so regeneration is deterministic on any
-    * JVM — and the oracle SQL embeds these very values as literals). */
-  val signs: Array[Array[Double]] = {
-    val rnd = new java.util.Random(20240801L)
-    Array.fill(Planes)(Array.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
+    * JVM — and the oracle SQL embeds these very values as literals). The
+    * stream is a fixed infinite family: the first `n` planes are identical
+    * for every parameterization, so widening bands/bits only APPENDS
+    * planes, never re-keys existing buckets. */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  def signsFor(planes: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent(planes, { n =>
+      val rnd = new java.util.Random(20240801L)
+      Array.fill(n)(Array.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    })
+
+  /** The default family (catalog + oracle embedding). */
+  def signs: Array[Array[Double]] = signsFor(Bands * BitsPerBand)
 
   /** Packed band signatures of one embedding; truncates to `Dim` components
     * like the oracle's fixed-width planes. Called from generated code. */
-  def bandsF(emb: ArrayData): ArrayData = {
+  def bandsF(emb: ArrayData, bands: Int, bitsPerBand: Int): ArrayData = {
     if (emb == null) return null
+    val planes = bands * bitsPerBand
+    val ss = signsFor(planes)
     val n = math.min(emb.numElements(), Dim)
-    val sigs = new Array[Long](Bands)
+    val sigs = new Array[Long](bands)
     var h = 0
-    while (h < Planes) {
-      val s = signs(h)
+    while (h < planes) {
+      val s = ss(h)
       var acc = 0.0
       var i = 0
       while (i < n) { acc += emb.getFloat(i).toDouble * s(i); i += 1 }
-      if (acc >= 0) sigs(h / BitsPerBand) |= 1L << (h % BitsPerBand)
+      if (acc >= 0) sigs(h / bitsPerBand) |= 1L << (h % bitsPerBand)
       h += 1
     }
     ArrayData.toArrayData(sigs)
   }
 
-  def bandsD(emb: ArrayData): ArrayData = {
+  def bandsD(emb: ArrayData, bands: Int, bitsPerBand: Int): ArrayData = {
     if (emb == null) return null
+    val planes = bands * bitsPerBand
+    val ss = signsFor(planes)
     val n = math.min(emb.numElements(), Dim)
-    val sigs = new Array[Long](Bands)
+    val sigs = new Array[Long](bands)
     var h = 0
-    while (h < Planes) {
-      val s = signs(h)
+    while (h < planes) {
+      val s = ss(h)
       var acc = 0.0
       var i = 0
       while (i < n) { acc += emb.getDouble(i) * s(i); i += 1 }
-      if (acc >= 0) sigs(h / BitsPerBand) |= 1L << (h % BitsPerBand)
+      if (acc >= 0) sigs(h / bitsPerBand) |= 1L << (h % bitsPerBand)
       h += 1
     }
     ArrayData.toArrayData(sigs)
@@ -116,11 +133,18 @@ object HyperplaneLsh {
 }
 
 /**
- * `hyperplane_bands(emb)`: array of [[HyperplaneLsh.Bands]] packed int64
- * random-hyperplane band signatures of a float/double embedding column;
- * NULL in, NULL out.
+ * `hyperplane_bands(emb, bands, bitsPerBand)`: array of `bands` packed
+ * int64 random-hyperplane band signatures of a float/double embedding
+ * column; NULL in, NULL out. `bitsPerBand` is the scale dial: each band's
+ * random-pair collision rate is 2^-bitsPerBand, so scale it ~log2(corpus)
+ * to keep candidate volume near-linear; raise `bands` to buy back recall.
  */
-case class HyperplaneBands(child: Expression) extends UnaryExpression {
+case class HyperplaneBands(child: Expression,
+                           bands: Int = HyperplaneLsh.Bands,
+                           bitsPerBand: Int = HyperplaneLsh.BitsPerBand)
+    extends UnaryExpression {
+  require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 63,
+    "band signatures pack bitsPerBand bits into an int64")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -138,11 +162,13 @@ case class HyperplaneBands(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    if (kernel == "bandsF") HyperplaneLsh.bandsF(a) else HyperplaneLsh.bandsD(a)
+    if (kernel == "bandsF") HyperplaneLsh.bandsF(a, bands, bitsPerBand)
+    else HyperplaneLsh.bandsD(a, bands, bitsPerBand)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HyperplaneLsh.$kernel($c)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneLsh.$kernel($c, $bands, $bitsPerBand)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
     copy(child = newChild)

@@ -31,7 +31,11 @@ package object functions {
   def vector_dot(a: Column, b: Column): Column =
     bridge.toColumn(VectorDot(bridge.toExpression(a), bridge.toExpression(b)))
 
-  /** Packed random-hyperplane LSH band signatures of an embedding column. */
-  def hyperplane_bands(emb: Column): Column =
-    bridge.toColumn(HyperplaneBands(bridge.toExpression(emb)))
+  /** Packed random-hyperplane LSH band signatures of an embedding column.
+    * `bitsPerBand` scales ~log2(corpus size) to hold the candidate-join
+    * volume near-linear; `bands` buys recall. */
+  def hyperplane_bands(emb: Column,
+                       bands: Int = HyperplaneLsh.Bands,
+                       bitsPerBand: Int = HyperplaneLsh.BitsPerBand): Column =
+    bridge.toColumn(HyperplaneBands(bridge.toExpression(emb), bands, bitsPerBand))
 }

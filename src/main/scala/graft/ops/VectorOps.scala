@@ -92,9 +92,11 @@ object VectorOps {
    * quadratic — at corpus scale route those to a cluster-representative
    * (connected-components) dedup instead of pair emission.
    */
-  def lshBuckets(df: DataFrame, idCol: String, embCol: String): DataFrame =
+  def lshBuckets(df: DataFrame, idCol: String, embCol: String,
+                 bands: Int = graft.functions.HyperplaneLsh.Bands,
+                 bitsPerBand: Int = graft.functions.HyperplaneLsh.BitsPerBand): DataFrame =
     df.select(col(idCol),
-      posexplode(graft.functions.hyperplane_bands(col(embCol)))
+      posexplode(graft.functions.hyperplane_bands(col(embCol), bands, bitsPerBand))
         .as(Seq("band", "sig")))
 
   /** Candidate near-dup pairs (a < b) colliding on any (band, sig) bucket. */

@@ -22,7 +22,9 @@ object ScaleSweep {
     "window_running_customer_spend", "window_rank_metrics",
     "join_asof_last_purchase", "json_props_histogram",
     "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard", "dedup_normalized",
-    "dedup_simhash", "text_fingerprint_rolling", "sample_hash_10pct")
+    "dedup_simhash", "text_fingerprint_rolling", "sample_hash_10pct",
+    "dedup_components", "sample_stratified_mix",
+    "dedup_embedding_cosine", "ann_cosine_topk_brute", "ann_centroid_assign")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,
@@ -39,8 +41,17 @@ object ScaleSweep {
         case "orders" => t
           .withColumn("o_orderkey", col("o_orderkey") + i.toLong * 1000000000L)
           .withColumn("o_custkey", col("o_custkey") + i.toLong * 10000000L)
-        case "embeddings" => t
-          .withColumn("vec_id", col("vec_id") + i.toLong * 10000000L)
+        case "embeddings" =>
+          // rotate each copy's vectors so replicas are NOT mutual near-dups
+          // (un-rotated copies would be true duplicate clusters, whose pair
+          // output is legitimately quadratic — not what the sweep measures)
+          val rot = i % 63 + 1
+          val rotated =
+            if (i == 0) col("embedding")
+            else concat(slice(col("embedding"), rot + 1, 64 - rot),
+              slice(col("embedding"), 1, rot))
+          t.withColumn("vec_id", col("vec_id") + i.toLong * 10000000L)
+            .withColumn("embedding", rotated)
         case _ => t // dims and lineitem ride along unscaled (not swept)
       }
     }
@@ -89,7 +100,14 @@ object ScaleSweep {
     rows.foreach { case (q, ts) =>
       sb.append(f"| $q | ${ts(0)}%.2f | ${ts(1)}%.2f | ${ts(2)}%.2f | ${ts(2) / ts(0)}%.1f |\n")
     }
-    Files.writeString(Paths.get(out), sb.toString)
+    // preserve hand-written sections (s3a posture, ...) below the sweep table
+    val path = Paths.get(out)
+    if (Files.exists(path)) {
+      val existing = Files.readString(path)
+      val tailIdx = existing.indexOf("\n# ", 1)
+      if (tailIdx >= 0) sb.append(existing.substring(tailIdx))
+    }
+    Files.writeString(path, sb.toString)
     println(s"wrote $out")
     rows.foreach { case (q, ts) =>
       println(f"SCALE $q%-32s ${ts(0)}%6.2f ${ts(1)}%6.2f ${ts(2)}%6.2f  ratio ${ts(2) / ts(0)}%5.1f")

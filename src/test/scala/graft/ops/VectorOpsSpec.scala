@@ -62,7 +62,7 @@ class VectorOpsSpec extends SparkSpec {
       .as[(Long, Array[Long])].collect().toMap
     rows.foreach { case (id, emb) =>
       val expected = new Array[Long](HyperplaneLsh.Bands)
-      for (h <- 0 until HyperplaneLsh.Planes) {
+      for (h <- 0 until HyperplaneLsh.Bands * HyperplaneLsh.BitsPerBand) {
         var acc = 0.0
         for (i <- 0 until math.min(emb.length, HyperplaneLsh.Dim))
           acc += emb(i).toDouble * HyperplaneLsh.signs(h)(i)
@@ -86,6 +86,23 @@ class VectorOpsSpec extends SparkSpec {
     val cand = VectorOps.lshCandidatePairs(
       VectorOps.lshBuckets(hot, "vec_id", "embedding"), "vec_id").count()
     assert(cand < full / 4, s"LSH candidates $cand not sub-quadratic vs $full")
+  }
+
+  test("bitsPerBand is the scale dial: more bits, strictly fewer random candidates") {
+    // random-pair collision per band is 2^-bits — candidate volume at fixed
+    // corpus must drop as bits rise (how a bigger corpus holds the LSH join
+    // near-linear); exact duplicates still collide at ANY parameterization
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 300).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val counts = Seq(4, 8, 12).map { bits =>
+      VectorOps.lshCandidatePairs(
+        VectorOps.lshBuckets(df, "vec_id", "embedding", bands = 12,
+          bitsPerBand = bits), "vec_id").count()
+    }
+    assert(counts == counts.sorted.reverse && counts.distinct == counts,
+      s"candidates must strictly fall as bits rise: $counts")
   }
 
   test("LSH recall: exact duplicates collide in every band and survive confirm") {
