@@ -307,6 +307,46 @@ object TextLlm extends Family {
       .orderBy(col("source"))
   }
 
+  // Repetition quality (the Gopher-rule family): fraction of the document
+  // owned by its single most-repeated adjacent bigram — boilerplate/spam
+  // flag orthogonal to the stopword/uniqueness scores. Spark side is ONE
+  // map-only codegen kernel per doc (top_bigram_count: a JVM hash-count
+  // pass, no explode, no shuffle); the oracle pays the explode+group the
+  // kernel avoids — at 100 TB that's the difference between a projection
+  // and shuffling every bigram of the corpus.
+  private val repetition = Q(
+    "text_repetition_scores",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bg AS (SELECT doc_id,
+        CASE WHEN len(t) >= 2
+          THEN list_transform(generate_series(1, len(t)-1),
+               i -> t[i] || ' ' || t[i+1])
+          ELSE [] END AS bgs
+        FROM tok),
+      ex AS (SELECT doc_id, unnest(bgs) AS b FROM bg),
+      cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM ex GROUP BY doc_id, b),
+      top AS (SELECT doc_id, max(c) AS top_n FROM cnt GROUP BY doc_id)
+      SELECT b.doc_id,
+        CAST(len(b.bgs) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(t.top_n, 0) AS BIGINT) AS top_bigram_n,
+        CASE WHEN len(b.bgs) > 0
+          THEN CAST(COALESCE(t.top_n, 0) AS BIGINT) / CAST(len(b.bgs) AS BIGINT)
+          ELSE 0.0 END AS top_bigram_frac
+      FROM bg b LEFT JOIN top t ON b.doc_id = t.doc_id
+      ORDER BY b.doc_id
+    """)) { (spark, dir) =>
+    val nBigrams = greatest(
+      size(split(col("text"), " ")) - 1, lit(0)).cast("long")
+    docs(spark, dir)
+      .select(col("doc_id"), nBigrams.as("n_bigrams"),
+        graft.functions.top_bigram_count(col("text")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        when(col("n_bigrams") > 0, col("top_bigram_n") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   // Stratified deterministic sampling — training-data mixture control: the
   // over-represented head stratum (en) is down-sampled to 10% while tail
   // languages keep 50%, with hash-of-key membership so every stratum's
@@ -391,6 +431,6 @@ object TextLlm extends Family {
 
   override val specs: Seq[Q] = Seq(
     dedupExact, dedupNorm, minhashLsh, components, jaccard, simhash,
-    quality, langId, tokenCounts, fingerprint, sourceParse, hashSample,
-    stratifiedSample, levenshteinPairs)
+    quality, repetition, langId, tokenCounts, fingerprint, sourceParse,
+    hashSample, stratifiedSample, levenshteinPairs)
 }

@@ -139,6 +139,25 @@ object TextHashing {
     acc
   }
 
+  /** Count of the most-repeated adjacent token bigram in the document
+    * (0 when fewer than 2 tokens) — the numerator of the repetition
+    * quality rule (Rae et al., "Scaling Language Models" §A1.1 style:
+    * heavily repeated n-grams flag boilerplate/spam): one JVM hash-count
+    * pass per document, no explode, no shuffle. */
+  def topBigramCount(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < 2) return 0L
+    val m = new java.util.HashMap[String, Integer]()
+    var best = 0
+    var i = 0
+    while (i < toks.length - 1) {
+      val c = m.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum(_, _))
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
   /** 60-bit SimHash: per distinct token, md5; per bit b in 0..59, vote
     * +1/-1 on hex-nibble bit (nibble b/4, bit 3-b%4); set b iff votes > 0.
     * Matches the nested-HOF/oracle formulation exactly. */
@@ -270,6 +289,28 @@ case class RollingFingerprint(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.rollingFingerprint($c)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+/** `top_bigram_count(text)`: occurrences of the document's most-repeated
+  * adjacent token bigram (repetition-quality numerator). */
+case class TopBigramCount(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_bigram_count"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.topBigramCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.topBigramCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopBigramCount =
     copy(child = newChild)
 }
 

@@ -27,6 +27,10 @@ package object functions {
   def simhash60(text: Column): Column =
     bridge.toColumn(SimHash60(bridge.toExpression(text)))
 
+  /** Occurrences of the most-repeated adjacent token bigram. */
+  def top_bigram_count(text: Column): Column =
+    bridge.toColumn(TopBigramCount(bridge.toExpression(text)))
+
   /** Sequential double dot product of two float/double array columns. */
   def vector_dot(a: Column, b: Column): Column =
     bridge.toColumn(VectorDot(bridge.toExpression(a), bridge.toExpression(b)))

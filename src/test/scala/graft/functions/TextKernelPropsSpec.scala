@@ -83,4 +83,14 @@ object TextKernelPropsSpec extends Properties("functions.TextHashing") {
       }.sum
       TextHashing.simhash60(UTF8String.fromString(s)) == expected
     }
+
+  property("topBigramCount == max groupBy count over adjacent bigrams") =
+    forAll(genText) { s =>
+      val toks = s.split(" ", -1)
+      val expected =
+        if (toks.length < 2) 0L
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size).max.toLong
+      TextHashing.topBigramCount(UTF8String.fromString(s)) == expected
+    }
 }
