@@ -31,6 +31,15 @@ object Bench {
       .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm plans/codegen/JIT on the tiny SF before timing: without this the
+    // first queries' cells absorb one-time JVM costs (~5s), making their
+    // budget-table comparisons position-dependent. SPARK_GRAFT_WARMUP=""
+    // disables; any other value is the warmup data dir.
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "/root/testdata/sf0.001")
+    if (warmupDir.nonEmpty)
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      }
     val pool = Executors.newFixedThreadPool(par)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
