@@ -125,11 +125,18 @@ object Ga4Extract {
           p.getField("value").getField("double_value").cast("string")
         ).as("value"))))
 
-  /** One-param lookup without the map build:
-    * `filter(params, p -> p.key = k)[0].value.string_value`. */
-  def param(params: Column, key: String): Column =
-    element_at(filter(params, p => p.getField("key") === key), 1)
-      .getField("value").getField("string_value")
+  /** One-param lookup without the map build, coalescing the same four
+    * typed slots as [[paramsAsMap]] (a ga_session_id lives in int_value;
+    * a string-only read would return null for it). */
+  def param(params: Column, key: String): Column = {
+    val v = element_at(filter(params, p => p.getField("key") === key), 1)
+      .getField("value")
+    coalesce(
+      v.getField("string_value"),
+      v.getField("int_value").cast("string"),
+      v.getField("float_value").cast("string"),
+      v.getField("double_value").cast("string"))
+  }
 
   def flatten(ga4: DataFrame): DataFrame = ga4.select(flattenedColumns: _*)
 }

@@ -175,5 +175,10 @@ class Ga4ExtractSpec extends SparkSpec {
     assert(m.getAs[String]("score") == "0.5") // float-only param surfaces
     assert(ga4.select(Ga4Extract.param($"event_params", "page")).as[String].head()
       == "home")
+    // param() coalesces typed slots too — an int-only param is readable
+    assert(ga4.select(Ga4Extract.param($"event_params", "ga_session_id"))
+      .as[String].head() == "77")
+    assert(ga4.select(Ga4Extract.param($"event_params", "engagement_score"))
+      .as[String].head() == "0.5")
   }
 }
