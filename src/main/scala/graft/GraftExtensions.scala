@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashBands, NormalizeText, RollingFingerprint, SimHash60, TrigramHashes, VectorDot}
+import graft.functions.{HyperplaneBands, MinHashBands, NormalizeText, RollingFingerprint, SimHash60, TopBigramCount, TrigramHashes, VectorDot}
 
 /**
  * Session extension registering graft's custom Catalyst expressions as SQL
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       RollingFingerprint))
     ext.injectFunction(oneArg("simhash60", classOf[SimHash60], SimHash60))
     ext.injectFunction(oneArg("normalize_text", classOf[NormalizeText], NormalizeText))
+    ext.injectFunction(oneArg("top_bigram_count", classOf[TopBigramCount],
+      TopBigramCount))
+    ext.injectFunction(oneArg("hyperplane_bands", classOf[HyperplaneBands],
+      HyperplaneBands(_)))
     ext.injectFunction((FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       { children: Seq[Expression] =>

@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
  * stops at pair emission; a 100 TB corpus needs the transitive closure —
  * A~B, B~C means A,B,C are one document).
  *
- * Algorithm: iterative hash-min label propagation. Every node starts
- * labeled with itself; each round a node adopts the minimum label among
- * itself and its direct neighbors; fixpoint = every node carries its
- * component's global minimum id. Convergence is O(component diameter)
- * rounds — near-dup clusters are shallow (dups of dups of one original),
- * so 3-4 rounds in practice; `maxIter` bounds the pathological chain.
+ * Algorithm: iterative hash-min label propagation with pointer jumping.
+ * Every node starts labeled with itself; each round a node adopts the
+ * minimum label among itself and its direct neighbors (propagation), then
+ * adopts its label's OWN label (shortcut — labels always name nodes of the
+ * same component, so chasing one hop of the label graph is sound and
+ * halves the remaining distance to the component minimum). Fixpoint =
+ * every node carries its component's global minimum id. The shortcut turns
+ * O(diameter) rounds into O(log diameter) — a 1M-link chain (pathological
+ * crawl dup-graph) converges in ~20 rounds, not 1M; near-dup clusters are
+ * shallow anyway and finish in 2-3.
  *
  * Scale shape: each round is one shuffle join (edges x labels, on dst)
  * plus one hash aggregation (min per src) — both key-partitioned, no
@@ -38,9 +42,15 @@ object Components {
     require(maxIter > 0)
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    // ckpt: materialize AND drop inherited size stats. localCheckpoint alone
+    // keeps the source plan's stats on its LogicalRDD; each round's joins
+    // would then multiply them — by round ~12 the driver stalls for minutes
+    // doing BigInteger products in stats estimation. freshFrame re-wraps the
+    // same materialized RDD stats-free (no data movement).
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.bridge.freshFrame(df.localCheckpoint(true))
+    var labels = ckpt(sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -48,10 +58,20 @@ object Components {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("ncomp"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      // materialized once: hop + updated below read it three times, and an
+      // un-checkpointed plan would re-execute the propagate join each time
+      val propagated = ckpt(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("next"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("mid")))
+      // pointer jump: follow the label graph one hop (comp -> comp's comp)
+      val hop = propagated
+        .select(col("mid").as("jid"), col("id").as("hid"))
+        .join(propagated.select(col("id").as("jid"), col("mid").as("jcomp")),
+          Seq("jid"))
+        .select(col("hid").as("id"), col("jcomp"))
+      val updated = ckpt(propagated.join(hop, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("mid"), coalesce(col("jcomp"), col("mid"))).as("next")))
       converged = updated.filter(col("next") < col("comp")).isEmpty
       labels = updated.select(col("id"), col("next").as("comp"))
       iter += 1

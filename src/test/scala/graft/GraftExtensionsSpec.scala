@@ -20,6 +20,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getSeq[Long](1).size == 3)  // 5 tokens -> 3 trigrams
   }
 
+  test("top_bigram_count / hyperplane_bands resolve in SQL and match the Column API") {
+    val viaSql = spark.sql(
+      "SELECT top_bigram_count('x y x y z') AS c, " +
+        "hyperplane_bands(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT))) AS h")
+      .head()
+    val viaCol = Seq(("x y x y z", Array(1.0f, -2.0f))).toDF("s", "v")
+      .select(graft.functions.top_bigram_count($"s").as("c"),
+        graft.functions.hyperplane_bands($"v").as("h"))
+      .head()
+    assert(viaSql.getLong(0) == 2L && viaCol.getLong(0) == 2L) // "x y" twice
+    assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
+    assert(viaSql.getSeq[Long](1).size == graft.functions.HyperplaneLsh.Bands)
+  }
+
   test("type checking rejects non-string input") {
     val e = intercept[Exception](spark.sql("SELECT minhash_bands(42)").collect())
     assert(e.getMessage.toLowerCase.contains("string"))

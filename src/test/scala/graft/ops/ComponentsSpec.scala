@@ -50,6 +50,15 @@ class ComponentsSpec extends SparkSpec {
     intercept[IllegalStateException](run(chain, maxIter = 3))
   }
 
+  test("pointer jumping: a 500-link chain converges in O(log d) rounds, not 500") {
+    // plain neighbor-min propagation would need ~500 rounds; the label
+    // shortcut halves remaining distance per round, so default maxIter=20
+    // (~2^20 reach) suffices
+    val chain = (0L until 500L).sliding(2).map(s => (s(1), s.head)).toSeq
+    val comps = run(chain)
+    assert(comps.values.toSet == Set(0L) && comps.size == 500)
+  }
+
   test("disjoint clusters keep distinct min labels; self-loops are harmless") {
     val edges = Seq((5L, 7L), (7L, 9L), (20L, 21L), (30L, 30L))
     val comps = run(edges)
