@@ -100,6 +100,14 @@ object ScaleSweep {
     rows.foreach { case (q, ts) =>
       sb.append(f"| $q | ${ts(0)}%.2f | ${ts(1)}%.2f | ${ts(2)}%.2f | ${ts(2) / ts(0)}%.1f |\n")
     }
+    sb.append("\nReading notes:\n")
+    sb.append("- `dedup_components` rounds depend on cluster diameter, not size; ")
+    sb.append("its growth tracks candidate-pair volume.\n")
+    sb.append("- `dedup_embedding_cosine` runs FIXED LSH parameters here; at a ")
+    sb.append("fixed random-collision rate candidate pairs grow ~n^2/2^bits, which ")
+    sb.append("is why `bitsPerBand` must scale ~log2(n) in production ")
+    sb.append("(graft.functions.HyperplaneLsh) — the sweep deliberately shows the ")
+    sb.append("un-scaled-dial growth curve.\n")
     // preserve hand-written sections (s3a posture, ...) below the sweep table
     val path = Paths.get(out)
     if (Files.exists(path)) {
