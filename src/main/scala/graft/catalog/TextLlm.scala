@@ -347,6 +347,41 @@ object TextLlm extends Family {
       .orderBy(col("doc_id"))
   }
 
+  // Sequence packing: fill fixed token-budget training bins in doc_id
+  // order (a doc belongs to the bin its first token lands in). The oracle
+  // is the natural single-window prefix sum; the Spark side uses
+  // graft.ops.Prefix's two-phase scan — range-partitioned local sums plus
+  // driver-prefix-summed per-partition offsets — because an un-partitioned
+  // `sum OVER (ORDER BY ...)` funnels the whole corpus through ONE reducer
+  // at 100 TB. Spec-checked row-identical to the window form.
+  private val packBins = Q(
+    "pack_token_bins",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t),
+      b AS (
+        SELECT doc_id, n_tokens,
+          CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS bin_id FROM c)
+      SELECT bin_id, COUNT(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM b GROUP BY bin_id ORDER BY bin_id
+    """)) { (spark, dir) =>
+    val t = docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.ops.Prefix.packBins(t, "doc_id", "n_tokens", budget = 2000L)
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin_id"))
+  }
+
   // Stratified deterministic sampling — training-data mixture control: the
   // over-represented head stratum (en) is down-sampled to 10% while tail
   // languages keep 50%, with hash-of-key membership so every stratum's
@@ -432,5 +467,5 @@ object TextLlm extends Family {
   override val specs: Seq[Q] = Seq(
     dedupExact, dedupNorm, minhashLsh, components, jaccard, simhash,
     quality, repetition, langId, tokenCounts, fingerprint, sourceParse,
-    hashSample, stratifiedSample, levenshteinPairs)
+    hashSample, stratifiedSample, packBins, levenshteinPairs)
 }
