@@ -32,8 +32,10 @@ object Prefix {
       else df.repartitionByRange(col(key))
     val withPid = parts.withColumn("_pid", spark_partition_id())
     // per-partition totals: one row per partition — metadata, not data
+    // (null values count as 0 so a null-bearing partition can't null the
+    // offset chain; the window sum below skips nulls the same way)
     val offsets = withPid.groupBy(col("_pid"))
-      .agg(sum(col(valueCol)).as("_ptot"))
+      .agg(sum(coalesce(col(valueCol), lit(0L))).as("_ptot"))
       .collect()
       .map(r => r.getInt(0) -> r.getAs[Number]("_ptot").longValue())
       .sortBy(_._1)
