@@ -37,8 +37,13 @@ object Bench {
     // disables; any other value is the warmup data dir.
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "/root/testdata/sf0.001")
     if (warmupDir.nonEmpty)
-      SparkEntry.queries.values.foreach { fn =>
-        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, warmupDir).count() catch {
+          case scala.util.control.NonFatal(e) =>
+            // a silently-skipped warmup would put the ~5s one-time JIT cost
+            // back into whichever timed cell runs first
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
       }
     val pool = Executors.newFixedThreadPool(par)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)

@@ -34,8 +34,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(oneArg("normalize_text", classOf[NormalizeText], NormalizeText))
     ext.injectFunction(oneArg("top_bigram_count", classOf[TopBigramCount],
       TopBigramCount))
-    ext.injectFunction(oneArg("hyperplane_bands", classOf[HyperplaneBands],
-      HyperplaneBands(_)))
+    // 1-3 args: hyperplane_bands(emb [, bands, bitsPerBand]) — the SQL
+    // surface must reach the same scale dial the Column API exposes
+    ext.injectFunction((FunctionIdentifier("hyperplane_bands"),
+      new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
+      { children: Seq[Expression] =>
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_bands: $name must be an integer literal, got $other")
+        }
+        children match {
+          case Seq(emb) => HyperplaneBands(emb)
+          case Seq(emb, b, r) => HyperplaneBands(emb,
+            intLit(b, "bands"), intLit(r, "bitsPerBand"))
+          case _ => throw new IllegalArgumentException(
+            "hyperplane_bands expects (emb) or (emb, bands, bitsPerBand)")
+        }
+      }))
     ext.injectFunction((FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       { children: Seq[Expression] =>

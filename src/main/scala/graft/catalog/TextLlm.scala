@@ -340,7 +340,10 @@ object TextLlm extends Family {
       size(split(col("text"), " ")) - 1, lit(0)).cast("long")
     docs(spark, dir)
       .select(col("doc_id"), nBigrams.as("n_bigrams"),
-        graft.functions.top_bigram_count(col("text")).as("top_bigram_n"))
+        // coalesce: the kernel null-propagates on null text, the oracle's
+        // COALESCE(top_n, 0) yields 0 — match it
+        coalesce(graft.functions.top_bigram_count(col("text")), lit(0L))
+          .as("top_bigram_n"))
       .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
         when(col("n_bigrams") > 0, col("top_bigram_n") / col("n_bigrams"))
           .otherwise(lit(0.0)).as("top_bigram_frac"))
@@ -392,16 +395,16 @@ object TextLlm extends Family {
   private val stratifiedSample = Q(
     "sample_stratified_mix",
     Some("""
-      WITH kept AS (
-        SELECT lang, doc_id
-        FROM documents
-        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-              % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
-      SELECT d.lang, COUNT(*) AS n_total, COUNT(k.doc_id) AS n_kept,
-        min(k.doc_id) AS first_kept, max(k.doc_id) AS last_kept
-      FROM documents d LEFT JOIN kept k
-        ON d.lang = k.lang AND d.doc_id = k.doc_id
-      GROUP BY d.lang ORDER BY d.lang
+      WITH t AS (
+        SELECT lang, doc_id,
+          (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 50 END) AS kept
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_total,
+        COUNT(CASE WHEN kept THEN doc_id END) AS n_kept,
+        min(CASE WHEN kept THEN doc_id END) AS first_kept,
+        max(CASE WHEN kept THEN doc_id END) AS last_kept
+      FROM t GROUP BY lang ORDER BY lang
     """)) { (spark, dir) =>
     val d = docs(spark, dir)
     val rate = when(col("lang") === "en", 10).otherwise(50)

@@ -40,7 +40,7 @@ object Components {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     require(maxIter > 0)
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val symPlan = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
     // ckpt: materialize AND drop inherited size stats. localCheckpoint alone
     // keeps the source plan's stats on its LogicalRDD; each round's joins
@@ -49,6 +49,10 @@ object Components {
     // same materialized RDD stats-free (no data movement).
     def ckpt(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.bridge.freshFrame(df.localCheckpoint(true))
+    // materialize the edge list once: every round's neighborMin joins it,
+    // and an un-checkpointed plan would re-run the whole upstream pipeline
+    // (for dedup_components: the full LSH candidate-pair join) per round
+    val sym = ckpt(symPlan)
     var labels = ckpt(sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
     var iter = 0

@@ -27,10 +27,23 @@ object Prefix {
    */
   def runningSum(df: DataFrame, key: String, valueCol: String,
                  cumCol: String, partitions: Int = 0): DataFrame = {
+    // offsets are summed as exact int64 — a fractional valueCol would get
+    // floor-truncated offsets while in-partition sums stayed fractional
+    require({
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType)
+    }, s"runningSum requires an integral $valueCol (token counts, bytes, rows)")
     val parts =
       if (partitions > 0) df.repartitionByRange(partitions, col(key))
       else df.repartitionByRange(col(key))
-    val withPid = parts.withColumn("_pid", spark_partition_id())
+    // MUST materialize before the two consumers below: RangePartitioner
+    // seeds its boundary sampling from the rdd id, so re-executing the
+    // repartition in a second job can shift boundaries — offsets computed
+    // against job 1's partitions would then be applied to job 2's, silently
+    // corrupting every cumulative sum after a moved boundary
+    val withPid = org.apache.spark.sql.graftbridge.bridge.freshFrame(
+      parts.withColumn("_pid", spark_partition_id()).localCheckpoint(true))
     // per-partition totals: one row per partition — metadata, not data
     // (null values count as 0 so a null-bearing partition can't null the
     // offset chain; the window sum below skips nulls the same way)

@@ -99,15 +99,13 @@ object VectorOps {
       posexplode(graft.functions.hyperplane_bands(col(embCol), bands, bitsPerBand))
         .as(Seq("band", "sig")))
 
-  /** Candidate near-dup pairs (a < b) colliding on any (band, sig) bucket. */
-  def lshCandidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val a = buckets.select(col(idCol).as("vec_a"), col("band"), col("sig"))
-    val b = buckets.select(col(idCol).as("vec_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-      .distinct()
-  }
+  /** Candidate near-dup pairs (a < b) colliding on any (band, sig) bucket —
+    * the same bucket-collision pairing as the text side, delegated so a
+    * future salt/skew fix lands in exactly one place. */
+  def lshCandidatePairs(buckets: DataFrame, idCol: String): DataFrame =
+    TextOps.candidatePairs(buckets, idCol)
+      .withColumnRenamed("doc_a", "vec_a")
+      .withColumnRenamed("doc_b", "vec_b")
 
   /** DuckDB twin of [[lshBuckets]]+[[lshCandidatePairs]] as WITH-clause
     * members; expects a CTE `e(vec_id, emb DOUBLE[])`, yields

@@ -67,8 +67,11 @@ object ScaleSweep {
     spark.sparkContext.setLogLevel("ERROR")
 
     val factors = Seq(1, 4, 16)
+    // v2: cache dir is versioned WITH the generation logic — a stale cache
+    // from an older generator (e.g. pre-rotation embeddings) would silently
+    // sweep the wrong data
     val dirs = factors.map { f =>
-      val dir = s"/tmp/graft-scale/x$f"
+      val dir = s"/tmp/graft-scale-v2/x$f"
       graft.lake.Tables.all.foreach { t =>
         val target = s"$dir/$t.parquet"
         if (!Files.exists(Paths.get(target)))

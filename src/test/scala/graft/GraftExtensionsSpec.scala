@@ -32,6 +32,11 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getLong(0) == 2L && viaCol.getLong(0) == 2L) // "x y" twice
     assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
     assert(viaSql.getSeq[Long](1).size == graft.functions.HyperplaneLsh.Bands)
+    // the 3-arg scale dial is reachable from SQL too
+    val wide = spark.sql(
+      "SELECT hyperplane_bands(array(CAST(1.0 AS FLOAT)), 6, 16) AS h")
+      .head().getSeq[Long](0)
+    assert(wide.size == 6)
   }
 
   test("type checking rejects non-string input") {
