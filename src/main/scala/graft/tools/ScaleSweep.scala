@@ -91,6 +91,36 @@ object ScaleSweep {
         (System.nanoTime() - t0) / 1e9
       }
       (q, times)
+    } :+ {
+      // the scaled-dial twin of dedup_embedding_cosine: bitsPerBand grows
+      // log2(corpus factor) — 8/10/12 at 1x/4x/16x — holding the random-
+      // collision candidate volume near-linear, vs the catalog query's
+      // oracle-pinned fixed 8 bits above
+      import org.apache.spark.sql.functions._
+      import graft.ops.VectorOps
+      def scaledDial(dir: String, bits: Int): Long = {
+        val e = graft.lake.Tables.spread(graft.lake.Tables.embeddings(spark, dir))
+          .withColumn("nrm", VectorOps.norm(col("embedding")))
+        val cand = VectorOps.lshCandidatePairs(
+          VectorOps.lshBuckets(e, "vec_id", "embedding", bands = 12,
+            bitsPerBand = bits), "vec_id")
+        val a = e.select(col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        val b = e.select(col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+        cand.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
+          .select(VectorOps.cosinePre(col("emb_a"), col("emb_b"),
+            col("nrm_a"), col("nrm_b")).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.30).count()
+      }
+      val bitsFor = Map(1 -> 8, 4 -> 10, 16 -> 12)
+      val times = dirs.map { case (f, dir) =>
+        scaledDial(dir, bitsFor(f)) // warm
+        val t0 = System.nanoTime()
+        scaledDial(dir, bitsFor(f))
+        (System.nanoTime() - t0) / 1e9
+      }
+      ("dedup_embedding_cosine (bits=8/10/12 dial)", times)
     }
 
     val sb = new StringBuilder
@@ -106,11 +136,12 @@ object ScaleSweep {
     sb.append("\nReading notes:\n")
     sb.append("- `dedup_components` rounds depend on cluster diameter, not size; ")
     sb.append("its growth tracks candidate-pair volume.\n")
-    sb.append("- `dedup_embedding_cosine` runs FIXED LSH parameters here; at a ")
-    sb.append("fixed random-collision rate candidate pairs grow ~n^2/2^bits, which ")
-    sb.append("is why `bitsPerBand` must scale ~log2(n) in production ")
-    sb.append("(graft.functions.HyperplaneLsh) — the sweep deliberately shows the ")
-    sb.append("un-scaled-dial growth curve.\n")
+    sb.append("- `dedup_embedding_cosine` (catalog row) runs its oracle-pinned ")
+    sb.append("FIXED LSH parameters; candidate pairs grow ~n^2/2^bits, hence the ")
+    sb.append("super-linear cell. The `bits=8/10/12 dial` row is the SAME operator ")
+    sb.append("with `bitsPerBand` scaled ~log2(n) as production would ")
+    sb.append("(graft.functions.HyperplaneLsh) — collision volume, and the curve, ")
+    sb.append("stay near-linear.\n")
     // preserve hand-written sections (s3a posture, ...) below the sweep table
     val path = Paths.get(out)
     if (Files.exists(path)) {
