@@ -603,10 +603,27 @@ object Relational extends Family {
       .orderBy(col("l_returnflag"))
   }
 
+  // Hot-key monitoring (graft.ops.Skew.hotKeys) under the oracle gate: the
+  // single-pass form — grand total summed FROM the grouped counts, both
+  // branches sharing one exchange — must agree with the oracle's plain
+  // two-CTE formulation. 0.07% of orders ~ >= 11 orders/customer at sf0.01.
+  private val hotKeysQ = Q(
+    "skew_hot_custkeys",
+    Some("""
+      WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+      t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+      SELECT c.o_custkey, c.n FROM c, t
+      WHERE c.n >= 0.0007 * t.total
+      ORDER BY c.n DESC, c.o_custkey
+    """)) { (spark, dir) =>
+    graft.ops.Skew.hotKeys(
+      Tables.load(spark, dir, "orders"), "o_custkey", minShare = 0.0007)
+  }
+
   override val specs: Seq[Q] = Seq(
     q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
     rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ,
     percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ, rankMetricsQ,
-    dispersionQ)
+    dispersionQ, hotKeysQ)
 }
