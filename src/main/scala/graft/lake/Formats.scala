@@ -1,0 +1,78 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Multi-format lake I/O: the same tables the parquet lake serves, ingested
+ * from or exported to line-oriented formats (GA4-style exports commonly
+ * arrive as newline-delimited JSON; partners ship CSV).
+ *
+ * Two non-negotiables at 100 TB, both enforced here:
+ *
+ *  - **Explicit schema, never inference.** Schema inference is an extra
+ *    full scan of the source before the real one, and inferred types drift
+ *    with the data sample (a day of all-null columns infers string). Readers
+ *    take the lake's declared `StructType`.
+ *  - **FAILFAST, never silent null-fill.** The default PERMISSIVE mode turns
+ *    a corrupt line into a row of nulls — at billions of lines that is
+ *    silent data loss. A malformed record here fails the task with the line
+ *    in the error.
+ *
+ * Format notes: JSON round-trips nested/array columns (embeddings,
+ * media metadata); CSV is for FLAT tables only (arrays/structs/binary have
+ * no portable CSV encoding — callers get an explicit error, not a mangled
+ * column).
+ */
+object Formats {
+
+  val supported: Set[String] = Set("parquet", "json", "csv")
+
+  private def flatOnly(schema: StructType, format: String): Unit =
+    if (format == "csv") {
+      import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType}
+      val bad = schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => true
+        case _ => false
+      })
+      require(bad.isEmpty,
+        s"csv cannot carry non-atomic columns: ${bad.map(_.name).mkString(", ")}")
+    }
+
+  /** Read `path` as `format` with the declared `schema` (FAILFAST). */
+  def read(spark: SparkSession, path: String, format: String,
+           schema: StructType): DataFrame = {
+    require(supported.contains(format), s"unsupported format: $format")
+    flatOnly(schema, format)
+    format match {
+      case "parquet" => spark.read.schema(schema).parquet(path)
+      case "json" => spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(path)
+      case "csv" => spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(path)
+    }
+  }
+
+  /** Write `df` to `path` as `format`, with the symmetric options so a
+    * [[read]] with `df.schema` round-trips value-identical. */
+  def write(df: DataFrame, path: String, format: String): Unit = {
+    require(supported.contains(format), s"unsupported format: $format")
+    flatOnly(df.schema, format)
+    val w = df.write.mode("overwrite")
+    format match {
+      case "parquet" => w.parquet(path)
+      case "json" => w
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(path)
+      case "csv" => w
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(path)
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+class FormatsSpec extends SparkSpec {
+
+  private def roundTrip(df: DataFrame, format: String): DataFrame = {
+    val dir = Files.createTempDirectory(s"graft-fmt-$format").toString + "/t"
+    Formats.write(df, dir, format)
+    Formats.read(spark, dir, format, df.schema)
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+  test("orders round-trips value-identical through csv and json") {
+    val orders = Tables.load(spark, sf001, "orders")
+    assertSame(orders, roundTrip(orders, "csv"))
+    assertSame(orders, roundTrip(orders, "json"))
+  }
+
+  test("documents (commas, quotes, unicode in text) survive csv quoting") {
+    val docs = Tables.documents(spark, sf001)
+    assertSame(docs, roundTrip(docs, "csv"))
+    assertSame(docs, roundTrip(docs, "json"))
+  }
+
+  test("embeddings (array column) round-trip through json; csv refuses loudly") {
+    val emb = Tables.embeddings(spark, sf001)
+    assertSame(emb, roundTrip(emb, "json"))
+    val e = intercept[IllegalArgumentException](roundTrip(emb, "csv"))
+    assert(e.getMessage.contains("embedding"))
+  }
+
+  test("a corrupt json line fails the read loudly instead of null-filling") {
+    import java.nio.charset.StandardCharsets
+    val dir = Files.createTempDirectory("graft-fmt-bad").toString
+    Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      """{"doc_id": 1, "n": 2}
+        |{"doc_id": oops not json
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, n BIGINT")
+    val e = intercept[Exception] {
+      Formats.read(spark, dir, "json", schema).collect()
+    }
+    assert(e.getMessage != null)
+    // PERMISSIVE would have returned 2 rows with nulls; FAILFAST must throw
+  }
+}
