@@ -15,6 +15,12 @@ run / fork := true
 // sbt's [info]/[error] line prefixes — the driver parses Bench's single JSON
 // stdout line, which the logger prefix would corrupt.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver keeps only the LAST 2000 chars of stdout and json-parses the
+// Bench line out of that window. sbt's "[success] Total time ..." footer
+// (~75 chars) plus a full-precision 58-query JSON line overflowed it every
+// round (BENCH_r0{1..4}.json all show "parsed": null). Suppress the footer;
+// Bench.scala compresses the line itself.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

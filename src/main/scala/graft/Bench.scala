@@ -62,11 +62,24 @@ object Bench {
     val results = Await.result(Future.sequence(futures), Duration.Inf)
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The driver json-parses this line out of the LAST 2000 chars of stdout
+    // only. 2-decimal seconds (10 ms resolution — budget comparisons are
+    // 100 ms-scale) keep the 58+-query line inside that window; the full
+    // line is also persisted to bench_last.json so the numbers survive in
+    // the repo even if the tail window ever overflows again.
+    def sec(v: Double): String = f"$v%.2f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","parallelism":$par,"errors":$errs}""")
+    val line =
+      s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":$qs,"sf":"$sfDir","parallelism":$par,"errors":$errs}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench_last.json: $e") }
+    System.err.println(s"[bench] json line length: ${line.length}")
+    println(line)
     spark.stop()
   }
 }
