@@ -1,0 +1,155 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.lake.Tables
+import graft.ops.TextOps
+
+/**
+ * Training-corpus export operators — the last mile of an LLM data pipeline
+ * after dedup/quality (graft.catalog.TextLlm) has picked the survivors:
+ * benchmark decontamination, PII pseudonymization, overlapping chunking,
+ * and deterministic shard assignment.
+ *
+ * Scale posture: every op here is map-only or shuffles once on its output
+ * key. Decontamination broadcasts the eval-set shingles (eval suites are
+ * ~1e5-1e6 n-grams — kilobytes-to-megabytes against a 100 TB corpus);
+ * chunking is a Generate (explode) with no shuffle; shard assignment's only
+ * wide stage is the per-shard ordering a sorted-shard-file export needs
+ * anyway, parallel in the number of shards.
+ */
+object Corpus extends Family {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination: docs with doc_id % 97 == 0 play the held-out
+  // eval suite; report every training doc sharing at least one word-3-gram
+  // with it. n=3 shingles are the test dial — production decontamination
+  // runs the same plan with 8-13-grams (TextOps.shingles' window width).
+  private val decontam = Q(
+    "decontam_overlap",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [] END AS shs FROM tok),
+      ev AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0),
+      tr AS (SELECT doc_id, len(shs) AS n_shingles, unnest(shs) AS s
+             FROM sh WHERE doc_id % 97 <> 0)
+      SELECT tr.doc_id, COUNT(*) AS n_overlap, min(tr.n_shingles) AS n_shingles,
+        COUNT(*) / min(tr.n_shingles) AS overlap_frac
+      FROM tr JOIN ev ON ev.s = tr.s
+      GROUP BY tr.doc_id
+      ORDER BY tr.doc_id
+    """)) { (spark, dir) =>
+    val sh = docs(spark, dir).select(col("doc_id"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")))).as("shs"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("shs")).as("s")).distinct()
+    val tr = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
+        explode(col("shs")).as("s"))
+    // Broadcast the eval side: the corpus never shuffles — overlap is a
+    // map-side hash join + one agg on doc_id (partial-agg friendly: counts).
+    tr.join(broadcast(ev), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"), min(col("n_shingles")).as("n_shingles"))
+      .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
+        (col("n_overlap") / col("n_shingles")).as("overlap_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // PII pseudonymization over the customer dimension: stable surrogate for
+  // the name (md5 — joinable across exports without exposing the value),
+  // identifying digits masked out, and the account balance generalized to a
+  // 1000-unit band (k-anonymity-style coarsening). Digit masking uses only
+  // RE2-safe regex (no lookahead) so Spark's Java regex and the oracle's RE2
+  // agree. Map-only; the ORDER BY is the only wide stage.
+  private val piiMask = Q(
+    "pii_mask_customers",
+    Some("""
+      SELECT c_custkey,
+        md5(c_name) AS name_token,
+        regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        c_mktsegment
+      FROM customer ORDER BY c_custkey
+    """)) { (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        md5(col("c_name")).as("name_token"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        floor(col("c_acctbal") / 1000).as("bal_band"),
+        col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Overlapping token-window chunking (window 40, stride 30): one Generate
+  // per document, chunk starts 1, 31, 61, ... — no shuffle, the 100 TB
+  // shape for context-window packing. Trailing sub-stride chunks are kept
+  // (deterministic; a consumer drops them if unwanted).
+  private val ChunkW = 40
+  private val ChunkS = 30
+  private val chunk = Q(
+    "chunk_overlap",
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      st AS (SELECT doc_id, t, unnest(generate_series(1, len(t), $ChunkS)) AS start
+             FROM tok)
+      SELECT doc_id, (start - 1) // $ChunkS AS chunk_id,
+        array_to_string(list_slice(t, start, least(start + ${ChunkW - 1}, len(t))), ' ')
+          AS chunk_text,
+        len(list_slice(t, start, least(start + ${ChunkW - 1}, len(t)))) AS n_tokens
+      FROM st ORDER BY doc_id, chunk_id
+    """)) { (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(ChunkS)))
+          .as(Seq("k", "start")))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+        array_join(slice(col("toks"), col("start"), lit(ChunkW)), " ").as("chunk_text"),
+        size(slice(col("toks"), col("start"), lit(ChunkW))).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic global shuffle + shard assignment for a training export:
+  // md5-keyed order (rerun-stable, uncorrelated with doc_id locality),
+  // shard = h32(key) % 8, position = rank within the shard. The per-shard
+  // window IS the sorted-shard-file write order; parallelism = shard count
+  // (the export dial — a real run uses thousands of shards, each a
+  // reducer-sized sorted file).
+  private val NShards = 8
+  private val shard = Q(
+    "shard_assign",
+    Some(s"""
+      WITH k AS (SELECT doc_id,
+          md5('s42:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+      s AS (SELECT doc_id, skey,
+          CAST(('0x' || substr(skey, 1, 8)) AS BIGINT) % $NShards AS shard FROM k)
+      SELECT doc_id, shard,
+        CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+             AS INTEGER) AS pos
+      FROM s ORDER BY shard, pos
+    """)) { (spark, dir) =>
+    val keyed = docs(spark, dir).select(col("doc_id"),
+      md5(concat(lit("s42:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 8), 16, 10).cast("long") % NShards)
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  override val specs: Seq[Q] = Seq(decontam, piiMask, chunk, shard)
+}

@@ -1,0 +1,79 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the training-corpus export family beyond the oracle's
+  * value-parity gate: chunk coverage/overlap invariants, decontamination
+  * set algebra, masking irreversibility, shard balance + determinism. */
+class CorpusSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf001)
+
+  test("chunk_overlap: chunks cover every token and adjacent chunks overlap") {
+    val docs = graft.lake.Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val chunks = q("chunk_overlap")
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
+      .as[(Long, Long, Long)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet.filter(docs(_) > 0))
+    for ((docId, cs) <- byDoc) {
+      val n = docs(docId)
+      val sorted = cs.sortBy(_._2)
+      // starts are 1 + 30*k while <= n: chunk count is ceil(n / 30)
+      assert(sorted.length == (n + 29) / 30, s"doc $docId chunk count")
+      // every chunk but the last is full-width or end-clamped
+      for (((_, k, len), i) <- sorted.zipWithIndex) {
+        val start = 1 + 30 * k
+        val expect = math.min(40, n - start + 1)
+        assert(len == expect, s"doc $docId chunk $k length")
+        assert(i == k, s"doc $docId chunk ids must be dense")
+      }
+      // coverage: last chunk reaches the last token
+      val (_, lastK, lastLen) = sorted.last
+      assert(1 + 30 * lastK + lastLen - 1 == n, s"doc $docId coverage")
+    }
+  }
+
+  test("decontam_overlap: flagged docs share a shingle with the eval set; eval docs never appear") {
+    val out = q("decontam_overlap")
+      .select(col("doc_id"), col("n_overlap"), col("n_shingles"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty, "synthetic corpus has heavy 3-gram overlap")
+    for ((id, nOv, nSh) <- out) {
+      assert(id % 97 != 0, "eval docs must not be reported as contaminated")
+      assert(nOv >= 1 && nOv <= nSh)
+    }
+  }
+
+  test("pii_mask_customers: masked output carries no digits and tokens are stable") {
+    val out = q("pii_mask_customers")
+      .select(col("name_masked"), col("name_token")).as[(String, String)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (m, _) => !m.exists(_.isDigit) })
+    // pseudonym is deterministic: same input -> same token across runs
+    val again = q("pii_mask_customers")
+      .select(col("name_token")).as[String].collect()
+    assert(out.map(_._2).sameElements(again))
+  }
+
+  test("shard_assign: a permutation, dense per-shard positions, no shard > 2x mean") {
+    val out = q("shard_assign")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Long, Int)].collect()
+    val nDocs = graft.lake.Tables.documents(spark, sf001).count()
+    assert(out.length == nDocs, "every doc gets exactly one shard slot")
+    assert(out.map(_._1).distinct.length == out.length)
+    for ((shard, rows) <- out.groupBy(_._2)) {
+      val ps = rows.map(_._3).sorted
+      assert(ps.head == 1 && ps.last == rows.length,
+        s"shard $shard positions must be dense 1..n")
+      assert(rows.length <= 2 * nDocs / 8 + 1, s"shard $shard is hot")
+    }
+  }
+}
