@@ -151,5 +151,71 @@ object Corpus extends Family {
       .orderBy(col("shard"), col("pos"))
   }
 
-  override val specs: Seq[Q] = Seq(decontam, piiMask, chunk, shard)
+  // ---------------------------------------------------------------------
+  // The end-to-end training-mix report — the whole pre-training data
+  // pipeline as ONE declarative plan: normalized-dedup survivors, minimum
+  // token count, eval slice + contaminated docs removed, then per
+  // (lang, source) document/token totals and each cell's share of the
+  // final corpus. Catalyst sees every stage at once, so filters reach the
+  // scan and the three membership checks are semi/anti joins against
+  // broadcast-sized sides (dedup winners keyed by hash, eval shingles,
+  // contaminated ids) — the corpus itself is scanned once and never
+  // shuffled until the final (lang, source) aggregate. The grand total
+  // joins back via a broadcast 1-row frame, not a global window.
+  private val mix = Q(
+    "corpus_mix",
+    Some("""
+      WITH d AS (SELECT doc_id, lang, source,
+          len(string_split(text, ' ')) AS n_toks, text FROM documents),
+      surv AS (SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY md5(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [] END AS shs FROM tok),
+      ev AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0),
+      tr AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0),
+      contaminated AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON ev.s = tr.s),
+      base AS (SELECT d.* FROM d JOIN surv USING (doc_id)
+        WHERE d.doc_id % 97 <> 0 AND d.n_toks >= 20
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      g AS (SELECT lang, source, COUNT(*) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS total_tokens
+        FROM base GROUP BY lang, source)
+      SELECT lang, source, n_docs, total_tokens,
+        total_tokens / (SELECT CAST(sum(total_tokens) AS BIGINT) FROM g)
+          AS token_share
+      FROM g ORDER BY lang, source
+    """)) { (spark, dir) =>
+    val d = docs(spark, dir)
+      .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("long"))
+    val survivors = d
+      .groupBy(md5(TextOps.normalize(col("text"))).as("nh"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val sh = d.select(col("doc_id"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")))).as("shs"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("shs")).as("s")).distinct()
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("shs")).as("s"))
+      .join(broadcast(ev), Seq("s"))
+      .select("doc_id").distinct()
+    val base = d
+      .filter(col("doc_id") % 97 =!= 0)
+      .filter(col("n_toks") >= 20)
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val grouped = base.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+    val grand = grouped.agg(sum(col("total_tokens")).as("grand"))
+    grouped.crossJoin(broadcast(grand))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
+        (col("total_tokens") / col("grand")).as("token_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  override val specs: Seq[Q] = Seq(decontam, piiMask, chunk, shard, mix)
 }

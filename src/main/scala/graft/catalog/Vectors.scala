@@ -278,5 +278,35 @@ object Vectors extends Family {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  override val specs: Seq[Q] = Seq(brute, ivf, ivf2, assign, nearDup)
+  // Measured recall@10 of single-probe IVF against the brute-force ground
+  // truth — the eval harness for the probe/cluster dial: a real ANN
+  // deployment tunes nProbes until this number clears its SLA, and this
+  // query IS that measurement as a first-class catalog member (both
+  // pipelines run under one plan; left join keeps 0-recall queries
+  // visible instead of silently dropping them).
+  private val recall = Q(
+    "ann_recall",
+    Some(s"""
+      WITH bq AS (${brute.oracle.get}),
+      iq AS (${ivf.oracle.get}),
+      hit AS (SELECT bq.q_id, COUNT(*) AS n_hits
+        FROM bq JOIN iq ON iq.q_id = bq.q_id AND iq.vec_id = bq.vec_id
+        GROUP BY bq.q_id),
+      qs AS (SELECT DISTINCT q_id FROM bq)
+      SELECT qs.q_id, COALESCE(hit.n_hits, 0) AS n_hits,
+        COALESCE(hit.n_hits, 0) / 10.0 AS recall_at_10
+      FROM qs LEFT JOIN hit USING (q_id) ORDER BY q_id
+    """)) { (spark, dir) =>
+    val b = brute.run(spark, dir).select(col("q_id"), col("vec_id"))
+    val i = ivf.run(spark, dir).select(col("q_id"), col("vec_id"))
+    val hits = b.join(i, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    b.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"))
+      .orderBy(col("q_id"))
+  }
+
+  override val specs: Seq[Q] = Seq(brute, ivf, ivf2, assign, nearDup, recall)
 }
