@@ -67,7 +67,10 @@ object Bench {
     // 100 ms-scale) keep the 58+-query line inside that window; the full
     // line is also persisted to bench_last.json so the numbers survive in
     // the repo even if the tail window ever overflows again.
-    def sec(v: Double): String = f"$v%.2f"
+    def sec(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.endsWith("0")) s.dropRight(1) else s  // "1.20" -> "1.2", still valid JSON
+    }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, true) => "\"" + k + "\"" }

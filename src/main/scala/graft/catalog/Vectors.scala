@@ -27,6 +27,26 @@ object Vectors extends Family {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.embeddings(spark, dir))
 
+  /**
+   * Per-label centroids (label, cemb, c_nrm) in ONE hash aggregate: the
+   * [[graft.functions.VectorSum]] elementwise-sum aggregate with map-side
+   * partials, divided by the group count at the end (identical arithmetic
+   * to avg's sum/count; round(6) absorbs accumulation-order ulps — the same
+   * tolerance the oracle's `avg` relies on). Replaces the posexplode →
+   * groupBy(label, pos) → regroup build, which materialized dim× the row
+   * count and shuffled twice; this shuffles only (labels × dim) partial
+   * sums per partition.
+   */
+  private def centroids(e: DataFrame): DataFrame = {
+    val vsum = udaf(new graft.functions.VectorSum)
+    e.groupBy(col("label"))
+      .agg(vsum(col("embedding").cast("array<double>")).as("vs"),
+        count(col("embedding")).as("cnt"))
+      .select(col("label"),
+        transform(col("vs"), x => round(x / col("cnt"), 6)).as("cemb"))
+      .withColumn("c_nrm", VectorOps.norm(col("cemb")))
+  }
+
   // Brute-force exact cosine top-10 for query vectors vec_id < 5.
   private val brute = Q(
     "ann_cosine_topk_brute",
@@ -96,15 +116,7 @@ object Vectors extends Family {
     // Coarse index: per-label centroid, rounded so avg() accumulation order
     // can never flip downstream comparisons. Centroid norm computed once at
     // build, carried through the probe and never recomputed per query.
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("cv")))),
-        x => x.getField("cv")).as("cemb"))
-      .withColumn("c_nrm", VectorOps.norm(col("cemb")))
+    val cent = centroids(e)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -162,15 +174,7 @@ object Vectors extends Family {
     """)) { (spark, dir) =>
     val e = emb(spark, dir)
       .withColumn("nrm", VectorOps.norm(col("embedding")))
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("cv")))),
-        x => x.getField("cv")).as("cemb"))
-      .withColumn("c_nrm", VectorOps.norm(col("cemb")))
+    val cent = centroids(e)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -214,16 +218,8 @@ object Vectors extends Family {
     """)) { (spark, dir) =>
     val e = emb(spark, dir)
       .withColumn("nrm", VectorOps.norm(col("embedding")))
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("cv")))),
-        x => x.getField("cv")).as("cemb"))
-      .select(col("label").as("c_label"), col("cemb"),
-        VectorOps.norm(col("cemb")).as("c_nrm"))
+    val cent = centroids(e)
+      .select(col("label").as("c_label"), col("cemb"), col("c_nrm"))
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("label"), col("c_label"),
         VectorOps.cosinePre(col("embedding"), col("cemb"),
