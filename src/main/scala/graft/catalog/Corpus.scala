@@ -28,35 +28,40 @@ object Corpus extends Family {
   // ---------------------------------------------------------------------
   // Benchmark decontamination: docs with doc_id % 97 == 0 play the held-out
   // eval suite; report every training doc sharing at least one word-3-gram
-  // with it. n=3 shingles are the test dial — production decontamination
-  // runs the same plan with 8-13-grams (TextOps.shingles' window width).
+  // with it. Overlap is matched on h32 SHINGLE HASHES via the codegen'd
+  // TrigramHashes kernel (one expression per doc — interpreted shingle
+  // string construction was the cost center), the same portable-md5 family
+  // the MinHash path uses, so the oracle hashes identically. n=3 is the
+  // test dial — production decontamination runs 8-13-gram windows.
   private val decontam = Q(
     "decontam_overlap",
     Some("""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
-          THEN list_distinct(list_transform(generate_series(1, len(t)-2),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          THEN list_transform(generate_series(1, len(t)-2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
           ELSE [] END AS shs FROM tok),
-      ev AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0),
-      tr AS (SELECT doc_id, len(shs) AS n_shingles, unnest(shs) AS s
-             FROM sh WHERE doc_id % 97 <> 0)
+      hs AS (SELECT doc_id, list_distinct(list_transform(shs,
+          s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT))) AS hs FROM sh),
+      ev AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 97 = 0),
+      tr AS (SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h
+             FROM hs WHERE doc_id % 97 <> 0)
       SELECT tr.doc_id, COUNT(*) AS n_overlap, min(tr.n_shingles) AS n_shingles,
         COUNT(*) / min(tr.n_shingles) AS overlap_frac
-      FROM tr JOIN ev ON ev.s = tr.s
+      FROM tr JOIN ev ON ev.h = tr.h
       GROUP BY tr.doc_id
       ORDER BY tr.doc_id
     """)) { (spark, dir) =>
     val sh = docs(spark, dir).select(col("doc_id"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col("text")))).as("shs"))
+      array_distinct(graft.functions.trigram_hashes(col("text"))).as("hs"))
     val ev = sh.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("shs")).as("s")).distinct()
+      .select(explode(col("hs")).as("h")).distinct()
     val tr = sh.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
-        explode(col("shs")).as("s"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
     // Broadcast the eval side: the corpus never shuffles — overlap is a
     // map-side hash join + one agg on doc_id (partial-agg friendly: counts).
-    tr.join(broadcast(ev), Seq("s"))
+    tr.join(broadcast(ev), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"), min(col("n_shingles")).as("n_shingles"))
       .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
@@ -172,12 +177,14 @@ object Corpus extends Family {
           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))),
       tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
-          THEN list_distinct(list_transform(generate_series(1, len(t)-2),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          THEN list_transform(generate_series(1, len(t)-2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
           ELSE [] END AS shs FROM tok),
-      ev AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0),
-      tr AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0),
-      contaminated AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON ev.s = tr.s),
+      hs AS (SELECT doc_id, list_distinct(list_transform(shs,
+          s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT))) AS hs FROM sh),
+      ev AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 97 = 0),
+      tr AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 97 <> 0),
+      contaminated AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON ev.h = tr.h),
       base AS (SELECT d.* FROM d JOIN surv USING (doc_id)
         WHERE d.doc_id % 97 <> 0 AND d.n_toks >= 20
           AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
@@ -196,12 +203,12 @@ object Corpus extends Family {
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val sh = d.select(col("doc_id"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col("text")))).as("shs"))
+      array_distinct(graft.functions.trigram_hashes(col("text"))).as("hs"))
     val ev = sh.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("shs")).as("s")).distinct()
+      .select(explode(col("hs")).as("h")).distinct()
     val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), explode(col("shs")).as("s"))
-      .join(broadcast(ev), Seq("s"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(ev), Seq("h"))
       .select("doc_id").distinct()
     val base = d
       .filter(col("doc_id") % 97 =!= 0)

@@ -24,7 +24,9 @@ object ScaleSweep {
     "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard", "dedup_normalized",
     "dedup_simhash", "text_fingerprint_rolling", "sample_hash_10pct",
     "dedup_components", "sample_stratified_mix",
-    "dedup_embedding_cosine", "ann_cosine_topk_brute", "ann_centroid_assign")
+    "dedup_embedding_cosine", "ann_cosine_topk_brute", "ann_centroid_assign",
+    "decontam_overlap", "chunk_overlap", "shard_assign", "corpus_mix",
+    "ann_recall")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,
