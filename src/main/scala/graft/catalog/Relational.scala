@@ -620,7 +620,77 @@ object Relational extends Family {
       Tables.load(spark, dir, "orders"), "o_custkey", minShare = 0.0007)
   }
 
-  override val specs: Seq[Q] = Seq(
+  // -------------------------------------------------------------------------
+  // RFM segmentation — the commerce workhorse: per-customer recency/
+  // frequency/monetary, quartile-banded. Scale shape: a naive ntile(4)
+  // OVER () is a single-reducer global sort; here the three quartile
+  // boundary sets come from ONE 1-row exact-percentile aggregate
+  // (integral inputs at dyadic fractions — cross-engine exact), broadcast
+  // back, and banding is a map-side comparison. Monetary goes through
+  // cents-integer decimal accumulation (graft.ops.Exact discipline) so
+  // both the sum and its quartile interpolation are exact.
+  private val rfmQ = Q(
+    "rfm_segments",
+    Some("""
+      WITH base AS (
+        SELECT o_custkey AS custkey,
+          CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+            (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS INTEGER)
+            AS r_days,
+          COUNT(*) AS frequency,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS monetary_cents
+        FROM orders GROUP BY o_custkey),
+      q AS (SELECT
+          quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rq,
+          quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+          quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mq
+        FROM base),
+      banded AS (
+        SELECT custkey, r_days, frequency, monetary_cents,
+          1 + CAST(r_days > rq[1] AS INTEGER) + CAST(r_days > rq[2] AS INTEGER)
+            + CAST(r_days > rq[3] AS INTEGER) AS r_band,
+          1 + CAST(frequency > fq[1] AS INTEGER) + CAST(frequency > fq[2] AS INTEGER)
+            + CAST(frequency > fq[3] AS INTEGER) AS f_band,
+          1 + CAST(monetary_cents > mq[1] AS INTEGER) + CAST(monetary_cents > mq[2] AS INTEGER)
+            + CAST(monetary_cents > mq[3] AS INTEGER) AS m_band
+        FROM base, q)
+      SELECT custkey, r_days, frequency, monetary_cents,
+        r_band, f_band, m_band,
+        r_band * 100 + f_band * 10 + m_band AS rfm_code
+      FROM banded ORDER BY custkey
+    """)) { (spark, dir) =>
+    val orders = t(spark, dir, "orders")
+    val asof = orders.agg(max(to_date(col("o_orderdate"))).as("asof"))
+    val base = orders
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_date"),
+        count(lit(1)).as("frequency"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("monetary_cents"))
+      .crossJoin(broadcast(asof))
+      .select(col("custkey"),
+        datediff(col("asof"), col("last_date")).as("r_days"),
+        col("frequency"), col("monetary_cents"))
+    val qs = base.agg(
+      percentile(col("r_days"), array(lit(0.25), lit(0.5), lit(0.75))).as("rq"),
+      percentile(col("frequency"), array(lit(0.25), lit(0.5), lit(0.75))).as("fq"),
+      percentile(col("monetary_cents"), array(lit(0.25), lit(0.5), lit(0.75))).as("mq"))
+    def band(v: Column, qcol: String): Column =
+      (lit(1) + (v > element_at(col(qcol), 1)).cast("int")
+        + (v > element_at(col(qcol), 2)).cast("int")
+        + (v > element_at(col(qcol), 3)).cast("int"))
+    base.crossJoin(broadcast(qs))
+      .withColumn("r_band", band(col("r_days"), "rq"))
+      .withColumn("f_band", band(col("frequency"), "fq"))
+      .withColumn("m_band", band(col("monetary_cents"), "mq"))
+      .select(col("custkey"), col("r_days"), col("frequency"),
+        col("monetary_cents"), col("r_band"), col("f_band"), col("m_band"),
+        (col("r_band") * 100 + col("f_band") * 10 + col("m_band")).as("rfm_code"))
+      .orderBy(col("custkey"))
+  }
+
+  override val specs: Seq[Q] = Seq(rfmQ,
     q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
     rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ,
