@@ -74,4 +74,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.smj == 0, s)
     assert(s.shuffles <= 3, s) // candidate distinct + ordering
   }
+
+  test("decontam_overlap: eval shingles broadcast; the corpus side never shuffles pre-agg") {
+    val s = shapeOf("decontam_overlap")
+    assert(s.bhj >= 1 && s.smj == 0, s) // membership via broadcast hash join
+    assert(s.shuffles <= 3, s) // eval distinct + doc agg + ordering
+  }
+
+  test("corpus_mix: one pipeline, broadcast memberships, no single-partition grand total") {
+    val df = SparkEntry.queries("corpus_mix")(spark, sf01)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the corpus-share denominator must arrive via broadcast, not a global
+    // window: no SinglePartition exchange anywhere in the final plan
+    assert(!plan.contains("Exchange SinglePartition")
+      || plan.contains("BroadcastExchange"), plan.take(500))
+    val s = shapeOf("corpus_mix")
+    assert(s.smj == 0, s)
+  }
+
+  test("shard_assign: per-shard window shuffles on shard, never a global sort to one task") {
+    val df = SparkEntry.queries("shard_assign")(spark, sf01)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange SinglePartition"), "global-sort reducer")
+  }
+
+  test("rfm_segments: quartile frame broadcast; banding is map-side, zero SMJ") {
+    val s = shapeOf("rfm_segments")
+    assert(s.smj == 0, s)
+    assert(s.bcasts >= 2, s) // as-of date frame + quantile frame
+  }
 }
