@@ -58,6 +58,62 @@ object Formats {
     }
   }
 
+  /**
+   * Quarantine ingest — the middle path for sources known to carry a few
+   * bad lines: FAILFAST kills a 100 TB job for 12 malformed records,
+   * PERMISSIVE null-fills them silently; this returns BOTH sides
+   * explicitly as (good, quarantine):
+   *
+   *  - `good`: schema-clean rows (malformed lines dropped),
+   *  - `quarantine`: the malformed lines VERBATIM (`raw_record`), ready
+   *    for a quarantine sink + reconciliation count.
+   *
+   * Two single-purpose scans of the source, deliberately: no `.cache()` of
+   * the full input (the documented workaround for Spark's corrupt-record-
+   * column restriction caches the good rows too — wrong trade at scale).
+   * The malformed detector runs `from_json`/`from_csv` with a corrupt-
+   * record slot over a text scan, so detection is per-row expression work,
+   * and the invariant |good| + |quarantine| == data lines holds (spec).
+   */
+  def readWithQuarantine(spark: SparkSession, path: String, format: String,
+                         schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_csv, from_json, lit, trim}
+    import org.apache.spark.sql.types.StringType
+    require(format == "json" || format == "csv",
+      s"quarantine ingest is for line formats, not $format")
+    flatOnly(schema, format)
+    val corrupt = "_graft_corrupt"
+    val schemaPlus = schema.add(corrupt, StringType)
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> corrupt,
+      "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    val lines = spark.read.text(path)
+    val (good, parsed) = format match {
+      case "json" =>
+        (spark.read.schema(schema)
+          .option("mode", "DROPMALFORMED")
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+          .json(path),
+          lines.select(col("value"),
+            from_json(col("value"), schemaPlus, opts).as("p")))
+      case "csv" =>
+        val header = schema.fieldNames.mkString(",")
+        (spark.read.schema(schema)
+          .option("mode", "DROPMALFORMED")
+          .option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+          .csv(path),
+          lines.filter(trim(col("value")) =!= lit(header))
+            .select(col("value"),
+              from_csv(col("value"), schemaPlus, opts).as("p")))
+    }
+    val quarantine = parsed
+      .filter(col(s"p.$corrupt").isNotNull)
+      .select(col("value").as("raw_record"))
+    (good, quarantine)
+  }
+
   /** Write `df` to `path` as `format`, with the symmetric options so a
     * [[read]] with `df.schema` round-trips value-identical. */
   def write(df: DataFrame, path: String, format: String): Unit = {

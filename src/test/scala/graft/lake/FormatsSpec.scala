@@ -51,4 +51,43 @@ class FormatsSpec extends SparkSpec {
     assert(e.getMessage != null)
     // PERMISSIVE would have returned 2 rows with nulls; FAILFAST must throw
   }
+
+  test("quarantine ingest splits good rows from verbatim bad lines (json)") {
+    import java.nio.charset.StandardCharsets
+    val dir = Files.createTempDirectory("graft-fmt-q").toString
+    Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      """{"doc_id": 1, "n": 2}
+        |{"doc_id": oops not json
+        |{"doc_id": 3, "n": 4}
+        |{"doc_id": "not a number", "n": 5}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, n BIGINT")
+    val (good, bad) = Formats.readWithQuarantine(spark, dir, "json", schema)
+    import spark.implicits._
+    val goodRows = good.as[(Long, Long)].collect().toSet
+    val badLines = bad.as[String].collect().toSet
+    assert(goodRows == Set((1L, 2L), (3L, 4L)))
+    assert(badLines == Set("{\"doc_id\": oops not json",
+      "{\"doc_id\": \"not a number\", \"n\": 5}"))
+    // reconciliation invariant: nothing silently dropped
+    assert(goodRows.size + badLines.size == 4)
+  }
+
+  test("quarantine ingest splits good rows from verbatim bad lines (csv)") {
+    import java.nio.charset.StandardCharsets
+    val dir = Files.createTempDirectory("graft-fmt-qc").toString
+    Files.write(java.nio.file.Paths.get(dir, "part-0.csv"),
+      """doc_id,n
+        |1,2
+        |3,banana
+        |5,6
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, n BIGINT")
+    val (good, bad) = Formats.readWithQuarantine(spark, dir, "csv", schema)
+    import spark.implicits._
+    assert(good.as[(Long, Long)].collect().toSet == Set((1L, 2L), (5L, 6L)))
+    assert(bad.as[String].collect().toSet == Set("3,banana"))
+  }
 }
