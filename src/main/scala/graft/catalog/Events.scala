@@ -368,7 +368,54 @@ object Events extends Family {
       .orderBy(col("key"))
   }
 
+  // Time-to-conversion distribution by acquisition cohort: first view →
+  // first subsequent purchase latency, quartiles per cohort day. Same
+  // single-shuffle window shape as the funnel (per-user thresholds as
+  // chained window mins — no join cascade); latency is integral epoch-
+  // micros arithmetic (never interval types — boundary-crossing date_diff
+  // semantics differ across engines), and quartiles are exact dyadic
+  // percentiles over those integral seconds, parallel across cohort days.
+  private val convLatency = Q(
+    "conversion_latency",
+    Some("""
+      WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS vt
+                 FROM events WHERE event_type = 'view' GROUP BY user_id),
+      p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS pt
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.vt
+            GROUP BY e.user_id),
+      c AS (SELECT v.user_id, CAST(v.vt AS DATE) AS cohort_date,
+              (epoch_us(p.pt) - epoch_us(v.vt)) // 1000000 AS latency_sec
+            FROM v JOIN p ON p.user_id = v.user_id)
+      SELECT cohort_date, COUNT(*) AS n_converters,
+        quantile_cont(latency_sec, 0.25) AS p25_sec,
+        quantile_cont(latency_sec, 0.5) AS p50_sec,
+        quantile_cont(latency_sec, 0.75) AS p75_sec
+      FROM c GROUP BY cohort_date ORDER BY cohort_date
+    """)) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+    ev(spark, dir)
+      .withColumn("vt",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("pt",
+        min(when(col("event_type") === "purchase" && col("ts") > col("vt"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("vt")).as("vt"), min(col("pt")).as("pt"))
+      .filter(col("pt").isNotNull)
+      .select(to_date(col("vt")).as("cohort_date"),
+        expr("(unix_micros(pt) - unix_micros(vt)) div 1000000")
+          .as("latency_sec"))
+      .groupBy(col("cohort_date"))
+      .agg(count(lit(1)).as("n_converters"),
+        percentile(col("latency_sec"), lit(0.25)).as("p25_sec"),
+        percentile(col("latency_sec"), lit(0.5)).as("p50_sec"),
+        percentile(col("latency_sec"), lit(0.75)).as("p75_sec"))
+      .orderBy(col("cohort_date"))
+  }
+
   override val specs: Seq[Q] = Seq(
     extractDay, dailyKpis, funnel, sessionize, attribution,
-    journeys, cohort, missingDays, propsHistogram, asofQ, propsKv)
+    journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
+    convLatency)
 }
