@@ -467,8 +467,68 @@ object TextLlm extends Family {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // TF-IDF top terms: the corpus-wide signal the per-doc quality scores
+  // can't see — a term matters when it's frequent HERE and rare ELSEWHERE.
+  // Score is the exact rational (term_count * n_docs) / (doc_len * doc_freq)
+  // — rank-equivalent per doc to tf * (a linearized idf), and, unlike
+  // log-idf, computable as one int64-exact product each side of a single
+  // IEEE division, so both engines produce bit-identical doubles.
+  // Shuffle ledger at corpus scale: ONE corpus-width shuffle builds tf
+  // (doc_id, term) partials map-side; doc_len re-aggregates tf (strictly
+  // smaller), doc_freq is vocabulary-sized, the grand doc count joins back
+  // as a broadcast 1-row frame, and the top-3 window partitions by doc_id
+  // — per-partition state bounded by one document's vocabulary.
+  private val tfidfTopTerms = Q(
+    "tfidf_top_terms",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(
+            lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS term_count
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(SUM(term_count) AS BIGINT) AS doc_len
+        FROM tf GROUP BY doc_id),
+      dfr AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.term_count, dfr.doc_freq,
+          (tf.term_count * n.n_docs) / CAST(dl.doc_len * dfr.doc_freq AS DOUBLE)
+            AS score
+        FROM tf JOIN dl USING (doc_id) JOIN dfr USING (term) CROSS JOIN n)
+      SELECT doc_id, term, term_count, doc_freq, score, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS rn
+        FROM scored) WHERE rn <= 3
+      ORDER BY doc_id, rn
+    """)) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val tf = d
+      .select(col("doc_id"),
+        explode(split(TextOps.normalize(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("term_count"))
+    val dl = tf.groupBy(col("doc_id"))
+      .agg(sum(col("term_count")).as("doc_len"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dl, Seq("doc_id")).join(dfr, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("term_count") * col("n_docs"))
+          / (col("doc_len") * col("doc_freq")).cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("term_count"), col("doc_freq"),
+        col("score"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   override val specs: Seq[Q] = Seq(
     dedupExact, dedupNorm, minhashLsh, components, jaccard, simhash,
     quality, repetition, langId, tokenCounts, fingerprint, sourceParse,
-    hashSample, stratifiedSample, packBins, levenshteinPairs)
+    hashSample, stratifiedSample, packBins, levenshteinPairs, tfidfTopTerms)
 }
