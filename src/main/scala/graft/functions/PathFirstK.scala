@@ -24,6 +24,13 @@ case class PathBuf(items: Seq[PathEvent])
  * the buffer fills), and merge is a k-bounded sorted-list merge. The result
  * is identical to the unbounded collect-sort-slice formulation, which
  * remains the oracle's shape (`journey_first10_paths`).
+ *
+ * INPUT CONTRACT: all three [[PathEvent]] fields must be non-null — the
+ * input encoder is non-nullable, so a null ts/event_id/event_type row fails
+ * at encode time ("Null value appeared in non-nullable field"), it is not
+ * silently skipped. Callers must pre-filter null fields (a null field
+ * carries no position in a path anyway) the way `journey_first10_paths`
+ * does, mirroring the filter in any oracle.
  */
 class PathFirstK(k: Int, sep: String = ">")
     extends Aggregator[PathEvent, PathBuf, String] {

@@ -27,16 +27,29 @@ import graft.ops.VectorOps
  */
 object IvfIndex {
 
-  private def centroidsOf(assigned: DataFrame): DataFrame =
+  /** On-disk format version. v2 = norm-carrying layout (`nrm` on
+    * assignments, `c_nrm` on centroids). Bump when the layout changes so a
+    * stale index fails fast with a rebuild message instead of an
+    * UNRESOLVED_COLUMN error deep in analysis. */
+  val FormatVersion = 2
+  private val VersionFile = "ivf_format_version"
+
+  /** Mean vectors in ONE hash aggregate via the [[graft.functions.VectorSum]]
+    * elementwise-sum UDAF (map-side partials, one shuffle of k×dim partial
+    * sums) — same arithmetic as avg (sum/count, round(6) absorbs
+    * accumulation-order ulps). Replaces the posexplode → groupBy(centroid,
+    * pos) → regroup build, which materialized dim× the rows and shuffled
+    * twice. */
+  private def centroidsOf(assigned: DataFrame): DataFrame = {
+    val vsum = udaf(new graft.functions.VectorSum)
     assigned
-      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("centroid_id"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
       .groupBy(col("centroid_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("cv")))),
-        x => x.getField("cv")).as("cemb"))
+      .agg(vsum(col("embedding").cast("array<double>")).as("vs"),
+        count(col("embedding")).as("cnt"))
+      .select(col("centroid_id"),
+        transform(col("vs"), x => round(x / col("cnt"), 6)).as("cemb"))
       .withColumn("c_nrm", VectorOps.norm(col("cemb")))
+  }
 
   /** `emb` must carry (vec_id, embedding, nrm); output keeps all three plus
     * the winning centroid_id. Norms come precomputed from both sides — one
@@ -71,6 +84,33 @@ object IvfIndex {
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     assigned.write.partitionBy("centroid_id").mode("overwrite")
       .parquet(s"$dir/assignments")
+    writeVersion(emb.sparkSession, dir)
+  }
+
+  private def writeVersion(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, VersionFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.writeBytes(FormatVersion.toString) finally out.close()
+  }
+
+  /** Fail fast on an index written by an older build: read the version
+    * marker (absent on pre-v2 indexes) and demand the current format. */
+  private def requireVersion(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, VersionFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val found =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+        finally in.close()
+      }
+    require(found.contains(FormatVersion),
+      s"IVF index at $dir has format ${found.getOrElse("<none>")} but this " +
+        s"library reads format $FormatVersion; rebuild it with IvfIndex.build")
   }
 
   def centroids(spark: SparkSession, dir: String): DataFrame =
@@ -107,6 +147,7 @@ object IvfIndex {
              nProbes: Int, k: Int,
              maxBroadcastProbes: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireVersion(spark, dir)
     val cents = centroids(spark, dir)
     requireNormFormat(cents, "c_nrm", dir)
     val probeW = Window.partitionBy(col("q_id"))

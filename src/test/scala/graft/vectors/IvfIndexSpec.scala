@@ -71,6 +71,52 @@ class IvfIndexSpec extends SparkSpec {
     assert(e.getMessage.contains(old))
   }
 
+  test("Lloyd iterations do not lose recall vs the label-seed centroids") {
+    // same probe budget, same k: recall@10 against brute truth must not
+    // drop when the centroids are refined from the vec_id%k seed by k-means
+    val probes = 2
+    val qs = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+    val truth = emb.crossJoin(broadcast(qs))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        VectorOps.cosine($"q_emb", $"embedding").as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"q_id", $"vec_id")
+    def recall(indexDir: String): Double = {
+      val got = IvfIndex.search(spark, indexDir, qs, nProbes = probes, k = 10)
+        .select($"q_id", $"vec_id")
+      got.join(truth, Seq("q_id", "vec_id")).count().toDouble / truth.count()
+    }
+    val seedDir = Files.createTempDirectory("graft-ivf-seed").toString
+    IvfIndex.build(emb, seedDir, k = 8, iters = 0)
+    val lloydRecall = recall(dir) // built with iters = 2
+    val seedRecall = recall(seedDir)
+    assert(lloydRecall >= seedRecall,
+      s"Lloyd recall $lloydRecall < seed recall $seedRecall")
+    // absolute floor is loose: synthetic embeddings are near-uniform, so
+    // 2-of-8 probes legitimately sits near 0.5 recall@10
+    assert(lloydRecall > 0.3, s"Lloyd recall degenerate: $lloydRecall")
+  }
+
+  test("index carries a format-version marker; mismatched versions fail fast") {
+    val p = new org.apache.hadoop.fs.Path(dir, "ivf_format_version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(p))
+    // tamper: an index stamped with a different version must demand a rebuild
+    val tampered = Files.createTempDirectory("graft-ivf-tamper").toString
+    IvfIndex.build(emb, tampered, k = 4, iters = 0)
+    val tp = new org.apache.hadoop.fs.Path(tampered, "ivf_format_version")
+    val out = fs.create(tp, true)
+    try out.writeBytes("1") finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.search(spark, tampered, queries, nProbes = 2, k = 10)
+    }
+    assert(e.getMessage.contains("rebuild") && e.getMessage.contains("format 1"))
+  }
+
   test("probing 2 clusters only returns vectors from the probed partitions") {
     val out = IvfIndex.search(spark, dir, queries, nProbes = 2, k = 10)
     val assigned = spark.read.parquet(s"$dir/assignments")
