@@ -32,14 +32,35 @@ import org.apache.spark.sql.functions._
  */
 object Components {
 
+  /** One finished run: final labels plus the per-round relabel counts that
+    * diagnose the shape of the dup graph (shallow clusters hit zero in 2-3
+    * rounds; a giant component keeps most nodes churning every round). */
+  final case class Run(labels: DataFrame, rounds: Int,
+                       nNodes: Long, changedPerRound: Seq[Long])
+
   /**
    * Connected components of the undirected graph given by `edges`
    * (`aCol`, `bCol`). Returns (id, comp) for every node appearing in any
    * edge, where `comp` is the smallest node id in its component.
    */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    require(maxIter > 0)
+                          maxIter: Int = 20): DataFrame =
+    run(edges, aCol, bCol, maxIter).labels
+
+  /**
+   * Like [[connectedComponents]] but returns convergence statistics, and
+   * fails FAST on a pathological dup graph: real near-dup clusters are
+   * shallow (diameter 2-3), so if after `giantCheckAfter` rounds — reach
+   * 2^giantCheckAfter thanks to pointer jumping — more than `giantFrac` of
+   * the nodes are STILL relabeling, the graph almost certainly contains a
+   * giant component (an over-permissive LSH band / similarity threshold
+   * glued the corpus together). Burning the remaining maxIter rounds would
+   * cost a full shuffle join each; better to stop and report the evidence.
+   */
+  def run(edges: DataFrame, aCol: String, bCol: String,
+          maxIter: Int = 20, giantCheckAfter: Int = 10,
+          giantFrac: Double = 0.5): Run = {
+    require(maxIter > 0 && giantCheckAfter > 0 && giantFrac > 0)
     val symPlan = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
     // ckpt: materialize AND drop inherited size stats. localCheckpoint alone
@@ -55,6 +76,10 @@ object Components {
     val sym = ckpt(symPlan)
     var labels = ckpt(sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
+    // one cheap action over checkpointed blocks; the denominator of the
+    // giant-component fraction below
+    val nNodes = labels.count()
+    val changedHistory = Seq.newBuilder[Long]
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -76,14 +101,28 @@ object Components {
       val updated = ckpt(propagated.join(hop, Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("mid"), coalesce(col("jcomp"), col("mid"))).as("next")))
-      converged = updated.filter(col("next") < col("comp")).isEmpty
+      // changed-count instead of a bare isEmpty: same materialized scan,
+      // and the count is the convergence diagnostic
+      val changed = updated.filter(col("next") < col("comp")).count()
+      changedHistory += changed
+      converged = changed == 0
       labels = updated.select(col("id"), col("next").as("comp"))
       iter += 1
+      if (!converged && iter >= giantCheckAfter && changed > giantFrac * nNodes)
+        throw new IllegalStateException(
+          s"likely giant component: after $iter rounds (reach ~2^$iter via " +
+            s"pointer jumping) $changed of $nNodes nodes are still " +
+            s"relabeling (> ${(giantFrac * 100).toInt}%). The dup graph has " +
+            "a component of diameter >= " + (1L << iter) + " — an " +
+            "over-permissive LSH band width or similarity threshold has " +
+            "likely glued the corpus into one cluster. Changed-per-round: " +
+            changedHistory.result().mkString(", "))
     }
     // a silent partial closure would merge/miss clusters undetectably
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
-        "(component diameter exceeds maxIter); raise maxIter")
-    labels
+        "(component diameter exceeds maxIter); raise maxIter. " +
+        s"Changed-per-round: ${changedHistory.result().mkString(", ")}")
+    Run(labels, iter, nNodes, changedHistory.result())
   }
 }

@@ -66,6 +66,38 @@ class ComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 30L -> 30L))
   }
 
+  test("run stats: a hub graph (shallow, like real dup clusters) finishes in <=3 rounds") {
+    // star: one canonical doc + 100 near-dups, diameter 2 — the shape LSH
+    // pairs actually produce
+    val star = (1L to 100L).map(leaf => (leaf, 0L))
+    val r = Components.run(star.toDF("a", "b"), "a", "b")
+    assert(r.nNodes == 101)
+    assert(r.rounds <= 3, s"rounds=${r.rounds}")
+    assert(r.changedPerRound.last == 0L)
+    assert(r.changedPerRound.head == 100L) // every leaf relabels in round 1
+    assert(r.labels.as[(Long, Long)].collect().toMap.values.toSet == Set(0L))
+  }
+
+  test("giant-component guard: a deep chain fails fast with the diagnostic, not maxIter rounds") {
+    // a 300-link chain with reach ~2^4=16 at the check horizon: >30% of
+    // nodes still churning -> diagnose instead of burning 16 more joins
+    val chain = (0L until 300L).sliding(2).map(s => (s(1), s.head)).toSeq
+    val ex = intercept[IllegalStateException](
+      Components.run(chain.toDF("a", "b"), "a", "b",
+        maxIter = 20, giantCheckAfter = 4, giantFrac = 0.3))
+    assert(ex.getMessage.contains("giant component"), ex.getMessage)
+    assert(ex.getMessage.contains("Changed-per-round"), ex.getMessage)
+  }
+
+  test("default guard horizon does not false-positive on a legitimate 500-link chain") {
+    // run() with defaults (giantCheckAfter=10): pointer jumping reaches
+    // ~2^10 by the horizon, so the chain converges before the guard binds
+    val chain = (0L until 500L).sliding(2).map(s => (s(1), s.head)).toSeq
+    val r = Components.run(chain.toDF("a", "b"), "a", "b")
+    assert(r.labels.as[(Long, Long)].collect().toMap.values.toSet == Set(0L))
+    assert(r.changedPerRound.last == 0L)
+  }
+
   test("documents LSH pairs: every cluster's label is its min member") {
     val pairs = TextOps.candidatePairs(
       TextOps.lshBands(Tables.documents(spark, sf001), "doc_id", "text"),
