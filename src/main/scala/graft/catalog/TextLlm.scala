@@ -478,6 +478,15 @@ object TextLlm extends Family {
   // smaller), doc_freq is vocabulary-sized, the grand doc count joins back
   // as a broadcast 1-row frame, and the top-3 window partitions by doc_id
   // — per-partition state bounded by one document's vocabulary.
+  // The tf<->doc_freq join keys on raw `term`, which is Zipf-distributed:
+  // a stopword like "the" appears in nearly every document, so a plain
+  // hash join funnels ~n_docs rows through ONE reducer at corpus scale.
+  // Routed through Skew.saltedJoin: tf rows spread over nSalts reducers
+  // per term, the vocabulary-sized doc_freq side is replicated nSalts x
+  // (cheap — it is the SMALL side by construction). When the vocabulary is
+  // known-bounded (e.g. post-filter dictionary), `broadcast(dfr)` skips
+  // the tf shuffle entirely; Heaps'-law vocabularies on raw web text are
+  // NOT bounded, so the salted shuffle is the honest default.
   private val tfidfTopTerms = Q(
     "tfidf_top_terms",
     Some("""
@@ -515,7 +524,7 @@ object TextLlm extends Family {
     val n = d.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(dl, Seq("doc_id")).join(dfr, Seq("term"))
+    graft.ops.Skew.saltedJoin(tf.join(dl, Seq("doc_id")), dfr, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         (col("term_count") * col("n_docs"))
