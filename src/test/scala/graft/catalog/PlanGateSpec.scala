@@ -1,0 +1,82 @@
+package graft.catalog
+
+import graft.{SparkEntry, SparkSpec}
+
+/**
+ * Catalog-WIDE plan-shape gate: every `SparkEntry.queries` entry is executed
+ * (so AQE finalizes) and its final plan is held to the invariants that
+ * decide life or death at 100 TB:
+ *
+ *  - `CartesianProduct`: NEVER. A non-broadcast cross join is quadratic
+ *    network cost; no catalog query needs one.
+ *  - `BroadcastNestedLoopJoin`: only where the query deliberately
+ *    `crossJoin(broadcast(tiny))`s a provably bounded frame (1-row grand
+ *    totals, quantile frames, centroid/query sets) — allowlisted per query
+ *    below with the tiny side named. Any NEW BNLJ fails here in CI instead
+ *    of surfacing in the next plan audit.
+ *  - `Exchange SinglePartition`: only to finalize a 1-row global aggregate
+ *    (inherent — the single row IS the data). A data-sized single-partition
+ *    exchange (global sort / window without PARTITION BY) is the classic
+ *    one-reducer bottleneck and fails for every query not allowlisted.
+ *  - `SortMergeJoin`: bounded dims must broadcast; SMJ is allowed only
+ *    where both sides are genuinely data-sized (none today) or result-sized
+ *    (ann_recall joins two 50-row top-k frames whose stats AQE can't see
+ *    until runtime).
+ *
+ * Budgets are exact counts from PLANS.md (regenerate with
+ * `runMain graft.tools.PlanAudit`); they are asserted as upper bounds so
+ * AQE collapsing a stage can only tighten them. Raising a budget requires
+ * re-justifying it here AND in the query's scaladoc. Pushed-filter and
+ * shuffle-count assertions for the selective flagship queries live in
+ * [[PlanShapeSpec]]; this gate is the anti-pattern backstop over the whole
+ * catalog.
+ */
+class PlanGateSpec extends SparkSpec {
+
+  /** query -> max BroadcastNestedLoopJoins, each one a
+    * crossJoin(broadcast(named tiny frame)). */
+  private val bnljAllow: Map[String, Int] = Map(
+    "ann_centroid_assign" -> 1,   // broadcast centroid set (k rows)
+    "ann_cosine_topk_brute" -> 1, // broadcast query batch
+    "ann_cosine_topk_ivf" -> 1,   // broadcast query batch
+    "ann_cosine_topk_ivf2" -> 1,  // broadcast query batch
+    "ann_recall" -> 2,            // brute + ivf arms, one query batch each
+    "corpus_mix" -> 1,            // broadcast 1-row corpus grand total
+    "rfm_segments" -> 3,          // as-of date frame + R/F/M quantile frames
+    "skew_hot_custkeys" -> 1,     // broadcast 1-row grand total (hotKeys)
+    "tfidf_top_terms" -> 1)       // broadcast 1-row n_docs
+
+  /** query -> max SinglePartition exchanges, each the final combine of a
+    * 1-row global aggregate (metadata-sized by construction). */
+  private val singlePartAllow: Map[String, Int] = Map(
+    "corpus_mix" -> 1,                   // corpus grand total
+    "funnel_view_click_purchase" -> 1,   // 1-row funnel output
+    "reconcile_days_without_errors" -> 1, // scalar reconciliation total
+    "rfm_segments" -> 2,                 // quantile + as-of scalar frames
+    "skew_hot_custkeys" -> 1,            // grand total
+    "tfidf_top_terms" -> 1)              // n_docs count
+
+  /** query -> max SortMergeJoins (both sides result-sized, stats unknown
+    * until runtime so AQE keeps the conservative plan). */
+  private val smjAllow: Map[String, Int] = Map("ann_recall" -> 1)
+
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    test(s"plan gate: $name") {
+      val df = SparkEntry.queries(name)(spark, sf01)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      def c(s: String) = plan.sliding(s.length).count(_ == s)
+
+      assert(c("CartesianProduct") == 0,
+        s"$name: CartesianProduct in final plan — quadratic at scale")
+      assert(c("BroadcastNestedLoopJoin") <= bnljAllow.getOrElse(name, 0),
+        s"$name: unexpected BroadcastNestedLoopJoin — only allowlisted " +
+          s"crossJoin(broadcast(tiny)) patterns may BNLJ")
+      assert(c("Exchange SinglePartition") <= singlePartAllow.getOrElse(name, 0),
+        s"$name: data-sized SinglePartition exchange — one-reducer bottleneck")
+      assert(c("SortMergeJoin") <= smjAllow.getOrElse(name, 0),
+        s"$name: SortMergeJoin where a bounded side should broadcast")
+    }
+  }
+}
