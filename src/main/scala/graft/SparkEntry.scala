@@ -16,7 +16,8 @@ import graft.catalog._
 object SparkEntry {
 
   private val families: Seq[Family] =
-    Seq(Relational, Events, TextLlm, Vectors, MediaCatalog, Nested, Corpus)
+    Seq(Relational, Events, TextLlm, Vectors, MediaCatalog, Nested, Corpus,
+      Warehouse)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -70,6 +70,60 @@ object Corpus extends Family {
   }
 
   // ---------------------------------------------------------------------
+  // Bloom-prefiltered decontamination — same semantics (and the SAME
+  // oracle) as `decontam_overlap`, different physical strategy, the one a
+  // 100 TB corpus wants: build a Bloom filter over the eval-set shingle
+  // hashes (a distributed aggregate whose merged state is ~1.2 MB at 1e6
+  // shingles / 1% fpp — metadata-sized regardless of corpus size), ship it
+  // to every executor, and drop non-matching corpus shingles MAP-SIDE
+  // before any join. Only the ~1% false-positive survivors plus true
+  // overlaps reach the exact-confirm hash join, so the join input shrinks
+  // by the non-overlapping fraction of the corpus — the hand-rolled
+  // analogue of Spark's InjectRuntimeFilter bloom pushdown, applied where
+  // the optimizer can't see it (the filter crosses an explode). The final
+  // exact join makes the bloom invisible in the RESULT: false positives
+  // are re-checked, so output == `decontam_overlap` bit-for-bit.
+  private val decontamBloom = Q(
+    "decontam_bloom",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_transform(generate_series(1, len(t)-2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+          ELSE [] END AS shs FROM tok),
+      hs AS (SELECT doc_id, list_distinct(list_transform(shs,
+          s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT))) AS hs FROM sh),
+      ev AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 97 = 0),
+      tr AS (SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h
+             FROM hs WHERE doc_id % 97 <> 0)
+      SELECT tr.doc_id, COUNT(*) AS n_overlap, min(tr.n_shingles) AS n_shingles,
+        COUNT(*) / min(tr.n_shingles) AS overlap_frac
+      FROM tr JOIN ev ON ev.h = tr.h
+      GROUP BY tr.doc_id
+      ORDER BY tr.doc_id
+    """)) { (spark, dir) =>
+    val sh = docs(spark, dir).select(col("doc_id"),
+      array_distinct(graft.functions.trigram_hashes(col("text"))).as("hs"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    // Distributed bloom build: partial sketches merge up a tree; only the
+    // final ~1.2 MB bitset reaches the driver, then broadcasts out once.
+    val bloom = ev.stat.bloomFilter("h", 1000000L, 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val tr = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+      .filter(mightContain(col("h")))
+    tr.join(broadcast(ev), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"), min(col("n_shingles")).as("n_shingles"))
+      .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
+        (col("n_overlap") / col("n_shingles")).as("overlap_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // PII pseudonymization over the customer dimension: stable surrogate for
   // the name (md5 — joinable across exports without exposing the value),
   // identifying digits masked out, and the account balance generalized to a
@@ -224,5 +278,6 @@ object Corpus extends Family {
       .orderBy(col("lang"), col("source"))
   }
 
-  override val specs: Seq[Q] = Seq(decontam, piiMask, chunk, shard, mix)
+  override val specs: Seq[Q] =
+    Seq(decontam, decontamBloom, piiMask, chunk, shard, mix)
 }

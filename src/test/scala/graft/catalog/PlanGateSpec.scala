@@ -50,6 +50,9 @@ class PlanGateSpec extends SparkSpec {
     * 1-row global aggregate (metadata-sized by construction). */
   private val singlePartAllow: Map[String, Int] = Map(
     "corpus_mix" -> 1,                   // corpus grand total
+    "dq_checks" -> 5,                    // 5 scalar check aggregates (one
+                                         // per table scan / referential
+                                         // join), each finalizing ONE row
     "funnel_view_click_purchase" -> 1,   // 1-row funnel output
     "reconcile_days_without_errors" -> 1, // scalar reconciliation total
     "rfm_segments" -> 2,                 // quantile + as-of scalar frames

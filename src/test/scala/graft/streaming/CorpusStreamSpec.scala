@@ -51,6 +51,75 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream == batch: cleaning the documents table through MemoryStream " +
+    "matches the batch dedup+gate twin row-for-row") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextOps
+
+    implicit val sqlCtx = spark.sqlContext
+
+    // sf0.001 documents plus injected normalized-duplicate variants (case +
+    // punctuation changes only) so the stateful dedup path is exercised —
+    // the raw table has no normalized duplicates at this SF.
+    val base = graft.lake.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(upper(col("text")), lit("!!")).as("text"))
+    val all = base.unionAll(variants)
+
+    // Arrival order = duplicate rank (1 = lowest doc_id per normalized hash).
+    // Feeding one micro-batch per rank makes "first arrival wins" identical
+    // to the batch twin's min-doc_id winner: within a batch every key is
+    // unique, and later ranks arrive in strictly later batches.
+    val ranked = all
+      .withColumn("nh", md5(TextOps.normalize(col("text"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nh")).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("text"), col("rk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val maxRank = ranked.map(_._3).max
+    assert(maxRank >= 2, "duplicate injection failed — dedup path not exercised")
+
+    val minTokens = 20
+    val maxFrac = 0.2
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = CorpusStream.clean(docs, minTokens = minTokens, maxTopBigramFrac = maxFrac)
+      .writeStream.format("memory").queryName("corpus_equiv_out")
+      .outputMode("append").start()
+    try {
+      (1 to maxRank).foreach { rk =>
+        input.addData(ranked.filter(_._3 == rk).map { case (id, tx, _) =>
+          (t(rk), id, tx)
+        }.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("corpus_equiv_out")
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+
+      // Batch twin: the corpus_mix cleaning stages — first doc per normalized
+      // hash survives, then the same token floor and repetition ceiling.
+      val batch = all
+        .withColumn("nh", md5(TextOps.normalize(col("text"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("nh")).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+        .withColumn("n_toks", size(TextOps.tokens(col("text"))))
+        .filter(col("n_toks") >= minTokens)
+        .filter(graft.functions.top_bigram_count(col("text")).cast("double")
+          / greatest(col("n_toks") - 1, lit(1)) <= maxFrac)
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+
+      assert(batch.nonEmpty, "batch twin produced no rows — gates misconfigured")
+      assert(streamed.toSeq == batch.toSeq,
+        s"stream/batch mismatch: stream=${streamed.length} batch=${batch.length}")
+    } finally q.stop()
+  }
+
   test("output schema carries the dedup key and original columns") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
