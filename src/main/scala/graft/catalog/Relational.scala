@@ -405,6 +405,62 @@ object Relational extends Family {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  // W4-adjacent: exponentially-weighted moving average of customer spend —
+  // the time-decay smoothing a demand model feeds on. Weights are the dyadic
+  // 2^-i over an 8-order lookback, so every term is EXACT: dec2 price ×
+  // integer 2^(7-i), summed as decimals (order-independent), with ONE double
+  // division at the end (IEEE-deterministic on bit-identical operands in any
+  // engine — the graft.ops.Exact discipline extended to weighted means).
+  // Rows with fewer than 8 predecessors renormalize over the weights
+  // actually present. One shuffle on o_custkey; all 8 lags share one window
+  // sort.
+  private val ewmaQ = Q(
+    "window_ewma_spend",
+    Some("""
+      WITH o AS (SELECT o_custkey, o_orderkey,
+          CAST(o_orderdate AS DATE) AS order_date,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      l AS (SELECT o_custkey, o_orderkey, order_date,
+          lag(p, 0) OVER w AS x0, lag(p, 1) OVER w AS x1,
+          lag(p, 2) OVER w AS x2, lag(p, 3) OVER w AS x3,
+          lag(p, 4) OVER w AS x4, lag(p, 5) OVER w AS x5,
+          lag(p, 6) OVER w AS x6, lag(p, 7) OVER w AS x7
+        FROM o WINDOW w AS (
+          PARTITION BY o_custkey ORDER BY order_date, o_orderkey))
+      SELECT o_custkey, o_orderkey, order_date,
+        CAST(COALESCE(x0*128,0) + COALESCE(x1*64,0) + COALESCE(x2*32,0)
+           + COALESCE(x3*16,0) + COALESCE(x4*8,0) + COALESCE(x5*4,0)
+           + COALESCE(x6*2,0) + COALESCE(x7*1,0) AS DOUBLE)
+        / CAST((CASE WHEN x0 IS NULL THEN 0 ELSE 128 END)
+             + (CASE WHEN x1 IS NULL THEN 0 ELSE 64 END)
+             + (CASE WHEN x2 IS NULL THEN 0 ELSE 32 END)
+             + (CASE WHEN x3 IS NULL THEN 0 ELSE 16 END)
+             + (CASE WHEN x4 IS NULL THEN 0 ELSE 8 END)
+             + (CASE WHEN x5 IS NULL THEN 0 ELSE 4 END)
+             + (CASE WHEN x6 IS NULL THEN 0 ELSE 2 END)
+             + (CASE WHEN x7 IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+          AS ewma_spend
+      FROM l ORDER BY o_custkey, order_date, o_orderkey
+    """)) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_date"), col("o_orderkey"))
+    val base = t(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      dec2(col("o_totalprice")).as("p"))
+    val xs = (0 to 7).map(i => lag(col("p"), i).over(w))
+    val num = xs.zipWithIndex.map { case (x, i) =>
+      coalesce(x * lit(1L << (7 - i)), lit(0).cast("decimal(18,2)"))
+    }.reduce(_ + _)
+    val den = xs.zipWithIndex.map { case (x, i) =>
+      when(x.isNull, lit(0L)).otherwise(lit(1L << (7 - i)))
+    }.reduce(_ + _)
+    base
+      .select(col("o_custkey"), col("o_orderkey"), col("order_date"),
+        (num.cast("double") / den.cast("double")).as("ewma_spend"))
+      .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+  }
+
   // -------------------------------------------------------------------------
   // A-group: exact interpolated percentiles per group. Inputs are integral
   // doubles and the probed quantiles are dyadic (0/.25/.5/.75), so the
@@ -693,7 +749,7 @@ object Relational extends Family {
   override val specs: Seq[Q] = Seq(rfmQ,
     q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
-    rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ,
+    rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ, ewmaQ,
     percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ, rankMetricsQ,
     dispersionQ, hotKeysQ)
 }

@@ -401,6 +401,50 @@ object TextLlm extends Family {
       .orderBy(col("bin_id"))
   }
 
+  // Probability-proportional-to-size systematic sampling — the weighted
+  // sampler a token-budgeted eval/calibration draw wants: a document's
+  // selection probability is proportional to its TOKEN count, via fixed-step
+  // points walked over the cumulative token axis (Madow systematic PPS).
+  // All arithmetic is int64 — cumulative starts from graft.ops.Prefix's
+  // two-phase running sum (no single-reducer window), step = W div n, and
+  // the per-doc hit count is two integer divisions over a shifted
+  // (all-positive, so floor == truncate in every engine) interval — no
+  // float rounding anywhere, unlike exp/log-keyed weighted reservoirs whose
+  // libm calls diverge across engines. Deterministic, rerun-stable,
+  // one range shuffle at any corpus size.
+  private val ppsSample = Q(
+    "sample_pps_systematic",
+    Some("""
+      WITH d AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens, CAST(SUM(n_tokens) OVER (
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum FROM d),
+      p AS (SELECT doc_id, n_tokens, cum - n_tokens AS cum_start,
+          greatest((SELECT CAST(SUM(n_tokens) AS BIGINT) FROM d) // 25, 1) AS s
+        FROM c),
+      h AS (SELECT doc_id, n_tokens, cum_start,
+          ((cum_start + n_tokens + s - 1) // s) - ((cum_start + s - 1) // s)
+            AS n_hits FROM p)
+      SELECT doc_id, n_tokens, cum_start, CAST(n_hits AS BIGINT) AS n_hits
+      FROM h WHERE n_hits > 0 ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val d = docs(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val withCum = graft.ops.Prefix.runningSum(d, "doc_id", "n_tokens", "cum")
+    val grand = d.agg(sum(col("n_tokens")).as("tw"))
+    withCum.crossJoin(broadcast(grand))
+      .withColumn("s", greatest(expr("tw div 25"), lit(1L)))
+      .withColumn("cum_start", col("cum") - col("n_tokens"))
+      .withColumn("n_hits",
+        expr("((cum_start + n_tokens + s - 1) div s) - ((cum_start + s - 1) div s)"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("cum_start"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   // Stratified deterministic sampling — training-data mixture control: the
   // over-represented head stratum (en) is down-sampled to 10% while tail
   // languages keep 50%, with hash-of-key membership so every stratum's
@@ -555,5 +599,6 @@ object TextLlm extends Family {
   override val specs: Seq[Q] = Seq(
     dedupExact, dedupNorm, minhashLsh, components, jaccard, simhash,
     quality, repetition, langId, tokenCounts, fingerprint, sourceParse,
-    hashSample, stratifiedSample, packBins, levenshteinPairs, tfidfTopTerms)
+    hashSample, stratifiedSample, ppsSample, packBins, levenshteinPairs,
+    tfidfTopTerms)
 }

@@ -43,6 +43,7 @@ class PlanGateSpec extends SparkSpec {
     "ann_recall" -> 2,            // brute + ivf arms, one query batch each
     "corpus_mix" -> 1,            // broadcast 1-row corpus grand total
     "rfm_segments" -> 3,          // as-of date frame + R/F/M quantile frames
+    "sample_pps_systematic" -> 1, // broadcast 1-row token grand total
     "skew_hot_custkeys" -> 1,     // broadcast 1-row grand total (hotKeys)
     "tfidf_top_terms" -> 1)       // broadcast 1-row n_docs
 
@@ -56,6 +57,7 @@ class PlanGateSpec extends SparkSpec {
     "funnel_view_click_purchase" -> 1,   // 1-row funnel output
     "reconcile_days_without_errors" -> 1, // scalar reconciliation total
     "rfm_segments" -> 2,                 // quantile + as-of scalar frames
+    "sample_pps_systematic" -> 1,        // token grand-total scalar
     "skew_hot_custkeys" -> 1,            // grand total
     "tfidf_top_terms" -> 1)              // n_docs count
 
