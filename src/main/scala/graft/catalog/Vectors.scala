@@ -322,5 +322,30 @@ object Vectors extends Family {
       .orderBy(col("q_id"))
   }
 
-  override val specs: Seq[Q] = Seq(brute, ivf, ivf2, assign, nearDup, recall)
+  // Product-quantized ANN: k-means codebooks per subspace, 4-byte codes
+  // (64x compression at these dials), LUT-based asymmetric scoring, exact
+  // re-rank of the short list — the memory-bound scale path (IVF prunes
+  // what to scan, PQ shrinks each scanned row to M adds). K-means training
+  // is not SQL-expressible cross-engine, so this entry has NO DuckDB twin:
+  // the driver records the weaker rows-only check, and semantic coverage
+  // lives in PqIndexSpec (determinism, compression, measured recall vs the
+  // oracle-checked brute-force baseline).
+  private val pq = Q("ann_cosine_topk_pq", None) { (spark, dir) =>
+    val e = embN(spark, dir)
+      .withColumn("emb_d",
+        transform(col("embedding").cast("array<double>"), x => x / col("nrm")))
+    val cb = graft.vectors.PqIndex.train(e, "vec_id", "emb_d", dim = 64)
+    val encoded = graft.vectors.PqIndex.encode(e, "vec_id", "emb_d", cb)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("emb_d")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val eRerank = e.select(col("vec_id"), col("emb_d"),
+      lit(1.0).as("nrm")) // emb_d is unit-norm by construction
+    graft.vectors.PqIndex.search(encoded, eRerank, "vec_id", "emb_d", cb,
+        queries, topK = 10, rerank = 40)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  override val specs: Seq[Q] =
+    Seq(brute, ivf, ivf2, assign, nearDup, recall, pq)
 }
