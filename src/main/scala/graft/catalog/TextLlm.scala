@@ -401,6 +401,63 @@ object TextLlm extends Family {
       .orderBy(col("bin_id"))
   }
 
+  // Incremental-ingest dedup: admit or reject a NEW batch (doc_id % 10 == 9
+  // plays the fresh crawl) against the EXISTING corpus — the shape a
+  // continuously-fed training pipeline runs daily, where re-deduping the
+  // whole corpus per batch would be quadratic in ingest history. Exact
+  // duplicates match on the normalized 128-bit hash; near-duplicates on a
+  // shared MinHash LSH band signature. Both checks are semi-joins AGAINST
+  // the corpus side: at 100 TB the corpus's hash and band tables are
+  // pre-materialized index tables (the same frames `dedup_normalized` /
+  // `dedup_minhash_lsh_pairs` build), the new batch is the small broadcast
+  // side, and the corpus is never re-scanned per batch beyond those index
+  // reads. Output: one row per new doc with its admit/reject flags.
+  private val incremental = Q(
+    "dedup_incremental",
+    Some(s"""
+      WITH ${TextOps.duckPairsCtes},
+      nh AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nh FROM documents),
+      newd AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 9),
+      oldd AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 9),
+      ex AS (SELECT DISTINCT n.doc_id FROM nh n
+        JOIN newd ON n.doc_id = newd.doc_id
+        WHERE n.nh IN (SELECT o.nh FROM nh o
+          JOIN oldd ON o.doc_id = oldd.doc_id)),
+      nr AS (SELECT DISTINCT a.doc_id FROM bands a
+        JOIN newd ON a.doc_id = newd.doc_id
+        JOIN bands b ON b.band = a.band AND b.sig = a.sig
+        JOIN oldd ON b.doc_id = oldd.doc_id)
+      SELECT newd.doc_id,
+        CAST(newd.doc_id IN (SELECT doc_id FROM ex) AS INTEGER) AS dup_exact,
+        CAST(newd.doc_id IN (SELECT doc_id FROM nr) AS INTEGER) AS dup_near,
+        CAST(newd.doc_id NOT IN (SELECT doc_id FROM ex)
+         AND newd.doc_id NOT IN (SELECT doc_id FROM nr) AS INTEGER) AS admit
+      FROM newd ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val isNew = col("doc_id") % 10 === 9
+    val newDocs = d.filter(isNew)
+    val oldDocs = d.filter(!isNew)
+    val nh = (f: DataFrame) =>
+      f.select(col("doc_id"), md5(TextOps.normalize(col("text"))).as("nh"))
+    val dupExact = nh(newDocs)
+      .join(nh(oldDocs).select("nh").distinct(), Seq("nh"), "left_semi")
+      .select(col("doc_id")).withColumn("de", lit(1))
+    val dupNear = TextOps.lshBands(newDocs, "doc_id", "text")
+      .join(TextOps.lshBands(oldDocs, "doc_id", "text")
+        .select("band", "sig").distinct(), Seq("band", "sig"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("dn", lit(1))
+    newDocs.select(col("doc_id"))
+      .join(dupExact, Seq("doc_id"), "left")
+      .join(dupNear, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("de"), lit(0)).as("dup_exact"),
+        coalesce(col("dn"), lit(0)).as("dup_near"),
+        when(col("de").isNull && col("dn").isNull, 1).otherwise(0).as("admit"))
+      .orderBy(col("doc_id"))
+  }
+
   // Probability-proportional-to-size systematic sampling — the weighted
   // sampler a token-budgeted eval/calibration draw wants: a document's
   // selection probability is proportional to its TOKEN count, via fixed-step
@@ -600,5 +657,5 @@ object TextLlm extends Family {
     dedupExact, dedupNorm, minhashLsh, components, jaccard, simhash,
     quality, repetition, langId, tokenCounts, fingerprint, sourceParse,
     hashSample, stratifiedSample, ppsSample, packBins, levenshteinPairs,
-    tfidfTopTerms)
+    tfidfTopTerms, incremental)
 }

@@ -206,5 +206,184 @@ object Warehouse extends Family {
       .orderBy(col("check_name"))
   }
 
-  override val specs: Seq[Q] = Seq(scd2, dq)
+  // ---------------------------------------------------------------------
+  // Market-basket co-purchase mining: part pairs bought together in one
+  // order, ranked by support, with lift against the parts' independent
+  // order frequencies. The pair generation is a self-join on the order key
+  // — per-order fanout is (lines choose 2), bounded by the ~7-line order
+  // shape, so pair volume is linear in orders, not quadratic in parts.
+  // Lift is computed AFTER the top-k cut: only 100 rows join back to the
+  // per-part counts. Lift arithmetic: integer products cast to double with
+  // a fixed association order, one IEEE division — engine-deterministic.
+  private val basket = Q(
+    "basket_part_pairs",
+    Some("""
+      WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      sup AS (SELECT part_a, part_b, COUNT(*) AS n_orders
+        FROM pairs GROUP BY part_a, part_b
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 100),
+      pc AS (SELECT l_partkey, COUNT(*) AS n_part FROM lp GROUP BY l_partkey),
+      tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_tot
+        FROM lineitem)
+      SELECT s.part_a, s.part_b, s.n_orders,
+        CAST(s.n_orders * tot.n_tot AS DOUBLE)
+          / CAST(ca.n_part * cb.n_part AS DOUBLE) AS lift
+      FROM sup s CROSS JOIN tot
+      JOIN pc ca ON ca.l_partkey = s.part_a
+      JOIN pc cb ON cb.l_partkey = s.part_b
+      ORDER BY n_orders DESC, part_a, part_b
+    """)) { (spark, dir) =>
+    val lp = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = lp.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = lp.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val sup = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(100)
+    val pc = lp.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val tot = lp.agg(countDistinct(col("l_orderkey")).as("n_tot"))
+    sup
+      .join(pc.select(col("l_partkey").as("part_a"), col("n_part").as("ca")),
+        Seq("part_a"))
+      .join(pc.select(col("l_partkey").as("part_b"), col("n_part").as("cb")),
+        Seq("part_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("part_a"), col("part_b"), col("n_orders"),
+        ((col("n_orders") * col("n_tot")).cast("double")
+          / (col("ca") * col("cb")).cast("double")).as("lift"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Calendar gap-fill: daily revenue per order priority, densified so every
+  // (day, priority) cell in the table's date span exists — missing cells
+  // become explicit zeros (what any time-series model or dashboard needs;
+  // the raw fact table silently skips empty days). The calendar axis is
+  // GENERATED from a 1-row min/max frame (sequence + explode — metadata,
+  // never a scan), crossed with the 5-value priority dimension, then
+  // left-joined to the once-aggregated facts. One fact shuffle on
+  // (day, priority); the calendar side is broadcast.
+  private val calendarFill = Q(
+    "calendar_fill_daily_sales",
+    Some("""
+      WITH f AS (SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS pri,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2),
+      span AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+          max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+      days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        FROM span),
+      pris AS (SELECT DISTINCT o_orderpriority AS pri FROM orders),
+      cal AS (SELECT d, pri FROM days, pris)
+      SELECT cal.d AS order_date, cal.pri AS priority,
+        COALESCE(f.revenue, 0.0) AS revenue,
+        COALESCE(f.n_orders, 0) AS n_orders
+      FROM cal LEFT JOIN f ON f.d = cal.d AND f.pri = cal.pri
+      ORDER BY order_date, priority
+    """)) { (spark, dir) =>
+    val o = Tables.load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        col("o_orderpriority").as("pri"), col("o_totalprice"))
+    val f = o.groupBy(col("d"), col("pri"))
+      .agg(graft.ops.Exact.sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val days = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val pris = o.select(col("pri")).distinct()
+    // both cal sides are aggregate-sized; f is calendar-bounded too, so
+    // AQE picks the broadcast side at runtime
+    days.crossJoin(broadcast(pris))
+      .join(f, Seq("d", "pri"), "left")
+      .select(col("d").as("order_date"), col("pri").as("priority"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("order_date"), col("priority"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Column profiling: null count + distinct cardinality for every profiled
+  // column, ONE conditional-aggregation scan per table (a naive profiler
+  // re-scans per column — 10x the I/O here, fatal at 100 TB). Exact
+  // distinct counts keep the oracle twin exact; a production profile at
+  // 100 TB would flip them to approx_count_distinct under the same plan.
+  private def profileAgg(df: DataFrame, tbl: String, cols: Seq[String]) = {
+    val aggs = cols.flatMap { c => Seq(
+      v(col(c).isNull).as(s"_n_$c"),
+      countDistinct(col(c)).as(s"_d_$c"))
+    }
+    df.agg(count(lit(1)).as("n"), aggs: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(s"$tbl.$c").as("column_name"), col("n").as("n_rows"),
+          col(s"_n_$c").as("n_nulls"), col(s"_d_$c").as("n_distinct"))
+      }: _*)).as("r"))
+      .select(col("r.column_name"), col("r.n_rows"), col("r.n_nulls"),
+        col("r.n_distinct"))
+  }
+
+  private val profile = Q(
+    "profile_tables",
+    Some("""
+      SELECT column_name, n_rows, n_nulls, n_distinct FROM (
+        SELECT 'customer.c_acctbal' AS column_name, COUNT(*) AS n_rows,
+          CAST(coalesce(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_nulls,
+          COUNT(DISTINCT c_acctbal) AS n_distinct FROM customer
+        UNION ALL
+        SELECT 'customer.c_mktsegment', COUNT(*),
+          CAST(coalesce(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+          COUNT(DISTINCT c_mktsegment) FROM customer
+        UNION ALL
+        SELECT 'orders.o_custkey', COUNT(*),
+          CAST(coalesce(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+          COUNT(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderstatus', COUNT(*),
+          CAST(coalesce(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+          COUNT(DISTINCT o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'orders.o_totalprice', COUNT(*),
+          CAST(coalesce(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+          COUNT(DISTINCT o_totalprice) FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_partkey', COUNT(*),
+          CAST(coalesce(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+          COUNT(DISTINCT l_partkey) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_quantity', COUNT(*),
+          CAST(coalesce(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+          COUNT(DISTINCT l_quantity) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_returnflag', COUNT(*),
+          CAST(coalesce(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+          COUNT(DISTINCT l_returnflag) FROM lineitem
+      ) ORDER BY column_name
+    """)) { (spark, dir) =>
+    val cust = profileAgg(Tables.load(spark, dir, "customer"),
+      "customer", Seq("c_acctbal", "c_mktsegment"))
+    val ord = profileAgg(Tables.load(spark, dir, "orders"),
+      "orders", Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    val li = profileAgg(Tables.load(spark, dir, "lineitem"),
+      "lineitem", Seq("l_partkey", "l_quantity", "l_returnflag"))
+    cust.unionAll(ord).unionAll(li)
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"))
+      .orderBy(col("column_name"))
+  }
+
+  override val specs: Seq[Q] = Seq(scd2, dq, basket, calendarFill, profile)
 }

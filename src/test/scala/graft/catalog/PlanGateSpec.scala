@@ -40,7 +40,10 @@ class PlanGateSpec extends SparkSpec {
     "ann_cosine_topk_brute" -> 1, // broadcast query batch
     "ann_cosine_topk_ivf" -> 1,   // broadcast query batch
     "ann_cosine_topk_ivf2" -> 1,  // broadcast query batch
+    "ann_cosine_topk_pq" -> 1,    // broadcast query-id frame (ADC scan)
     "ann_recall" -> 2,            // brute + ivf arms, one query batch each
+    "basket_part_pairs" -> 1,     // broadcast 1-row total-orders frame
+    "calendar_fill_daily_sales" -> 1, // generated day axis x 5-row dim
     "corpus_mix" -> 1,            // broadcast 1-row corpus grand total
     "rfm_segments" -> 3,          // as-of date frame + R/F/M quantile frames
     "sample_pps_systematic" -> 1, // broadcast 1-row token grand total
@@ -50,11 +53,14 @@ class PlanGateSpec extends SparkSpec {
   /** query -> max SinglePartition exchanges, each the final combine of a
     * 1-row global aggregate (metadata-sized by construction). */
   private val singlePartAllow: Map[String, Int] = Map(
+    "basket_part_pairs" -> 1,            // 1-row distinct-order total
+    "calendar_fill_daily_sales" -> 1,    // 1-row min/max date span
     "corpus_mix" -> 1,                   // corpus grand total
     "dq_checks" -> 5,                    // 5 scalar check aggregates (one
                                          // per table scan / referential
                                          // join), each finalizing ONE row
     "funnel_view_click_purchase" -> 1,   // 1-row funnel output
+    "profile_tables" -> 3,               // 3 per-table scalar profile aggs
     "reconcile_days_without_errors" -> 1, // scalar reconciliation total
     "rfm_segments" -> 2,                 // quantile + as-of scalar frames
     "sample_pps_systematic" -> 1,        // token grand-total scalar
