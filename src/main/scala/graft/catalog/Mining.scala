@@ -1,0 +1,231 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.lake.Tables
+import graft.ops.{Exact, TextOps}
+
+/**
+ * Corpus/warehouse mining operators: sketch-assisted heavy hitters, exact
+ * repeated-span detection, bounded top-k aggregation, asymmetric containment,
+ * and integer-exact anomaly flagging.
+ *
+ * Reference provenance: the reference's declared analytics surface
+ * (`/root/reference/README.md:23-33` — "dashboards", "data quality") plus the
+ * north-star LLM-corpus operations (SURVEY.md §2.9). Everything here follows
+ * the catalog's exact-arithmetic discipline ([[graft.ops.Exact]]): decimal
+ * power sums, integer comparisons, one IEEE operation at the very end.
+ */
+object Mining extends Family {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // -------------------------------------------------------------------------
+  // Exact repeated-span detection (the "exact substring dedup" of Lee et al.,
+  // "Deduplicating Training Data Makes Language Models Better", 2021 — at
+  // token-span granularity): which 8-token spans appear in MORE THAN ONE
+  // document, and how much of each document is such duplicated material.
+  //
+  // Scale shape: per-doc distinct span hashes come from ONE narrow projection
+  // (transform over a token-index sequence — no position explode before
+  // hashing); the only data-sized shuffles are the span-hash groupBy and the
+  // span→doc re-join, both keyed on the 32-hex span hash — bounded by total
+  // corpus token count, never quadratic. The md5 keeps the grouping key
+  // engine-portable (identical hex in Spark and DuckDB).
+  private val spanDedup = Q(
+    "dedup_span_8gram",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 7),
+               i -> md5(array_to_string(t[i:i+7], ' '))))) AS sh
+             FROM tok WHERE len(t) >= 8),
+      dup AS (SELECT sh, count(*) AS nd FROM sh GROUP BY sh),
+      per AS (SELECT s.doc_id, count(*) AS n_spans,
+                CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_spans
+              FROM sh s JOIN dup d USING (sh) GROUP BY s.doc_id)
+      SELECT doc_id, n_spans, n_dup_spans,
+        CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_frac
+      FROM per ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+    // distinct 8-gram span hashes per doc, hashed in one projection
+    val spans = toks.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("t")) - 7),
+        i => md5(concat_ws(" ", slice(col("t"), i, lit(8))))))).as("sh"))
+    val dup = spans.groupBy(col("sh"))
+      .agg(count(lit(1)).as("nd")) // spans are per-doc distinct => nd = #docs
+    spans.join(dup, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("nd") > 1).cast("long")).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Sketch-assisted EXACT heavy hitters: Misra-Gries candidate pass (bounded
+  // map-side state, shuffle carries ≤ cap rows per partition — the tail never
+  // travels), then exact counts restricted to the broadcast candidate set,
+  // then top-20. Because the 20th term's true frequency clears the MG bound
+  // N/(cap+1) (asserted by MisraGriesSpec on this data; holds by orders of
+  // magnitude on any Zipf corpus with cap=512), the answer is EXACTLY the
+  // true top-20 — so the plain exact-count oracle matches. At 100 TB the
+  // saving is the point: the exact pass counts only candidate terms, the
+  // filter running map-side before the shuffle.
+  private val heavyHitters = Q(
+    "freq_heavy_hitters",
+    Some("""
+      WITH tok AS (
+        SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+          lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS term
+        FROM documents),
+      c AS (SELECT term, count(*) AS n_occurrences FROM tok
+            WHERE term <> '' GROUP BY term)
+      SELECT term, n_occurrences FROM c
+      ORDER BY n_occurrences DESC, term LIMIT 20
+    """)) { (spark, dir) =>
+    val mg = udaf(new graft.functions.MisraGries(512))
+    val toks = docs(spark, dir)
+      .select(explode(split(TextOps.normalize(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val cands = toks.agg(mg(col("term")).as("cands"))
+      .select(explode(col("cands")).as("term"))
+    toks.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(20)
+  }
+
+  // -------------------------------------------------------------------------
+  // Bounded top-k aggregation: identical output to the window formulation
+  // (`window_topk_parts_per_brand` — same oracle SQL), but via the
+  // `graft.functions.TopKAgg` bounded-heap aggregate: per-partition partial
+  // top-3 per brand, shuffle carries brands × 3 rows, nothing globally
+  // sorted. The window twin shuffles and sorts EVERY (brand, part) row.
+  private val topkAgg = Q(
+    "topk_parts_per_brand_agg",
+    Some("""
+      SELECT p_brand, p_partkey, revenue, rn FROM (
+        SELECT p_brand, p_partkey,
+          CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY
+            CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) DESC,
+            p_partkey) AS rn
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+      ) WHERE rn <= 3
+      ORDER BY p_brand, rn
+    """)) { (spark, dir) =>
+    val top3 = udaf(new graft.functions.TopKAgg(3))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(Exact.sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .groupBy(col("p_brand"))
+      .agg(top3(col("revenue"), col("p_partkey")).as("top"))
+      .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("p_brand"), col("e.key").as("p_partkey"),
+        col("e.score").as("revenue"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Asymmetric containment on the LSH candidate pairs: C(a⊂b) = |Sa∩Sb|/|Sa|
+  // over distinct trigram-hash sets — the quote/excerpt detector (a doc can
+  // be fully contained in a larger one while Jaccard stays low). Same scale
+  // shape as `dedup_ngram_jaccard`: pairwise math only on LSH candidates.
+  private val containment = Q(
+    "dedup_containment_pairs",
+    Some(s"""
+      WITH ${TextOps.duckPairsCtes},
+      shd AS (SELECT doc_id, list_distinct(hs) AS ds FROM hs)
+      SELECT p.doc_a, p.doc_b,
+        len(list_intersect(a.ds, b.ds)) / len(a.ds) AS contain_a_in_b,
+        len(list_intersect(a.ds, b.ds)) / len(b.ds) AS contain_b_in_a
+      FROM pairs p
+      JOIN shd a ON a.doc_id = p.doc_a
+      JOIN shd b ON b.doc_id = p.doc_b
+      ORDER BY doc_a, doc_b
+    """)) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val pairs = graft.ops.Warmed.getOrBuild("text_lsh_pairs", dir) {
+      TextOps.candidatePairs(
+        TextOps.lshBands(d, "doc_id", "text"), "doc_id")
+    }
+    val shd = d.select(col("doc_id"),
+      array_distinct(graft.functions.trigram_hashes(col("text"))).as("ds"))
+    val inter = size(array_intersect(col("dsa"), col("dsb")))
+    pairs
+      .join(shd.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter / size(col("dsa"))).as("contain_a_in_b"),
+        (inter / size(col("dsb"))).as("contain_b_in_a"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Daily-revenue anomaly flags: |x - mean| > 2σ, decided ENTIRELY in exact
+  // integer/decimal arithmetic — (n-1)·(n·x - s)² > 4·n·(n·sq - s²) — so the
+  // flag is bit-identical across engines and partitionings; the reported z
+  // score is then ONE IEEE division + sqrt of exact operands (the
+  // agg_dispersion_exact discipline). Scale shape: one day-grain hash agg,
+  // a 1-row broadcast of the moments, map-side comparison.
+  private val anomaly = Q(
+    "anomaly_daily_revenue",
+    Some("""
+      WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))*100 AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1),
+      m AS (SELECT COUNT(*) AS n, SUM(rev_cents) AS s,
+        SUM(CAST(rev_cents AS DECIMAL(19,0))*rev_cents) AS sq FROM d)
+      SELECT day, rev_cents,
+        -- + 0.0 canonicalizes IEEE -0.0 (DuckDB round keeps the sign of a
+        -- tiny negative z; Spark's BigDecimal round does not)
+        round(CASE WHEN n*rev_cents - s < 0 THEN -1 ELSE 1 END *
+          sqrt(CAST((n-1)*(CAST(n*rev_cents - s AS DECIMAL(19,0))*(n*rev_cents - s)) AS DOUBLE)
+             / CAST(n*(n*sq - CAST(s AS DECIMAL(19,0))*s) AS DOUBLE)), 4) + 0.0 AS z,
+        CAST((n-1)*(CAST(n*rev_cents - s AS DECIMAL(19,0))*(n*rev_cents - s))
+           > 4*n*(n*sq - CAST(s AS DECIMAL(19,0))*s) AS INTEGER) AS is_outlier
+      FROM d, m ORDER BY day
+    """)) { (spark, dir) =>
+    val dec19 = DecimalType(19, 0)
+    val daily = t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg((sum(Exact.dec2(col("o_totalprice"))) * 100).cast("long")
+        .as("rev_cents"))
+    val m = daily.agg(
+      count(lit(1)).as("n"),
+      sum(col("rev_cents")).as("s"),
+      sum(col("rev_cents").cast(dec19) * col("rev_cents").cast(dec19))
+        .as("sq"))
+    val dlt = col("n") * col("rev_cents") - col("s") // fits int64
+    val lhs = (col("n") - 1) * (dlt.cast(dec19) * dlt.cast(dec19))
+    val zden = col("n") *
+      (col("n") * col("sq") - col("s").cast(dec19) * col("s").cast(dec19))
+    val rhs = lit(4) * zden
+    daily.crossJoin(broadcast(m))
+      .select(col("day"), col("rev_cents"),
+        (round(when(dlt < 0, -1d).otherwise(1d) *
+          sqrt(lhs.cast("double") / zden.cast("double")), 4) + 0.0).as("z"),
+        (lhs > rhs).cast("int").as("is_outlier"))
+      .orderBy(col("day"))
+  }
+
+  override val specs: Seq[Q] =
+    Seq(spanDedup, heavyHitters, topkAgg, containment, anomaly)
+}

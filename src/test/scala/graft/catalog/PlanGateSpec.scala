@@ -42,6 +42,7 @@ class PlanGateSpec extends SparkSpec {
     "ann_cosine_topk_ivf2" -> 1,  // broadcast query batch
     "ann_cosine_topk_pq" -> 1,    // broadcast query-id frame (ADC scan)
     "ann_recall" -> 2,            // brute + ivf arms, one query batch each
+    "anomaly_daily_revenue" -> 1, // broadcast 1-row moment frame (n, s, sq)
     "basket_part_pairs" -> 1,     // broadcast 1-row total-orders frame
     "calendar_fill_daily_sales" -> 1, // generated day axis x 5-row dim
     "corpus_mix" -> 1,            // broadcast 1-row corpus grand total
@@ -56,9 +57,11 @@ class PlanGateSpec extends SparkSpec {
     "basket_part_pairs" -> 1,            // 1-row distinct-order total
     "calendar_fill_daily_sales" -> 1,    // 1-row min/max date span
     "corpus_mix" -> 1,                   // corpus grand total
+    "anomaly_daily_revenue" -> 1,        // 1-row day-grain moment aggregate
     "dq_checks" -> 5,                    // 5 scalar check aggregates (one
                                          // per table scan / referential
                                          // join), each finalizing ONE row
+    "freq_heavy_hitters" -> 1,           // 1-row Misra-Gries candidate array
     "funnel_view_click_purchase" -> 1,   // 1-row funnel output
     "profile_tables" -> 3,               // 3 per-table scalar profile aggs
     "reconcile_days_without_errors" -> 1, // scalar reconciliation total
