@@ -1,0 +1,219 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.Tables
+import graft.ops.TextOps
+
+/**
+ * Full-text retrieval over the `documents` corpus: positional inverted-index
+ * postings, conjunctive (AND) matching, exact phrase matching, and BM25
+ * ranked top-k — the keyword-search counterpart of the vector family in
+ * [[Vectors]] (a training-data pipeline needs both: BM25 for lexical recall
+ * in decontamination/retrieval sweeps, embeddings for semantic recall).
+ *
+ * Reference provenance: the reference declares search-shaped analytics over
+ * its event lake but implements none of it (`/root/reference/README.md:23-33`
+ * — "user journey analysis", dashboards); the corpus operators come from the
+ * driver's LLM-pipeline north star (SURVEY.md §2.9).
+ *
+ * Cross-engine float discipline ([[graft.ops.Exact]] house rules): BM25 is
+ * usually log-idf IEEE soup, so this formulation keeps every per-term score
+ * an exact int64 rational — ONE IEEE division per (doc, term), summed
+ * row-wise over a FIXED pivot order — so Spark and DuckDB produce
+ * bit-identical doubles with no rounding tolerance anywhere.
+ *
+ * Scale ledger at 100 TB:
+ *   - postings/conjunctive/BM25 share ONE corpus-width (doc_id, term)
+ *     shuffle (the tf build); everything after is vocabulary- or
+ *     query-sized, or a doc_id-keyed join (uniform key, no skew).
+ *   - phrase match is map-only: the token array never leaves its row.
+ *   - the query-term filter lands BEFORE every join (a 3-term IN list), so
+ *     no corpus-sized intermediate survives past the tf aggregate.
+ *   - final ranking is sort+limit (TakeOrderedAndProject), never a
+ *     single-partition window over the corpus.
+ */
+object Search extends Family {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+
+  /** Fixed demo query — three terms spanning the df spectrum of the
+    * synthetic corpus (`spark`/`merge` ~77% of docs, `dup` ~5%). */
+  private val QueryTerms = Seq("spark", "merge", "dup")
+
+  /** (doc_id, term, pos) with 1-based positions, lockstep with the oracle's
+    * `generate_subscripts`. One narrow Generate, no shuffle. */
+  private def positions(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "term")))
+      .select(col("doc_id"), col("term"), (col("p0") + 1).cast("long").as("pos"))
+
+  /** (doc_id, term, term_count) — the shared tf spine. */
+  private def tf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("term_count"))
+
+  private val duckToks =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+      |  FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Positional posting lists for the query terms: the physical structure a
+  // search index materializes (term -> sorted (doc, positions)). The term
+  // filter sits UNDER the aggregate, so the only shuffled rows are hits of
+  // the 2 requested terms — index build for a full vocabulary is the same
+  // aggregate minus the filter, partitioned by term.
+  private val postings = Q(
+    "search_postings",
+    Some(s"""
+      WITH $duckToks
+      SELECT term, doc_id, COUNT(*) AS n_occ,
+        MIN(pos) AS first_pos,
+        array_to_string(list(pos ORDER BY pos), ',') AS positions
+      FROM toks WHERE term IN ('dup', 'spark')
+      GROUP BY term, doc_id
+      ORDER BY term, doc_id
+    """)) { (spark, dir) =>
+    positions(docs(spark, dir))
+      .filter(col("term").isin("dup", "spark"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("pos")).as("first_pos"),
+        concat_ws(",", sort_array(collect_list(col("pos")))).as("positions"))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Conjunctive (AND) retrieval: documents containing ALL query terms, with
+  // their total hit count — posting-list intersection as a count-distinct
+  // filter on the tf spine. Distributed shape: filter to 3 terms (map-side),
+  // one doc_id-keyed aggregate, no corpus-width join.
+  private val conjunctive = Q(
+    "search_conjunctive",
+    Some(s"""
+      WITH $duckToks,
+      tf AS (SELECT doc_id, term, COUNT(*) AS term_count
+        FROM toks WHERE term IN ('spark', 'merge', 'dup')
+        GROUP BY doc_id, term)
+      SELECT doc_id, CAST(SUM(term_count) AS BIGINT) AS total_hits
+      FROM tf GROUP BY doc_id
+      HAVING COUNT(DISTINCT term) = 3
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    tf(docs(spark, dir))
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_count")).as("total_hits"),
+        countDistinct(col("term")).as("n_terms"))
+      .filter(col("n_terms") === QueryTerms.length)
+      .select(col("doc_id"), col("total_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact phrase match ("slow query"): adjacency-checked inside each row's
+  // token array — NO positional self-join, so the operator is map-only and
+  // embarrassingly parallel at any corpus size (the join formulation
+  // shuffles every posting; this shuffles nothing).
+  private val phrase = Q(
+    "search_phrase",
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      m AS (SELECT doc_id,
+        CASE WHEN len(tk) >= 2 THEN
+          list_filter(generate_series(1, len(tk) - 1),
+            i -> tk[i] = 'slow' AND tk[i + 1] = 'query')
+        ELSE [] END AS hits FROM t)
+      SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+        CAST(hits[1] AS BIGINT) AS first_pos
+      FROM m WHERE len(hits) > 0
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val tk = TextOps.tokens(col("text"))
+    val hits = when(size(tk) >= 2,
+      filter(sequence(lit(1), size(tk) - 1), i =>
+        element_at(tk, i) === "slow" && element_at(tk, i + 1) === "query"))
+      .otherwise(array().cast("array<int>"))
+    docs(spark, dir)
+      .select(col("doc_id"), hits.as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_matches"),
+        element_at(col("hits"), 1).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // BM25 top-10 (k1 = 6/5, b = 3/4, ratio idf (N+1)/(df+1) — the linearized
+  // idf this catalog already uses for tf-idf, rank-faithful and exactly
+  // rational). Per (doc, term):
+  //
+  //   score = (44*tf*A*(N+1)) / ((20*tf*A + 6*A + 18*dl*N) * (df+1))
+  //
+  // which is literally idf * tf(k1+1) / (tf + k1(1-b+b*dl/avgdl)) with
+  // avgdl = A/N cleared of fractions: numerator and denominator are exact
+  // int64 products (bounded by 44*tf*A*(N+1) ~ 1e13 at sf0.1 — inside
+  // double's 2^53 exact-integer range with 100x headroom), so the ONLY IEEE
+  // operation per term is the final division, bit-identical in any engine.
+  // The per-doc total pivots the 3 terms into fixed columns and adds them
+  // in one fixed left-to-right row expression — no sum() over doubles, no
+  // accumulation-order nondeterminism.
+  //
+  // Scale: tf/dl/df derive from the one shared corpus shuffle; N, A, df
+  // join back as broadcast singletons; ranking is sort+limit.
+  private val bm25 = Q(
+    "search_bm25_topk",
+    Some(s"""
+      WITH $duckToks,
+      tfall AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tfall GROUP BY doc_id),
+      tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS a, COUNT(DISTINCT doc_id) AS n FROM tfall),
+      qt AS (SELECT doc_id, term, tf FROM tfall WHERE term IN ('spark', 'merge', 'dup')),
+      dfr AS (SELECT term, COUNT(*) AS df FROM qt GROUP BY term),
+      s AS (
+        SELECT qt.doc_id, qt.term,
+          CAST(44 * qt.tf * tot.a * (tot.n + 1) AS DOUBLE)
+            / CAST((20 * qt.tf * tot.a + 6 * tot.a + 18 * dl.dl * tot.n)
+                   * (dfr.df + 1) AS DOUBLE) AS sc
+        FROM qt JOIN dl USING (doc_id) JOIN dfr USING (term) CROSS JOIN tot),
+      p AS (
+        SELECT doc_id,
+          COALESCE(MAX(CASE WHEN term = 'spark' THEN sc END), 0.0) AS s_spark,
+          COALESCE(MAX(CASE WHEN term = 'merge' THEN sc END), 0.0) AS s_merge,
+          COALESCE(MAX(CASE WHEN term = 'dup' THEN sc END), 0.0) AS s_dup
+        FROM s GROUP BY doc_id)
+      SELECT doc_id, s_spark + s_merge + s_dup AS score, s_spark, s_merge, s_dup
+      FROM p ORDER BY score DESC, doc_id LIMIT 10
+    """)) { (spark, dir) =>
+    val tfall = tf(docs(spark, dir))
+    val dl = tfall.groupBy(col("doc_id")).agg(sum(col("term_count")).as("dl"))
+    val qt = tfall.filter(col("term").isin(QueryTerms: _*))
+    val dfr = qt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = tfall.agg(sum(col("term_count")).as("a"),
+      countDistinct(col("doc_id")).as("n"))
+    val num = lit(44L) * col("term_count") * col("a") * (col("n") + 1L)
+    val den = (lit(20L) * col("term_count") * col("a") + lit(6L) * col("a")
+      + lit(18L) * col("dl") * col("n")) * (col("df") + 1L)
+    def termScore(t: String): Column =
+      coalesce(max(when(col("term") === t, col("sc"))), lit(0.0))
+    qt.join(dl, Seq("doc_id"))
+      .join(broadcast(dfr), Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("sc", num.cast("double") / den.cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(termScore("spark").as("s_spark"),
+        termScore("merge").as("s_merge"),
+        termScore("dup").as("s_dup"))
+      .select(col("doc_id"),
+        (col("s_spark") + col("s_merge") + col("s_dup")).as("score"),
+        col("s_spark"), col("s_merge"), col("s_dup"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  override val specs: Seq[Q] = Seq(postings, conjunctive, phrase, bm25)
+}

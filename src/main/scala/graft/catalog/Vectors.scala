@@ -322,6 +322,77 @@ object Vectors extends Family {
       .orderBy(col("q_id"))
   }
 
+  // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  // web-scale through semantic deduplication"): cluster the embedding space,
+  // then call a vector a semantic duplicate when a LOWER-id vector in the
+  // SAME cluster has cosine >= tau — the quadratic confirm is bounded by
+  // cluster size, never corpus size (the paper sizes k so N/k stays
+  // pairwise-affordable; here the 8 label-centroid clusters play that role).
+  // Complements dedup_embedding_cosine: LSH buckets catch near-identical
+  // pairs; centroid clusters catch broader semantic redundancy at a lower
+  // threshold. Keep-lowest-id is the deterministic representative rule.
+  //
+  // Scale ledger: centroids broadcast (k rows); assignment is map-only;
+  // the within-cluster self-join shuffles the corpus ONCE keyed on cluster
+  // id (cardinality k — at web scale k ~ N/10^4, so no hot reducer), and
+  // pair volume is sum over clusters of |c|^2, a dial the operator owns.
+  private val semdedup = Q(
+    "dedup_semdedup",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      ex AS (SELECT vec_id, label, unnest(emb) AS v,
+               generate_subscripts(emb, 1) AS pos
+             FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)),
+      cent AS (SELECT label, pos, round(avg(v), 6) AS cv FROM ex GROUP BY label, pos),
+      cl AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cemb FROM cent GROUP BY label),
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      scored AS (
+        SELECT n.vec_id, n.emb, n.nrm, cl.c_label,
+          round(list_dot_product(n.emb, cl.cemb)
+            / (n.nrm * sqrt(list_dot_product(cl.cemb, cl.cemb))), 6) AS ccos
+        FROM n, cl),
+      asg AS (
+        SELECT vec_id, emb, nrm, c_label FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY ccos DESC, c_label) AS rn FROM scored) WHERE rn = 1),
+      p AS (
+        SELECT b.vec_id, b.c_label,
+          round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cs
+        FROM asg a JOIN asg b
+          ON a.c_label = b.c_label AND a.vec_id < b.vec_id)
+      SELECT vec_id, c_label AS cluster, COUNT(*) AS n_close_lower,
+        MAX(cs) AS max_cos
+      FROM p WHERE cs >= 0.30 GROUP BY vec_id, c_label
+      ORDER BY vec_id
+    """)) { (spark, dir) =>
+    val e = embN(spark, dir)
+    val cent = sharedCentroids(spark, dir)
+      .select(col("label").as("c_label"), col("cemb"), col("c_nrm"))
+    val asg = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_label"),
+        VectorOps.cosinePre(col("embedding"), col("cemb"),
+          col("nrm"), col("c_nrm"), scale = 6).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_label"))
+    val a = asg.select(col("c_label"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = asg.select(col("c_label"), col("vec_id").as("vec_id"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("c_label"))
+      .filter(col("id_a") < col("vec_id"))
+      .select(col("vec_id"), col("c_label"),
+        VectorOps.cosinePre(col("emb_a"), col("emb_b"),
+          col("nrm_a"), col("nrm_b")).as("cs"))
+      .filter(col("cs") >= 0.30)
+      .groupBy(col("vec_id"), col("c_label"))
+      .agg(count(lit(1)).as("n_close_lower"), max(col("cs")).as("max_cos"))
+      .select(col("vec_id"), col("c_label").as("cluster"),
+        col("n_close_lower"), col("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   // Product-quantized ANN: k-means codebooks per subspace, 4-byte codes
   // (64x compression at these dials), LUT-based asymmetric scoring, exact
   // re-rank of the short list — the memory-bound scale path (IVF prunes
@@ -347,5 +418,5 @@ object Vectors extends Family {
   }
 
   override val specs: Seq[Q] =
-    Seq(brute, ivf, ivf2, assign, nearDup, recall, pq)
+    Seq(brute, ivf, ivf2, assign, nearDup, recall, pq, semdedup)
 }

@@ -46,7 +46,9 @@ class PlanGateSpec extends SparkSpec {
     "basket_part_pairs" -> 1,     // broadcast 1-row total-orders frame
     "calendar_fill_daily_sales" -> 1, // generated day axis x 5-row dim
     "corpus_mix" -> 1,            // broadcast 1-row corpus grand total
+    "dedup_semdedup" -> 1,        // broadcast centroid set (k rows)
     "rfm_segments" -> 3,          // as-of date frame + R/F/M quantile frames
+    "search_bm25_topk" -> 1,      // broadcast 1-row (A, N) corpus totals
     "sample_pps_systematic" -> 1, // broadcast 1-row token grand total
     "skew_hot_custkeys" -> 1,     // broadcast 1-row grand total (hotKeys)
     "tfidf_top_terms" -> 1)       // broadcast 1-row n_docs
@@ -67,6 +69,7 @@ class PlanGateSpec extends SparkSpec {
     "reconcile_days_without_errors" -> 1, // scalar reconciliation total
     "rfm_segments" -> 2,                 // quantile + as-of scalar frames
     "sample_pps_systematic" -> 1,        // token grand-total scalar
+    "search_bm25_topk" -> 1,             // 1-row (A, N) corpus totals
     "skew_hot_custkeys" -> 1,            // grand total
     "tfidf_top_terms" -> 1)              // n_docs count
 
