@@ -77,26 +77,46 @@ object Bench {
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
     // The driver json-parses this line out of the LAST 2000 chars of stdout
-    // only. 2-decimal seconds (10 ms resolution — budget comparisons are
-    // 100 ms-scale) keep the 58+-query line inside that window; the full
-    // line is also persisted to bench_last.json so the numbers survive in
-    // the repo even if the tail window ever overflows again.
+    // only. The full catalog no longer fits that window (88+ queries x ~26
+    // chars ≈ 2.4k), so stdout carries the headline cells — every query in
+    // DESCENDING cost order until the line budget is spent (the expensive
+    // cells are the ones the budget adjudication needs; the omitted tail is
+    // sub-noise) — while the COMPLETE per-query table is always written to
+    // bench_last.json in the repo (the driver's round-end flow leaves it on
+    // disk for the judge; BASELINE.md documents the split).
     def sec(v: Double): String = {
       val s = f"$v%.2f"
       if (s.endsWith("0")) s.dropRight(1) else s  // "1.20" -> "1.2", still valid JSON
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
-      .mkString("{", ",", "}")
+    def entry(k: String, v: Double): String = "\"" + k + "\":" + sec(v)
     val errs = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":$qs,"sf":"$sfDir","parallelism":$par,"errors":$errs}"""
+    def line(entries: Seq[String], omitted: Int): String = {
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted,"queries_full":"bench_last.json"""" else ""
+      s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":${entries.mkString("{", ",", "}")}$omit,"sf":"$sfDir","parallelism":$par,"errors":$errs}"""
+    }
+    val all = results.sortBy(-_._2).map { case (k, v, _) => entry(k, v) }
+    val fullLine = line(all, 0)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write bench_last.json: $e") }
-    System.err.println(s"[bench] json line length: ${line.length}")
-    println(line)
+    val stdoutLine =
+      if (fullLine.length <= 1900) fullLine
+      else {
+        // keep the costliest cells that fit a 1900-char line (margin for
+        // the shell's trailing newline etc. inside the 2000-char window)
+        val overhead = line(Nil, all.length).length
+        var budget = 1900 - overhead
+        val kept = all.takeWhile { e =>
+          val ok = budget - (e.length + 1) >= 0
+          if (ok) budget -= e.length + 1
+          ok
+        }
+        line(kept, all.length - kept.length)
+      }
+    System.err.println(s"[bench] json line length: ${stdoutLine.length} (full ${fullLine.length})")
+    println(stdoutLine)
     spark.stop()
   }
 }

@@ -9,11 +9,13 @@ import graft.multimodal.{Media => MM}
  * (graft.multimodal.Media). The catalog entry runs the REAL typed
  * mapPartitions pipeline — Dataset[MediaRecord] -> decode ->
  * Dataset[MediaFeatures]. Image rows carry genuine PNG payloads decoded
- * with `javax.imageio`; their fixture dims/fill color are closed-form in
- * doc_id (Media.imgWidth/imgHeight/imgRgb), so the oracle below recomputes
- * the md5 of the expected decoded raster with repeat(chr(r)||chr(g)||chr(b))
- * — the DECODE ITSELF is hash-checked, not just the plumbing. Audio/video
- * rows keep the declared arithmetic stub (no codecs in this container).
+ * with `javax.imageio`; audio rows carry genuine WAV (RIFF/PCM) payloads
+ * parsed by Media.decodeWav. Both fixtures are closed-form in doc_id
+ * (Media.imgWidth/imgHeight/imgRgb, Media.wavSampleRate/wavChannels/
+ * wavSamples/wavFill), so the oracles below recompute the md5 of the
+ * expected decoded raster / PCM buffer with repeat(chr(..)..) — the DECODE
+ * ITSELF is hash-checked, not just the plumbing. Only video rows keep the
+ * declared arithmetic stub (no video codec in this container).
  */
 object MediaCatalog extends Family {
 
@@ -35,14 +37,23 @@ object MediaCatalog extends Family {
                      6 + (doc_id * 5) % 17 AS h
               FROM documents WHERE doc_id % 3 = 0)
         UNION ALL
-        SELECT doc_id,
-          CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        SELECT doc_id, 'audio' AS media_type,
+          CAST(ns * ch AS INTEGER) AS n_bytes,
+          substr(md5(repeat(chr(CAST(32 + (doc_id * 29) % 95 AS INTEGER)),
+            CAST(ns * ch AS INTEGER))), 1, 16) AS content_key,
+          0 AS width, 0 AS height,
+          CAST(ns AS INTEGER) AS n_frames
+        FROM (SELECT doc_id, 200 + (doc_id * 23) % 1800 AS ns,
+                     1 + doc_id % 2 AS ch
+              FROM documents WHERE doc_id % 3 = 1)
+        UNION ALL
+        SELECT doc_id, 'video' AS media_type,
           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
           substr(md5(text), 1, 16) AS content_key,
           CAST(320 + (doc_id * 31 + octet_length(encode(text))) % 1600 AS INTEGER) AS width,
           CAST(240 + (doc_id * 17 + octet_length(encode(text))) % 840 AS INTEGER) AS height,
           CAST(1 + octet_length(encode(text)) % 24 AS INTEGER) AS n_frames
-        FROM documents WHERE doc_id % 3 <> 0
+        FROM documents WHERE doc_id % 3 = 2
       ) ORDER BY doc_id
     """)) { (spark, dir) =>
     MM.extractFeatures(MM.mediaTable(spark, dir))
@@ -50,5 +61,30 @@ object MediaCatalog extends Family {
       .orderBy(col("doc_id"))
   }
 
-  override val specs: Seq[Q] = Seq(metaExtract)
+  // The audio modality's full typed header — a REAL WAV parse per row
+  // (sample rate, channel count, bit depth, PCM frame count) plus the
+  // exact-integer duration and the PCM payload digest. duration_ms is
+  // integer floor division on both engines — no IEEE arithmetic anywhere
+  // in this query.
+  private val audioMeta = Q(
+    "media_audio_meta",
+    Some("""
+      SELECT doc_id,
+        CAST(8000 + 100 * ((doc_id * 19) % 81) AS INTEGER) AS sample_rate,
+        CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        CAST(8 AS INTEGER) AS bits_per_sample,
+        CAST(ns AS BIGINT) AS n_samples,
+        CAST(ns * 1000 // (8000 + 100 * ((doc_id * 19) % 81)) AS BIGINT) AS duration_ms,
+        substr(md5(repeat(chr(CAST(32 + (doc_id * 29) % 95 AS INTEGER)),
+          CAST(ns * (1 + doc_id % 2) AS INTEGER))), 1, 16) AS pcm_key
+      FROM (SELECT doc_id, 200 + (doc_id * 23) % 1800 AS ns
+            FROM documents WHERE doc_id % 3 = 1)
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    MM.extractAudio(MM.mediaTable(spark, dir))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  override val specs: Seq[Q] = Seq(metaExtract, audioMeta)
 }

@@ -57,22 +57,71 @@ class MediaSpec extends SparkSpec {
     assert(badKey.isEmpty, badKey.take(3).mkString(", "))
   }
 
+  test("audio payloads are real WAVs; decodeWav recovers the closed-form header") {
+    for (docId <- Seq(1L, 4L, 7L, 10L, 43L, 124L)) {
+      val bytes = Media.wavFixture(docId)
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+      val (rate, ch, bits, dataOff, dataLen) = Media.decodeWav(bytes)
+      assert(rate == Media.wavSampleRate(docId))
+      assert(ch == Media.wavChannels(docId))
+      assert(bits == 8)
+      assert(dataLen == Media.wavSamples(docId) * ch)
+      assert(dataOff + dataLen == bytes.length)
+      assert(bytes(dataOff) == Media.wavFill(docId).toByte)
+    }
+    // through the distributed pipeline: typed audio rows match closed forms
+    val rows = Media.extractAudio(Media.mediaTable(spark, sf001)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { a =>
+      assert(a.sample_rate == Media.wavSampleRate(a.doc_id))
+      assert(a.channels == Media.wavChannels(a.doc_id))
+      assert(a.n_samples == Media.wavSamples(a.doc_id))
+      assert(a.duration_ms == a.n_samples * 1000L / a.sample_rate)
+    }
+  }
+
+  test("decodeWav walks unknown chunks and fails fast on junk") {
+    // splice a LIST chunk (odd length -> exercises even padding) before data
+    val canonical = Media.wavFixture(7L)
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = canonical.take(12) ++ junk ++ canonical.drop(12)
+    val patched = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8).array()
+    val (rate, ch, bits, _, dataLen) = Media.decodeWav(patched)
+    assert((rate, ch, bits) ==
+      ((Media.wavSampleRate(7L), Media.wavChannels(7L), 8)))
+    assert(dataLen == Media.wavSamples(7L) * ch)
+    // garbage and truncation raise instead of fabricating metadata
+    intercept[IllegalArgumentException](Media.decodeWav("not a wav at all".getBytes))
+    intercept[IllegalArgumentException](Media.decodeWav(canonical.take(30)))
+  }
+
   test("extractFeatures round-trips bytes and decodes deterministically") {
     val feats = Media.extractFeatures(Media.mediaTable(spark, sf001))
     val docs = graft.lake.Tables.documents(spark, sf001)
     assert(feats.count() == docs.count())
-    // audio/video: n_bytes == utf-8 length of the source text (payload intact)
-    val joined = feats.toDF().filter(col("media_type") =!= "image").join(docs, "doc_id")
+    // video: n_bytes == utf-8 length of the source text (payload intact)
+    val joined = feats.toDF().filter(col("media_type") === "video").join(docs, "doc_id")
       .filter(col("n_bytes") =!= length(encode(col("text"), "utf-8")))
     assert(joined.isEmpty)
-    // deterministic: same input -> same features (PNG encode+decode included)
+    // deterministic: same input -> same features (PNG/WAV encode+decode included)
     val twice = Media.extractFeatures(Media.mediaTable(spark, sf001))
     assert(feats.toDF().exceptAll(twice.toDF()).isEmpty)
     // ranges hold per modality
-    val badAv = feats.filter(f => f.media_type != "image" && (
+    val badVid = feats.filter(f => f.media_type == "video" && (
       f.width < 320 || f.width >= 1920 || f.height < 240 || f.height >= 1080 ||
         f.n_frames < 1 || f.n_frames > 24 || f.content_key.length != 16))
-    assert(badAv.isEmpty)
+    assert(badVid.isEmpty)
+    // audio: no raster; n_frames is the decoded PCM frame count
+    val badAud = feats.filter(f => f.media_type == "audio" && (
+      f.width != 0 || f.height != 0 ||
+        f.n_frames != Media.wavSamples(f.doc_id) ||
+        f.n_bytes != f.n_frames * Media.wavChannels(f.doc_id) ||
+        f.content_key.length != 16))
+    assert(badAud.isEmpty)
     val badImg = feats.filter(f => f.media_type == "image" && (
       f.width < 8 || f.width > 31 || f.height < 6 || f.height > 22 ||
         f.n_frames != 1 || f.content_key.length != 16))
@@ -80,7 +129,9 @@ class MediaSpec extends SparkSpec {
   }
 
   test("resizePlan fits within the box preserving aspect; never upscales") {
+    // raster modalities only — audio rows carry no dimensions
     val feats = Media.extractFeatures(Media.mediaTable(spark, sf001))
+      .filter(_.media_type != "audio")
     val plan = Media.resizePlan(feats, maxW = 512, maxH = 256)
     val bad = plan.filter(
       col("out_width") > 512 || col("out_height") > 256 ||
