@@ -1,0 +1,132 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.lake.Tables
+import graft.ops.TextOps
+
+/**
+ * Language-model data-prep operators over `documents`: corpus-informed
+ * quality scoring (rare-bigram ratio — the cheap stand-in for CCNet-style
+ * LM-perplexity filtering, rank-correlated with "this text doesn't look
+ * like the corpus") and tokenizer artifacts (frequency-ranked vocabulary
+ * build + per-document token-id encoding — the step that turns cleaned
+ * text into trainable sequences).
+ *
+ * Reference provenance: the reference stops at extraction
+ * (`/root/reference/config/queries/extract_events.sql`); these continue the
+ * driver's LLM-pipeline north star (SURVEY.md §2.9).
+ *
+ * Exact-output discipline: all scores are ratios of int64 counts — ONE IEEE
+ * division per output row, bit-identical in Spark and DuckDB; token ids are
+ * integers. No transcendental functions anywhere (a real perplexity needs
+ * log-probs; the rare-mass fraction keeps the filter signal oracle-exact).
+ *
+ * Scale ledger at 100 TB:
+ *   - bigram language model = ONE corpus-width (doc, bigram) aggregate; the
+ *     doc→corpus frequency join is Zipf-hot on the head bigrams, so it goes
+ *     through [[graft.ops.Skew.saltedJoin]] (same posture as tfidf).
+ *   - vocabulary ranking sorts VOCABULARY rows, not corpus rows — Heaps'-law
+ *     bounded (≈1e6-1e7 entries for web corpora), metadata-sized next to the
+ *     corpus, so its single-partition window is inherent and cheap; the
+ *     encode join then BROADCASTS the vocab to the corpus side.
+ */
+object Lm extends Family {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+
+  private val duckToks =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+      |  FROM documents)""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Rare-bigram ratio: what fraction of a document's bigram occurrences are
+  // corpus-rare (total corpus frequency <= 5)? High ratio = text unlike the
+  // corpus (gibberish, boilerplate-mangled, or genuinely novel) — the same
+  // decision boundary a KenLM perplexity filter draws, expressed in exact
+  // integer counts. Per-doc bigram counts aggregate BEFORE the frequency
+  // join, so the salted join moves (doc, distinct-bigram) rows, not every
+  // occurrence.
+  private val rareBigram = Q(
+    "lm_rare_bigram_ratio",
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i + 1])
+             ELSE [] END) AS bigram FROM t),
+      btf AS (SELECT doc_id, bigram, COUNT(*) AS bcnt FROM bg GROUP BY doc_id, bigram),
+      cf AS (SELECT bigram, CAST(SUM(bcnt) AS BIGINT) AS freq FROM btf GROUP BY bigram)
+      SELECT b.doc_id,
+        CAST(SUM(b.bcnt) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(SUM(CASE WHEN cf.freq <= 5 THEN b.bcnt END), 0) AS BIGINT) AS n_rare,
+        CAST(COALESCE(SUM(CASE WHEN cf.freq <= 5 THEN b.bcnt END), 0) AS DOUBLE)
+          / CAST(SUM(b.bcnt) AS DOUBLE) AS rare_ratio
+      FROM btf b JOIN cf USING (bigram)
+      GROUP BY b.doc_id ORDER BY b.doc_id
+    """)) { (spark, dir) =>
+    val tk = TextOps.tokens(col("text"))
+    val bigrams = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val btf = docs(spark, dir)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("bcnt"))
+    val cf = btf.groupBy(col("bigram")).agg(sum(col("bcnt")).as("freq"))
+    graft.ops.Skew.saltedJoin(btf, cf, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bcnt")).as("n_bigrams"),
+        coalesce(sum(when(col("freq") <= 5, col("bcnt"))), lit(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+          .as("rare_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Vocabulary build + token-id encode: ids assigned by corpus frequency
+  // rank (ties broken by term — the conventional BPE-ish id order), then
+  // every document re-expressed as its id sequence. The ranking window sorts
+  // only the vocabulary (Heaps-bounded, metadata-sized vs the corpus); the
+  // corpus-side encode join broadcasts that vocabulary, so NO corpus-width
+  // shuffle happens on the raw token stream — the only data-sized exchange
+  // is the per-doc regroup of (pos, id) pairs.
+  private val vocabEncode = Q(
+    "lm_vocab_encode",
+    Some(s"""
+      WITH $duckToks,
+      vc AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+      vocab AS (SELECT term,
+          CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS id
+        FROM vc),
+      enc AS (SELECT t.doc_id, t.pos, v.id FROM toks t JOIN vocab v USING (term))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        array_to_string(list(id ORDER BY pos), ',') AS ids_csv
+      FROM enc GROUP BY doc_id ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "term")))
+      .select(col("doc_id"), col("term"), (col("p0") + 1).cast("long").as("pos"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+      .select(col("term"), col("id"))
+    toks.join(broadcast(vocab), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(",",
+          transform(sort_array(collect_list(struct(col("pos"), col("id")))),
+            x => x.getField("id"))).as("ids_csv"))
+      .orderBy(col("doc_id"))
+  }
+
+  override val specs: Seq[Q] = Seq(rareBigram, vocabEncode)
+}

@@ -226,6 +226,35 @@ object Mining extends Family {
       .orderBy(col("day"))
   }
 
+  // ---------------------------------------------------------------------
+  // PageRank over the noise-cut co-purchase graph: parts are nodes, an
+  // undirected edge connects parts bought together in >= 2 distinct orders
+  // (the support floor removes the single-co-occurrence noise that
+  // dominates pair volume — 1.2M raw pairs -> 3.6k signal edges at sf0.1).
+  // Power iteration is not SQL-expressible cross-engine (iterative IEEE
+  // sums), so this entry has NO DuckDB twin: the driver records the weaker
+  // rows-only check, and semantic coverage lives in PageRankSpec (closed
+  // forms on cycles/stars, dangling-mass conservation, iteration scaling).
+  // Scale ledger: graft.ops.PageRank — O(iters x |E|) network, per-round
+  // lineage cut, driver scalars limited to |V| and the dangling mass.
+  private val pagerank = Q("graph_pagerank_parts", None) { (spark, dir) =>
+    val lp = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = lp.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = lp.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val sup = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+    val edges = sup.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(sup.select(col("pb").as("src"), col("pa").as("dst")))
+    graft.ops.PageRank.run(edges, iters = 8)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("part"), col("rank"))
+  }
+
   override val specs: Seq[Q] =
-    Seq(spanDedup, heavyHitters, topkAgg, containment, anomaly)
+    Seq(spanDedup, heavyHitters, topkAgg, containment, anomaly, pagerank)
 }

@@ -26,7 +26,9 @@ object ScaleSweep {
     "dedup_components", "sample_stratified_mix",
     "dedup_embedding_cosine", "ann_cosine_topk_brute", "ann_centroid_assign",
     "decontam_overlap", "chunk_overlap", "shard_assign", "corpus_mix",
-    "ann_recall")
+    "ann_recall", "tfidf_top_terms", "dedup_span_8gram", "search_postings",
+    "search_phrase", "search_bm25_topk", "lm_rare_bigram_ratio",
+    "lm_vocab_encode")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,

@@ -65,6 +65,9 @@ class PlanGateSpec extends SparkSpec {
                                          // join), each finalizing ONE row
     "freq_heavy_hitters" -> 1,           // 1-row Misra-Gries candidate array
     "funnel_view_click_purchase" -> 1,   // 1-row funnel output
+    "lm_vocab_encode" -> 1,              // vocabulary ranking window —
+                                         // Heaps-bounded vocab rows, never
+                                         // corpus rows (see Lm scaladoc)
     "profile_tables" -> 3,               // 3 per-table scalar profile aggs
     "reconcile_days_without_errors" -> 1, // scalar reconciliation total
     "rfm_segments" -> 2,                 // quantile + as-of scalar frames

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    PageRank.run(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("directed cycle converges to the uniform distribution") {
+    val cycle = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    val r = ranksOf(cycle, iters = 20)
+    r.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
+  }
+
+  test("star graph matches the closed form") {
+    // leaves 2..5 -> hub 1; hub dangles (mass redistributed uniformly).
+    // Fixed point (using exact mass conservation hub + 4*leaf = 1):
+    //   leaf = (1-d)/n + (d/n)*hub  =>  leaf = ((1-d)/n + d/n) / (1 + 4d/n)
+    // Convergence is geometric at rate d=0.85, so 40 iterations reach
+    // ~0.85^40 ≈ 1.5e-3 of the initial gap — assert at 1e-3.
+    val star = Seq(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+    val r = ranksOf(star, iters = 40)
+    val d = 0.85; val n = 5.0
+    val leaf = ((1 - d) / n + d / n) / (1 + 4 * d / n)
+    val hub = 1 - 4 * leaf
+    assert(math.abs(r(1L) - hub) < 1e-3, s"hub ${r(1L)} vs $hub")
+    Seq(2L, 3L, 4L, 5L).foreach(v =>
+      assert(math.abs(r(v) - leaf) < 1e-3, s"leaf ${r(v)} vs $leaf"))
+  }
+
+  test("probability mass is conserved, with and without dangling nodes") {
+    val withDangling = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L) // 4 dangles
+    for (g <- Seq(withDangling, Seq(1L -> 2L, 2L -> 1L))) {
+      val total = ranksOf(g, iters = 15).values.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"mass $total")
+    }
+  }
+
+  test("hub outranks leaves and more iterations refine toward the fixed point") {
+    val star = Seq(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+    val r5 = ranksOf(star, 5)
+    val r20 = ranksOf(star, 20)
+    val r40 = ranksOf(star, 40)
+    assert(r5(1L) > r5(2L))
+    // contraction: successive iterates approach each other
+    assert(math.abs(r40(1L) - r20(1L)) < math.abs(r20(1L) - r5(1L)))
+  }
+
+  test("catalog pagerank query returns a full top-20 of distinct parts") {
+    val top = graft.SparkEntry.queries("graph_pagerank_parts")(spark, sf001).collect()
+    assert(top.length == 20)
+    val parts = top.map(_.getLong(0))
+    assert(parts.distinct.length == 20)
+    val ranks = top.map(_.getDouble(1))
+    assert(ranks.sameElements(ranks.sorted.reverse))
+    assert(ranks.forall(v => v > 0 && v < 1))
+  }
+}
