@@ -193,19 +193,28 @@ object TextLlm extends Family {
           + 0.2 * least(1.0, n_tokens / 100.0) AS quality_score
       FROM s ORDER BY doc_id
     """)) { (spark, dir) =>
+    qualityFrame(spark, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct") / col("n_tokens")).as("uniq_ratio"),
+        (col("n_stop") / col("n_tokens")).as("stop_ratio"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc quality signals + the fixed-order composite score (row-wise
+    * IEEE, bit-identical cross-engine) — shared by `text_quality_scores`
+    * and the cluster-canonical pick. */
+  private def qualityFrame(spark: SparkSession, dir: String): DataFrame = {
     val t = TextOps.tokens(col("text"))
     docs(spark, dir)
       .select(col("doc_id"),
         size(t).as("n_tokens"),
         size(array_distinct(t)).as("n_distinct"),
         size(filter(t, x => x.isin("the", "a"))).as("n_stop"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_distinct") / col("n_tokens")).as("uniq_ratio"),
-        (col("n_stop") / col("n_tokens")).as("stop_ratio"),
-        (lit(0.3) * (col("n_distinct") / col("n_tokens"))
+      .withColumn("quality_score",
+        lit(0.3) * (col("n_distinct") / col("n_tokens"))
           + lit(0.5) * (lit(1) - col("n_stop") / col("n_tokens"))
-          + lit(0.2) * least(lit(1.0), col("n_tokens") / 100.0)).as("quality_score"))
-      .orderBy(col("doc_id"))
+          + lit(0.2) * least(lit(1.0), col("n_tokens") / 100.0))
   }
 
   // Language-ID heuristic: profile-wordlist overlap, deterministic argmax.
@@ -653,7 +662,64 @@ object TextLlm extends Family {
       .orderBy(col("doc_id"), col("rn"))
   }
 
-  override val specs: Seq[Q] = Seq(
+  // Quality-weighted canonical per duplicate cluster — the production
+  // upgrade of dedup_components' min-id rule: when a near-dup cluster
+  // collapses to one survivor, keep the HIGHEST-QUALITY copy (cleanest
+  // boilerplate, best length), not the accidentally-lowest id. The
+  // composite score is row-wise fixed-order IEEE (bit-identical in both
+  // engines), so the per-cluster argmax is oracle-exact. Scale shape: the
+  // components pass is the dominant cost (already O(log diameter)); this
+  // adds one doc_id-keyed join + a window partitioned by cluster id —
+  // per-partition state bounded by the largest duplicate cluster.
+  private val clusterCanonical = Q(
+    "dedup_cluster_canonical",
+    Some(s"""
+      WITH RECURSIVE ${TextOps.duckPairsCtes},
+      sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS comp_id
+        FROM reach GROUP BY a),
+      b2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s2 AS (SELECT doc_id, len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct,
+               len(list_filter(t, x -> x IN ('the', 'a'))) AS n_stop
+             FROM b2),
+      qs AS (SELECT doc_id,
+               0.3 * (n_distinct / n_tokens) + 0.5 * (1 - n_stop / n_tokens)
+                 + 0.2 * least(1.0, n_tokens / 100.0) AS quality_score
+             FROM s2)
+      SELECT comp_id, doc_id AS canonical_doc, n_members,
+        quality_score AS canonical_quality
+      FROM (
+        SELECT c.comp_id, c.doc_id, q.quality_score,
+          COUNT(*) OVER (PARTITION BY c.comp_id) AS n_members,
+          row_number() OVER (PARTITION BY c.comp_id
+            ORDER BY q.quality_score DESC, c.doc_id) AS rn
+        FROM comp c JOIN qs q USING (doc_id))
+      WHERE rn = 1 ORDER BY comp_id
+    """)) { (spark, dir) =>
+    val comps = graft.ops.Components
+      .connectedComponents(lshPairs(spark, dir), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("comp_id"))
+    val qs = qualityFrame(spark, dir).select(col("doc_id"), col("quality_score"))
+    val byComp = Window.partitionBy(col("comp_id"))
+    comps.join(qs, Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .withColumn("rn", row_number().over(
+        byComp.orderBy(col("quality_score").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("comp_id"), col("doc_id").as("canonical_doc"),
+        col("n_members"), col("quality_score").as("canonical_quality"))
+      .orderBy(col("comp_id"))
+  }
+
+  override val specs: Seq[Q] = Seq(clusterCanonical,
     dedupExact, dedupNorm, minhashLsh, components, jaccard, simhash,
     quality, repetition, langId, tokenCounts, fingerprint, sourceParse,
     hashSample, stratifiedSample, ppsSample, packBins, levenshteinPairs,

@@ -1,7 +1,10 @@
 package graft.ops
 
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Distributed PageRank over an edge list (`src`, `dst`) — the standard
@@ -12,7 +15,15 @@ import org.apache.spark.sql.functions._
  * Built the same way as [[Components]]: declarative DataFrame joins per
  * round, `localCheckpoint` to cut lineage (plan depth stays O(1) per
  * iteration instead of O(iterations)), driver-side scalars limited to
- * metadata (node count once, dangling mass per round — one 1-row aggregate).
+ * metadata (node count and dangling-node existence once, dangling mass per
+ * round — and only when dangling nodes exist).
+ *
+ * All iteration arithmetic is DECIMAL(38,18), not double: decimal sums are
+ * exact and order-independent, so the result is bit-identical across reruns
+ * and partitionings — double partial-aggregation order varies with
+ * scheduling and would wobble ranks at the ulp level, flipping near-tie
+ * orderings downstream (the [[graft.ops.Exact]] discipline, applied to an
+ * iterative operator). The output casts to double once at the end.
  *
  * Scale shape per iteration: ONE src-keyed join (edges × ranks — both sides
  * hash-partitioned on the same key, so a pre-partitioned edge table makes
@@ -26,12 +37,20 @@ import org.apache.spark.sql.functions._
  */
 object PageRank {
 
+  // Rank storage is DECIMAL(28,18), damping DECIMAL(8,6) — narrow enough
+  // that Spark's decimal-precision rules keep every product/sum under
+  // precision 38 WITHOUT the silent scale-6 truncation a (38,18)x(38,18)
+  // multiply triggers (DecimalPrecision caps overflowing results at
+  // MINIMUM_ADJUSTED_SCALE=6, a 1e-6 mass leak per iteration).
+  private val Dec = DecimalType(28, 18)
+  private val DampDec = DecimalType(8, 6)
+
   /**
    * @param edges  directed edges (`src`, `dst`); parallel edges count once
    *               (dedup upstream if needed)
    * @param iters  fixed power iterations (10-20 converges for web-like
    *               graphs at d=0.85)
-   * @return (`node`, `rank`) — ranks sum to 1 over all nodes
+   * @return (`node`, `rank`) — doubles summing to 1 over all nodes
    */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
           checkpointEvery: Int = 3): DataFrame = {
@@ -44,27 +63,48 @@ object PageRank {
       .localCheckpoint()
     val n = nodes.count() // metadata scalar: |V|, once
     require(n > 0, "empty graph")
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    // valueOf(double) goes through Double.toString — 0.85 stays "0.85",
+    // not its binary-double expansion
+    val d = JBigDecimal.valueOf(damping)
+    require(d.scale <= 6, s"damping needs <= 6 decimal digits: $damping")
+    val nBig = JBigDecimal.valueOf(n)
+    val base = JBigDecimal.ONE.subtract(d).divide(nBig, 18, RoundingMode.HALF_UP)
+    // Dangling-node existence is a property of the GRAPH, not the ranks —
+    // probe it once; symmetric graphs (every undirected edge emitted both
+    // ways, e.g. the co-purchase graph) then skip the per-iteration
+    // dangling-mass aggregate entirely, halving driver-side actions.
+    val danglingNodes = nodes
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = !danglingNodes.isEmpty
+    var ranks = nodes.withColumn("rank",
+      lit(JBigDecimal.ONE.divide(nBig, 18, RoundingMode.HALF_UP)).cast(Dec))
     for (i <- 1 to iters) {
       // dangling nodes (no out-edges) leak their mass — redistribute it
-      // uniformly; 1-row aggregate per round, same cost class as
-      // Components' convergence probe
-      val dangling = ranks
-        .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)))
-        .first().getDouble(0)
+      // uniformly; 1-row exact-decimal aggregate per round (only when
+      // dangling nodes exist), same cost class as Components' probe
+      val danglingOverN =
+        if (!hasDangling) JBigDecimal.ZERO
+        else {
+          val m = ranks.join(danglingNodes, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0).cast(Dec)))
+            .first().getDecimal(0)
+          m.divide(nBig, 18, RoundingMode.HALF_UP)
+        }
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("deg")).cast(Dec).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).cast(Dec).as("contrib"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n))).as("rank"))
+          (lit(base).cast(Dec) + lit(d).cast(DampDec) *
+            (coalesce(col("contrib"), lit(0).cast(Dec))
+              + lit(danglingOverN).cast(Dec))).cast(Dec).as("rank"))
       if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    ranks.select(col("node"), col("rank").cast("double").as("rank"))
   }
 }
