@@ -1,11 +1,12 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.lake.Tables
 import graft.ops.Exact._
+import graft.ops.TextOps
 
 /**
  * Event-stream analytics: the reference's extraction query semantics
@@ -414,8 +415,73 @@ object Events extends Family {
       .orderBy(col("cohort_date"))
   }
 
+  // -------------------------------------------------------------------------
+  // A/B experiment readout: deterministic hash-based arm assignment (the
+  // rerun-stable split a real experimentation platform derives from
+  // user_id + salt), per-arm conversion, and a two-proportion Pearson
+  // chi-square significance decision made in EXACT integer arithmetic:
+  //
+  //   chi2 = N*(ad-bc)^2 / (r1*r2*c1*c2)   vs   3.841459 (95%, df=1)
+  //
+  // decided as 10^6*N*(ad-bc)^2 > 3841459*(r1*r2*c1*c2) over DECIMAL(38,0)
+  // products — no IEEE arithmetic in the DECISION (the anomaly-flag
+  // discipline); chi2 itself is reported via one IEEE division of
+  // int-exact operands. Scale shape: one user-keyed aggregate (conversion
+  // flag), one 2-row arm aggregate, a 1-row readout — the whole readout is
+  // a single corpus pass regardless of experiment count per user.
+  private val abtest = Q(
+    "abtest_conversion_chi2",
+    Some("""
+      WITH conv AS (
+        SELECT user_id,
+          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 2 AS arm,
+          CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 13
+            THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT
+          CAST(SUM(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+          CAST(SUM(CASE WHEN arm = 0 AND converted = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+          CAST(SUM(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+          CAST(SUM(CASE WHEN arm = 1 AND converted = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS d
+        FROM conv)
+      SELECT CAST(a AS BIGINT) AS conv_a, CAST(b AS BIGINT) AS nonconv_a,
+        CAST(c AS BIGINT) AS conv_b, CAST(d AS BIGINT) AS nonconv_b,
+        CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) = 0 THEN NULL ELSE
+          round(CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+            / CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE), 6) END AS chi2,
+        CAST(1000000 * (a+b+c+d) * (a*d - b*c) * (a*d - b*c)
+          > 3841459 * ((a+b) * (c+d) * (a+c) * (b+d)) AS INTEGER) AS significant
+      FROM cells
+    """)) { (spark, dir) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // conversion = heavy buyer (> median purchase count) — "any purchase"
+    // is degenerate on this corpus (every user buys), which would zero the
+    // non-converter margin and the chi-square denominator with it
+    val conv = ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0)) > 13)
+        .cast("int").as("converted"))
+      .withColumn("arm", TextOps.h32(col("user_id").cast("string")) % 2)
+    def cell(arm: Int, c: Int): Column =
+      sum(when(col("arm") === arm && col("converted") === c, 1).otherwise(0))
+        .cast(dec)
+    val a = col("a"); val b = col("b"); val c = col("c"); val d = col("d")
+    val num = (a + b + c + d) * (a * d - b * c) * (a * d - b * c)
+    val den = (a + b) * (c + d) * (a + c) * (b + d)
+    conv.agg(cell(0, 1).as("a"), cell(0, 0).as("b"),
+        cell(1, 1).as("c"), cell(1, 0).as("d"))
+      .select(a.cast("long").as("conv_a"), b.cast("long").as("nonconv_a"),
+        c.cast("long").as("conv_b"), d.cast("long").as("nonconv_b"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(round(num.cast("double") / den.cast("double"), 6))
+          .as("chi2"),
+        (num * 1000000 > den * 3841459).cast("int").as("significant"))
+  }
+
   override val specs: Seq[Q] = Seq(
     extractDay, dailyKpis, funnel, sessionize, attribution,
     journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
-    convLatency)
+    convLatency, abtest)
 }

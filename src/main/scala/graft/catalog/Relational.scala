@@ -746,10 +746,79 @@ object Relational extends Family {
       .orderBy(col("custkey"))
   }
 
+  // W4-adjacent: RANGE frame (value-based window) — trailing-7-day revenue
+  // per order day. Unlike the ROWS frames above, the frame is bounded by
+  // the ORDER-BY VALUE (epoch days), so gap days shrink the window instead
+  // of sliding over them — the semantics ROWS frames get wrong on sparse
+  // time series. The window is day-grain: its input is the per-day
+  // aggregate (calendar-bounded — decades fit one partition as comfortably
+  // as a vocabulary does), so the unpartitioned sort is metadata-sized, not
+  // corpus-sized; the corpus pass is the one day-keyed hash aggregate
+  // below it. Exact decimal sums inside the frame (Exact discipline).
+  private val trailing7dQ = Q(
+    "window_trailing_7day_revenue",
+    Some("""
+      WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_n,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+        FROM orders GROUP BY 1, 2)
+      SELECT day, CAST(day_rev AS DOUBLE) AS day_revenue,
+        CAST(SUM(day_rev) OVER (ORDER BY day_n
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS trailing_7day_revenue
+      FROM d ORDER BY day
+    """)) { (spark, dir) =>
+    val day = col("o_orderdate").cast("date")
+    val d = t(spark, dir, "orders")
+      .groupBy(day.as("day"),
+        datediff(day, to_date(lit("1970-01-01"))).as("day_n"))
+      .agg(sum(dec2(col("o_totalprice"))).as("day_rev"))
+    val w = Window.orderBy(col("day_n")).rangeBetween(-6, 0)
+    d.select(col("day"), col("day_rev").cast("double").as("day_revenue"),
+        sum(col("day_rev")).over(w).cast("double").as("trailing_7day_revenue"))
+      .orderBy(col("day"))
+  }
+
+  // Equi-width histogram profile of order values — the numeric-distribution
+  // complement of profile_tables' null/distinct scan: 10 bins over the
+  // cents-integer [min, max] span, bounds reported exactly. One 1-row
+  // min/max broadcast, one map-side bin projection, one 10-group aggregate.
+  private val histogramQ = Q(
+    "profile_price_histogram",
+    Some("""
+      WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents FROM orders),
+      m AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c),
+      b AS (SELECT ((cents - lo) * 10) // (hi - lo + 1) AS bin,
+              lo, hi FROM c, m)
+      SELECT CAST(bin AS BIGINT) AS bin,
+        CAST(lo + bin * (hi - lo + 1) // 10 AS BIGINT) AS bin_lo_cents,
+        COUNT(*) AS n_orders
+      FROM b GROUP BY bin, lo, hi ORDER BY bin
+    """)) { (spark, dir) =>
+    val c = t(spark, dir, "orders")
+      .select((dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val m = c.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    // floor(int64/int64 in double) is the exact rational floor here: both
+    // operands stay far below 2^53 (cents spans ~6e7, x10 numerator ~6e8)
+    c.crossJoin(broadcast(m))
+      .select(floor(((col("cents") - col("lo")) * 10)
+          / (col("hi") - col("lo") + 1)).as("bin"),
+        col("lo"), col("hi"))
+      .groupBy(col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(col("bin").cast("long").as("bin"),
+        (col("lo") + floor((col("bin") * (col("hi") - col("lo") + 1)) / 10))
+          .cast("long").as("bin_lo_cents"),
+        col("n_orders"))
+      .orderBy(col("bin"))
+  }
+
   override val specs: Seq[Q] = Seq(rfmQ,
     q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
     rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ, ewmaQ,
     percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ, rankMetricsQ,
-    dispersionQ, hotKeysQ)
+    dispersionQ, hotKeysQ, trailing7dQ, histogramQ)
 }

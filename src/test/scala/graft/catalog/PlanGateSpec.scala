@@ -47,6 +47,7 @@ class PlanGateSpec extends SparkSpec {
     "calendar_fill_daily_sales" -> 1, // generated day axis x 5-row dim
     "corpus_mix" -> 1,            // broadcast 1-row corpus grand total
     "dedup_semdedup" -> 1,        // broadcast centroid set (k rows)
+    "profile_price_histogram" -> 1, // broadcast 1-row min/max span
     "rfm_segments" -> 3,          // as-of date frame + R/F/M quantile frames
     "search_bm25_topk" -> 1,      // broadcast 1-row (A, N) corpus totals
     "sample_pps_systematic" -> 1, // broadcast 1-row token grand total
@@ -56,6 +57,7 @@ class PlanGateSpec extends SparkSpec {
   /** query -> max SinglePartition exchanges, each the final combine of a
     * 1-row global aggregate (metadata-sized by construction). */
   private val singlePartAllow: Map[String, Int] = Map(
+    "abtest_conversion_chi2" -> 1,       // 1-row 2x2 contingency readout
     "basket_part_pairs" -> 1,            // 1-row distinct-order total
     "calendar_fill_daily_sales" -> 1,    // 1-row min/max date span
     "corpus_mix" -> 1,                   // corpus grand total
@@ -68,13 +70,17 @@ class PlanGateSpec extends SparkSpec {
     "lm_vocab_encode" -> 1,              // vocabulary ranking window —
                                          // Heaps-bounded vocab rows, never
                                          // corpus rows (see Lm scaladoc)
+    "profile_price_histogram" -> 1,      // 1-row min/max span
     "profile_tables" -> 3,               // 3 per-table scalar profile aggs
     "reconcile_days_without_errors" -> 1, // scalar reconciliation total
     "rfm_segments" -> 2,                 // quantile + as-of scalar frames
     "sample_pps_systematic" -> 1,        // token grand-total scalar
     "search_bm25_topk" -> 1,             // 1-row (A, N) corpus totals
     "skew_hot_custkeys" -> 1,            // grand total
-    "tfidf_top_terms" -> 1)              // n_docs count
+    "tfidf_top_terms" -> 1,              // n_docs count
+    "window_trailing_7day_revenue" -> 1) // calendar-bounded day-grain
+                                         // window (metadata-sized input,
+                                         // see the query's scaladoc)
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */
