@@ -59,6 +59,12 @@ object Warehouse extends Family {
         FROM j WHERE eff IS NULL OR c_mktsegment = 'PRIORITY'
       ) ORDER BY c_custkey, valid_from
     """)) { (spark, dir) =>
+    scd2Dim(spark, dir).orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  /** The type-2 dimension rows (c_custkey, segment, valid_from, valid_to,
+    * is_current) — shared by the merge query and the as-of read. */
+  private def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
     val dimStart = to_date(lit("1992-01-01"))
     val changes = Tables.load(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT" &&
@@ -80,7 +86,50 @@ object Warehouse extends Family {
             row(col("c_mktsegment"), dimStart, nullDate, 1)))).as("r"))
       .select(col("c_custkey"), col("r.segment"), col("r.valid_from"),
         col("r.valid_to"), col("r.is_current"))
-      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Point-in-time (as-of) read over the type-2 dimension: each customer's
+  // segment as of a fixed date — the query every SCD2 table exists to
+  // answer. Validity-window predicate (valid_from <= D < valid_to, open
+  // intervals NULL-terminated), map-only over the dim build; exactly one
+  // row per customer survives (spec'd by the UNION shape: windows
+  // partition the timeline). At 100 TB the dim is read, not rebuilt —
+  // the predicate pushes into the dim scan.
+  private val scd2AsOf = Q(
+    "scd2_as_of_read",
+    Some("""
+      WITH eff AS (
+        SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS eff
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        GROUP BY o_custkey),
+      j AS (
+        SELECT c.c_custkey, c.c_mktsegment, e.eff
+        FROM customer c LEFT JOIN eff e ON e.o_custkey = c.c_custkey),
+      dim AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+          DATE '1992-01-01' AS valid_from, eff AS valid_to
+        FROM j WHERE eff IS NOT NULL AND c_mktsegment <> 'PRIORITY'
+        UNION ALL
+        SELECT c_custkey, 'PRIORITY', eff, NULL
+        FROM j WHERE eff IS NOT NULL AND c_mktsegment <> 'PRIORITY'
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, DATE '1992-01-01', NULL
+        FROM j WHERE eff IS NULL OR c_mktsegment = 'PRIORITY')
+      SELECT c_custkey, segment AS segment_as_of
+      FROM dim
+      WHERE valid_from <= DATE '1996-06-01'
+        AND (valid_to IS NULL OR valid_to > DATE '1996-06-01')
+      ORDER BY c_custkey
+    """)) { (spark, dir) =>
+    val d = to_date(lit("1996-06-01"))
+    scd2Dim(spark, dir)
+      .filter(col("valid_from") <= d &&
+        (col("valid_to").isNull || col("valid_to") > d))
+      .select(col("c_custkey"), col("segment").as("segment_as_of"))
+      .orderBy(col("c_custkey"))
   }
 
   // ---------------------------------------------------------------------
@@ -385,5 +434,6 @@ object Warehouse extends Family {
       .orderBy(col("column_name"))
   }
 
-  override val specs: Seq[Q] = Seq(scd2, dq, basket, calendarFill, profile)
+  override val specs: Seq[Q] =
+    Seq(scd2, scd2AsOf, dq, basket, calendarFill, profile)
 }

@@ -1,0 +1,117 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Versioned table publishes — the "poor-man's table format": every publish
+ * writes a COMPLETE new version directory (`v=N/`), then atomically swaps a
+ * one-line manifest pointing at it. Readers resolve the manifest first, so
+ * they only ever see fully-written snapshots — no partial reads during a
+ * republish (the failure mode of in-place `mode("overwrite")` on a live
+ * table) — and any historical version stays readable until vacuumed
+ * (time travel).
+ *
+ * Swap protocol (same tmp/bak discipline as [[Compact]], where Hadoop's
+ * no-clobber `rename` forces a two-step): write `_manifest.tmp`, demote the
+ * live manifest to `_manifest.bak`, promote tmp, drop bak. A crash between
+ * steps leaves either the old manifest or the bak — [[currentVersion]]
+ * heals by falling back to the bak, never to a half-published version
+ * (the new `v=N/` dir without a manifest pointing at it is invisible and
+ * simply overwritten by the next publish). On HDFS the promote step is
+ * atomic; on S3 a production deployment swaps via conditional PUT
+ * (If-None-Match) — the layout and reader contract stay identical.
+ *
+ * Scale posture: the manifest is one small file read once per query plan;
+ * data paths are immutable-once-published, so caches and speculative
+ * re-reads stay consistent by construction.
+ */
+object Versioned {
+
+  private def fs(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifest(table: String) = new Path(s"$table/_manifest")
+  private def tmp(table: String) = new Path(s"$table/_manifest.tmp")
+  private def bak(table: String) = new Path(s"$table/_manifest.bak")
+
+  private def readVersionFile(f: FileSystem, p: Path): Option[Long] =
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, n, StandardCharsets.UTF_8).trim.toLong)
+      } finally in.close()
+    }
+
+  /** The live version: manifest, healing from the bak a crashed swap may
+    * have left behind. None when the table has never been published. */
+  def currentVersion(spark: SparkSession, table: String): Option[Long] = {
+    val f = fs(spark, table)
+    readVersionFile(f, manifest(table)).orElse {
+      val healed = readVersionFile(f, bak(table))
+      healed.foreach { _ =>
+        // finish the interrupted swap: promote the bak back to live
+        f.rename(bak(table), manifest(table))
+      }
+      healed
+    }
+  }
+
+  /** All published version dirs, ascending (includes pre-vacuum history). */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val f = fs(spark, table)
+    val root = new Path(table)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** Publish `df` as the next version; returns the new version number.
+    * The data dir is complete before the manifest swap exposes it. */
+  def publish(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val next = currentVersion(spark, table).getOrElse(0L) + 1
+    // overwrite heals a half-written dir from a publish that crashed
+    // before its swap (that version number was never exposed)
+    df.write.mode("overwrite").parquet(s"$table/v=$next")
+    val out = f.create(tmp(table), true)
+    try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(manifest(table))) {
+      f.delete(bak(table), false)
+      f.rename(manifest(table), bak(table))
+    }
+    require(f.rename(tmp(table), manifest(table)),
+      s"manifest promote failed for $table v$next")
+    f.delete(bak(table), false)
+    next
+  }
+
+  /** Read the live snapshot. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    readVersion(spark, table, v)
+  }
+
+  /** Time travel: read a specific published version. */
+  def readVersion(spark: SparkSession, table: String, v: Long): DataFrame =
+    spark.read.parquet(s"$table/v=$v")
+
+  /** Drop all version dirs older than the live one minus `keep`. */
+  def vacuum(spark: SparkSession, table: String, keep: Int = 1): Seq[Long] = {
+    val f = fs(spark, table)
+    val live = currentVersion(spark, table).getOrElse(return Seq.empty)
+    val dropped = versions(spark, table).filter(_ < live - keep)
+    dropped.foreach(v => f.delete(new Path(s"$table/v=$v"), true))
+    dropped
+  }
+}

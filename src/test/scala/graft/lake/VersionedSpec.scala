@@ -1,0 +1,66 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** The versioned publish must give readers snapshot isolation: the live
+  * manifest only ever points at a COMPLETE version dir, history stays
+  * readable until vacuumed, and a crash mid-swap heals to a consistent
+  * (old) snapshot — never to half-published data. */
+class VersionedSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tbl() = Files.createTempDirectory("graft_versioned").toString + "/t"
+
+  test("publish bumps the version; read sees the latest, time travel the past") {
+    val t = tbl()
+    assert(Versioned.currentVersion(spark, t).isEmpty)
+    val v1 = Versioned.publish(Seq(1, 2, 3).toDF("x"), t)
+    val v2 = Versioned.publish(Seq(10, 20).toDF("x"), t)
+    assert((v1, v2) == ((1L, 2L)))
+    assert(Versioned.currentVersion(spark, t).contains(2L))
+    assert(Versioned.read(spark, t).as[Int].collect().sorted.sameElements(Array(10, 20)))
+    assert(Versioned.readVersion(spark, t, 1).as[Int].collect().sorted
+      .sameElements(Array(1, 2, 3)))
+    assert(Versioned.versions(spark, t) == Seq(1L, 2L))
+  }
+
+  test("a half-published version without a manifest swap stays invisible") {
+    val t = tbl()
+    Versioned.publish(Seq(1).toDF("x"), t)
+    // simulate a publish that crashed after writing data, before the swap
+    Seq(99).toDF("x").write.parquet(s"$t/v=2")
+    assert(Versioned.currentVersion(spark, t).contains(1L))
+    assert(Versioned.read(spark, t).as[Int].collect().sameElements(Array(1)))
+    // the next real publish reclaims the orphaned version number
+    val v = Versioned.publish(Seq(7, 8).toDF("x"), t)
+    assert(v == 2L)
+    assert(Versioned.read(spark, t).as[Int].collect().sorted.sameElements(Array(7, 8)))
+  }
+
+  test("a crash between demote and promote heals to the previous snapshot") {
+    val t = tbl()
+    Versioned.publish(Seq(1).toDF("x"), t)
+    Versioned.publish(Seq(2).toDF("x"), t)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manufacture the crash window: live manifest demoted to bak, tmp lost
+    fs.rename(new Path(s"$t/_manifest"), new Path(s"$t/_manifest.bak"))
+    assert(Versioned.currentVersion(spark, t).contains(2L)) // healed from bak
+    assert(fs.exists(new Path(s"$t/_manifest")), "heal must restore the manifest")
+    assert(Versioned.read(spark, t).as[Int].collect().sameElements(Array(2)))
+  }
+
+  test("vacuum drops old versions but keeps the live window") {
+    val t = tbl()
+    (1 to 4).foreach(i => Versioned.publish(Seq(i).toDF("x"), t))
+    val dropped = Versioned.vacuum(spark, t, keep = 1)
+    assert(dropped == Seq(1L, 2L))
+    assert(Versioned.versions(spark, t) == Seq(3L, 4L))
+    assert(Versioned.read(spark, t).as[Int].collect().sameElements(Array(4)))
+    assert(Versioned.readVersion(spark, t, 3).as[Int].collect().sameElements(Array(3)))
+  }
+}
