@@ -55,7 +55,13 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
           checkpointEvery: Int = 3): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // Hash-partition edges by the join key ONCE: localCheckpoint preserves
+    // the partitioning, so every iteration's src-keyed join re-shuffles
+    // only the (small, changing) rank side — the (large, static) edge side
+    // is exchange-free across all iterations, and the degree aggregate
+    // below it is map-side
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
