@@ -480,8 +480,52 @@ object Events extends Family {
         (num * 1000000 > den * 3841459).cast("int").as("significant"))
   }
 
+  // -------------------------------------------------------------------------
+  // Rolling 7-day active users (WAU) + same-day DAU per report day — the
+  // dashboard headline metric, computed EXACTLY without a sliding-window
+  // distinct: each (user, active-day) pair fans out to the 7 report days
+  // it supports (a bounded Generate, fanout = window length), then ONE
+  // day-keyed distinct aggregate. The naive alternatives both break at
+  // scale: a per-day self-join over the activity table is quadratic in
+  // days, and count(DISTINCT) over a RANGE frame isn't supported at all.
+  // Report days past the last observed day are cut (partial future
+  // windows), via a broadcast 1-row max.
+  private val wau = Q(
+    "window_wau_rolling",
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events),
+      mx AS (SELECT MAX(day) AS mx FROM ud),
+      ex AS (
+        SELECT user_id, day,
+          unnest(CAST(generate_series(day, day + INTERVAL 6 DAY,
+            INTERVAL 1 DAY) AS DATE[])) AS rday
+        FROM ud)
+      SELECT ex.rday AS day,
+        COUNT(DISTINCT ex.user_id) AS wau_7d,
+        COUNT(DISTINCT CASE WHEN ex.day = ex.rday THEN ex.user_id END) AS dau
+      FROM ex, mx WHERE ex.rday <= mx.mx
+      GROUP BY ex.rday ORDER BY day
+    """)) { (spark, dir) =>
+    val ud = ev(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val mx = ud.agg(max(col("day")).as("mx"))
+    ud.select(col("user_id"), col("day"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("rday"))
+      .crossJoin(broadcast(mx))
+      .filter(col("rday") <= col("mx"))
+      .groupBy(col("rday"))
+      .agg(countDistinct(col("user_id")).as("wau_7d"),
+        countDistinct(when(col("day") === col("rday"), col("user_id")))
+          .as("dau"))
+      .select(col("rday").as("day"), col("wau_7d"), col("dau"))
+      .orderBy(col("day"))
+  }
+
   override val specs: Seq[Q] = Seq(
     extractDay, dailyKpis, funnel, sessionize, attribution,
     journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
-    convLatency, abtest)
+    convLatency, abtest, wau)
 }

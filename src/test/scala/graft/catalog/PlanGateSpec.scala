@@ -52,7 +52,8 @@ class PlanGateSpec extends SparkSpec {
     "search_bm25_topk" -> 1,      // broadcast 1-row (A, N) corpus totals
     "sample_pps_systematic" -> 1, // broadcast 1-row token grand total
     "skew_hot_custkeys" -> 1,     // broadcast 1-row grand total (hotKeys)
-    "tfidf_top_terms" -> 1)       // broadcast 1-row n_docs
+    "tfidf_top_terms" -> 1,       // broadcast 1-row n_docs
+    "window_wau_rolling" -> 1)    // broadcast 1-row max observed day
 
   /** query -> max SinglePartition exchanges, each the final combine of a
     * 1-row global aggregate (metadata-sized by construction). */
@@ -78,9 +79,10 @@ class PlanGateSpec extends SparkSpec {
     "search_bm25_topk" -> 1,             // 1-row (A, N) corpus totals
     "skew_hot_custkeys" -> 1,            // grand total
     "tfidf_top_terms" -> 1,              // n_docs count
-    "window_trailing_7day_revenue" -> 1) // calendar-bounded day-grain
+    "window_trailing_7day_revenue" -> 1, // calendar-bounded day-grain
                                          // window (metadata-sized input,
                                          // see the query's scaladoc)
+    "window_wau_rolling" -> 1)           // 1-row max observed day
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */
