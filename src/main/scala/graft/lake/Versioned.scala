@@ -18,11 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * no-clobber `rename` forces a two-step): write `_manifest.tmp`, demote the
  * live manifest to `_manifest.bak`, promote tmp, drop bak. A crash between
  * steps leaves either the old manifest or the bak — [[currentVersion]]
- * heals by falling back to the bak, never to a half-published version
- * (the new `v=N/` dir without a manifest pointing at it is invisible and
- * simply overwritten by the next publish). On HDFS the promote step is
- * atomic; on S3 a production deployment swaps via conditional PUT
- * (If-None-Match) — the layout and reader contract stay identical.
+ * resolves by falling back to the bak READ-ONLY, never to a half-published
+ * version (the new `v=N/` dir without a manifest pointing at it is
+ * invisible and simply overwritten by the next publish). Restoring the
+ * manifest file itself is [[recover]], invoked only from the write path:
+ * a reader that renamed bak back to live would race a concurrent publish's
+ * demote→promote window and make its no-clobber promote fail. On HDFS the
+ * promote step is atomic; on S3 a production deployment swaps via
+ * conditional PUT (If-None-Match) — the layout and reader contract stay
+ * identical.
+ *
+ * Concurrency contract: ONE writer at a time (publish/recover/vacuum are
+ * single-process operations — serialize them externally); any number of
+ * concurrent readers.
  *
  * Scale posture: the manifest is one small file read once per query plan;
  * data paths are immutable-once-published, so caches and speculative
@@ -42,24 +50,31 @@ object Versioned {
     else {
       val in = f.open(p)
       try {
+        // single in.read() is a short-read hazard on FSDataInputStream —
+        // loop to EOF/buffer-full; an empty file is "no version", not a crash
         val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        Some(new String(bytes, 0, n, StandardCharsets.UTF_8).trim.toLong)
+        var n = 0
+        var r = in.read(bytes, 0, bytes.length)
+        while (r > 0) { n += r; r = in.read(bytes, n, bytes.length - n) }
+        if (n <= 0) None
+        else Some(new String(bytes, 0, n, StandardCharsets.UTF_8).trim.toLong)
       } finally in.close()
     }
 
-  /** The live version: manifest, healing from the bak a crashed swap may
-    * have left behind. None when the table has never been published. */
+  /** The live version — manifest, falling back (read-only) to the bak a
+    * crashed swap may have left. None when never published. */
   def currentVersion(spark: SparkSession, table: String): Option[Long] = {
     val f = fs(spark, table)
-    readVersionFile(f, manifest(table)).orElse {
-      val healed = readVersionFile(f, bak(table))
-      healed.foreach { _ =>
-        // finish the interrupted swap: promote the bak back to live
-        f.rename(bak(table), manifest(table))
-      }
-      healed
-    }
+    readVersionFile(f, manifest(table)).orElse(readVersionFile(f, bak(table)))
+  }
+
+  /** Finish an interrupted swap: promote the bak back to live. Write-path
+    * only (publish calls it first); see the concurrency contract above. */
+  def recover(spark: SparkSession, table: String): Option[Long] = {
+    val f = fs(spark, table)
+    if (!f.exists(manifest(table)) && f.exists(bak(table)))
+      f.rename(bak(table), manifest(table))
+    readVersionFile(f, manifest(table))
   }
 
   /** All published version dirs, ascending (includes pre-vacuum history). */
@@ -78,7 +93,8 @@ object Versioned {
   def publish(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
     val f = fs(spark, table)
-    val next = currentVersion(spark, table).getOrElse(0L) + 1
+    // single-writer path: safe to heal a predecessor's interrupted swap here
+    val next = recover(spark, table).getOrElse(0L) + 1
     // overwrite heals a half-written dir from a publish that crashed
     // before its swap (that version number was never exposed)
     df.write.mode("overwrite").parquet(s"$table/v=$next")

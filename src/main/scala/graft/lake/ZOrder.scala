@@ -34,9 +34,20 @@ object ZOrder {
   }
 
   /** Equi-width bucket id in [0, 2^bits) for `x` given broadcast min/max
-    * columns. Integer arithmetic throughout (exact, engine-portable). */
-  private def bucket(x: Column, lo: Column, hi: Column, bits: Int): Column =
-    ((x - lo) * (1L << bits)) / (hi - lo + 1)
+    * columns. Integer arithmetic throughout (exact, engine-portable).
+    * `(x-lo) * 2^bits` overflows int64 when the key span exceeds
+    * 2^(63-bits), silently mis-bucketing — so the multiplier is gated on
+    * the observed span and raises instead. The guard lives INSIDE the
+    * bucket expression (not a droppable side column) so column pruning
+    * can never eliminate it; codegen folds it to one comparison per row. */
+  private def bucket(x: Column, lo: Column, hi: Column, bits: Int,
+                     dim: String): Column = {
+    val mult = when(hi - lo <= lit(Long.MaxValue >> bits), lit(1L << bits))
+      .otherwise(raise_error(concat(
+        lit(s"ZOrder: $dim span "), hi - lo,
+        lit(s" exceeds 2^${63 - bits} for bits=$bits — lower bits or narrow the key"))))
+    ((x - lo) * mult) / (hi - lo + 1)
+  }
 
   /**
    * Write `df` as `nFiles` z-clustered parquet files on (`a`, `b`).
@@ -51,8 +62,8 @@ object ZOrder {
       min(b).as("_blo"), max(b).as("_bhi"))
     df.crossJoin(broadcast(stats))
       .withColumn("_z", morton(
-        bucket(a, col("_alo"), col("_ahi"), bits),
-        bucket(b, col("_blo"), col("_bhi"), bits), bits))
+        bucket(a, col("_alo"), col("_ahi"), bits, "a"),
+        bucket(b, col("_blo"), col("_bhi"), bits, "b"), bits))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z", "_alo", "_ahi", "_blo", "_bhi")

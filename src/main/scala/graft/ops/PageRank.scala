@@ -55,6 +55,8 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
           checkpointEvery: Int = 3): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     // Hash-partition edges by the join key ONCE: localCheckpoint preserves
     // the partitioning, so every iteration's src-keyed join re-shuffles
     // only the (small, changing) rank side — the (large, static) edge side

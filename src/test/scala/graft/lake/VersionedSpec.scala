@@ -49,9 +49,30 @@ class VersionedSpec extends SparkSpec {
     val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // manufacture the crash window: live manifest demoted to bak, tmp lost
     fs.rename(new Path(s"$t/_manifest"), new Path(s"$t/_manifest.bak"))
-    assert(Versioned.currentVersion(spark, t).contains(2L)) // healed from bak
-    assert(fs.exists(new Path(s"$t/_manifest")), "heal must restore the manifest")
+    // readers resolve via the bak WITHOUT touching the manifest (a reader-
+    // side rename would race a live publish's demote->promote window)
+    assert(Versioned.currentVersion(spark, t).contains(2L))
+    assert(!fs.exists(new Path(s"$t/_manifest")), "readers must not heal")
     assert(Versioned.read(spark, t).as[Int].collect().sameElements(Array(2)))
+    // explicit write-path recovery restores the manifest file
+    assert(Versioned.recover(spark, t).contains(2L))
+    assert(fs.exists(new Path(s"$t/_manifest")), "recover must restore the manifest")
+    // and the next publish over a crashed swap works end-to-end
+    fs.rename(new Path(s"$t/_manifest"), new Path(s"$t/_manifest.bak"))
+    assert(Versioned.publish(Seq(3).toDF("x"), t) == 3L)
+    assert(Versioned.read(spark, t).as[Int].collect().sameElements(Array(3)))
+  }
+
+  test("an empty or truncated manifest reads as no version, not a crash") {
+    val t = tbl()
+    Versioned.publish(Seq(1).toDF("x"), t)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(s"$t/_manifest"), true).close() // zero-byte manifest
+    // falls back to the bak chain; none exists -> None
+    assert(Versioned.currentVersion(spark, t).isEmpty)
+    // a fresh publish rebuilds the manifest and versioning continues
+    assert(Versioned.publish(Seq(2).toDF("x"), t) == 1L)
+    assert(Versioned.currentVersion(spark, t).contains(1L))
   }
 
   test("vacuum drops old versions but keeps the live window") {

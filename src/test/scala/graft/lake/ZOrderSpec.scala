@@ -64,4 +64,21 @@ class ZOrderSpec extends SparkSpec {
     // row content survives the layout change
     assert(z.exceptAll(grid).isEmpty && grid.exceptAll(z).isEmpty)
   }
+
+  test("a key span too wide for the bucket multiplier fails fast") {
+    val dir = Files.createTempDirectory("graft_zorder_guard").toString
+    // span > 2^(63-12): the scaling multiply would overflow int64 and
+    // silently mis-bucket — must raise instead
+    val wide = Seq((0L, 0L), (Long.MaxValue / 2, 1L)).toDF("a", "b")
+    val e = intercept[Exception] {
+      ZOrder.writeZClustered(wide, s"$dir/z", nFiles = 2, col("a"), col("b"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("ZOrder: a span")), s"got: $e")
+    // same data with few enough bits for the span buckets fine
+    ZOrder.writeZClustered(wide, s"$dir/ok", nFiles = 2, col("a"), col("b"),
+      bits = 1)
+    assert(spark.read.parquet(s"$dir/ok").count() == 2)
+  }
 }

@@ -52,6 +52,20 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(r40(1L) - r20(1L)) < math.abs(r20(1L) - r5(1L)))
   }
 
+  test("invalid damping or checkpoint cadence is rejected up front") {
+    import spark.implicits._
+    val e = Seq(1L -> 2L, 2L -> 1L).toDF("src", "dst")
+    // i % 0 would throw ArithmeticException mid-iteration; negative would
+    // silently disable lineage cuts
+    intercept[IllegalArgumentException](PageRank.run(e, 5, checkpointEvery = 0))
+    intercept[IllegalArgumentException](PageRank.run(e, 5, checkpointEvery = -1))
+    // damping outside (0,1) passes the scale check but yields non-probability
+    // ranks
+    intercept[IllegalArgumentException](PageRank.run(e, 5, damping = 1.5))
+    intercept[IllegalArgumentException](PageRank.run(e, 5, damping = 0.0))
+    intercept[IllegalArgumentException](PageRank.run(e, 5, damping = 1.0))
+  }
+
   test("catalog pagerank query returns a full top-20 of distinct parts") {
     val top = graft.SparkEntry.queries("graph_pagerank_parts")(spark, sf001).collect()
     assert(top.length == 20)
