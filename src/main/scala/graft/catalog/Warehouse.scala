@@ -286,14 +286,8 @@ object Warehouse extends Family {
       JOIN pc cb ON cb.l_partkey = s.part_b
       ORDER BY n_orders DESC, part_a, part_b
     """)) { (spark, dir) =>
-    val lp = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = lp.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = lp.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val sup = a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+    val lp = CoPurchase.orderParts(spark, dir)
+    val sup = CoPurchase.support(spark, dir)
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(100)
     val pc = lp.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))

@@ -29,6 +29,7 @@ import org.apache.spark.storage.StorageLevel
 object Warmed {
 
   private val cache = new ConcurrentHashMap[String, DataFrame]()
+  private val objs = new ConcurrentHashMap[String, AnyRef]()
 
   private def key(kind: String, dir: String) = kind + "|" + dir
 
@@ -45,9 +46,23 @@ object Warmed {
     cache.put(key(kind, dir), df)
   }
 
-  /** Drop every warmed frame (tests; session teardown). */
+  /** Driver-side shared objects (e.g. trained PQ codebooks) — same
+    * registry contract as the frame cache, for index artifacts a deployed
+    * pipeline trains once and ships to every consumer. */
+  def getOrBuildObj[T <: AnyRef](kind: String, dir: String)(build: => T): T =
+    Option(objs.get(key(kind, dir))).fold(build)(_.asInstanceOf[T])
+
+  /** Build `build` eagerly and serve it for (kind, dir) until [[clear]]. */
+  def warmObj[T <: AnyRef](kind: String, dir: String)(build: => T): T = {
+    val v = build
+    objs.put(key(kind, dir), v)
+    v
+  }
+
+  /** Drop every warmed frame and object (tests; session teardown). */
   def clear(): Unit = {
     cache.values.forEach { df => df.unpersist(); () }
     cache.clear()
+    objs.clear()
   }
 }
