@@ -128,5 +128,27 @@ object Lm extends Family {
       .orderBy(col("doc_id"))
   }
 
-  override val specs: Seq[Q] = Seq(rareBigram, vocabEncode)
+  // -------------------------------------------------------------------------
+  // BPE merge learning (tokenizer training): the 20 highest-count adjacent
+  // symbol merges over the corpus word-frequency table — the artifact a
+  // subword tokenizer ships, learned by graft.ops.Bpe's vocab-sized
+  // iterative loop (corpus scanned once for word counts; each round is one
+  // pair aggregate over the vocabulary plus a 1-row collect). Iterative
+  // argmax with driver-fed merge rules is not SQL-expressible cross-engine,
+  // so this entry has NO DuckDB twin (driver records rows-only); semantic
+  // coverage lives in BpeSpec (hand-derived merge table on the classic
+  // low/lower/newest/widest corpus, determinism, encode consistency).
+  private val bpeMerges = Q("lm_bpe_merges", None) { (spark, dir) =>
+    val words = docs(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val merges = graft.ops.Bpe.learn(words, "word", "n", nMerges = 20)
+    import spark.implicits._
+    merges.toDF()
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+        col("pairCount").as("pair_count"))
+      .orderBy(col("rank"))
+  }
+
+  override val specs: Seq[Q] = Seq(rareBigram, vocabEncode, bpeMerges)
 }

@@ -248,6 +248,67 @@ object Mining extends Family {
       .select(col("node").as("part"), col("rank"))
   }
 
+  // ---------------------------------------------------------------------
+  // Triangle counting over the same support-≥2 co-purchase graph PageRank
+  // ranks: per-part triangle membership — the local clustering signal that
+  // separates "hub bought with everything" from "clique of products bought
+  // together" (community structure, the classic graph-mining counterpart of
+  // pair support).
+  //
+  // Scale shape: edges are ORIENTED by (degree, id) before the wedge join —
+  // every triangle {x,y,z} is enumerated exactly once from its lowest-degree
+  // corner, so per-node wedge fanout is bounded by min-degree-end out-degree
+  // (the O(|E|^1.5) bound of Schank & Wagner 2005), not by hub degree: a
+  // hot celebrity part generates NO wedges from its own (huge) adjacency.
+  // Two joins total: wedge (keyed on the middle node) + closure (keyed on
+  // the (a,c) pair); counts are orientation-independent, so the oracle uses
+  // the simpler id-orientation and must agree exactly.
+  private val triangles = Q(
+    "graph_triangle_counts",
+    Some("""
+      WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      e AS (SELECT u, v FROM (
+        SELECT u, v, COUNT(*) AS n FROM pairs GROUP BY u, v) WHERE n >= 2),
+      tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      pern AS (SELECT node, COUNT(*) AS n_triangles FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY node)
+      SELECT node AS part, CAST(n_triangles AS BIGINT) AS n_triangles
+      FROM pern ORDER BY n_triangles DESC, part LIMIT 20
+    """)) { (spark, dir) =>
+    val sup = CoPurchase.support(spark, dir)
+      .filter(col("n_orders") >= 2)
+      .select(col("part_a").as("u"), col("part_b").as("v"))
+    val deg = sup.select(col("u").as("node"))
+      .unionAll(sup.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient each edge from its (deg, id)-smaller endpoint
+    val ew = sup
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val e = ew.select(
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst"))
+    val wedges = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+    val tri = wedges
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("part"))
+      .limit(20)
+  }
+
   override val specs: Seq[Q] =
-    Seq(spanDedup, heavyHitters, topkAgg, containment, anomaly, pagerank)
+    Seq(spanDedup, heavyHitters, topkAgg, containment, anomaly, pagerank,
+      triangles)
 }

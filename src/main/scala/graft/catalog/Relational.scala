@@ -815,10 +815,74 @@ object Relational extends Family {
       .orderBy(col("bin"))
   }
 
+  // Mergeable histogram-quantile sketch: per-group p25/p50/p75/p95 estimated
+  // from a 128-bin equi-width grid — the one-pass, map-side-combinable shape
+  // (bin counts merge by addition across partitions/days/shards) that
+  // replaces the corpus sort exact percentiles need. At 100 TB this is the
+  // same plan approx_percentile runs, but with an engine-portable
+  // deterministic sketch: all bin/cum/threshold math is integer (cum ≥
+  // ceil(q·n/100) tested as 100·cum ≥ q·n), the estimate is the bin's upper
+  // edge, and the ONLY IEEE op is the final cents→dollars division — so the
+  // DuckDB twin matches bit-for-bit, no tolerance. Error is bounded by one
+  // bin width of the global [min,max] span (1-row broadcast); the
+  // cum/pick stage runs over groups × ≤128 rows — metadata-sized.
+  private val quantSketchQ = Q(
+    "agg_quantiles_sketch",
+    Some("""
+      WITH c AS (SELECT l_returnflag AS grp,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM lineitem),
+      m AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c),
+      b AS (SELECT grp, ((cents - lo) * 128) // (hi - lo + 1) AS bin, lo, hi
+        FROM c, m),
+      g AS (SELECT grp, bin, lo, hi, COUNT(*) AS cnt
+        FROM b GROUP BY grp, bin, lo, hi),
+      cu AS (SELECT grp, bin, lo, hi, cnt,
+          SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+          SUM(cnt) OVER (PARTITION BY grp) AS n
+        FROM g)
+      SELECT grp AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+        CAST(lo + ((MIN(CASE WHEN 100 * cum >= 25 * n THEN bin END) + 1)
+          * (hi - lo + 1)) // 128 AS DOUBLE) / 100.0 AS p25,
+        CAST(lo + ((MIN(CASE WHEN 100 * cum >= 50 * n THEN bin END) + 1)
+          * (hi - lo + 1)) // 128 AS DOUBLE) / 100.0 AS p50,
+        CAST(lo + ((MIN(CASE WHEN 100 * cum >= 75 * n THEN bin END) + 1)
+          * (hi - lo + 1)) // 128 AS DOUBLE) / 100.0 AS p75,
+        CAST(lo + ((MIN(CASE WHEN 100 * cum >= 95 * n THEN bin END) + 1)
+          * (hi - lo + 1)) // 128 AS DOUBLE) / 100.0 AS p95
+      FROM cu GROUP BY grp, lo, hi ORDER BY grp
+    """)) { (spark, dir) =>
+    val c = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val m = c.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val span = col("hi") - col("lo") + 1
+    // floor(int64/int64 in double) is the exact rational floor: operands
+    // stay far below 2^53 (cents span ~1e7, ×128 ~1e9)
+    val g = c.crossJoin(broadcast(m))
+      .select(col("grp"),
+        floor(((col("cents") - col("lo")) * 128) / span).cast("long").as("bin"),
+        col("lo"), col("hi"))
+      .groupBy(col("grp"), col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("cnt"))
+    val cu = g
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("grp")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+    def pq(q: Int) =
+      ((col("lo") + floor(((min(when(lit(100) * col("cum") >= lit(q) * col("n"),
+        col("bin"))) + 1) * span) / 128)).cast("double") / 100.0).as(s"p$q")
+    cu.groupBy(col("grp"), col("lo"), col("hi"))
+      .agg(max(col("n")).cast("long").as("n"), pq(25), pq(50), pq(75), pq(95))
+      .select(col("grp").as("l_returnflag"), col("n"),
+        col("p25"), col("p50"), col("p75"), col("p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
   override val specs: Seq[Q] = Seq(rfmQ,
     q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
     rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ, ewmaQ,
     percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ, rankMetricsQ,
-    dispersionQ, hotKeysQ, trailing7dQ, histogramQ)
+    dispersionQ, hotKeysQ, trailing7dQ, histogramQ, quantSketchQ)
 }

@@ -215,5 +215,117 @@ object Search extends Family {
       .limit(10)
   }
 
-  override val specs: Seq[Q] = Seq(postings, conjunctive, phrase, bm25)
+  // ---------------------------------------------------------------------
+  // Hybrid retrieval: reciprocal rank fusion (RRF, Cormack et al. 2009) of a
+  // lexical leg and a semantic leg, query-by-document for the 5 query docs
+  // the ANN family already uses (doc ids and vector ids align in the corpus).
+  //
+  //   rrf(d) = 1/(60 + r_lex(d)) + 1/(60 + r_sem(d))
+  //
+  // summed only over lists where d appears in the top-30 — the standard
+  // fusion a retrieval pipeline runs when it has both a keyword index and an
+  // embedding index (each leg catches what the other misses: BM25-style
+  // overlap finds exact-term hits, cosine finds paraphrases).
+  //
+  // Cross-engine float discipline: each leg contributes ONE IEEE division of
+  // exact integers (ranks), summed in fixed lex+sem order — bit-identical
+  // doubles, no tolerance. Lexical ranks order by (shared distinct terms,
+  // shared-term tf mass, doc_id) — all-integer, deterministic; semantic
+  // ranks reuse the brute-cosine ordering (round(cos,4), doc_id).
+  //
+  // Scale ledger: query-side term/vector sets are 5-doc-sized and broadcast;
+  // the lexical candidate agg is (q_id, doc_id)-keyed; BOTH top-30 cuts are
+  // two-stage salted (the [[graft.ops.VectorOps.topK]] shape) so no
+  // corpus-sized list funnels through a 5-partition window; fusion joins two
+  // ≤ 30-row-per-query lists.
+  private val hybridRrf = Q(
+    "search_hybrid_rrf",
+    Some(s"""
+      WITH $duckToks,
+      tfall AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      qt AS (SELECT doc_id AS q_id, term FROM tfall WHERE doc_id < 5),
+      lexcand AS (
+        SELECT qt.q_id, t.doc_id, COUNT(DISTINCT t.term) AS n_shared,
+               CAST(SUM(t.tf) AS BIGINT) AS tf_sum
+        FROM qt JOIN tfall t USING (term)
+        WHERE t.doc_id <> qt.q_id
+        GROUP BY qt.q_id, t.doc_id),
+      lex AS (SELECT q_id, doc_id, r_lex FROM (
+        SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+          ORDER BY n_shared DESC, tf_sum DESC, doc_id) AS r_lex
+        FROM lexcand) WHERE r_lex <= 30),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      nv AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      qv AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM nv WHERE vec_id < 5),
+      sem0 AS (
+        SELECT qv.q_id, nv.vec_id AS doc_id,
+          round(list_dot_product(qv.q_emb, nv.emb) / (qv.q_nrm * nv.nrm), 4) AS cos_sim
+        FROM qv, nv WHERE nv.vec_id <> qv.q_id),
+      sem AS (SELECT q_id, doc_id, r_sem FROM (
+        SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+          ORDER BY cos_sim DESC, doc_id) AS r_sem
+        FROM sem0) WHERE r_sem <= 30),
+      fused AS (
+        SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+               COALESCE(l.doc_id, s.doc_id) AS doc_id,
+          COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lex), 0.0)
+            + COALESCE(CAST(1 AS DOUBLE) / (60 + s.r_sem), 0.0) AS rrf_score,
+          CAST(COALESCE(l.r_lex, 0) AS BIGINT) AS r_lex,
+          CAST(COALESCE(s.r_sem, 0) AS BIGINT) AS r_sem
+        FROM lex l FULL OUTER JOIN sem s
+          ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+      SELECT q_id, doc_id, rrf_score, r_lex, r_sem, CAST(rn AS BIGINT) AS rn
+      FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY rrf_score DESC, doc_id) AS rn FROM fused)
+      WHERE rn <= 10 ORDER BY q_id, rn
+    """)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tfall = tf(docs(spark, dir))
+    val qt = tfall.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val lexCand = tfall.join(broadcast(qt), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_shared"),
+        sum(col("term_count")).as("tf_sum"))
+    // two-stage salted top-30 (the VectorOps.topK shape, composite key)
+    val localW = Window.partitionBy(col("q_id"), col("_salt"))
+      .orderBy(col("n_shared").desc, col("tf_sum").desc, col("doc_id"))
+    val globalW = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_shared").desc, col("tf_sum").desc, col("doc_id"))
+    val lex = lexCand
+      .withColumn("_salt", pmod(hash(col("doc_id")), lit(32)))
+      .withColumn("_lrn", row_number().over(localW)).filter(col("_lrn") <= 30)
+      .drop("_salt", "_lrn")
+      .withColumn("r_lex", row_number().over(globalW)).filter(col("r_lex") <= 30)
+      .select(col("q_id"), col("doc_id"), col("r_lex"))
+    val e = Vectors.embN(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        graft.ops.VectorOps.cosinePre(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+    val sem = graft.ops.VectorOps.topK(scored, "q_id", "doc_id", "cos_sim",
+        k = 30)
+      .select(col("q_id"), col("doc_id"), col("rn").as("r_sem"))
+    val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)))
+          .as("rrf_score"),
+        coalesce(col("r_lex"), lit(0)).cast("long").as("r_lex"),
+        coalesce(col("r_sem"), lit(0)).cast("long").as("r_sem"))
+    fused
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  override val specs: Seq[Q] =
+    Seq(postings, conjunctive, phrase, bm25, hybridRrf)
 }

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding merge learning (Sennrich et al. 2016) — tokenizer
+ * TRAINING, the artifact-building step upstream of [[graft.catalog.Lm]]'s
+ * vocabulary encode: learn the `nMerges` highest-count adjacent symbol
+ * merges from a word-frequency table.
+ *
+ * Scale shape: the corpus is scanned ONCE (by the caller, to build the
+ * (word, n) frequency table — Heaps-law bounded, metadata-sized next to a
+ * 100 TB corpus). Every merge round then runs on that vocab-sized frame:
+ * one explode of adjacent pairs weighted by word frequency, one pair-keyed
+ * aggregate, one orderBy(1).collect() that moves a SINGLE row to the
+ * driver. The merge apply is a map-only projection (broadcast of one merge
+ * rule via literal); lineage is cut every `checkpointEvery` rounds so plan
+ * depth stays O(1) per round — the [[Components]]/[[PageRank]] iterative
+ * discipline.
+ *
+ * The greedy left-to-right pair substitution inside one word is inherently
+ * a stateful sequential scan (a merged occurrence consumes its right
+ * neighbour, shifting every later candidate), so it runs as a Scala UDF on
+ * the symbol array — vocab-sized input, never corpus-sized, and the same
+ * justified-kernel class as the codegen text expressions.
+ *
+ * Determinism: pair counts are exact int64 sums; ties break
+ * lexicographically on (left, right) — reruns and partitionings cannot
+ * reorder the learned merge table.
+ *
+ * Word-internal merges only (no end-of-word marker): the catalog's
+ * whitespace tokens are already word-bounded, and the marker variant is the
+ * same loop with one extra seed symbol.
+ */
+object Bpe {
+
+  /** One learned merge: `left`+`right` fused after `pairCount` weighted
+    * occurrences, at 1-based `rank` in learn order. */
+  final case class Merge(rank: Int, left: String, right: String,
+                         pairCount: Long)
+
+  /** Greedy left-to-right substitution of one (l, r) pair in a symbol
+    * sequence — the textbook BPE apply step. */
+  private[ops] def mergeOnce(syms: Seq[String], l: String,
+                             r: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /**
+   * @param words   (`wordCol`: String, `freqCol`: Long) word-frequency
+   *                table — one row per distinct word
+   * @param nMerges merge rules to learn (stops early if no pair is left)
+   */
+  def learn(words: DataFrame, wordCol: String, freqCol: String, nMerges: Int,
+            checkpointEvery: Int = 4): Seq[Merge] = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
+    // array_remove: Spark's split(str, "") keeps a trailing "" element
+    // (limit -1 semantics) that must not become a symbol. Words merged down
+    // to ONE symbol can never pair again and are pruned each round — this
+    // also keeps the pair transform's sequence(0, size-2) well-formed.
+    var vocab = words
+      .select(array_remove(split(col(wordCol), ""), "").as("syms"),
+        col(freqCol).cast("long").as("n"))
+      .filter(size(col("syms")) >= 2)
+      .localCheckpoint()
+    val applyMerge = (syms: Seq[String], l: String, r: String) => mergeOnce(syms, l, r)
+    val mergeUdf = udf(applyMerge)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val best = vocab
+        .select(col("n"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // exactly ONE row: the winning pair of this round
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(rank, l, r, cnt)
+        vocab = vocab.select(
+            mergeUdf(col("syms"), lit(l), lit(r)).as("syms"), col("n"))
+          .filter(size(col("syms")) >= 2)
+        if (rank % checkpointEvery == 0 && rank < nMerges)
+          vocab = vocab.localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Tokenize one word with a learned merge table (rank order — BPE apply
+    * is order-sensitive). Driver-side helper for specs/tools. */
+  def encodeWord(word: String, merges: Seq[Merge]): Seq[String] =
+    merges.sortBy(_.rank).foldLeft(word.split("").toSeq) { (syms, m) =>
+      mergeOnce(syms, m.left, m.right)
+    }
+}

@@ -28,7 +28,7 @@ object ScaleSweep {
     "decontam_overlap", "chunk_overlap", "shard_assign", "corpus_mix",
     "ann_recall", "tfidf_top_terms", "dedup_span_8gram", "search_postings",
     "search_phrase", "search_bm25_topk", "lm_rare_bigram_ratio",
-    "lm_vocab_encode")
+    "lm_vocab_encode", "search_hybrid_rrf", "lm_bpe_merges")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,

@@ -42,6 +42,7 @@ class PlanGateSpec extends SparkSpec {
     "ann_cosine_topk_ivf2" -> 1,  // broadcast query batch
     "ann_cosine_topk_pq" -> 1,    // broadcast query-id frame (ADC scan)
     "ann_recall" -> 2,            // brute + ivf arms, one query batch each
+    "agg_quantiles_sketch" -> 1,  // broadcast 1-row min/max span
     "anomaly_daily_revenue" -> 1, // broadcast 1-row moment frame (n, s, sq)
     "basket_part_pairs" -> 1,     // broadcast 1-row total-orders frame
     "calendar_fill_daily_sales" -> 1, // generated day axis x 5-row dim
@@ -50,6 +51,7 @@ class PlanGateSpec extends SparkSpec {
     "profile_price_histogram" -> 1, // broadcast 1-row min/max span
     "rfm_segments" -> 3,          // as-of date frame + R/F/M quantile frames
     "search_bm25_topk" -> 1,      // broadcast 1-row (A, N) corpus totals
+    "search_hybrid_rrf" -> 1,     // broadcast query batch (semantic leg)
     "sample_pps_systematic" -> 1, // broadcast 1-row token grand total
     "skew_hot_custkeys" -> 1,     // broadcast 1-row grand total (hotKeys)
     "tfidf_top_terms" -> 1,       // broadcast 1-row n_docs
@@ -59,6 +61,7 @@ class PlanGateSpec extends SparkSpec {
     * 1-row global aggregate (metadata-sized by construction). */
   private val singlePartAllow: Map[String, Int] = Map(
     "abtest_conversion_chi2" -> 1,       // 1-row 2x2 contingency readout
+    "agg_quantiles_sketch" -> 1,         // 1-row min/max span
     "basket_part_pairs" -> 1,            // 1-row distinct-order total
     "calendar_fill_daily_sales" -> 1,    // 1-row min/max date span
     "corpus_mix" -> 1,                   // corpus grand total
@@ -86,7 +89,11 @@ class PlanGateSpec extends SparkSpec {
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */
-  private val smjAllow: Map[String, Int] = Map("ann_recall" -> 1)
+  private val smjAllow: Map[String, Int] = Map(
+    "ann_recall" -> 1,
+    // RRF fusion full-outer-joins two ≤30-row-per-query rank lists: both
+    // sides result-sized, and FULL OUTER cannot broadcast-hash anyway
+    "search_hybrid_rrf" -> 1)
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan gate: $name") {

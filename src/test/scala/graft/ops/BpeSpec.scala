@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** BPE merge learning must reproduce the textbook greedy algorithm exactly:
+  * highest weighted pair count first, lexicographic tie-break, merges
+  * consuming their occurrences before the next round counts. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // The classic Sennrich corpus shape: low x5, lower x2, newest x6,
+  // widest x3. Hand-derived merge table (word-internal, no end marker):
+  //   1: (e,s)  9   (newest 6 + widest 3; beats (s,t) 9 lexicographically)
+  //   2: (es,t) 9
+  //   3: (l,o)  7   (low 5 + lower 2; beats (o,w) 7 lexicographically)
+  //   4: (lo,w) 7
+  //   5: (e,w)  6   (newest; beats (n,e) and (w,est) lexicographically)
+  private def classicWords =
+    Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "n")
+
+  test("learns the hand-derived merge table on the classic corpus") {
+    val got = Bpe.learn(classicWords, "word", "n", nMerges = 5)
+      .map(m => (m.rank, m.left, m.right, m.pairCount))
+    assert(got == Seq(
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "l", "o", 7L),
+      (4, "lo", "w", 7L),
+      (5, "e", "w", 6L)))
+  }
+
+  test("rerun is deterministic and stops early when pairs run out") {
+    val a = Bpe.learn(classicWords, "word", "n", nMerges = 5)
+    val b = Bpe.learn(classicWords, "word", "n", nMerges = 5)
+    assert(a == b)
+    // a single 2-char word admits exactly one merge
+    val tiny = Seq(("ab", 3L)).toDF("word", "n")
+    val m = Bpe.learn(tiny, "word", "n", nMerges = 10)
+    assert(m == Seq(Bpe.Merge(1, "a", "b", 3L)))
+  }
+
+  test("greedy apply consumes merged occurrences left to right") {
+    // aaa with merge (a,a): first pair consumes positions 0-1, leaving a
+    assert(Bpe.mergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.mergeOnce(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    // non-adjacent survives
+    assert(Bpe.mergeOnce(Seq("a", "b", "a"), "a", "a") == Seq("a", "b", "a"))
+  }
+
+  test("encodeWord applies the learned table in rank order") {
+    val merges = Bpe.learn(classicWords, "word", "n", nMerges = 5)
+    assert(Bpe.encodeWord("newest", merges) == Seq("n", "ew", "est"))
+    assert(Bpe.encodeWord("lowest", merges) == Seq("low", "est"))
+    assert(Bpe.encodeWord("low", merges) == Seq("low"))
+    // unseen symbols pass through untouched
+    assert(Bpe.encodeWord("xyz", merges) == Seq("x", "y", "z"))
+  }
+
+  test("catalog lm_bpe_merges returns a full ranked merge table") {
+    val df = graft.SparkEntry.queries("lm_bpe_merges")(spark, sf001)
+    val rows = df.collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+    // counts are positive and the merge table is usable end-to-end
+    assert(rows.forall(_.getLong(3) > 0))
+  }
+}
