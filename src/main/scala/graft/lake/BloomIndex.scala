@@ -1,0 +1,103 @@
+package graft.lake
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/**
+ * Per-file Bloom-filter index for point lookups on a HIGH-CARDINALITY key —
+ * the file-skipping dimension parquet min/max statistics cannot provide:
+ * [[Cluster]]/[[ZOrder]] skip on RANGE predicates because each file covers a
+ * compact key interval, but a hash-distributed key (user id, order key,
+ * document hash) spans the full domain in every file, so footer min/max
+ * prunes nothing. A per-file Bloom sidecar answers "might this file contain
+ * key k?" in a few hash probes — the same design as Delta/Iceberg
+ * bloom-filter indexes and Parquet's own optional bloom pages, expressed
+ * over the open FileSystem layout this lake already uses.
+ *
+ * Layout: `<table>/part-*.parquet` + `<table>/_bloom/<file>.bloom`, one
+ * serialized `org.apache.spark.util.sketch.BloomFilter` per data file.
+ *
+ * Build shape: ONE (file -> keys) shuffle over the written table, each
+ * group folding its keys into a filter executor-side (`mapGroups`); only
+ * the finished ~100 KB bitsets reach the driver for the sidecar writes —
+ * same discipline as `decontam_bloom`'s distributed sketch build. At a
+ * 100 TB table the sidecars total `nFiles x bitset`, metadata-sized; a
+ * production deployment would keep them in a stats table instead of
+ * per-file objects, same contract.
+ *
+ * Read shape: sidecars load once (driver, metadata-sized), the candidate
+ * file list shrinks by the Bloom answer, and ONLY surviving files are
+ * handed to the parquet reader — false positives cost one extra file scan,
+ * false negatives are impossible (spec-pinned), so the pruned read is
+ * exactly the full scan's result.
+ */
+object BloomIndex {
+
+  private def fs(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bloomDir(table: String) = new Path(s"$table/_bloom")
+
+  /** Write `df` hash-distributed into `nFiles` files on `keyCol` (long),
+    * then build one Bloom sidecar per data file. */
+  def writeIndexed(df: DataFrame, table: String, nFiles: Int, keyCol: String,
+                   fpp: Double = 0.01): Unit = {
+    require(nFiles > 0)
+    val spark = df.sparkSession
+    df.repartition(nFiles, col(keyCol))
+      .write.mode("overwrite").parquet(table)
+    val expected = math.max(1000L, df.count() / nFiles * 2)
+    import spark.implicits._
+    val perFile = spark.read.parquet(table)
+      .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val bf = BloomFilter.create(expected, fpp)
+        it.foreach(x => bf.putLong(x._2))
+        val bos = new ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (f, bos.toByteArray)
+      }
+      .collect() // nFiles rows of finished bitsets — metadata-sized
+    val f = fs(spark, table)
+    perFile.foreach { case (file, bytes) =>
+      val name = new Path(file).getName
+      val out = f.create(new Path(bloomDir(table), s"$name.bloom"), true)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  /** Data files whose Bloom sidecar admits `key` (no sidecar = keep: the
+    * index is advisory, never a correctness dependency). */
+  def candidateFiles(spark: SparkSession, table: String, key: Long): Seq[String] = {
+    val f = fs(spark, table)
+    f.listStatus(new Path(table)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+      .filter { p =>
+        val side = new Path(bloomDir(table), s"${p.getName}.bloom")
+        !f.exists(side) || {
+          val in = f.open(side)
+          try BloomFilter.readFrom(in).mightContainLong(key)
+          finally in.close()
+        }
+      }
+      .map(_.toString)
+  }
+
+  /** Point lookup reading ONLY Bloom-admitted files. Result is exactly the
+    * full scan's (the residual key filter removes false-positive rows). */
+  def lookup(spark: SparkSession, table: String, keyCol: String,
+             key: Long): DataFrame = {
+    val files = candidateFiles(spark, table, key)
+    if (files.isEmpty)
+      spark.read.parquet(table).filter(lit(false)) // schema-stable empty
+    else
+      spark.read.parquet(files: _*).filter(col(keyCol) === key)
+  }
+}
