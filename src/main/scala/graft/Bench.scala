@@ -56,6 +56,7 @@ object Bench {
         graft.catalog.TextLlm.warmShared(spark, sfDir)
         graft.catalog.Vectors.warmShared(spark, sfDir)
         graft.catalog.CoPurchase.warmShared(spark, sfDir)
+        graft.catalog.Search.warmShared(spark, sfDir)
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] shared warm failed: ${e.getMessage}")
