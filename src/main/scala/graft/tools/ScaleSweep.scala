@@ -146,6 +146,13 @@ object ScaleSweep {
     sb.append("with `bitsPerBand` scaled ~log2(n) as production would ")
     sb.append("(graft.functions.HyperplaneLsh) — collision volume, and the curve, ")
     sb.append("stay near-linear.\n")
+    sb.append("- `tfidf_top_terms` / `lm_rare_bigram_ratio` shuffle (doc, term/bigram) ")
+    sb.append("partials whose count grows with the corpus — growth stays under the ")
+    sb.append("16x data ratio (the salted frequency join spreads the Zipf head, so ")
+    sb.append("no cell goes hot).\n")
+    sb.append("- `lm_bpe_merges` is FLAT across 16x: merge rounds run on the ")
+    sb.append("Heaps-bounded word-frequency table, so corpus growth only touches ")
+    sb.append("the one-time word-count scan.\n")
     // preserve hand-written sections (s3a posture, ...) below the sweep table
     val path = Paths.get(out)
     if (Files.exists(path)) {
