@@ -61,9 +61,19 @@ object PageRank {
     // the partitioning, so every iteration's src-keyed join re-shuffles
     // only the (small, changing) rank side — the (large, static) edge side
     // is exchange-free across all iterations, and the degree aggregate
-    // below it is map-side
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint()
+    // below it is map-side. The partition COUNT tracks |E| (500k edges per
+    // partition, capped at the session's shuffle parallelism): a small
+    // graph's iterations then don't pay conf-many near-empty tasks per
+    // round × iters, while a large graph keeps full parallelism. The |E|
+    // count reads the already-materialized checkpoint, not the upstream
+    // edge derivation.
+    val spark = edges.sparkSession
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val eCnt = e0.count()
+    val parts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      eCnt / 500000L + 1)).toInt
+    val e = e0.repartition(parts, col("src")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
