@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The streaming quantile sketch must equal its batch twin bin-for-bin
+  * (same UDAF, same windows), estimate within one bin width of the exact
+  * percentile, and hold fixed state (the sketch array) per open group. */
+class QuantilesStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  // tumbling windows align to EPOCH multiples of 10 min, not to t(0) — the
+  // base sits 3:20 into its window, so only minutes 0..6 share window 1.
+  // Window 1: purchase values 1..20 (minutes 0-4); window 2: purchase 100s
+  // and clicks; a far-future row closes both windows
+  private val feed: Seq[(Timestamp, String, Double)] =
+    (1 to 20).map(i => (t(i % 5), "purchase", i.toDouble)) ++
+      Seq((t(12), "purchase", 100.0), (t(13), "purchase", 200.0),
+        (t(14), "click", 5.0), (t(15), "click", 7.0),
+        (t(45), "sentinel", 0.0))
+
+  private val lo = 0L
+  private val hi = 25000L // cents span covering the feed
+
+  test("stream == batch: same UDAF over the same windows, row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = Quantiles.windowed(input.toDF().toDF("ts", "event_type", "value"),
+        lo, hi)
+      .writeStream.format("memory").queryName("quant_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(feed: _*)
+      q.processAllAvailable()
+      val got = spark.table("quant_stream").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+          (r.getLong(2), r.getDouble(4), r.getDouble(6))).toMap
+      // batch twin: identical plan over the closed-window slice
+      val batch = Quantiles.windowed(
+          feed.filter(_._1.getTime < t(20).getTime)
+            .toDF("ts", "event_type", "value"), lo, hi)
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+          (r.getLong(2), r.getDouble(4), r.getDouble(6))).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      // hand-check: w1 purchases are 1..20 -> exact p50 is ~10.0; the
+      // sketch upper-edge estimate must land within one bin width
+      // (span/128 = ~1.95 units) above it
+      val w1 = t(0).getTime - t(0).getTime % 600000L
+      val (n1, p50, p95) = got((w1, "purchase"))
+      assert(n1 == 20L)
+      assert(p50 >= 10.0 && p50 <= 10.0 + hi / 128.0 / 100.0 + 0.01, s"p50 $p50")
+      assert(p95 >= 19.0 && p95 <= 20.0 + hi / 128.0 / 100.0 + 0.01, s"p95 $p95")
+    } finally q.stop()
+  }
+
+  test("out-of-range values clamp into edge bins instead of corrupting state") {
+    val df = Seq(
+      (t(1), "x", -50.0), (t(2), "x", 10.0), (t(3), "x", 99999.0),
+      (t(45), "sentinel", 0.0)).toDF("ts", "event_type", "value")
+    val rows = Quantiles.windowed(df, lo, hi).filter($"event_type" === "x")
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(2) == 3L)
+    // clamped extremes sit in bins 0 and 127: p25 near the low edge, p95 at
+    // the high edge — never outside the dialed span
+    assert(r.getDouble(3) <= hi / 128.0 / 100.0 + 0.01)
+    assert(r.getDouble(6) == (lo + hi + 1) / 100.0 / 1.0 ||
+      r.getDouble(6) <= (hi + 1) / 100.0)
+  }
+}
