@@ -10,12 +10,15 @@ import graft.multimodal.{Media => MM}
  * mapPartitions pipeline — Dataset[MediaRecord] -> decode ->
  * Dataset[MediaFeatures]. Image rows carry genuine PNG payloads decoded
  * with `javax.imageio`; audio rows carry genuine WAV (RIFF/PCM) payloads
- * parsed by Media.decodeWav. Both fixtures are closed-form in doc_id
- * (Media.imgWidth/imgHeight/imgRgb, Media.wavSampleRate/wavChannels/
- * wavSamples/wavFill), so the oracles below recompute the md5 of the
- * expected decoded raster / PCM buffer with repeat(chr(..)..) — the DECODE
- * ITSELF is hash-checked, not just the plumbing. Only video rows keep the
- * declared arithmetic stub (no video codec in this container).
+ * parsed by Media.decodeWav; video rows carry genuine AVI containers
+ * parsed by Media.decodeAvi (avih header + movi frame-chunk walk — only
+ * frame PIXEL decode would need a codec this container doesn't ship). All
+ * fixtures are closed-form in doc_id (Media.imgWidth/imgHeight/imgRgb,
+ * Media.wavSampleRate/wavChannels/wavSamples/wavFill, Media.aviWidth/
+ * aviHeight/aviFrames/aviFrameLen/aviFill), so the oracles below recompute
+ * the md5 of the expected decoded raster / PCM buffer / frame payload with
+ * repeat(chr(..)..) — the DECODE ITSELF is hash-checked, not just the
+ * plumbing.
  */
 object MediaCatalog extends Family {
 
@@ -48,12 +51,14 @@ object MediaCatalog extends Family {
               FROM documents WHERE doc_id % 3 = 1)
         UNION ALL
         SELECT doc_id, 'video' AS media_type,
-          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-          substr(md5(text), 1, 16) AS content_key,
-          CAST(320 + (doc_id * 31 + octet_length(encode(text))) % 1600 AS INTEGER) AS width,
-          CAST(240 + (doc_id * 17 + octet_length(encode(text))) % 840 AS INTEGER) AS height,
-          CAST(1 + octet_length(encode(text)) % 24 AS INTEGER) AS n_frames
-        FROM documents WHERE doc_id % 3 = 2
+          CAST(nf * fl AS INTEGER) AS n_bytes,
+          substr(md5(repeat(chr(CAST(32 + (doc_id * 37) % 95 AS INTEGER)),
+            CAST(nf * fl AS INTEGER))), 1, 16) AS content_key,
+          CAST(320 + (doc_id * 31) % 1600 AS INTEGER) AS width,
+          CAST(240 + (doc_id * 17) % 840 AS INTEGER) AS height,
+          CAST(nf AS INTEGER) AS n_frames
+        FROM (SELECT doc_id, 1 + doc_id % 24 AS nf, 50 + doc_id % 100 AS fl
+              FROM documents WHERE doc_id % 3 = 2)
       ) ORDER BY doc_id
     """)) { (spark, dir) =>
     MM.extractFeatures(MM.mediaTable(spark, dir))

@@ -23,8 +23,11 @@ final case class MediaRecord(doc_id: Long, media_type: String, content: Array[By
   * parse ([[Media.decodeWav]]): `n_bytes` is the PCM data-chunk length,
   * `content_key` hashes the decoded PCM samples, `n_frames` is the PCM
   * frame count (samples per channel), and width/height are 0 (no raster).
-  * Only video (no codec in this container) keeps [[Media.decodeStub]],
-  * where `n_bytes`/`content_key` describe the raw payload. */
+  * For video they come from a REAL RIFF/AVI container parse
+  * ([[Media.decodeAvi]]): `width`/`height`/`n_frames` are the `avih` main
+  * header fields (cross-checked against the frames actually present in
+  * `movi`), and `n_bytes`/`content_key` cover the concatenated frame
+  * payloads — the bytes a codec stage would consume. */
 final case class MediaFeatures(
     doc_id: Long, media_type: String, n_bytes: Int, content_key: String,
     width: Int, height: Int, n_frames: Int)
@@ -42,11 +45,12 @@ final case class AudioFeatures(
  * `Dataset.mapPartitions` with case-class encoders: one iterator per
  * partition, so codec/digest initialization amortizes per partition.
  * The image modality is decoded FOR REAL with the JDK's `javax.imageio`
- * PNG codec; the payloads are deterministic solid-color PNG fixtures whose
- * dimensions and fill color are closed-form functions of `doc_id`, so the
- * DuckDB oracle can recompute the expected decoded-raster hash and the
- * decode itself sits under the hash gate. Audio/video stay stubbed (no
- * ffmpeg-style codecs ship in this container) — see [[decodeStub]].
+ * PNG codec; audio is a REAL RIFF/WAVE parse; video is a REAL RIFF/AVI
+ * container parse (header fields + frame-chunk walk — only frame PIXEL
+ * decode would need an ffmpeg-style codec, which this container doesn't
+ * ship). All payloads are deterministic fixtures whose fields are
+ * closed-form functions of `doc_id`, so the DuckDB oracle recomputes the
+ * expected decoded buffers and every decode sits under the hash gate.
  */
 object Media {
 
@@ -113,6 +117,115 @@ object Media {
     buf.array()
   }
 
+  /** Closed-form AVI fixture parameters, shared verbatim with the DuckDB
+    * oracle in `graft.catalog.MediaCatalog` (same discipline as the WAV
+    * fixture: printable-ASCII constant-fill frame payloads so DuckDB can
+    * md5 the identical buffer with `repeat(chr(fill), n)`). */
+  def aviWidth(docId: Long): Int = (320 + (docId * 31) % 1600).toInt
+  def aviHeight(docId: Long): Int = (240 + (docId * 17) % 840).toInt
+  def aviFrames(docId: Long): Int = (1 + docId % 24).toInt
+  def aviFrameLen(docId: Long): Int = (50 + docId % 100).toInt
+  def aviFill(docId: Long): Int = (32 + (docId * 37) % 95).toInt
+
+  /** Deterministic AVI fixture: RIFF 'AVI ' → LIST 'hdrl' holding the
+    * canonical 56-byte `avih` main header (µs/frame, total frames, stream
+    * count, width, height) → LIST 'movi' with `aviFrames` constant-fill
+    * '00dc' frame chunks (odd lengths padded to even per RIFF). AVI is a
+    * container — the header and frame walk are plain byte work; only the
+    * frame CONTENT would need a codec, and the fixture's "frames" are
+    * opaque fill the digest checks verbatim. */
+  def aviFixture(docId: Long): Array[Byte] = {
+    val w = aviWidth(docId); val h = aviHeight(docId)
+    val nf = aviFrames(docId); val fl = aviFrameLen(docId)
+    val pad = fl & 1
+    val avihLen = 56
+    val hdrlLen = 4 + 8 + avihLen                // 'hdrl' + avih chunk
+    val moviLen = 4 + nf * (8 + fl + pad)        // 'movi' + frame chunks
+    val riffLen = 4 + 8 + hdrlLen + 8 + moviLen  // 'AVI ' + both LISTs
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      .put("AVI ".getBytes("US-ASCII"))
+    buf.put("LIST".getBytes("US-ASCII")).putInt(hdrlLen)
+      .put("hdrl".getBytes("US-ASCII"))
+    buf.put("avih".getBytes("US-ASCII")).putInt(avihLen)
+      .putInt(33333)       // dwMicroSecPerFrame (~30 fps)
+      .putInt(0)           // dwMaxBytesPerSec
+      .putInt(0)           // dwPaddingGranularity
+      .putInt(0)           // dwFlags
+      .putInt(nf)          // dwTotalFrames
+      .putInt(0)           // dwInitialFrames
+      .putInt(1)           // dwStreams
+      .putInt(0)           // dwSuggestedBufferSize
+      .putInt(w)           // dwWidth
+      .putInt(h)           // dwHeight
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved
+    buf.put("LIST".getBytes("US-ASCII")).putInt(moviLen)
+      .put("movi".getBytes("US-ASCII"))
+    val fill = aviFill(docId).toByte
+    var f = 0
+    while (f < nf) {
+      buf.put("00dc".getBytes("US-ASCII")).putInt(fl)
+      var i = 0
+      while (i < fl) { buf.put(fill); i += 1 }
+      if (pad == 1) buf.put(0.toByte)
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** REAL RIFF/AVI container parse: validates the RIFF/'AVI ' magic, walks
+    * the LIST tree to the `avih` main header (width, height, total frames),
+    * then walks LIST 'movi' collecting every frame chunk's payload bytes
+    * ('??dc'/'??db'/'??wb', skipping RIFF even-padding). The frame count
+    * declared by `avih` must match the frames actually present — a
+    * truncated or inconsistent container raises instead of fabricating
+    * metadata (same fail-fast contract as [[decodeWav]]). Frame PIXEL
+    * decode would need a codec this container doesn't ship; the payload
+    * digest still pins the exact bytes end-to-end. */
+  def decodeAvi(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii4(): String = {
+      val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+    }
+    require(bytes.length >= 12 && ascii4() == "RIFF", "not a RIFF container")
+    b.getInt // declared RIFF size (trust the actual buffer instead)
+    require(ascii4() == "AVI ", "RIFF is not AVI")
+    var w = -1; var h = -1; var nf = -1
+    val frames = new ByteArrayOutputStream()
+    var framesSeen = 0
+    def walk(end: Int): Unit = {
+      while (b.position() + 8 <= end) {
+        val id = ascii4()
+        val len = b.getInt
+        require(len >= 0 && b.position() + len <= end, s"truncated chunk $id")
+        val next = b.position() + len + (len & 1) // chunks pad to even
+        if (id == "LIST") {
+          val listType = ascii4()
+          if (listType == "hdrl" || listType == "movi")
+            walk(b.position() + len - 4)
+        } else if (id == "avih") {
+          require(len >= 56, "avih header too short")
+          b.getInt(); b.getInt(); b.getInt(); b.getInt() // rate/bps/pad/flags
+          nf = b.getInt()
+          b.getInt(); b.getInt(); b.getInt() // initial, streams, bufsize
+          w = b.getInt(); h = b.getInt()
+        } else if (id.endsWith("dc") || id.endsWith("db") || id.endsWith("wb")) {
+          val payload = new Array[Byte](len)
+          b.get(payload)
+          frames.write(payload)
+          framesSeen += 1
+        }
+        b.position(math.min(next, bytes.length))
+      }
+    }
+    walk(bytes.length)
+    require(w > 0 && h > 0 && nf >= 0, "missing avih header")
+    require(framesSeen == nf,
+      s"avih declares $nf frames but movi carries $framesSeen")
+    (w, h, nf, frames.toByteArray)
+  }
+
   /** REAL RIFF/WAVE parse: validates the RIFF/WAVE magic, walks the chunk
     * list (tolerating extra chunks like LIST/fact and odd-size padding),
     * reads the PCM format block, and returns the header fields plus the
@@ -155,12 +268,12 @@ object Media {
   }
 
   /** Binary media table derived from `documents`: real PNG bytes for the
-    * image modality, real WAV bytes for audio, utf-8 text bytes standing in
-    * for video payloads; the modality cycles by doc_id so every type
-    * appears. */
+    * image modality, real WAV bytes for audio, real AVI container bytes for
+    * video; the modality cycles by doc_id so every type appears. */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
     val png = udf((docId: Long) => pngFixture(docId))
     val wav = udf((docId: Long) => wavFixture(docId))
+    val avi = udf((docId: Long) => aviFixture(docId))
     Tables.spread(Tables.documents(spark, sfDir))
       .select(
         col("doc_id"),
@@ -168,26 +281,7 @@ object Media {
           "WHEN 1 THEN 'audio' ELSE 'video' END").as("media_type"),
         when(col("doc_id") % 3 === 0, png(col("doc_id")))
           .when(col("doc_id") % 3 === 1, wav(col("doc_id")))
-          .otherwise(encode(col("text"), "utf-8")).as("content"))
-  }
-
-  /**
-   * ==================== STUB — VIDEO ONLY =================================
-   * Images are decoded for real via `javax.imageio`; audio is decoded for
-   * real via [[decodeWav]] (WAV is a container, no codec needed). A real
-   * pipeline would decode video with an ffmpeg-style codec and emit true
-   * dimensions/frame counts; no such library exists in this container, so
-   * for video the "decode" is a deterministic arithmetic fake over
-   * (doc_id, byte length) — stable across engines, which lets the DuckDB
-   * oracle check the surrounding plumbing.
-   * ========================================================================
-   */
-  def decodeStub(docId: Long, bytes: Array[Byte]): (Int, Int, Int) = {
-    val n = bytes.length
-    val width = (320 + (docId * 31 + n) % 1600).toInt
-    val height = (240 + (docId * 17 + n) % 840).toInt
-    val nFrames = (1 + n % 24).toInt
-    (width, height, nFrames)
+          .otherwise(avi(col("doc_id"))).as("content"))
   }
 
   /** Fit-within-box resize plan: pure integer multiply-then-divide (exact
@@ -269,9 +363,11 @@ object Media {
           MediaFeatures(r.doc_id, r.media_type, dataLen, hex16(md.digest(pcm)),
             0, 0, nSamples)
         } else {
-          val key = hex16(md.digest(r.content))
-          val (w, h, f) = decodeStub(r.doc_id, r.content)
-          MediaFeatures(r.doc_id, r.media_type, r.content.length, key, w, h, f)
+          val (w, h, nf, framePayload) = decodeAvi(r.content)
+          // n_bytes/content_key cover the FRAME payload (the bytes a codec
+          // stage would consume), not the container framing
+          MediaFeatures(r.doc_id, r.media_type, framePayload.length,
+            hex16(md.digest(framePayload)), w, h, nf)
         }
       }
     }

@@ -99,21 +99,47 @@ class MediaSpec extends SparkSpec {
     intercept[IllegalArgumentException](Media.decodeWav(canonical.take(30)))
   }
 
+  test("video payloads are real AVI containers; decodeAvi recovers the header") {
+    for (docId <- Seq(2L, 5L, 101L)) {
+      val bytes = Media.aviFixture(docId)
+      val (w, h, nf, payload) = Media.decodeAvi(bytes)
+      assert(w == Media.aviWidth(docId) && h == Media.aviHeight(docId))
+      assert(nf == Media.aviFrames(docId))
+      assert(payload.length == nf * Media.aviFrameLen(docId))
+      assert(payload.forall(_ == Media.aviFill(docId).toByte))
+    }
+    // garbage, truncation, and header/frame inconsistency raise instead of
+    // fabricating metadata
+    intercept[IllegalArgumentException](Media.decodeAvi("not an avi".getBytes))
+    intercept[IllegalArgumentException](Media.decodeAvi(Media.aviFixture(2L).take(40)))
+    intercept[IllegalArgumentException](Media.decodeAvi(Media.wavFixture(1L)))
+    // patch avih to declare one MORE frame than movi carries: the
+    // cross-check must reject the inconsistent container
+    val fx = Media.aviFixture(5L)
+    val patched = java.nio.ByteBuffer.wrap(fx.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(48, Media.aviFrames(5L) + 1).array() // offset 48 = dwTotalFrames
+    val e = intercept[IllegalArgumentException](Media.decodeAvi(patched))
+    assert(e.getMessage.contains("declares"))
+  }
+
   test("extractFeatures round-trips bytes and decodes deterministically") {
     val feats = Media.extractFeatures(Media.mediaTable(spark, sf001))
     val docs = graft.lake.Tables.documents(spark, sf001)
     assert(feats.count() == docs.count())
-    // video: n_bytes == utf-8 length of the source text (payload intact)
-    val joined = feats.toDF().filter(col("media_type") === "video").join(docs, "doc_id")
-      .filter(col("n_bytes") =!= length(encode(col("text"), "utf-8")))
-    assert(joined.isEmpty)
+    // video: n_bytes == total movi frame payload (container framing excluded)
+    val badVidBytes = feats.filter(f => f.media_type == "video" &&
+      f.n_bytes != Media.aviFrames(f.doc_id) * Media.aviFrameLen(f.doc_id))
+    assert(badVidBytes.isEmpty)
     // deterministic: same input -> same features (PNG/WAV encode+decode included)
     val twice = Media.extractFeatures(Media.mediaTable(spark, sf001))
     assert(feats.toDF().exceptAll(twice.toDF()).isEmpty)
     // ranges hold per modality
     val badVid = feats.filter(f => f.media_type == "video" && (
-      f.width < 320 || f.width >= 1920 || f.height < 240 || f.height >= 1080 ||
-        f.n_frames < 1 || f.n_frames > 24 || f.content_key.length != 16))
+      f.width != Media.aviWidth(f.doc_id) ||
+        f.height != Media.aviHeight(f.doc_id) ||
+        f.n_frames != Media.aviFrames(f.doc_id) ||
+        f.content_key.length != 16))
     assert(badVid.isEmpty)
     // audio: no raster; n_frames is the decoded PCM frame count
     val badAud = feats.filter(f => f.media_type == "audio" && (
