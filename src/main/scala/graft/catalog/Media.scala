@@ -91,5 +91,30 @@ object MediaCatalog extends Family {
       .orderBy(col("doc_id"))
   }
 
-  override val specs: Seq[Q] = Seq(metaExtract, audioMeta)
+  // The video modality's full typed container header — a REAL RIFF/AVI
+  // parse per row (dimensions, frame count, frame interval) plus the
+  // exact-integer duration and the frame-payload digest. duration_ms is
+  // integer floor division on both engines — no IEEE arithmetic anywhere
+  // in this query.
+  private val videoMeta = Q(
+    "media_video_meta",
+    Some("""
+      SELECT doc_id,
+        CAST(320 + (doc_id * 31) % 1600 AS INTEGER) AS width,
+        CAST(240 + (doc_id * 17) % 840 AS INTEGER) AS height,
+        CAST(nf AS INTEGER) AS n_frames,
+        CAST(33333 AS INTEGER) AS us_per_frame,
+        CAST(nf * 33333 // 1000 AS BIGINT) AS duration_ms,
+        substr(md5(repeat(chr(CAST(32 + (doc_id * 37) % 95 AS INTEGER)),
+          CAST(nf * (50 + doc_id % 100) AS INTEGER))), 1, 16) AS frames_key
+      FROM (SELECT doc_id, 1 + doc_id % 24 AS nf
+            FROM documents WHERE doc_id % 3 = 2)
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    MM.extractVideo(MM.mediaTable(spark, dir))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  override val specs: Seq[Q] = Seq(metaExtract, audioMeta, videoMeta)
 }

@@ -37,6 +37,13 @@ final case class AudioFeatures(
     doc_id: Long, sample_rate: Int, channels: Int, bits_per_sample: Int,
     n_samples: Long, duration_ms: Long, pcm_key: String)
 
+/** Decoded video container header + frame-payload digest from a real
+  * RIFF/AVI parse. `duration_ms` is exact integer arithmetic
+  * (`n_frames * us_per_frame div 1000`) — no IEEE division. */
+final case class VideoFeatures(
+    doc_id: Long, width: Int, height: Int, n_frames: Int, us_per_frame: Int,
+    duration_ms: Long, frames_key: String)
+
 /**
  * Multimodal column plumbing over the lake: schema, partition-friendly
  * batch shape, and distributed feature extraction.
@@ -183,7 +190,7 @@ object Media {
     * metadata (same fail-fast contract as [[decodeWav]]). Frame PIXEL
     * decode would need a codec this container doesn't ship; the payload
     * digest still pins the exact bytes end-to-end. */
-  def decodeAvi(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+  def decodeAvi(bytes: Array[Byte]): (Int, Int, Int, Int, Array[Byte]) = {
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def ascii4(): String = {
       val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
@@ -191,7 +198,7 @@ object Media {
     require(bytes.length >= 12 && ascii4() == "RIFF", "not a RIFF container")
     b.getInt // declared RIFF size (trust the actual buffer instead)
     require(ascii4() == "AVI ", "RIFF is not AVI")
-    var w = -1; var h = -1; var nf = -1
+    var w = -1; var h = -1; var nf = -1; var usPerFrame = -1
     val frames = new ByteArrayOutputStream()
     var framesSeen = 0
     def walk(end: Int): Unit = {
@@ -206,7 +213,8 @@ object Media {
             walk(b.position() + len - 4)
         } else if (id == "avih") {
           require(len >= 56, "avih header too short")
-          b.getInt(); b.getInt(); b.getInt(); b.getInt() // rate/bps/pad/flags
+          usPerFrame = b.getInt()
+          b.getInt(); b.getInt(); b.getInt() // bps, padding, flags
           nf = b.getInt()
           b.getInt(); b.getInt(); b.getInt() // initial, streams, bufsize
           w = b.getInt(); h = b.getInt()
@@ -220,10 +228,10 @@ object Media {
       }
     }
     walk(bytes.length)
-    require(w > 0 && h > 0 && nf >= 0, "missing avih header")
+    require(w > 0 && h > 0 && nf >= 0 && usPerFrame > 0, "missing avih header")
     require(framesSeen == nf,
       s"avih declares $nf frames but movi carries $framesSeen")
-    (w, h, nf, frames.toByteArray)
+    (w, h, nf, usPerFrame, frames.toByteArray)
   }
 
   /** REAL RIFF/WAVE parse: validates the RIFF/WAVE magic, walks the chunk
@@ -363,12 +371,30 @@ object Media {
           MediaFeatures(r.doc_id, r.media_type, dataLen, hex16(md.digest(pcm)),
             0, 0, nSamples)
         } else {
-          val (w, h, nf, framePayload) = decodeAvi(r.content)
+          val (w, h, nf, _, framePayload) = decodeAvi(r.content)
           // n_bytes/content_key cover the FRAME payload (the bytes a codec
           // stage would consume), not the container framing
           MediaFeatures(r.doc_id, r.media_type, framePayload.length,
             hex16(md.digest(framePayload)), w, h, nf)
         }
+      }
+    }
+  }
+
+  /** Video-typed decode: the full AVI main header surfaced as typed columns
+    * plus the frame-payload digest. `duration_ms` is exact integer
+    * arithmetic (`n_frames * us_per_frame div 1000`) — no IEEE division, so
+    * the DuckDB oracle reproduces it bit-for-bit. */
+  def extractVideo(media: DataFrame): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "video").as[MediaRecord].mapPartitions { records =>
+      val md = MessageDigest.getInstance("MD5")
+      records.map { r =>
+        md.reset()
+        val (w, h, nf, uspf, framePayload) = decodeAvi(r.content)
+        VideoFeatures(r.doc_id, w, h, nf, uspf,
+          nf.toLong * uspf / 1000L, hex16(md.digest(framePayload)))
       }
     }
   }

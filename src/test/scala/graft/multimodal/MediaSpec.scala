@@ -102,9 +102,9 @@ class MediaSpec extends SparkSpec {
   test("video payloads are real AVI containers; decodeAvi recovers the header") {
     for (docId <- Seq(2L, 5L, 101L)) {
       val bytes = Media.aviFixture(docId)
-      val (w, h, nf, payload) = Media.decodeAvi(bytes)
+      val (w, h, nf, uspf, payload) = Media.decodeAvi(bytes)
       assert(w == Media.aviWidth(docId) && h == Media.aviHeight(docId))
-      assert(nf == Media.aviFrames(docId))
+      assert(nf == Media.aviFrames(docId) && uspf == 33333)
       assert(payload.length == nf * Media.aviFrameLen(docId))
       assert(payload.forall(_ == Media.aviFill(docId).toByte))
     }
