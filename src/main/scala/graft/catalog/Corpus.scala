@@ -278,6 +278,66 @@ object Corpus extends Family {
       .orderBy(col("lang"), col("source"))
   }
 
+  // ---------------------------------------------------------------------
+  // Temperature-based multilingual mixture weights (the XLM-R / mC4 α
+  // resampling, Conneau et al. 2020): language l is sampled proportionally
+  // to (token share)^α, flattening the head so low-resource languages are
+  // upweighted. α = 1/2 keeps the whole readout oracle-exact: x^0.5 is
+  // `sqrt`, the ONE transcendental-free power, and IEEE sqrt is correctly
+  // rounded on both engines — so weight = sqrt(n_l) / Σ sqrt(n_k) with the
+  // normalizer summed in FIXED lang order (the BM25 pivot discipline) is
+  // bit-identical cross-engine with no tolerance. `boost` = weight /
+  // natural share — the up/down-sampling factor the corpus sampler applies.
+  //
+  // Scale shape: one corpus-width (lang) aggregate with map-side partials,
+  // then a 1-row pivoted normalizer broadcast back — nothing downstream of
+  // the aggregate is data-sized. The 5-language pivot is pinned like the
+  // search family's QueryTerms (the corpus's lang domain is fixed).
+  private val tempMix = Q(
+    "sample_temperature_mix",
+    Some("""
+      WITH g AS (SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang),
+      p AS (SELECT
+          MAX(CASE WHEN lang = 'de' THEN n_tokens END) AS t_de,
+          MAX(CASE WHEN lang = 'en' THEN n_tokens END) AS t_en,
+          MAX(CASE WHEN lang = 'es' THEN n_tokens END) AS t_es,
+          MAX(CASE WHEN lang = 'fr' THEN n_tokens END) AS t_fr,
+          MAX(CASE WHEN lang = 'zh' THEN n_tokens END) AS t_zh
+        FROM g),
+      z AS (SELECT
+          CAST(t_de + t_en + t_es + t_fr + t_zh AS BIGINT) AS n_total,
+          sqrt(t_de) + sqrt(t_en) + sqrt(t_es) + sqrt(t_fr) + sqrt(t_zh)
+            AS zsum
+        FROM p)
+      SELECT lang, n_docs, n_tokens,
+        CAST(n_tokens AS DOUBLE) / n_total AS natural_share,
+        sqrt(n_tokens) / zsum AS temp_weight,
+        (sqrt(n_tokens) / zsum) / (CAST(n_tokens AS DOUBLE) / n_total)
+          AS boost
+      FROM g, z ORDER BY lang
+    """)) { (spark, dir) =>
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val g = docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val pivots = langs.map(l =>
+      max(when(col("lang") === l, col("n_tokens"))).as(s"t_$l"))
+    val p = g.agg(pivots.head, pivots.tail: _*)
+    val z = p.select(
+      langs.map(l => col(s"t_$l")).reduce(_ + _).cast("long").as("n_total"),
+      langs.map(l => sqrt(col(s"t_$l"))).reduce(_ + _).as("zsum"))
+    val natural = col("n_tokens").cast("double") / col("n_total")
+    val weight = sqrt(col("n_tokens")) / col("zsum")
+    g.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        natural.as("natural_share"), weight.as("temp_weight"),
+        (weight / natural).as("boost"))
+      .orderBy(col("lang"))
+  }
+
   override val specs: Seq[Q] =
-    Seq(decontam, decontamBloom, piiMask, chunk, shard, mix)
+    Seq(decontam, decontamBloom, piiMask, chunk, shard, mix, tempMix)
 }

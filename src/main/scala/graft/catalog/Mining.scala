@@ -308,7 +308,68 @@ object Mining extends Family {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------------
+  // Neighbor-set Jaccard similarity over the support-≥2 co-purchase graph:
+  // "customers who buy u also buy v" — two parts are similar when their
+  // co-purchase NEIGHBORHOODS overlap, even if u and v are never in one
+  // basket themselves (the complementary-product signal basket support
+  // can't see). J(u,v) = |N(u)∩N(v)| / (|N(u)|+|N(v)|−|N(u)∩N(v)|), exact:
+  // intersection counts from one middle-node wedge join, degrees from one
+  // aggregate, ONE IEEE division per surviving pair.
+  //
+  // Scale shape: wedge fanout is Σ deg(m)², inherent to EXACT all-pairs
+  // set overlap — the support floor keeps the graph signal-sized here, and
+  // at web scale the same query runs on MinHash sketches of the adjacency
+  // sets (graft.functions.MinHashBands — the operator this catalog already
+  // owns) with this exact form as the confirm pass on candidates.
+  private val jaccardParts = Q(
+    "graph_jaccard_parts",
+    Some("""
+      WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      e AS (SELECT u, v FROM (
+        SELECT u, v, COUNT(*) AS n FROM pairs GROUP BY u, v) WHERE n >= 2),
+      adj AS (SELECT u AS m, v AS nbr FROM e
+              UNION ALL SELECT v AS m, u AS nbr FROM e),
+      deg AS (SELECT m AS node, COUNT(*) AS deg FROM adj GROUP BY m),
+      com AS (SELECT a.nbr AS u, b.nbr AS v, COUNT(*) AS n_common
+        FROM adj a JOIN adj b ON a.m = b.m AND a.nbr < b.nbr
+        GROUP BY a.nbr, b.nbr)
+      SELECT c.u AS part_u, c.v AS part_v, c.n_common,
+        CAST(du.deg AS BIGINT) AS deg_u, CAST(dv.deg AS BIGINT) AS deg_v,
+        CAST(c.n_common AS DOUBLE) / (du.deg + dv.deg - c.n_common)
+          AS jaccard
+      FROM com c
+      JOIN deg du ON du.node = c.u
+      JOIN deg dv ON dv.node = c.v
+      ORDER BY jaccard DESC, part_u, part_v LIMIT 50
+    """)) { (spark, dir) =>
+    val e = CoPurchase.support(spark, dir)
+      .filter(col("n_orders") >= 2)
+      .select(col("part_a").as("u"), col("part_b").as("v"))
+    val adj = e.select(col("u").as("m"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("m"), col("u").as("nbr")))
+    val deg = adj.select(col("m").as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val com = adj.select(col("m"), col("nbr").as("u"))
+      .join(adj.select(col("m"), col("nbr").as("v")), Seq("m"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"))
+    com
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u").as("part_u"), col("v").as("part_v"), col("n_common"),
+        col("deg_u"), col("deg_v"),
+        (col("n_common").cast("double")
+          / (col("deg_u") + col("deg_v") - col("n_common"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("part_u"), col("part_v"))
+      .limit(50)
+  }
+
   override val specs: Seq[Q] =
     Seq(spanDedup, heavyHitters, topkAgg, containment, anomaly, pagerank,
-      triangles)
+      triangles, jaccardParts)
 }

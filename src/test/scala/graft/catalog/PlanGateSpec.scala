@@ -53,6 +53,7 @@ class PlanGateSpec extends SparkSpec {
     "search_bm25_topk" -> 1,      // broadcast 1-row (A, N) corpus totals
     "search_hybrid_rrf" -> 1,     // broadcast query batch (semantic leg)
     "sample_pps_systematic" -> 1, // broadcast 1-row token grand total
+    "sample_temperature_mix" -> 1, // broadcast 1-row pivoted normalizer
     "skew_hot_custkeys" -> 1,     // broadcast 1-row grand total (hotKeys)
     "tfidf_top_terms" -> 1,       // broadcast 1-row n_docs
     "window_wau_rolling" -> 1)    // broadcast 1-row max observed day
@@ -79,6 +80,7 @@ class PlanGateSpec extends SparkSpec {
     "reconcile_days_without_errors" -> 1, // scalar reconciliation total
     "rfm_segments" -> 2,                 // quantile + as-of scalar frames
     "sample_pps_systematic" -> 1,        // token grand-total scalar
+    "sample_temperature_mix" -> 1,       // 1-row pivoted normalizer
     "search_bm25_topk" -> 1,             // 1-row (A, N) corpus totals
     "skew_hot_custkeys" -> 1,            // grand total
     "tfidf_top_terms" -> 1,              // n_docs count
