@@ -116,5 +116,56 @@ object MediaCatalog extends Family {
       .orderBy(col("doc_id"))
   }
 
-  override val specs: Seq[Q] = Seq(metaExtract, audioMeta, videoMeta)
+  // Fit-within-box resize plan over the decoded image dims (real ImageIO
+  // decode feeding the planner): pure integer multiply-then-divide with a
+  // fixed 16×12 box so the fixture population exercises all three branches
+  // (fits / width-limited / height-limited). The oracle recomputes the
+  // closed-form dims and the same exact-rational floor arithmetic.
+  private val resizePlanQ = Q(
+    "media_resize_plan",
+    Some("""
+      SELECT doc_id, media_type, src_width, src_height,
+        CAST(CASE
+          WHEN src_width <= 16 AND src_height <= 12 THEN src_width
+          WHEN src_width * 12 >= src_height * 16 THEN 16
+          ELSE greatest(1, (src_width * 12) // src_height) END AS INTEGER)
+          AS out_width,
+        CAST(CASE
+          WHEN src_width <= 16 AND src_height <= 12 THEN src_height
+          WHEN src_width * 12 >= src_height * 16
+            THEN greatest(1, (src_height * 16) // src_width)
+          ELSE 12 END AS INTEGER) AS out_height
+      FROM (SELECT doc_id, 'image' AS media_type,
+              CAST(8 + (doc_id * 7) % 24 AS INTEGER) AS src_width,
+              CAST(6 + (doc_id * 5) % 17 AS INTEGER) AS src_height
+            FROM documents WHERE doc_id % 3 = 0)
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    MM.resizePlan(
+        MM.extractFeatures(MM.mediaTable(spark, dir))
+          .filter(col("media_type") === "image"),
+        maxW = 16, maxH = 12)
+      .orderBy(col("doc_id"))
+  }
+
+  // Frame sampling fan-out: every 4th frame index of each decoded video —
+  // the one-row-per-frame shape a frame-level decode stage consumes. The
+  // oracle regenerates the same index arithmetic from the closed-form
+  // frame counts.
+  private val frameSampleQ = Q(
+    "media_frames_sample",
+    Some("""
+      SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+        CAST(unnest(generate_series(0, nf - 1, 4)) AS INTEGER) AS frame_idx
+      FROM (SELECT doc_id, 1 + doc_id % 24 AS nf
+            FROM documents WHERE doc_id % 3 = 2)
+      ORDER BY doc_id, frame_idx
+    """)) { (spark, dir) =>
+    MM.sampleFrames(
+        MM.extractFeatures(MM.mediaTable(spark, dir)), everyNth = 4)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  override val specs: Seq[Q] =
+    Seq(metaExtract, audioMeta, videoMeta, resizePlanQ, frameSampleQ)
 }
