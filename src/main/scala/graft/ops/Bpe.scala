@@ -72,6 +72,17 @@ object Bpe {
         col(freqCol).cast("long").as("n"))
       .filter(size(col("syms")) >= 2)
       .localCheckpoint()
+    // Partitions track VOCAB size (the [[PageRank]] discipline): every
+    // merge round re-scans this frame, so a small vocabulary should not
+    // pay conf-many near-empty tasks × rounds; a 100M-word vocabulary
+    // keeps the session's full parallelism. coalesce = no shuffle; the
+    // count reads the materialized checkpoint.
+    val spark = words.sparkSession
+    val vParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      vocab.count() / 500000L + 1)).toInt
+    if (vParts < vocab.rdd.getNumPartitions)
+      vocab = vocab.coalesce(vParts).localCheckpoint()
     val applyMerge = (syms: Seq[String], l: String, r: String) => mergeOnce(syms, l, r)
     val mergeUdf = udf(applyMerge)
     val merges = Seq.newBuilder[Merge]

@@ -26,9 +26,12 @@ object Scratch {
       .filterNot(dumpDir.contains)
     val qs = graft.SparkEntry.queries
     names.foreach { n =>
+      // construction INSIDE the clock: iterative queries (BPE, PageRank,
+      // components) do their distributed work eagerly while building the
+      // result frame — timing only the count() would under-report them
+      val t0 = System.nanoTime()
       val df = qs(n)(spark, sfDir)
       if (explain) df.explain("formatted")
-      val t0 = System.nanoTime()
       val c = dumpDir match {
         case Some(out) =>
           df.coalesce(1).write.mode("overwrite").parquet(s"$out/$n")
