@@ -141,9 +141,12 @@ object MediaCatalog extends Family {
             FROM documents WHERE doc_id % 3 = 0)
       ORDER BY doc_id
     """)) { (spark, dir) =>
+    // modality filter BELOW the decode: Catalyst cannot push a filter
+    // through the typed mapPartitions, so filtering afterwards would pay
+    // WAV+AVI decodes for rows this query discards
     MM.resizePlan(
-        MM.extractFeatures(MM.mediaTable(spark, dir))
-          .filter(col("media_type") === "image"),
+        MM.extractFeatures(
+          MM.mediaTable(spark, dir).filter(col("media_type") === "image")),
         maxW = 16, maxH = 12)
       .orderBy(col("doc_id"))
   }
@@ -162,7 +165,9 @@ object MediaCatalog extends Family {
       ORDER BY doc_id, frame_idx
     """)) { (spark, dir) =>
     MM.sampleFrames(
-        MM.extractFeatures(MM.mediaTable(spark, dir)), everyNth = 4)
+        MM.extractFeatures(
+          MM.mediaTable(spark, dir).filter(col("media_type") === "video")),
+        everyNth = 4)
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 

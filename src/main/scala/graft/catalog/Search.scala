@@ -302,17 +302,10 @@ object Search extends Family {
       .groupBy(col("q_id"), col("doc_id"))
       .agg(countDistinct(col("term")).as("n_shared"),
         sum(col("term_count")).as("tf_sum"))
-    // two-stage salted top-30 (the VectorOps.topK shape, composite key)
-    val localW = Window.partitionBy(col("q_id"), col("_salt"))
-      .orderBy(col("n_shared").desc, col("tf_sum").desc, col("doc_id"))
-    val globalW = Window.partitionBy(col("q_id"))
-      .orderBy(col("n_shared").desc, col("tf_sum").desc, col("doc_id"))
-    val lex = lexCand
-      .withColumn("_salt", pmod(hash(col("doc_id")), lit(32)))
-      .withColumn("_lrn", row_number().over(localW)).filter(col("_lrn") <= 30)
-      .drop("_salt", "_lrn")
-      .withColumn("r_lex", row_number().over(globalW)).filter(col("r_lex") <= 30)
-      .select(col("q_id"), col("doc_id"), col("r_lex"))
+    // two-stage salted top-30 with the composite lexical ordering
+    val lex = graft.ops.VectorOps.topKBy(lexCand, "q_id", "doc_id",
+        Seq(col("n_shared").desc, col("tf_sum").desc), k = 30)
+      .select(col("q_id"), col("doc_id"), col("rn").as("r_lex"))
     val e = Vectors.embN(spark, dir)
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val qv = e.filter(col("vec_id") < 5)

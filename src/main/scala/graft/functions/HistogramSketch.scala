@@ -33,6 +33,7 @@ class HistogramSketch(loCents: Long, hiCents: Long, nBins: Int = 128)
   require(nBins >= 2 && nBins <= 65536, s"nBins out of range: $nBins")
   require(hiCents > loCents, s"empty span: [$loCents, $hiCents]")
   private val span = hiCents - loCents + 1
+  require(span > 0, s"span [$loCents, $hiCents] overflows int64")
   require(span <= Long.MaxValue / nBins,
     s"span $span overflows the bin multiply at nBins=$nBins")
 
@@ -43,8 +44,11 @@ class HistogramSketch(loCents: Long, hiCents: Long, nBins: Int = 128)
 
   override def reduce(buf0: HistBuf, v: Long): HistBuf = {
     val buf = bins(buf0)
-    val raw = (v - loCents) * nBins / span
-    val bin = math.max(0L, math.min(nBins - 1L, raw)).toInt
+    // clamp BEFORE the bin multiply: a far-out-of-range value (corrupt
+    // stream, saturated double->long cast) would otherwise overflow
+    // (v - lo) * nBins and wrap a huge outlier into the WRONG edge bin
+    val c = math.max(loCents, math.min(hiCents, v))
+    val bin = ((c - loCents) * nBins / span).toInt
     buf.b(bin) += 1
     buf
   }

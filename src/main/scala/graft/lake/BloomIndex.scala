@@ -50,9 +50,13 @@ object BloomIndex {
     val spark = df.sparkSession
     df.repartition(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(table)
-    val expected = math.max(1000L, df.count() / nFiles * 2)
+    // size the filters from the WRITTEN table: parquet count() is
+    // footer-metadata-only, while df.count() would re-run the full input
+    // lineage a second time
+    val written = spark.read.parquet(table)
+    val expected = math.max(1000L, written.count() / nFiles * 2)
     import spark.implicits._
-    val perFile = spark.read.parquet(table)
+    val perFile = written
       .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
       .as[(String, Long)]
       .groupByKey(_._1)

@@ -69,11 +69,17 @@ object Versioned {
   }
 
   /** Finish an interrupted swap: promote the bak back to live. Write-path
-    * only (publish calls it first); see the concurrency contract above. */
+    * only (publish calls it first); see the concurrency contract above.
+    * The trigger is an UNREADABLE manifest (absent, empty, or truncated —
+    * the rename-without-fsync crash can leave a zero-byte husk), not mere
+    * absence: a husk that shadowed a live bak would otherwise restart
+    * versioning at 1 and destroy the only good pointer. */
   def recover(spark: SparkSession, table: String): Option[Long] = {
     val f = fs(spark, table)
-    if (!f.exists(manifest(table)) && f.exists(bak(table)))
+    if (readVersionFile(f, manifest(table)).isEmpty && f.exists(bak(table))) {
+      f.delete(manifest(table), false) // drop the unreadable husk, if any
       f.rename(bak(table), manifest(table))
+    }
     readVersionFile(f, manifest(table))
   }
 

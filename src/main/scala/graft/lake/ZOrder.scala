@@ -42,7 +42,16 @@ object ZOrder {
     * can never eliminate it; codegen folds it to one comparison per row. */
   private def bucket(x: Column, lo: Column, hi: Column, bits: Int,
                      dim: String): Column = {
-    val mult = when(hi - lo <= lit(Long.MaxValue >> bits), lit(1L << bits))
+    // try_subtract guards the guard itself: a span >= 2^63 (mixed-sign keys
+    // spanning most of int64) overflows hi - lo, which under ANSI would
+    // throw before this check and under non-ANSI would wrap negative and
+    // satisfy a naive <= — try_subtract yields NULL instead, which fails
+    // the condition and routes to raise_error. (The product's own x - lo
+    // may still ANSI-throw first for such spans — also a fail-fast, just
+    // with the engine's overflow message.)
+    val span = try_subtract(hi, lo)
+    val mult = when(span.isNotNull && span <= lit(Long.MaxValue >> bits),
+      lit(1L << bits))
       .otherwise(raise_error(concat(
         lit(s"ZOrder: $dim span "), hi - lo,
         lit(s" exceeds 2^${63 - bits} for bits=$bits — lower bits or narrow the key"))))

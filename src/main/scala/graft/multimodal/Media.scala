@@ -218,7 +218,11 @@ object Media {
           nf = b.getInt()
           b.getInt(); b.getInt(); b.getInt() // initial, streams, bufsize
           w = b.getInt(); h = b.getInt()
-        } else if (id.endsWith("dc") || id.endsWith("db") || id.endsWith("wb")) {
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          // VIDEO frame chunks only ('??dc' compressed / '??db' raw);
+          // interleaved audio ('??wb') is skipped — counting it against
+          // avih's dwTotalFrames (a video-frame count) would reject every
+          // standards-conforming container with an audio stream
           val payload = new Array[Byte](len)
           b.get(payload)
           frames.write(payload)

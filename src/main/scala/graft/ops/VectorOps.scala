@@ -64,12 +64,19 @@ object VectorOps {
    * `scored` must carry (qCol, idCol, simCol); ties break by ascending id.
    */
   def topK(scored: DataFrame, qCol: String, idCol: String, simCol: String,
-           k: Int, nSalts: Int = 32): DataFrame = {
+           k: Int, nSalts: Int = 32): DataFrame =
+    topKBy(scored, qCol, idCol, Seq(col(simCol).desc), k, nSalts)
+
+  /** [[topK]] with a caller-supplied ordering prefix (e.g. a composite
+    * lexical key): same two-stage salted exactness argument — every global
+    * top-k row survives its bucket's local top-k for ANY total order. The
+    * ascending-id tiebreak is appended to keep determinism. */
+  def topKBy(scored: DataFrame, qCol: String, idCol: String,
+             ordering: Seq[Column], k: Int, nSalts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val localW = Window.partitionBy(col(qCol), col("_salt"))
-      .orderBy(col(simCol).desc, col(idCol))
-    val globalW = Window.partitionBy(col(qCol))
-      .orderBy(col(simCol).desc, col(idCol))
+    val order = ordering :+ col(idCol).asc
+    val localW = Window.partitionBy(col(qCol), col("_salt")).orderBy(order: _*)
+    val globalW = Window.partitionBy(col(qCol)).orderBy(order: _*)
     scored
       .withColumn("_salt", pmod(hash(col(idCol)), lit(nSalts)))
       .withColumn("_lrn", row_number().over(localW))

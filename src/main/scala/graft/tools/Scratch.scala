@@ -28,10 +28,11 @@ object Scratch {
     names.foreach { n =>
       // construction INSIDE the clock: iterative queries (BPE, PageRank,
       // components) do their distributed work eagerly while building the
-      // result frame — timing only the count() would under-report them
+      // result frame — timing only the count() would under-report them.
+      // --explain renders AFTER the clock stops so its plan formatting
+      // doesn't inflate the printed seconds.
       val t0 = System.nanoTime()
       val df = qs(n)(spark, sfDir)
-      if (explain) df.explain("formatted")
       val c = dumpDir match {
         case Some(out) =>
           df.coalesce(1).write.mode("overwrite").parquet(s"$out/$n")
@@ -39,6 +40,7 @@ object Scratch {
         case None => df.count()
       }
       printf("TIMING %-32s %8.3f s  (%d rows)%n", n, (System.nanoTime() - t0) / 1e9, c)
+      if (explain) df.explain("formatted")
     }
     dumpDir.foreach { out =>
       val json = graft.SparkEntry.oracleSql

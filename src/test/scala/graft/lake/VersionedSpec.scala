@@ -63,6 +63,24 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t).as[Int].collect().sameElements(Array(3)))
   }
 
+  test("an empty manifest shadowing a live bak recovers the bak, not v1") {
+    val t = tbl()
+    Versioned.publish(Seq(1).toDF("x"), t)
+    Versioned.publish(Seq(2).toDF("x"), t)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window: demote happened, promote's rename landed but the file
+    // content was lost (rename-without-fsync) — a zero-byte husk shadows
+    // the only good pointer
+    fs.rename(new Path(s"$t/_manifest"), new Path(s"$t/_manifest.bak"))
+    fs.create(new Path(s"$t/_manifest"), true).close()
+    assert(Versioned.currentVersion(spark, t).contains(2L)) // bak fallback
+    // recover must promote the bak over the husk — a mere existence check
+    // would restart versioning at 1 and DESTROY the bak during publish
+    assert(Versioned.recover(spark, t).contains(2L))
+    assert(Versioned.publish(Seq(3).toDF("x"), t) == 3L)
+    assert(Versioned.read(spark, t).as[Int].collect().sameElements(Array(3)))
+  }
+
   test("an empty or truncated manifest reads as no version, not a crash") {
     val t = tbl()
     Versioned.publish(Seq(1).toDF("x"), t)

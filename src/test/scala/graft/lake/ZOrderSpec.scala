@@ -80,5 +80,17 @@ class ZOrderSpec extends SparkSpec {
     ZOrder.writeZClustered(wide, s"$dir/ok", nFiles = 2, col("a"), col("b"),
       bits = 1)
     assert(spark.read.parquet(s"$dir/ok").count() == 2)
+    // mixed-sign span >= 2^63: hi - lo itself overflows int64. Must STILL
+    // fail fast — either via our guard (try_subtract null-routes to
+    // raise_error) or via ANSI's arithmetic overflow on the row-side
+    // subtraction, whichever the engine hits first. Never a silent wrap.
+    val wrapped = Seq((-(1L << 62) - 10L, 0L), ((1L << 62) + 10L, 1L))
+      .toDF("a", "b")
+    val e2 = intercept[Exception] {
+      ZOrder.writeZClustered(wrapped, s"$dir/wrap", nFiles = 2, col("a"), col("b"))
+    }
+    assert(messages(e2).exists(m =>
+      m.contains("ZOrder: a span") || m.contains("ARITHMETIC_OVERFLOW")),
+      s"got: $e2")
   }
 }

@@ -123,6 +123,32 @@ class MediaSpec extends SparkSpec {
     assert(e.getMessage.contains("declares"))
   }
 
+  test("interleaved audio ('01wb') chunks don't count against video frames") {
+    // splice an audio chunk into movi: a standards-conforming AVI with an
+    // audio stream must still decode, with the audio bytes excluded from
+    // the frame count AND the frame-payload digest
+    val fx = Media.aviFixture(2L)
+    val audio = "01wb".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](9, 9, 9, 9)
+    // append inside movi (the LAST list): grow the movi LIST size and the
+    // RIFF size so the spliced chunk is within both declared extents
+    val out = java.nio.ByteBuffer
+      .allocate(fx.length + audio.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(fx).put(audio).array()
+    val moviSizeOff = 12 + 8 + (4 + 8 + 56) + 4 // RIFF hdr + hdrl LIST + 'LIST'
+    java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, out.length - 8) // RIFF size
+      .putInt(moviSizeOff,
+        java.nio.ByteBuffer.wrap(fx).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .getInt(moviSizeOff) + audio.length)
+    val (w, h, nf, uspf, payload) = Media.decodeAvi(out)
+    assert(w == Media.aviWidth(2L) && h == Media.aviHeight(2L))
+    assert(nf == Media.aviFrames(2L) && uspf == 33333)
+    assert(payload.length == nf * Media.aviFrameLen(2L))
+    assert(payload.forall(_ == Media.aviFill(2L).toByte), "audio leaked into digest input")
+  }
+
   test("extractFeatures round-trips bytes and decodes deterministically") {
     val feats = Media.extractFeatures(Media.mediaTable(spark, sf001))
     val docs = graft.lake.Tables.documents(spark, sf001)

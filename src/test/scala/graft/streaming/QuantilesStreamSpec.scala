@@ -62,18 +62,23 @@ class QuantilesStreamSpec extends SparkSpec {
   }
 
   test("out-of-range values clamp into edge bins instead of corrupting state") {
+    // 1e15 dollars -> 1e17 cents: (v-lo)*128 would overflow int64 and wrap
+    // a huge outlier into bin 0 without the pre-multiply clamp
     val df = Seq(
       (t(1), "x", -50.0), (t(2), "x", 10.0), (t(3), "x", 99999.0),
+      (t(4), "x", 1.0e15),
       (t(45), "sentinel", 0.0)).toDF("ts", "event_type", "value")
     val rows = Quantiles.windowed(df, lo, hi).filter($"event_type" === "x")
       .collect()
     assert(rows.length == 1)
     val r = rows.head
-    assert(r.getLong(2) == 3L)
-    // clamped extremes sit in bins 0 and 127: p25 near the low edge, p95 at
-    // the high edge — never outside the dialed span
+    assert(r.getLong(2) == 4L)
+    // clamped extremes sit in bins 0 and 127: p25 near the low edge, the
+    // top estimates at the high edge — never outside the dialed span, and
+    // the overflow-scale outlier lands in the TOP bin, not bin 0
     assert(r.getDouble(3) <= hi / 128.0 / 100.0 + 0.01)
-    assert(r.getDouble(6) == (lo + hi + 1) / 100.0 / 1.0 ||
-      r.getDouble(6) <= (hi + 1) / 100.0)
+    val topEdge = (lo + hi + 1) / 100.0
+    assert(math.abs(r.getDouble(6) - topEdge) < 0.03, s"p95 ${r.getDouble(6)}")
+    assert(math.abs(r.getDouble(5) - topEdge) < 0.03, s"p75 ${r.getDouble(5)}")
   }
 }
