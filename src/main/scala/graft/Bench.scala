@@ -25,7 +25,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val par = sys.env.getOrElse("SPARK_GRAFT_PAR", "1").toInt.max(1)
+    // Shuffle width is sized to the DATA (the brief's "partitions fit the
+    // target SF" rule), not to the thread count: local[32] with 32-wide
+    // shuffles on a ~600k-row SF measurably loses to the same session with
+    // 8-wide shuffles (+14 s catalog wall — tiny-partition map tasks ×
+    // every stage dominate). Threads above the cap still parallelize scans
+    // and independent stages. SPARK_GRAFT_SHUFFLE overrides.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.min(cpus.toInt, 8).toString)
     val spark = Conf.local(SparkSession.builder(), cpus.toInt)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.scheduler.mode", "FAIR")
