@@ -220,7 +220,7 @@ object TextLlm extends Family {
   private def qualityFrame(spark: SparkSession, dir: String): DataFrame = {
     val t = TextOps.tokens(col("text"))
     docs(spark, dir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"),
         size(t).as("n_tokens"),
         size(array_distinct(t)).as("n_distinct"),
         size(filter(t, x => x.isin("the", "a"))).as("n_stop"))
@@ -228,6 +228,65 @@ object TextLlm extends Family {
         lit(0.3) * (col("n_distinct") / col("n_tokens"))
           + lit(0.5) * (lit(1) - col("n_stop") / col("n_tokens"))
           + lit(0.2) * least(lit(1.0), col("n_tokens") / 100.0))
+  }
+
+  // -------------------------------------------------------------------------
+  // Per-language quality percentile via the histogram method — the
+  // scale-sound form of per-lang percent_rank: quality thresholds are drawn
+  // WITHIN each language (so a high-resource language's distribution doesn't
+  // set the bar for low-resource ones — the standard per-lang filtering
+  // posture), but a corpus-wide percent_rank window would sort every
+  // language's full partition. Instead the score is binned on a fixed
+  // 128-bin grid (one map-side-combinable (lang, bin) aggregate), the
+  // languages × ≤128 cumulative table is metadata-sized, and each doc joins
+  // its (lang, bin) row back — percentile resolution is 1/128, exact math
+  // is integer counts with ONE IEEE division per doc. Binning a double
+  // score is deterministic cross-engine because the score itself is the
+  // fixed-order IEEE composite both engines already hash-match.
+  private val qualityPctl = Q(
+    "text_quality_pctl_by_lang",
+    Some("""
+      WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      s AS (SELECT doc_id, lang, len(t) AS nt,
+              len(list_distinct(t)) AS nd,
+              len(list_filter(t, x -> x IN ('the', 'a'))) AS ns
+            FROM b),
+      qs AS (SELECT doc_id, lang,
+               0.3 * (nd / nt) + 0.5 * (1 - ns / nt)
+                 + 0.2 * least(1.0, nt / 100.0) AS q
+             FROM s),
+      bi AS (SELECT doc_id, lang,
+               greatest(0, least(127, CAST(floor(q * 128) AS INTEGER))) AS bin
+             FROM qs),
+      bc AS (SELECT lang, bin, COUNT(*) AS cnt FROM bi GROUP BY lang, bin),
+      cu AS (SELECT lang, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) - cnt AS below,
+               SUM(cnt) OVER (PARTITION BY lang) AS n_lang
+             FROM bc)
+      SELECT b.doc_id, b.lang, CAST(b.bin AS INTEGER) AS bin,
+        CAST(c.below AS BIGINT) AS n_below,
+        CAST(c.n_lang AS BIGINT) AS n_lang,
+        CAST(c.below AS DOUBLE) / c.n_lang AS pctl
+      FROM bi b JOIN cu c ON c.lang = b.lang AND c.bin = b.bin
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val bi = qualityFrame(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        greatest(lit(0), least(lit(127),
+          floor(col("quality_score") * 128).cast("int"))).as("bin"))
+    val bc = bi.groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val cu = bc
+      .withColumn("below",
+        sum(col("cnt")).over(Window.partitionBy(col("lang")).orderBy(col("bin")))
+          - col("cnt"))
+      .withColumn("n_lang",
+        sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+    bi.join(cu.select(col("lang"), col("bin"), col("below"), col("n_lang")),
+        Seq("lang", "bin"))
+      .select(col("doc_id"), col("lang"), col("bin"),
+        col("below").as("n_below"), col("n_lang"),
+        (col("below").cast("double") / col("n_lang")).as("pctl"))
+      .orderBy(col("doc_id"))
   }
 
   // Language-ID heuristic: profile-wordlist overlap, deterministic argmax.
@@ -733,7 +792,7 @@ object TextLlm extends Family {
 
   override val specs: Seq[Q] = Seq(clusterCanonical,
     dedupExact, dedupNorm, minhashLsh, components, jaccard, simhash,
-    quality, repetition, langId, tokenCounts, fingerprint, sourceParse,
-    hashSample, stratifiedSample, ppsSample, packBins, levenshteinPairs,
-    tfidfTopTerms, incremental)
+    quality, qualityPctl, repetition, langId, tokenCounts, fingerprint,
+    sourceParse, hashSample, stratifiedSample, ppsSample, packBins,
+    levenshteinPairs, tfidfTopTerms, incremental)
 }
