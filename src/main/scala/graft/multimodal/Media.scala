@@ -205,7 +205,9 @@ object Media {
       while (b.position() + 8 <= end) {
         val id = ascii4()
         val len = b.getInt
-        require(len >= 0 && b.position() + len <= end, s"truncated chunk $id")
+        // Long arithmetic: position+len can wrap negative in Int for a
+        // crafted len near Int.MaxValue, bypassing the bound check
+        require(len >= 0 && b.position().toLong + len <= end, s"truncated chunk $id")
         val next = b.position() + len + (len & 1) // chunks pad to even
         if (id == "LIST") {
           val listType = ascii4()

@@ -88,9 +88,23 @@ class VersionedSpec extends SparkSpec {
     fs.create(new Path(s"$t/_manifest"), true).close() // zero-byte manifest
     // falls back to the bak chain; none exists -> None
     assert(Versioned.currentVersion(spark, t).isEmpty)
-    // a fresh publish rebuilds the manifest and versioning continues
-    assert(Versioned.publish(Seq(2).toDF("x"), t) == 1L)
-    assert(Versioned.currentVersion(spark, t).contains(1L))
+  }
+
+  test("double pointer loss with live version dirs does not rewind the counter") {
+    val t = tbl()
+    Versioned.publish(Seq(1).toDF("x"), t)
+    Versioned.publish(Seq(2).toDF("x"), t)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // both pointers unreadable (manifest truncated, no bak): the worst case
+    fs.create(new Path(s"$t/_manifest"), true).close()
+    assert(Versioned.currentVersion(spark, t).isEmpty)
+    // publish must seed PAST the highest on-disk version dir — restarting at
+    // 1 would overwrite v=1 data that versions()/time travel still expose
+    assert(Versioned.publish(Seq(3).toDF("x"), t) == 3L)
+    assert(Versioned.currentVersion(spark, t).contains(3L))
+    assert(Versioned.readVersion(spark, t, 1).as[Int].collect().sameElements(Array(1)))
+    assert(Versioned.readVersion(spark, t, 2).as[Int].collect().sameElements(Array(2)))
+    assert(Versioned.read(spark, t).as[Int].collect().sameElements(Array(3)))
   }
 
   test("vacuum drops old versions but keeps the live window") {
