@@ -231,21 +231,61 @@ object Mining extends Family {
   // undirected edge connects parts bought together in >= 2 distinct orders
   // (the support floor removes the single-co-occurrence noise that
   // dominates pair volume — 1.2M raw pairs -> 3.6k signal edges at sf0.1).
-  // Power iteration is not SQL-expressible cross-engine (iterative IEEE
-  // sums), so this entry has NO DuckDB twin: the driver records the weaker
-  // rows-only check, and semantic coverage lives in PageRankSpec (closed
-  // forms on cycles/stars, dangling-mass conservation, iteration scaling).
-  // Scale ledger: graft.ops.PageRank — O(iters x |E|) network, per-round
-  // lineage cut, driver scalars limited to |V| and the dangling mass.
-  private val pagerank = Q("graph_pagerank_parts", None) { (spark, dir) =>
+  // Runs [[graft.ops.PageRank.runFixedPoint]]: every quantity a BIGINT in
+  // 1e-15 units, every division integral — bit-identical across engines,
+  // so a fixed 5-iteration power loop IS DuckDB-expressible as 5 unrolled
+  // CTEs (r0..r5) with `//` floor division, and the entry carries a full
+  // rows+schema+hash oracle (the IEEE/HALF_UP variants that blocked an
+  // oracle in earlier rounds are gone). The graph is symmetric by
+  // construction, so neither side needs dangling-mass handling; decimal
+  // [[graft.ops.PageRank.run]] remains the float-output variant, spec-
+  // covered in PageRankSpec (closed forms, mass conservation, dangling).
+  // Scale ledger: O(iters x |E|) network, per-round lineage cut, driver
+  // scalars limited to |V|; identical plan shape to the decimal variant.
+  private val pagerank = Q(
+    "graph_pagerank_parts",
+    Some {
+      val S = "1000000000000000"
+      // one unrolled power iteration: rank' = base + d*contrib, all integral
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (
+          SELECT n.node,
+                 CAST(($S * 15 // 100) // (SELECT n FROM c)
+                      + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.r // d.deg) AS s
+            FROM e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON n.node = s.node)"""
+      s"""
+      WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      sup AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      e AS (SELECT pa AS src, pb AS dst FROM sup
+            UNION ALL SELECT pb, pa FROM sup),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      c AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT node, CAST($S // (SELECT n FROM c) AS BIGINT) AS r FROM nodes),
+      ${iter("r0", "r1")},
+      ${iter("r1", "r2")},
+      ${iter("r2", "r3")},
+      ${iter("r3", "r4")},
+      ${iter("r4", "r5")}
+      SELECT node AS part, r AS rank_fp, r / $S.0 AS rank
+      FROM r5 ORDER BY rank_fp DESC, part LIMIT 20"""
+    }
+  ) { (spark, dir) =>
     val sup = CoPurchase.support(spark, dir)
       .filter(col("n_orders") >= 2)
     val edges = sup.select(col("part_a").as("src"), col("part_b").as("dst"))
       .union(sup.select(col("part_b").as("src"), col("part_a").as("dst")))
-    graft.ops.PageRank.run(edges, iters = 8)
-      .orderBy(col("rank").desc, col("node"))
+    graft.ops.PageRank.runFixedPoint(edges, iters = 5)
+      .orderBy(col("rank_fp").desc, col("node"))
       .limit(20)
-      .select(col("node").as("part"), col("rank"))
+      .select(col("node").as("part"), col("rank_fp"), col("rank"))
   }
 
   // ---------------------------------------------------------------------

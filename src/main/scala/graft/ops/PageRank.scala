@@ -125,4 +125,73 @@ object PageRank {
     }
     ranks.select(col("node"), col("rank").cast("double").as("rank"))
   }
+
+  /**
+   * Fixed-point PageRank: identical power iteration, but every quantity is
+   * a BIGINT in units of 1/`scale` and every division is integral floor
+   * division. The result is bit-identical across engines, partitionings,
+   * and summation orders — integer sums commute exactly — which makes the
+   * operator DuckDB-oracle-checkable (the [[run]] decimal variant is
+   * deterministic within Spark but its HALF_UP division points can't be
+   * reproduced portably in SQL). Floor division leaks ≤1 unit of mass per
+   * node per round — at scale=1e15 a relative error ~|V|·iters/1e15,
+   * far below any ranking-relevant difference.
+   *
+   * Overflow ledger (ANSI mode throws rather than wraps, so this is a
+   * correctness precondition, not a style note): ranks sum to ≤ scale, so
+   * a contribution sum is ≤ scale = 1e15; the damping product is
+   * ≤ dampNum·scale = 8.5e16; both far under Long.MaxValue ≈ 9.2e18.
+   *
+   * @param edges directed (`src`, `dst`); parallel edges count once
+   * @param scale fixed-point denominator (rank 1.0 == `scale` units)
+   * @return (`node`, `rank_fp` BIGINT units, `rank` double = rank_fp/scale)
+   */
+  def runFixedPoint(edges: DataFrame, iters: Int, dampNum: Long = 85,
+                    dampDen: Long = 100, scale: Long = 1000000000000000L,
+                    checkpointEvery: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen, s"damping must be in (0,1): $dampNum/$dampDen")
+    require(scale <= 1000000000000000L, "scale beyond 1e15 risks damping-product overflow")
+    val spark = edges.sparkSession
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val parts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      e0.count() / 500000L + 1)).toInt
+    val e = e0.repartition(parts, col("src")).localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    // Scala Long `/` truncates toward zero == floor for the non-negative
+    // operands here; mirrors SQL `x div y` / DuckDB `x // y` exactly.
+    val base = scale * (dampDen - dampNum) / dampDen / n
+    val danglingNodes = nodes
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = !danglingNodes.isEmpty
+    var ranks = nodes.withColumn("r", lit(scale / n))
+    for (i <- 1 to iters) {
+      val danglingOverN =
+        if (!hasDangling) 0L
+        else ranks.join(danglingNodes, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0) / n
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      // SQL `div` (integral), NOT Column./ — Divide on longs returns DOUBLE
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"$base + ($dampNum * (coalesce(contrib, 0) + $danglingOverN)) div $dampDen")
+            .as("r"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"),
+      (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
+  }
 }

@@ -71,8 +71,53 @@ class PageRankSpec extends SparkSpec {
     assert(top.length == 20)
     val parts = top.map(_.getLong(0))
     assert(parts.distinct.length == 20)
-    val ranks = top.map(_.getDouble(1))
-    assert(ranks.sameElements(ranks.sorted.reverse))
+    val fp = top.map(_.getLong(1))
+    assert(fp.sameElements(fp.sorted.reverse))
+    val ranks = top.map(_.getDouble(2))
     assert(ranks.forall(v => v > 0 && v < 1))
+    // the double column is exactly the fixed-point units over the scale
+    fp.zip(ranks).foreach { case (u, r) => assert(r == u / 1e15) }
+  }
+
+  // ----- fixed-point variant (the oracle-checkable arithmetic) -----
+
+  private def fpRanks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    PageRank.runFixedPoint(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("fixed point: directed cycle stays uniform at every iteration") {
+    val cycle = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    // uniform is the exact fixed point of the integer arithmetic too:
+    // r = S/4; contrib = r//1 = r; r' = (S*15//100)//4 + (85*r)//100
+    val s = 1000000000000000L
+    val expected = (s * 15 / 100) / 4 + (85 * (s / 4)) / 100
+    val r = fpRanks(cycle, iters = 7)
+    r.values.foreach(v => assert(v == expected, s"$v vs $expected"))
+  }
+
+  test("fixed point agrees with the decimal variant to ~|V|*iters/scale") {
+    val g = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 4L -> 1L) // 4 is a leaf source
+    val dec = ranksOf(g, iters = 10)
+    val fp = fpRanks(g, iters = 10)
+    dec.foreach { case (node, d) =>
+      assert(math.abs(fp(node) / 1e15 - d) < 1e-12, s"node $node")
+    }
+  }
+
+  test("fixed point: dangling mass is redistributed (total stays ~1)") {
+    val withDangling = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L) // 4 dangles
+    val total = fpRanks(withDangling, iters = 12).values.sum / 1e15
+    // floor division leaks <= 1 unit per node per round: |V|*iters/1e15
+    assert(math.abs(total - 1.0) < 1e-10, s"mass $total")
+  }
+
+  test("fixed point is bit-identical across reruns and partition widths") {
+    val g = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 5L -> 2L, 6L -> 2L)
+    val a = fpRanks(g, iters = 6)
+    val wide = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = try fpRanks(g, iters = 6)
+    finally spark.conf.set("spark.sql.shuffle.partitions", wide)
+    assert(a == b)
   }
 }
