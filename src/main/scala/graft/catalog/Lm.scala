@@ -150,5 +150,97 @@ object Lm extends Family {
       .orderBy(col("rank"))
   }
 
-  override val specs: Seq[Q] = Seq(rareBigram, vocabEncode, bpeMerges)
+  // -------------------------------------------------------------------------
+  // BPE APPLY (tokenizer encode): re-express every document as subword
+  // symbols under a FIXED, shipped merge table — the corpus-scale step a
+  // training pipeline runs repeatedly (learning runs once, offline; see
+  // lm_bpe_merges above). The table below is the 20-merge artifact learned
+  // from the sf0.01 corpus, frozen as a literal exactly like the PQ
+  // codebook fixtures: apply-with-fixed-artifact is deterministic, so THIS
+  // entry carries a full DuckDB oracle even though learning cannot.
+  //
+  // Scale shape: merges apply to DISTINCT words only (Heaps-bounded vocab,
+  // the one justified-UDF input class), then the vocab-sized
+  // word→symbols map BROADCASTS back to the corpus token stream — the raw
+  // text never shuffles and never enters a UDF. The oracle reproduces
+  // graft.ops.Bpe.mergeOnce's symbol-consuming greedy scan exactly, as a
+  // recursive CTE advancing a read head one symbol (or one consumed pair)
+  // per step, one merge rank at a time — plain string replace() cannot
+  // express this (a replaced pair's trailing boundary must remain
+  // consumable by the next pair, which non-overlapping scans consume).
+  private val FrozenMerges: Seq[graft.ops.Bpe.Merge] = Seq(
+    ("e", "r", 4568L), ("i", "n", 2760L), ("o", "w", 2747L),
+    ("o", "r", 2696L), ("s", "t", 2676L), ("m", "er", 1852L),
+    ("a", "t", 1845L), ("l", "u", 1831L), ("a", "r", 1758L),
+    ("p", "ar", 1758L), ("j", "o", 964L), ("jo", "in", 964L),
+    ("a", "s", 947L), ("as", "h", 947L), ("h", "ash", 947L),
+    ("r", "ow", 943L), ("at", "c", 937L), ("atc", "h", 937L),
+    ("b", "atch", 937L), ("a", "n", 936L)
+  ).zipWithIndex.map { case ((l, r, c), i) => graft.ops.Bpe.Merge(i + 1, l, r, c) }
+
+  private val bpeEncode = Q(
+    "lm_bpe_encode",
+    Some {
+      val lefts = FrozenMerges.map(m => s"'${m.left}'").mkString("[", ",", "]")
+      val rights = FrozenMerges.map(m => s"'${m.right}'").mkString("[", ",", "]")
+      val n = FrozenMerges.length
+      s"""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+        FROM documents),
+      tk AS (SELECT doc_id, pos, term FROM toks WHERE term <> ''),
+      w AS (SELECT DISTINCT term FROM tk),
+      -- state machine per word: m = merge rank, i = 1-based read head over
+      -- cur; out accumulates this rank's output symbols. One recursion step
+      -- emits one symbol (or one merged pair); i > len(cur) rolls to the
+      -- next rank with cur := out.
+      enc AS (
+        SELECT term, 1 AS m, 1 AS i,
+               string_split_regex(term, '') AS cur,
+               CAST([] AS VARCHAR[]) AS out
+        FROM w
+        UNION ALL
+        SELECT term,
+          CASE WHEN i > len(cur) THEN m + 1 ELSE m END,
+          CASE WHEN i > len(cur) THEN 1
+               WHEN i < len(cur) AND cur[i] = $lefts[m] AND cur[i+1] = $rights[m]
+                 THEN i + 2
+               ELSE i + 1 END,
+          CASE WHEN i > len(cur) THEN out ELSE cur END,
+          CASE WHEN i > len(cur) THEN CAST([] AS VARCHAR[])
+               WHEN i < len(cur) AND cur[i] = $lefts[m] AND cur[i+1] = $rights[m]
+                 THEN list_append(out, cur[i] || cur[i+1])
+               ELSE list_append(out, cur[i]) END
+        FROM enc WHERE m <= $n),
+      done AS (SELECT term, cur AS syms FROM enc WHERE m = $n + 1),
+      ed AS (SELECT t.doc_id, t.pos, d.syms FROM tk t JOIN done d USING (term))
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(len(syms)) AS BIGINT) AS n_subwords,
+        array_to_string(flatten(list(syms ORDER BY pos)), ',') AS subs_csv
+      FROM ed GROUP BY doc_id ORDER BY doc_id"""
+    }
+  ) { (spark, dir) =>
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "term")))
+      .select(col("doc_id"), col("term"), (col("p0") + 1).cast("long").as("pos"))
+      .filter(col("term") =!= "")
+    val merges = FrozenMerges
+    val encUdf = udf((w: String) => graft.ops.Bpe.encodeWord(w, merges))
+    val encoded = toks.select(col("term")).distinct()
+      .withColumn("syms", encUdf(col("term")))
+    toks.join(broadcast(encoded), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_subwords"),
+        concat_ws(",", flatten(
+          transform(sort_array(collect_list(struct(col("pos"), col("syms")))),
+            x => x.getField("syms")))).as("subs_csv"))
+      .orderBy(col("doc_id"))
+  }
+
+  override val specs: Seq[Q] = Seq(rareBigram, vocabEncode, bpeMerges, bpeEncode)
 }

@@ -138,4 +138,45 @@ object VectorOps {
         FROM lsh a JOIN lsh b ON a.band = b.band AND a.sig = b.sig
          AND a.vec_id < b.vec_id)"""
   }
+
+  /** ceil(log2(n)) clamped to [minBits, maxBits] — the production LSH dial:
+    * random-pair collision per band is 2^-bits, so bits ~ log2(n) holds
+    * total random-candidate volume near-linear in n. Integer-exact (no
+    * float log2 boundary risk at powers of two); mirrored by the SQL in
+    * [[duckLshCtesScaled]]. */
+  def scaledBits(n: Long, minBits: Int = 8, maxBits: Int = 16): Int =
+    math.max(minBits, math.min(maxBits,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))))
+
+  /** [[duckLshCtes]] with the PRODUCTION dial: bitsPerBand computed from
+    * the corpus count inside the SQL (min x with 2^x >= n — the same
+    * integer-exact ceil-log2 as [[scaledBits]]), planes embedded up to
+    * `maxBits` per band. The fixed-seed plane stream is append-only (the
+    * first k planes are identical for every parameterization), so both
+    * engines slice the same prefix whatever the dial resolves to. */
+  def duckLshCtesScaled(minBits: Int = 8, maxBits: Int = 16): String = {
+    import graft.functions.HyperplaneLsh.{signsFor, Bands}
+    val rows = signsFor(Bands * maxBits).zipWithIndex.map { case (s, h) =>
+      val lits = s.map(v => if (v > 0) "1" else "-1").mkString(",")
+      s"($h, CAST([$lits] AS DOUBLE[]))"
+    }.mkString(",\n        ")
+    s"""
+      nstat AS (SELECT COUNT(*) AS n FROM e),
+      bits AS (SELECT GREATEST($minBits, LEAST($maxBits,
+          (SELECT MIN(x) FROM generate_series(1, 62) t(x)
+           WHERE (CAST(1 AS BIGINT) << x) >= (SELECT n FROM nstat)))) AS b),
+      planes(h, s) AS (VALUES
+        $rows),
+      lsh AS (
+        SELECT e.vec_id, p.h // b.b AS band,
+          SUM(CASE WHEN list_dot_product(e.emb, p.s) >= 0
+                THEN CAST(1 AS BIGINT) << (p.h % b.b) ELSE 0 END) AS sig
+        FROM e CROSS JOIN bits b CROSS JOIN planes p
+        WHERE p.h < $Bands * b.b
+        GROUP BY e.vec_id, p.h // b.b),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM lsh a JOIN lsh b ON a.band = b.band AND a.sig = b.sig
+         AND a.vec_id < b.vec_id)"""
+  }
 }

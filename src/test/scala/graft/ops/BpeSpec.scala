@@ -66,4 +66,25 @@ class BpeSpec extends SparkSpec {
     // counts are positive and the merge table is usable end-to-end
     assert(rows.forall(_.getLong(3) > 0))
   }
+
+  test("catalog lm_bpe_encode is lossless: symbols re-concatenate to the text") {
+    // subwords partition each word's characters, so subs_csv minus commas
+    // must equal the document text minus spaces — the invariant that holds
+    // for EVERY valid merge table and catches any dropped/duplicated symbol
+    val enc = graft.SparkEntry.queries("lm_bpe_encode")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val txt = graft.lake.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc.nonEmpty && enc.keySet == txt.keySet)
+    enc.foreach { case (id, (nWords, nSubs, csv)) =>
+      val expected = txt(id).replace(" ", "")
+      assert(csv.replace(",", "") == expected, s"doc $id")
+      val subs = csv.split(",", -1)
+      assert(subs.length.toLong == nSubs, s"doc $id n_subwords")
+      // merges compress: never more symbols than characters, never fewer
+      // than words
+      assert(nSubs <= expected.length && nSubs >= nWords, s"doc $id bounds")
+    }
+  }
 }
