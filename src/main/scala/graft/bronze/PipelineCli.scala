@@ -24,13 +24,15 @@ import graft.lake.Tables
 object PipelineCli {
 
   private def arg(args: Array[String], name: String): Option[String] =
-    args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    Config.arg(args, name)
 
   private val DateRe = "\\d{4}-\\d{2}-\\d{2}".r
 
   /** Required-config validation, reference `settings.py:39-56` parity:
     * every missing/malformed key for `cmd` is collected BY NAME and
-    * reported at once (not first-failure), before a session spins up. */
+    * reported at once (not first-failure), before a session spins up.
+    * `root` arrives already resolved through [[Config]]'s layers, so the
+    * missing-root message names every way to supply it. */
   private[bronze] def configProblems(cmd: String, args: Array[String],
                                      root: Option[String]): Seq[String] = {
     def badDate(name: String): Seq[String] =
@@ -38,7 +40,9 @@ object PipelineCli {
         case d if !DateRe.matches(d) => s"$name must be yyyy-MM-dd, got '$d'"
       }
     val needRoot =
-      if (root.isEmpty) Seq("missing required argument: --root") else Nil
+      if (root.isEmpty)
+        Seq("missing required config: --root (or SPARK_GRAFT_ROOT via env/.env)")
+      else Nil
     val needRange = cmd match {
       case "backfill" =>
         Seq("--start", "--end").filter(arg(args, _).isEmpty)
@@ -81,18 +85,19 @@ object PipelineCli {
 
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("status")
-    val source = arg(args, "--source")
-      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
-      .getOrElse("/root/testdata/sf0.001")
-    val rootOpt = arg(args, "--root")
-    val argProblems = configProblems(cmd, args, rootOpt)
+    // settings.py parity: flag > environment > .env file > default, and
+    // dotenv parse problems aggregate with the missing/malformed keys so
+    // one run reports EVERYTHING wrong with the configuration
+    val cfg = Config.load(args, sys.env)
+    val argProblems = cfg.problems ++ configProblems(cmd, args, cfg.root)
     if (argProblems.nonEmpty) {
       println(errorJson(cmd, argProblems))
       sys.exit(1)
     }
-    val root = rootOpt.get
+    val source = cfg.source
+    val root = cfg.root.get
     val spark = graft.Conf.local(SparkSession.builder(), 4)
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .master(cfg.master)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

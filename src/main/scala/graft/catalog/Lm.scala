@@ -80,10 +80,35 @@ object Lm extends Family {
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("bcnt"))
     val cf = btf.groupBy(col("bigram")).agg(sum(col("bcnt")).as("freq"))
-    graft.ops.Skew.saltedJoin(btf, cf, "bigram")
+    // A doc's bigram is rare UNLESS it's in the corpus-COMMON head
+    // (freq > 5) — and that head is Zipf-bounded (<= total_occurrences/5
+    // distinct), while the rare tail is where Heaps-law growth lives. So
+    // instead of salt-joining EVERY distinct (doc, bigram) row against the
+    // full frequency table (the shuffle whose 16x sweep measured 7.8x),
+    // build a Bloom filter over the head: bloom-negative rows are PROVABLY
+    // rare and never shuffle; only head candidates (head hits + ~1% false
+    // positives) enter the salted join, whose LEFT backstop re-checks
+    // membership exactly — the bloom is invisible in the result, the
+    // decontam_bloom discipline applied to the LM filter.
+    val common = cf.filter(col("freq") > 5)
+      .select(col("bigram")).localCheckpoint()
+    val bloom = common.stat.bloomFilter("bigram",
+      math.max(1000L, common.count()), 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightCommon = udf((b: String) => bloomB.value.mightContainString(b))
+    val tagged = btf.withColumn("mc", mightCommon(col("bigram")))
+    val head = graft.ops.Skew.saltedJoin(
+        tagged.filter(col("mc")), common.withColumn("hit", lit(1)),
+        "bigram", joinType = "left")
       .groupBy(col("doc_id"))
+      .agg(coalesce(sum(when(col("hit").isNull, col("bcnt"))), lit(0L))
+        .as("rare_head"))
+    tagged.groupBy(col("doc_id"))
       .agg(sum(col("bcnt")).as("n_bigrams"),
-        coalesce(sum(when(col("freq") <= 5, col("bcnt"))), lit(0L)).as("n_rare"))
+        coalesce(sum(when(!col("mc"), col("bcnt"))), lit(0L)).as("rare_tail"))
+      .join(head, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("rare_tail") + coalesce(col("rare_head"), lit(0L))).as("n_rare"))
       .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
         (col("n_rare").cast("double") / col("n_bigrams").cast("double"))
           .as("rare_ratio"))
