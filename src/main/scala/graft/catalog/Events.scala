@@ -53,6 +53,78 @@ object Events extends Family {
       .orderBy(col("ts_us"), col("event_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // P1-P4 over REAL nested structs: the GA4 flattening (the reference's
+  // extract_events.sql:5-95 projection, graft.bronze.Ga4Extract) run
+  // end-to-end on the committed struct-shaped parquet day
+  // (fixtures/ga4/events, built by graft.tools.BuildGa4Fixture) — dot-path
+  // extraction incl. 2-level nesting (device.web_info.hostname), struct
+  // fields with per-row nulls, an items array with per-row cardinality,
+  // and the typed-union event_params value: `xvar` stores its value in the
+  // STRING slot on even rows and the INT slot on odd rows, so the
+  // variant-slot coalesce is exercised in both directions under the hash
+  // gate. DuckDB reads the same nested parquet natively; both engines
+  // extract identical dot paths. Map-only over the fixture; ORDER BY the
+  // unique event_timestamp is the only wide stage.
+  private val ga4Flatten = Q(
+    "bronze_ga4_flatten",
+    Some("""
+      SELECT
+        t.event_date, t.event_timestamp, t.event_name,
+        t.user_id, t.user_pseudo_id,
+        t.traffic_source.source AS traffic_source,
+        t.traffic_source.medium AS traffic_medium,
+        t.traffic_source.name AS campaign_name,
+        t.device.category AS device_category,
+        t.device.operating_system AS operating_system,
+        t.device.browser AS browser,
+        t.device.language AS language,
+        t.device.web_info.hostname AS hostname,
+        t.geo.continent AS continent, t.geo.country AS country,
+        t.geo.city AS city,
+        t.app_info.id AS app_id, t.platform,
+        t.ecommerce.total_item_quantity AS total_item_quantity,
+        t.ecommerce.purchase_revenue_in_usd AS purchase_revenue_in_usd,
+        t.ecommerce.transaction_id AS transaction_id,
+        CAST(len(t.items) AS BIGINT) AS n_items,
+        t.privacy_info.analytics_storage AS analytics_storage,
+        t.is_active_user,
+        COALESCE(
+          list_filter(t.event_params, p -> p.key = 'ga_session_id')[1].value.string_value,
+          CAST(list_filter(t.event_params, p -> p.key = 'ga_session_id')[1].value.int_value AS VARCHAR)) AS session_id,
+        COALESCE(
+          list_filter(t.event_params, p -> p.key = 'page')[1].value.string_value,
+          CAST(list_filter(t.event_params, p -> p.key = 'page')[1].value.int_value AS VARCHAR)) AS page,
+        COALESCE(
+          list_filter(t.event_params, p -> p.key = 'xvar')[1].value.string_value,
+          CAST(list_filter(t.event_params, p -> p.key = 'xvar')[1].value.int_value AS VARCHAR)) AS xvar
+      FROM read_parquet('/root/repo/fixtures/ga4/events/*.parquet') t
+      ORDER BY t.event_timestamp
+    """)) { (spark, dir) =>
+    val fix = Seq("fixtures/ga4/events", "/root/repo/fixtures/ga4/events")
+      .find(p => new java.io.File(p).isDirectory)
+      .getOrElse("fixtures/ga4/events")
+    val flat = graft.bronze.Ga4Extract.flatten(spark.read.parquet(fix))
+    flat.select(
+        col("event_date"), col("event_timestamp"), col("event_name"),
+        col("user_id"), col("user_pseudo_id"),
+        col("traffic_source"), col("traffic_medium"), col("campaign_name"),
+        col("device_category"), col("operating_system"), col("browser"),
+        col("language"),
+        col("web_info.hostname").as("hostname"),
+        col("continent"), col("country"), col("city"),
+        col("app_id"), col("platform"),
+        col("total_item_quantity"), col("purchase_revenue_in_usd"),
+        col("transaction_id"),
+        size(col("items")).cast("long").as("n_items"),
+        col("analytics_storage"), col("is_active_user"),
+        graft.bronze.Ga4Extract.param(col("event_params"), "ga_session_id")
+          .as("session_id"),
+        graft.bronze.Ga4Extract.param(col("event_params"), "page").as("page"),
+        graft.bronze.Ga4Extract.param(col("event_params"), "xvar").as("xvar"))
+      .orderBy(col("event_timestamp"))
+  }
+
   // A3: daily KPIs per event type (count / distinct users / exact revenue).
   private val dailyKpis = Q(
     "events_daily_kpis",
@@ -525,7 +597,7 @@ object Events extends Family {
   }
 
   override val specs: Seq[Q] = Seq(
-    extractDay, dailyKpis, funnel, sessionize, attribution,
+    extractDay, ga4Flatten, dailyKpis, funnel, sessionize, attribution,
     journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
     convLatency, abtest, wau)
 }

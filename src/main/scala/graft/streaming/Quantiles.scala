@@ -37,4 +37,25 @@ object Quantiles {
         col("q.n").as("n"), col("q.p25").as("p25"), col("q.p50").as("p50"),
         col("q.p75").as("p75"), col("q.p95").as("p95"))
   }
+
+  /** [[windowed]] without the [lo, hi] dial: the
+    * [[graft.functions.KllSketch]] rank sketch adapts to any value range
+    * (no clamp bias, no span sizing from a batch profile) at
+    * O(k·log(n/k)) state per open group. Windows smaller than `k` values
+    * are read out EXACTLY; larger ones carry ~log2(n/k)/k relative rank
+    * error. Same output columns as [[windowed]], drop-in. */
+  def windowedKll(events: DataFrame, k: Int = 256,
+                  windowDur: String = "10 minutes",
+                  watermark: String = "20 minutes"): DataFrame = {
+    val kq = udaf(new graft.functions.KllSketch(k))
+    events
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(kq(col("cents")).as("q"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("q.n").as("n"), col("q.p25").as("p25"), col("q.p50").as("p50"),
+        col("q.p75").as("p75"), col("q.p95").as("p95"))
+  }
 }

@@ -61,6 +61,48 @@ class QuantilesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KLL twin: stream == batch exactly for windows below capacity") {
+    implicit val sqlCtx = spark.sqlContext
+    // every window holds far fewer than k=256 values, so the rank sketch
+    // retains the exact multiset: stream and batch must agree EXACTLY,
+    // independent of arrival order or micro-batch splits — and with no
+    // [lo, hi] dial, the 1e15 outlier needs no clamp to stay correct
+    val kllFeed = feed :+ (t(2), "purchase", 1.0e15)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, Double)]
+    val q = Quantiles.windowedKll(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("kll_stream")
+      .outputMode("append").start()
+    try {
+      // two separate micro-batches: state merges across batches
+      val (first, rest) = kllFeed.splitAt(10)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(rest: _*)
+      q.processAllAvailable()
+      val got = spark.table("kll_stream").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(6))).toMap
+      val batch = Quantiles.windowedKll(
+          kllFeed.filter(_._1.getTime < t(20).getTime)
+            .toDF("ts", "event_type", "value"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(6))).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      // exactness: w1 purchases are 1..20 plus the outlier — 21 values.
+      // Rank rule 100·cum >= q·21: p25 → 6th = 6.0, p50 → 11th = 11.0,
+      // p95 → 20th = 20.0 — EXACT members, no bin-width slop, and the
+      // unclamped 1e15 outlier didn't distort any of them
+      val w1 = t(0).getTime - t(0).getTime % 600000L
+      val (n1, p25, p50, p95) = got((w1, "purchase"))
+      assert(n1 == 21L)
+      assert(p25 == 6.0, s"p25 $p25")
+      assert(p50 == 11.0, s"p50 $p50")
+      assert(p95 == 20.0, s"p95 $p95")
+    } finally q.stop()
+  }
+
   test("out-of-range values clamp into edge bins instead of corrupting state") {
     // 1e15 dollars -> 1e17 cents: (v-lo)*128 would overflow int64 and wrap
     // a huge outlier into bin 0 without the pre-multiply clamp
