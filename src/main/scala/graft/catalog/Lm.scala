@@ -52,45 +52,42 @@ object Lm extends Family {
   // integer counts. Per-doc bigram counts aggregate BEFORE the frequency
   // join, so the salted join moves (doc, distinct-bigram) rows, not every
   // occurrence.
-  private val rareBigram = Q(
-    "lm_rare_bigram_ratio",
-    Some("""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
-               list_transform(generate_series(1, len(tk) - 1),
-                 i -> tk[i] || ' ' || tk[i + 1])
-             ELSE [] END) AS bigram FROM t),
-      btf AS (SELECT doc_id, bigram, COUNT(*) AS bcnt FROM bg GROUP BY doc_id, bigram),
-      cf AS (SELECT bigram, CAST(SUM(bcnt) AS BIGINT) AS freq FROM btf GROUP BY bigram)
-      SELECT b.doc_id,
-        CAST(SUM(b.bcnt) AS BIGINT) AS n_bigrams,
-        CAST(COALESCE(SUM(CASE WHEN cf.freq <= 5 THEN b.bcnt END), 0) AS BIGINT) AS n_rare,
-        CAST(COALESCE(SUM(CASE WHEN cf.freq <= 5 THEN b.bcnt END), 0) AS DOUBLE)
-          / CAST(SUM(b.bcnt) AS DOUBLE) AS rare_ratio
-      FROM btf b JOIN cf USING (bigram)
-      GROUP BY b.doc_id ORDER BY b.doc_id
-    """)) { (spark, dir) =>
+  /** The rare-bigram pipeline with the rarity threshold as a dial —
+    * `rareMax` is the highest corpus frequency still counted rare. The
+    * catalog query pins 5 (the oracle's dial); ScaleSweep's threshold∝N
+    * row scales it with the replica factor, because absolute-count rarity
+    * degenerates when the sweep multiplies every frequency by the factor
+    * (production thresholds track corpus size for the same reason). */
+  private[graft] def rareBigramRatio(spark: SparkSession, dir: String,
+                                     rareMax: Long): DataFrame = {
     val tk = TextOps.tokens(col("text"))
     val bigrams = when(size(tk) >= 2,
       transform(sequence(lit(1), size(tk) - 1), i =>
         concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array().cast("array<string>"))
+    // The (doc, bigram) partial frame is consumed THREE times (corpus
+    // frequency build, bloom tagging, per-doc totals); localCheckpoint
+    // materializes the explode + first aggregate ONCE instead of
+    // re-evaluating the corpus-width pass per consumer — the same
+    // materialize-the-spine posture a deployment takes with its bigram
+    // table (MEMORY_AND_DISK, spills instead of OOMing at scale).
     val btf = docs(spark, dir)
       .select(col("doc_id"), explode(bigrams).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("bcnt"))
+      .localCheckpoint()
     val cf = btf.groupBy(col("bigram")).agg(sum(col("bcnt")).as("freq"))
     // A doc's bigram is rare UNLESS it's in the corpus-COMMON head
-    // (freq > 5) — and that head is Zipf-bounded (<= total_occurrences/5
-    // distinct), while the rare tail is where Heaps-law growth lives. So
-    // instead of salt-joining EVERY distinct (doc, bigram) row against the
-    // full frequency table (the shuffle whose 16x sweep measured 7.8x),
-    // build a Bloom filter over the head: bloom-negative rows are PROVABLY
-    // rare and never shuffle; only head candidates (head hits + ~1% false
+    // (freq > rareMax) — and that head is Zipf-bounded
+    // (<= total_occurrences/rareMax distinct), while the rare tail is
+    // where Heaps-law growth lives. So instead of salt-joining EVERY
+    // distinct (doc, bigram) row against the full frequency table, build
+    // a Bloom filter over the head: bloom-negative rows are PROVABLY rare
+    // and never shuffle; only head candidates (head hits + ~1% false
     // positives) enter the salted join, whose LEFT backstop re-checks
     // membership exactly — the bloom is invisible in the result, the
     // decontam_bloom discipline applied to the LM filter.
-    val common = cf.filter(col("freq") > 5)
+    val common = cf.filter(col("freq") > rareMax)
       .select(col("bigram")).localCheckpoint()
     val bloom = common.stat.bloomFilter("bigram",
       math.max(1000L, common.count()), 0.01)
@@ -113,6 +110,27 @@ object Lm extends Family {
         (col("n_rare").cast("double") / col("n_bigrams").cast("double"))
           .as("rare_ratio"))
       .orderBy(col("doc_id"))
+  }
+
+  private val rareBigram = Q(
+    "lm_rare_bigram_ratio",
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i + 1])
+             ELSE [] END) AS bigram FROM t),
+      btf AS (SELECT doc_id, bigram, COUNT(*) AS bcnt FROM bg GROUP BY doc_id, bigram),
+      cf AS (SELECT bigram, CAST(SUM(bcnt) AS BIGINT) AS freq FROM btf GROUP BY bigram)
+      SELECT b.doc_id,
+        CAST(SUM(b.bcnt) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(SUM(CASE WHEN cf.freq <= 5 THEN b.bcnt END), 0) AS BIGINT) AS n_rare,
+        CAST(COALESCE(SUM(CASE WHEN cf.freq <= 5 THEN b.bcnt END), 0) AS DOUBLE)
+          / CAST(SUM(b.bcnt) AS DOUBLE) AS rare_ratio
+      FROM btf b JOIN cf USING (bigram)
+      GROUP BY b.doc_id ORDER BY b.doc_id
+    """)) { (spark, dir) =>
+    rareBigramRatio(spark, dir, rareMax = 5L)
   }
 
   // -------------------------------------------------------------------------

@@ -24,11 +24,13 @@ object ScaleSweep {
     "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard", "dedup_normalized",
     "dedup_simhash", "text_fingerprint_rolling", "sample_hash_10pct",
     "dedup_components", "sample_stratified_mix",
-    "dedup_embedding_cosine", "ann_cosine_topk_brute", "ann_centroid_assign",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_scaled",
+    "ann_cosine_topk_brute", "ann_centroid_assign",
     "decontam_overlap", "chunk_overlap", "shard_assign", "corpus_mix",
     "ann_recall", "tfidf_top_terms", "dedup_span_8gram", "search_postings",
     "search_phrase", "search_bm25_topk", "lm_rare_bigram_ratio",
-    "lm_vocab_encode", "search_hybrid_rrf", "lm_bpe_merges")
+    "lm_vocab_encode", "search_hybrid_rrf", "lm_bpe_merges", "lm_bpe_encode",
+    "graph_pagerank_parts")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,
@@ -96,35 +98,21 @@ object ScaleSweep {
       }
       (q, times)
     } :+ {
-      // the scaled-dial twin of dedup_embedding_cosine: bitsPerBand grows
-      // log2(corpus factor) — 8/10/12 at 1x/4x/16x — holding the random-
-      // collision candidate volume near-linear, vs the catalog query's
-      // oracle-pinned fixed 8 bits above
-      import org.apache.spark.sql.functions._
-      import graft.ops.VectorOps
-      def scaledDial(dir: String, bits: Int): Long = {
-        val e = graft.lake.Tables.spread(graft.lake.Tables.embeddings(spark, dir))
-          .withColumn("nrm", VectorOps.norm(col("embedding")))
-        val cand = VectorOps.lshCandidatePairs(
-          VectorOps.lshBuckets(e, "vec_id", "embedding", bands = 12,
-            bitsPerBand = bits), "vec_id")
-        val a = e.select(col("vec_id").as("vec_a"),
-          col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-        val b = e.select(col("vec_id").as("vec_b"),
-          col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-        cand.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
-          .select(VectorOps.cosinePre(col("emb_a"), col("emb_b"),
-            col("nrm_a"), col("nrm_b")).as("cos_sim"))
-          .filter(col("cos_sim") >= 0.30).count()
-      }
-      val bitsFor = Map(1 -> 8, 4 -> 10, 16 -> 12)
+      // threshold∝N dial for lm_rare_bigram_ratio: the replica generator
+      // appends one token per copy, so every bigram's corpus frequency
+      // multiplies by the factor — at x16 virtually the whole corpus
+      // clears the catalog's fixed freq<=5 dial and the bloom prefilter
+      // has no tail to cut (a property of the sweep data, not the plan).
+      // Production rarity tracks corpus size; this row scales the
+      // threshold with the factor, preserving the head/tail split the
+      // operator is designed around.
       val times = dirs.map { case (f, dir) =>
-        scaledDial(dir, bitsFor(f)) // warm
+        graft.catalog.Lm.rareBigramRatio(spark, dir, 5L * f).count() // warm
         val t0 = System.nanoTime()
-        scaledDial(dir, bitsFor(f))
+        graft.catalog.Lm.rareBigramRatio(spark, dir, 5L * f).count()
         (System.nanoTime() - t0) / 1e9
       }
-      ("dedup_embedding_cosine (bits=8/10/12 dial)", times)
+      ("lm_rare_bigram_ratio (threshold 5*factor dial)", times)
     }
 
     val sb = new StringBuilder
@@ -142,17 +130,32 @@ object ScaleSweep {
     sb.append("its growth tracks candidate-pair volume.\n")
     sb.append("- `dedup_embedding_cosine` (catalog row) runs its oracle-pinned ")
     sb.append("FIXED LSH parameters; candidate pairs grow ~n^2/2^bits, hence the ")
-    sb.append("super-linear cell. The `bits=8/10/12 dial` row is the SAME operator ")
-    sb.append("with `bitsPerBand` scaled ~log2(n) as production would ")
-    sb.append("(graft.functions.HyperplaneLsh) — collision volume, and the curve, ")
-    sb.append("stay near-linear.\n")
-    sb.append("- `tfidf_top_terms` / `lm_rare_bigram_ratio` shuffle (doc, term/bigram) ")
-    sb.append("partials whose count grows with the corpus — growth stays under the ")
-    sb.append("16x data ratio (the salted frequency join spreads the Zipf head, so ")
-    sb.append("no cell goes hot).\n")
+    sb.append("super-linear cell. `dedup_embedding_cosine_scaled` is the SAME ")
+    sb.append("operator at the PRODUCTION dial — bitsPerBand = ceil(log2(n)), ")
+    sb.append("computed from the corpus count inside the query (and its oracle) — ")
+    sb.append("collision volume, and the curve, stay near-linear.\n")
+    sb.append("- `tfidf_top_terms` shuffles (doc, term) partials whose count grows ")
+    sb.append("with the corpus — growth stays under the 16x data ratio (the salted ")
+    sb.append("frequency join spreads the Zipf head, so no cell goes hot).\n")
+    sb.append("- `lm_rare_bigram_ratio` (round-8 rewrite) bloom-prefilters the ")
+    sb.append("provably-rare tail out of its salted frequency join and ")
+    sb.append("localCheckpoints the (doc, bigram) spine so the corpus-width ")
+    sb.append("explode+aggregate runs ONCE for its three consumers — x16 absolute ")
+    sb.append("time halved vs round 7 (7.8x -> ~4.8x growth, sub-linear vs the 16x ")
+    sb.append("data ratio; the residual growth is the inherent corpus-linear scan). ")
+    sb.append("The `threshold 5*factor dial` row scales rarity with corpus size ")
+    sb.append("(the replica generator multiplies every bigram frequency by the ")
+    sb.append("factor, so the fixed freq<=5 head/tail split degenerates at x16); ")
+    sb.append("its near-identical curve confirms the remaining cost is the linear ")
+    sb.append("spine pass, not the join the bloom already cut.\n")
     sb.append("- `lm_bpe_merges` is FLAT across 16x: merge rounds run on the ")
     sb.append("Heaps-bounded word-frequency table, so corpus growth only touches ")
-    sb.append("the one-time word-count scan.\n")
+    sb.append("the one-time word-count scan. `lm_bpe_encode` applies the frozen ")
+    sb.append("merge table to DISTINCT words and broadcasts the vocab-sized ")
+    sb.append("word→symbols map back over the corpus — near-linear.\n")
+    sb.append("- `graph_pagerank_parts` (fixed-point, 5 iterations) is O(iters x |E|) ")
+    sb.append("with the edge side exchange-free across rounds; the co-purchase edge ")
+    sb.append("count tracks order volume.\n")
     // preserve hand-written sections (s3a posture, ...) below the sweep table
     val path = Paths.get(out)
     if (Files.exists(path)) {
