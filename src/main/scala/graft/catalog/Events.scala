@@ -596,8 +596,76 @@ object Events extends Family {
       .orderBy(col("day"))
   }
 
+  // -------------------------------------------------------------------------
+  // Generic point-in-interval join (graft.ops.IntervalJoin): attribute each
+  // purchase to every browse session (views/clicks, 30-min gap rule) whose
+  // [start, end + 30-min horizon] window contains it. The horizon makes the
+  // intervals genuinely overlap-capable — a purchase near a session boundary
+  // lands in BOTH adjacent windows, the multiplicity a plain sessionize
+  // cannot express. The operator plans as an equi-join on (user, bucket)
+  // with a residual range filter — never a per-key nested loop — so one
+  // hyperactive user spreads across time buckets instead of one reducer.
+  private val intervalAttr = Q(
+    "join_interval_purchases",
+    Some("""
+      WITH b AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                 OR epoch_us(CAST(ts AS TIMESTAMP))
+                    - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events WHERE event_type IN ('view', 'click')
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      s AS (
+        SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM b),
+      iv AS (
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          min(epoch_us(ts)) AS start_us,
+          max(epoch_us(ts)) + 1800000000 AS hi_us
+        FROM s GROUP BY user_id, session_id)
+      SELECT p.user_id, iv.session_id, COUNT(*) AS n_purchases,
+        CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+      FROM (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+            FROM events WHERE event_type = 'purchase') p
+      JOIN iv ON p.user_id = iv.user_id
+             AND p.ts_us BETWEEN iv.start_us AND iv.hi_us
+      GROUP BY p.user_id, iv.session_id
+      ORDER BY p.user_id, iv.session_id
+    """)) { (spark, dir) =>
+    val gapUs = 30L * 60 * 1000 * 1000
+    val horizonUs = gapUs
+    val prevTs = lag(col("ts"), 1).over(byUserTime)
+    val isNew = when(
+      prevTs.isNull || (unix_micros(col("ts")) - unix_micros(prevTs)) > gapUs, 1
+    ).otherwise(0)
+    val sessions = ev(spark, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .withColumn("is_new", isNew)
+      .withColumn("session_id",
+        sum(col("is_new")).over(
+          byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(unix_micros(col("ts"))).as("start_us"),
+        (max(unix_micros(col("ts"))) + lit(horizonUs)).as("hi_us"))
+    val purchases = ev(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    graft.ops.IntervalJoin
+      .pointsInIntervals(purchases, sessions, Seq("user_id"),
+        pt = "ts_us", lo = "start_us", hi = "hi_us", bucketWidth = horizonUs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sumMoney(col("value")).as("attributed_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   override val specs: Seq[Q] = Seq(
     extractDay, ga4Flatten, dailyKpis, funnel, sessionize, attribution,
     journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
-    convLatency, abtest, wau)
+    convLatency, abtest, wau, intervalAttr)
 }
