@@ -171,6 +171,126 @@ object MediaCatalog extends Family {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  // Shared CTE: the closed-form banded dHash of every document's gradient
+  // PNG (graft.multimodal.ImageHash scaladoc pins the variant: 9x8
+  // nearest-neighbor sample, horizontal comparisons, four 16-bit bands).
+  // The Spark side computes the same hash from a REAL ImageIO decode of
+  // the authored PNG — PNG is lossless, so a decode defect breaks the
+  // hash gate.
+  private val dhashCte = """
+      p AS (
+        SELECT doc_id,
+          1 + (doc_id % 97) % 13 AS a,
+          1 + (doc_id % 97) % 11 AS b,
+          (doc_id % 97) % 7 AS d,
+          doc_id % 4 AS c,
+          16 + (doc_id % 97) % 17 AS w,
+          12 + (doc_id % 97) % 13 AS h,
+          doc_id % 2 AS var
+        FROM documents),
+      samp AS (
+        SELECT p.doc_id, gx.g AS gx, gy.g AS gy,
+          CAST((a * ((gx.g * w) // 9) * ((gx.g * w) // 9)
+              + b * ((gy.g * h) // 8) * ((gy.g * h) // 8)
+              + d * ((gx.g * w) // 9) * ((gy.g * h) // 8) + c +
+            CASE WHEN var = 1 AND (gx.g * w) // 9 >= (8 * w) // 9
+                             AND (gy.g * h) // 8 >= (7 * h) // 8
+                 THEN 100 ELSE 0 END) % 256 AS INTEGER) AS s
+        FROM p, generate_series(0, 8) gx(g), generate_series(0, 7) gy(g)),
+      bits AS (
+        SELECT s1.doc_id, s1.gx, s1.gy,
+          CASE WHEN s2.s > s1.s THEN 1 ELSE 0 END AS bit
+        FROM samp s1 JOIN samp s2
+          ON s1.doc_id = s2.doc_id AND s1.gy = s2.gy AND s2.gx = s1.gx + 1
+        WHERE s1.gx < 8),
+      hashes AS (
+        SELECT bits.doc_id,
+          CAST(SUM(CASE WHEN gy IN (0,1) THEN bit << ((gy % 2) * 8 + gx) ELSE 0 END) AS INTEGER) AS b0,
+          CAST(SUM(CASE WHEN gy IN (2,3) THEN bit << ((gy % 2) * 8 + gx) ELSE 0 END) AS INTEGER) AS b1,
+          CAST(SUM(CASE WHEN gy IN (4,5) THEN bit << ((gy % 2) * 8 + gx) ELSE 0 END) AS INTEGER) AS b2,
+          CAST(SUM(CASE WHEN gy IN (6,7) THEN bit << ((gy % 2) * 8 + gx) ELSE 0 END) AS INTEGER) AS b3
+        FROM bits GROUP BY bits.doc_id)"""
+
+  // Perceptual hash of every image in the corpus — width/height come from
+  // the decoded raster, the bands from decoded pixels, so the whole decode
+  // path sits under the driver's hash compare.
+  private val imageDhash = Q(
+    "media_image_dhash",
+    Some(s"""
+      WITH $dhashCte
+      SELECT hashes.doc_id,
+        CAST(16 + (hashes.doc_id % 97) % 17 AS INTEGER) AS width,
+        CAST(12 + (hashes.doc_id % 97) % 13 AS INTEGER) AS height,
+        b0, b1, b2, b3
+      FROM hashes ORDER BY doc_id
+    """)) { (spark, dir) =>
+    graft.multimodal.ImageHash
+      .dhash(graft.multimodal.ImageHash.corpus(spark, dir))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // Image near-dup pairs in the hamming-3 ball: Spark finds them via
+  // banded candidates + exact confirm (never all-pairs); the oracle may be
+  // quadratic because DuckDB only ever sees sf0.01. Semantics identical by
+  // the 4-band pigeonhole.
+  private val imageDedup = Q(
+    "dedup_image_dhash_pairs",
+    Some(s"""
+      WITH $dhashCte
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+           + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+           AS INTEGER) AS hamming
+      FROM hashes x JOIN hashes y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+      ORDER BY doc_a, doc_b
+    """)) { (spark, dir) =>
+    graft.multimodal.ImageHash
+      .nearDupPairs(
+        graft.multimodal.ImageHash.dhash(
+          graft.multimodal.ImageHash.corpus(spark, dir)),
+        maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // Windowed audio energy + silence detection over REALLY-decoded varying
+  // PCM (graft.multimodal.AudioEnergy) — the VAD/segmentation posture.
+  // Every decoded sample feeds the int64 energy sum, so the WAV parse and
+  // the sample walk both sit under the hash gate. The oracle regenerates
+  // the closed-form samples with generate_series; the Spark side never
+  // sees the closed form — only the RIFF bytes.
+  private val audioEnergy = Q(
+    "media_audio_energy",
+    Some("""
+      WITH a AS (
+        SELECT doc_id, 200 + (doc_id * 23) % 1800 AS ns
+        FROM documents WHERE doc_id % 3 = 1),
+      idx AS (
+        SELECT doc_id,
+          unnest(generate_series(0, CAST(ns - 1 AS BIGINT))) AS i
+        FROM a),
+      s AS (
+        SELECT doc_id, i // 160 AS win_id,
+          CASE WHEN (i // 160) % 4 = 3 THEN CAST(0 AS BIGINT)
+               ELSE CAST(32 + (doc_id * 29 + i * 7) % 95 - 79 AS BIGINT)
+          END AS amp
+        FROM idx)
+      SELECT doc_id, CAST(win_id AS INTEGER) AS win_id,
+        CAST(COUNT(*) AS INTEGER) AS n_samples,
+        CAST(SUM(amp * amp) AS BIGINT) AS energy,
+        SUM(amp * amp) = 0 AS is_silence
+      FROM s GROUP BY doc_id, win_id
+      ORDER BY doc_id, win_id
+    """)) { (spark, dir) =>
+    graft.multimodal.AudioEnergy
+      .windows(graft.multimodal.AudioEnergy.corpus(spark, dir))
+      .toDF()
+      .orderBy(col("doc_id"), col("win_id"))
+  }
+
   override val specs: Seq[Q] =
-    Seq(metaExtract, audioMeta, videoMeta, resizePlanQ, frameSampleQ)
+    Seq(metaExtract, audioMeta, videoMeta, resizePlanQ, frameSampleQ,
+      imageDhash, imageDedup, audioEnergy)
 }
