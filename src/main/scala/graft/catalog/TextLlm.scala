@@ -665,6 +665,37 @@ object TextLlm extends Family {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // Jaro-Winkler scoring of the same LSH candidate pairs — the
+  // record-linkage scorer (Winkler 1990) as the alternative confirm pass:
+  // where Levenshtein charges per edit, Jaro-Winkler rewards shared prefix
+  // and tolerates transpositions, the right bias for near-dup boilerplate
+  // that diverges late in the string. Same bounded shape as the
+  // edit-distance confirm: scored on the 64-char ASCII prefix, candidates
+  // only, never all-pairs. graft.functions.JaroWinkler is a codegen'd
+  // Catalyst expression bit-compatible with DuckDB's builtin on ASCII.
+  private val jwPairs = Q(
+    "dedup_jw_pairs",
+    Some(s"""
+      WITH ${TextOps.duckPairsCtes},
+      d AS (SELECT doc_id, substr(text, 1, 64) AS prefix FROM documents)
+      SELECT p.doc_a, p.doc_b,
+        jaro_winkler_similarity(a.prefix, b.prefix) AS jw_sim
+      FROM pairs p
+      JOIN d a ON a.doc_id = p.doc_a
+      JOIN d b ON b.doc_id = p.doc_b
+      ORDER BY doc_a, doc_b
+    """)) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val pairs = lshPairs(spark, dir)
+    val pre = d.select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"))
+    pairs
+      .join(pre.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), Seq("doc_a"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.jaro_winkler(col("pa"), col("pb")).as("jw_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // TF-IDF top terms: the corpus-wide signal the per-doc quality scores
   // can't see — a term matters when it's frequent HERE and rare ELSEWHERE.
   // Score is the exact rational (term_count * n_docs) / (doc_len * doc_freq)
@@ -794,5 +825,5 @@ object TextLlm extends Family {
     dedupExact, dedupNorm, minhashLsh, components, jaccard, simhash,
     quality, qualityPctl, repetition, langId, tokenCounts, fingerprint,
     sourceParse, hashSample, stratifiedSample, ppsSample, packBins,
-    levenshteinPairs, tfidfTopTerms, incremental)
+    levenshteinPairs, jwPairs, tfidfTopTerms, incremental)
 }

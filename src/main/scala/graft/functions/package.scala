@@ -31,6 +31,12 @@ package object functions {
   def top_bigram_count(text: Column): Column =
     bridge.toColumn(TopBigramCount(bridge.toExpression(text)))
 
+  /** Jaro-Winkler similarity in [0,1] of two string columns (linkage
+    * scoring; bit-compatible with DuckDB's jaro_winkler_similarity on
+    * ASCII inputs). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    bridge.toColumn(JaroWinkler(bridge.toExpression(a), bridge.toExpression(b)))
+
   /** Sequential double dot product of two float/double array columns. */
   def vector_dot(a: Column, b: Column): Column =
     bridge.toColumn(VectorDot(bridge.toExpression(a), bridge.toExpression(b)))
