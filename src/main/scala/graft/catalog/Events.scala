@@ -597,6 +597,44 @@ object Events extends Family {
   }
 
   // -------------------------------------------------------------------------
+  // First-order Markov transition matrix of the event stream: per user, each
+  // consecutive (prev -> next) event-type step, counted corpus-wide, with
+  // the row-normalized transition probability — the base model behind
+  // next-action prediction and journey simulation (and the aggregate twin
+  // of journey_first10_paths' per-user sequences). Probability is ONE IEEE
+  // division of two exact counts, so both engines emit identical doubles.
+  // Scale shape: one user-keyed window shuffle (same partitioning as
+  // sessionize — high-cardinality key, no hot spot), then a hash agg on the
+  // type-pair domain (bounded, tiny); the normalizing window runs on that
+  // bounded aggregate, not on data.
+  private val markov = Q(
+    "events_markov_transitions",
+    Some("""
+      WITH tr AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type,
+          event_type AS next_type
+        FROM events),
+      c AS (SELECT prev_type, next_type, COUNT(*) AS n_transitions
+        FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n_transitions,
+        CAST(n_transitions AS DOUBLE)
+          / SUM(n_transitions) OVER (PARTITION BY prev_type) AS prob
+      FROM c ORDER BY prev_type, next_type
+    """)) { (spark, dir) =>
+    val c = ev(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUserTime))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    c.select(col("prev_type"), col("next_type"), col("n_transitions"),
+        (col("n_transitions").cast("double")
+          / sum(col("n_transitions")).over(
+            Window.partitionBy(col("prev_type")))).as("prob"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  // -------------------------------------------------------------------------
   // Generic point-in-interval join (graft.ops.IntervalJoin): attribute each
   // purchase to every browse session (views/clicks, 30-min gap rule) whose
   // [start, end + 30-min horizon] window contains it. The horizon makes the
@@ -667,5 +705,5 @@ object Events extends Family {
   override val specs: Seq[Q] = Seq(
     extractDay, ga4Flatten, dailyKpis, funnel, sessionize, attribution,
     journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
-    convLatency, abtest, wau, intervalAttr)
+    convLatency, abtest, wau, markov, intervalAttr)
 }

@@ -289,6 +289,71 @@ object Mining extends Family {
   }
 
   // ---------------------------------------------------------------------
+  // Association rules over the same support->=2 co-purchase pairs: each
+  // surviving pair yields its two directed rules A=>B and B=>A with
+  // confidence = P(B|A) and lift = P(A,B)/(P(A)P(B)) — the Apriori
+  // post-processing step (Agrawal & Srikant 1994) a recommender actually
+  // consumes, layered on the shared [[CoPurchase]] spine so the expensive
+  // pair stage is paid once across the basket/PageRank/triangle family.
+  //
+  // Exactness: confidence and lift are each ONE IEEE division whose
+  // operands are int64-exact (lift's numerator n_both*N and denominator
+  // n_ante*n_cons are products of counts, far inside int64) — bit-identical
+  // doubles across engines, the tfidf_top_terms discipline. Scale shape:
+  // per-part order counts are vocabulary-sized (broadcast side); the grand
+  // order count joins as a broadcast 1-row frame; the only data-sized
+  // stages are the spine's own.
+  private val rulesLift = Q(
+    "copurchase_rules_lift",
+    Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders_total FROM op),
+      pc AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY 1),
+      sup AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+          COUNT(*) AS n_both
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      dirs AS (
+        SELECT part_a AS antecedent, part_b AS consequent, n_both FROM sup
+        UNION ALL
+        SELECT part_b, part_a, n_both FROM sup)
+      SELECT d.antecedent, d.consequent, d.n_both,
+        pa.n_part AS n_ante, pb.n_part AS n_cons,
+        CAST(d.n_both AS DOUBLE) / pa.n_part AS confidence,
+        CAST(d.n_both * n.n_orders_total AS DOUBLE)
+          / (pa.n_part * pb.n_part) AS lift
+      FROM dirs d
+      JOIN pc pa ON pa.l_partkey = d.antecedent
+      JOIN pc pb ON pb.l_partkey = d.consequent
+      CROSS JOIN n
+      ORDER BY antecedent, consequent
+    """)) { (spark, dir) =>
+    val op = CoPurchase.orderParts(spark, dir)
+    val n = op.agg(countDistinct(col("l_orderkey")).as("n_orders_total"))
+    val pc = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val sup = CoPurchase.support(spark, dir)
+      .filter(col("n_orders") >= 2)
+      .withColumnRenamed("n_orders", "n_both")
+    val dirs = sup.select(col("part_a").as("antecedent"),
+        col("part_b").as("consequent"), col("n_both"))
+      .union(sup.select(col("part_b"), col("part_a"), col("n_both")))
+    dirs
+      .join(broadcast(pc.select(col("l_partkey").as("antecedent"),
+        col("n_part").as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(pc.select(col("l_partkey").as("consequent"),
+        col("n_part").as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ante"), col("n_cons"),
+        (col("n_both").cast("double") / col("n_ante")).as("confidence"),
+        ((col("n_both") * col("n_orders_total")).cast("double")
+          / (col("n_ante") * col("n_cons"))).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  // ---------------------------------------------------------------------
   // Triangle counting over the same support-≥2 co-purchase graph PageRank
   // ranks: per-part triangle membership — the local clustering signal that
   // separates "hub bought with everything" from "clique of products bought
@@ -452,5 +517,5 @@ object Mining extends Family {
 
   override val specs: Seq[Q] =
     Seq(spanDedup, heavyHitters, topkAgg, containment, anomaly, pagerank,
-      triangles, jaccardParts, kcore)
+      rulesLift, triangles, jaccardParts, kcore)
 }

@@ -639,6 +639,39 @@ object TextLlm extends Family {
       .orderBy(col("lang"))
   }
 
+  // Deterministic 80/10/10 train/val/test split — the downstream contract
+  // every training pipeline needs from its corpus: membership decided by a
+  // hash of the ROW KEY (not position, not RNG), so any shard recomputes
+  // its assignment independently, reruns are stable, and the three splits
+  // are disjoint and exhaustive BY CONSTRUCTION (one hash bucket each).
+  // Same md5-bucket primitive as sample_hash_10pct; reported per split x
+  // language so leakage-sensitive slices are auditable. Map-only + a
+  // bounded hash agg — corpus-linear, no shuffle beyond the tiny agg.
+  private val trainValTest = Q(
+    "sample_train_val_test",
+    Some("""
+      WITH s AS (
+        SELECT lang, n_chars,
+          CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END
+            AS split
+        FROM (SELECT lang, n_chars,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10 AS h FROM documents))
+      SELECT split, lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM s GROUP BY split, lang ORDER BY split, lang
+    """)) { (spark, dir) =>
+    val h = TextOps.h32(col("doc_id").cast("string")) % 10
+    docs(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        when(h < 8, "train").when(h === 8, "val").otherwise("test")
+          .as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   // Edit-distance verification of the LSH candidate pairs (bounded to the
   // 64-char prefix so the O(len^2) DP never explodes on a long outlier) —
   // the character-level confirm pass layered over the token-level LSH.
@@ -824,6 +857,7 @@ object TextLlm extends Family {
   override val specs: Seq[Q] = Seq(clusterCanonical,
     dedupExact, dedupNorm, minhashLsh, components, jaccard, simhash,
     quality, qualityPctl, repetition, langId, tokenCounts, fingerprint,
-    sourceParse, hashSample, stratifiedSample, ppsSample, packBins,
+    sourceParse, hashSample, stratifiedSample, ppsSample, trainValTest,
+    packBins,
     levenshteinPairs, jwPairs, tfidfTopTerms, incremental)
 }

@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.lake.Tables
@@ -371,6 +372,88 @@ object Warehouse extends Family {
         col("r.n_distinct"))
   }
 
+  // ---------------------------------------------------------------------
+  // Time-series gap repair: the high-value order series (o_totalprice >
+  // 400k) observes ~72% of calendar days; the missing days get LINEAR
+  // interpolation between their bracketing observations — the step before
+  // any per-day model (forecasting, anomaly scoring) that assumes a dense
+  // series. calendar_fill answers "fill with zero"; this answers "fill
+  // with the trend".
+  //
+  // Exactness: observations are BIGINT cents (exact decimal sum); the
+  // interpolated value prev + (next-prev)*(d-pd)/(nd-pd) is algebraically
+  // regrouped to the integer-exact form
+  //   (prev*(nd-d) + next*(d-pd)) / (nd-pd)
+  // so both engines do ALL arithmetic in int64 and exactly ONE IEEE
+  // division at the end — bit-identical doubles, no floor-division
+  // semantics in sight. Scale shape: the day-grain aggregate is the only
+  // data-sized stage; the fill windows run over the calendar-bounded frame
+  // (a few thousand rows regardless of fact volume — same posture as
+  // calendar_fill's single-partition calendar stages).
+  private val tsInterp = Q(
+    "ts_interpolate_linear",
+    Some("""
+      WITH f AS (SELECT CAST(o_orderdate AS DATE) AS d,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))*100 AS BIGINT)
+            AS rev_cents
+        FROM orders WHERE o_totalprice > 400000 GROUP BY 1),
+      span AS (SELECT min(d) AS lo, max(d) AS hi FROM f),
+      days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+          AS d FROM span),
+      j AS (SELECT days.d, f.rev_cents FROM days LEFT JOIN f USING (d)),
+      w AS (SELECT d, rev_cents,
+          last_value(rev_cents IGNORE NULLS) OVER
+            (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS prev_v,
+          max(CASE WHEN rev_cents IS NOT NULL THEN d END) OVER
+            (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS prev_d,
+          first_value(rev_cents IGNORE NULLS) OVER
+            (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            AS next_v,
+          min(CASE WHEN rev_cents IS NOT NULL THEN d END) OVER
+            (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            AS next_d
+        FROM j)
+      SELECT d AS day,
+        CAST(rev_cents IS NOT NULL AS INTEGER) AS observed,
+        CASE WHEN rev_cents IS NOT NULL THEN CAST(rev_cents AS DOUBLE)
+          ELSE CAST(prev_v * datediff('day', d, next_d)
+                  + next_v * datediff('day', prev_d, d) AS DOUBLE)
+               / datediff('day', prev_d, next_d)
+        END AS value_cents
+      FROM w ORDER BY day
+    """)) { (spark, dir) =>
+    val f = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg((sum(graft.ops.Exact.dec2(col("o_totalprice"))) * 100).cast("long")
+        .as("rev_cents"))
+    val days = f.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val j = days.join(f, Seq("d"), "left")
+    val back = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.orderBy(col("d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("rev_cents").isNotNull, col("d"))
+    j.select(col("d"), col("rev_cents"),
+        last(col("rev_cents"), ignoreNulls = true).over(back).as("prev_v"),
+        max(obsDay).over(back).as("prev_d"),
+        first(col("rev_cents"), ignoreNulls = true).over(fwd).as("next_v"),
+        min(obsDay).over(fwd).as("next_d"))
+      .select(col("d").as("day"),
+        col("rev_cents").isNotNull.cast("int").as("observed"),
+        when(col("rev_cents").isNotNull, col("rev_cents").cast("double"))
+          .otherwise(
+            (col("prev_v") * datediff(col("next_d"), col("d"))
+              + col("next_v") * datediff(col("d"), col("prev_d")))
+              .cast("double")
+              / datediff(col("next_d"), col("prev_d")))
+          .as("value_cents"))
+      .orderBy(col("day"))
+  }
+
   private val profile = Q(
     "profile_tables",
     Some("""
@@ -429,5 +512,5 @@ object Warehouse extends Family {
   }
 
   override val specs: Seq[Q] =
-    Seq(scd2, scd2AsOf, dq, basket, calendarFill, profile)
+    Seq(scd2, scd2AsOf, dq, basket, calendarFill, tsInterp, profile)
 }

@@ -47,6 +47,7 @@ class PlanGateSpec extends SparkSpec {
     "anomaly_daily_revenue" -> 1, // broadcast 1-row moment frame (n, s, sq)
     "basket_part_pairs" -> 1,     // broadcast 1-row total-orders frame
     "calendar_fill_daily_sales" -> 1, // generated day axis x 5-row dim
+    "copurchase_rules_lift" -> 1, // broadcast 1-row total-orders frame
     "corpus_mix" -> 1,            // broadcast 1-row corpus grand total
     "dedup_semdedup" -> 1,        // broadcast centroid set (k rows)
     "profile_price_histogram" -> 1, // broadcast 1-row min/max span
@@ -66,6 +67,7 @@ class PlanGateSpec extends SparkSpec {
     "agg_quantiles_sketch" -> 1,         // 1-row min/max span
     "basket_part_pairs" -> 1,            // 1-row distinct-order total
     "calendar_fill_daily_sales" -> 1,    // 1-row min/max date span
+    "copurchase_rules_lift" -> 1,        // 1-row distinct-order total
     "corpus_mix" -> 1,                   // corpus grand total
     "anomaly_daily_revenue" -> 1,        // 1-row day-grain moment aggregate
     "dq_checks" -> 5,                    // 5 scalar check aggregates (one
@@ -85,6 +87,10 @@ class PlanGateSpec extends SparkSpec {
     "search_bm25_topk" -> 1,             // 1-row (A, N) corpus totals
     "skew_hot_custkeys" -> 1,            // grand total
     "tfidf_top_terms" -> 1,              // n_docs count
+    "ts_interpolate_linear" -> 3,        // 1-row date span + the two
+                                         // calendar-bounded fill windows
+                                         // (few-thousand-row frame, same
+                                         // posture as trailing_7day)
     "window_trailing_7day_revenue" -> 1, // calendar-bounded day-grain
                                          // window (metadata-sized input,
                                          // see the query's scaladoc)
