@@ -30,7 +30,8 @@ object ScaleSweep {
     "ann_recall", "tfidf_top_terms", "dedup_span_8gram", "search_postings",
     "search_phrase", "search_bm25_topk", "lm_rare_bigram_ratio",
     "lm_vocab_encode", "search_hybrid_rrf", "lm_bpe_merges", "lm_bpe_encode",
-    "graph_pagerank_parts")
+    "graph_pagerank_parts", "events_markov_transitions",
+    "sample_train_val_test", "dedup_jw_pairs", "ts_interpolate_linear")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,
