@@ -60,16 +60,24 @@ object Bench {
     // and ANN families fan out from one build instead of re-paying it 4-5x.
     // Verify/tests/PlanAudit never warm, so standalone plans stay gated.
     // SPARK_GRAFT_SHARED=false restores fully independent timed cells.
-    if (sys.env.getOrElse("SPARK_GRAFT_SHARED", "true").toBoolean)
-      try {
-        graft.catalog.TextLlm.warmShared(spark, sfDir)
-        graft.catalog.Vectors.warmShared(spark, sfDir)
-        graft.catalog.CoPurchase.warmShared(spark, sfDir)
-        graft.catalog.Search.warmShared(spark, sfDir)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] shared warm failed: ${e.getMessage}")
+    // Each family warms INDEPENDENTLY: one try block around all four meant a
+    // single spine failure silently un-warmed the other three families, and
+    // their timed cells then re-paid the spine build — showing up as phantom
+    // per-cell regressions with no code change (round-9 lesson).
+    if (sys.env.getOrElse("SPARK_GRAFT_SHARED", "true").toBoolean) {
+      val warms: Seq[(String, () => Unit)] = Seq(
+        ("TextLlm", () => graft.catalog.TextLlm.warmShared(spark, sfDir)),
+        ("Vectors", () => graft.catalog.Vectors.warmShared(spark, sfDir)),
+        ("CoPurchase", () => graft.catalog.CoPurchase.warmShared(spark, sfDir)),
+        ("Search", () => graft.catalog.Search.warmShared(spark, sfDir)))
+      warms.foreach { case (family, warm) =>
+        try warm() catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] shared warm FAILED for $family " +
+              s"(its family's cells will re-pay the spine build): ${e.getMessage}")
+        }
       }
+    }
     // Contention robustness: on a shared box, a neighbor's CPU burst lands
     // in whichever cell is running — round-5 and round-7 driver captures
     // both needed a judge rerun to adjudicate. Two defenses: (a) in
@@ -114,6 +122,17 @@ object Bench {
     val wall = (System.nanoTime() - t0) / 1e9
     val cpuTotal = cpuSec() - cpu0
     pool.shutdown()
+    // External-contention detector: this process's own CPU spread over the
+    // box's cores bounds the wall it should need; wall far beyond that means
+    // a neighbor was burning the cores (observed in driver rounds 5/7/9).
+    // The cells are still per-cell MINs, but recommend a deeper repeat so a
+    // single capture stops needing a judge rerun (BASELINE.md documents it).
+    val cores = Runtime.getRuntime.availableProcessors()
+    if (wall > 3.0 * (cpuTotal / cores))
+      System.err.println(f"[bench] CONTENTION WARNING: wall $wall%.1fs > 3x " +
+        f"cpu/cores (${cpuTotal / cores}%.1fs) — this box was busy with other " +
+        "work; per-cell mins partially defend, but re-run with " +
+        "SPARK_GRAFT_REPEAT=3 for adjudicable cells")
     // The driver json-parses this line out of the LAST 2000 chars of stdout
     // only. The full catalog no longer fits that window (88+ queries x ~26
     // chars ≈ 2.4k), so stdout carries the headline cells — every query in

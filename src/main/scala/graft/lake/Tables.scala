@@ -2,6 +2,7 @@ package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Table loaders for the graft lake.
@@ -39,29 +40,46 @@ object Tables {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /**
-   * The `events` table ships nanosecond-precision timestamps, which Spark's
-   * Parquet reader rejects ([PARQUET_TYPE_ILLEGAL] INT64 TIMESTAMP(NANOS)).
-   * Sessions reading it MUST set `spark.sql.legacy.parquet.nanosAsLong=true`
-   * at build time (as Verify/Bench/Scratch and the test fixture do) — the
-   * conf is read at scan planning, so a runtime `spark.conf.set` here would
-   * mutate session-global state and could arrive after schema caching. The
-   * raw nanos longs surface as a microsecond `TimestampType` column,
-   * truncating like the oracle's `CAST(ts_ns AS TIMESTAMP)` does.
+   * The `events` table's `ts` column has shipped in two on-disk shapes over
+   * time: INT64 TIMESTAMP(NANOS) (which Spark's Parquet reader rejects with
+   * [PARQUET_TYPE_ILLEGAL] unless `spark.sql.legacy.parquet.nanosAsLong=true`,
+   * surfacing the raw nanos as a LongType) and plain `timestamp[us]` (which
+   * reads as TimestampType / TimestampNTZType directly). The loader adapts to
+   * whichever shape the footer declares and always yields a microsecond
+   * `TimestampType` column, matching the oracle's shape-agnostic
+   * `CAST(ts AS TIMESTAMP)`. `nanosAsLong` is only enabled when a footer
+   * actually needs it — set before the very first events scan of the session,
+   * which is the one safe moment (the conf is read at scan planning).
    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
-      // Fallback for sessions built without the conf (e.g. an external
-      // harness session): setting it before the FIRST events read is safe —
-      // the hazard is only a set that races a previously planned scan.
-      System.err.println(
-        "graft WARN: enabling spark.sql.legacy.parquet.nanosAsLong at runtime; " +
-          "prefer setting it in the SparkSession builder (see graft.Conf.local)")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw =
+      try load(spark, sfDir, "events")
+      catch {
+        case e: Exception
+            if e.getMessage != null &&
+              (e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+                e.getMessage.contains("TIMESTAMP(NANOS")) =>
+          System.err.println(
+            "graft WARN: events.parquet carries INT64 TIMESTAMP(NANOS); " +
+              "enabling spark.sql.legacy.parquet.nanosAsLong for this session")
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(spark, sfDir, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long shape. Integer `div`, NOT `/`: epoch-nanos (~1.7e18)
+        // overflow double's 2^53 exact-integer range, so float division is
+        // off by ±1 µs.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        // Session TZ is pinned to UTC (graft.Conf), so this cast is a pure
+        // type-tag change, not a wall-clock shift.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected int64 nanos or timestamp")
     }
-    // Integer `div`, NOT `/`: epoch-nanos (~1.7e18) overflow double's 2^53
-    // exact-integer range, so float division is off by ±1 µs.
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
