@@ -122,12 +122,14 @@ object Bench {
     val wall = (System.nanoTime() - t0) / 1e9
     val cpuTotal = cpuSec() - cpu0
     pool.shutdown()
-    // External-contention detector: this process's own CPU spread over the
-    // box's cores bounds the wall it should need; wall far beyond that means
-    // a neighbor was burning the cores (observed in driver rounds 5/7/9).
-    // The cells are still per-cell MINs, but recommend a deeper repeat so a
-    // single capture stops needing a judge rerun (BASELINE.md documents it).
-    val cores = Runtime.getRuntime.availableProcessors()
+    // External-contention detector: this process's own CPU spread over its
+    // GRANTED cores (local[N], not the whole box — a CPUS=4 run on a 32-core
+    // box legitimately leaves 28 cores idle) bounds the wall it should need;
+    // wall far beyond that means a neighbor was burning the cores (observed
+    // in driver rounds 5/7/9). The cells are still per-cell MINs, but
+    // recommend a deeper repeat so a single capture stops needing a judge
+    // rerun (BASELINE.md documents it).
+    val cores = math.min(cpus.toInt, Runtime.getRuntime.availableProcessors())
     if (wall > 3.0 * (cpuTotal / cores))
       System.err.println(f"[bench] CONTENTION WARNING: wall $wall%.1fs > 3x " +
         f"cpu/cores (${cpuTotal / cores}%.1fs) — this box was busy with other " +

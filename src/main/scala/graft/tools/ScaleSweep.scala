@@ -31,7 +31,9 @@ object ScaleSweep {
     "search_phrase", "search_bm25_topk", "lm_rare_bigram_ratio",
     "lm_vocab_encode", "search_hybrid_rrf", "lm_bpe_merges", "lm_bpe_encode",
     "graph_pagerank_parts", "events_markov_transitions",
-    "sample_train_val_test", "dedup_jw_pairs", "ts_interpolate_linear")
+    "sample_train_val_test", "dedup_jw_pairs", "ts_interpolate_linear",
+    "copurchase_rules_lift", "graph_kcore_parts",
+    "media_image_dhash", "dedup_image_dhash_pairs", "media_audio_energy")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,
@@ -48,6 +50,14 @@ object ScaleSweep {
         case "orders" => t
           .withColumn("o_orderkey", col("o_orderkey") + i.toLong * 1000000000L)
           .withColumn("o_custkey", col("o_custkey") + i.toLong * 10000000L)
+        case "lineitem" => t
+          // offset BOTH keys: each copy is a disjoint replica of the
+          // co-purchase graph (edges x factor, linear). Offsetting only
+          // l_orderkey would instead multiply every pair's support by the
+          // factor — denser graph, a data artifact the sweep shouldn't
+          // measure.
+          .withColumn("l_orderkey", col("l_orderkey") + i.toLong * 1000000000L)
+          .withColumn("l_partkey", col("l_partkey") + i.toLong * 10000000L)
         case "embeddings" =>
           // rotate each copy's vectors so replicas are NOT mutual near-dups
           // (un-rotated copies would be true duplicate clusters, whose pair
@@ -78,7 +88,7 @@ object ScaleSweep {
     // from an older generator (e.g. pre-rotation embeddings) would silently
     // sweep the wrong data
     val dirs = factors.map { f =>
-      val dir = s"/tmp/graft-scale-v2/x$f"
+      val dir = s"/tmp/graft-scale-v3/x$f"
       graft.lake.Tables.all.foreach { t =>
         val target = s"$dir/$t.parquet"
         if (!Files.exists(Paths.get(target)))
@@ -155,8 +165,20 @@ object ScaleSweep {
     sb.append("merge table to DISTINCT words and broadcasts the vocab-sized ")
     sb.append("word→symbols map back over the corpus — near-linear.\n")
     sb.append("- `graph_pagerank_parts` (fixed-point, 5 iterations) is O(iters x |E|) ")
-    sb.append("with the edge side exchange-free across rounds; the co-purchase edge ")
-    sb.append("count tracks order volume.\n")
+    sb.append("with the edge side exchange-free across rounds. Since the round-10 ")
+    sb.append("sweep, `lineitem` replicas offset BOTH l_orderkey and l_partkey, so ")
+    sb.append("the co-purchase graph (pagerank, `graph_kcore_parts`, ")
+    sb.append("`copurchase_rules_lift`) scales as FACTOR DISJOINT replicas — edge ")
+    sb.append("count x factor, per-node degrees constant — the honest shape for a ")
+    sb.append("graph sweep (earlier sweeps left lineitem fixed, so graph cells ")
+    sb.append("measured only overhead).\n")
+    sb.append("- `media_image_dhash` / `media_audio_energy` decode REAL PNG/WAV ")
+    sb.append("payloads per row (mapPartitions kernels) — embarrassingly parallel, ")
+    sb.append("expected near the data ratio. `dedup_image_dhash_pairs` generates ")
+    sb.append("candidates via 4x16-bit band buckets (pigeonhole-exact for ")
+    sb.append("hamming<=3) then confirms exactly — per-bucket volume is the thing ")
+    sb.append("this sweep audits (a near-constant image population would go ")
+    sb.append("quadratic inside one bucket).\n")
     // preserve hand-written sections (s3a posture, ...) below the sweep table
     val path = Paths.get(out)
     if (Files.exists(path)) {
