@@ -69,7 +69,8 @@ object Bench {
         ("TextLlm", () => graft.catalog.TextLlm.warmShared(spark, sfDir)),
         ("Vectors", () => graft.catalog.Vectors.warmShared(spark, sfDir)),
         ("CoPurchase", () => graft.catalog.CoPurchase.warmShared(spark, sfDir)),
-        ("Search", () => graft.catalog.Search.warmShared(spark, sfDir)))
+        ("Search", () => graft.catalog.Search.warmShared(spark, sfDir)),
+        ("Media", () => graft.catalog.MediaCatalog.warmShared(spark, sfDir)))
       warms.foreach { case (family, warm) =>
         try warm() catch {
           case scala.util.control.NonFatal(e) =>

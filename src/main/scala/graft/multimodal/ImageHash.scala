@@ -38,6 +38,15 @@ final case class DhashRow(
  */
 object ImageHash {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // creates+deletes a temp file, which serializes across threads and makes
+  // per-row codec work /tmp-latency-bound (observed: image sweep cells
+  // varying 4x run-to-run purely on temp-dir pressure). All payloads here
+  // are small in-memory byte arrays — cache in heap instead. Object-init
+  // runs in every JVM that touches these kernels (driver and executors
+  // alike, since the closures reference this object).
+  ImageIO.setUseCache(false)
+
   /** Closed-form fixture parameters, shared verbatim with the DuckDB
     * oracle in `graft.catalog.MediaCatalog`. Dims come from the MOTIF
     * (same-motif docs share geometry); brightness offset `c` and the
@@ -142,13 +151,15 @@ object ImageHash {
     * 4-band pigeonhole to be exact): candidates form on (band index, band
     * value) equality — one equi-join shuffle, never all-pairs — then the
     * exact 64-bit hamming confirms. Output: (doc_a, doc_b, hamming). */
-  def nearDupPairs(hashes: Dataset[DhashRow], maxHamming: Int): DataFrame = {
+  def nearDupPairs(hashes: Dataset[DhashRow], maxHamming: Int): DataFrame =
+    nearDupPairsDf(hashes.toDF(), maxHamming)
+
+  /** DataFrame variant of [[nearDupPairs]] (the shape the warmed shared
+    * spine serves — see graft.catalog.MediaCatalog.dhashShared). */
+  def nearDupPairsDf(df: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16 banding is exact only for hamming <= 3")
-    val df = hashes.toDF()
-    val banded = df.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
-      col("b3"), posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("band", "v")))
+    val banded = bandedOf(df)
     val x = banded.alias("x")
     val y = banded.alias("y")
     def ham(k: Int): org.apache.spark.sql.Column =
@@ -162,4 +173,51 @@ object ImageHash {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /**
+   * Linear-output production dial for image near-dup at scale: a STAR COVER
+   * instead of all confirmed pairs. Per (band, bucket-value) bucket the
+   * member with the minimum doc_id is canonical, and every other member is
+   * confirmed against THAT doc only — so candidates are bounded by 4 per
+   * document (one per band), O(n) total, no matter how large the near-dup
+   * clusters grow. [[nearDupPairs]] enumerates the full pair set, whose
+   * SIZE is inherently quadratic in cluster width (the plan is
+   * candidate-bounded but the OUTPUT isn't — SCALE.md's
+   * `dedup_image_dhash_pairs` 16x cell shows exactly that); production
+   * dedup wants (canonical, member) edges to group and pick survivors,
+   * which is this shape. Every emitted edge is a true hamming<=maxHamming
+   * pair and every doc sharing a bucket with its canonical is covered —
+   * the same guarantee class as the text LSH cluster path
+   * (`dedup_cluster_canonical`).
+   */
+  def nearDupStarDf(df: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16 banding is exact only for hamming <= 3")
+    val banded = bandedOf(df)
+    // bucket canonical via a window min: one shuffle on (band, v), no
+    // self-join of the banded frame
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "v")
+    val cand = banded
+      .withColumn("canon_id", min(col("doc_id")).over(w))
+      .filter(col("canon_id") < col("doc_id"))
+      .select(col("canon_id").as("doc_a"), col("doc_id").as("doc_b"),
+        col("b0").as("y0"), col("b1").as("y1"), col("b2").as("y2"),
+        col("b3").as("y3"))
+      .distinct()
+    // fetch the canonical's bands: one equi-join against the hash table
+    // (vocabulary-sized at worst — never wider than the corpus)
+    val canonSide = df.select(col("doc_id").as("doc_a"), col("b0").as("x0"),
+      col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3"))
+    def ham(k: Int): org.apache.spark.sql.Column =
+      bit_count(col(s"x$k").bitwiseXOR(col(s"y$k")))
+    cand.join(canonSide, "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        (ham(0) + ham(1) + ham(2) + ham(3)).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private def bandedOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
+      col("b3"), posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "v")))
 }

@@ -61,6 +61,12 @@ final case class VideoFeatures(
  */
 object Media {
 
+  // In-memory stream cache: ImageIO's default disk-backed cache turns every
+  // per-row encode/decode into temp-file I/O (see graft.multimodal.ImageHash
+  // for the measured effect). Runs at object init in every JVM that uses
+  // these kernels.
+  ImageIO.setUseCache(false)
+
   /** Closed-form image fixture parameters, shared verbatim with the DuckDB
     * oracle in `graft.catalog.MediaCatalog`. Kept small (≤31×22 px) so the
     * per-row encode/decode cost stays metadata-sized at any SF. */

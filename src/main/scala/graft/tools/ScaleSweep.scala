@@ -33,7 +33,8 @@ object ScaleSweep {
     "graph_pagerank_parts", "events_markov_transitions",
     "sample_train_val_test", "dedup_jw_pairs", "ts_interpolate_linear",
     "copurchase_rules_lift", "graph_kcore_parts",
-    "media_image_dhash", "dedup_image_dhash_pairs", "media_audio_energy")
+    "media_image_dhash", "dedup_image_dhash_pairs", "dedup_image_dhash_star",
+    "media_audio_energy")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,
@@ -174,11 +175,19 @@ object ScaleSweep {
     sb.append("measured only overhead).\n")
     sb.append("- `media_image_dhash` / `media_audio_energy` decode REAL PNG/WAV ")
     sb.append("payloads per row (mapPartitions kernels) — embarrassingly parallel, ")
-    sb.append("expected near the data ratio. `dedup_image_dhash_pairs` generates ")
-    sb.append("candidates via 4x16-bit band buckets (pigeonhole-exact for ")
-    sb.append("hamming<=3) then confirms exactly — per-bucket volume is the thing ")
-    sb.append("this sweep audits (a near-constant image population would go ")
-    sb.append("quadratic inside one bucket).\n")
+    sb.append("expected at or under the data ratio. `dedup_image_dhash_pairs` ")
+    sb.append("generates candidates via 4x16-bit band buckets (pigeonhole-exact ")
+    sb.append("for hamming<=3) then confirms exactly — but its OUTPUT is the full ")
+    sb.append("pair set, and the fixture's motif clusters (doc_id mod 97, shared ")
+    sb.append("across sweep replicas) grow linearly with the corpus, so true-pair ")
+    sb.append("volume — and this cell — grows quadratically BY CONSTRUCTION, not ")
+    sb.append("by plan fault (the same reason the embedding sweep rotates its ")
+    sb.append("replicas). `dedup_image_dhash_star` is the production dial: the ")
+    sb.append("same banding confirms each doc only against its bucket's min-doc ")
+    sb.append("canonical — O(4n) candidates AND output regardless of cluster ")
+    sb.append("width — and its near-linear curve is the evidence the banded plan ")
+    sb.append("itself scales; keep the full-pairs row for oracle-checkable ")
+    sb.append("completeness at test SFs.\n")
     // preserve hand-written sections (s3a posture, ...) below the sweep table
     val path = Paths.get(out)
     if (Files.exists(path)) {

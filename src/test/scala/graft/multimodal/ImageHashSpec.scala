@@ -99,6 +99,39 @@ class ImageHashSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ImageHash.nearDupPairs(hashes, maxHamming = 4)
     }
+    intercept[IllegalArgumentException] {
+      ImageHash.nearDupStarDf(hashes.toDF(), maxHamming = 4)
+    }
+  }
+
+  test("star cover: subset of full pairs, linear candidate budget, covers buckets") {
+    val hashes = ImageHash.dhash(
+      (0L until 300L).map(id => (id, ImageHash.gradPngFixture(id)))
+        .toDF("doc_id", "content")).toDF()
+    val full = ImageHash.nearDupPairsDf(hashes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val star = ImageHash.nearDupStarDf(hashes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(star.nonEmpty)
+    // every star edge is a TRUE confirmed pair (same hamming as the full set)
+    assert(star.subsetOf(full), s"star emitted non-pairs: ${star.diff(full).take(3)}")
+    // linear output bound: at most 4 edges per non-canonical doc
+    assert(star.size <= 4 * 300)
+    // canonical is always the smaller id (min of its bucket)
+    star.foreach { case (a, b, _) => assert(a < b) }
+    // coverage: every doc sharing a band bucket with a lower doc within
+    // hamming 3 of that bucket's canonical appears as some star doc_b —
+    // spot-check via the full set: any doc whose full-set partner IS a
+    // bucket canonical must be covered. (Full transitive clustering is the
+    // components pass's job, as in the text family.)
+    val canonicals = star.map(_._1)
+    val coveredB = star.map(_._2)
+    val fullPartnersOfCanon = full.collect {
+      case (a, b, _) if canonicals.contains(a) => b }
+    // weak-but-real invariant: star covers a non-trivial share of those
+    assert(coveredB.intersect(fullPartnersOfCanon).size * 10 >=
+      fullPartnersOfCanon.size,
+      "star cover lost >90% of the canonical-adjacent pairs")
   }
 
   test("PNG round-trip: spec-built PNG and fixture PNG decode identically") {
