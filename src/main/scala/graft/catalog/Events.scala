@@ -702,8 +702,89 @@ object Events extends Family {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // Training-dataset assembly: the "feature store" materialization an ML
+  // pipeline runs nightly — behavioral features from the events stream
+  // (volume, purchases, 30-min session count, active days, exact spend,
+  // recency bounds) joined with transactional features from orders and the
+  // customer dimension, labeled for a purchase-propensity model. Grain =
+  // event users (user_id ⊂ c_custkey in this lake). Scale shape: each
+  // source aggregates to user grain BEFORE any join (map-side-combinable;
+  // the joins then move one row per user, not per event/order), doubles
+  // cross the wire only as exact decimals (graft.ops.Exact), and the two
+  // left joins are user-keyed equi-joins AQE can size (the aggregated
+  // sides are user-cardinality, far under the raw fact tables).
+  private val userFeatures = Q(
+    "train_user_features",
+    Some("""
+      WITH o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+          CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                 OR epoch_us(CAST(ts AS TIMESTAMP))
+                    - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      ef AS (
+        SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+          CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+          COUNT(DISTINCT CAST(ts AS DATE)) AS days_active,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS event_value,
+          min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        FROM o GROUP BY user_id),
+      yf AS (
+        SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        FROM orders GROUP BY 1)
+      SELECT ef.user_id, ef.n_events, ef.n_purchases, ef.n_sessions,
+        ef.days_active, ef.event_value, ef.first_us, ef.last_us,
+        COALESCE(yf.n_orders, 0) AS n_orders,
+        COALESCE(yf.total_spent, 0.0) AS total_spent,
+        c.c_mktsegment AS mktsegment,
+        ef.n_purchases > 0 AS label_purchaser
+      FROM ef LEFT JOIN yf ON ef.user_id = yf.user_id
+      LEFT JOIN customer c ON ef.user_id = c.c_custkey
+      ORDER BY ef.user_id
+    """)) { (spark, dir) =>
+    val gapUs = 30L * 60 * 1000 * 1000
+    val prevTs = lag(col("ts"), 1).over(byUserTime)
+    val isNew = when(
+      prevTs.isNull || (unix_micros(col("ts")) - unix_micros(prevTs)) > gapUs, 1
+    ).otherwise(0)
+    val eventFeats = ev(spark, dir)
+      .withColumn("is_new", isNew)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(col("is_new").cast("long")).as("n_sessions"),
+        countDistinct(to_date(col("ts"))).as("days_active"),
+        sumMoney(col("value")).as("event_value"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val orderFeats = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("total_spent"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("mktsegment"))
+    eventFeats
+      .join(orderFeats, Seq("user_id"), "left")
+      .join(cust, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("n_sessions"), col("days_active"), col("event_value"),
+        col("first_us"), col("last_us"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spent"), lit(0.0)).as("total_spent"),
+        col("mktsegment"),
+        (col("n_purchases") > 0).as("label_purchaser"))
+      .orderBy(col("user_id"))
+  }
+
   override val specs: Seq[Q] = Seq(
     extractDay, ga4Flatten, dailyKpis, funnel, sessionize, attribution,
     journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
-    convLatency, abtest, wau, markov, intervalAttr)
+    convLatency, abtest, wau, markov, intervalAttr, userFeatures)
 }

@@ -378,6 +378,160 @@ object TextLlm extends Family {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // Gopher-style hard-filter bundle: the rule battery a pretraining pipeline
+  // applies before any model-based scoring (length bounds, uniqueness floor,
+  // stopword ceiling, composite-score floor). One map-only pass over the
+  // quality spine; output is doc-grain with a REASONS BITMASK (bit per
+  // rule) so downstream can both filter (keep) and audit per-rule kill
+  // rates without re-running the battery. Thresholds sit inside the
+  // corpus's observed ranges so every rule genuinely fires on a slice.
+  // Determinism: all comparisons are on integers or on the fixed-order IEEE
+  // ratios both engines already hash-match in text_quality_scores.
+  private val gopherRules = Q(
+    "filter_gopher_rules",
+    Some("""
+      WITH b AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s AS (SELECT doc_id, len(t) AS nt, len(list_distinct(t)) AS nd,
+              len(list_filter(t, x -> x IN ('the', 'a'))) AS ns FROM b),
+      q AS (SELECT doc_id, nt, nd / nt AS ur, ns / nt AS sr,
+              0.3 * (nd / nt) + 0.5 * (1 - ns / nt)
+                + 0.2 * least(1.0, nt / 100.0) AS qs FROM s),
+      r AS (SELECT doc_id, nt,
+              CAST(CASE WHEN nt < 20 THEN 1 ELSE 0 END
+                 + CASE WHEN nt > 80 THEN 2 ELSE 0 END
+                 + CASE WHEN ur < 0.35 THEN 4 ELSE 0 END
+                 + CASE WHEN sr > 0.10 THEN 8 ELSE 0 END
+                 + CASE WHEN qs < 0.70 THEN 16 ELSE 0 END AS INTEGER) AS reasons
+            FROM q)
+      SELECT doc_id, nt AS n_tokens, reasons, reasons = 0 AS keep
+      FROM r ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val ur = col("n_distinct") / col("n_tokens")
+    val sr = col("n_stop") / col("n_tokens")
+    qualityFrame(spark, dir)
+      .withColumn("reasons",
+        (when(col("n_tokens") < 20, 1).otherwise(0)
+          + when(col("n_tokens") > 80, 2).otherwise(0)
+          + when(ur < 0.35, 4).otherwise(0)
+          + when(sr > 0.10, 8).otherwise(0)
+          + when(col("quality_score") < 0.70, 16).otherwise(0)).cast("int"))
+      .select(col("doc_id"), col("n_tokens").as("n_tokens"),
+        col("reasons"), (col("reasons") === 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Source-level quality gating: drop whole SOURCES whose aggregate quality
+  // sits below the median source — the domain/feed-level cut (spam feeds,
+  // boilerplate mirrors) that per-doc rules can't see. Scale shape: the
+  // per-source rollup is an integer-sum aggregate (exact and
+  // order-independent, so map-side partial agg stays enabled — no double
+  // summation crosses the wire), the source table is vocabulary-sized and
+  // broadcasts back onto the doc grain, and the global threshold is a
+  // 1-row broadcast. Source score recomputed from INTEGER TOTALS
+  // (0.3*uniq + 0.5*(1-stop) + 0.2*len-term) rather than averaging per-doc
+  // doubles — fixed-order IEEE on exact sums, bit-identical cross-engine.
+  private val sourceQualityGate = Q(
+    "filter_source_quality",
+    Some("""
+      WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      s AS (SELECT doc_id, source, len(t) AS nt, len(list_distinct(t)) AS nd,
+              len(list_filter(t, x -> x IN ('the', 'a'))) AS ns FROM b),
+      src AS (SELECT source, COUNT(*) AS n_docs, SUM(nt) AS snt,
+                SUM(nd) AS snd, SUM(ns) AS sns FROM s GROUP BY source),
+      sq AS (SELECT source,
+               0.3 * (snd / snt) + 0.5 * (1 - sns / snt)
+                 + 0.2 * least(1.0, (snt / n_docs) / 100.0) AS src_score
+             FROM src),
+      g AS (SELECT median(src_score) AS thr FROM sq)
+      SELECT s.doc_id, s.source, sq.src_score, sq.src_score >= g.thr AS kept
+      FROM s JOIN sq ON s.source = sq.source CROSS JOIN g
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val t = TextOps.tokens(col("text"))
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(t).as("nt"), size(array_distinct(t)).as("nd"),
+        size(filter(t, x => x.isin("the", "a"))).as("ns"))
+    val src = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("snt"),
+        sum(col("nd")).as("snd"), sum(col("ns")).as("sns"))
+      .select(col("source"),
+        (lit(0.3) * (col("snd") / col("snt"))
+          + lit(0.5) * (lit(1) - col("sns") / col("snt"))
+          + lit(0.2) * least(lit(1.0), (col("snt") / col("n_docs")) / lit(100.0)))
+          .as("src_score"))
+    val thr = src.agg(median(col("src_score")).as("thr"))
+    perDoc.select(col("doc_id"), col("source"))
+      .join(broadcast(src), "source")
+      .crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("source"), col("src_score"),
+        (col("src_score") >= col("thr")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // PII scrubbing — the redaction pass every training-data pipeline runs
+  // before tokenization (emails / IPv4s / phone numbers -> typed
+  // placeholders). The corpus text is PII-free word salad, so deterministic
+  // PII is synthesized from doc_id (the media-fixture discipline: both
+  // engines build the identical string, so the REDACTION — match counts,
+  // placeholder placement, no over-matching of surrounding text — is what
+  // the hash gate checks, via md5 of the fully redacted document).
+  //
+  // Patterns are written in the RE2-compatible subset (no backreferences,
+  // no lookaround) so Java regex (Spark) and RE2 (DuckDB) agree; \b is the
+  // ASCII word boundary in both. Scale shape: map-only — three
+  // codegen'd regexp_replace passes + three regexp_count, no shuffle except
+  // the output sort; at 100 TB this is the classic embarrassingly-parallel
+  // scrub stage.
+  private val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiIpRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val piiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val piiRedact = Q(
+    "text_pii_redact",
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org' ELSE '' END
+            || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+            || CAST(doc_id % 254 + 1 AS VARCHAR)
+            || ' tel 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+            || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+        CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ip,
+        CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phone,
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+      FROM s ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val synth = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      when(col("doc_id") % 3 === 0, lit(" cc admin@test.org")).otherwise(lit("")),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+      (col("doc_id") % 254 + 1).cast("string"),
+      lit(" tel 555-"), (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+      (col("doc_id") % 9000 + 1000).cast("string"))
+    docs(spark, dir)
+      .select(col("doc_id"), synth.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(piiEmailRe)).cast("int").as("n_email"),
+        regexp_count(col("t"), lit(piiIpRe)).cast("int").as("n_ip"),
+        regexp_count(col("t"), lit(piiPhoneRe)).cast("int").as("n_phone"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          lit(piiEmailRe), lit("<EMAIL>")),
+          lit(piiIpRe), lit("<IP>")),
+          lit(piiPhoneRe), lit("<PHONE>"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // F4 string parsing (SURVEY §2.7): the reference's prefix/suffix threading
   // ("events_YYYYMMDD" table names, "year=" path parts) generalized — parse
   // the numeric id out of the source tag, slice its prefix, count docs.
@@ -857,7 +1011,8 @@ object TextLlm extends Family {
   override val specs: Seq[Q] = Seq(clusterCanonical,
     dedupExact, dedupNorm, minhashLsh, components, jaccard, simhash,
     quality, qualityPctl, repetition, langId, tokenCounts, fingerprint,
-    sourceParse, hashSample, stratifiedSample, ppsSample, trainValTest,
+    gopherRules, sourceQualityGate,
+    piiRedact, sourceParse, hashSample, stratifiedSample, ppsSample, trainValTest,
     packBins,
     levenshteinPairs, jwPairs, tfidfTopTerms, incremental)
 }

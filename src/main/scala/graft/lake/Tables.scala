@@ -82,9 +82,20 @@ object Tables {
     }
   }
 
+  /**
+   * Documents and embeddings get the same drift insurance as [[events]]
+   * (round 9: a testdata regen silently flipped `events.ts` and erred 13%
+   * of the catalog): key/ vector columns are normalized to the dtypes the
+   * catalog assumes. Each cast is compile-time identity on today's footers
+   * (Catalyst's SimplifyCasts drops same-type casts), so the normal path
+   * costs nothing; a regen to int32 ids / float64 embeddings keeps loading.
+   */
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "documents")
+      .withColumn("doc_id", col("doc_id").cast("bigint"))
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "embeddings")
+      .withColumn("vec_id", col("vec_id").cast("bigint"))
+      .withColumn("embedding", col("embedding").cast("array<float>"))
 }

@@ -58,6 +58,7 @@ class PlanGateSpec extends SparkSpec {
     "sample_temperature_mix" -> 1, // broadcast 1-row pivoted normalizer
     "skew_hot_custkeys" -> 1,     // broadcast 1-row grand total (hotKeys)
     "tfidf_top_terms" -> 1,       // broadcast 1-row n_docs
+    "filter_source_quality" -> 1, // broadcast 1-row median-source threshold
     "window_wau_rolling" -> 1)    // broadcast 1-row max observed day
 
   /** query -> max SinglePartition exchanges, each the final combine of a
@@ -73,6 +74,8 @@ class PlanGateSpec extends SparkSpec {
     "dq_checks" -> 5,                    // 5 scalar check aggregates (one
                                          // per table scan / referential
                                          // join), each finalizing ONE row
+    "filter_source_quality" -> 1,        // 1-row median over the
+                                         // vocabulary-sized source table
     "freq_heavy_hitters" -> 1,           // 1-row Misra-Gries candidate array
     "funnel_view_click_purchase" -> 1,   // 1-row funnel output
     "lm_vocab_encode" -> 1,              // vocabulary ranking window —

@@ -133,6 +133,34 @@ class TablesSpec extends SparkSpec {
     assert(loadedMicros(microsTzDir) === a)
   }
 
+  test("embeddings loader absorbs float64 vectors and int32 ids") {
+    import spark.implicits._
+    val dir = s"$tmpRoot/emb64"
+    Seq((1, Seq(0.25d, -1.5d), 0), (2, Seq(3.0d, 0.125d), 1))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("vec_id", col("vec_id").cast("int"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val df = Tables.embeddings(spark, dir)
+    assert(df.schema("vec_id").dataType === LongType)
+    assert(df.schema("embedding").dataType === ArrayType(FloatType, containsNull = true))
+    val got = df.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    // exactly-representable doubles survive the narrowing bit-for-bit
+    assert(got(1L) === Seq(0.25f, -1.5f) && got(2L) === Seq(3.0f, 0.125f))
+  }
+
+  test("documents loader absorbs int32 doc ids") {
+    import spark.implicits._
+    val dir = s"$tmpRoot/docs32"
+    Seq((7, "alpha", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("doc_id", col("doc_id").cast("int"))
+      .write.parquet(s"$dir/documents.parquet")
+    val df = Tables.documents(spark, dir)
+    assert(df.schema("doc_id").dataType === LongType)
+    assert(df.select("doc_id").as[Long].collect().toSeq === Seq(7L))
+  }
+
   test("events loader rejects an unusable ts type") {
     val dir = s"$tmpRoot/bad"
     import spark.implicits._
