@@ -783,8 +783,92 @@ object Events extends Family {
       .orderBy(col("user_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // Leakage-safe chronological split: train on the first 80% of the
+  // observed day span, evaluate on the rest — the time-based split every
+  // forecasting/propensity eval needs (hash splits leak future behavior
+  // into train). The cutoff is integer day arithmetic off a 1-row min/max
+  // span broadcast, so the assignment is a stateless map over the stream
+  // at any scale; output is the 2-row split audit (volumes, user counts,
+  // day ranges) a pipeline records next to the artifact.
+  private val timeSplit = Q(
+    "sample_time_split",
+    Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e),
+      x AS (SELECT user_id, d,
+        CASE WHEN d <= d0 + CAST(FLOOR(0.8 * (d1 - d0)) AS INTEGER)
+             THEN 'train' ELSE 'test' END AS split
+        FROM e CROSS JOIN span)
+      SELECT split, COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        MIN(d) AS first_day, MAX(d) AS last_day
+      FROM x GROUP BY split ORDER BY split
+    """)) { (spark, dir) =>
+    val e = ev(spark, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    val span = e.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    e.crossJoin(broadcast(span))
+      .withColumn("split",
+        when(col("d") <= date_add(col("d0"),
+          floor(lit(0.8) * datediff(col("d1"), col("d0"))).cast("int")),
+          "train").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("d")).as("first_day"), max(col("d")).as("last_day"))
+      .orderBy(col("split"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Class-balanced downsampling: equalize a skewed binary label by keeping
+  // every row of the minority class and a DETERMINISTIC hash-ordered
+  // subset of the majority (md5-of-key order — reproducible across runs,
+  // engines, and partitionings, the same discipline as sample_hash_10pct).
+  // The label here is behavioral (user's event count above the per-SF
+  // median) so both classes are populated at every scale factor. Scale
+  // shape: one user-grain aggregate, two 1-row broadcasts (median, class
+  // floor), one user-cardinality rank window per class — nothing
+  // event-cardinality crosses a second shuffle.
+  private val classBalanced = Q(
+    "sample_class_balanced",
+    Some("""
+      WITH u AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+      m AS (SELECT median(n) AS med FROM u),
+      l AS (SELECT user_id, n, n > med AS heavy FROM u CROSS JOIN m),
+      k AS (SELECT LEAST(SUM(CASE WHEN heavy THEN 1 ELSE 0 END),
+                         SUM(CASE WHEN heavy THEN 0 ELSE 1 END)) AS kmin FROM l),
+      r AS (SELECT user_id, n, heavy,
+              row_number() OVER (PARTITION BY heavy
+                ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
+            FROM l)
+      SELECT user_id, n AS n_events, heavy FROM r CROSS JOIN k
+      WHERE rn <= kmin ORDER BY user_id
+    """)) { (spark, dir) =>
+    val u = ev(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val m = u.agg(median(col("n")).as("med"))
+    // The labeled user frame feeds BOTH the class-floor scalar and the
+    // per-class rank — localCheckpoint materializes it once (user-grain
+    // rows, bounded) instead of re-running the event scan + median branch
+    // per consumer (the lm_rare_bigram_ratio spine discipline).
+    val l = u.crossJoin(broadcast(m))
+      .withColumn("heavy", col("n") > col("med"))
+      .localCheckpoint()
+    val k = l.agg(least(
+      sum(when(col("heavy"), 1L).otherwise(0L)),
+      sum(when(col("heavy"), 0L).otherwise(1L))).as("kmin"))
+    l.withColumn("rn", row_number().over(
+        Window.partitionBy(col("heavy"))
+          .orderBy(md5(col("user_id").cast("string")), col("user_id"))))
+      .crossJoin(broadcast(k))
+      .filter(col("rn") <= col("kmin"))
+      .select(col("user_id"), col("n").as("n_events"), col("heavy"))
+      .orderBy(col("user_id"))
+  }
+
   override val specs: Seq[Q] = Seq(
     extractDay, ga4Flatten, dailyKpis, funnel, sessionize, attribution,
     journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
-    convLatency, abtest, wau, markov, intervalAttr, userFeatures)
+    convLatency, abtest, wau, markov, intervalAttr, userFeatures,
+    timeSplit, classBalanced)
 }

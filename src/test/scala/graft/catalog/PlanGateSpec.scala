@@ -59,6 +59,8 @@ class PlanGateSpec extends SparkSpec {
     "skew_hot_custkeys" -> 1,     // broadcast 1-row grand total (hotKeys)
     "tfidf_top_terms" -> 1,       // broadcast 1-row n_docs
     "filter_source_quality" -> 1, // broadcast 1-row median-source threshold
+    "sample_time_split" -> 1,     // broadcast 1-row day span
+    "sample_class_balanced" -> 2, // broadcast 1-row median + class floor
     "window_wau_rolling" -> 1)    // broadcast 1-row max observed day
 
   /** query -> max SinglePartition exchanges, each the final combine of a
@@ -76,6 +78,9 @@ class PlanGateSpec extends SparkSpec {
                                          // join), each finalizing ONE row
     "filter_source_quality" -> 1,        // 1-row median over the
                                          // vocabulary-sized source table
+    "sample_time_split" -> 1,            // 1-row min/max day span
+    "sample_class_balanced" -> 2,        // 1-row median + 1-row class floor
+                                         // (both over the user-grain frame)
     "freq_heavy_hitters" -> 1,           // 1-row Misra-Gries candidate array
     "funnel_view_click_purchase" -> 1,   // 1-row funnel output
     "lm_vocab_encode" -> 1,              // vocabulary ranking window —
