@@ -31,6 +31,19 @@ class BpeSpec extends SparkSpec {
       (5, "e", "w", 6L)))
   }
 
+  test("driver-local and distributed paths learn the identical table") {
+    // maxLocalVocab=0 forces the distributed per-round loop on the same
+    // input the default (local) path handles — both must agree exactly,
+    // including tie-breaks and early exhaustion
+    val local = Bpe.learn(classicWords, "word", "n", nMerges = 5)
+    val dist = Bpe.learn(classicWords, "word", "n", nMerges = 5,
+      maxLocalVocab = 0L)
+    assert(local == dist)
+    val tiny = Seq(("ab", 3L), ("abab", 1L)).toDF("word", "n")
+    assert(Bpe.learn(tiny, "word", "n", nMerges = 10) ==
+      Bpe.learn(tiny, "word", "n", nMerges = 10, maxLocalVocab = 0L))
+  }
+
   test("rerun is deterministic and stops early when pairs run out") {
     val a = Bpe.learn(classicWords, "word", "n", nMerges = 5)
     val b = Bpe.learn(classicWords, "word", "n", nMerges = 5)
