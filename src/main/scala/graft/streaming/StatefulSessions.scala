@@ -40,7 +40,11 @@ object StatefulSessions {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000 * 1000
 
-    def us(t: Timestamp): Long = t.getTime * 1000
+    // full microsecond precision (getTime truncates to millis; sub-ms
+    // digits live in getNanos) — gap arithmetic must match the catalog's
+    // unix_micros to the microsecond at session boundaries
+    def us(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     events
       .withWatermark("ts", watermark)
@@ -99,11 +103,13 @@ object StatefulSessions {
     events
       .groupByKey(_.user_id)
       .flatMapGroups { (userId: Long, it: Iterator[SessionEvent]) =>
-        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+        def usOf(t: Timestamp): Long =
+          math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        val sorted = it.toSeq.sortBy(e => (usOf(e.ts), e.value))
         val out = Seq.newBuilder[ClosedSession]
         var cur: Option[SessionState] = None
         sorted.foreach { e =>
-          val t = e.ts.getTime * 1000
+          val t = usOf(e.ts)
           cur match {
             case Some(s) if t - s.lastUs > gapUs =>
               out += ClosedSession(userId, s.startUs, s.lastUs, s.nEvents, s.totalValue)

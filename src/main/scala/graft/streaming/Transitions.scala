@@ -40,7 +40,11 @@ final case class Transition(user_id: Long, prev_type: String, next_type: String)
  */
 object Transitions {
 
-  private def us(t: Timestamp): Long = t.getTime * 1000
+  // full microsecond precision (getTime truncates to millis; sub-ms digits
+  // live in getNanos) — chain order must match the catalog's
+  // (ts, event_id) to the microsecond
+  private def us(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   def track(events: Dataset[TypedEvent], idleMinutes: Int = 120,
             watermark: String = "1 hour"): Dataset[Transition] = {
