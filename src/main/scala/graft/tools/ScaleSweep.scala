@@ -34,7 +34,9 @@ object ScaleSweep {
     "sample_train_val_test", "dedup_jw_pairs", "ts_interpolate_linear",
     "copurchase_rules_lift", "graph_kcore_parts",
     "media_image_dhash", "dedup_image_dhash_pairs", "dedup_image_dhash_star",
-    "media_audio_energy", "text_pii_redact", "train_user_features")
+    "media_audio_energy", "text_pii_redact", "train_user_features",
+    "filter_gopher_rules", "filter_source_quality",
+    "sample_time_split", "sample_class_balanced")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,
