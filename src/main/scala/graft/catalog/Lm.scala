@@ -176,12 +176,63 @@ object Lm extends Family {
   // symbol merges over the corpus word-frequency table — the artifact a
   // subword tokenizer ships, learned by graft.ops.Bpe's vocab-sized
   // iterative loop (corpus scanned once for word counts; each round is one
-  // pair aggregate over the vocabulary plus a 1-row collect). Iterative
-  // argmax with driver-fed merge rules is not SQL-expressible cross-engine,
-  // so this entry has NO DuckDB twin (driver records rows-only); semantic
-  // coverage lives in BpeSpec (hand-derived merge table on the classic
-  // low/lower/newest/widest corpus, determinism, encode consistency).
-  private val bpeMerges = Q("lm_bpe_merges", None) { (spark, dir) =>
+  // pair aggregate over the vocabulary plus a 1-row collect; ≤maxLocalVocab
+  // vocabularies learn on the driver after one collect).
+  //
+  // The DuckDB twin UNROLLS the 20 data-dependent rounds as CTE chains —
+  // round k = pair-count p{k} over vocab v{k-1}, winner m{k}
+  // (ORDER BY cnt DESC, l, r LIMIT 1 — Bpe.learn's exact tie-break), then
+  // the greedy left-to-right apply as a recursive read-head scan (the
+  // lm_bpe_encode state machine, one symbol or one consumed pair per
+  // step) producing v{k}. Every p/m/v is AS MATERIALIZED: each round
+  // references its predecessor several times (seed + pair scan + four
+  // winner lookups), and DuckDB's default CTE inlining makes that
+  // expansion exponential across 20 rounds (observed as a "too many open
+  // files" parquet re-scan blowup); materialization restores the
+  // once-per-round cost the Spark loop has. A vocabulary exhausted before
+  // 20 rounds yields empty m/v tails on both engines (Spark stops the
+  // loop; SQL's empty CTEs propagate), so early-stop rows match too.
+  private def bpeMergesSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { k =>
+      s"""
+      p$k AS MATERIALIZED (
+        SELECT pr.l AS l, pr.r AS r, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+          SELECT n, unnest(list_transform(generate_series(1, len(syms) - 1),
+            j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS pr
+          FROM v${k - 1})
+        GROUP BY pr.l, pr.r),
+      m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+      a$k AS (
+        SELECT syms, n, 1 AS i, CAST([] AS VARCHAR[]) AS out FROM v${k - 1}
+        UNION ALL
+        SELECT syms, n,
+          CASE WHEN i < len(syms) AND syms[i] = (SELECT l FROM m$k)
+                AND syms[i + 1] = (SELECT r FROM m$k) THEN i + 2 ELSE i + 1 END,
+          CASE WHEN i < len(syms) AND syms[i] = (SELECT l FROM m$k)
+                AND syms[i + 1] = (SELECT r FROM m$k)
+               THEN list_append(out, syms[i] || syms[i + 1])
+               ELSE list_append(out, syms[i]) END
+        FROM a$k WHERE i <= len(syms)),
+      v$k AS MATERIALIZED (
+        SELECT out AS syms, n FROM a$k WHERE i > len(syms) AND len(out) >= 2)"""
+    }.mkString(",")
+    val union = (1 to nMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right", cnt AS pair_count FROM m$k"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH RECURSIVE
+      w AS MATERIALIZED (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term),
+      v0 AS MATERIALIZED (
+        SELECT string_split_regex(term, '') AS syms, n FROM w
+        WHERE len(string_split_regex(term, '')) >= 2),
+      $rounds
+      SELECT * FROM ($union) ORDER BY rank"""
+  }
+
+  private val bpeMerges = Q("lm_bpe_merges", Some(bpeMergesSql(20))) { (spark, dir) =>
     val words = docs(spark, dir)
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
