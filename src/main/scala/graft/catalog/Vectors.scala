@@ -567,7 +567,125 @@ object Vectors extends Family {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // PQ with FROZEN SEEDING on live data — the oracle-green twin of
+  // ann_cosine_topk_pq's training stage. Lloyd refinement is the one part
+  // of PQ that can't cross engines (iterative, data-dependent); the
+  // 0-iteration variant — codebooks = the K corpus vectors with the lowest
+  // md5(vec_id), PqIndex.train's exact seeding rule — is deterministic
+  // integer picks + argmin, all SQL. This row therefore hash-gates the
+  // full PQ pipeline END-TO-END on live data: seed → per-subspace
+  // L2-argmin encode → ADC approximate scoring → exact re-rank (the
+  // fixture row ann_pq_score_fixture gates scoring alone; PqIndexSpec
+  // keeps Lloyd refinement + recall covered).
+  //
+  // Engine-parity choices: the argmin distance is round(Σ(x-y)², 6) — a
+  // sequential 8-element fold on both sides, ties to the lowest code (the
+  // codesOf strict-< rule) via lexicographic min(struct(d, code)); the ADC
+  // score is ONE 64-dim dot against the concatenated reconstruction
+  // (numerically identical to the per-subspace LUT sum because subspaces
+  // are contiguous — the ann_pq_score_fixture trick). Scale shape: the
+  // codebook (256 rows) broadcasts; encode is map-side argmin folded to a
+  // hash agg (no window over the corpus); candidates cut by the salted
+  // topK. The production encode path (PqIndex UDF over broadcast
+  // codebooks) computes the same argmin in one kernel — this row pins its
+  // semantics cross-engine.
+  private val pqSeeded = Q(
+    "ann_pq_seeded",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      u AS (SELECT vec_id, emb, nrm, list_transform(emb, x -> x / nrm) AS emb_d FROM n),
+      seeds AS (
+        SELECT emb_d, CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS code FROM (
+          SELECT emb_d, md5(CAST(vec_id AS VARCHAR)) AS h FROM u ORDER BY h LIMIT 32)),
+      mm AS (SELECT unnest(generate_series(0, 7)) AS m),
+      cb AS (SELECT CAST(mm.m AS BIGINT) AS m, s.code,
+               list_slice(s.emb_d, mm.m * 8 + 1, mm.m * 8 + 8) AS sub
+             FROM seeds s, mm),
+      sv AS (SELECT u.vec_id, CAST(mm.m AS BIGINT) AS m,
+               list_slice(u.emb_d, mm.m * 8 + 1, mm.m * 8 + 8) AS subv
+             FROM u, mm),
+      dist AS (
+        SELECT sv.vec_id, sv.m, cb.code,
+          round(list_sum(list_transform(generate_series(1, 8),
+            i -> (sv.subv[i] - cb.sub[i]) * (sv.subv[i] - cb.sub[i]))), 6) AS d
+        FROM sv JOIN cb ON cb.m = sv.m),
+      codes AS (
+        SELECT vec_id, m, code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY d ASC, code ASC) AS rn FROM dist) WHERE rn = 1),
+      recon AS (
+        SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.m)) AS recon
+        FROM codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+        GROUP BY c.vec_id),
+      qs AS (SELECT vec_id AS q_id, emb_d AS q_emb FROM u WHERE vec_id < 5),
+      approx AS (
+        SELECT q.q_id, r.vec_id, round(list_dot_product(q.q_emb, r.recon), 6) AS approx
+        FROM qs q, recon r WHERE r.vec_id <> q.q_id),
+      cand AS (
+        SELECT q_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY approx DESC, vec_id) AS rn FROM approx) WHERE rn <= 40),
+      exact AS (
+        SELECT c.q_id, c.vec_id,
+          round(list_dot_product(q.emb, v.emb) / (q.nrm * v.nrm), 4) AS cos_sim
+        FROM cand c JOIN n v ON v.vec_id = c.vec_id JOIN n q ON q.vec_id = c.q_id)
+      SELECT q_id, vec_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cos_sim DESC, vec_id) AS rn FROM exact) WHERE rn <= 10
+      ORDER BY q_id, rn
+    """)) { (spark, dir) =>
+    val m = 8; val k = 32; val subDim = 8
+    val u = embUnit(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("emb_d"))
+    val seeds = u
+      .select(col("emb_d"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h")).limit(k)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("h"))) - 1).cast("long"))
+    val ms = explode(sequence(lit(0), lit(m - 1))).as("m")
+    val cb = seeds.select(col("code"), ms, col("emb_d"))
+      .select(col("m").cast("long").as("m"), col("code"),
+        slice(col("emb_d"), col("m") * subDim + 1, lit(subDim)).as("sub"))
+    val sv = u.select(col("vec_id"), ms, col("emb_d"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        slice(col("emb_d"), col("m") * subDim + 1, lit(subDim)).as("subv"))
+    // argmin as a lexicographic min(struct) hash agg — no corpus-wide
+    // window; ties to the lowest code, matching codesOf's strict <
+    val codes = sv.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), struct(
+        round(aggregate(zip_with(col("subv"), col("sub"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z), 6).as("d"),
+        col("code")).as("dc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("dc")).getField("code").as("code"))
+    val recon = codes.join(broadcast(cb), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("sub")))),
+        x => x.getField("sub"))).as("recon"))
+    val qs = u.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb_d").as("q_emb"))
+    val approx = recon.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.dot(col("q_emb"), col("recon")), 6).as("approx"))
+    val cand = VectorOps.topK(approx, "q_id", "vec_id", "approx", k = 40)
+      .select(col("q_id"), col("vec_id"))
+    val e = embN(spark, dir).select(col("vec_id"), col("embedding"), col("nrm"))
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")))
+    val exact = cand.join(e, Seq("vec_id")).join(q, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosinePre(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+    VectorOps.topK(exact, "q_id", "vec_id", "cos_sim", k = 10)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   override val specs: Seq[Q] =
     Seq(brute, ivf, ivf2, assign, nearDup, nearDupScaled, recall, pq, pqScore,
-      semdedup)
+      pqSeeded, semdedup)
 }
