@@ -29,6 +29,53 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /**
+   * JDBC-source variant of [[load]] — the external-warehouse extraction
+   * posture (the reference pulls day slices from BigQuery,
+   * `bigquery_extractor.py:21-83`; SURVEY §2.1-S1 maps that to lake reads,
+   * and this is the connector shape for sources that stay behind a SQL
+   * endpoint). Spark's JDBC relation pushes projection and filters into
+   * the remote engine's WHERE clause, so a day-slice read
+   * (`loadJdbc(...).filter(col(dateCol) === day)`) ships only that day
+   * over the wire — the reference's one-day-per-query extraction unit,
+   * minus its driver-RAM materialization.
+   *
+   * Scale posture: `partitionCol` + `bounds` + `numPartitions` turn the
+   * single-cursor read into N range-parallel cursors
+   * (`WHERE partitionCol BETWEEN ...` per task), which is the only way a
+   * JDBC extract scales past one connection's throughput; size N to the
+   * source's connection budget, not the cluster's cores. The column must
+   * be indexed/clustered source-side or each cursor full-scans the table.
+   * Bounds only steer the split points — rows outside them are still read
+   * (Spark makes the edge partitions unbounded), so a stale min/max
+   * underestimates skew but never loses rows.
+   *
+   * Credentials/driver selection ride in `props` (`user`, `password`,
+   * `driver`); embedded engines (Derby in the spec) need none.
+   */
+  def loadJdbc(spark: SparkSession, url: String, table: String,
+               partitionCol: Option[String] = None,
+               bounds: Option[(Long, Long)] = None,
+               numPartitions: Int = 0,
+               props: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    val withProps = props.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
+    val reader = partitionCol match {
+      case Some(c) =>
+        val (lo, hi) = bounds.getOrElse(throw new IllegalArgumentException(
+          s"partitionCol $c needs explicit (lower, upper) bounds"))
+        withProps.option("partitionColumn", c)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions",
+            if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism)
+      case None => withProps
+    }
+    reader.load()
+  }
+
+  /**
    * Spread a table across the cluster before CPU-heavy per-row map work
    * (regex, JSON parsing, hashing). The testdata tables are single parquet
    * files = ONE scan partition, which would serialize such work onto one
