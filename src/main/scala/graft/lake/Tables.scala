@@ -98,14 +98,41 @@ object Tables {
    * actually needs it — set before the very first events scan of the session,
    * which is the one safe moment (the conf is read at scan planning).
    */
+  /**
+   * True when `e` (or anything in its cause chain) is the Parquet
+   * illegal-type rejection the nanos footer triggers. Matched on the
+   * STABLE error condition (`SparkThrowable.getCondition` —
+   * `PARQUET_TYPE_ILLEGAL` in Spark's error-conditions registry) first;
+   * the message-substring check is only the fallback for wrappers that
+   * lose the SparkThrowable type, so a Spark release rewording the
+   * message cannot silently disable the fallback and re-break the 16
+   * events queries (the round-9 drift incident this guards).
+   */
+  private def isNanosFooterError(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 10) {
+      t match {
+        case st: org.apache.spark.SparkThrowable
+            if st.getCondition != null &&
+              st.getCondition.startsWith("PARQUET_TYPE_ILLEGAL") =>
+          return true
+        case _ =>
+      }
+      val msg = t.getMessage
+      if (msg != null && (msg.contains("PARQUET_TYPE_ILLEGAL") ||
+          msg.contains("TIMESTAMP(NANOS"))) return true
+      t = t.getCause
+      depth += 1
+    }
+    false
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw =
       try load(spark, sfDir, "events")
       catch {
-        case e: Exception
-            if e.getMessage != null &&
-              (e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
-                e.getMessage.contains("TIMESTAMP(NANOS")) =>
+        case e: Exception if isNanosFooterError(e) =>
           System.err.println(
             "graft WARN: events.parquet carries INT64 TIMESTAMP(NANOS); " +
               "enabling spark.sql.legacy.parquet.nanosAsLong for this session")

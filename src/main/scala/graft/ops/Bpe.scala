@@ -58,8 +58,9 @@ object Bpe {
    * @param words   (`wordCol`: String, `freqCol`: Long) word-frequency
    *                table — one row per distinct word
    * @param nMerges merge rules to learn (stops early if no pair is left)
-   * @param maxLocalVocab vocabularies at or under this row count learn on
-   *                the DRIVER after one collect (production tokenizer
+   * @param maxLocalVocab vocabularies at or under this row count — AND
+   *                under `maxLocalSyms` total symbols — learn on the
+   *                DRIVER after one collect (production tokenizer
    *                trainers all work this way: the corpus-scale work is the
    *                word COUNT, already done by the caller; 20 merge rounds
    *                over a bounded word table need no cluster round-trips —
@@ -67,10 +68,16 @@ object Bpe {
    *                each Spark round cost ~120 ms of pure scheduling).
    *                Larger vocabularies keep the distributed per-round loop.
    *                The two paths are pair-count and tie-break identical
-   *                (spec-asserted).
+   *                (spec-asserted, including non-ASCII tie-breaks).
+   * @param maxLocalSyms cap on TOTAL collected symbols, not just rows —
+   *                boxed per-character strings cost ~50 bytes each on the
+   *                driver heap, so a row gate alone would let 2M long words
+   *                collect multiple GB (the round-10 advisory); 20M symbols
+   *                ≈ ~1 GB worst case on a default driver
    */
   def learn(words: DataFrame, wordCol: String, freqCol: String, nMerges: Int,
-            checkpointEvery: Int = 4, maxLocalVocab: Long = 2000000L): Seq[Merge] = {
+            checkpointEvery: Int = 4, maxLocalVocab: Long = 500000L,
+            maxLocalSyms: Long = 20000000L): Seq[Merge] = {
     require(nMerges >= 1, "nMerges must be >= 1")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
     // array_remove: Spark's split(str, "") keeps a trailing "" element
@@ -82,7 +89,11 @@ object Bpe {
         col(freqCol).cast("long").as("n"))
       .filter(size(col("syms")) >= 2)
       .localCheckpoint()
-    if (vocab.count() <= maxLocalVocab) {
+    val stats = vocab
+      .agg(count(lit(1)), coalesce(sum(size(col("syms"))), lit(0L)))
+      .collect()(0)
+    val (vRows, vSyms) = (stats.getLong(0), stats.getLong(1))
+    if (vRows <= maxLocalVocab && vSyms <= maxLocalSyms) {
       val spark0 = words.sparkSession
       import spark0.implicits._
       return learnLocal(
@@ -96,7 +107,7 @@ object Bpe {
     val spark = words.sparkSession
     val vParts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
-      vocab.count() / 500000L + 1)).toInt
+      vRows / 500000L + 1)).toInt
     if (vParts < vocab.rdd.getNumPartitions)
       vocab = vocab.coalesce(vParts).localCheckpoint()
     val applyMerge = (syms: Seq[String], l: String, r: String) => mergeOnce(syms, l, r)
@@ -131,11 +142,33 @@ object Bpe {
     merges.result()
   }
 
+  /** Unsigned lexicographic UTF-8 byte comparison — `UTF8String`'s order,
+    * which the distributed loop's `orderBy(l, r)` compares by. Scala's
+    * default String ordering compares UTF-16 code units instead, and the
+    * two DISAGREE outside the BMP: a surrogate pair (0xD800-0xDFFF code
+    * units) sorts below e.g. U+FB00 in UTF-16, but its 4-byte 0xF4-…
+    * UTF-8 encoding sorts above that 3-byte 0xEF-… sequence. Tie-breaks
+    * in [[learnLocal]] must use THIS order or the two paths can learn
+    * different merge tables on supplementary-plane symbols. */
+  private[ops] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Driver-local merge learning over a bounded word-frequency table —
     * semantically identical to the distributed loop: same overlapping
     * adjacent-pair counts weighted by word frequency, same
-    * (count desc, left, right) winner selection, same greedy
-    * [[mergeOnce]] apply and single-symbol pruning per round. */
+    * (count desc, left, right) winner selection (ties compared in UTF-8
+    * byte order via [[utf8Compare]], exactly as UTF8String sorts), same
+    * greedy [[mergeOnce]] apply and single-symbol pruning per round. */
   private def learnLocal(vocab0: Array[(Seq[String], Long)],
                          nMerges: Int): Seq[Merge] = {
     var vocab = vocab0.collect {
@@ -156,9 +189,17 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        // max count, ties to the lexicographically smallest (l, r) — the
-        // distributed loop's orderBy(cnt desc, l, r)
-        val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        // max count, ties to the UTF-8-byte-smallest (l, r) — the
+        // distributed loop's orderBy(cnt desc, l, r) over UTF8Strings
+        var bl: String = null; var br: String = null; var bc = Long.MinValue
+        counts.foreach { case ((l0, r0), c) =>
+          val better = c > bc || (c == bc && {
+            val cl = utf8Compare(l0, bl)
+            cl < 0 || (cl == 0 && utf8Compare(r0, br) < 0)
+          })
+          if (better) { bl = l0; br = r0; bc = c }
+        }
+        val (l, r, cnt) = (bl, br, bc)
         merges += Merge(rank, l, r, cnt)
         vocab = vocab.flatMap { case (syms, n) =>
           val merged = mergeOnce(syms.toSeq, l, r)

@@ -44,6 +44,32 @@ class BpeSpec extends SparkSpec {
       Bpe.learn(tiny, "word", "n", nMerges = 10, maxLocalVocab = 0L))
   }
 
+  test("tie-breaks agree across paths on supplementary-plane symbols") {
+    // U+1F600 (😀, surrogate pair D83D DE00; UTF-8 F0 9F 98 80) vs U+FB00
+    // (ﬀ; UTF-8 EF AC 80): UTF-16 code-unit order says 😀 < ﬀ, UTF-8 byte
+    // order (UTF8String, the distributed orderBy) says ﬀ < 😀. Two pairs
+    // with EQUAL counts starting with these symbols force the tie-break to
+    // pick a winner — both paths must pick the UTF-8-smaller (ﬀ, a).
+    val words = Seq(("😀a", 2L), ("ﬀa", 2L)).toDF("word", "n")
+    val local = Bpe.learn(words, "word", "n", nMerges = 1)
+    val dist = Bpe.learn(words, "word", "n", nMerges = 1, maxLocalVocab = 0L)
+    assert(local == dist)
+    assert(local.head.left == "ﬀ")
+    // and byte-order disagreement INSIDE the right symbol too
+    val words2 = Seq(("x😀", 2L), ("xﬀ", 2L)).toDF("word", "n")
+    assert(Bpe.learn(words2, "word", "n", nMerges = 1) ==
+      Bpe.learn(words2, "word", "n", nMerges = 1, maxLocalVocab = 0L))
+  }
+
+  test("driver-local path is gated on total symbols, not just rows") {
+    // 3 rows but a symbol budget of 5: must take the distributed loop
+    // (and still learn the same table as the local path)
+    val words = Seq(("abcd", 2L), ("abce", 1L), ("ab", 1L)).toDF("word", "n")
+    val viaDist = Bpe.learn(words, "word", "n", nMerges = 2, maxLocalSyms = 5L)
+    val viaLocal = Bpe.learn(words, "word", "n", nMerges = 2)
+    assert(viaDist == viaLocal)
+  }
+
   test("rerun is deterministic and stops early when pairs run out") {
     val a = Bpe.learn(classicWords, "word", "n", nMerges = 5)
     val b = Bpe.learn(classicWords, "word", "n", nMerges = 5)
