@@ -27,7 +27,8 @@ object ScaleSweep {
     "dedup_embedding_cosine", "dedup_embedding_cosine_scaled",
     "ann_cosine_topk_brute", "ann_centroid_assign",
     "decontam_overlap", "chunk_overlap", "shard_assign", "corpus_mix",
-    "ann_recall", "tfidf_top_terms", "dedup_span_8gram", "search_postings",
+    "ann_recall", "ann_pq_seeded", "tfidf_top_terms", "dedup_span_8gram",
+    "search_postings",
     "search_phrase", "search_bm25_topk", "lm_rare_bigram_ratio",
     "lm_vocab_encode", "search_hybrid_rrf", "lm_bpe_merges", "lm_bpe_encode",
     "graph_pagerank_parts", "events_markov_transitions",
@@ -86,7 +87,13 @@ object ScaleSweep {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val factors = Seq(1, 4, 16)
+    // SPARK_GRAFT_SWEEP_FACTORS (e.g. "1,16,64") and SPARK_GRAFT_SWEEP_ONLY
+    // (comma-separated query names) focus a stress run — e.g. an x64 point
+    // on the heaviest cells — without re-timing the whole catalog; the
+    // default full sweep still owns the SCALE.md table (a focused run
+    // writes its table to stdout/outFile arg instead of clobbering it).
+    val factors = sys.env.get("SPARK_GRAFT_SWEEP_FACTORS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
     // v2: cache dir is versioned WITH the generation logic — a stale cache
     // from an older generator (e.g. pre-rotation embeddings) would silently
     // sweep the wrong data
@@ -102,7 +109,12 @@ object ScaleSweep {
       f -> dir
     }
 
-    val rows = queries.map { q =>
+    val only = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val focused = only.isDefined || factors != Seq(1, 4, 16)
+    val swept = only.fold(queries)(s => queries.filter(s))
+
+    val rows = swept.map { q =>
       val times = dirs.map { case (f, dir) =>
         val fn = graft.SparkEntry.queries(q)
         fn(spark, dir).count() // warm plan/codegen per dir
@@ -111,7 +123,7 @@ object ScaleSweep {
         (System.nanoTime() - t0) / 1e9
       }
       (q, times)
-    } :+ {
+    } ++ (if (only.exists(!_("lm_rare_bigram_ratio"))) Nil else Seq {
       // threshold∝N dial for lm_rare_bigram_ratio: the replica generator
       // appends one token per copy, so every bigram's corpus frequency
       // multiplies by the factor — at x16 virtually the whole corpus
@@ -127,6 +139,19 @@ object ScaleSweep {
         (System.nanoTime() - t0) / 1e9
       }
       ("lm_rare_bigram_ratio (threshold 5*factor dial)", times)
+    })
+
+    if (focused) {
+      // stress/focused run: print the table, never clobber the canonical
+      // full-sweep SCALE.md
+      println(s"| query | ${factors.map(f => s"${f}x (s)").mkString(" | ")} | ratio |")
+      println("|" + Seq.fill(factors.size + 2)("---").mkString("|") + "|")
+      rows.foreach { case (q, ts) =>
+        val cells = ts.map(t => f"$t%.2f").mkString(" | ")
+        println(f"| $q | $cells | ${ts.last / ts.head}%.1f |")
+      }
+      spark.stop()
+      return
     }
 
     val sb = new StringBuilder

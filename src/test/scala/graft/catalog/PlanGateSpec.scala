@@ -42,6 +42,7 @@ class PlanGateSpec extends SparkSpec {
     "ann_cosine_topk_ivf2" -> 1,  // broadcast query batch
     "ann_cosine_topk_pq" -> 1,    // broadcast query-id frame (ADC scan)
     "ann_pq_score_fixture" -> 1,  // broadcast fixture query batch (5 rows)
+    "ann_pq_seeded" -> 1,         // broadcast query batch (5 rows, ADC scan)
     "ann_recall" -> 2,            // brute + ivf arms, one query batch each
     "agg_quantiles_sketch" -> 1,  // broadcast 1-row min/max span
     "anomaly_daily_revenue" -> 1, // broadcast 1-row moment frame (n, s, sq)
