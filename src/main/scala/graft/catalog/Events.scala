@@ -866,9 +866,50 @@ object Events extends Family {
       .orderBy(col("user_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // Burst-rate (bot/abuse) flags: each user's maximum event count inside any
+  // trailing 24-hour window — the rate-limit signal a training pipeline uses
+  // to drop scripted/bot traffic before events feed engagement labels.
+  // Exact sliding count via a value-bounded RANGE frame over epoch-micros
+  // (peers at identical timestamps are in-frame in both engines by RANGE
+  // semantics); flag decided by an integer comparison, no IEEE anywhere.
+  // The ≥10 threshold sits above the corpus's median-7 daily peak, so the
+  // flag marks the genuine top tail (sf0.01: 2 of 150 users; sf0.1: 20 of
+  // 1500), not everyone.
+  //
+  // Scale shape: one per-user window sort (the frame is value-bounded, so
+  // no self-join and no per-hour densification) + one user-keyed
+  // aggregate — a single corpus-width shuffle on user_id. A hot user is
+  // bounded by their own event count, not the corpus.
+  private val burstFlags = Q(
+    "events_user_burst",
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      b AS (SELECT user_id, COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW) AS burst
+            FROM e)
+      SELECT user_id, CAST(MAX(burst) AS BIGINT) AS max_burst_24h,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(CASE WHEN MAX(burst) >= 10 THEN 1 ELSE 0 END AS INT) AS flag_burst
+      FROM b GROUP BY user_id ORDER BY user_id
+    """)) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-86399999999L, Window.currentRow)
+    ev(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("burst")).as("max_burst_24h"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("max_burst_24h"), col("n_events"),
+        when(col("max_burst_24h") >= 10, 1).otherwise(0).cast("int")
+          .as("flag_burst"))
+      .orderBy(col("user_id"))
+  }
+
   override val specs: Seq[Q] = Seq(
     extractDay, ga4Flatten, dailyKpis, funnel, sessionize, attribution,
     journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
     convLatency, abtest, wau, markov, intervalAttr, userFeatures,
-    timeSplit, classBalanced)
+    timeSplit, classBalanced, burstFlags)
 }

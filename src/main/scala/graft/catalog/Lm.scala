@@ -336,5 +336,77 @@ object Lm extends Family {
       .orderBy(col("doc_id"))
   }
 
-  override val specs: Seq[Q] = Seq(rareBigram, vocabEncode, bpeMerges, bpeEncode)
+  // -------------------------------------------------------------------------
+  // Interpolated Kneser-Ney bigram table — the n-gram LM artifact a
+  // CCNet-style quality filter scores against (Kneser & Ney 1995; the
+  // KenLM-shipped smoothing). With discount D = 3/4 expressed in quarters,
+  //   p_kn(w2|w1) = max(c12 - D, 0)/c1 + D*N1+(w1,.)/c1 * N1+(.,w2)/T
+  // becomes ONE exact integer rational per bigram:
+  //   num = max(4*c12 - 3, 0)*T + 3*N1+(w1,.)*N1+(.,w2),   den = 4*c1*T
+  // and p_kn = num/den is the single IEEE operation (two exact int->double
+  // conversions + one division; every value here is far below 2^53 — at
+  // 100 TB corpus scale the num/den columns move to DECIMAL(38,0), the
+  // division stays the only IEEE step).
+  //
+  // Scale shape: one corpus-width (w1, w2) aggregate builds the bigram
+  // table; everything after is VOCABULARY-sized (context totals, distinct
+  // continuation counts, the type grand total as a broadcast 1-row frame).
+  // The c1/n_before joins key on single words — Zipf-hot heads, same
+  // salted-join escape hatch as tfidf if a head context saturates a
+  // reducer. Top-100 by raw count (integer-exact ordering), so the sort is
+  // a bounded TakeOrdered, never a corpus sort.
+  private val knBigram = Q(
+    "lm_kn_bigram_table",
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      bg AS (SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                 i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
+             ELSE [] END) AS p FROM t),
+      c12 AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+              FROM bg GROUP BY p.w1, p.w2),
+      c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                    CAST(COUNT(*) AS BIGINT) AS n_after
+             FROM c12 GROUP BY w1),
+      nb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_before
+             FROM c12 GROUP BY w2),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c12)
+      SELECT b.w1, b.w2, b.c12,
+        CAST(GREATEST(4 * b.c12 - 3, 0) * t.n_types
+             + 3 * c.n_after * n.n_before AS BIGINT) AS kn_num,
+        CAST(4 * c.c1 * t.n_types AS BIGINT) AS kn_den,
+        CAST(GREATEST(4 * b.c12 - 3, 0) * t.n_types
+             + 3 * c.n_after * n.n_before AS DOUBLE)
+          / CAST(4 * c.c1 * t.n_types AS DOUBLE) AS p_kn
+      FROM c12 b JOIN c1 c USING (w1) JOIN nb n USING (w2) CROSS JOIN tot t
+      ORDER BY b.c12 DESC, b.w1, b.w2 LIMIT 100
+    """)) { (spark, dir) =>
+    val tk = TextOps.tokens(col("text"))
+    val pairs = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1), i =>
+        struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val c12 = docs(spark, dir)
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // consumed 4x: c1, nb, tot, and the final join spine
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_after"))
+    val nb = c12.groupBy(col("w2")).agg(count(lit(1)).as("n_before"))
+    val tot = c12.agg(count(lit(1)).as("n_types"))
+    val num = greatest(lit(4L) * col("c12") - 3L, lit(0L)) * col("n_types") +
+      lit(3L) * col("n_after") * col("n_before")
+    val den = lit(4L) * col("c1") * col("n_types")
+    c12.join(c1, Seq("w1")).join(nb, Seq("w2")).crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"),
+        num.as("kn_num"), den.as("kn_den"),
+        (num.cast("double") / den.cast("double")).as("p_kn"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  override val specs: Seq[Q] =
+    Seq(rareBigram, vocabEncode, bpeMerges, bpeEncode, knBigram)
 }

