@@ -37,7 +37,9 @@ object ScaleSweep {
     "media_image_dhash", "dedup_image_dhash_pairs", "dedup_image_dhash_star",
     "media_audio_energy", "text_pii_redact", "train_user_features",
     "filter_gopher_rules", "filter_source_quality",
-    "sample_time_split", "sample_class_balanced")
+    "sample_time_split", "sample_class_balanced",
+    "graph_lpa_communities", "lm_kn_bigram_table", "ann_signrp_topk",
+    "events_user_burst")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,
