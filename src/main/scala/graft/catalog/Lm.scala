@@ -407,6 +407,92 @@ object Lm extends Family {
       .limit(100)
   }
 
+  // -------------------------------------------------------------------------
+  // KN-model document scoring: every document scored against the corpus
+  // Kneser-Ney bigram model (the table lm_kn_bigram_table ships) — the
+  // per-document step of a CCNet-style perplexity filter, in this catalog's
+  // exact-output discipline. Two signals per doc:
+  //   - n_low64: occurrences whose KN probability is below 1/64, decided by
+  //     INTEGER cross-multiplication (num*64 < den) — ZERO IEEE operations
+  //     in the decision;
+  //   - min_pkn: the document's worst bigram probability — p_kn = num/den is
+  //     one correctly-rounded division of exact integers, bit-identical
+  //     cross-engine, so MIN over them is deterministic too.
+  // (A true mean-log-prob needs transcendentals; the threshold mass and the
+  // worst-bigram floor are the exact-arithmetic stand-ins, rank-correlated
+  // with "this text doesn't look like the corpus". On this smooth synthetic
+  // corpus the <1/64 tail is deliberately thin — 25/500 docs; real web text
+  // has the fat low-prob tail the filter exists for.)
+  //
+  // Scale shape: the doc-grain (doc, bigram) aggregate is the only
+  // corpus-width frame; model components are bigram-type/vocabulary-sized.
+  // The w1/w2 joins inherit rare-bigram's Zipf-head posture (salted-join
+  // escape hatch, Skew.saltedJoin) — at this SF plain hash joins hold.
+  private val knDocScore = Q(
+    "lm_kn_doc_score",
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                 i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
+             ELSE [] END) AS p FROM t),
+      occ AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2,
+                     CAST(COUNT(*) AS BIGINT) AS bcnt
+              FROM bg GROUP BY doc_id, p.w1, p.w2),
+      c12 AS (SELECT w1, w2, CAST(SUM(bcnt) AS BIGINT) AS c12
+              FROM occ GROUP BY w1, w2),
+      c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                    CAST(COUNT(*) AS BIGINT) AS n_after
+             FROM c12 GROUP BY w1),
+      nb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_before
+             FROM c12 GROUP BY w2),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c12),
+      sc AS (SELECT o.doc_id, o.bcnt,
+        GREATEST(4 * c.c12 - 3, 0) * t.n_types
+          + 3 * a.n_after * n.n_before AS num,
+        4 * a.c1 * t.n_types AS den
+        FROM occ o JOIN c12 c USING (w1, w2) JOIN c1 a USING (w1)
+        JOIN nb n USING (w2) CROSS JOIN tot t)
+      SELECT doc_id,
+        CAST(SUM(bcnt) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(SUM(CASE WHEN num * 64 < den THEN bcnt END), 0)
+             AS BIGINT) AS n_low64,
+        MIN(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS min_pkn
+      FROM sc GROUP BY doc_id ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val tk = TextOps.tokens(col("text"))
+    val pairs = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1), i =>
+        struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val occ = docs(spark, dir)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("bcnt"))
+      .localCheckpoint() // consumed twice: model build spine + scoring join
+    val c12 = occ.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("bcnt")).as("c12"))
+      .localCheckpoint() // consumed 4x: c1, nb, tot, scoring join
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_after"))
+    val nb = c12.groupBy(col("w2")).agg(count(lit(1)).as("n_before"))
+    val tot = c12.agg(count(lit(1)).as("n_types"))
+    val num = greatest(lit(4L) * col("c12") - 3L, lit(0L)) * col("n_types") +
+      lit(3L) * col("n_after") * col("n_before")
+    val den = lit(4L) * col("c1") * col("n_types")
+    occ.join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).join(nb, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("bcnt"), num.as("num"), den.as("den"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bcnt")).as("n_bigrams"),
+        coalesce(sum(when(col("num") * 64L < col("den"), col("bcnt"))), lit(0L))
+          .as("n_low64"),
+        min(col("num").cast("double") / col("den").cast("double"))
+          .as("min_pkn"))
+      .orderBy(col("doc_id"))
+  }
+
   override val specs: Seq[Q] =
-    Seq(rareBigram, vocabEncode, bpeMerges, bpeEncode, knBigram)
+    Seq(rareBigram, vocabEncode, bpeMerges, bpeEncode, knBigram, knDocScore)
 }

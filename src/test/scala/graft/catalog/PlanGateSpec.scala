@@ -46,6 +46,7 @@ class PlanGateSpec extends SparkSpec {
     "ann_signrp_topk" -> 1,       // broadcast query batch (5 projected rows)
     "ann_signrp_recall" -> 2,     // brute + sketch arms, one query batch each
     "lm_kn_bigram_table" -> 1,    // broadcast 1-row bigram-type grand total
+    "lm_kn_doc_score" -> 1,       // broadcast 1-row bigram-type grand total
     "ann_recall" -> 2,            // brute + ivf arms, one query batch each
     "agg_quantiles_sketch" -> 1,  // broadcast 1-row min/max span
     "anomaly_daily_revenue" -> 1, // broadcast 1-row moment frame (n, s, sq)
@@ -88,6 +89,7 @@ class PlanGateSpec extends SparkSpec {
     "freq_heavy_hitters" -> 1,           // 1-row Misra-Gries candidate array
     "funnel_view_click_purchase" -> 1,   // 1-row funnel output
     "lm_kn_bigram_table" -> 1,           // 1-row bigram-type grand total
+    "lm_kn_doc_score" -> 1,              // 1-row bigram-type grand total
     "lm_vocab_encode" -> 1,              // vocabulary ranking window —
                                          // Heaps-bounded vocab rows, never
                                          // corpus rows (see Lm scaladoc)
