@@ -907,9 +907,77 @@ object Events extends Family {
       .orderBy(col("user_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // Training-data drift monitor: does the event-type MIX shift between the
+  // first and second half of the observed time span? Per type, a 2x2
+  // Pearson chi-square of (this type vs rest) x (first half vs second) —
+  // abtest_conversion_chi2's exact-integer significance discipline applied
+  // to the data-drift question a pipeline asks before mixing time slices
+  // into one training set. Halves split on integer epoch-days from a 1-row
+  // min/max broadcast; the decision (chi2 > 3.841459, df=1) is a pure
+  // DECIMAL(38,0) product comparison — IEEE appears only in the reported
+  // chi2 value.
+  //
+  // Scale shape: ONE corpus pass to (type, half) counts (map-side
+  // combinable); every join after is on the metadata-sized type table.
+  private val driftChi2 = Q(
+    "drift_event_mix_chi2",
+    Some("""
+      WITH e AS (SELECT event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        FROM events),
+      span AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM e),
+      h AS (SELECT event_type,
+          CASE WHEN day < (mn + mx + 1) // 2 THEN 0 ELSE 1 END AS half
+        FROM e, span),
+      tc AS (SELECT event_type,
+          CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+          CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS b
+        FROM h GROUP BY event_type),
+      tot AS (SELECT CAST(SUM(a) AS HUGEINT) AS ta,
+                     CAST(SUM(b) AS HUGEINT) AS tb FROM tc)
+      SELECT event_type,
+        CAST(a AS BIGINT) AS n_first, CAST(b AS BIGINT) AS n_second,
+        CASE WHEN (a+b) * ((ta-a)+(tb-b)) * ta * tb = 0 THEN NULL ELSE
+          round(CAST((ta+tb) * (a*(tb-b) - b*(ta-a)) * (a*(tb-b) - b*(ta-a))
+              AS DOUBLE)
+            / CAST((a+b) * ((ta-a)+(tb-b)) * ta * tb AS DOUBLE), 6) END
+          AS chi2,
+        CAST(1000000 * (ta+tb) * (a*(tb-b) - b*(ta-a)) * (a*(tb-b) - b*(ta-a))
+          > 3841459 * ((a+b) * ((ta-a)+(tb-b)) * ta * tb) AS INTEGER)
+          AS drift_flag
+      FROM tc CROSS JOIN tot ORDER BY event_type
+    """)) { (spark, dir) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = ev(spark, dir).select(col("event_type"),
+      expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val span = e.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val tc = e.crossJoin(broadcast(span))
+      .withColumn("half",
+        when(col("day") < expr("(mn + mx + 1) DIV 2"), 0).otherwise(1))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("half") === 0, 1).otherwise(0)).cast(dec).as("a"),
+        sum(when(col("half") === 1, 1).otherwise(0)).cast(dec).as("b"))
+    val tot = tc.agg(sum(col("a")).cast(dec).as("ta"),
+      sum(col("b")).cast(dec).as("tb"))
+    val a = col("a"); val b = col("b")
+    val ta = col("ta"); val tb = col("tb")
+    val c = ta - a; val d = tb - b
+    val num = (ta + tb) * (a * d - b * c) * (a * d - b * c)
+    val den = (a + b) * (c + d) * ta * tb
+    tc.crossJoin(broadcast(tot))
+      .select(col("event_type"),
+        a.cast("long").as("n_first"), b.cast("long").as("n_second"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(round(num.cast("double") / den.cast("double"), 6))
+          .as("chi2"),
+        (num * 1000000 > den * 3841459).cast("int").as("drift_flag"))
+      .orderBy(col("event_type"))
+  }
+
   override val specs: Seq[Q] = Seq(
     extractDay, ga4Flatten, dailyKpis, funnel, sessionize, attribution,
     journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
     convLatency, abtest, wau, markov, intervalAttr, userFeatures,
-    timeSplit, classBalanced, burstFlags)
+    timeSplit, classBalanced, burstFlags, driftChi2)
 }

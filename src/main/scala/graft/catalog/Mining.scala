@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -527,7 +528,9 @@ object Mining extends Family {
   // The oracle unrolls the identical rounds; per-round argmax is
   // row_number() OVER (ORDER BY n DESC, label) = Lpa's
   // max(struct(n, -label)) for the non-negative part keys.
-  private def lpaSql(rounds: Int): String = {
+  /** Shared WITH-body: support-≥2 edges → `rounds` unrolled LPA rounds →
+    * final labels `l<rounds>` + community sizes `sz`. */
+  private def lpaRoundsSql(rounds: Int): String = {
     val rs = (1 to rounds).map { k =>
       s"""
       c$k AS (SELECT a.m AS m, l.label AS label, COUNT(*) AS n
@@ -537,8 +540,7 @@ object Mining extends Family {
           row_number() OVER (PARTITION BY m ORDER BY n DESC, label) AS rn
         FROM c$k) WHERE rn = 1)"""
     }.mkString(",")
-    s"""
-      WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
         FROM lp a JOIN lp b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -548,10 +550,14 @@ object Mining extends Family {
       l0 AS (SELECT DISTINCT m AS node, CAST(m AS BIGINT) AS label FROM adj),
       $rs,
       sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
-             FROM l$rounds GROUP BY label)
+             FROM l$rounds GROUP BY label)"""
+  }
+
+  private def lpaSql(rounds: Int): String =
+    s"""
+      WITH ${lpaRoundsSql(rounds)}
       SELECT l.node AS part, l.label AS community, sz.n_members
       FROM l$rounds l JOIN sz USING (label) ORDER BY part"""
-  }
 
   private val lpa = Q("graph_lpa_communities", Some(lpaSql(4))) { (spark, dir) =>
     val e = CoPurchase.support(spark, dir)
@@ -565,7 +571,68 @@ object Mining extends Family {
       .orderBy(col("part"))
   }
 
+  // ---------------------------------------------------------------------
+  // Community profiling (the cluster-inspection step of cluster-based data
+  // curation): for the 5 largest LPA communities, the 3 most DISTINCTIVE
+  // part-name terms — ranked by exact integer keys (community frequency
+  // desc, global frequency asc, term), the IEEE-free stand-in for c-TF-IDF
+  // that preserves its "frequent here, rare overall" intent. Labels come
+  // from the same 4 LPA rounds as graph_lpa_communities.
+  //
+  // Scale shape: the term frames are (graph-nodes x name-words)-sized —
+  // metadata next to the corpus; the top-5 filter is a semi-join against a
+  // 5-row broadcast, and the ranking window partitions by those 5 labels
+  // over community-term counts only.
+  private val lpaTerms = Q(
+    "graph_lpa_top_terms",
+    Some(s"""
+      WITH ${lpaRoundsSql(4)},
+      top5 AS (SELECT label FROM sz ORDER BY n_members DESC, label LIMIT 5),
+      nt AS (SELECT l.label, unnest(string_split(p.p_name, ' ')) AS term
+             FROM l4 l JOIN part p ON p.p_partkey = l.node),
+      gt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS global_tf
+             FROM nt GROUP BY term),
+      tf AS (SELECT label, term, CAST(COUNT(*) AS BIGINT) AS tf_c
+             FROM nt WHERE label IN (SELECT label FROM top5)
+             GROUP BY label, term),
+      r AS (SELECT tf.label, tf.term, tf.tf_c, gt.global_tf,
+              row_number() OVER (PARTITION BY tf.label
+                ORDER BY tf.tf_c DESC, gt.global_tf ASC, tf.term) AS rank
+            FROM tf JOIN gt USING (term))
+      SELECT r.label AS community, sz.n_members, r.rank, r.term, r.tf_c,
+        r.global_tf
+      FROM r JOIN sz USING (label) WHERE r.rank <= 3
+      ORDER BY community, rank"""
+    )) { (spark, dir) =>
+    val e = CoPurchase.support(spark, dir)
+      .filter(col("n_orders") >= 2)
+      .select(col("part_a").as("u"), col("part_b").as("v"))
+    val labels = graft.ops.Lpa.propagate(e, rounds = 4)
+      .localCheckpoint() // consumed 3x: sizes, top-5, term frame
+    val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .localCheckpoint() // consumed 2x: top-5 cut + final join
+    val top5 = sz.orderBy(col("n_members").desc, col("label")).limit(5)
+      .select(col("label"))
+    val pt = t(spark, dir, "part")
+      .select(col("p_partkey").as("node"), col("p_name"))
+    val nt = labels.join(pt, Seq("node"))
+      .select(col("label"), explode(split(col("p_name"), " ")).as("term"))
+      .localCheckpoint() // consumed 2x: global + community counts
+    val gt = nt.groupBy(col("term")).agg(count(lit(1)).as("global_tf"))
+    val tf = nt.join(broadcast(top5), Seq("label"), "left_semi")
+      .groupBy(col("label"), col("term")).agg(count(lit(1)).as("tf_c"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("tf_c").desc, col("global_tf").asc, col("term"))
+    tf.join(gt, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .join(sz, Seq("label"))
+      .select(col("label").as("community"), col("n_members"), col("rank"),
+        col("term"), col("tf_c"), col("global_tf"))
+      .orderBy(col("community"), col("rank"))
+  }
+
   override val specs: Seq[Q] =
     Seq(spanDedup, heavyHitters, topkAgg, containment, anomaly, pagerank,
-      rulesLift, triangles, jaccardParts, kcore, lpa)
+      rulesLift, triangles, jaccardParts, kcore, lpa, lpaTerms)
 }

@@ -54,6 +54,7 @@ class PlanGateSpec extends SparkSpec {
     "calendar_fill_daily_sales" -> 1, // generated day axis x 5-row dim
     "copurchase_rules_lift" -> 1, // broadcast 1-row total-orders frame
     "corpus_mix" -> 1,            // broadcast 1-row corpus grand total
+    "drift_event_mix_chi2" -> 2,  // 1-row day span + 1-row half totals
     "dedup_semdedup" -> 1,        // broadcast centroid set (k rows)
     "profile_price_histogram" -> 1, // broadcast 1-row min/max span
     "rfm_segments" -> 3,          // as-of date frame + R/F/M quantile frames
@@ -78,6 +79,8 @@ class PlanGateSpec extends SparkSpec {
     "copurchase_rules_lift" -> 1,        // 1-row distinct-order total
     "corpus_mix" -> 1,                   // corpus grand total
     "anomaly_daily_revenue" -> 1,        // 1-row day-grain moment aggregate
+    "drift_event_mix_chi2" -> 2,         // 1-row day span + 1-row half
+                                         // totals (type-table-sized input)
     "dq_checks" -> 5,                    // 5 scalar check aggregates (one
                                          // per table scan / referential
                                          // join), each finalizing ONE row
