@@ -793,7 +793,47 @@ object Vectors extends Family {
       .orderBy(col("q_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // kNN label vote (pseudo-labeling): predict each query vector's label by
+  // majority vote among its exact top-10 cosine neighbors, ties to the
+  // smallest label — the weak-labeling step a training pipeline uses to
+  // extend a labeled seed set over unlabeled embeddings. Composes the
+  // brute-force arm (its plan shape, including the salted top-k) with one
+  // label join; the vote argmax is integer (count desc, label asc), no
+  // IEEE anywhere past the neighbor scoring.
+  private val knnClassify = Q(
+    "ann_knn_classify",
+    Some(s"""
+      WITH bq AS (${brute.oracle.get}),
+      lbl AS (SELECT vec_id, label FROM embeddings),
+      votes AS (SELECT bq.q_id, l.label, COUNT(*) AS n_votes
+        FROM bq JOIN lbl l ON l.vec_id = bq.vec_id GROUP BY bq.q_id, l.label),
+      pick AS (SELECT q_id, label, n_votes, row_number() OVER (
+          PARTITION BY q_id ORDER BY n_votes DESC, label) AS rn FROM votes)
+      SELECT p.q_id, CAST(t.label AS BIGINT) AS true_label,
+        CAST(p.label AS BIGINT) AS pred_label, CAST(p.n_votes AS BIGINT) AS n_votes
+      FROM pick p JOIN lbl t ON t.vec_id = p.q_id
+      WHERE p.rn = 1 ORDER BY p.q_id
+    """)) { (spark, dir) =>
+    val lbl = emb(spark, dir).select(col("vec_id"), col("label"))
+    val votes = brute.run(spark, dir).select(col("q_id"), col("vec_id"))
+      .join(lbl, Seq("vec_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes
+      .groupBy(col("q_id"))
+      .agg(max(struct(col("n_votes"),
+        (-col("label").cast("long")).as("negl"))).as("s"))
+      .select(col("q_id"), (-col("s.negl")).as("pred_label"),
+        col("s.n_votes").as("n_votes"))
+      .join(lbl.select(col("vec_id").as("q_id"),
+        col("label").cast("long").as("true_label")), Seq("q_id"))
+      .select(col("q_id"), col("true_label"), col("pred_label"),
+        col("n_votes"))
+      .orderBy(col("q_id"))
+  }
+
   override val specs: Seq[Q] =
     Seq(brute, ivf, ivf2, assign, nearDup, nearDupScaled, recall, pq, pqScore,
-      pqSeeded, semdedup, signRp, signRpRecall)
+      pqSeeded, semdedup, signRp, signRpRecall, knnClassify)
 }

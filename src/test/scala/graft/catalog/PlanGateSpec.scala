@@ -45,6 +45,7 @@ class PlanGateSpec extends SparkSpec {
     "ann_pq_seeded" -> 1,         // broadcast query batch (5 rows, ADC scan)
     "ann_signrp_topk" -> 1,       // broadcast query batch (5 projected rows)
     "ann_signrp_recall" -> 2,     // brute + sketch arms, one query batch each
+    "ann_knn_classify" -> 1,      // brute arm's broadcast query batch
     "lm_kn_bigram_table" -> 1,    // broadcast 1-row bigram-type grand total
     "lm_kn_doc_score" -> 1,       // broadcast 1-row bigram-type grand total
     "ann_recall" -> 2,            // brute + ivf arms, one query batch each
