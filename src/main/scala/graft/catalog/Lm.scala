@@ -355,6 +355,35 @@ object Lm extends Family {
   // salted-join escape hatch as tfidf if a head context saturates a
   // reducer. Top-100 by raw count (integer-exact ordering), so the sort is
   // a bounded TakeOrdered, never a corpus sort.
+  /** The full (unlimited) KN bigram table — the catalog query is its
+    * count-ordered top-100 cut; LmKnSpec checks the KN closure property on
+    * this frame (per context w1, probabilities sum to exactly 1). */
+  private[catalog] def knTableFull(spark: SparkSession, dir: String): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val pairs = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1), i =>
+        struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val c12 = docs(spark, dir)
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_after"))
+    val nb = c12.groupBy(col("w2")).agg(count(lit(1)).as("n_before"))
+    val tot = c12.agg(count(lit(1)).as("n_types"))
+    val num = greatest(lit(4L) * col("c12") - 3L, lit(0L)) * col("n_types") +
+      lit(3L) * col("n_after") * col("n_before")
+    val den = lit(4L) * col("c1") * col("n_types")
+    c12.join(c1, Seq("w1")).join(nb, Seq("w2")).crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"),
+        num.as("kn_num"), den.as("kn_den"),
+        (num.cast("double") / den.cast("double")).as("p_kn"),
+        col("n_after"), col("n_before"), col("n_types"))
+  }
+
   private val knBigram = Q(
     "lm_kn_bigram_table",
     Some("""
@@ -381,28 +410,9 @@ object Lm extends Family {
       FROM c12 b JOIN c1 c USING (w1) JOIN nb n USING (w2) CROSS JOIN tot t
       ORDER BY b.c12 DESC, b.w1, b.w2 LIMIT 100
     """)) { (spark, dir) =>
-    val tk = TextOps.tokens(col("text"))
-    val pairs = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1), i =>
-        struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val c12 = docs(spark, dir)
-      .select(explode(pairs).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
-      .localCheckpoint() // consumed 4x: c1, nb, tot, and the final join spine
-    val c1 = c12.groupBy(col("w1"))
-      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_after"))
-    val nb = c12.groupBy(col("w2")).agg(count(lit(1)).as("n_before"))
-    val tot = c12.agg(count(lit(1)).as("n_types"))
-    val num = greatest(lit(4L) * col("c12") - 3L, lit(0L)) * col("n_types") +
-      lit(3L) * col("n_after") * col("n_before")
-    val den = lit(4L) * col("c1") * col("n_types")
-    c12.join(c1, Seq("w1")).join(nb, Seq("w2")).crossJoin(broadcast(tot))
-      .select(col("w1"), col("w2"), col("c12"),
-        num.as("kn_num"), den.as("kn_den"),
-        (num.cast("double") / den.cast("double")).as("p_kn"))
+    knTableFull(spark, dir)
+      .select(col("w1"), col("w2"), col("c12"), col("kn_num"), col("kn_den"),
+        col("p_kn"))
       .orderBy(col("c12").desc, col("w1"), col("w2"))
       .limit(100)
   }

@@ -39,7 +39,8 @@ object ScaleSweep {
     "filter_gopher_rules", "filter_source_quality",
     "sample_time_split", "sample_class_balanced",
     "graph_lpa_communities", "lm_kn_bigram_table", "ann_signrp_topk",
-    "events_user_burst")
+    "events_user_burst", "lm_kn_doc_score", "drift_event_mix_chi2",
+    "graph_lpa_top_terms", "ann_knn_classify")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,
