@@ -1,0 +1,341 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.lake.Tables
+
+/**
+ * Model-evaluation + training-set-construction operators: the measurement
+ * harness that closes the loop the feature store opens. The reference
+ * declares the model-facing surface ("dashboards", "customer analytics" —
+ * /root/reference/README.md:23-33) without the evaluation step every
+ * propensity/quality model needs; these queries supply it over the same
+ * user grain as `train_user_features`.
+ *
+ * The "model" under evaluation is deliberately the simplest deterministic
+ * scorer the lake can produce — a user's non-purchase activity count
+ * predicting the heavy-purchaser label — because the harness, not the
+ * model, is the operator: rank-sum AUC, confusion/precision/recall/F1,
+ * reliability (calibration) bins, and Cohen's kappa agreement are the
+ * metrics any real scorer would be pushed through, and each is computed in
+ * the catalog's exact-arithmetic discipline (integer/decimal operands
+ * end-to-end, ONE IEEE division per reported ratio — bit-identical
+ * cross-engine, no tolerance).
+ *
+ * Scale posture: every metric aggregates the corpus to USER grain in one
+ * map-side-combinable pass (one user-keyed shuffle); everything after runs
+ * on the user frame or on metadata-sized reductions of it (the distinct
+ * score table for AUC, 1-row threshold/min-max broadcasts, a ≤10-row bin
+ * table). Nothing event-cardinality crosses a second shuffle, and no
+ * metric sorts the corpus.
+ */
+object Eval extends Family {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+
+  /** Window: a user's events in time order, event_id as total tiebreak. */
+  private val byUserTime = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** The evaluation frame: per user, the model score (non-purchase event
+    * count — integer, deterministic) and the binary "heavy purchaser"
+    * label (purchase count above the corpus median — median-split so both
+    * classes are populated at every scale factor; the same exact
+    * interpolated-median parity sample_class_balanced relies on). One
+    * corpus pass to user grain (map-side combinable, user-keyed shuffle
+    * only) + a 1-row median broadcast. The user-grain frame feeds both the
+    * label median and (in every metric) a second consumer — localCheckpoint
+    * materializes it once (user-cardinality rows, bounded far under the
+    * corpus) instead of re-running the event scan per consumer, the
+    * sample_class_balanced spine discipline. */
+  private def userFrame(spark: SparkSession, dir: String): DataFrame = {
+    val u0 = ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+          .as("score"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      .localCheckpoint()
+    val m = u0.agg(median(col("np")).as("pmed"))
+    u0.crossJoin(broadcast(m))
+      .select(col("user_id"), col("score"),
+        when(col("np") > col("pmed"), 1L).otherwise(0L).as("pos"))
+  }
+
+  private val userFrameSql = """
+      u0 AS (
+        SELECT user_id,
+          CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS score,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS np
+        FROM events GROUP BY user_id),
+      um AS (SELECT median(np) AS pmed FROM u0),
+      u AS (SELECT user_id, score,
+              CAST(CASE WHEN np > pmed THEN 1 ELSE 0 END AS BIGINT) AS pos
+            FROM u0 CROSS JOIN um)"""
+
+  // -------------------------------------------------------------------------
+  // Rank-sum (Mann-Whitney) AUC, exact: AUC = U / (n1·n0) with midrank tie
+  // handling, computed entirely in BIGINT by carrying DOUBLED ranks —
+  // 2·R1 = Σ_scores npos·(2·cum_before + cnt + 1), 2·U = 2·R1 − n1·(n1+1) —
+  // so the single IEEE division at the end is the only rounding anywhere.
+  // This is the corpus-sort-free AUC: the corpus reduces to the DISTINCT
+  // SCORE table (bounded by max per-user activity, not user count), the
+  // cumulative window runs over that metadata-sized table, and the answer
+  // is one row. The usual "sort all predictions" formulation is the plan
+  // this replaces at 100 TB.
+  private val aucRank = Q(
+    "eval_auc_rank",
+    Some(s"""
+      WITH $userFrameSql,
+      g AS (SELECT score, COUNT(*) AS cnt, CAST(SUM(pos) AS BIGINT) AS npos
+            FROM u GROUP BY score),
+      r AS (SELECT score, cnt, npos,
+              CAST(COALESCE(SUM(cnt) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cumb
+            FROM g),
+      s AS (SELECT CAST(SUM(npos * (2 * cumb + cnt + 1)) AS BIGINT) AS r2,
+              CAST(SUM(npos) AS BIGINT) AS n1,
+              CAST(SUM(cnt) AS BIGINT) AS n
+            FROM r)
+      SELECT n AS n_users, n1 AS n_pos, n - n1 AS n_neg,
+        r2 - n1 * (n1 + 1) AS u2,
+        CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * (n - n1)) AS auc
+      FROM s
+    """)) { (spark, dir) =>
+    val g = userFrame(spark, dir)
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+    // unpartitioned window is over DISTINCT scores — metadata-sized
+    val r = g.withColumn("cumb",
+      coalesce(sum(col("cnt")).over(Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    r.agg(
+        sum(col("npos") * (lit(2L) * col("cumb") + col("cnt") + 1)).as("r2"),
+        sum(col("npos")).as("n1"),
+        sum(col("cnt")).as("n"))
+      .select(col("n").as("n_users"), col("n1").as("n_pos"),
+        (col("n") - col("n1")).as("n_neg"),
+        (col("r2") - col("n1") * (col("n1") + 1)).as("u2"),
+        ((col("r2") - col("n1") * (col("n1") + 1)).cast("double") /
+          (lit(2L) * col("n1") * (col("n") - col("n1")))).as("auc"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Thresholded confusion matrix + precision/recall/F1/accuracy: predict
+  // "purchaser" when the score clears the corpus median (the same exact
+  // interpolated-median 1-row broadcast discipline as
+  // sample_class_balanced). Counts are one conditional aggregate over the
+  // user frame; each reported ratio is ONE division of BIGINT operands
+  // (F1 via its single-division form 2tp/(2tp+fp+fn)) — correctly rounded,
+  // so both engines produce the identical double.
+  private val confusion = Q(
+    "eval_confusion_threshold",
+    Some(s"""
+      WITH $userFrameSql,
+      m AS (SELECT median(score) AS med FROM u),
+      p AS (SELECT pos, CASE WHEN score > med THEN 1 ELSE 0 END AS pred
+            FROM u CROSS JOIN m),
+      c AS (SELECT
+          CAST(SUM(CASE WHEN pred = 1 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN pred = 1 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(SUM(CASE WHEN pred = 0 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CAST(SUM(CASE WHEN pred = 0 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM p)
+      SELECT tp, fp, fn, tn,
+        CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
+        CAST(tp AS DOUBLE) / (tp + fn) AS recall_,
+        CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1,
+        CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
+      FROM c
+    """)) { (spark, dir) =>
+    val u = userFrame(spark, dir)
+    val m = u.agg(median(col("score")).as("med"))
+    val p = u.crossJoin(broadcast(m))
+      .select(col("pos"),
+        when(col("score") > col("med"), 1L).otherwise(0L).as("pred"))
+    def cell(pred: Int, pos: Int): Column =
+      sum(when(col("pred") === pred && col("pos") === pos, 1L).otherwise(0L))
+    p.agg(cell(1, 1).as("tp"), cell(1, 0).as("fp"),
+        cell(0, 1).as("fn"), cell(0, 0).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision_"),
+        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall_"),
+        ((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"),
+        ((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn"))).as("accuracy"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Reliability (calibration) bins: 10 equi-width score bins (the
+  // profile_price_histogram integer bin rule — exact rational floor, both
+  // operands far under 2^53), each reporting volume, positive count, and
+  // the empirical positive rate (ONE division). A calibrated scorer shows
+  // monotone rates; this is the audit table a propensity model ships with.
+  // Scale shape: user frame + 1-row min/max broadcast + ≤10-row output.
+  private val calibration = Q(
+    "eval_calibration_bins",
+    Some(s"""
+      WITH $userFrameSql,
+      m AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM u),
+      b AS (SELECT ((score - lo) * 10) // (hi - lo + 1) AS bin, pos, score
+            FROM u, m),
+      c AS (SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_users,
+              CAST(SUM(pos) AS BIGINT) AS n_pos,
+              CAST(SUM(score) AS BIGINT) AS score_sum
+            FROM b GROUP BY bin)
+      SELECT bin, n_users, n_pos,
+        CAST(n_pos AS DOUBLE) / n_users AS pos_rate,
+        CAST(score_sum AS DOUBLE) / n_users AS mean_score
+      FROM c ORDER BY bin
+    """)) { (spark, dir) =>
+    val u = userFrame(spark, dir)
+    val m = u.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    u.crossJoin(broadcast(m))
+      .select(floor(((col("score") - col("lo")) * 10) /
+          (col("hi") - col("lo") + 1)).as("bin"),
+        col("pos"), col("score"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"),
+        sum(col("score")).as("score_sum"))
+      .select(col("bin").cast("long").as("bin"), col("n_users"),
+        col("n_pos"),
+        (col("n_pos").cast("double") / col("n_users")).as("pos_rate"),
+        (col("score_sum").cast("double") / col("n_users")).as("mean_score"))
+      .orderBy(col("bin"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Cohen's kappa between two labelings — the purchase label vs the
+  // high-activity prediction (score > median, the same rule the confusion
+  // matrix thresholds on): chance-corrected agreement
+  // κ = (N·agree − Σ_k r_k·c_k) / (N² − Σ_k r_k·c_k), every operand a
+  // BIGINT from one conditional aggregate, ONE division. This is the
+  // weak-supervision audit: how much better than chance do the heuristic
+  // labeler and the ground label agree (cf. the kNN pseudo-labeling arm,
+  // ann_knn_classify).
+  private val kappa = Q(
+    "eval_kappa_agreement",
+    Some(s"""
+      WITH $userFrameSql,
+      m AS (SELECT median(score) AS med FROM u),
+      p AS (SELECT pos, CASE WHEN score > med THEN 1 ELSE 0 END AS pred
+            FROM u CROSS JOIN m),
+      c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN pos = pred THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+          CAST(SUM(pos) AS BIGINT) AS r1,
+          CAST(SUM(pred) AS BIGINT) AS c1
+        FROM p)
+      SELECT n AS n_users, agree AS n_agree, r1 AS n_pos_label,
+        c1 AS n_pos_pred,
+        CAST(n * agree - (r1 * c1 + (n - r1) * (n - c1)) AS DOUBLE)
+          / (n * n - (r1 * c1 + (n - r1) * (n - c1))) AS kappa
+      FROM c
+    """)) { (spark, dir) =>
+    val u = userFrame(spark, dir)
+    val m = u.agg(median(col("score")).as("med"))
+    val p = u.crossJoin(broadcast(m))
+      .select(col("pos"),
+        when(col("score") > col("med"), 1L).otherwise(0L).as("pred"))
+    val c = p.agg(count(lit(1)).as("n"),
+      sum(when(col("pos") === col("pred"), 1L).otherwise(0L)).as("agree"),
+      sum(col("pos")).as("r1"), sum(col("pred")).as("c1"))
+    val chance = col("r1") * col("c1") +
+      (col("n") - col("r1")) * (col("n") - col("c1"))
+    c.select(col("n").as("n_users"), col("agree").as("n_agree"),
+      col("r1").as("n_pos_label"), col("c1").as("n_pos_pred"),
+      ((col("n") * col("agree") - chance).cast("double") /
+        (col("n") * col("n") - chance)).as("kappa"))
+  }
+
+  // -------------------------------------------------------------------------
+  // CDC snapshot diff: per-user activity on the FIRST observed day vs the
+  // LAST, classified insert / delete / update (unchanged rows dropped) —
+  // the change feed a downstream incremental consumer applies. Expressed
+  // as ONE conditional aggregate over the two day slices rather than the
+  // textbook full-outer join of two materialized snapshots: at 100 TB the
+  // two day predicates prune to two partitions of the day-partitioned
+  // lake, the aggregate is map-side combinable, and the single user-keyed
+  // shuffle carries only users active on those days. The full-outer-join
+  // formulation shuffles both snapshots; this plan subsumes it.
+  private val cdcDiff = Q(
+    "cdc_user_day_diff",
+    Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e),
+      c AS (SELECT user_id,
+          CAST(SUM(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+          CAST(SUM(CASE WHEN d = d1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        FROM e CROSS JOIN span
+        WHERE d = d0 OR d = d1
+        GROUP BY user_id)
+      SELECT user_id, n_old, n_new,
+        CASE WHEN n_old = 0 THEN 'insert'
+             WHEN n_new = 0 THEN 'delete'
+             ELSE 'update' END AS op
+      FROM c WHERE n_old <> n_new
+      ORDER BY user_id
+    """)) { (spark, dir) =>
+    val e = ev(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val span = e.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    e.crossJoin(broadcast(span))
+      .filter(col("d") === col("d0") || col("d") === col("d1"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("d") === col("d0"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("d") === col("d1"), 1L).otherwise(0L)).as("n_new"))
+      .filter(col("n_old") =!= col("n_new"))
+      .select(col("user_id"), col("n_old"), col("n_new"),
+        when(col("n_old") === 0, "insert")
+          .when(col("n_new") === 0, "delete")
+          .otherwise("update").as("op"))
+      .orderBy(col("user_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Next-event training pairs: the (3-event context → next event) table a
+  // sequence model trains on — the order-3 extension of the Markov bigram
+  // matrix (events_markov_transitions), aggregated to context grain so the
+  // output is |types|⁴-bounded however large the corpus. One user-keyed
+  // window (lags stay inside each user's partition, event_id total
+  // tiebreak), one bounded-cardinality aggregate. At 100 TB: a single
+  // corpus-width shuffle on user_id, then metadata.
+  private val nextEventPairs = Q(
+    "train_next_event_pairs",
+    Some("""
+      WITH o AS (
+        SELECT user_id, event_type,
+          lag(event_type, 3) OVER w AS ctx1,
+          lag(event_type, 2) OVER w AS ctx2,
+          lag(event_type, 1) OVER w AS ctx3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      SELECT ctx1, ctx2, ctx3, event_type AS next_event, COUNT(*) AS n
+      FROM o WHERE ctx1 IS NOT NULL
+      GROUP BY ctx1, ctx2, ctx3, next_event
+      ORDER BY ctx1, ctx2, ctx3, next_event
+    """)) { (spark, dir) =>
+    ev(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 3).over(byUserTime).as("ctx1"),
+        lag(col("event_type"), 2).over(byUserTime).as("ctx2"),
+        lag(col("event_type"), 1).over(byUserTime).as("ctx3"))
+      .filter(col("ctx1").isNotNull)
+      .groupBy(col("ctx1"), col("ctx2"), col("ctx3"),
+        col("event_type").as("next_event"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("ctx1"), col("ctx2"), col("ctx3"), col("next_event"))
+  }
+
+  val specs: Seq[Q] = Seq(aucRank, confusion, calibration, kappa,
+    cdcDiff, nextEventPairs)
+}

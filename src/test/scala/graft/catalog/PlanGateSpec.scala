@@ -68,7 +68,14 @@ class PlanGateSpec extends SparkSpec {
     "filter_source_quality" -> 1, // broadcast 1-row median-source threshold
     "sample_time_split" -> 1,     // broadcast 1-row day span
     "sample_class_balanced" -> 2, // broadcast 1-row median + class floor
-    "window_wau_rolling" -> 1)    // broadcast 1-row max observed day
+    "window_wau_rolling" -> 1,    // broadcast 1-row max observed day
+    "cdc_user_day_diff" -> 1,     // broadcast 1-row first/last-day span
+    "eval_auc_rank" -> 1,         // broadcast 1-row label-median frame
+    // label median replays once per consumer of the checkpointed user
+    // frame (2 consumers) + the metric's own 1-row threshold/span frame
+    "eval_confusion_threshold" -> 3,
+    "eval_kappa_agreement" -> 3,
+    "eval_calibration_bins" -> 3)
 
   /** query -> max SinglePartition exchanges, each the final combine of a
     * 1-row global aggregate (metadata-sized by construction). */
@@ -113,7 +120,16 @@ class PlanGateSpec extends SparkSpec {
     "window_trailing_7day_revenue" -> 1, // calendar-bounded day-grain
                                          // window (metadata-sized input,
                                          // see the query's scaladoc)
-    "window_wau_rolling" -> 1)           // 1-row max observed day
+    "window_wau_rolling" -> 1,           // 1-row max observed day
+    "cdc_user_day_diff" -> 1,            // 1-row first/last-day span
+    "eval_auc_rank" -> 2,                // 1-row label median + the
+                                         // distinct-score rank window
+                                         // (metadata-sized, see scaladoc)
+    "eval_confusion_threshold" -> 4,     // 2 medians + 1-row cell agg +
+                                         // final 1-row readout
+    "eval_kappa_agreement" -> 4,         // same shape as confusion
+    "eval_calibration_bins" -> 3)        // label median + min/max span +
+                                         // ≤10-row bin finalize
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */
