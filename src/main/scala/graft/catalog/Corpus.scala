@@ -338,6 +338,137 @@ object Corpus extends Family {
       .orderBy(col("lang"))
   }
 
+  // ---------------------------------------------------------------------
+  // Cross-source duplication matrix: for every source pair, how many
+  // distinct 8-token spans appear in BOTH — the "which sources copy from
+  // which" governance table a corpus audit ships before choosing dedup
+  // scope (within-source dedup misses everything this table shows). Spans
+  // at the dedup_span_8gram grain, reduced to DISTINCT (source, span)
+  // presence before the join, so the self-join is keyed on the span hash
+  // and its fan-out is bounded by sources-per-span (≤ |sources|, a
+  // catalog-sized constant) — never docs-per-span, never all-pairs. The
+  // output is at most |sources|² rows however large the corpus.
+  private val sourceSpanMatrix = Q(
+    "dedup_source_span_matrix",
+    Some("""
+      WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                   FROM documents),
+      sh AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 7),
+               i -> md5(array_to_string(t[i:i+7], ' '))))) AS sh
+             FROM tok WHERE len(t) >= 8),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+              COUNT(*) AS n_shared_spans
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT source_a, source_b, n_shared_spans
+      FROM p ORDER BY source_a, source_b
+    """)) { (spark, dir) =>
+    val toks = docs(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+    val spans = toks.select(col("source"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("t")) - 7),
+        i => md5(concat_ws(" ", slice(col("t"), i, lit(8))))))).as("sh"))
+      .distinct()
+    spans.alias("a")
+      .join(spans.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Source-balance Gini: how unevenly character mass spreads across the
+  // corpus's sources — the one-number imbalance audit behind corpus_mix's
+  // per-source shares (0 = perfectly even, →1 = one source dominates; the
+  // signal that triggers temperature resampling). Exact integer rank
+  // formulation G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending mass
+  // (ties permute freely without changing the sum, so the rank window is
+  // deterministic); ONE IEEE division. The rank window runs over the
+  // SOURCE table — catalog-sized, never corpus rows.
+  private val sourceGini = Q(
+    "profile_source_gini",
+    Some("""
+      WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+                 FROM documents GROUP BY source),
+      r AS (SELECT mass, row_number() OVER (ORDER BY mass, source) AS i
+            FROM s),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(mass) AS BIGINT) AS tot,
+              CAST(SUM(2 * i * mass) AS BIGINT) AS num2 FROM r)
+      SELECT n AS n_sources, tot AS total_chars,
+        CAST(num2 - (n + 1) * tot AS DOUBLE) / (n * tot) AS gini
+      FROM t
+    """)) { (spark, dir) =>
+    val s = docs(spark, dir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("mass"))
+    // unpartitioned rank window over the source table — catalog-sized
+    val r = s.withColumn("i", row_number()
+      .over(Window.orderBy(col("mass"), col("source"))).cast("long"))
+    r.agg(count(lit(1)).as("n"), sum(col("mass")).as("tot"),
+        sum(lit(2L) * col("i") * col("mass")).as("num2"))
+      .select(col("n").as("n_sources"), col("tot").as("total_chars"),
+        ((col("num2") - (col("n") + 1) * col("tot")).cast("double") /
+          (col("n") * col("tot"))).as("gini"))
+  }
+
+  // ---------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct-count sketch over the corpus's 8-token
+  // span universe: D̂ = (k−1)·2⁶⁰ / h₍ₖ₎ from the k smallest 60-bit span
+  // hashes — the workload-sizing estimate a pipeline runs BEFORE committing
+  // to span dedup (dedup_span_8gram's shuffle is keyed on exactly this
+  // universe). The k-minima come from a sort+limit — per-partition partial
+  // top-k then a k-row merge (TakeOrderedAndProject), the mergeable-sketch
+  // plan: no corpus-wide sort, and k rows is all that ever reaches the
+  // driver side of the plan. Engine-portable because the k-th MINIMUM is
+  // order-deterministic (hash ties at the boundary change neither max nor
+  // count). The exact-distinct arm is the test-dial audit twin — at 100 TB
+  // only the sketch arm runs. ONE IEEE division for the estimate (+ one
+  // for the reported relative error).
+  private val kmvSpans = Q(
+    "agg_kmv_distinct_spans",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+      sh AS (SELECT DISTINCT unnest(list_transform(
+               generate_series(1, len(t) - 7),
+               i -> md5(array_to_string(t[i:i+7], ' ')))) AS sh
+             FROM tok WHERE len(t) >= 8),
+      h AS (SELECT CAST(('0x' || substr(sh, 1, 15)) AS BIGINT) AS hv FROM sh),
+      k AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+      e AS (SELECT MAX(hv) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS k FROM k),
+      x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM h)
+      SELECT k, kth_hash, exact_distinct,
+        CAST(k - 1 AS DOUBLE) * 1152921504606846976 / kth_hash
+          AS est_distinct,
+        (CAST(k - 1 AS DOUBLE) * 1152921504606846976 / kth_hash)
+          / exact_distinct AS est_ratio
+      FROM e CROSS JOIN x
+    """)) { (spark, dir) =>
+    val toks = docs(spark, dir)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+    val h = toks.select(
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("t")) - 7),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(8))))))).as("sh"))
+      .distinct()
+      .select(conv(substring(col("sh"), 1, 15), 16, 10).cast("long").as("hv"))
+    val e = h.orderBy(col("hv")).limit(256)
+      .agg(max(col("hv")).as("kth_hash"), count(lit(1)).as("k"))
+    val x = h.agg(count(lit(1)).as("exact_distinct"))
+    val est = (col("k") - 1).cast("double") *
+      lit(1152921504606846976L) / col("kth_hash")
+    e.crossJoin(broadcast(x))
+      .select(col("k"), col("kth_hash"), col("exact_distinct"),
+        est.as("est_distinct"),
+        (est / col("exact_distinct")).as("est_ratio"))
+  }
+
   override val specs: Seq[Q] =
-    Seq(decontam, decontamBloom, piiMask, chunk, shard, mix, tempMix)
+    Seq(decontam, decontamBloom, piiMask, chunk, shard, mix, tempMix,
+      sourceSpanMatrix, sourceGini, kmvSpans)
 }

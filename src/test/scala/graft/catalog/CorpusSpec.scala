@@ -76,4 +76,59 @@ class CorpusSpec extends SparkSpec {
       assert(rows.length <= 2 * nDocs / 8 + 1, s"shard $shard is hot")
     }
   }
+
+  /** Brute-force per-source distinct 8-token span sets from the raw text. */
+  private lazy val spansBySource: Map[String, Set[String]] =
+    graft.lake.Tables.documents(spark, sf001)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .groupBy(_._1).map { case (src, ds) =>
+        src -> ds.flatMap { case (_, text) =>
+          text.split(" ").sliding(8).filter(_.length == 8).map(_.mkString(" "))
+        }.toSet
+      }
+
+  test("dedup_source_span_matrix equals brute-force pairwise intersections") {
+    val got = q("dedup_source_span_matrix")
+      .select(col("source_a"), col("source_b"), col("n_shared_spans"))
+      .as[(String, String, Long)].collect().toSeq.sorted
+    val srcs = spansBySource.keys.toSeq.sorted
+    val expect = (for {
+      a <- srcs; b <- srcs if a < b
+      n = (spansBySource(a) & spansBySource(b)).size.toLong if n > 0
+    } yield (a, b, n)).sorted
+    assert(got == expect)
+  }
+
+  test("profile_source_gini equals the literal rank formula") {
+    val masses = graft.lake.Tables.documents(spark, sf001)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("m"))
+      .select(col("m")).as[Long].collect()
+    val sorted = masses.sorted // ties permute freely — sum is invariant
+    val n = sorted.length.toLong
+    val tot = sorted.sum
+    val num2 = sorted.zipWithIndex.map { case (x, i) => 2L * (i + 1) * x }.sum
+    val row = q("profile_source_gini").collect().head
+    assert(row.getAs[Long]("n_sources") == n)
+    assert(row.getAs[Long]("total_chars") == tot)
+    assert(row.getAs[Double]("gini") ==
+      (num2 - (n + 1) * tot).toDouble / (n * tot))
+  }
+
+  test("agg_kmv_distinct_spans: estimate from the true k-th minimum hash") {
+    val allSpans = spansBySource.values.flatten.toSet
+    val hvs = allSpans.toSeq.map { s =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(15), 16)
+    }.sorted
+    val row = q("agg_kmv_distinct_spans").collect().head
+    val k = math.min(256, hvs.size)
+    assert(row.getAs[Long]("k") == k)
+    assert(row.getAs[Long]("kth_hash") == hvs(k - 1))
+    assert(row.getAs[Long]("exact_distinct") == hvs.size.toLong)
+    val est = (k - 1).toDouble * 1152921504606846976L / hvs(k - 1)
+    assert(row.getAs[Double]("est_distinct") == est)
+    // sanity of the estimator itself on this corpus: within 3x of truth
+    // (k=256 gives ~6% stderr at large n; tiny sf0.001 spans are looser)
+    assert(est > hvs.size / 3.0 && est < hvs.size * 3.0)
+  }
 }

@@ -75,7 +75,8 @@ class PlanGateSpec extends SparkSpec {
     // frame (2 consumers) + the metric's own 1-row threshold/span frame
     "eval_confusion_threshold" -> 3,
     "eval_kappa_agreement" -> 3,
-    "eval_calibration_bins" -> 3)
+    "eval_calibration_bins" -> 3,
+    "agg_kmv_distinct_spans" -> 1) // broadcast 1-row exact-distinct arm
 
   /** query -> max SinglePartition exchanges, each the final combine of a
     * 1-row global aggregate (metadata-sized by construction). */
@@ -128,8 +129,11 @@ class PlanGateSpec extends SparkSpec {
     "eval_confusion_threshold" -> 4,     // 2 medians + 1-row cell agg +
                                          // final 1-row readout
     "eval_kappa_agreement" -> 4,         // same shape as confusion
-    "eval_calibration_bins" -> 3)        // label median + min/max span +
+    "eval_calibration_bins" -> 3,        // label median + min/max span +
                                          // ≤10-row bin finalize
+    "agg_kmv_distinct_spans" -> 1,       // 1-row exact-distinct finalize
+    "profile_source_gini" -> 1)          // rank window over the SOURCE
+                                         // table (catalog-sized)
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */
