@@ -975,9 +975,54 @@ object Events extends Family {
       .orderBy(col("event_type"))
   }
 
+  // -------------------------------------------------------------------------
+  // Behavioral-diversity score: per user, the Gini-Simpson index of their
+  // event-type mix — 1 − Σₜ pₜ² = (n² − Σₜ nₜ²) / n², the
+  // logarithm-free diversity measure (entropy's ln is not correctly-rounded
+  // cross-engine; this is exact integers + ONE division). Scripted/bot
+  // traffic concentrates on few types → low diversity; the flag marks
+  // users below the corpus median (a 1-row broadcast of an exact
+  // interpolated median over per-user doubles — identical inputs give the
+  // identical median in both engines). Scale shape: (user, type) aggregate
+  // → user aggregate, both map-side combinable on user-keyed shuffles;
+  // nothing wider than the user frame after the first reduce.
+  private val userDiversity = Q(
+    "profile_user_diversity",
+    Some("""
+      WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                 FROM events GROUP BY 1, 2),
+      u AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+              CAST(SUM(n * n) AS BIGINT) AS sq FROM c GROUP BY 1),
+      d AS (SELECT user_id, n_events,
+              CAST(n_events * n_events - sq AS DOUBLE)
+                / (n_events * n_events) AS diversity
+            FROM u),
+      m AS (SELECT median(diversity) AS med FROM d)
+      SELECT user_id, n_events, diversity,
+        CAST(CASE WHEN diversity < med THEN 1 ELSE 0 END AS INT)
+          AS flag_low_diversity
+      FROM d CROSS JOIN m ORDER BY user_id
+    """)) { (spark, dir) =>
+    val c = ev(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val u = c.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"), sum(col("n") * col("n")).as("sq"))
+    val d = u.select(col("user_id"), col("n_events"),
+        ((col("n_events") * col("n_events") - col("sq")).cast("double") /
+          (col("n_events") * col("n_events"))).as("diversity"))
+      .localCheckpoint() // feeds the median AND the flagged output
+    val m = d.agg(median(col("diversity")).as("med"))
+    d.crossJoin(broadcast(m))
+      .select(col("user_id"), col("n_events"), col("diversity"),
+        (col("diversity") < col("med")).cast("int")
+          .as("flag_low_diversity"))
+      .orderBy(col("user_id"))
+  }
+
   override val specs: Seq[Q] = Seq(
     extractDay, ga4Flatten, dailyKpis, funnel, sessionize, attribution,
     journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
     convLatency, abtest, wau, markov, intervalAttr, userFeatures,
-    timeSplit, classBalanced, burstFlags, driftChi2)
+    timeSplit, classBalanced, burstFlags, driftChi2, userDiversity)
 }

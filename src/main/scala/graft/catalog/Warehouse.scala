@@ -511,6 +511,55 @@ object Warehouse extends Family {
       .orderBy(col("column_name"))
   }
 
+  // ---------------------------------------------------------------------
+  // Weekday seasonality decomposition: mean daily revenue per ISO weekday
+  // plus each weekday's seasonal index vs the overall daily mean — the
+  // multiplicative-seasonality profile a demand forecast deseasonalizes
+  // with (and the staffing/inventory readout the reference's dashboards
+  // imply). The index is ONE division of exact int64 cross-products
+  // (revenue_cents·total_days / n_days·total_cents — no chained ratio
+  // rounding); the mean is one division. Scale shape: one conditional
+  // aggregate over orders to the 7-row weekday table (map-side
+  // combinable; count distinct day is day-cardinality, calendar-bounded),
+  // then a 1-row grand-total broadcast.
+  private val weekdaySeasonality = Q(
+    "ts_weekday_seasonality",
+    Some("""
+      WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders),
+      w AS (SELECT isodow(day) AS weekday,
+          CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+          CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+        FROM d GROUP BY 1),
+      t AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS tot,
+          CAST(SUM(n_days) AS BIGINT) AS tot_days FROM w)
+      SELECT weekday, n_days, revenue_cents,
+        CAST(revenue_cents AS DOUBLE) / n_days AS mean_daily_cents,
+        CAST(revenue_cents * tot_days AS DOUBLE) / (n_days * tot)
+          AS seasonal_index
+      FROM w CROSS JOIN t ORDER BY weekday
+    """)) { (spark, dir) =>
+    val d = Tables.load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        (graft.ops.Exact.dec2(col("o_totalprice")) * 100).cast("long")
+          .as("cents"))
+    // Spark weekday() is 0=Mon..6=Sun; DuckDB isodow is 1=Mon..7=Sun
+    val w = d.groupBy((weekday(col("day")) + 1).cast("long").as("weekday"))
+      .agg(sum(col("cents")).as("revenue_cents"),
+        countDistinct(col("day")).as("n_days"))
+    val t = w.agg(sum(col("revenue_cents")).as("tot"),
+      sum(col("n_days")).as("tot_days"))
+    w.crossJoin(broadcast(t))
+      .select(col("weekday"), col("n_days"), col("revenue_cents"),
+        (col("revenue_cents").cast("double") / col("n_days"))
+          .as("mean_daily_cents"),
+        ((col("revenue_cents") * col("tot_days")).cast("double") /
+          (col("n_days") * col("tot"))).as("seasonal_index"))
+      .orderBy(col("weekday"))
+  }
+
   override val specs: Seq[Q] =
-    Seq(scd2, scd2AsOf, dq, basket, calendarFill, tsInterp, profile)
+    Seq(scd2, scd2AsOf, dq, basket, calendarFill, tsInterp, profile,
+      weekdaySeasonality)
 }

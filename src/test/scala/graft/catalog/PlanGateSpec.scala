@@ -76,7 +76,9 @@ class PlanGateSpec extends SparkSpec {
     "eval_confusion_threshold" -> 3,
     "eval_kappa_agreement" -> 3,
     "eval_calibration_bins" -> 3,
-    "agg_kmv_distinct_spans" -> 1) // broadcast 1-row exact-distinct arm
+    "agg_kmv_distinct_spans" -> 1, // broadcast 1-row exact-distinct arm
+    "ts_weekday_seasonality" -> 1, // broadcast 1-row revenue/day totals
+    "profile_user_diversity" -> 1) // broadcast 1-row diversity median
 
   /** query -> max SinglePartition exchanges, each the final combine of a
     * 1-row global aggregate (metadata-sized by construction). */
@@ -132,8 +134,11 @@ class PlanGateSpec extends SparkSpec {
     "eval_calibration_bins" -> 3,        // label median + min/max span +
                                          // ≤10-row bin finalize
     "agg_kmv_distinct_spans" -> 1,       // 1-row exact-distinct finalize
-    "profile_source_gini" -> 1)          // rank window over the SOURCE
+    "profile_source_gini" -> 1,          // rank window over the SOURCE
                                          // table (catalog-sized)
+    "ts_weekday_seasonality" -> 1,       // 1-row totals over the 7-row
+                                         // weekday frame
+    "profile_user_diversity" -> 1)       // 1-row median finalize
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */

@@ -1,0 +1,74 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+import graft.lake.Tables
+
+/**
+ * Closed-form verification of the weekday-seasonality decomposition and the
+ * Gini-Simpson behavioral-diversity score: both recomputed brute-force from
+ * the collected sf0.001 tables — exact-integer constructions, so equality
+ * is bitwise, no tolerance.
+ */
+class SeasonalityDiversitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sf001).collect()
+
+  test("ts_weekday_seasonality equals the brute-force weekday rollup") {
+    val orders = Tables.load(spark, sf001, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (graft.ops.Exact.dec2(col("o_totalprice")) * 100).cast("long"))
+      .as[(java.sql.Date, Long)].collect()
+    val byDow = orders.groupBy { case (d, _) =>
+      d.toLocalDate.getDayOfWeek.getValue.toLong // ISO 1=Mon..7=Sun
+    }
+    val tot = orders.map(_._2).sum
+    val totDays = byDow.values.map(_.map(_._1).distinct.size.toLong).sum
+    val rows = q("ts_weekday_seasonality")
+    assert(rows.map(_.getAs[Long]("weekday")).toSeq == (1L to 7L))
+    rows.foreach { r =>
+      val wd = r.getAs[Long]("weekday")
+      val os = byDow(wd)
+      val cents = os.map(_._2).sum
+      val nDays = os.map(_._1).distinct.size.toLong
+      assert(r.getAs[Long]("revenue_cents") == cents)
+      assert(r.getAs[Long]("n_days") == nDays)
+      assert(r.getAs[Double]("mean_daily_cents") == cents.toDouble / nDays)
+      assert(r.getAs[Double]("seasonal_index") ==
+        (cents * totDays).toDouble / (nDays * tot))
+    }
+    // multiplicative decomposition sanity: day-weighted index mass is n
+    val weighted = rows.map(r =>
+      r.getAs[Double]("seasonal_index") * r.getAs[Long]("n_days")).sum
+    assert(math.abs(weighted - totDays) < 1e-6)
+  }
+
+  test("profile_user_diversity equals the literal Gini-Simpson formula") {
+    val evs = Tables.events(spark, sf001)
+      .selectExpr("user_id", "event_type").as[(Long, String)].collect()
+    val byUser = evs.groupBy(_._1).map { case (u, es) =>
+      val n = es.size.toLong
+      val sq = es.groupBy(_._2).values.map(g => g.size.toLong * g.size).sum
+      u -> (n, (n * n - sq).toDouble / (n * n))
+    }
+    val divs = byUser.values.map(_._2).toSeq.sorted
+    val med =
+      if (divs.size % 2 == 1) divs(divs.size / 2)
+      else (divs(divs.size / 2 - 1) + divs(divs.size / 2)) / 2.0
+    val rows = q("profile_user_diversity")
+    assert(rows.length == byUser.size)
+    rows.foreach { r =>
+      val (n, d) = byUser(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Double]("diversity") == d)
+      assert(r.getAs[Int]("flag_low_diversity") == (if (d < med) 1 else 0))
+    }
+    // the median split flags a real (non-empty, non-total) low tail
+    val flagged = rows.count(_.getAs[Int]("flag_low_diversity") == 1)
+    assert(flagged > 0 && flagged < rows.length)
+  }
+}
