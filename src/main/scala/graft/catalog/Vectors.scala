@@ -714,20 +714,16 @@ object Vectors extends Family {
   // salted.
   private[catalog] val RpDims = 16
   private val SrcDims = 64
-  private[catalog] lazy val rpSigns: Array[Array[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(RpDims, SrcDims) { (j, i) =>
-      val d = md.digest(s"rp_${j}_$i".getBytes("UTF-8"))
-      if ((d(0) & 1) == 0) 1 else -1
-    }
-  }
+  private[catalog] lazy val rpSigns: Array[Array[Int]] =
+    graft.functions.SignRp.signsFor(RpDims, SrcDims).map(_.map(_.toInt))
 
+  // Round 11: was a RpDims×SrcDims-term column-expression tree (1024
+  // Catalyst nodes) whose codegen dominated ann_signrp_topk's wall time;
+  // the graft.functions.SignRpProject kernel compiles to one tight loop
+  // with the IDENTICAL left-to-right accumulation (parity spec-pinned in
+  // SignRpSpec against the old formulation).
   private[catalog] def rpProject(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    array((0 until RpDims).map { j =>
-      (0 until SrcDims).map { i =>
-        element_at(emb, i + 1).cast("double") * lit(rpSigns(j)(i).toDouble)
-      }.reduceLeft(_ + _)
-    }: _*)
+    graft.functions.sign_rp_project(emb, RpDims, SrcDims)
 
   private def signRpSql: String = {
     val projList = (0 until RpDims).map { j =>

@@ -228,3 +228,107 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       newLeft: Expression, newRight: Expression): VectorDot =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * Sign-random-projection (Charikar 2002 / Johnson-Lindenstrauss) matrix +
+ * kernel: project a `srcDims`-dim embedding to `rpDims` coordinates through
+ * a frozen ±1 matrix. The matrix is a PUBLIC deterministic rule —
+ * s(j,i) = +1 iff the low bit of MD5("rp_<j>_<i>")[0] is 0 — so any engine
+ * (and the DuckDB oracle, which embeds the same values as literals) can
+ * regenerate it.
+ *
+ * Portability contract: each projected coordinate is the fixed
+ * LEFT-TO-RIGHT chain (((e₀·s₀) + e₁·s₁) + …) with every element promoted
+ * to double BEFORE the multiply — bit-identical to the column-expression
+ * formulation `element_at(emb, i+1).cast(double) * lit(s)` reduced with
+ * `+`, and to the oracle's literal `emb[1]*s1 + emb[2]*s2 + …` chain. The
+ * kernel exists because that column formulation is a rpDims×srcDims-term
+ * Catalyst tree (1024 nodes at the catalog dial) whose codegen dominated
+ * the query's wall time; this compiles to one tight loop instead.
+ */
+object SignRp {
+
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** ±1.0 matrix rows for (rpDims, srcDims), memoized. */
+  def signsFor(rpDims: Int, srcDims: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent((rpDims, srcDims), { case (rd, sd) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(rd, sd) { (j, i) =>
+        val d = md.digest(s"rp_${j}_$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 0) 1.0 else -1.0
+      }
+    })
+
+  /** Called from generated code: float-array input. */
+  def projectF(emb: ArrayData, rpDims: Int, srcDims: Int): ArrayData = {
+    if (emb == null) return null
+    val ss = signsFor(rpDims, srcDims)
+    val n = math.min(emb.numElements(), srcDims)
+    val out = new Array[Double](rpDims)
+    var j = 0
+    while (j < rpDims) {
+      val s = ss(j)
+      // left-to-right: seed with the FIRST product, += the rest — exactly
+      // reduceLeft(+) over the per-element products (0.0-seeded folds can
+      // differ on signed zeros)
+      var acc = if (n > 0) emb.getFloat(0).toDouble * s(0) else 0.0
+      var i = 1
+      while (i < n) { acc += emb.getFloat(i).toDouble * s(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Called from generated code: double-array input. */
+  def projectD(emb: ArrayData, rpDims: Int, srcDims: Int): ArrayData = {
+    if (emb == null) return null
+    val ss = signsFor(rpDims, srcDims)
+    val n = math.min(emb.numElements(), srcDims)
+    val out = new Array[Double](rpDims)
+    var j = 0
+    while (j < rpDims) {
+      val s = ss(j)
+      var acc = if (n > 0) emb.getDouble(0) * s(0) else 0.0
+      var i = 1
+      while (i < n) { acc += emb.getDouble(i) * s(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** `sign_rp_project(emb)`: the [[SignRp]] projection as one codegen call. */
+case class SignRpProject(child: Expression, rpDims: Int, srcDims: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> column, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sign_rp_project"
+
+  private lazy val kernel: String = child.dataType match {
+    case ArrayType(FloatType, _) => "projectF"
+    case _ => "projectD"
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (kernel == "projectF") SignRp.projectF(a, rpDims, srcDims)
+    else SignRp.projectD(a, rpDims, srcDims)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignRp.$kernel($c, $rpDims, $srcDims)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignRpProject =
+    copy(child = newChild)
+}

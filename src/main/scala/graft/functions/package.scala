@@ -48,4 +48,10 @@ package object functions {
                        bands: Int = HyperplaneLsh.Bands,
                        bitsPerBand: Int = HyperplaneLsh.BitsPerBand): Column =
     bridge.toColumn(HyperplaneBands(bridge.toExpression(emb), bands, bitsPerBand))
+
+  /** Sign-random-projection of an embedding column through the frozen
+    * MD5-rule ±1 matrix: `srcDims` → `rpDims` double coordinates, computed
+    * in the fixed left-to-right order the DuckDB oracle replays. */
+  def sign_rp_project(emb: Column, rpDims: Int, srcDims: Int = 64): Column =
+    bridge.toColumn(SignRpProject(bridge.toExpression(emb), rpDims, srcDims))
 }

@@ -20,6 +20,27 @@ class SignRpSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("kernel projection is bitwise-equal to the chained-expression form") {
+    // the round-11 codegen kernel replaced a 16x64-term Catalyst tree;
+    // this pins the exact left-to-right accumulation it must replay
+    val chained = array((0 until Vectors.RpDims).map { j =>
+      (0 until 64).map { i =>
+        element_at(col("embedding"), i + 1).cast("double") *
+          lit(Vectors.rpSigns(j)(i).toDouble)
+      }.reduceLeft(_ + _)
+    }: _*)
+    val rows = graft.lake.Tables.embeddings(spark, sf001)
+      .select(Vectors.rpProject(col("embedding")).as("k"), chained.as("c"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, c) =>
+      assert(k.zip(c).forall { case (a, b) =>
+        java.lang.Double.doubleToRawLongBits(a) ==
+          java.lang.Double.doubleToRawLongBits(b)
+      }, "kernel diverged from the chained accumulation")
+    }
+  }
+
   test("matrix is balanced enough to carry signal (no degenerate rows)") {
     // a row of all-same signs would make that coordinate a plain sum — still
     // valid JL but a red flag for the hash; expect every row mixed
