@@ -336,6 +336,50 @@ object Eval extends Family {
       .orderBy(col("ctx1"), col("ctx2"), col("ctx3"), col("next_event"))
   }
 
+  // -------------------------------------------------------------------------
+  // Leave-one-out target encoding: replace the categorical market segment
+  // with the mean label of the OTHER members of that segment —
+  // (S_c − y_u)/(N_c − 1) — the leakage-aware categorical featurizer
+  // (plain target encoding leaks each row's own label into its feature;
+  // LOO is the standard fix). Exact BIGINT operands, ONE division per
+  // row; a singleton category has no "others" and encodes NULL (the
+  // caller's prior-imputation decision, not this operator's). Scale
+  // shape: the user frame joins the customer dim user-keyed, the segment
+  // stats table is catalog-sized and broadcast back — nothing wider than
+  // user grain shuffles.
+  private val targetEncodeLoo = Q(
+    "train_target_encode_loo",
+    Some(s"""
+      WITH $userFrameSql,
+      j AS (SELECT u.user_id, u.pos AS label,
+              COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+            FROM u LEFT JOIN customer c ON u.user_id = c.c_custkey),
+      s AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_seg,
+              CAST(SUM(label) AS BIGINT) AS s_seg
+            FROM j GROUP BY segment)
+      SELECT j.user_id, j.segment, j.label,
+        CASE WHEN s.n_seg > 1
+             THEN CAST(s.s_seg - j.label AS DOUBLE) / (s.n_seg - 1)
+             ELSE NULL END AS te_loo
+      FROM j JOIN s USING (segment) ORDER BY j.user_id
+    """)) { (spark, dir) =>
+    val u = userFrame(spark, dir)
+      .select(col("user_id"), col("pos").as("label"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val j = u.join(cust, Seq("user_id"), "left")
+      .select(col("user_id"), col("label"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+    val s = j.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_seg"), sum(col("label")).as("s_seg"))
+    j.join(broadcast(s), Seq("segment"))
+      .select(col("user_id"), col("segment"), col("label"),
+        when(col("n_seg") > 1,
+          (col("s_seg") - col("label")).cast("double") / (col("n_seg") - 1))
+          .otherwise(lit(null).cast("double")).as("te_loo"))
+      .orderBy(col("user_id"))
+  }
+
   val specs: Seq[Q] = Seq(aucRank, confusion, calibration, kappa,
-    cdcDiff, nextEventPairs)
+    cdcDiff, nextEventPairs, targetEncodeLoo)
 }

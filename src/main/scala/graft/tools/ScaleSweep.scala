@@ -45,7 +45,8 @@ object ScaleSweep {
     "eval_kappa_agreement", "cdc_user_day_diff", "train_next_event_pairs",
     "dedup_source_span_matrix", "profile_source_gini",
     "agg_kmv_distinct_spans", "ts_weekday_seasonality",
-    "profile_user_diversity", "search_known_item_rank")
+    "profile_user_diversity", "search_known_item_rank",
+    "train_target_encode_loo")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,

@@ -127,6 +127,26 @@ class EvalSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
+  test("train_target_encode_loo: brute recompute + own-label invariance") {
+    val rows = q("train_target_encode_loo")
+    assert(rows.length == users.size)
+    val bySeg = rows.groupBy(_.getAs[String]("segment"))
+    for ((_, rs) <- bySeg) {
+      val n = rs.length.toLong
+      val s = rs.map(_.getAs[Long]("label")).sum
+      rs.foreach { r =>
+        if (n > 1)
+          assert(r.getAs[Double]("te_loo") ==
+            (s - r.getAs[Long]("label")).toDouble / (n - 1))
+        else assert(r.isNullAt(r.fieldIndex("te_loo")))
+        // leakage freedom: flipping a user's own label flips S_c and y_u
+        // together, so S_c − y_u (their own encoding numerator) is invariant
+        val y = r.getAs[Long]("label")
+        assert((s - y) == ((s + (1 - 2 * y)) - (1 - y)))
+      }
+    }
+  }
+
   test("train_next_event_pairs counts every order-3 context exactly") {
     val rows = q("train_next_event_pairs")
     val types = Set("view", "click", "purchase", "signup", "error")

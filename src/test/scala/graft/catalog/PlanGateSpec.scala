@@ -78,7 +78,9 @@ class PlanGateSpec extends SparkSpec {
     "eval_calibration_bins" -> 3,
     "agg_kmv_distinct_spans" -> 1, // broadcast 1-row exact-distinct arm
     "ts_weekday_seasonality" -> 1, // broadcast 1-row revenue/day totals
-    "profile_user_diversity" -> 1) // broadcast 1-row diversity median
+    "profile_user_diversity" -> 1, // broadcast 1-row diversity median
+    // label median replays per consumer of the labeled frame (stats + main)
+    "train_target_encode_loo" -> 2)
 
   /** query -> max SinglePartition exchanges, each the final combine of a
     * 1-row global aggregate (metadata-sized by construction). */
@@ -138,7 +140,8 @@ class PlanGateSpec extends SparkSpec {
                                          // table (catalog-sized)
     "ts_weekday_seasonality" -> 1,       // 1-row totals over the 7-row
                                          // weekday frame
-    "profile_user_diversity" -> 1)       // 1-row median finalize
+    "profile_user_diversity" -> 1,       // 1-row median finalize
+    "train_target_encode_loo" -> 1)      // 1-row label-median finalize
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */
