@@ -380,6 +380,58 @@ object Eval extends Family {
       .orderBy(col("user_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // Hashing-trick featurizer: map each user's categorical/binned features
+  // to sparse column indexes via h32(feature-string) mod 2¹⁸ — the
+  // fixed-width, vocabulary-free encoding (Weinberger et al. 2009) that
+  // needs NO fitted dictionary, so train and serving paths can't skew.
+  // Feature strings are explicit ("seg=HOUSEHOLD", "act_bin=7"), the hash
+  // is the catalog's portable md5-prefix rule (identical hex in both
+  // engines), and the activity bin reuses eval_calibration_bins' exact
+  // integer bin rule. Output is the sparse (user, feature, slot) triple
+  // table a trainer pivots into its design matrix. Scale shape: user
+  // frame + 1-row span broadcast + dim join, then map-only hashing —
+  // nothing wider than user grain × features-per-user.
+  private val hashedFeatures = Q(
+    "train_hashed_features",
+    Some(s"""
+      WITH $userFrameSql,
+      m AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM u),
+      j AS (SELECT u.user_id, u.score, u.pos,
+              COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+              ((u.score - m.lo) * 10) // (m.hi - m.lo + 1) AS act_bin
+            FROM u CROSS JOIN m
+            LEFT JOIN customer c ON u.user_id = c.c_custkey),
+      f AS (SELECT user_id, 'seg=' || segment AS feature, pos FROM j
+            UNION ALL
+            SELECT user_id, 'act_bin=' || CAST(act_bin AS VARCHAR), pos
+            FROM j)
+      SELECT user_id, feature,
+        CAST(('0x' || substr(md5(feature), 1, 8)) AS BIGINT) % 262144
+          AS slot,
+        CAST(pos AS BIGINT) AS label
+      FROM f ORDER BY user_id, feature
+    """)) { (spark, dir) =>
+    val u = userFrame(spark, dir)
+    val m = u.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val j = u.crossJoin(broadcast(m))
+      .join(cust, Seq("user_id"), "left")
+      .select(col("user_id"), col("pos"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        floor(((col("score") - col("lo")) * 10) /
+          (col("hi") - col("lo") + 1)).cast("long").as("act_bin"))
+    j.select(col("user_id"), col("pos"), explode(array(
+        concat(lit("seg="), col("segment")),
+        concat(lit("act_bin="), col("act_bin").cast("string")))).as("feature"))
+      .select(col("user_id"), col("feature"),
+        (conv(substring(md5(col("feature")), 1, 8), 16, 10).cast("long")
+          % 262144).as("slot"),
+        col("pos").as("label"))
+      .orderBy(col("user_id"), col("feature"))
+  }
+
   val specs: Seq[Q] = Seq(aucRank, confusion, calibration, kappa,
-    cdcDiff, nextEventPairs, targetEncodeLoo)
+    cdcDiff, nextEventPairs, targetEncodeLoo, hashedFeatures)
 }

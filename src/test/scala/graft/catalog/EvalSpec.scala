@@ -147,6 +147,25 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("train_hashed_features: slot = h32(feature) mod 2^18, 2 per user") {
+    val rows = q("train_hashed_features")
+    assert(rows.length == 2 * users.size)
+    rows.foreach { r =>
+      val f = r.getAs[String]("feature")
+      assert(f.startsWith("seg=") || f.startsWith("act_bin="))
+      val h32 = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(f).take(8), 16)
+      assert(r.getAs[Long]("slot") == h32 % 262144)
+      assert((0L until 262144L).contains(r.getAs[Long]("slot")))
+    }
+    // the trick's point: slots need no dictionary, yet distinct features
+    // land on distinct slots at this cardinality (no collision here)
+    val byFeature = rows.groupBy(_.getAs[String]("feature"))
+      .view.mapValues(_.map(_.getAs[Long]("slot")).toSet).toMap
+    assert(byFeature.values.forall(_.size == 1))
+    assert(byFeature.values.flatten.toSet.size == byFeature.size)
+  }
+
   test("train_next_event_pairs counts every order-3 context exactly") {
     val rows = q("train_next_event_pairs")
     val types = Set("view", "click", "purchase", "signup", "error")

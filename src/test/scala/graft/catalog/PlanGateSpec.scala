@@ -80,7 +80,9 @@ class PlanGateSpec extends SparkSpec {
     "ts_weekday_seasonality" -> 1, // broadcast 1-row revenue/day totals
     "profile_user_diversity" -> 1, // broadcast 1-row diversity median
     // label median replays per consumer of the labeled frame (stats + main)
-    "train_target_encode_loo" -> 2)
+    "train_target_encode_loo" -> 2,
+    // label median (x2 consumers) + 1-row activity-span frame
+    "train_hashed_features" -> 3)
 
   /** query -> max SinglePartition exchanges, each the final combine of a
     * 1-row global aggregate (metadata-sized by construction). */
@@ -141,7 +143,9 @@ class PlanGateSpec extends SparkSpec {
     "ts_weekday_seasonality" -> 1,       // 1-row totals over the 7-row
                                          // weekday frame
     "profile_user_diversity" -> 1,       // 1-row median finalize
-    "train_target_encode_loo" -> 1)      // 1-row label-median finalize
+    "train_target_encode_loo" -> 1,      // 1-row label-median finalize
+    "train_hashed_features" -> 3)        // label median + activity span +
+                                         // final 1-row combines
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */
