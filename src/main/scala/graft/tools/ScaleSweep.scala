@@ -46,7 +46,8 @@ object ScaleSweep {
     "dedup_source_span_matrix", "profile_source_gini",
     "agg_kmv_distinct_spans", "ts_weekday_seasonality",
     "profile_user_diversity", "search_known_item_rank",
-    "train_target_encode_loo", "train_hashed_features")
+    "train_target_encode_loo", "train_hashed_features",
+    "dedup_source_overlap_kmv")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,

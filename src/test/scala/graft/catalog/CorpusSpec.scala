@@ -114,6 +114,30 @@ class CorpusSpec extends SparkSpec {
       (num2 - (n + 1) * tot).toDouble / (n * tot))
   }
 
+  test("dedup_source_overlap_kmv: sketch estimate from true per-source minima") {
+    def hv(s: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(15), 16)
+    val sketches = spansBySource.view
+      .mapValues(_.toSeq.map(hv).distinct.sorted.take(128)).toMap
+    val rows = q("dedup_source_overlap_kmv").collect()
+    val srcs = sketches.keys.toSeq.sorted
+    assert(rows.length == srcs.size * (srcs.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a < b)
+      val (ska, skb) = (sketches(a).toSet, sketches(b).toSet)
+      val unionK = (ska ++ skb).toSeq.sorted.take(128)
+      val c = unionK.count(h => ska(h) && skb(h)).toLong
+      assert(r.getAs[Long]("k") == unionK.size.toLong)
+      assert(r.getAs[Long]("c") == c)
+      assert(r.getAs[Double]("jaccard_est") == c.toDouble / unionK.size)
+      val (sa, sb) = (spansBySource(a), spansBySource(b))
+      val shared = (sa & sb).size.toLong
+      assert(r.getAs[Double]("jaccard_exact") ==
+        shared.toDouble / (sa.size + sb.size - shared))
+    }
+  }
+
   test("agg_kmv_distinct_spans: estimate from the true k-th minimum hash") {
     val allSpans = spansBySource.values.flatten.toSet
     val hvs = allSpans.toSeq.map { s =>

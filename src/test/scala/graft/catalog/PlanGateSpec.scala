@@ -82,7 +82,9 @@ class PlanGateSpec extends SparkSpec {
     // label median replays per consumer of the labeled frame (stats + main)
     "train_target_encode_loo" -> 2,
     // label median (x2 consumers) + 1-row activity-span frame
-    "train_hashed_features" -> 3)
+    "train_hashed_features" -> 3,
+    // |sources|x|sources| inequality pair join, both sides catalog-sized
+    "dedup_source_overlap_kmv" -> 1)
 
   /** query -> max SinglePartition exchanges, each the final combine of a
     * 1-row global aggregate (metadata-sized by construction). */
