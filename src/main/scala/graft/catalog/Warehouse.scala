@@ -559,7 +559,60 @@ object Warehouse extends Family {
       .orderBy(col("weekday"))
   }
 
+  // ---------------------------------------------------------------------
+  // Lag-7 autocorrelation of daily revenue — the ACF point a forecast
+  // inspects to pick (or reject) a weekly seasonal period, numerically
+  // confirming what ts_weekday_seasonality shows structurally (this
+  // synthetic corpus: indexes ≈ 1.0 and r ≈ 0, an honest null). Pearson r
+  // over the (day, day+7) pair series in exact int64 moment sums — the
+  // day series is floored to whole kilodollars so every product
+  // n·Σx², (Σx)² stays far inside int64 at catalog SFs (rescale the unit
+  // dial for corpora ≥ ~1e9 kilodollar-days); IEEE appears only in the
+  // final cast/sqrt/divide chain, every step correctly rounded on
+  // identical operands in both engines (the temperature-mix sqrt parity).
+  // Scale shape: one orders aggregate to the calendar-bounded day grain,
+  // a day-keyed self-join at +7 days, a 1-row moment reduction.
+  private val autocorrLag7 = Q(
+    "ts_autocorr_lag7",
+    Some("""
+      WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+            // 100000 AS rev
+        FROM orders GROUP BY 1),
+      p AS (SELECT a.rev AS x, b.rev AS y
+            FROM d a JOIN d b ON b.day = a.day + 7),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * y) AS BIGINT) AS sxy,
+              CAST(SUM(x * x) AS BIGINT) AS sxx,
+              CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM p)
+      SELECT 7 AS lag_days, n AS n_pairs,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr
+      FROM s
+    """)) { (spark, dir) =>
+    val d = Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(floor((sum(graft.ops.Exact.dec2(col("o_totalprice"))) * 100)
+        .cast("long") / 100000).cast("long").as("rev"))
+    val p = d.alias("a")
+      .join(d.alias("b"), col("b.day") === date_add(col("a.day"), 7))
+      .select(col("a.rev").as("x"), col("b.rev").as("y"))
+    val s = p.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    s.select(lit(7).as("lag_days"), col("n").as("n_pairs"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+         sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("autocorr"))
+  }
+
   override val specs: Seq[Q] =
     Seq(scd2, scd2AsOf, dq, basket, calendarFill, tsInterp, profile,
-      weekdaySeasonality)
+      weekdaySeasonality, autocorrLag7)
 }

@@ -146,8 +146,10 @@ class PlanGateSpec extends SparkSpec {
                                          // weekday frame
     "profile_user_diversity" -> 1,       // 1-row median finalize
     "train_target_encode_loo" -> 1,      // 1-row label-median finalize
-    "train_hashed_features" -> 3)        // label median + activity span +
+    "train_hashed_features" -> 3,        // label median + activity span +
                                          // final 1-row combines
+    "ts_autocorr_lag7" -> 1)             // 1-row moment reduction over
+                                         // the calendar-bounded pair series
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */

@@ -47,6 +47,30 @@ class SeasonalityDiversitySpec extends SparkSpec {
     assert(math.abs(weighted - totDays) < 1e-6)
   }
 
+  test("ts_autocorr_lag7 equals the brute-force Pearson r at lag 7") {
+    val daily = Tables.load(spark, sf001, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(graft.ops.Exact.dec2(col("o_totalprice"))) * 100)
+        .cast("long").as("cents"))
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, c) => d.toLocalDate -> c / 100000 }.toMap
+    val pairs = daily.toSeq.flatMap { case (d, x) =>
+      daily.get(d.plusDays(7)).map(y => (x, y))
+    }
+    val n = pairs.size.toLong
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val expect = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    val row = q("ts_autocorr_lag7").head
+    assert(row.getAs[Long]("n_pairs") == n)
+    assert(row.getAs[Double]("autocorr") == expect)
+    assert(math.abs(expect) <= 1.0)
+  }
+
   test("profile_user_diversity equals the literal Gini-Simpson formula") {
     val evs = Tables.events(spark, sf001)
       .selectExpr("user_id", "event_type").as[(Long, String)].collect()
