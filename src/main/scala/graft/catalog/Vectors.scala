@@ -47,35 +47,24 @@ object Vectors extends Family {
     embN(spark, dir).withColumn("emb_d",
       transform(col("embedding").cast("array<double>"), x => x / col("nrm")))
 
-  private def sharedPqCodebooks(spark: SparkSession,
-                                dir: String): graft.vectors.PqIndex.Codebooks =
-    graft.ops.Warmed.getOrBuildObj("pq_codebooks", dir)(
-      graft.vectors.PqIndex.train(embUnit(spark, dir), "vec_id", "emb_d",
-        dim = 64))
-
-  // Takes the codebooks as a parameter (instead of re-resolving them via
-  // sharedPqCodebooks) so the unwarmed path trains k-means exactly once:
-  // getOrBuildObj does not memoize on a miss, and the pq query already
-  // holds the trained instance.
-  private def sharedPqEncoded(spark: SparkSession, dir: String,
-                              cb: graft.vectors.PqIndex.Codebooks): DataFrame =
-    graft.ops.Warmed.getOrBuild("pq_encoded", dir)(
-      graft.vectors.PqIndex.encode(embUnit(spark, dir), "vec_id", "emb_d", cb))
+  // Committed-fixture root (fixtures/pq, FIXTURES.md): repo-relative when
+  // run from the repo root (sbt runMain, Verify, Bench), absolute fallback
+  // for harnesses with another cwd.
+  private def fixDir(): String =
+    Seq("fixtures/pq", "/root/repo/fixtures/pq")
+      .find(p => new java.io.File(p).isDirectory)
+      .getOrElse("fixtures/pq")
 
   /** Materialize the shared ANN spine for `dir` (bench warm path): the
-    * pinned working set (normalized embeddings, centroids) plus the trained
-    * index artifacts (PQ codebooks + encoded codes) an ANN service builds
-    * offline and serves many queries from. */
+    * pinned working set (normalized embeddings, centroids) an ANN service
+    * builds offline and serves many queries from. (PQ codebooks are a
+    * committed artifact — fixtures/pq — so nothing to warm there; the PQ
+    * rows' per-batch work, encode + score + re-rank, is the measured cell.) */
   def warmShared(spark: SparkSession, dir: String): Unit = {
     graft.ops.Warmed.warm("emb_norm", dir) {
       emb(spark, dir).withColumn("nrm", VectorOps.norm(col("embedding")))
     }
     graft.ops.Warmed.warm("vec_centroids", dir)(centroids(embN(spark, dir)))
-    val cb = graft.ops.Warmed.warmObj("pq_codebooks", dir)(
-      graft.vectors.PqIndex.train(embUnit(spark, dir), "vec_id", "emb_d",
-        dim = 64))
-    graft.ops.Warmed.warm("pq_encoded", dir)(
-      graft.vectors.PqIndex.encode(embUnit(spark, dir), "vec_id", "emb_d", cb))
   }
 
   /**
@@ -466,26 +455,123 @@ object Vectors extends Family {
       .orderBy(col("vec_id"))
   }
 
-  // Product-quantized ANN: k-means codebooks per subspace, 4-byte codes
-  // (64x compression at these dials), LUT-based asymmetric scoring, exact
-  // re-rank of the short list — the memory-bound scale path (IVF prunes
-  // what to scan, PQ shrinks each scanned row to M adds). K-means training
-  // is not SQL-expressible cross-engine, so this entry has NO DuckDB twin:
-  // the driver records the weaker rows-only check, and semantic coverage
-  // lives in PqIndexSpec (determinism, compression, measured recall vs the
-  // oracle-checked brute-force baseline).
-  private val pq = Q("ann_cosine_topk_pq", None) { (spark, dir) =>
-    val e = embUnit(spark, dir)
-    val cb = sharedPqCodebooks(spark, dir)
-    val encoded = sharedPqEncoded(spark, dir, cb)
-    val queries = e.filter(col("vec_id") < 5)
-      .select(col("vec_id"), col("emb_d")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-    val eRerank = e.select(col("vec_id"), col("emb_d"),
-      lit(1.0).as("nrm")) // emb_d is unit-norm by construction
-    graft.vectors.PqIndex.search(encoded, eRerank, "vec_id", "emb_d", cb,
-        queries, topK = 10, rerank = 40)
+  // Shared PQ deployment pipeline given a codebook frame (m BIGINT,
+  // code BIGINT, sub ARRAY<DOUBLE>[subDim]): per-subspace L2-argmin encode
+  // of the LIVE corpus, ADC approximate scoring, exact re-rank to top-10.
+  // Engine-parity choices (shared by both consumers and pinned by their
+  // oracles): the argmin distance is round(Σ(x-y)², 6) — a sequential
+  // 8-element fold on both engines, ties to the lowest code (the codesOf
+  // strict-< rule) via lexicographic min(struct(d, code)); the ADC score is
+  // ONE 64-dim dot against the concatenated reconstruction (numerically
+  // identical to the per-subspace LUT sum because subspaces are contiguous).
+  // Scale shape: the codebook (M·K rows, kilobytes) broadcasts; encode is a
+  // map-side argmin folded to a hash agg (no window over the corpus);
+  // candidates are cut by the salted topK; only `rerank` rows per query pay
+  // the exact full-dim dot.
+  private def pqEncodeScoreRerank(spark: SparkSession, dir: String,
+                                  cb: DataFrame): DataFrame = {
+    val m = 8; val subDim = 8
+    val u = embUnit(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("emb_d"))
+    val ms = explode(sequence(lit(0), lit(m - 1))).as("m")
+    val sv = u.select(col("vec_id"), ms, col("emb_d"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        slice(col("emb_d"), col("m") * subDim + 1, lit(subDim)).as("subv"))
+    // argmin as a lexicographic min(struct) hash agg — no corpus-wide
+    // window; ties to the lowest code, matching codesOf's strict <
+    val codes = sv.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), struct(
+        round(aggregate(zip_with(col("subv"), col("sub"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z), 6).as("d"),
+        col("code")).as("dc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("dc")).getField("code").as("code"))
+    val recon = codes.join(broadcast(cb), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("sub")))),
+        x => x.getField("sub"))).as("recon"))
+    val qs = u.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb_d").as("q_emb"))
+    val approx = recon.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.dot(col("q_emb"), col("recon")), 6).as("approx"))
+    val cand = VectorOps.topK(approx, "q_id", "vec_id", "approx", k = 40)
+      .select(col("q_id"), col("vec_id"))
+    val e = embN(spark, dir).select(col("vec_id"), col("embedding"), col("nrm"))
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")))
+    val exact = cand.join(e, Seq("vec_id")).join(q, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosinePre(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+    VectorOps.topK(exact, "q_id", "vec_id", "cos_sim", k = 10)
       .orderBy(col("q_id"), col("rn"))
+  }
+
+  // Product-quantized ANN over COMMITTED Lloyd-trained codebooks: k-means
+  // codebooks per subspace (trained once offline by
+  // graft.tools.BuildPqFixture — 2 fused Lloyd iterations, hash-seeded,
+  // dials dim=64/M=8/K=32 — and committed as fixtures/pq/codebooks), ADC
+  // scoring, exact re-rank of the short list — the memory-bound scale path
+  // (IVF prunes what to scan, PQ shrinks each scanned row to M adds). This
+  // is the deployed shape: training is an offline build step whose artifact
+  // ships; the per-batch work — encode the live corpus, score, re-rank — is
+  // deterministic given the artifact, so BOTH engines read the identical
+  // committed parquet bits and the row hash-gates the full deployment
+  // pipeline on live data. Lloyd refinement itself (iterative, not
+  // cross-engine SQL) stays covered by PqIndexSpec (determinism,
+  // compression, recall@10 vs the oracle-checked brute baseline) and by
+  // ann_pq_seeded, which hash-gates the 0-iteration seeding rule E2E.
+  private val pq = Q(
+    "ann_cosine_topk_pq",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      u AS (SELECT vec_id, emb, nrm, list_transform(emb, x -> x / nrm) AS emb_d FROM n),
+      cb AS (SELECT CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code, sub
+             FROM read_parquet('/root/repo/fixtures/pq/codebooks/*.parquet')),
+      mm AS (SELECT unnest(generate_series(0, 7)) AS m),
+      sv AS (SELECT u.vec_id, CAST(mm.m AS BIGINT) AS m,
+               list_slice(u.emb_d, mm.m * 8 + 1, mm.m * 8 + 8) AS subv
+             FROM u, mm),
+      dist AS (
+        SELECT sv.vec_id, sv.m, cb.code,
+          round(list_sum(list_transform(generate_series(1, 8),
+            i -> (sv.subv[i] - cb.sub[i]) * (sv.subv[i] - cb.sub[i]))), 6) AS d
+        FROM sv JOIN cb ON cb.m = sv.m),
+      codes AS (
+        SELECT vec_id, m, code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY d ASC, code ASC) AS rn FROM dist) WHERE rn = 1),
+      recon AS (
+        SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.m)) AS recon
+        FROM codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+        GROUP BY c.vec_id),
+      qs AS (SELECT vec_id AS q_id, emb_d AS q_emb FROM u WHERE vec_id < 5),
+      approx AS (
+        SELECT q.q_id, r.vec_id, round(list_dot_product(q.q_emb, r.recon), 6) AS approx
+        FROM qs q, recon r WHERE r.vec_id <> q.q_id),
+      cand AS (
+        SELECT q_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY approx DESC, vec_id) AS rn FROM approx) WHERE rn <= 40),
+      exact AS (
+        SELECT c.q_id, c.vec_id,
+          round(list_dot_product(q.emb, v.emb) / (q.nrm * v.nrm), 4) AS cos_sim
+        FROM cand c JOIN n v ON v.vec_id = c.vec_id JOIN n q ON q.vec_id = c.q_id)
+      SELECT q_id, vec_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cos_sim DESC, vec_id) AS rn FROM exact) WHERE rn <= 10
+      ORDER BY q_id, rn
+    """)) { (spark, dir) =>
+    val cb = spark.read.parquet(s"${fixDir()}/codebooks")
+      .select(col("m").cast("long").as("m"),
+        col("code").cast("long").as("code"), col("sub"))
+    pqEncodeScoreRerank(spark, dir, cb)
   }
 
   // PQ SCORING STAGE over a committed index fixture — the driver-visible
@@ -536,11 +622,7 @@ object Vectors extends Family {
           ORDER BY cos_sim DESC, vec_id) AS rn FROM exact) WHERE rn <= 10
       ORDER BY q_id, rn
     """)) { (spark, dir) =>
-    // fixture dir: repo-relative when run from the repo root (sbt runMain,
-    // Verify, Bench), absolute fallback for harnesses with another cwd
-    val fix = Seq("fixtures/pq", "/root/repo/fixtures/pq")
-      .find(p => new java.io.File(p).isDirectory)
-      .getOrElse("fixtures/pq")
+    val fix = fixDir()
     val cbs = spark.read.parquet(s"$fix/codebooks")
     val codes = spark.read.parquet(s"$fix/codes")
     val qs = spark.read.parquet(s"$fix/queries")
@@ -647,42 +729,7 @@ object Vectors extends Family {
     val cb = seeds.select(col("code"), ms, col("emb_d"))
       .select(col("m").cast("long").as("m"), col("code"),
         slice(col("emb_d"), col("m") * subDim + 1, lit(subDim)).as("sub"))
-    val sv = u.select(col("vec_id"), ms, col("emb_d"))
-      .select(col("vec_id"), col("m").cast("long").as("m"),
-        slice(col("emb_d"), col("m") * subDim + 1, lit(subDim)).as("subv"))
-    // argmin as a lexicographic min(struct) hash agg — no corpus-wide
-    // window; ties to the lowest code, matching codesOf's strict <
-    val codes = sv.join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), struct(
-        round(aggregate(zip_with(col("subv"), col("sub"),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, z) => acc + z), 6).as("d"),
-        col("code")).as("dc"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(col("dc")).getField("code").as("code"))
-    val recon = codes.join(broadcast(cb), Seq("m", "code"))
-      .groupBy(col("vec_id"))
-      .agg(flatten(transform(
-        sort_array(collect_list(struct(col("m"), col("sub")))),
-        x => x.getField("sub"))).as("recon"))
-    val qs = u.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("emb_d").as("q_emb"))
-    val approx = recon.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(VectorOps.dot(col("q_emb"), col("recon")), 6).as("approx"))
-    val cand = VectorOps.topK(approx, "q_id", "vec_id", "approx", k = 40)
-      .select(col("q_id"), col("vec_id"))
-    val e = embN(spark, dir).select(col("vec_id"), col("embedding"), col("nrm"))
-    val q = broadcast(e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm")))
-    val exact = cand.join(e, Seq("vec_id")).join(q, Seq("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        VectorOps.cosinePre(col("q_emb"), col("embedding"),
-          col("q_nrm"), col("nrm")).as("cos_sim"))
-    VectorOps.topK(exact, "q_id", "vec_id", "cos_sim", k = 10)
-      .orderBy(col("q_id"), col("rn"))
+    pqEncodeScoreRerank(spark, dir, cb)
   }
 
   // ---------------------------------------------------------------------
