@@ -490,12 +490,16 @@ object Corpus extends Family {
     Some("""
       WITH tok AS (SELECT source, string_split(text, ' ') AS t
                    FROM documents),
-      sh AS (SELECT DISTINCT source,
-               CAST(('0x' || substr(unnest(list_transform(
-                 generate_series(1, len(t) - 7),
-                 i -> md5(array_to_string(t[i:i+7], ' ')))), 1, 15))
-                 AS BIGINT) AS hv
-             FROM tok WHERE len(t) >= 8),
+      sh0 AS (SELECT DISTINCT source, unnest(list_transform(
+                generate_series(1, len(t) - 7),
+                i -> md5(array_to_string(t[i:i+7], ' ')))) AS s8
+              FROM tok WHERE len(t) >= 8),
+      -- dedup on the FULL 128-bit hash FIRST, truncate to the 60-bit
+      -- prefix after — mirroring the Spark arm, so a within-source prefix
+      -- collision cannot diverge ns.n / sketch contents across engines
+      sh AS (SELECT source,
+               CAST(('0x' || substr(s8, 1, 15)) AS BIGINT) AS hv
+             FROM sh0),
       ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh
              GROUP BY source),
       sk AS (SELECT source, hv FROM (

@@ -106,7 +106,9 @@ object Eval extends Family {
             FROM r)
       SELECT n AS n_users, n1 AS n_pos, n - n1 AS n_neg,
         r2 - n1 * (n1 + 1) AS u2,
-        CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * (n - n1)) AS auc
+        CASE WHEN n1 = 0 OR n1 = n THEN NULL
+          ELSE CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * (n - n1))
+        END AS auc
       FROM s
     """)) { (spark, dir) =>
     val g = userFrame(spark, dir)
@@ -123,8 +125,13 @@ object Eval extends Family {
       .select(col("n").as("n_users"), col("n1").as("n_pos"),
         (col("n") - col("n1")).as("n_neg"),
         (col("r2") - col("n1") * (col("n1") + 1)).as("u2"),
-        ((col("r2") - col("n1") * (col("n1") + 1)).cast("double") /
-          (lit(2L) * col("n1") * (col("n") - col("n1")))).as("auc"))
+        // AUC is undefined with an empty class (the median split CAN leave
+        // one empty — e.g. every user shares one purchase count): report a
+        // deliberate NULL identically on both engines, never NaN/±Inf
+        when(col("n1") === 0 || col("n1") === col("n"),
+          lit(null).cast("double"))
+          .otherwise((col("r2") - col("n1") * (col("n1") + 1)).cast("double") /
+            (lit(2L) * col("n1") * (col("n") - col("n1")))).as("auc"))
   }
 
   // -------------------------------------------------------------------------
@@ -235,8 +242,10 @@ object Eval extends Family {
         FROM p)
       SELECT n AS n_users, agree AS n_agree, r1 AS n_pos_label,
         c1 AS n_pos_pred,
-        CAST(n * agree - (r1 * c1 + (n - r1) * (n - c1)) AS DOUBLE)
-          / (n * n - (r1 * c1 + (n - r1) * (n - c1))) AS kappa
+        CASE WHEN n * n = r1 * c1 + (n - r1) * (n - c1) THEN NULL
+          ELSE CAST(n * agree - (r1 * c1 + (n - r1) * (n - c1)) AS DOUBLE)
+            / (n * n - (r1 * c1 + (n - r1) * (n - c1)))
+        END AS kappa
       FROM c
     """)) { (spark, dir) =>
     val u = userFrame(spark, dir)
@@ -251,8 +260,11 @@ object Eval extends Family {
       (col("n") - col("r1")) * (col("n") - col("c1"))
     c.select(col("n").as("n_users"), col("agree").as("n_agree"),
       col("r1").as("n_pos_label"), col("c1").as("n_pos_pred"),
-      ((col("n") * col("agree") - chance).cast("double") /
-        (col("n") * col("n") - chance)).as("kappa"))
+      // κ is undefined when chance agreement is total (both marginals
+      // degenerate → n² = Σ r_k·c_k): deliberate NULL on both engines
+      when(col("n") * col("n") === chance, lit(null).cast("double"))
+        .otherwise((col("n") * col("agree") - chance).cast("double") /
+          (col("n") * col("n") - chance)).as("kappa"))
   }
 
   // -------------------------------------------------------------------------

@@ -261,11 +261,31 @@ object SignRp {
       }
     })
 
+  // Input contract (enforced, not assumed): exactly srcDims elements, none
+  // null. The chained element_at formulation this kernel replaced would
+  // quietly propagate NULL through a short/holey embedding; silently
+  // truncating (or reading an undefined null slot) would instead produce a
+  // WRONG projection, and the output type advertises containsNull=false —
+  // so malformed input fails fast with a row-locatable message. One O(n)
+  // pre-pass per row, negligible against the rpDims×srcDims multiply loop.
+  private def validate(emb: ArrayData, srcDims: Int): Unit = {
+    val n = emb.numElements()
+    if (n != srcDims) throw new IllegalArgumentException(
+      s"sign_rp_project: embedding has $n elements, expected $srcDims")
+    var i = 0
+    while (i < n) {
+      if (emb.isNullAt(i)) throw new IllegalArgumentException(
+        s"sign_rp_project: null element at index $i (embedding must be " +
+          "a non-null fixed-width array)")
+      i += 1
+    }
+  }
+
   /** Called from generated code: float-array input. */
   def projectF(emb: ArrayData, rpDims: Int, srcDims: Int): ArrayData = {
     if (emb == null) return null
+    validate(emb, srcDims)
     val ss = signsFor(rpDims, srcDims)
-    val n = math.min(emb.numElements(), srcDims)
     val out = new Array[Double](rpDims)
     var j = 0
     while (j < rpDims) {
@@ -273,9 +293,9 @@ object SignRp {
       // left-to-right: seed with the FIRST product, += the rest — exactly
       // reduceLeft(+) over the per-element products (0.0-seeded folds can
       // differ on signed zeros)
-      var acc = if (n > 0) emb.getFloat(0).toDouble * s(0) else 0.0
+      var acc = emb.getFloat(0).toDouble * s(0)
       var i = 1
-      while (i < n) { acc += emb.getFloat(i).toDouble * s(i); i += 1 }
+      while (i < srcDims) { acc += emb.getFloat(i).toDouble * s(i); i += 1 }
       out(j) = acc
       j += 1
     }
@@ -285,15 +305,15 @@ object SignRp {
   /** Called from generated code: double-array input. */
   def projectD(emb: ArrayData, rpDims: Int, srcDims: Int): ArrayData = {
     if (emb == null) return null
+    validate(emb, srcDims)
     val ss = signsFor(rpDims, srcDims)
-    val n = math.min(emb.numElements(), srcDims)
     val out = new Array[Double](rpDims)
     var j = 0
     while (j < rpDims) {
       val s = ss(j)
-      var acc = if (n > 0) emb.getDouble(0) * s(0) else 0.0
+      var acc = emb.getDouble(0) * s(0)
       var i = 1
-      while (i < n) { acc += emb.getDouble(i) * s(i); i += 1 }
+      while (i < srcDims) { acc += emb.getDouble(i) * s(i); i += 1 }
       out(j) = acc
       j += 1
     }
@@ -304,6 +324,8 @@ object SignRp {
 /** `sign_rp_project(emb)`: the [[SignRp]] projection as one codegen call. */
 case class SignRpProject(child: Expression, rpDims: Int, srcDims: Int)
     extends UnaryExpression {
+  require(rpDims > 0 && srcDims > 0,
+    s"sign_rp_project dims must be positive, got rpDims=$rpDims srcDims=$srcDims")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>

@@ -108,7 +108,7 @@ object Tables {
    * message cannot silently disable the fallback and re-break the 16
    * events queries (the round-9 drift incident this guards).
    */
-  private def isNanosFooterError(e: Throwable): Boolean = {
+  private[lake] def isNanosFooterError(e: Throwable): Boolean = {
     var t: Throwable = e
     var depth = 0
     while (t != null && depth < 10) {

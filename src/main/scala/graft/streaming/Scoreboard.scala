@@ -33,10 +33,17 @@ final case class CellDelta(user_id: Long, cell: String, delta: Int)
  * gates stream-fold == batch at identical thresholds.
  *
  * State budget: one fixed-width [[ScoreState]] per active user;
- * event-time timeout evicts users idle past the horizon. Eviction FREEZES
- * the user's cell (no retraction on timeout): by the watermark contract
- * no later event can move them, so their contribution to the totals is
- * final — exactly the semantics a monotone scoreboard wants.
+ * event-time timeout evicts users idle past the horizon, and eviction
+ * RETRACTS the user's current cell (−1) as it drops the state. Watermarks
+ * bound late data, not future events — a user can always return after the
+ * idle horizon — so a freeze-on-evict rule would double-count returners
+ * (fresh +1 with no retraction of the frozen cell) and reclassify them
+ * from zeroed counts. With retract-on-evict every assertion is eventually
+ * matched by a retraction, so the folded matrix is exactly the confusion
+ * matrix over users ACTIVE WITHIN THE HORIZON: idle users age out of the
+ * board, and a returner re-enters cleanly from zero. State stays bounded
+ * by the active-user count (no tombstones). ScoreboardSpec gates both the
+ * no-eviction stream-fold == batch equality and the evict/return path.
  */
 object Scoreboard {
 
@@ -70,8 +77,13 @@ object Scoreboard {
         (userId: Long, batch: Iterator[FeatureEvent],
          state: GroupState[ScoreState]) =>
           if (state.hasTimedOut) {
-            state.remove() // cell frozen — totals already count it
-            Iterator.empty
+            // retract the evicted user's cell: the board tracks users
+            // active within the horizon, and a returner must not
+            // double-count (their re-entry +1 starts from this clean slate)
+            val out = state.getOption.flatMap(_.cell)
+              .map(c => CellDelta(userId, c, -1)).iterator
+            state.remove()
+            out
           } else {
             val prev = state.getOption
               .getOrElse(ScoreState(0L, 0L, None, Long.MinValue))

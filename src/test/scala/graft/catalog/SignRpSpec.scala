@@ -41,6 +41,36 @@ class SignRpSpec extends SparkSpec {
     }
   }
 
+  test("malformed embeddings fail fast instead of projecting silently") {
+    // a short embedding must not silently truncate (the chained element_at
+    // form propagated NULL; the kernel's output type forbids null — so the
+    // contract is an explicit error, never a wrong projection)
+    val short2 = Seq(Seq(1.0f, 2.0f)).toDF("embedding")
+    val ex = intercept[Exception] {
+      short2.select(Vectors.rpProject(col("embedding"))).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      val m = Option(t.getMessage).getOrElse("")
+      if (m.contains("sign_rp_project") || t.getCause == null) m
+      else rootMsg(t.getCause)
+    }
+    assert(rootMsg(ex).contains("expected 64"), s"got: ${rootMsg(ex)}")
+
+    // null ELEMENT inside a full-width embedding: same fail-fast contract
+    val holey = Seq(Seq.tabulate(64)(i => if (i == 7) null
+      else java.lang.Double.valueOf(i.toDouble))).toDF("embedding")
+    val ex2 = intercept[Exception] {
+      holey.select(Vectors.rpProject(col("embedding"))).collect()
+    }
+    assert(rootMsg(ex2).contains("null element"), s"got: ${rootMsg(ex2)}")
+
+    // a NULL embedding row still propagates NULL (nullSafeEval path)
+    val nullRow = Seq(Option.empty[Seq[Float]]).toDF("embedding")
+    val out = nullRow.select(Vectors.rpProject(col("embedding")).as("p"))
+      .collect()
+    assert(out.head.isNullAt(0))
+  }
+
   test("matrix is balanced enough to carry signal (no degenerate rows)") {
     // a row of all-same signs would make that coordinate a plain sum — still
     // valid JL but a red flag for the hash; expect every row mixed

@@ -133,6 +133,26 @@ class TablesSpec extends SparkSpec {
     assert(loadedMicros(microsTzDir) === a)
   }
 
+  test("nanos-footer detection keys on the error CONDITION, not the message") {
+    // a Spark release rewording the message must not disable the fallback:
+    // the stable PARQUET_TYPE_ILLEGAL condition alone has to match
+    val reworded = new Exception("completely new wording, no keywords here")
+      with org.apache.spark.SparkThrowable {
+      override def getCondition: String = "PARQUET_TYPE_ILLEGAL"
+    }
+    assert(Tables.isNanosFooterError(reworded))
+    // ...including when a non-Spark wrapper buries it in the cause chain
+    assert(Tables.isNanosFooterError(
+      new RuntimeException("wrapper", new RuntimeException("mid", reworded))))
+    // and an unrelated failure (even a SparkThrowable) must NOT match
+    val unrelated = new Exception("file not found")
+      with org.apache.spark.SparkThrowable {
+      override def getCondition: String = "PATH_NOT_FOUND"
+    }
+    assert(!Tables.isNanosFooterError(unrelated))
+    assert(!Tables.isNanosFooterError(new RuntimeException("plain failure")))
+  }
+
   test("embeddings loader absorbs float64 vectors and int32 ids") {
     import spark.implicits._
     val dir = s"$tmpRoot/emb64"

@@ -69,6 +69,33 @@ class ScoreboardSpec extends SparkSpec {
     assert(fold(deltas) == Map("fp" -> 1L))
   }
 
+  test("eviction retracts the cell; a returning user does not double-count") {
+    // idleDays=1; user 8 goes idle, user 9's later events advance the
+    // watermark past 8's timeout (watermarks bound late data, not future
+    // events — 8 CAN return), then 8 returns and re-asserts from zero.
+    implicit val sqlCtx = spark.sqlContext
+    val day = 24 * 60
+    val input = MemoryStream[FeatureEvent]
+    val q = Scoreboard.track(input.toDS(), predThreshold = 0,
+        labelThreshold = 0, idleDays = 1, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sb_evict")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(8, 0, "view")); q.processAllAvailable()
+      input.addData(ev(9, 2 * day, "view")); q.processAllAvailable()
+      input.addData(ev(9, 2 * day + 1, "view")); q.processAllAvailable()
+      input.addData(ev(8, 3 * day, "purchase")); q.processAllAvailable()
+      val deltas = spark.table("sb_evict").as[CellDelta].collect().toSeq
+      val u8 = deltas.filter(_.user_id == 8L)
+      // +1 fp (first view), -1 fp (eviction), +1 fn (return as purchaser
+      // from a clean slate — NOT fp+tp double-count)
+      assert(u8 == Seq(CellDelta(8L, "fp", 1), CellDelta(8L, "fp", -1),
+        CellDelta(8L, "fn", 1)), s"user-8 deltas: $u8")
+      assert(fold(u8) == Map("fn" -> 1L))
+      assert(fold(deltas).values.sum == 2L) // one live cell per active user
+    } finally q.stop()
+  }
+
   test("at frozen median thresholds the fold matches eval_confusion_threshold") {
     // freeze the thresholds the batch query derives (sf0.001 medians are
     // x.5-interpolated, so score > floor(med) == score > med on integers)
