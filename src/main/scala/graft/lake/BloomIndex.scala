@@ -42,18 +42,31 @@ object BloomIndex {
 
   private def bloomDir(table: String) = new Path(s"$table/_bloom")
 
+  private[lake] def sidecar(table: String, fileName: String): Path =
+    new Path(bloomDir(table), s"$fileName.bloom")
+
   /** Write `df` hash-distributed into `nFiles` files on `keyCol` (long),
     * then build one Bloom sidecar per data file. */
   def writeIndexed(df: DataFrame, table: String, nFiles: Int, keyCol: String,
                    fpp: Double = 0.01): Unit = {
     require(nFiles > 0)
-    val spark = df.sparkSession
     df.repartition(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(table)
+    indexExisting(df.sparkSession, table, keyCol, fpp)
+  }
+
+  /** Build one Bloom sidecar per `part-*` data file already in `table` —
+    * the post-hoc arm [[writeIndexed]] shares, and what a rewrite op
+    * ([[Forget]]) calls on just-rewritten files. */
+  def indexExisting(spark: SparkSession, table: String, keyCol: String,
+                    fpp: Double = 0.01): Unit = {
     // size the filters from the WRITTEN table: parquet count() is
-    // footer-metadata-only, while df.count() would re-run the full input
-    // lineage a second time
+    // footer-metadata-only, while a source df.count() would re-run the
+    // full input lineage a second time
     val written = spark.read.parquet(table)
+    val nFiles = math.max(1,
+      fs(spark, table).listStatus(new Path(table))
+        .count(s => s.isFile && s.getPath.getName.startsWith("part-")))
     val expected = math.max(1000L, written.count() / nFiles * 2)
     import spark.implicits._
     val perFile = written
@@ -76,6 +89,22 @@ object BloomIndex {
     }
   }
 
+  /** Does `file`'s sidecar admit ANY of `keys`? Missing sidecar = true
+    * (the index is advisory, never a correctness dependency). The filter
+    * loads once and serves every key probe. */
+  private[lake] def mightContainAny(f: FileSystem, table: String,
+                                    fileName: String,
+                                    keys: Seq[Long]): Boolean = {
+    val side = sidecar(table, fileName)
+    !f.exists(side) || {
+      val in = f.open(side)
+      try {
+        val bf = BloomFilter.readFrom(in)
+        keys.exists(bf.mightContainLong)
+      } finally in.close()
+    }
+  }
+
   /** Data files whose Bloom sidecar admits `key` (no sidecar = keep: the
     * index is advisory, never a correctness dependency). */
   def candidateFiles(spark: SparkSession, table: String, key: Long): Seq[String] = {
@@ -83,14 +112,7 @@ object BloomIndex {
     f.listStatus(new Path(table)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath)
-      .filter { p =>
-        val side = new Path(bloomDir(table), s"${p.getName}.bloom")
-        !f.exists(side) || {
-          val in = f.open(side)
-          try BloomFilter.readFrom(in).mightContainLong(key)
-          finally in.close()
-        }
-      }
+      .filter(p => mightContainAny(f, table, p.getName, Seq(key)))
       .map(_.toString)
   }
 

@@ -1,0 +1,104 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Targeted delete (right-to-be-forgotten) over a [[Versioned]] table — the
+ * governance operator a 100 TB training-data lake needs when a deletion
+ * request names a key set (user ids, document ids): remove every row for
+ * those keys by REWRITING ONLY THE FILES THAT CAN CONTAIN THEM, copying
+ * every other file byte-identically, and exposing the purged snapshot in
+ * one atomic manifest swap. The reference lake has no deletion story at
+ * all (its S3 loader is append-only, `s3_loader.py`); this is the missing
+ * compliance leg.
+ *
+ * Why file-targeted: an in-place full-table rewrite at 100 TB is both a
+ * multi-hour job and a reader hazard. With [[BloomIndex]] sidecars on the
+ * key column, the files a key set can possibly touch shrink to
+ * ~`|keys| x fpp`-bounded candidates (hash-distributed keys defeat min/max
+ * stats — the Bloom sidecar is exactly the skipping dimension that
+ * survives; a [[Cluster]]/[[ZOrder]] range layout would let the same probe
+ * use footer min/max instead). Untouched files are transferred with a raw
+ * byte copy — no decode/re-encode, no row-group rewrite, bitwise-equal
+ * output (on S3 a server-side copy; on HDFS a block copy) — so the rewrite
+ * cost scales with the AFFECTED fraction, not the table.
+ *
+ * Versioning contract: the purged snapshot becomes `v=N+1` behind
+ * [[Versioned]]'s manifest swap — readers never see a half-purged table,
+ * and the pre-purge version stays readable (time travel) until
+ * [[Versioned.vacuum]] drops it. COMPLIANCE NOTE: the purge is not
+ * physically complete until vacuum removes the old version dirs; a
+ * deployment runs `purge` then `vacuum(keep = 0)` inside its deletion-SLA
+ * window.
+ *
+ * Sidecar maintenance: untouched files keep their sidecars (copied
+ * byte-identically alongside); rewritten files get freshly built ones.
+ * A deletion only shrinks a file's key set, so even a stale copied filter
+ * stays a superset — false positives only, never a missed file.
+ *
+ * Key-set dial: `keys` is driver-resident (a deletion request batch —
+ * thousands, not billions). Each candidate file costs one sidecar load and
+ * `|keys|` hash probes. A key set large enough to admit most files has
+ * degenerated to a full rewrite anyway — at that point publish
+ * `read().join(keys, "left_anti")` via [[Versioned.publish]] instead.
+ */
+object Forget {
+
+  private def fs(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Publish `df` as the first/next version of `table`, hash-distributed
+    * into `nFiles` files on `keyCol` with Bloom sidecars — the layout
+    * [[purge]] prunes against. */
+  def publishIndexed(df: DataFrame, table: String, nFiles: Int,
+                     keyCol: String, fpp: Double = 0.01): Long =
+    Versioned.publishWith(df.sparkSession, table) { dir =>
+      BloomIndex.writeIndexed(df, dir, nFiles, keyCol, fpp)
+    }
+
+  /** Delete every row whose `keyCol` is in `keys`, rewriting only
+    * Bloom-admitted files; returns the new live version (or the current
+    * one unchanged when no file can contain any key — an idempotent
+    * no-op, e.g. a re-submitted deletion request). */
+  def purge(spark: SparkSession, table: String, keyCol: String,
+            keys: Seq[Long]): Long = {
+    require(keys.nonEmpty, "purge needs a non-empty key set")
+    val ks = keys.distinct
+    val live = Versioned.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    val liveDir = s"$table/v=$live"
+    val f = fs(spark, table)
+    val parts = f.listStatus(new Path(liveDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+    val (affected, untouched) =
+      parts.partition(p => BloomIndex.mightContainAny(f, liveDir, p.getName, ks))
+    if (affected.isEmpty) return live
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    Versioned.publishWith(spark, table) { newDir =>
+      // 1. rewrite the affected files in ONE distributed job (Spark owns
+      //    the dir): anti-filter the key set, keep file granularity by
+      //    re-hashing into as many files as were affected
+      spark.read.parquet(affected.map(_.toString): _*)
+        .filter(!col(keyCol).isin(ks: _*))
+        .repartition(affected.size, col(keyCol))
+        .write.mode("overwrite").parquet(newDir)
+      // 2. fresh sidecars for the rewritten files (only they exist in
+      //    newDir at this point)
+      BloomIndex.indexExisting(spark, newDir, keyCol)
+      // 3. untouched files + their sidecars: raw byte copy, bitwise-equal
+      untouched.foreach { p =>
+        require(FileUtil.copy(f, p, f, new Path(newDir, p.getName),
+          false, conf), s"copy failed: $p")
+        val side = BloomIndex.sidecar(liveDir, p.getName)
+        if (f.exists(side))
+          require(FileUtil.copy(f, side,
+            f, BloomIndex.sidecar(newDir, p.getName), false, conf),
+            s"sidecar copy failed: $side")
+      }
+    }
+  }
+}

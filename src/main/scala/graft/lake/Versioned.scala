@@ -96,8 +96,19 @@ object Versioned {
 
   /** Publish `df` as the next version; returns the new version number.
     * The data dir is complete before the manifest swap exposes it. */
-  def publish(df: DataFrame, table: String): Long = {
-    val spark = df.sparkSession
+  def publish(df: DataFrame, table: String): Long =
+    publishWith(df.sparkSession, table) { dir =>
+      df.write.mode("overwrite").parquet(dir)
+    }
+
+  /** Publish a version whose data dir is COMPOSED by `build` (e.g.
+    * [[Forget]]'s mix of byte-copied untouched files and rewritten
+    * affected files) rather than written from one DataFrame. `build`
+    * receives the new version dir path and must leave it complete; only
+    * then does the manifest swap expose it. Same single-writer contract
+    * as [[publish]]. */
+  def publishWith(spark: SparkSession, table: String)
+                 (build: String => Unit): Long = {
     val f = fs(spark, table)
     // single-writer path: safe to heal a predecessor's interrupted swap here
     // Double pointer loss (manifest AND bak unreadable) with version dirs
@@ -107,9 +118,10 @@ object Versioned {
     // one version number, which is harmless.
     val next = recover(spark, table)
       .orElse(versions(spark, table).lastOption).getOrElse(0L) + 1
-    // overwrite heals a half-written dir from a publish that crashed
-    // before its swap (that version number was never exposed)
-    df.write.mode("overwrite").parquet(s"$table/v=$next")
+    // clear a half-written dir from a publish that crashed before its swap
+    // (that version number was never exposed, so deleting it is safe)
+    f.delete(new Path(s"$table/v=$next"), true)
+    build(s"$table/v=$next")
     val out = f.create(tmp(table), true)
     try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()

@@ -40,7 +40,7 @@ object ScaleSweep {
     "sample_time_split", "sample_class_balanced",
     "graph_lpa_communities", "lm_kn_bigram_table", "ann_signrp_topk",
     "events_user_burst", "lm_kn_doc_score", "drift_event_mix_chi2",
-    "graph_lpa_top_terms", "ann_knn_classify",
+    "graph_lpa_top_terms", "graph_triangle_counts", "ann_knn_classify",
     "eval_auc_rank", "eval_confusion_threshold", "eval_calibration_bins",
     "eval_kappa_agreement", "cdc_user_day_diff", "train_next_event_pairs",
     "dedup_source_span_matrix", "profile_source_gini",

@@ -1,0 +1,99 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import graft.SparkSpec
+
+/**
+ * Targeted-delete contract ([[Forget]]): purged keys are gone from the new
+ * live snapshot, every file the key set could not touch is transferred
+ * BYTE-IDENTICALLY (no decode/re-encode), the pre-purge version stays
+ * readable until vacuum, and a re-submitted deletion request is a no-op on
+ * the data.
+ */
+class ForgetSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-forget").toString
+  private val table = () => s"$root/users"
+  private val purgedKeys = Seq(42L, 4242L, 9999L)
+
+  private def md5(path: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(Files.readAllBytes(Paths.get(path)))
+      .map("%02x".format(_)).mkString
+
+  /** (fileName -> md5) for every part file of one version dir. */
+  private def partSums(dir: String): Map[String, String] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => f.getName -> md5(f.getPath)).toMap
+
+  private lazy val setup: (Map[String, String], Long) = {
+    val rows = (0L until 10000L).map(k => (k, s"payload-$k")).toDF("k", "v")
+    val v1 = Forget.publishIndexed(rows, table(), nFiles = 8, keyCol = "k")
+    assert(v1 == 1L)
+    (partSums(s"${table()}/v=1"), Forget.purge(spark, table(), "k", purgedKeys))
+  }
+
+  test("purged keys are absent; every other row survives") {
+    val (_, v2) = setup
+    assert(v2 == 2L)
+    val after = Versioned.read(spark, table())
+    assert(after.filter($"k".isin(purgedKeys: _*)).isEmpty)
+    assert(after.count() == 10000L - purgedKeys.size)
+    // spot-check payloads came through the rewrite unharmed
+    assert(after.filter($"k" === 41L).select($"v").as[String].head()
+      == "payload-41")
+  }
+
+  test("untouched files are byte-identical copies; only admitted files rewrote") {
+    val (before, _) = setup
+    val after = partSums(s"${table()}/v=2")
+    // files carried over under their original names must be bitwise-equal
+    val carried = after.keySet.intersect(before.keySet)
+    assert(carried.nonEmpty, "purge of 3 keys rewrote all 8 files")
+    carried.foreach(n => assert(after(n) == before(n), s"$n changed bytes"))
+    // and the rewrite really was targeted: rewritten (new-name) files are
+    // bounded by the candidate count, which 3 keys keep well under 8
+    val rewritten = after.keySet.diff(before.keySet)
+    assert(rewritten.size < 8, s"rewrote ${rewritten.size} of 8 files")
+    // sidecars rode along for every carried file
+    carried.foreach { n =>
+      assert(Files.exists(Paths.get(s"${table()}/v=2/_bloom/$n.bloom")))
+    }
+  }
+
+  test("pre-purge version stays readable (time travel) until vacuum") {
+    val (_, v2) = setup
+    val old = Versioned.readVersion(spark, table(), v2 - 1)
+    assert(old.filter($"k" === 42L).count() == 1L) // still there, pre-purge
+    val dropped = Versioned.vacuum(spark, table(), keep = 0)
+    assert(dropped == Seq(v2 - 1))
+    assert(!Files.exists(Paths.get(s"${table()}/v=1")))
+    // live snapshot unaffected by the vacuum
+    assert(Versioned.read(spark, table()).count() == 10000L - purgedKeys.size)
+  }
+
+  test("re-submitted deletion request leaves the data unchanged") {
+    val (_, v2) = setup
+    val again = Forget.purge(spark, table(), "k", purgedKeys)
+    // rewritten sidecars no longer admit the keys, so this is normally the
+    // no-op fast path; a Bloom false positive may legitimately republish —
+    // either way the DATA is already purged and must be unchanged
+    assert(again == v2 || again == v2 + 1)
+    val df = Versioned.read(spark, table())
+    assert(df.count() == 10000L - purgedKeys.size)
+    assert(df.filter($"k".isin(purgedKeys: _*)).isEmpty)
+  }
+
+  test("purging keys the table never held is a bounded no-op") {
+    val before = Versioned.currentVersion(spark, table()).get
+    val v = Forget.purge(spark, table(), "k", Seq(77777777L))
+    assert(v == before || v == before + 1) // fpp may cost one file rewrite
+    assert(Versioned.read(spark, table()).count()
+      == 10000L - purgedKeys.size)
+  }
+}
