@@ -227,6 +227,58 @@ object Events extends Family {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** The session_window body over any (user_id, ts, value) frame — shared
+    * by the catalog query and SessionizeSpec's boundary-semantics cases. */
+  private[catalog] def sessionWindowAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        sumMoney(col("value")).as("session_value"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  // Sessionization via Spark's native session_window — the same operator
+  // sessionize_30min expresses as lag+cumsum, in the form that runs
+  // UNCHANGED as a streaming query (streaming/Sessions.scala holds the
+  // watermarked stateful variant; this batch twin pins the semantics the
+  // stream must fold to). Plan shape: ONE user_id shuffle into a
+  // sort-merge session aggregate (UpdatingSessionsIterator) — no window
+  // pass, no cumsum — which at 100 TB is the cheaper formulation: the
+  // lag+cumsum twin pays the same shuffle PLUS two full window scans.
+  //
+  // Boundary contract: session_window's merge rule treats the gap as
+  // INCLUSIVE — an event landing exactly gap after its predecessor joins
+  // the session (merge while next.start <= prev.end, ends at last+gap) —
+  // which is precisely the islands formulation's strict `> gap` split.
+  // The two formulations are therefore row-identical including the
+  // boundary; SessionizeSpec pins this on synthetic exact-gap /
+  // gap+1µs pairs plus whole-corpus equality.
+  private val sessionizeNative = Q(
+    "sessionize_session_window",
+    Some("""
+      WITH o AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                 OR epoch_us(CAST(ts AS TIMESTAMP))
+                    - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      s AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM o)
+      SELECT user_id, min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id, start_us
+    """)) { (spark, dir) =>
+    sessionWindowAgg(ev(spark, dir))
+  }
+
   // W2: first/last-touch attribution per user + purchase LTV.
   private val attribution = Q(
     "attribution_first_last_touch",
@@ -1021,7 +1073,8 @@ object Events extends Family {
   }
 
   override val specs: Seq[Q] = Seq(
-    extractDay, ga4Flatten, dailyKpis, funnel, sessionize, attribution,
+    extractDay, ga4Flatten, dailyKpis, funnel, sessionize, sessionizeNative,
+    attribution,
     journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
     convLatency, abtest, wau, markov, intervalAttr, userFeatures,
     timeSplit, classBalanced, burstFlags, driftChi2, userDiversity)

@@ -612,7 +612,77 @@ object Warehouse extends Family {
         .as("autocorr"))
   }
 
+  // ---------------------------------------------------------------------
+  // Spearman rank correlation between daily revenue and daily order count
+  // — the monotone-association twin of ts_autocorr_lag7's Pearson (rank
+  // correlation is what a forecast/mix audit wants when the relationship
+  // is monotone but not linear, and it is outlier-immune by construction).
+  // Midrank tie handling in pure int64: the DOUBLED midrank
+  // 2·mid = 2·rank + |ties| − 1 (the eval_auc_rank doubling trick) keeps
+  // every rank integral, so the moment sums n·Σxy − Σx·Σy etc. are exact
+  // and the final sqrt/divide chain is the only IEEE step — identical on
+  // both engines. Degenerate guard: a constant series has no rank
+  // variance; report a deliberate NULL (the eval_auc_rank discipline).
+  // Scale shape: one orders aggregate to the calendar-bounded day grain
+  // (map-side combinable), two rank windows over that metadata-sized
+  // frame, a 1-row moment reduction. Doubled ranks are ≤ 2n, so Σ(rx2²)
+  // ≤ 4n³ — int64-safe to ~1e6 days (a 2,700-year calendar).
+  private val spearman = Q(
+    "ts_spearman_rev_orders",
+    Some("""
+      WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+            AS rev,
+          CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1),
+      r AS (SELECT
+          CAST(2 * rank() OVER (ORDER BY rev)
+            + COUNT(*) OVER (PARTITION BY rev) - 1 AS BIGINT) AS rx2,
+          CAST(2 * rank() OVER (ORDER BY n_orders)
+            + COUNT(*) OVER (PARTITION BY n_orders) - 1 AS BIGINT) AS ry2
+        FROM d),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy,
+          CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+          CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+          CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+        FROM r)
+      SELECT n AS n_days,
+        CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN NULL
+          ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        END AS spearman_rho
+      FROM s
+    """)) { (spark, dir) =>
+    val d = Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(graft.ops.Exact.dec2(col("o_totalprice"))) * 100)
+        .cast("long").as("rev"),
+        count(lit(1)).as("n_orders"))
+    val r = d.select(
+      (lit(2L) * rank().over(Window.orderBy(col("rev"))) +
+        count(lit(1)).over(Window.partitionBy(col("rev"))) - 1)
+        .cast("long").as("rx2"),
+      (lit(2L) * rank().over(Window.orderBy(col("n_orders"))) +
+        count(lit(1)).over(Window.partitionBy(col("n_orders"))) - 1)
+        .cast("long").as("ry2"))
+    val s = r.agg(count(lit(1)).as("n"),
+      sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+      sum(col("rx2") * col("ry2")).as("sxy"),
+      sum(col("rx2") * col("rx2")).as("sxx"),
+      sum(col("ry2") * col("ry2")).as("syy"))
+    s.select(col("n").as("n_days"),
+      when(col("n") * col("sxx") === col("sx") * col("sx") ||
+           col("n") * col("syy") === col("sy") * col("sy"),
+        lit(null).cast("double"))
+        .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("spearman_rho"))
+  }
+
   override val specs: Seq[Q] =
     Seq(scd2, scd2AsOf, dq, basket, calendarFill, tsInterp, profile,
-      weekdaySeasonality, autocorrLag7)
+      weekdaySeasonality, autocorrLag7, spearman)
 }

@@ -71,6 +71,31 @@ class SeasonalityDiversitySpec extends SparkSpec {
     assert(math.abs(expect) <= 1.0)
   }
 
+  test("ts_spearman_rev_orders equals brute-force Pearson over midranks") {
+    val daily = Tables.load(spark, sf001, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(graft.ops.Exact.dec2(col("o_totalprice"))) * 100)
+        .cast("long").as("cents"), count(lit(1)).as("cnt"))
+      .as[(java.sql.Date, Long, Long)].collect()
+    // doubled midranks, independently: 2·mid = 2·|smaller| + |equal| + 1
+    def ranks2(xs: Seq[Long]): Seq[Long] = xs.map { v =>
+      2L * xs.count(_ < v) + xs.count(_ == v) + 1
+    }
+    val rx = ranks2(daily.map(_._2).toSeq)
+    val ry = ranks2(daily.map(_._3).toSeq)
+    val n = daily.length.toLong
+    val sx = rx.sum; val sy = ry.sum
+    val sxy = rx.zip(ry).map(p => p._1 * p._2).sum
+    val sxx = rx.map(x => x * x).sum; val syy = ry.map(y => y * y).sum
+    val expect = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    val row = q("ts_spearman_rev_orders").head
+    assert(row.getAs[Long]("n_days") == n)
+    assert(row.getAs[Double]("spearman_rho") == expect)
+    assert(math.abs(expect) <= 1.0)
+  }
+
   test("profile_user_diversity equals the literal Gini-Simpson formula") {
     val evs = Tables.events(spark, sf001)
       .selectExpr("user_id", "event_type").as[(Long, String)].collect()
