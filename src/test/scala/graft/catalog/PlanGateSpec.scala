@@ -148,8 +148,12 @@ class PlanGateSpec extends SparkSpec {
     "train_target_encode_loo" -> 1,      // 1-row label-median finalize
     "train_hashed_features" -> 3,        // label median + activity span +
                                          // final 1-row combines
-    "ts_autocorr_lag7" -> 1)             // 1-row moment reduction over
+    "ts_autocorr_lag7" -> 1,             // 1-row moment reduction over
                                          // the calendar-bounded pair series
+    "ts_spearman_rev_orders" -> 1)       // the two global rank windows over
+                                         // the calendar-bounded day frame
+                                         // (fused into one exchange; 1-row
+                                         // moment reduction rides it)
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */
