@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
  * compliance leg.
  *
  * Why file-targeted: an in-place full-table rewrite at 100 TB is both a
- * multi-hour job and a reader hazard. With [[BloomIndex]] sidecars on the
- * key column, the files a key set can possibly touch shrink to
- * ~`|keys| x fpp`-bounded candidates (hash-distributed keys defeat min/max
- * stats — the Bloom sidecar is exactly the skipping dimension that
- * survives; a [[Cluster]]/[[ZOrder]] range layout would let the same probe
- * use footer min/max instead). Untouched files are transferred with a raw
+ * multi-hour job and a reader hazard. Candidates are pruned by BOTH
+ * available indexes, each conservative so their intersection is safe:
+ * [[BloomIndex]] sidecars on the key column (hash-distributed keys defeat
+ * min/max stats — the Bloom sidecar is exactly the skipping dimension
+ * that survives) shrink the candidate set to ~`|keys| x fpp`-bounded
+ * files, and parquet FOOTER min/max covers [[Cluster]]/[[ZOrder]] range
+ * layouts with no sidecars at all (~1 admitted file per key when ranges
+ * are disjoint). Untouched files are transferred with a raw
  * byte copy — no decode/re-encode, no row-group rewrite, bitwise-equal
  * output (on S3 a server-side copy; on HDFS a block copy) — so the rewrite
  * cost scales with the AFFECTED fraction, not the table.
@@ -58,6 +60,46 @@ object Forget {
       BloomIndex.writeIndexed(df, dir, nFiles, keyCol, fpp)
     }
 
+  /** Publish `df` range-clustered on `keyCol` ([[Cluster]] layout, no
+    * sidecars): every file covers a disjoint key range, so [[purge]]
+    * prunes candidates from parquet FOOTER min/max alone — ~1 admitted
+    * file per key. */
+  def publishClustered(df: DataFrame, table: String, nFiles: Int,
+                       keyCol: String): Long =
+    Versioned.publishWith(df.sparkSession, table) { dir =>
+      Cluster.writeClustered(df, dir, nFiles, col(keyCol))
+    }
+
+  /** Does any row group of `file` have [min,max] admitting ANY of `keys`?
+    * Missing/absent stats admit (conservative, like a missing sidecar).
+    * One footer open per candidate file, driver-side and metadata-sized —
+    * a production deployment keeps the same stats in a manifest table
+    * (Delta/Iceberg style) and prunes without touching the files. */
+  private def rangeAdmitsAny(conf: org.apache.hadoop.conf.Configuration,
+                             file: Path, keyCol: String,
+                             keys: Seq[Long]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      r.getFooter.getBlocks.asScala.exists { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
+          case None => true
+          case Some(cc) =>
+            val st = cc.getStatistics
+            if (st == null || !st.hasNonNullValue) true
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                keys.exists(k => k >= mn && k <= mx)
+              case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                keys.exists(k => k >= mn.longValue && k <= mx.longValue)
+              case _ => true // unexpected physical type: admit
+            }
+        }
+      }
+    } finally r.close()
+  }
+
   /** Delete every row whose `keyCol` is in `keys`, rewriting only
     * Bloom-admitted files; returns the new live version (or the current
     * one unchanged when no file can contain any key — an idempotent
@@ -73,18 +115,29 @@ object Forget {
     val parts = f.listStatus(new Path(liveDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath)
-    val (affected, untouched) =
-      parts.partition(p => BloomIndex.mightContainAny(f, liveDir, p.getName, ks))
+    val conf = spark.sparkContext.hadoopConfiguration
+    // both prunes are conservative, so their INTERSECTION is safe: the
+    // Bloom sidecar carries hash-distributed layouts (min/max blind), the
+    // footer min/max carries range-clustered layouts (no sidecars needed);
+    // a file must be admitted by every available index to rewrite
+    val (affected, untouched) = parts.partition { p =>
+      BloomIndex.mightContainAny(f, liveDir, p.getName, ks) &&
+        rangeAdmitsAny(conf, p, keyCol, ks)
+    }
     if (affected.isEmpty) return live
 
-    val conf = spark.sparkContext.hadoopConfiguration
     Versioned.publishWith(spark, table) { newDir =>
       // 1. rewrite the affected files in ONE distributed job (Spark owns
-      //    the dir): anti-filter the key set, keep file granularity by
-      //    re-hashing into as many files as were affected
+      //    the dir): anti-filter the key set, keep file granularity with a
+      //    RANGE repartition + sort — restores [[Cluster]]'s disjoint
+      //    per-file ranges on the rewritten subset (rewritten rows stay
+      //    inside the affected files' ranges, so disjointness vs carried
+      //    files holds too) and is layout-neutral for hash-Bloom tables
+      //    (their sidecars are rebuilt below either way)
       spark.read.parquet(affected.map(_.toString): _*)
         .filter(!col(keyCol).isin(ks: _*))
-        .repartition(affected.size, col(keyCol))
+        .repartitionByRange(affected.size, col(keyCol))
+        .sortWithinPartitions(col(keyCol))
         .write.mode("overwrite").parquet(newDir)
       // 2. fresh sidecars for the rewritten files (only they exist in
       //    newDir at this point)

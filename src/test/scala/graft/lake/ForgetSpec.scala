@@ -89,6 +89,26 @@ class ForgetSpec extends SparkSpec {
     assert(df.filter($"k".isin(purgedKeys: _*)).isEmpty)
   }
 
+  test("range-clustered tables prune by footer min/max alone (no sidecars)") {
+    val t = s"$root/clustered"
+    val rows = (0L until 10000L).map(k => (k, s"payload-$k")).toDF("k", "v")
+    val v1 = Forget.publishClustered(rows, t, nFiles = 8, keyCol = "k")
+    assert(v1 == 1L)
+    assert(!Files.exists(Paths.get(s"$t/v=1/_bloom"))) // truly stats-only
+    val before = partSums(s"$t/v=1")
+    // two adjacent keys land in ONE range file: exactly one file rewrites
+    val v2 = Forget.purge(spark, t, "k", Seq(5L, 17L))
+    assert(v2 == 2L)
+    val after = partSums(s"$t/v=2")
+    val carried = after.keySet.intersect(before.keySet)
+    assert(carried.size == before.size - 1,
+      s"expected 1 rewrite of ${before.size}, carried ${carried.size}")
+    carried.foreach(n => assert(after(n) == before(n), s"$n changed bytes"))
+    val df = Versioned.read(spark, t)
+    assert(df.count() == 9998L)
+    assert(df.filter($"k".isin(5L, 17L)).isEmpty)
+  }
+
   test("purging keys the table never held is a bounded no-op") {
     val before = Versioned.currentVersion(spark, table()).get
     val v = Forget.purge(spark, table(), "k", Seq(77777777L))
