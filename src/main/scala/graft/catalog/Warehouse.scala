@@ -682,7 +682,81 @@ object Warehouse extends Family {
         .as("spearman_rho"))
   }
 
+  // ---------------------------------------------------------------------
+  // Mann-Kendall trend test on daily revenue — the nonparametric "is this
+  // metric actually trending" gate a monitoring pipeline runs before it
+  // alerts (no distribution assumed, outlier-immune, the standard test on
+  // environmental/ops series). S = Σ_{i<j} sign(rev_j − rev_i) over the
+  // day-ordered series is an exact int64 pair sum; the tie-corrected
+  // variance is carried as 18·Var (pure BIGINT: n(n−1)(2n+5) − Σtₖ(tₖ−1)
+  // (2tₖ+5)), and the continuity-corrected Z = (S∓1)/√(Var18/18) is a
+  // 3-step IEEE chain (÷18, √, ÷) on identical operands in both engines.
+  // NULL when the variance degenerates (all-tied series). Honest z≈1.66
+  // (no trend at 5%) on this stationary synthetic revenue.
+  //
+  // Scale shape: ONE orders aggregate to the calendar-bounded day grain;
+  // the i<j pair frame is a broadcast inequality self-join of that
+  // metadata-sized series with itself (n≈2.4k days → ~3M in-memory sign
+  // evaluations, calendar-bounded FOREVER — day grain does not grow with
+  // corpus size), folded map-side to one scalar; tie groups are
+  // value-cardinality-bounded.
+  private val mannKendall = Q(
+    "ts_mann_kendall_trend",
+    Some("""
+      WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+            AS rev
+        FROM orders GROUP BY 1),
+      p AS (SELECT CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1
+              ELSE 0 END AS sgn
+            FROM d a JOIN d b ON b.day > a.day),
+      s AS (SELECT CAST(COALESCE(SUM(sgn), 0) AS BIGINT) AS s_stat FROM p),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+      t AS (SELECT CAST(COALESCE(SUM(c*(c-1)*(2*c+5)), 0) AS BIGINT) AS tie_adj
+            FROM (SELECT COUNT(*) AS c FROM d GROUP BY rev
+                  HAVING COUNT(*) > 1)),
+      f AS (SELECT n.n, s.s_stat, n.n*(n.n-1)*(2*n.n+5) - t.tie_adj AS var18
+            FROM n CROSS JOIN s CROSS JOIN t)
+      SELECT n AS n_days, s_stat, var18 AS var_s_x18,
+        CASE WHEN var18 = 0 THEN NULL
+          WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+          ELSE 0.0 END AS z_score
+      FROM f
+    """)) { (spark, dir) =>
+    val d = Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(graft.ops.Exact.dec2(col("o_totalprice"))) * 100)
+        .cast("long").as("rev"))
+    val a = d.select(col("day").as("day_a"), col("rev").as("rev_a"))
+    val b = d.select(col("day").as("day_b"), col("rev").as("rev_b"))
+    val p = a.join(broadcast(b), col("day_b") > col("day_a"))
+      .select(when(col("rev_b") > col("rev_a"), 1L)
+        .when(col("rev_b") < col("rev_a"), -1L).otherwise(0L).as("sgn"))
+    val s = p.agg(coalesce(sum(col("sgn")), lit(0L)).as("s_stat"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val t = d.groupBy(col("rev")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(
+        sum(col("c") * (col("c") - 1) * (lit(2L) * col("c") + 5)),
+        lit(0L)).as("tie_adj"))
+    val var18 = col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+      col("tie_adj")
+    n.crossJoin(broadcast(s)).crossJoin(broadcast(t))
+      .select(col("n"), col("s_stat"), var18.as("var18"))
+      .select(col("n").as("n_days"), col("s_stat"),
+        col("var18").as("var_s_x18"),
+        when(col("var18") === 0, lit(null).cast("double"))
+          .when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0)))
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0)))
+          .otherwise(lit(0.0)).as("z_score"))
+  }
+
   override val specs: Seq[Q] =
     Seq(scd2, scd2AsOf, dq, basket, calendarFill, tsInterp, profile,
-      weekdaySeasonality, autocorrLag7, spearman)
+      weekdaySeasonality, autocorrLag7, spearman, mannKendall)
 }

@@ -48,7 +48,8 @@ object ScaleSweep {
     "profile_user_diversity", "search_known_item_rank",
     "train_target_encode_loo", "train_hashed_features",
     "dedup_source_overlap_kmv", "ts_autocorr_lag7",
-    "ts_spearman_rev_orders", "sessionize_session_window")
+    "ts_spearman_rev_orders", "sessionize_session_window",
+    "ts_mann_kendall_trend")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,

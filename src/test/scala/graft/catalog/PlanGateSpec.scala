@@ -57,6 +57,11 @@ class PlanGateSpec extends SparkSpec {
     "corpus_mix" -> 1,            // broadcast 1-row corpus grand total
     "drift_event_mix_chi2" -> 2,  // 1-row day span + 1-row half totals
     "dedup_semdedup" -> 1,        // broadcast centroid set (k rows)
+    "ts_mann_kendall_trend" -> 3, // i<j inequality self-join of the
+                                  // CALENDAR-BOUNDED day series (~2.4k
+                                  // rows broadcast; never corpus-sized)
+                                  // + two 1-row scalar crossJoins (S,
+                                  // tie_adj)
     "profile_price_histogram" -> 1, // broadcast 1-row min/max span
     "rfm_segments" -> 3,          // as-of date frame + R/F/M quantile frames
     "search_bm25_topk" -> 1,      // broadcast 1-row (A, N) corpus totals
@@ -150,10 +155,13 @@ class PlanGateSpec extends SparkSpec {
                                          // final 1-row combines
     "ts_autocorr_lag7" -> 1,             // 1-row moment reduction over
                                          // the calendar-bounded pair series
-    "ts_spearman_rev_orders" -> 1)       // the two global rank windows over
+    "ts_spearman_rev_orders" -> 1,       // the two global rank windows over
                                          // the calendar-bounded day frame
                                          // (fused into one exchange; 1-row
                                          // moment reduction rides it)
+    "ts_mann_kendall_trend" -> 3)        // 1-row S / n / tie_adj scalar
+                                         // finalizes, all over the
+                                         // calendar-bounded day frame
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */

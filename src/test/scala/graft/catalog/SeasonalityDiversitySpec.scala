@@ -96,6 +96,32 @@ class SeasonalityDiversitySpec extends SparkSpec {
     assert(math.abs(expect) <= 1.0)
   }
 
+  test("ts_mann_kendall_trend equals the brute pairwise statistic") {
+    val series = Tables.load(spark, sf001, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(graft.ops.Exact.dec2(col("o_totalprice"))) * 100)
+        .cast("long").as("rev"))
+      .as[(java.sql.Date, Long)].collect()
+      .sortBy(_._1.toLocalDate.toEpochDay).map(_._2)
+    val n = series.length.toLong
+    var s = 0L
+    for (i <- series.indices; j <- (i + 1) until series.length)
+      s += java.lang.Long.signum(series(j) - series(i))
+    val tieAdj = series.groupBy(identity).values.map(_.length.toLong)
+      .filter(_ > 1).map(c => c * (c - 1) * (2 * c + 5)).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - tieAdj
+    val z =
+      if (var18 == 0) null
+      else if (s > 0) (s - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+      else if (s < 0) (s + 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+      else 0.0
+    val row = q("ts_mann_kendall_trend").head
+    assert(row.getAs[Long]("n_days") == n)
+    assert(row.getAs[Long]("s_stat") == s)
+    assert(row.getAs[Long]("var_s_x18") == var18)
+    assert(row.getAs[Double]("z_score") == z)
+  }
+
   test("profile_user_diversity equals the literal Gini-Simpson formula") {
     val evs = Tables.events(spark, sf001)
       .selectExpr("user_id", "event_type").as[(Long, String)].collect()
