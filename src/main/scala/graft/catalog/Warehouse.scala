@@ -756,7 +756,67 @@ object Warehouse extends Family {
           .otherwise(lit(0.0)).as("z_score"))
   }
 
+  // ---------------------------------------------------------------------
+  // CUSUM changepoint on daily revenue — WHERE the level shifted, the
+  // question downstream of ts_mann_kendall_trend's "is it shifting at
+  // all" (the classic offline CUSUM location estimate: the k maximizing
+  // |Σ_{i≤k}(rev_i − mean)|). Kept EXACT by scaling out the division:
+  // S_k = n·cum_k − k·T is n times the mean-centered cumulative sum, pure
+  // BIGINT (n·cum ≤ days × total-cents ≈ 6.5e13 at sf0.1 — rescale to the
+  // autocorr kilodollar dial for corpora within 2⁵³/days of total cents).
+  // Ties break to the earliest day, so the answer is unique and
+  // engine-independent; no IEEE anywhere in this query.
+  // Scale shape: one orders aggregate to the calendar-bounded day grain,
+  // one cumsum window + one argmax window over that metadata-sized frame,
+  // a 1-row totals broadcast. Honest result on this stationary synthetic:
+  // the argmax is genuine but the excursion is random-walk-sized.
+  private val cusum = Q(
+    "ts_cusum_changepoint",
+    Some("""
+      WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+            AS rev
+        FROM orders GROUP BY 1),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(rev) AS BIGINT) AS tot FROM d),
+      c AS (SELECT day, rev,
+              CAST(SUM(rev) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+            FROM d),
+      s AS (SELECT c.day, c.k, t.n,
+              CAST(t.n * c.cum - c.k * t.tot AS BIGINT) AS s_k
+            FROM c CROSS JOIN t),
+      r AS (SELECT *, row_number() OVER (ORDER BY abs(s_k) DESC, day) AS rn
+            FROM s)
+      SELECT n AS n_days, day AS change_day, k AS change_k,
+        s_k AS s_scaled, abs(s_k) AS s_abs
+      FROM r WHERE rn = 1
+    """)) { (spark, dir) =>
+    val d = Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(graft.ops.Exact.dec2(col("o_totalprice"))) * 100)
+        .cast("long").as("rev"))
+    val t = d.agg(count(lit(1)).as("n"), sum(col("rev")).as("tot"))
+    val byDay = Window.orderBy(col("day"))
+    val c = d.select(col("day"),
+      sum(col("rev")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"),
+      row_number().over(byDay).cast("long").as("k"))
+    val s = c.crossJoin(broadcast(t))
+      .select(col("day"), col("k"), col("n"),
+        (col("n") * col("cum") - col("k") * col("tot")).as("s_k"))
+    s.withColumn("rn", row_number().over(
+        Window.orderBy(abs(col("s_k")).desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("n").as("n_days"), col("day").as("change_day"),
+        col("k").as("change_k"), col("s_k").as("s_scaled"),
+        abs(col("s_k")).as("s_abs"))
+  }
+
   override val specs: Seq[Q] =
     Seq(scd2, scd2AsOf, dq, basket, calendarFill, tsInterp, profile,
-      weekdaySeasonality, autocorrLag7, spearman, mannKendall)
+      weekdaySeasonality, autocorrLag7, spearman, mannKendall, cusum)
 }

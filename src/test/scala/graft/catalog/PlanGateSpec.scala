@@ -62,6 +62,7 @@ class PlanGateSpec extends SparkSpec {
                                   // rows broadcast; never corpus-sized)
                                   // + two 1-row scalar crossJoins (S,
                                   // tie_adj)
+    "ts_cusum_changepoint" -> 1,  // broadcast 1-row (n, tot) totals frame
     "profile_price_histogram" -> 1, // broadcast 1-row min/max span
     "rfm_segments" -> 3,          // as-of date frame + R/F/M quantile frames
     "search_bm25_topk" -> 1,      // broadcast 1-row (A, N) corpus totals
@@ -159,9 +160,12 @@ class PlanGateSpec extends SparkSpec {
                                          // the calendar-bounded day frame
                                          // (fused into one exchange; 1-row
                                          // moment reduction rides it)
-    "ts_mann_kendall_trend" -> 3)        // 1-row S / n / tie_adj scalar
+    "ts_mann_kendall_trend" -> 3,        // 1-row S / n / tie_adj scalar
                                          // finalizes, all over the
                                          // calendar-bounded day frame
+    "ts_cusum_changepoint" -> 3)         // cumsum + argmax windows over
+                                         // the calendar-bounded day frame
+                                         // + 1-row totals finalize
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */

@@ -122,6 +122,31 @@ class SeasonalityDiversitySpec extends SparkSpec {
     assert(row.getAs[Double]("z_score") == z)
   }
 
+  test("ts_cusum_changepoint equals the brute scaled-CUSUM argmax") {
+    val rows = Tables.load(spark, sf001, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(graft.ops.Exact.dec2(col("o_totalprice"))) * 100)
+        .cast("long").as("rev"))
+      .as[(java.sql.Date, Long)].collect()
+      .sortBy(_._1.toLocalDate.toEpochDay)
+    val n = rows.length.toLong
+    val tot = rows.map(_._2).sum
+    var cum = 0L
+    var best: (java.sql.Date, Long, Long) = null
+    rows.zipWithIndex.foreach { case ((day, rev), i) =>
+      cum += rev
+      val s = n * cum - (i + 1).toLong * tot
+      if (best == null || math.abs(s) > math.abs(best._3))
+        best = (day, (i + 1).toLong, s) // strict > = earliest-day tiebreak
+    }
+    val row = q("ts_cusum_changepoint").head
+    assert(row.getAs[Long]("n_days") == n)
+    assert(row.getAs[java.sql.Date]("change_day") == best._1)
+    assert(row.getAs[Long]("change_k") == best._2)
+    assert(row.getAs[Long]("s_scaled") == best._3)
+    assert(row.getAs[Long]("s_abs") == math.abs(best._3))
+  }
+
   test("profile_user_diversity equals the literal Gini-Simpson formula") {
     val evs = Tables.events(spark, sf001)
       .selectExpr("user_id", "event_type").as[(Long, String)].collect()
