@@ -109,6 +109,29 @@ class ForgetSpec extends SparkSpec {
     assert(df.filter($"k".isin(5L, 17L)).isEmpty)
   }
 
+  test("purging every row of a file (and of the whole table) stays readable") {
+    val t = s"$root/drain"
+    val rows = (0L until 100L).map(k => (k, s"payload-$k")).toDF("k", "v")
+    Forget.publishClustered(rows, t, nFiles = 2, keyCol = "k")
+    val before = partSums(s"$t/v=1")
+    // range file 1 covers the low half: purging all of 0..49 empties it
+    val v2 = Forget.purge(spark, t, "k", (0L until 50L).toSeq)
+    assert(v2 == 2L)
+    val after = Versioned.read(spark, t)
+    assert(after.count() == 50L)
+    assert(after.agg(org.apache.spark.sql.functions.min($"k"))
+      .head().getLong(0) == 50L)
+    // the untouched upper-range file carried byte-identically
+    val carried = partSums(s"$t/v=2").keySet.intersect(before.keySet)
+    assert(carried.nonEmpty)
+    // and purging EVERYTHING still publishes a readable empty snapshot
+    val v3 = Forget.purge(spark, t, "k", (50L until 100L).toSeq)
+    assert(v3 == 3L)
+    val empty = Versioned.read(spark, t)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("k", "v")) // schema survives
+  }
+
   test("purging keys the table never held is a bounded no-op") {
     val before = Versioned.currentVersion(spark, table()).get
     val v = Forget.purge(spark, table(), "k", Seq(77777777L))
