@@ -574,6 +574,147 @@ object Vectors extends Family {
     pqEncodeScoreRerank(spark, dir, cb)
   }
 
+  // IVF × PQ COMPOSED — the actual 100 TB ANN deployment shape: IVF
+  // prunes WHAT to scan (probe the query's nearest coarse centroid, touch
+  // only that cluster's rows — the same label-centroid coarse index as
+  // ann_cosine_topk_ivf), PQ shrinks what each scanned row COSTS (ADC
+  // against the committed fixtures/pq codebooks — the same artifact as
+  // ann_cosine_topk_pq), exact re-rank restores true-cosine order on the
+  // short list. The separate IVF and PQ rows gate each arm; this row
+  // hash-gates their composition, because the two prunes interact (the
+  // ADC candidate pool is the probed cluster, so top-40 membership — and
+  // therefore the re-ranked answer — differs from both parents).
+  //
+  // Scale split: codes/recon are the OFFLINE index build (corpus-linear,
+  // amortized over every query batch); per-query work is the probed
+  // cluster's rows only — ~1/n_clusters of the corpus — each costing an
+  // ADC dot against the 64-dim reconstruction instead of a raw scan, and
+  // only `rerank` rows pay the exact full-width cosine. Centroids and the
+  // 256-row codebook broadcast; candidates cut by the salted topK.
+  private val ivfPq = Q(
+    "ann_ivf_pq",
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, emb,
+              sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      u AS (SELECT vec_id, label, emb, nrm,
+              list_transform(emb, x -> x / nrm) AS emb_d FROM n),
+      cb AS (SELECT CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code, sub
+             FROM read_parquet('/root/repo/fixtures/pq/codebooks/*.parquet')),
+      mm AS (SELECT unnest(generate_series(0, 7)) AS m),
+      sv AS (SELECT u.vec_id, CAST(mm.m AS BIGINT) AS m,
+               list_slice(u.emb_d, mm.m * 8 + 1, mm.m * 8 + 8) AS subv
+             FROM u, mm),
+      dist AS (
+        SELECT sv.vec_id, sv.m, cb.code,
+          round(list_sum(list_transform(generate_series(1, 8),
+            i -> (sv.subv[i] - cb.sub[i]) * (sv.subv[i] - cb.sub[i]))), 6) AS d
+        FROM sv JOIN cb ON cb.m = sv.m),
+      codes AS (
+        SELECT vec_id, m, code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY d ASC, code ASC) AS rn FROM dist) WHERE rn = 1),
+      recon AS (
+        SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.m)) AS recon
+        FROM codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+        GROUP BY c.vec_id),
+      ex AS (SELECT vec_id, label, unnest(emb) AS v,
+               generate_subscripts(emb, 1) AS pos FROM e),
+      cent AS (SELECT label, pos, round(avg(v), 6) AS cv
+               FROM ex GROUP BY label, pos),
+      cl AS (SELECT label, list(cv ORDER BY pos) AS cemb FROM cent GROUP BY label),
+      q AS (SELECT vec_id AS q_id, emb AS q_emb_raw, emb_d AS q_emb, nrm AS q_nrm
+            FROM u WHERE vec_id < 5),
+      qc AS (
+        SELECT q.q_id, q.q_emb, cl.label,
+          round(list_dot_product(q.q_emb_raw, cl.cemb)
+            / (q.q_nrm * sqrt(list_dot_product(cl.cemb, cl.cemb))), 6) AS ccos
+        FROM q, cl),
+      best AS (
+        SELECT q_id, q_emb, label FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY ccos DESC, label) AS rn FROM qc) WHERE rn = 1),
+      approx AS (
+        SELECT b.q_id, r.vec_id,
+          round(list_dot_product(b.q_emb, r.recon), 6) AS approx
+        FROM best b
+        JOIN u ON u.label = b.label AND u.vec_id <> b.q_id
+        JOIN recon r ON r.vec_id = u.vec_id),
+      cand AS (
+        SELECT q_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY approx DESC, vec_id) AS rn FROM approx) WHERE rn <= 40),
+      exact AS (
+        SELECT c.q_id, c.vec_id,
+          round(list_dot_product(qq.emb, v.emb) / (qq.nrm * v.nrm), 4) AS cos_sim
+        FROM cand c JOIN n v ON v.vec_id = c.vec_id
+        JOIN n qq ON qq.vec_id = c.q_id)
+      SELECT q_id, vec_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cos_sim DESC, vec_id) AS rn FROM exact) WHERE rn <= 10
+      ORDER BY q_id, rn
+    """)) { (spark, dir) =>
+    val m = 8; val subDim = 8
+    val u = embUnit(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("emb_d"))
+    val cb = spark.read.parquet(s"${fixDir()}/codebooks")
+      .select(col("m").cast("long").as("m"),
+        col("code").cast("long").as("code"), col("sub"))
+    // offline index build: per-subspace argmin codes -> reconstructions,
+    // label carried for the cluster-pruned scan
+    val ms = explode(sequence(lit(0), lit(m - 1))).as("m")
+    val sv = u.select(col("vec_id"), ms, col("emb_d"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        slice(col("emb_d"), col("m") * subDim + 1, lit(subDim)).as("subv"))
+    val codes = sv.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), struct(
+        round(aggregate(zip_with(col("subv"), col("sub"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z), 6).as("d"),
+        col("code")).as("dc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("dc")).getField("code").as("code"))
+    val recon = codes.join(broadcast(cb), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("sub")))),
+        x => x.getField("sub"))).as("recon"))
+      .join(u.select(col("vec_id"), col("label")), Seq("vec_id"))
+    // probe: the query's nearest coarse centroid (ann_cosine_topk_ivf's
+    // exact rule — raw-space cosine against the label centroids)
+    val cent = sharedCentroids(spark, dir)
+    val q = u.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb_raw"),
+        col("emb_d").as("q_emb"), col("nrm").as("q_nrm"))
+    val best = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("label"),
+        VectorOps.cosinePre(col("q_emb_raw"), col("cemb"),
+          col("q_nrm"), col("c_nrm"), scale = 6).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("q_emb"), col("label"))
+    // ADC over ONLY the probed cluster's reconstructions
+    val approx = recon.join(broadcast(best), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.dot(col("q_emb"), col("recon")), 6).as("approx"))
+    val cand = VectorOps.topK(approx, "q_id", "vec_id", "approx", k = 40)
+      .select(col("q_id"), col("vec_id"))
+    val e = embN(spark, dir).select(col("vec_id"), col("embedding"), col("nrm"))
+    val qn = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qq_emb"),
+        col("nrm").as("qq_nrm")))
+    val exact = cand.join(e, Seq("vec_id")).join(qn, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosinePre(col("qq_emb"), col("embedding"),
+          col("qq_nrm"), col("nrm")).as("cos_sim"))
+    VectorOps.topK(exact, "q_id", "vec_id", "cos_sim", k = 10)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   // PQ SCORING STAGE over a committed index fixture — the driver-visible
   // twin of ann_cosine_topk_pq. Training (iterative k-means argmin) cannot
   // cross engines, but scoring a SHIPPED index is deterministic given fixed
@@ -877,6 +1018,6 @@ object Vectors extends Family {
   }
 
   override val specs: Seq[Q] =
-    Seq(brute, ivf, ivf2, assign, nearDup, nearDupScaled, recall, pq, pqScore,
-      pqSeeded, semdedup, signRp, signRpRecall, knnClassify)
+    Seq(brute, ivf, ivf2, assign, nearDup, nearDupScaled, recall, pq, ivfPq,
+      pqScore, pqSeeded, semdedup, signRp, signRpRecall, knnClassify)
 }

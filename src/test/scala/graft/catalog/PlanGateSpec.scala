@@ -41,6 +41,8 @@ class PlanGateSpec extends SparkSpec {
     "ann_cosine_topk_ivf" -> 1,   // broadcast query batch
     "ann_cosine_topk_ivf2" -> 1,  // broadcast query batch
     "ann_cosine_topk_pq" -> 1,    // broadcast query-id frame (ADC scan)
+    "ann_ivf_pq" -> 1,            // broadcast centroid probe (query x
+                                  // label-centroid cross, both tiny)
     "ann_pq_score_fixture" -> 1,  // broadcast fixture query batch (5 rows)
     "ann_pq_seeded" -> 1,         // broadcast query batch (5 rows, ADC scan)
     "ann_signrp_topk" -> 1,       // broadcast query batch (5 projected rows)
