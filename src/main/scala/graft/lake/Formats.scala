@@ -22,11 +22,14 @@ import org.apache.spark.sql.types.StructType
  * Format notes: JSON round-trips nested/array columns (embeddings,
  * media metadata); CSV is for FLAT tables only (arrays/structs/binary have
  * no portable CSV encoding — callers get an explicit error, not a mangled
- * column).
+ * column); ORC is the second columnar citizen (nested types, predicate
+ * pushdown, min/max + optional bloom stats like parquet — lakes migrating
+ * from Hive commonly arrive on it), read through the same
+ * explicit-schema discipline.
  */
 object Formats {
 
-  val supported: Set[String] = Set("parquet", "json", "csv")
+  val supported: Set[String] = Set("parquet", "orc", "json", "csv")
 
   private def flatOnly(schema: StructType, format: String): Unit =
     if (format == "csv") {
@@ -46,6 +49,7 @@ object Formats {
     flatOnly(schema, format)
     format match {
       case "parquet" => spark.read.schema(schema).parquet(path)
+      case "orc" => spark.read.schema(schema).orc(path)
       case "json" => spark.read.schema(schema)
         .option("mode", "FAILFAST")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
@@ -122,6 +126,7 @@ object Formats {
     val w = df.write.mode("overwrite")
     format match {
       case "parquet" => w.parquet(path)
+      case "orc" => w.orc(path)
       case "json" => w
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
         .json(path)

@@ -36,6 +36,27 @@ class FormatsSpec extends SparkSpec {
     assert(e.getMessage.contains("embedding"))
   }
 
+  test("orc round-trips value-identical, nested arrays included") {
+    val orders = Tables.load(spark, sf001, "orders")
+    assertSame(orders, roundTrip(orders, "orc"))
+    val docs = Tables.documents(spark, sf001)
+    assertSame(docs, roundTrip(docs, "orc"))
+    // the columnar formats must agree with each other bit-for-bit too
+    val emb = Tables.embeddings(spark, sf001)
+    assertSame(roundTrip(emb, "orc"), roundTrip(emb, "parquet"))
+  }
+
+  test("orc reads push filters down like parquet (pruned scan)") {
+    val dir = Files.createTempDirectory("graft-fmt-orcpd").toString + "/t"
+    Formats.write(Tables.load(spark, sf001, "orders"), dir, "orc")
+    val schema = Tables.load(spark, sf001, "orders").schema
+    val plan = Formats.read(spark, dir, "orc", schema)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)"),
+      s"no pushed filter in:\n$plan")
+  }
+
   test("a corrupt json line fails the read loudly instead of null-filling") {
     import java.nio.charset.StandardCharsets
     val dir = Files.createTempDirectory("graft-fmt-bad").toString
