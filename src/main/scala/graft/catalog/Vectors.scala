@@ -455,43 +455,40 @@ object Vectors extends Family {
       .orderBy(col("vec_id"))
   }
 
-  // Shared PQ deployment pipeline given a codebook frame (m BIGINT,
-  // code BIGINT, sub ARRAY<DOUBLE>[subDim]): per-subspace L2-argmin encode
+  /** Collect a (m, code, sub) codebook frame into `cents(m)(code)(subDim)`
+    * — M·K rows, kilobytes; the driver-side shape [[graft.functions.PqRecon]]
+    * bakes into the plan. */
+  private def collectCents(cb: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = cb.select(col("m").cast("int"), col("code").cast("int"),
+      col("sub")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val out = Array.ofDim[Array[Double]](m, k)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    require(out.forall(_.forall(_ != null)), "codebook frame has holes")
+    out
+  }
+
+  // Shared PQ deployment pipeline given driver-collected codebooks
+  // cents(m)(code)(subDim): per-subspace L2-argmin encode + reconstruction
   // of the LIVE corpus, ADC approximate scoring, exact re-rank to top-10.
-  // Engine-parity choices (shared by both consumers and pinned by their
+  // Engine-parity choices (shared by all consumers and pinned by their
   // oracles): the argmin distance is round(Σ(x-y)², 6) — a sequential
-  // 8-element fold on both engines, ties to the lowest code (the codesOf
-  // strict-< rule) via lexicographic min(struct(d, code)); the ADC score is
-  // ONE 64-dim dot against the concatenated reconstruction (numerically
+  // 8-element fold on both engines, ties to the lowest code; the ADC score
+  // is ONE 64-dim dot against the concatenated reconstruction (numerically
   // identical to the per-subspace LUT sum because subspaces are contiguous).
-  // Scale shape: the codebook (M·K rows, kilobytes) broadcasts; encode is a
-  // map-side argmin folded to a hash agg (no window over the corpus);
-  // candidates are cut by the salted topK; only `rerank` rows per query pay
-  // the exact full-dim dot.
+  // Scale shape: encode+recon is the ZERO-SHUFFLE pq_recon codegen kernel
+  // fused into the scan (round 12 — it replaced an explode(M) →
+  // broadcast-join → min(struct) hash aggregate that exchanged n×M rows;
+  // PqReconSpec pins the kernel bitwise to that formulation); candidates
+  // are cut by the salted topK; only `rerank` rows per query pay the exact
+  // full-dim dot.
   private def pqEncodeScoreRerank(spark: SparkSession, dir: String,
-                                  cb: DataFrame): DataFrame = {
-    val m = 8; val subDim = 8
+                                  cents: Array[Array[Array[Double]]]): DataFrame = {
     val u = embUnit(spark, dir)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("emb_d"))
-    val ms = explode(sequence(lit(0), lit(m - 1))).as("m")
-    val sv = u.select(col("vec_id"), ms, col("emb_d"))
-      .select(col("vec_id"), col("m").cast("long").as("m"),
-        slice(col("emb_d"), col("m") * subDim + 1, lit(subDim)).as("subv"))
-    // argmin as a lexicographic min(struct) hash agg — no corpus-wide
-    // window; ties to the lowest code, matching codesOf's strict <
-    val codes = sv.join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), struct(
-        round(aggregate(zip_with(col("subv"), col("sub"),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, z) => acc + z), 6).as("d"),
-        col("code")).as("dc"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(col("dc")).getField("code").as("code"))
-    val recon = codes.join(broadcast(cb), Seq("m", "code"))
-      .groupBy(col("vec_id"))
-      .agg(flatten(transform(
-        sort_array(collect_list(struct(col("m"), col("sub")))),
-        x => x.getField("sub"))).as("recon"))
+    val recon = u.select(col("vec_id"),
+      graft.functions.pq_recon(col("emb_d"), cents).as("recon"))
     val qs = u.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb_d").as("q_emb"))
     val approx = recon.crossJoin(broadcast(qs))
@@ -568,10 +565,8 @@ object Vectors extends Family {
           ORDER BY cos_sim DESC, vec_id) AS rn FROM exact) WHERE rn <= 10
       ORDER BY q_id, rn
     """)) { (spark, dir) =>
-    val cb = spark.read.parquet(s"${fixDir()}/codebooks")
-      .select(col("m").cast("long").as("m"),
-        col("code").cast("long").as("code"), col("sub"))
-    pqEncodeScoreRerank(spark, dir, cb)
+    val cents = collectCents(spark.read.parquet(s"${fixDir()}/codebooks"))
+    pqEncodeScoreRerank(spark, dir, cents)
   }
 
   // IVF × PQ COMPOSED — the actual 100 TB ANN deployment shape: IVF
@@ -655,33 +650,14 @@ object Vectors extends Family {
           ORDER BY cos_sim DESC, vec_id) AS rn FROM exact) WHERE rn <= 10
       ORDER BY q_id, rn
     """)) { (spark, dir) =>
-    val m = 8; val subDim = 8
     val u = embUnit(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
         col("emb_d"))
-    val cb = spark.read.parquet(s"${fixDir()}/codebooks")
-      .select(col("m").cast("long").as("m"),
-        col("code").cast("long").as("code"), col("sub"))
-    // offline index build: per-subspace argmin codes -> reconstructions,
-    // label carried for the cluster-pruned scan
-    val ms = explode(sequence(lit(0), lit(m - 1))).as("m")
-    val sv = u.select(col("vec_id"), ms, col("emb_d"))
-      .select(col("vec_id"), col("m").cast("long").as("m"),
-        slice(col("emb_d"), col("m") * subDim + 1, lit(subDim)).as("subv"))
-    val codes = sv.join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), struct(
-        round(aggregate(zip_with(col("subv"), col("sub"),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, z) => acc + z), 6).as("d"),
-        col("code")).as("dc"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(col("dc")).getField("code").as("code"))
-    val recon = codes.join(broadcast(cb), Seq("m", "code"))
-      .groupBy(col("vec_id"))
-      .agg(flatten(transform(
-        sort_array(collect_list(struct(col("m"), col("sub")))),
-        x => x.getField("sub"))).as("recon"))
-      .join(u.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val cents = collectCents(spark.read.parquet(s"${fixDir()}/codebooks"))
+    // offline index build: the zero-shuffle pq_recon kernel, label carried
+    // for the cluster-pruned scan — one map-only projection of the corpus
+    val recon = u.select(col("vec_id"), col("label"),
+      graft.functions.pq_recon(col("emb_d"), cents).as("recon"))
     // probe: the query's nearest coarse centroid (ann_cosine_topk_ivf's
     // exact rule — raw-space cosine against the label centroids)
     val cent = sharedCentroids(spark, dir)
@@ -861,16 +837,16 @@ object Vectors extends Family {
     val m = 8; val k = 32; val subDim = 8
     val u = embUnit(spark, dir)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("emb_d"))
+    // seeds: the K corpus vectors with the lowest md5(vec_id) — a K-row
+    // collect (metadata-sized, PqIndex.train's own discipline), sliced
+    // into the (m)(k)(subDim) shape the kernel bakes into the plan
     val seeds = u
       .select(col("emb_d"), md5(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h")).limit(k)
-      .withColumn("code",
-        (row_number().over(Window.orderBy(col("h"))) - 1).cast("long"))
-    val ms = explode(sequence(lit(0), lit(m - 1))).as("m")
-    val cb = seeds.select(col("code"), ms, col("emb_d"))
-      .select(col("m").cast("long").as("m"), col("code"),
-        slice(col("emb_d"), col("m") * subDim + 1, lit(subDim)).as("sub"))
-    pqEncodeScoreRerank(spark, dir, cb)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cents = Array.tabulate(m, k)((mi, ki) =>
+      seeds(ki).slice(mi * subDim, (mi + 1) * subDim))
+    pqEncodeScoreRerank(spark, dir, cents)
   }
 
   // ---------------------------------------------------------------------

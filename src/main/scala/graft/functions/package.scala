@@ -54,4 +54,10 @@ package object functions {
     * in the fixed left-to-right order the DuckDB oracle replays. */
   def sign_rp_project(emb: Column, rpDims: Int, srcDims: Int = 64): Column =
     bridge.toColumn(SignRpProject(bridge.toExpression(emb), rpDims, srcDims))
+
+  /** PQ reconstruction of a unit embedding against plan-baked codebooks
+    * (`cents(m)(k)(subDim)`): per-subspace L2-argmin, winning codewords
+    * concatenated — the zero-shuffle encode+recon kernel. */
+  def pq_recon(emb: Column, cents: Array[Array[Array[Double]]]): Column =
+    bridge.toColumn(PqRecon(bridge.toExpression(emb), cents))
 }
