@@ -183,15 +183,19 @@ object Bench {
     // (>1 s best) still carried the spread, or sustained neighbor load is
     // visible in loadavg. Sub-second cells routinely spread >2x from JIT /
     // cache warmth on a perfectly idle box (measured 10 such cells, all
-    // <0.5 s) — warning on those is crying wolf. The loadavg branch is
-    // additionally gated on cpuTotal > wall: loadavg counts D-state
-    // (uninterruptible I/O) tasks, so an idle-CPU I/O-bound run can show
-    // loadavg >> own-cpu with nothing competing for cores; only when this
-    // process actually ran multi-core (cpu-seconds exceeding elapsed wall)
-    // can neighbor load have displaced measured work.
+    // <0.5 s) — warning on those is crying wolf. The loadavg branch fires
+    // when EITHER (a) this process actually ran multi-core (cpuTotal >
+    // wall, so neighbor load can have displaced measured work) OR (b) the
+    // neighbor load was SUSTAINED — visible at both the start and end
+    // loadavg samples — which also covers the oversubscribed-box case
+    // where displacement itself keeps cpuTotal under wall. What stays
+    // gated out is the single-sample D-state mirage: loadavg counts
+    // uninterruptible-I/O tasks, so one elevated end-sample on an
+    // idle-CPU I/O-bound run proves nothing.
     val escalatedBig = results0.collect { case (n, w, _, _, false, true) if w > 1.0 => n }
-    if (escalatedCells.nonEmpty &&
-        (escalatedBig.nonEmpty || (externalLoad > 2.0 && cpuTotal > wall)))
+    val sustainedExternal = externalLoad > 2.0 &&
+      (cpuTotal > wall || load0 - cpuTotal / wall > 2.0)
+    if (escalatedCells.nonEmpty && (escalatedBig.nonEmpty || sustainedExternal))
       System.err.println(f"[bench] CONTENTION WARNING: ${escalatedCells.size} " +
         "cell(s) had >2x pass spread and were auto-escalated to an extra " +
         "pass (budget-relevant: " +

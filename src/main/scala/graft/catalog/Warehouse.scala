@@ -625,8 +625,11 @@ object Warehouse extends Family {
   // variance; report a deliberate NULL (the eval_auc_rank discipline).
   // Scale shape: one orders aggregate to the calendar-bounded day grain
   // (map-side combinable), two rank windows over that metadata-sized
-  // frame, a 1-row moment reduction. Doubled ranks are ≤ 2n, so Σ(rx2²)
-  // ≤ 4n³ — int64-safe to ~1e6 days (a 2,700-year calendar).
+  // frame, a 1-row moment reduction. Doubled ranks are ≤ 2n, so the
+  // binding terms are the rho-numerator products n·sxx and sx·sx, each
+  // ≤ 4n⁴ — int64-safe to n ≈ 3.9e4 days (a 107-year daily calendar;
+  // past that DuckDB raises BIGINT overflow while Spark wraps, so the
+  // day-grain bound is a hard contract, not a nicety).
   private val spearman = Q(
     "ts_spearman_rev_orders",
     Some("""

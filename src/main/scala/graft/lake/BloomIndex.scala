@@ -69,8 +69,12 @@ object BloomIndex {
         .count(s => s.isFile && s.getPath.getName.startsWith("part-")))
     val expected = math.max(1000L, written.count() / nFiles * 2)
     import spark.implicits._
+    // NULL keys are excluded from the filters (a Long key probe can never
+    // name them); a file of ONLY null keys then has no sidecar, and a
+    // missing sidecar admits — conservative either way
     val perFile = written
       .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
+      .where(col("k").isNotNull)
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (f, it) =>

@@ -129,13 +129,18 @@ object Forget {
     Versioned.publishWith(spark, table) { newDir =>
       // 1. rewrite the affected files in ONE distributed job (Spark owns
       //    the dir): anti-filter the key set, keep file granularity with a
-      //    RANGE repartition + sort — restores [[Cluster]]'s disjoint
-      //    per-file ranges on the rewritten subset (rewritten rows stay
-      //    inside the affected files' ranges, so disjointness vs carried
-      //    files holds too) and is layout-neutral for hash-Bloom tables
-      //    (their sidecars are rebuilt below either way)
+      //    RANGE repartition + sort — restores sorted, mostly-disjoint
+      //    per-file ranges on the rewritten subset (boundaries are
+      //    sample-derived, so a rewritten file's [min,max] can straddle a
+      //    carried file's range; footer pruning stays conservative either
+      //    way, it just admits the occasional extra file on a later purge)
+      //    and is layout-neutral for hash-Bloom tables (their sidecars are
+      //    rebuilt below either way).
+      //    NULL-key guard: `!isin` is NULL for NULL keys and filter drops
+      //    NULL predicates — without the isNull arm, rows the deletion
+      //    request never named would vanish from rewritten files
       spark.read.parquet(affected.map(_.toString): _*)
-        .filter(!col(keyCol).isin(ks: _*))
+        .filter(col(keyCol).isNull || !col(keyCol).isin(ks: _*))
         .repartitionByRange(affected.size, col(keyCol))
         .sortWithinPartitions(col(keyCol))
         .write.mode("overwrite").parquet(newDir)

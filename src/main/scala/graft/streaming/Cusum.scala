@@ -8,8 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One observation of a monitored metric (e.g. a day's revenue cents). */
 final case class MetricPoint(metric: String, ts: Timestamp, value: Long)
 
-/** Two one-sided CUSUM accumulators + points since the last reset. */
-final case class CusumState(sp: Long, sn: Long, n: Long)
+/** Two one-sided CUSUM accumulators + points since the last reset;
+  * `lastMs` is the newest event time ever folded, carried so a micro-batch
+  * of watermark-admissible LATE stragglers cannot rewind the idle-eviction
+  * horizon (same discipline as [[Scoreboard]]'s `ScoreState.lastMs`). */
+final case class CusumState(sp: Long, sn: Long, n: Long, lastMs: Long = 0L)
 
 /** A change alarm: the metric drifted `side` ("up"/"down") of the
   * reference mean; `stat` is the accumulated evidence at crossing,
@@ -89,13 +92,14 @@ object Cusum {
           else {
             val prev = state.getOption.getOrElse(CusumState(0L, 0L, 0L))
             val ordered = batch.toSeq.sortBy(p => (p.ts.getTime, p.value))
-            val (next, alarms) =
+            val (folded, alarms) =
               fold(prev.sp, prev.sn, prev.n, ordered, mu0, slack, threshold)
-            state.update(next)
-            if (ordered.nonEmpty)
-              state.setTimeoutTimestamp(
-                ordered.map(_.ts.getTime).max +
-                  idleDays.toLong * 86400000L)
+            // max over EVER-seen event time: a batch of late stragglers
+            // must not rewind a horizon set by an earlier, newer event
+            val lastMs = (prev.lastMs +: ordered.map(_.ts.getTime)).max
+            state.update(folded.copy(lastMs = lastMs))
+            if (lastMs > 0L)
+              state.setTimeoutTimestamp(lastMs + idleDays.toLong * 86400000L)
             alarms.iterator
           }
       }

@@ -132,6 +132,25 @@ class ForgetSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("k", "v")) // schema survives
   }
 
+  test("NULL-key rows survive a purge (filter must not drop NULL predicates)") {
+    val t = s"$root/nullable"
+    // 200 keyed rows + 10 NULL-key rows, landing in every file
+    val rows = ((0L until 200L).map(k => (Some(k), s"payload-$k"))
+      ++ (0 until 10).map(i => (None: Option[Long], s"anon-$i")))
+      .toDF("k", "v")
+    Forget.publishIndexed(rows, t, nFiles = 4, keyCol = "k")
+    val v2 = Forget.purge(spark, t, "k", Seq(7L, 8L, 9L))
+    assert(v2 == 2L)
+    val after = Versioned.read(spark, t)
+    // the three named keys are gone...
+    assert(after.filter($"k".isin(7L, 8L, 9L)).isEmpty)
+    // ...and every NULL-key row survived: `!isin` alone evaluates to NULL
+    // for NULL keys and filter drops NULL — the isNull arm in Forget.purge
+    // is what keeps these 10 rows alive
+    assert(after.filter($"k".isNull).count() == 10L)
+    assert(after.count() == 200L - 3 + 10)
+  }
+
   test("purging keys the table never held is a bounded no-op") {
     val before = Versioned.currentVersion(spark, table()).get
     val v = Forget.purge(spark, table(), "k", Seq(77777777L))

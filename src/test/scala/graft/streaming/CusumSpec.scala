@@ -64,6 +64,36 @@ class CusumSpec extends SparkSpec {
     assert(ragged == batch)
   }
 
+  test("a late straggler batch cannot rewind the idle-eviction horizon") {
+    // rev: d10 then a LATE d9 (watermark-admissible at 2-day delay). The
+    // horizon must stay anchored at d10+idle, not rewind to d9+idle — the
+    // rewound horizon would evict rev when the watermark reaches d29.5,
+    // zeroing its accumulator (sp=40), and the d30.5 point would then fold
+    // from scratch (sp=20, silent). The surviving state alarms: 20+20+20.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MetricPoint]
+    val q = Cusum.detect(input.toDS(), mu0, slack, h,
+        idleDays = 20, watermark = "2 days")
+      .writeStream.format("memory").queryName("cusum_rewind")
+      .outputMode("append").start()
+    try {
+      def halfDay(d2: Int) = new Timestamp(1700000000000L + d2 * 43200000L)
+      input.addData(pt(10, 130L)); q.processAllAvailable()       // horizon d30
+      input.addData(pt(9, 130L)); q.processAllAvailable()        // late; sp=40
+      input.addData(MetricPoint("other", halfDay(63), 100L))     // wm -> d29.5
+      q.processAllAvailable()
+      input.addData(MetricPoint("other", t(32), 100L))           // timeouts run at wm d29.5
+      q.processAllAvailable()
+      input.addData(MetricPoint("rev", halfDay(61), 130L))       // d30.5: sp=60 if alive
+      q.processAllAvailable()
+      val alarms = spark.table("cusum_rewind").as[CusumAlarm]
+        .collect().toSeq.filter(_.metric == "rev")
+      assert(alarms.map(a => (a.side, a.stat, a.n_since_reset))
+        == Seq(("up", 60L, 3L)),
+        "rev state was evicted early: the late batch rewound the timeout")
+    } finally q.stop()
+  }
+
   test("metrics are independent keys") {
     val two = series ++ (0 until 4).map(d => pt(d, 130L, m = "errs"))
     val alarms = Cusum.detectBatch(two.toDS(), mu0, slack, h)
