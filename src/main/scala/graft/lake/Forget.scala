@@ -75,9 +75,9 @@ object Forget {
     * One footer open per candidate file, driver-side and metadata-sized —
     * a production deployment keeps the same stats in a manifest table
     * (Delta/Iceberg style) and prunes without touching the files. */
-  private def rangeAdmitsAny(conf: org.apache.hadoop.conf.Configuration,
-                             file: Path, keyCol: String,
-                             keys: Seq[Long]): Boolean = {
+  private[lake] def rangeAdmitsAny(conf: org.apache.hadoop.conf.Configuration,
+                                   file: Path, keyCol: String,
+                                   keys: Seq[Long]): Boolean = {
     import scala.jdk.CollectionConverters._
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))

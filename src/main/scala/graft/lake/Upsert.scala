@@ -1,0 +1,156 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * MERGE (CDC apply) over a [[Versioned]] table — the write-side sibling of
+ * [[Forget]]: apply a keyed changeset (inserts + updates + deletes) by
+ * REWRITING ONLY THE FILES THAT CAN CONTAIN THE CHANGED KEYS, byte-copying
+ * every other file, and exposing the merged snapshot in one atomic manifest
+ * swap. Completes the lake's DML triad: [[Versioned.publish]] (full
+ * snapshot), [[Forget.purge]] (targeted delete), and this (targeted
+ * upsert/merge) — the Delta/Iceberg `MERGE INTO` shape over the same open
+ * layout. The reference lake is append-only (`s3_loader.py` re-uploads
+ * whole day partitions); this is what replaces its "re-extract the whole
+ * day to fix one record" story.
+ *
+ * Pruning: identical to [[Forget]] — a file rewrites only when BOTH
+ * available indexes admit some changed key ([[BloomIndex]] sidecars for
+ * hash layouts, parquet footer min/max for [[Cluster]]/[[ZOrder]] range
+ * layouts; each conservative, so the intersection is safe). An UPDATE key
+ * always admits the file that holds it (Bloom has no false negatives), so
+ * updates can never be silently dropped as inserts of a duplicate key.
+ *
+ * Rewrite shape: survivors of the affected files (rows whose key is NOT
+ * in the changeset — NULL-key rows always survive; a Long key can never
+ * name them) UNION the upsert rows, range-repartitioned and sorted on the
+ * key; fresh sidecars for the rewritten files; untouched files and their
+ * sidecars transfer as raw byte copies. A pure-insert batch (no admitted
+ * files) still publishes: the new rows land in fresh files alongside the
+ * byte-copied table.
+ *
+ * Changeset dial: same as [[Forget]] — the distinct changed keys are
+ * driver-resident (a CDC batch: thousands, not billions). A batch large
+ * enough to admit most files has degenerated to a republish; at that point
+ * build the merged frame with one outer join and [[Versioned.publish]] it.
+ *
+ * Idempotence: re-applying the same changeset republishes the affected
+ * files with identical ROWS (a new version number, byte-identical data
+ * content modulo parquet file naming); the table's data is a fixed point.
+ */
+object Upsert {
+
+  private def fs(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Upsert: each row of `changes` replaces the table row with the same
+    * `keyCol` value (update) or is added (insert). `changes` must match
+    * the table schema; its keys must be non-null (a NULL key matches
+    * nothing — reject rather than guess). Returns the new live version. */
+  def merge(spark: SparkSession, table: String, keyCol: String,
+            changes: DataFrame): Long =
+    applyChanges(spark, table, keyCol, changes, Seq.empty)
+
+  /** Full CDC apply: `batch` carries an `opCol` of "I"/"U"/"D"; I and U
+    * rows upsert, D rows delete (only their key column is read). One
+    * file-targeted pass handles all three — a D and a U on keys in the
+    * same file cost one rewrite, not two. */
+  def applyCdc(spark: SparkSession, table: String, keyCol: String,
+               batch: DataFrame, opCol: String = "op",
+               batchTag: Option[String] = None): Long = {
+    import spark.implicits._
+    val ops = batch.select(col(opCol)).distinct().as[String].collect().toSet
+    require(ops.subsetOf(Set("I", "U", "D")),
+      s"unknown ops ${ops -- Set("I", "U", "D")} in $opCol")
+    val deletes = batch.filter(col(opCol) === "D")
+      .select(col(keyCol).cast("long")).as[Long].collect().toSeq
+    applyChanges(spark, table, keyCol,
+      batch.filter(col(opCol) =!= "D").drop(opCol), deletes, batchTag)
+  }
+
+  /** The `batchTag` the LIVE version was published under, if any — the
+    * replay-dedup handle for [[graft.streaming.CdcSink]]: the tag file is
+    * written INSIDE the version dir before the manifest swap, so tag and
+    * data become visible in the same atomic step. */
+  def lastBatchTag(spark: SparkSession, table: String): Option[String] = {
+    val f = fs(spark, table)
+    Versioned.currentVersion(spark, table).flatMap { v =>
+      val p = new Path(s"$table/v=$v/_cdc_batch")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val bytes = new Array[Byte](256)
+          var n = 0
+          var r = in.read(bytes, 0, bytes.length)
+          while (r > 0) { n += r; r = in.read(bytes, n, bytes.length - n) }
+          if (n <= 0) None
+          else Some(new String(bytes, 0, n,
+            java.nio.charset.StandardCharsets.UTF_8).trim)
+        } finally in.close()
+      }
+    }
+  }
+
+  private def applyChanges(spark: SparkSession, table: String, keyCol: String,
+                           upserts: DataFrame, deleteKeys: Seq[Long],
+                           batchTag: Option[String] = None): Long = {
+    import spark.implicits._
+    val live = Versioned.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    val liveDir = s"$table/v=$live"
+    require(spark.read.parquet(liveDir).columns.sorted.sameElements(
+      upserts.columns.sorted),
+      s"changeset schema ${upserts.columns.toSeq} != table schema")
+    require(upserts.filter(col(keyCol).isNull).isEmpty,
+      s"changeset has NULL $keyCol keys — a NULL key matches no row")
+    // driver-resident by the changeset dial (scaladoc): distinct changed keys
+    val upsertKeys = upserts.select(col(keyCol).cast("long"))
+      .distinct().as[Long].collect().toSeq
+    require(upsertKeys.nonEmpty || deleteKeys.nonEmpty, "empty changeset")
+    val ks = (upsertKeys ++ deleteKeys).distinct
+
+    val f = fs(spark, table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = f.listStatus(new Path(liveDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+    val (affected, untouched) = parts.partition { p =>
+      BloomIndex.mightContainAny(f, liveDir, p.getName, ks) &&
+        Forget.rangeAdmitsAny(conf, p, keyCol, ks)
+    }
+
+    Versioned.publishWith(spark, table) { newDir =>
+      // survivors: affected-file rows not named by the changeset (NULL-key
+      // guard as in Forget.purge — `!isin` is NULL for NULL keys); plus
+      // the upsert rows, column-aligned to the table's order
+      val tableCols = spark.read.parquet(liveDir).columns.toSeq
+      val survivors =
+        if (affected.isEmpty) spark.read.parquet(liveDir).limit(0)
+        else spark.read.parquet(affected.map(_.toString): _*)
+          .filter(col(keyCol).isNull || !col(keyCol).isin(ks: _*))
+      survivors.select(tableCols.map(col): _*)
+        .unionByName(upserts.select(tableCols.map(col): _*))
+        .repartitionByRange(math.max(1, affected.size), col(keyCol))
+        .sortWithinPartitions(col(keyCol))
+        .write.mode("overwrite").parquet(newDir)
+      BloomIndex.indexExisting(spark, newDir, keyCol)
+      untouched.foreach { p =>
+        require(FileUtil.copy(f, p, f, new Path(newDir, p.getName),
+          false, conf), s"copy failed: $p")
+        val side = BloomIndex.sidecar(liveDir, p.getName)
+        if (f.exists(side))
+          require(FileUtil.copy(f, side,
+            f, BloomIndex.sidecar(newDir, p.getName), false, conf),
+            s"sidecar copy failed: $side")
+      }
+      batchTag.foreach { tag =>
+        val out = f.create(new Path(s"$newDir/_cdc_batch"), true)
+        try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+  }
+}

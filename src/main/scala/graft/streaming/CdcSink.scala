@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+import graft.lake.Upsert
+
+/**
+ * Streaming CDC sink: apply a change stream (`op` = "I"/"U"/"D" + the
+ * table's columns) to a [[graft.lake.Versioned]] lake table, one
+ * file-targeted [[Upsert.applyCdc]] merge per micro-batch — the
+ * `foreachBatch` pattern that turns Structured Streaming's at-least-once
+ * batch replay into EXACTLY-ONCE table state:
+ *
+ *  - foreachBatch re-delivers a failed micro-batch under the SAME batchId;
+ *  - each applied batch publishes its batchId as a tag file INSIDE the new
+ *    version dir, so tag and data appear in one atomic manifest swap;
+ *  - a replayed batch whose id matches the live version's tag is skipped.
+ *
+ * A crash after the publish but before the checkpoint commit therefore
+ * re-sends the batch, sees its own tag, and no-ops — the table never
+ * double-applies. (Out-of-order ids cannot occur: foreachBatch delivers
+ * ids monotonically per checkpoint.)
+ *
+ * Scale posture: the merge cost per micro-batch is [[Upsert]]'s — rewrite
+ * only the Bloom/footer-admitted files, byte-copy the rest — so a trickle
+ * of CDC against a 100 TB table touches the changed fraction, not the
+ * table. Empty micro-batches (idle triggers) publish nothing.
+ */
+object CdcSink {
+
+  /** Apply one micro-batch (idempotent under replay). Public so batch
+    * backfills and specs can drive the exact sink path. */
+  def applyBatch(spark: SparkSession, table: String, keyCol: String,
+                 batch: DataFrame, batchId: Long, opCol: String = "op"): Unit =
+    if (!batch.isEmpty &&
+        !Upsert.lastBatchTag(spark, table).contains(batchId.toString)) {
+      Upsert.applyCdc(spark, table, keyCol, batch, opCol,
+        batchTag = Some(batchId.toString))
+      ()
+    }
+
+  /** Wire a change stream into `table`; caller sets trigger/checkpoint and
+    * starts. */
+  def into(changes: DataFrame, table: String, keyCol: String,
+           opCol: String = "op"): DataStreamWriter[Row] =
+    changes.writeStream.foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        applyBatch(batch.sparkSession, table, keyCol, batch, id, opCol)
+    }
+}

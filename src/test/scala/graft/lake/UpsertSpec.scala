@@ -1,0 +1,144 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import graft.SparkSpec
+
+/**
+ * MERGE contract ([[Upsert]]): updates replace, inserts add, deletes
+ * remove — in one file-targeted pass that byte-copies every file the
+ * changed keys cannot touch; the pre-merge version stays readable; a
+ * re-applied changeset is a data fixed point; NULL-key table rows survive
+ * and NULL-key changeset rows are rejected.
+ */
+class UpsertSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-upsert").toString
+
+  private def md5(path: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(Files.readAllBytes(Paths.get(path)))
+      .map("%02x".format(_)).mkString
+
+  private def partSums(dir: String): Map[String, String] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => f.getName -> md5(f.getPath)).toMap
+
+  private def freshTable(name: String, n: Long = 10000L): String = {
+    val t = s"$root/$name"
+    val rows = (0L until n).map(k => (k, s"payload-$k")).toDF("k", "v")
+    assert(Forget.publishIndexed(rows, t, nFiles = 8, keyCol = "k") == 1L)
+    t
+  }
+
+  test("updates replace, inserts add; every other row survives") {
+    val t = freshTable("basic")
+    val changes = Seq((42L, "UPDATED-42"), (4242L, "UPDATED-4242"),
+      (20000L, "INSERTED-20000")).toDF("k", "v")
+    assert(Upsert.merge(spark, t, "k", changes) == 2L)
+    val after = Versioned.read(spark, t)
+    assert(after.count() == 10000L + 1)
+    assert(after.filter($"k" === 42L).select($"v").as[String].head()
+      == "UPDATED-42")
+    assert(after.filter($"k" === 20000L).select($"v").as[String].head()
+      == "INSERTED-20000")
+    // an update leaves exactly one row for its key — never a duplicate
+    assert(after.filter($"k" === 4242L).count() == 1L)
+    assert(after.filter($"k" === 41L).select($"v").as[String].head()
+      == "payload-41")
+  }
+
+  test("untouched files are byte-identical; rewrite is file-targeted") {
+    val t = freshTable("targeted")
+    val before = partSums(s"$t/v=1")
+    Upsert.merge(spark, t, "k", Seq((7L, "UPDATED-7")).toDF("k", "v"))
+    val after = partSums(s"$t/v=2")
+    val carried = after.keySet.intersect(before.keySet)
+    assert(carried.nonEmpty, "one changed key rewrote all 8 files")
+    carried.foreach(n => assert(after(n) == before(n), s"$n changed bytes"))
+    assert(after.keySet.diff(before.keySet).size < 8)
+    carried.foreach { n =>
+      assert(Files.exists(Paths.get(s"$t/v=2/_bloom/$n.bloom")))
+    }
+  }
+
+  test("pre-merge version stays readable (time travel)") {
+    val t = freshTable("travel")
+    Upsert.merge(spark, t, "k", Seq((42L, "UPDATED-42")).toDF("k", "v"))
+    val old = Versioned.readVersion(spark, t, 1L)
+    assert(old.filter($"k" === 42L).select($"v").as[String].head()
+      == "payload-42")
+    assert(Versioned.read(spark, t)
+      .filter($"k" === 42L).select($"v").as[String].head() == "UPDATED-42")
+  }
+
+  test("applyCdc handles inserts, updates, and deletes in one pass") {
+    val t = freshTable("cdc")
+    val batch = Seq(
+      ("U", 5L, "UPDATED-5"),
+      ("I", 30000L, "INSERTED-30000"),
+      ("D", 6L, null.asInstanceOf[String]),
+      ("D", 7L, null.asInstanceOf[String])).toDF("op", "k", "v")
+    assert(Upsert.applyCdc(spark, t, "k", batch) == 2L)
+    val after = Versioned.read(spark, t)
+    assert(after.count() == 10000L + 1 - 2)
+    assert(after.filter($"k" === 5L).select($"v").as[String].head()
+      == "UPDATED-5")
+    assert(after.filter($"k".isin(6L, 7L)).isEmpty)
+    assert(after.filter($"k" === 30000L).count() == 1L)
+  }
+
+  test("a pure-insert batch publishes even when no file admits its keys") {
+    val t = freshTable("inserts", n = 1000L)
+    val before = partSums(s"$t/v=1")
+    Upsert.merge(spark, t, "k",
+      Seq((50000L, "NEW-A"), (50001L, "NEW-B")).toDF("k", "v"))
+    val after = Versioned.read(spark, t)
+    assert(after.count() == 1002L)
+    assert(after.filter($"k" >= 50000L).count() == 2L)
+    // whatever was not admitted carried byte-identically (fpp may admit
+    // a file spuriously; the copy set is still non-empty at 2 keys / 8 files)
+    val carried = partSums(s"$t/v=2").keySet.intersect(before.keySet)
+    assert(carried.nonEmpty)
+    carried.foreach(n => assert(partSums(s"$t/v=2")(n) == before(n)))
+  }
+
+  test("NULL-key table rows survive; NULL-key changeset rows are rejected") {
+    val t = s"$root/nullable"
+    val rows = ((0L until 200L).map(k => (Some(k), s"payload-$k"))
+      ++ (0 until 5).map(i => (None: Option[Long], s"anon-$i")))
+      .toDF("k", "v")
+    Forget.publishIndexed(rows, t, nFiles = 4, keyCol = "k")
+    Upsert.merge(spark, t, "k", Seq((3L, "UPDATED-3")).toDF("k", "v"))
+    val after = Versioned.read(spark, t)
+    assert(after.filter($"k".isNull).count() == 5L)
+    assert(after.count() == 205L)
+    val bad = Seq((Some(9L), "x"), (None: Option[Long], "y")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.merge(spark, t, "k", bad)
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
+  test("re-applying the same changeset is a data fixed point") {
+    val t = freshTable("idem", n = 1000L)
+    val changes = Seq((10L, "UPDATED-10"), (9000L, "INSERTED")).toDF("k", "v")
+    Upsert.merge(spark, t, "k", changes)
+    val v2 = Versioned.read(spark, t).orderBy($"k").collect().toSeq
+    Upsert.merge(spark, t, "k", changes)
+    val v3 = Versioned.read(spark, t).orderBy($"k").collect().toSeq
+    assert(v3 == v2)
+  }
+
+  test("schema-mismatched changesets are rejected") {
+    val t = freshTable("schema", n = 100L)
+    val e = intercept[IllegalArgumentException] {
+      Upsert.merge(spark, t, "k", Seq((1L, "x", 0)).toDF("k", "v", "extra"))
+    }
+    assert(e.getMessage.contains("schema"))
+  }
+}

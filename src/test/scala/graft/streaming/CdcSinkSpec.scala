@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.lake.{Forget, Upsert, Versioned}
+
+/**
+ * Streaming CDC -> lake merge ([[CdcSink]]): a change stream lands in a
+ * Versioned table one file-targeted merge per micro-batch; a replayed
+ * micro-batch (same batchId) is a no-op — exactly-once table state over
+ * foreachBatch's at-least-once delivery.
+ */
+class CdcSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-cdcsink").toString
+
+  private def fresh(name: String): String = {
+    val t = s"$root/$name"
+    val rows = (0L until 1000L).map(k => (k, s"payload-$k")).toDF("k", "v")
+    Forget.publishIndexed(rows, t, nFiles = 4, keyCol = "k")
+    t
+  }
+
+  test("change stream applies per micro-batch; final state is the fold") {
+    val t = fresh("stream")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val q = CdcSink.into(
+        input.toDF().toDF("op", "k", "v"), t, "k")
+      .option("checkpointLocation", s"$root/ckpt-stream").start()
+    try {
+      input.addData(("U", 10L, "UPDATED-10"), ("I", 5000L, "INSERTED"))
+      q.processAllAvailable()
+      input.addData(("D", 10L, null.asInstanceOf[String]),
+        ("U", 5000L, "RE-UPDATED"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = Versioned.read(spark, t)
+    assert(after.count() == 1000L) // +1 insert, -1 delete
+    assert(after.filter($"k" === 10L).isEmpty)         // updated then deleted
+    assert(after.filter($"k" === 5000L).select($"v").as[String].head()
+      == "RE-UPDATED")                                 // inserted then updated
+    assert(after.filter($"k" === 11L).select($"v").as[String].head()
+      == "payload-11")
+    // two non-empty batches -> two published versions past v1
+    assert(Versioned.currentVersion(spark, t).contains(3L))
+    assert(Upsert.lastBatchTag(spark, t).contains("1"))
+  }
+
+  test("a replayed micro-batch (same id) is a no-op; the next id applies") {
+    val t = fresh("replay")
+    val b0 = Seq(("U", 1L, "UPDATED-1")).toDF("op", "k", "v")
+    CdcSink.applyBatch(spark, t, "k", b0, batchId = 0L)
+    val v = Versioned.currentVersion(spark, t).get
+    // at-least-once redelivery of batch 0: skipped, no new version
+    CdcSink.applyBatch(spark, t, "k", b0, batchId = 0L)
+    assert(Versioned.currentVersion(spark, t).contains(v))
+    // batch 1 applies on top
+    CdcSink.applyBatch(spark, t, "k",
+      Seq(("U", 2L, "UPDATED-2")).toDF("op", "k", "v"), batchId = 1L)
+    assert(Versioned.currentVersion(spark, t).contains(v + 1))
+    val after = Versioned.read(spark, t)
+    assert(after.filter($"k" === 1L).select($"v").as[String].head()
+      == "UPDATED-1")
+    assert(after.filter($"k" === 2L).select($"v").as[String].head()
+      == "UPDATED-2")
+    assert(after.count() == 1000L)
+  }
+
+  test("empty micro-batches publish nothing") {
+    val t = fresh("empty")
+    val v = Versioned.currentVersion(spark, t).get
+    CdcSink.applyBatch(spark, t, "k",
+      spark.emptyDataset[(String, Long, String)].toDF("op", "k", "v"),
+      batchId = 0L)
+    assert(Versioned.currentVersion(spark, t).contains(v))
+  }
+}
