@@ -94,6 +94,49 @@ object Upsert {
     }
   }
 
+  /** Row-level changeset BETWEEN two published versions — CDC derived from
+    * snapshots, the inverse of [[applyCdc]]: `applyCdc(diff(v1, v2))` on a
+    * replica at v1 reproduces v2 (spec-pinned), which is how a downstream
+    * mirror syncs from time-travel reads without a change log. Emits
+    * `opCol` ∈ I (key only in `toV`), D (key only in `fromV`, key column
+    * populated, other columns NULL), U (key in both, any non-key column
+    * differing — struct inequality, so NULL vs value counts as a change).
+    * NULL-key rows are unkeyed and undiffable: ignored here, exactly as
+    * [[merge]]/[[Forget.purge]] leave them untouched.
+    *
+    * Scale shape: one key-shuffle full-outer join of the two snapshots —
+    * inherent to snapshot diffing; the per-batch tags ([[lastBatchTag]])
+    * are the cheaper path when the upstream IS this lake's CDC. */
+  def diff(spark: SparkSession, table: String, fromV: Long, toV: Long,
+           keyCol: String, opCol: String = "op"): DataFrame = {
+    val a = Versioned.readVersion(spark, table, fromV)
+      .filter(col(keyCol).isNotNull)
+    val b = Versioned.readVersion(spark, table, toV)
+      .filter(col(keyCol).isNotNull)
+    val cols = a.columns.toSeq
+    require(cols.sorted.sameElements(b.columns.sorted),
+      s"schema changed between v$fromV and v$toV — diff needs like schemas")
+    val others = cols.filterNot(_ == keyCol)
+    val af = a.select(struct(cols.map(col): _*).as("a"))
+    val bf = b.select(struct(cols.map(col): _*).as("b"))
+    val j = af.join(bf, af("a")(keyCol) === bf("b")(keyCol), "full_outer")
+    j.select(
+        when(col("a").isNull, lit("I"))
+          .when(col("b").isNull, lit("D"))
+          .otherwise(lit("U")).as(opCol),
+        col("a"), col("b"))
+      // U rows where nothing changed are not changes
+      .filter(col(opCol) =!= "U" ||
+        struct(others.map(c => col("a")(c)): _*) =!=
+          struct(others.map(c => col("b")(c)): _*))
+      .select(col(opCol) +: cols.map { c =>
+        if (c == keyCol)
+          coalesce(col("b")(c), col("a")(c)).as(c)
+        else // D rows carry only the key; I/U carry the target values
+          when(col(opCol) === "D", lit(null)).otherwise(col("b")(c)).as(c)
+      }: _*)
+  }
+
   private def applyChanges(spark: SparkSession, table: String, keyCol: String,
                            upserts: DataFrame, deleteKeys: Seq[Long],
                            batchTag: Option[String] = None): Long = {

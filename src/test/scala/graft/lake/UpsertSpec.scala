@@ -134,6 +134,39 @@ class UpsertSpec extends SparkSpec {
     assert(v3 == v2)
   }
 
+  test("diff between versions emits the exact I/U/D changeset") {
+    val t = s"$root/diffsrc"
+    val v1rows = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (4L, None: Option[String])).toDF("k", "v")
+    Forget.publishIndexed(v1rows, t, nFiles = 2, keyCol = "k")
+    // v2: 1 unchanged, 2 updated, 3 deleted, 4 NULL->value, 5 inserted
+    Upsert.applyCdc(spark, t, "k", Seq(
+      ("U", 2L, Some("B")), ("D", 3L, None: Option[String]),
+      ("U", 4L, Some("now-set")), ("I", 5L, Some("e")))
+      .toDF("op", "k", "v"))
+    val d = Upsert.diff(spark, t, 1L, 2L, "k")
+      .orderBy($"k").as[(String, Long, Option[String])].collect().toSeq
+    assert(d == Seq(("U", 2L, Some("B")), ("D", 3L, None),
+      ("U", 4L, Some("now-set")), ("I", 5L, Some("e"))))
+  }
+
+  test("applyCdc(diff(v1, v2)) syncs a replica from v1 to v2") {
+    val t = freshTable("diffmain", n = 500L)
+    // replica starts at v1 of the main table
+    val r = s"$root/diffreplica"
+    Forget.publishIndexed(Versioned.readVersion(spark, t, 1L), r,
+      nFiles = 4, keyCol = "k")
+    // main advances: mixed churn
+    Upsert.applyCdc(spark, t, "k", Seq(
+      ("U", 17L, "UPDATED-17"), ("D", 99L, null.asInstanceOf[String]),
+      ("I", 7777L, "INSERTED")).toDF("op", "k", "v"))
+    // mirror the delta
+    Upsert.applyCdc(spark, r, "k", Upsert.diff(spark, t, 1L, 2L, "k"))
+    val main = Versioned.read(spark, t).orderBy($"k").collect().toSeq
+    val replica = Versioned.read(spark, r).orderBy($"k").collect().toSeq
+    assert(replica == main)
+  }
+
   test("schema-mismatched changesets are rejected") {
     val t = freshTable("schema", n = 100L)
     val e = intercept[IllegalArgumentException] {
