@@ -100,6 +100,28 @@ object Forget {
     } finally r.close()
   }
 
+  /** Byte-copy the untouched files + their sidecars into `newDir`,
+    * IN PARALLEL across a driver thread pool: the copies are independent
+    * I/O (server-side on S3), and a 100 TB table's carried-file count is
+    * thousands — serializing them would make the COPY loop, not the
+    * rewrite, the wall-clock floor. Shared by [[purge]] and
+    * [[Upsert.applyChanges]]. */
+  private[lake] def copyUntouched(f: FileSystem,
+                                  conf: org.apache.hadoop.conf.Configuration,
+                                  liveDir: String, newDir: String,
+                                  untouched: Seq[Path]): Unit = {
+    import scala.collection.parallel.CollectionConverters._
+    untouched.par.foreach { p =>
+      require(FileUtil.copy(f, p, f, new Path(newDir, p.getName),
+        false, conf), s"copy failed: $p")
+      val side = BloomIndex.sidecar(liveDir, p.getName)
+      if (f.exists(side))
+        require(FileUtil.copy(f, side,
+          f, BloomIndex.sidecar(newDir, p.getName), false, conf),
+          s"sidecar copy failed: $side")
+    }
+  }
+
   /** Delete every row whose `keyCol` is in `keys`, rewriting only
     * Bloom-admitted files; returns the new live version (or the current
     * one unchanged when no file can contain any key — an idempotent
@@ -148,15 +170,7 @@ object Forget {
       //    newDir at this point)
       BloomIndex.indexExisting(spark, newDir, keyCol)
       // 3. untouched files + their sidecars: raw byte copy, bitwise-equal
-      untouched.foreach { p =>
-        require(FileUtil.copy(f, p, f, new Path(newDir, p.getName),
-          false, conf), s"copy failed: $p")
-        val side = BloomIndex.sidecar(liveDir, p.getName)
-        if (f.exists(side))
-          require(FileUtil.copy(f, side,
-            f, BloomIndex.sidecar(newDir, p.getName), false, conf),
-            s"sidecar copy failed: $side")
-      }
+      copyUntouched(f, conf, liveDir, newDir, untouched)
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -180,15 +180,7 @@ object Upsert {
         .sortWithinPartitions(col(keyCol))
         .write.mode("overwrite").parquet(newDir)
       BloomIndex.indexExisting(spark, newDir, keyCol)
-      untouched.foreach { p =>
-        require(FileUtil.copy(f, p, f, new Path(newDir, p.getName),
-          false, conf), s"copy failed: $p")
-        val side = BloomIndex.sidecar(liveDir, p.getName)
-        if (f.exists(side))
-          require(FileUtil.copy(f, side,
-            f, BloomIndex.sidecar(newDir, p.getName), false, conf),
-            s"sidecar copy failed: $side")
-      }
+      Forget.copyUntouched(f, conf, liveDir, newDir, untouched)
       batchTag.foreach { tag =>
         val out = f.create(new Path(s"$newDir/_cdc_batch"), true)
         try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
