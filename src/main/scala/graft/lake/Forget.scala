@@ -140,11 +140,17 @@ object Forget {
     val conf = spark.sparkContext.hadoopConfiguration
     // both prunes are conservative, so their INTERSECTION is safe: the
     // Bloom sidecar carries hash-distributed layouts (min/max blind), the
-    // footer min/max carries range-clustered layouts (no sidecars needed);
-    // a file must be admitted by every available index to rewrite
+    // range stats carry range-clustered layouts (no sidecars needed);
+    // a file must be admitted by every available index to rewrite.
+    // Range source: the [[StatsIndex]] manifest when present (ONE
+    // metadata read for the whole dir), per-file footer opens otherwise.
+    val stats = StatsIndex.load(spark, liveDir)
     val (affected, untouched) = parts.partition { p =>
       BloomIndex.mightContainAny(f, liveDir, p.getName, ks) &&
-        rangeAdmitsAny(conf, p, keyCol, ks)
+        (stats.flatMap(_.get(p.getName)) match {
+          case Some(st) => st.admitsAny(ks)
+          case None => rangeAdmitsAny(conf, p, keyCol, ks)
+        })
     }
     if (affected.isEmpty) return live
 
@@ -171,6 +177,9 @@ object Forget {
       BloomIndex.indexExisting(spark, newDir, keyCol)
       // 3. untouched files + their sidecars: raw byte copy, bitwise-equal
       copyUntouched(f, conf, liveDir, newDir, untouched)
+      // 4. stats manifest rides along when the table keeps one: carried
+      //    files keep their rows, only the rewritten files are re-scanned
+      StatsIndex.rebuildAfterRewrite(spark, liveDir, newDir, keyCol)
     }
   }
 }

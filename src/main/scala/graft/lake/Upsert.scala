@@ -160,9 +160,15 @@ object Upsert {
     val parts = f.listStatus(new Path(liveDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath)
+    // range source: StatsIndex manifest when present (one metadata read),
+    // per-file footer opens otherwise — same discipline as Forget.purge
+    val stats = StatsIndex.load(spark, liveDir)
     val (affected, untouched) = parts.partition { p =>
       BloomIndex.mightContainAny(f, liveDir, p.getName, ks) &&
-        Forget.rangeAdmitsAny(conf, p, keyCol, ks)
+        (stats.flatMap(_.get(p.getName)) match {
+          case Some(st) => st.admitsAny(ks)
+          case None => Forget.rangeAdmitsAny(conf, p, keyCol, ks)
+        })
     }
 
     Versioned.publishWith(spark, table) { newDir =>
@@ -181,6 +187,7 @@ object Upsert {
         .write.mode("overwrite").parquet(newDir)
       BloomIndex.indexExisting(spark, newDir, keyCol)
       Forget.copyUntouched(f, conf, liveDir, newDir, untouched)
+      StatsIndex.rebuildAfterRewrite(spark, liveDir, newDir, keyCol)
       batchTag.foreach { tag =>
         val out = f.create(new Path(s"$newDir/_cdc_batch"), true)
         try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
