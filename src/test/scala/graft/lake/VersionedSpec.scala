@@ -107,6 +107,29 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t).as[Int].collect().sameElements(Array(3)))
   }
 
+  test("schema evolution: a version may carry an evolved schema; travel keeps the old") {
+    // because every version dir is a COMPLETE self-contained snapshot,
+    // adding/renaming columns needs no migration machinery: publish the
+    // evolved frame as the next version. Live readers see the new schema
+    // atomically with the manifest swap; time travel reads the old one.
+    val t = tbl()
+    Versioned.publish(Seq((1L, "a")).toDF("k", "v"), t)
+    Versioned.publish(
+      Seq((1L, "a", "en")).toDF("k", "v", "lang"), t) // added column
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("k", "v", "lang"))
+    assert(Versioned.readVersion(spark, t, 1L).columns.toSeq == Seq("k", "v"))
+    // cross-schema guard rails: diff() and merge changesets must refuse
+    // rather than guess (the changeset names a schema the table lacks)
+    val e1 = intercept[IllegalArgumentException] {
+      Upsert.diff(spark, t, 1L, 2L, "k")
+    }
+    assert(e1.getMessage.contains("schema"))
+    val e2 = intercept[IllegalArgumentException] {
+      Upsert.merge(spark, t, "k", Seq((1L, "b")).toDF("k", "v"))
+    }
+    assert(e2.getMessage.contains("schema"))
+  }
+
   test("vacuum drops old versions but keeps the live window") {
     val t = tbl()
     (1 to 4).foreach(i => Versioned.publish(Seq(i).toDF("x"), t))
