@@ -84,4 +84,47 @@ object Compact {
     else leaves.filter(_.isDirectory).map(_.getPath.toString).sorted
       .map(compactLeaf(spark, _, targetBytes)).toSeq
   }
+
+  /**
+   * Compaction for [[Versioned]] DML tables — the maintenance pass that
+   * keeps [[Upsert]]/[[Forget]] rewrites from accreting small files: a
+   * long CDC trickle leaves each version with ever more sub-target
+   * rewritten files, and the scan-side task count (one per file) becomes
+   * the read bottleneck. Bin-packs the live version into
+   * ceil(bytes / targetBytes) files AS A NEW VERSION — no in-place swap,
+   * so readers keep snapshot isolation and the pre-compact version stays
+   * time-travel readable until vacuum (strictly safer than
+   * [[compactLeaf]]'s rename dance, which exists for the non-versioned
+   * bronze layout).
+   *
+   * The rewrite is range-repartitioned + sorted on `keyCol`, so
+   * [[Cluster]]-style per-file ranges are (re)established — compaction
+   * REPAIRS the range overlap a long rewrite history accumulates — and
+   * whatever skipping indexes the live version carries are rebuilt:
+   * `_bloom` sidecars ([[BloomIndex]]) and the `_stats` manifest
+   * ([[StatsIndex]]) each come back exactly when present before.
+   * No-op (returns the live version) when already at/below target.
+   */
+  def compactVersion(spark: SparkSession, table: String, keyCol: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.spark.sql.functions.col
+    val live = Versioned.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    val liveDir = s"$table/v=$live"
+    val f = fs(spark, liveDir)
+    val files = dataFiles(f, new Path(liveDir))
+    val bytes = files.map(p => f.getFileStatus(p).getLen).sum
+    val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (files.length <= want) return live
+    val hadBloom = f.exists(new Path(s"$liveDir/_bloom"))
+    val hadStats = StatsIndex.exists(spark, liveDir)
+    Versioned.publishWith(spark, table) { newDir =>
+      spark.read.parquet(liveDir)
+        .repartitionByRange(want, col(keyCol))
+        .sortWithinPartitions(col(keyCol))
+        .write.mode(SaveMode.Overwrite).parquet(newDir)
+      if (hadBloom) BloomIndex.indexExisting(spark, newDir, keyCol)
+      if (hadStats) StatsIndex.build(spark, newDir, keyCol)
+    }
+  }
 }

@@ -43,6 +43,45 @@ class CompactSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 20000)
   }
 
+
+  test("compactVersion bin-packs a DML table into a new version, rebuilding its indexes") {
+    val root = Files.createTempDirectory("graft-compactv").toString
+    val t = s"$root/t"
+    val rows = (0L until 20000L).map(k => (k, s"payload-$k")).toDF("k", "v")
+    Forget.publishIndexed(rows, t, nFiles = 32, keyCol = "k")
+    StatsIndex.build(spark, s"$t/v=1", "k")
+    // drive some churn so the table looks post-CDC
+    Upsert.merge(spark, t, "k", Seq((3L, "UPDATED")).toDF("k", "v"))
+    val filesBefore = new java.io.File(s"$t/v=2").listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(filesBefore >= 32)
+    val v3 = Compact.compactVersion(spark, t, "k", targetBytes = 64L * 1024 * 1024)
+    assert(v3 == 3L)
+    val filesAfter = new java.io.File(s"$t/v=3").listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(filesAfter < filesBefore)
+    // content identical to the pre-compact snapshot
+    val before = Versioned.readVersion(spark, t, 2L).orderBy($"k").collect().toSeq
+    val after = Versioned.read(spark, t).orderBy($"k").collect().toSeq
+    assert(after == before)
+    // indexes rebuilt because the live version carried them
+    assert(new java.io.File(s"$t/v=3/_bloom").exists())
+    assert(StatsIndex.exists(spark, s"$t/v=3"))
+    val stats = StatsIndex.load(spark, s"$t/v=3").get
+    assert(stats.size == filesAfter)
+    // compaction REPAIRS clustering: per-file ranges are disjoint again,
+    // so a point purge after compaction rewrites exactly one file
+    val ranges = stats.values.toSeq.map(st => (st.kmin.get, st.kmax.get)).sorted
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin)
+      case _ => ()
+    }
+    // pre-compact version stays time-travel readable; rerun is a no-op
+    assert(Versioned.readVersion(spark, t, 2L).count() == 20000L)
+    assert(Compact.compactVersion(spark, t, "k",
+      targetBytes = 64L * 1024 * 1024) == 3L)
+  }
+
   test("compactDays walks the bronze partition tree") {
     val root = Files.createTempDirectory("graft_compact3").toString
     for (day <- Seq("2024-01-01", "2024-01-02")) {
