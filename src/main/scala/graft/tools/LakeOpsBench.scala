@@ -12,8 +12,12 @@ import graft.lake.{Forget, Upsert, Versioned}
   * Forget.purge / Upsert.applyCdc cost tracks the TOUCHED-FILE fraction,
   * not table size, while a naive full republish tracks table size.
   *
-  * Usage: runMain graft.tools.LakeOpsBench [nRows] [nFiles] [nKeys]
-  * Defaults: 4,000,000 rows x 64 files, 5-key changesets. Prints one
+  * Usage: runMain graft.tools.LakeOpsBench [nRows] [nFiles] [nKeys] [stats]
+  * Defaults: 4,000,000 rows x 64 files, 5-key changesets, stats=false.
+  * With stats=true a [[graft.lake.StatsIndex]] manifest is built after
+  * publish, so purge/merge prune from ONE manifest read instead of
+  * nFiles footer opens — run both arms at a high nFiles to see the
+  * metadata-round-trip cost the manifest removes. Prints one
   * human-readable table: publish / purge / merge / full-republish wall
   * seconds + files rewritten vs carried.
   */
@@ -22,6 +26,7 @@ object LakeOpsBench {
     val nRows = args.lift(0).map(_.toLong).getOrElse(4000000L)
     val nFiles = args.lift(1).map(_.toInt).getOrElse(64)
     val nKeys = args.lift(2).map(_.toInt).getOrElse(5)
+    val useStats = args.lift(3).exists(_.toBoolean)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Conf.local(SparkSession.builder(), cpus.toInt)
       .getOrCreate()
@@ -42,6 +47,11 @@ object LakeOpsBench {
       concat(lit("payload-"), col("id")).as("v"))
     val (_, tPub) = timeS(Forget.publishIndexed(df, t, nFiles, "k"))
     println(f"publish   $nRows%,d rows x $nFiles files: $tPub%.2f s")
+    if (useStats) {
+      val (_, tStats) = timeS(
+        graft.lake.StatsIndex.build(spark, s"$t/v=1", "k"))
+      println(f"stats manifest build: $tStats%.2f s")
+    }
 
     val purgeKeys = (0 until nKeys).map(i => i.toLong * (nRows / nKeys) + 7)
     val (v2, tPurge) = timeS(Forget.purge(spark, t, "k", purgeKeys))
