@@ -167,6 +167,36 @@ class UpsertSpec extends SparkSpec {
     assert(replica == main)
   }
 
+  test("randomized CDC sequences agree with an in-memory model") {
+    val t = s"$root/random"
+    val rnd = new scala.util.Random(20260814L)
+    var model = (0L until 300L).map(k => k -> s"payload-$k").toMap
+    Forget.publishIndexed(
+      model.toSeq.toDF("k", "v"), t, nFiles = 4, keyCol = "k")
+    for (round <- 1 to 6) {
+      // random batch over a key space that forces I/U/D collisions
+      val ops = (0 until 20).map { _ =>
+        val k = rnd.nextInt(400).toLong
+        rnd.nextInt(3) match {
+          case 0 => ("U", k, s"u$round-$k") // upsert semantics either way
+          case 1 => ("I", k, s"i$round-$k")
+          case _ => ("D", k, null.asInstanceOf[String])
+        }
+      }
+      // within one batch, keep the LAST op per key (the contract a CDC
+      // producer provides; duplicate keys in one changeset are undefined)
+      val lastPerKey = ops.groupBy(_._2).map(_._2.last).toSeq
+      lastPerKey.foreach {
+        case ("D", k, _) => model -= k
+        case (_, k, v) => model += (k -> v)
+      }
+      Upsert.applyCdc(spark, t, "k", lastPerKey.toDF("op", "k", "v"))
+      val got = Versioned.read(spark, t).as[(Long, String)]
+        .collect().toMap
+      assert(got == model, s"diverged from model at round $round")
+    }
+  }
+
   test("schema-mismatched changesets are rejected") {
     val t = freshTable("schema", n = 100L)
     val e = intercept[IllegalArgumentException] {
