@@ -66,9 +66,20 @@ object Events extends Family {
   // gate. DuckDB reads the same nested parquet natively; both engines
   // extract identical dot paths. Map-only over the fixture; ORDER BY the
   // unique event_timestamp is the only wide stage.
+  // ga4 fixture root: repo-relative when run from the repo root, absolute
+  // fallback otherwise; the DuckDB oracle embeds the ABSOLUTE form so both
+  // arms resolve identically on any checkout (same discipline as the PQ
+  // fixture paths in catalog/Vectors.scala)
+  private def ga4Fix(): String =
+    Seq("fixtures/ga4/events", "/root/repo/fixtures/ga4/events")
+      .find(pp => new java.io.File(pp).isDirectory)
+      .getOrElse("fixtures/ga4/events")
+  private def ga4FixAbs(): String =
+    new java.io.File(ga4Fix()).getAbsolutePath
+
   private val ga4Flatten = Q(
     "bronze_ga4_flatten",
-    Some("""
+    Some(s"""
       SELECT
         t.event_date, t.event_timestamp, t.event_name,
         t.user_id, t.user_pseudo_id,
@@ -98,13 +109,10 @@ object Events extends Family {
         COALESCE(
           list_filter(t.event_params, p -> p.key = 'xvar')[1].value.string_value,
           CAST(list_filter(t.event_params, p -> p.key = 'xvar')[1].value.int_value AS VARCHAR)) AS xvar
-      FROM read_parquet('/root/repo/fixtures/ga4/events/*.parquet') t
+      FROM read_parquet('${ga4FixAbs()}/*.parquet') t
       ORDER BY t.event_timestamp
     """)) { (spark, dir) =>
-    val fix = Seq("fixtures/ga4/events", "/root/repo/fixtures/ga4/events")
-      .find(p => new java.io.File(p).isDirectory)
-      .getOrElse("fixtures/ga4/events")
-    val flat = graft.bronze.Ga4Extract.flatten(spark.read.parquet(fix))
+    val flat = graft.bronze.Ga4Extract.flatten(spark.read.parquet(ga4Fix()))
     flat.select(
         col("event_date"), col("event_timestamp"), col("event_name"),
         col("user_id"), col("user_pseudo_id"),
