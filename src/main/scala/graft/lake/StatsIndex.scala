@@ -99,6 +99,35 @@ object StatsIndex {
     Some(out.result())
   }
 
+  /** Range scan reading ONLY manifest-admitted files — the SELECT-side
+    * twin of [[BloomIndex.lookup]]: Bloom carries point probes on hash
+    * layouts, the manifest carries range predicates on clustered layouts
+    * WITHOUT opening any data file's footer to plan the scan. Result is
+    * exactly the full scan's (the residual filter trims edge rows of
+    * admitted files); requires a manifest ([[build]] first). */
+  def readRange(spark: SparkSession, dir: String, keyCol: String,
+                lo: Long, hi: Long): org.apache.spark.sql.DataFrame = {
+    val stats = load(spark, dir).getOrElse(throw new IllegalStateException(
+      s"no stats manifest at $dir — StatsIndex.build it first"))
+    val admitted = stats.collect {
+      case (name, st)
+          if st.nonNull > 0 && st.kmin.get <= hi && st.kmax.get >= lo =>
+        s"$dir/$name"
+    }.toSeq
+    if (admitted.isEmpty)
+      spark.read.parquet(dir).filter(lit(false)) // schema-stable empty
+    else
+      spark.read.parquet(admitted: _*)
+        .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /** How many files [[readRange]] would open for [lo, hi] (planning /
+    * spec observability). */
+  def admittedCount(spark: SparkSession, dir: String,
+                    lo: Long, hi: Long): Int =
+    load(spark, dir).fold(-1)(_.values.count(st =>
+      st.nonNull > 0 && st.kmin.get <= hi && st.kmax.get >= lo))
+
   // per-file stats straight from the file's own parquet footer (the
   // rewrite just wrote it, so the footer already holds exact min/max/null
   // counts) — driver-side, no Spark job

@@ -118,6 +118,33 @@ class StatsIndexSpec extends SparkSpec {
       == partNames(without, 2).intersect(partNames(without, 1)).size)
   }
 
+  test("readRange prunes to the admitted files and equals the full scan") {
+    val t = s"$root/range"
+    val rows = (0L until 8000L).map(k => (k, s"p-$k")).toDF("k", "v")
+    Cluster.writeClustered(rows, t, nFiles = 8,
+      org.apache.spark.sql.functions.col("k"))
+    StatsIndex.build(spark, t, "k")
+    // a range inside one cluster file admits exactly that file
+    assert(StatsIndex.admittedCount(spark, t, 100L, 200L) == 1)
+    val pruned = StatsIndex.readRange(spark, t, "k", 100L, 200L)
+      .orderBy($"k").collect().toSeq
+    val full = spark.read.parquet(t)
+      .filter($"k" >= 100L && $"k" <= 200L).orderBy($"k").collect().toSeq
+    assert(pruned == full && pruned.size == 101)
+    // a range straddling a REAL file boundary (read from the manifest —
+    // repartitionByRange boundaries are sample-derived) admits exactly the
+    // two neighbors; an out-of-domain range none
+    val ranges = StatsIndex.load(spark, t).get.values.toSeq
+      .map(st => (st.kmin.get, st.kmax.get)).sorted
+    val (aMax, bMin) = (ranges(0)._2, ranges(1)._1)
+    assert(StatsIndex.admittedCount(spark, t, aMax, bMin) == 2)
+    assert(StatsIndex.admittedCount(spark, t, 100000L, 200000L) == 0)
+    assert(StatsIndex.readRange(spark, t, "k", 100000L, 200000L).isEmpty)
+    // schema survives the empty-result path
+    assert(StatsIndex.readRange(spark, t, "k", 100000L, 200000L)
+      .columns.toSeq == Seq("k", "v"))
+  }
+
   test("manifest and untouched files survive vacuum-free time travel") {
     val t = s"$root/travel"
     val rows = (0L until 1000L).map(k => (k, s"p-$k")).toDF("k", "v")
