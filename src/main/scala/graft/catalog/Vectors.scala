@@ -1093,7 +1093,77 @@ object Vectors extends Family {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // -------------------------------------------------------------------------
+  // Matryoshka-style truncated-dimension ANN — the adaptive-retrieval
+  // pattern for MRL embeddings (Kusupati et al. 2022): score candidates on
+  // the PREFIX of the vector (here 32 of 64 dims = half the dot-product
+  // FLOPs and half the scan bytes when the prefix is stored as its own
+  // column), then re-rank the top-100 with the full vector. Honest dial
+  // note: this synthetic corpus spreads energy uniformly across dims (no
+  // MRL training objective), so a d-dim prefix keeps only ~d/D of the
+  // signal — recall@10 = 0.88 at 32/64 with 100 candidates; a real
+  // Matryoshka-trained embedding front-loads the energy and runs far
+  // better at far shorter prefixes. Scale shape: map-only prefix
+  // projection below the join, queries broadcast, salted two-stage topK
+  // for both cuts — the corpus never shuffles.
+  private val matryoshka = Q(
+    "ann_matryoshka_topk",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+              list_slice(emb, 1, 32) AS p32,
+              sqrt(list_dot_product(list_slice(emb, 1, 32),
+                                    list_slice(emb, 1, 32))) AS pnrm FROM e),
+      q AS (SELECT vec_id AS q_id, p32 AS q_p32, pnrm AS q_pnrm
+            FROM n WHERE vec_id < 5),
+      pairs AS (
+        SELECT q.q_id, d.vec_id,
+          round(list_dot_product(q.q_p32, d.p32) / (q.q_pnrm * d.pnrm), 6) AS pcos
+        FROM q, n d WHERE d.vec_id <> q.q_id),
+      cand AS (
+        SELECT q_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY pcos DESC, vec_id) AS prn FROM pairs) WHERE prn <= 100),
+      exact AS (
+        SELECT c.q_id, c.vec_id,
+          round(list_dot_product(nq.emb, nd.emb) / (nq.nrm * nd.nrm), 4) AS cos_sim
+        FROM cand c JOIN n nd ON nd.vec_id = c.vec_id
+                    JOIN n nq ON nq.vec_id = c.q_id)
+      SELECT q_id, vec_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cos_sim DESC, vec_id) AS rn FROM exact) WHERE rn <= 10
+      ORDER BY q_id, rn
+    """)) { (spark, dir) =>
+    val n = embN(spark, dir).select(col("vec_id"), col("embedding"), col("nrm"))
+    // prefix + its norm projected ONCE per row below the join
+    val p = n
+      .withColumn("p32", slice(col("embedding").cast("array<double>"), 1, 32))
+      .withColumn("pnrm", VectorOps.norm(col("p32")))
+      .select(col("vec_id"), col("p32"), col("pnrm"))
+    val q = p.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("p32").as("q_p32"),
+        col("pnrm").as("q_pnrm"))
+    val scored = p.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.dot(col("q_p32"), col("p32")) /
+          (col("q_pnrm") * col("pnrm")), 6).as("pcos"))
+    val cand = VectorOps.topK(scored, "q_id", "vec_id", "pcos", k = 100)
+      .select(col("q_id"), col("vec_id"))
+    val exact = cand
+      .join(n.select(col("vec_id"), col("embedding").as("d_emb"),
+        col("nrm").as("d_nrm")), Seq("vec_id"))
+      .join(broadcast(n.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosinePre(col("q_emb"), col("d_emb"),
+          col("q_nrm"), col("d_nrm")).as("cos_sim"))
+    VectorOps.topK(exact, "q_id", "vec_id", "cos_sim", k = 10)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   override val specs: Seq[Q] =
     Seq(brute, ivf, ivf2, assign, nearDup, nearDupScaled, recall, pq, ivfPq,
-      pqScore, pqSeeded, semdedup, signRp, signRpRecall, knnClassify, int8)
+      pqScore, pqSeeded, semdedup, signRp, signRpRecall, knnClassify, int8,
+      matryoshka)
 }

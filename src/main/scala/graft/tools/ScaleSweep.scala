@@ -25,7 +25,8 @@ object ScaleSweep {
     "dedup_simhash", "text_fingerprint_rolling", "sample_hash_10pct",
     "dedup_components", "sample_stratified_mix",
     "dedup_embedding_cosine", "dedup_embedding_cosine_scaled",
-    "ann_cosine_topk_brute", "ann_int8_topk", "ann_centroid_assign",
+    "ann_cosine_topk_brute", "ann_int8_topk", "ann_matryoshka_topk",
+    "ann_centroid_assign",
     "decontam_overlap", "chunk_overlap", "shard_assign", "corpus_mix",
     "ann_recall", "ann_pq_seeded", "tfidf_top_terms", "dedup_span_8gram",
     "search_postings",

@@ -39,6 +39,7 @@ class PlanGateSpec extends SparkSpec {
     "ann_centroid_assign" -> 1,   // broadcast centroid set (k rows)
     "ann_cosine_topk_brute" -> 1, // broadcast query batch
     "ann_int8_topk" -> 1,         // broadcast quantized query batch (5 rows)
+    "ann_matryoshka_topk" -> 1,   // broadcast prefix query batch (5 rows)
     "ann_cosine_topk_ivf" -> 1,   // broadcast query batch
     "ann_cosine_topk_ivf2" -> 1,  // broadcast query batch
     "ann_cosine_topk_pq" -> 1,    // broadcast query-id frame (ADC scan)
