@@ -66,16 +66,11 @@ object Events extends Family {
   // gate. DuckDB reads the same nested parquet natively; both engines
   // extract identical dot paths. Map-only over the fixture; ORDER BY the
   // unique event_timestamp is the only wide stage.
-  // ga4 fixture root: repo-relative when run from the repo root, absolute
-  // fallback otherwise; the DuckDB oracle embeds the ABSOLUTE form so both
-  // arms resolve identically on any checkout (same discipline as the PQ
-  // fixture paths in catalog/Vectors.scala)
-  private def ga4Fix(): String =
-    Seq("fixtures/ga4/events", "/root/repo/fixtures/ga4/events")
-      .find(pp => new java.io.File(pp).isDirectory)
-      .getOrElse("fixtures/ga4/events")
-  private def ga4FixAbs(): String =
-    new java.io.File(ga4Fix()).getAbsolutePath
+  // ga4 fixture root via the shared resolver ([[Fixtures]]); the DuckDB
+  // oracle embeds the ABSOLUTE form so both arms resolve identically on
+  // any checkout
+  private def ga4Fix(): String = Fixtures.dir("fixtures/ga4/events")
+  private def ga4FixAbs(): String = Fixtures.abs("fixtures/ga4/events")
 
   private val ga4Flatten = Q(
     "bronze_ga4_flatten",

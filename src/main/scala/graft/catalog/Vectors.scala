@@ -47,20 +47,11 @@ object Vectors extends Family {
     embN(spark, dir).withColumn("emb_d",
       transform(col("embedding").cast("array<double>"), x => x / col("nrm")))
 
-  // Committed-fixture root (fixtures/pq, FIXTURES.md): repo-relative when
-  // run from the repo root (sbt runMain, Verify, Bench), absolute fallback
-  // for harnesses with another cwd.
-  private def fixDir(): String =
-    Seq("fixtures/pq", "/root/repo/fixtures/pq")
-      .find(p => new java.io.File(p).isDirectory)
-      .getOrElse("fixtures/pq")
-
-  /** [[fixDir]] as an absolute path — what the DuckDB oracle arms embed,
-    * so oracle and Spark arms resolve the fixture IDENTICALLY on any
-    * checkout (the oracle runner's cwd is not guaranteed to be the repo
-    * root). */
-  private def fixAbs(): String =
-    new java.io.File(fixDir()).getAbsolutePath
+  // Committed-fixture root (fixtures/pq, FIXTURES.md) via the shared
+  // resolver; fixAbs is what the DuckDB oracle arms embed, so both arms
+  // resolve the fixture identically on any checkout.
+  private def fixDir(): String = Fixtures.dir("fixtures/pq")
+  private def fixAbs(): String = Fixtures.abs("fixtures/pq")
 
   /** The committed codebook fixture, collected once per process and shared
     * by every PQ consumer ([[graft.ops.Warmed]] object registry — a

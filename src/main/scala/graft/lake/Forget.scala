@@ -178,8 +178,10 @@ object Forget {
       // 3. untouched files + their sidecars: raw byte copy, bitwise-equal
       copyUntouched(f, conf, liveDir, newDir, untouched)
       // 4. stats manifest rides along when the table keeps one: carried
-      //    files keep their rows, only the rewritten files are re-scanned
-      StatsIndex.rebuildAfterRewrite(spark, liveDir, newDir, keyCol)
+      //    files keep their rows, only the rewritten files read their own
+      //    footers (reuses the manifest the prune step already loaded)
+      StatsIndex.rebuildAfterRewrite(spark, liveDir, newDir, keyCol,
+        preloaded = stats)
     }
   }
 }

@@ -99,16 +99,32 @@ object StatsIndex {
     Some(out.result())
   }
 
+  // data files currently in `dir` — the coverage reference a stale
+  // manifest is checked against
+  private def partFiles(spark: SparkSession, dir: String): Seq[String] =
+    fs(spark, dir).listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName)
+
   /** Range scan reading ONLY manifest-admitted files — the SELECT-side
     * twin of [[BloomIndex.lookup]]: Bloom carries point probes on hash
     * layouts, the manifest carries range predicates on clustered layouts
     * WITHOUT opening any data file's footer to plan the scan. Result is
     * exactly the full scan's (the residual filter trims edge rows of
-    * admitted files); requires a manifest ([[build]] first). */
+    * admitted files); requires a manifest ([[build]] first).
+    *
+    * Staleness guard: a manifest that no longer COVERS the dir (files
+    * appended or rewritten in place since [[build]] — the Versioned DML
+    * paths can't cause this, but a raw `mode("append")` can) degrades to
+    * the plain full scan + filter, never to silently missing rows. */
   def readRange(spark: SparkSession, dir: String, keyCol: String,
                 lo: Long, hi: Long): org.apache.spark.sql.DataFrame = {
     val stats = load(spark, dir).getOrElse(throw new IllegalStateException(
       s"no stats manifest at $dir — StatsIndex.build it first"))
+    val onDisk = partFiles(spark, dir)
+    if (onDisk.toSet != stats.keySet)
+      return spark.read.parquet(dir)
+        .filter(col(keyCol) >= lo && col(keyCol) <= hi)
     val admitted = stats.collect {
       case (name, st)
           if st.nonNull > 0 && st.kmin.get <= hi && st.kmax.get >= lo =>
@@ -139,29 +155,37 @@ object StatsIndex {
     try {
       var kmin: Option[Long] = None; var kmax: Option[Long] = None
       var nonNull = 0L; var rows = 0L
+      var unknown = false // some block's key stats absent/truncated
       r.getFooter.getBlocks.asScala.foreach { b =>
         rows += b.getRowCount
-        b.getColumns.asScala.find(_.getPath.toDotString == keyCol).foreach {
-          cc =>
+        b.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
+          case None => unknown = true
+          case Some(cc) =>
             val st = cc.getStatistics
-            require(st != null && st.isNumNullsSet,
-              s"footer of $file lacks stats for $keyCol")
-            nonNull += b.getRowCount - st.getNumNulls
-            if (st.hasNonNullValue) {
-              val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
-                case (a: java.lang.Long, b0: java.lang.Long) =>
-                  (a.longValue, b0.longValue)
-                case (a: java.lang.Integer, b0: java.lang.Integer) =>
-                  (a.longValue, b0.longValue)
-                case other => throw new IllegalStateException(
-                  s"unsupported key physical type in $file: $other")
-              }
-              kmin = Some(kmin.fold(mn)(math.min(_, mn)))
-              kmax = Some(kmax.fold(mx)(math.max(_, mx)))
+            if (st == null || !st.isNumNullsSet) unknown = true
+            else {
+              nonNull += b.getRowCount - st.getNumNulls
+              if (st.hasNonNullValue)
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (a: java.lang.Long, b0: java.lang.Long) =>
+                    kmin = Some(kmin.fold(a.longValue)(math.min(_, a.longValue)))
+                    kmax = Some(kmax.fold(b0.longValue)(math.max(_, b0.longValue)))
+                  case (a: java.lang.Integer, b0: java.lang.Integer) =>
+                    kmin = Some(kmin.fold(a.longValue.toLong)(math.min(_, a.longValue)))
+                    kmax = Some(kmax.fold(b0.longValue.toLong)(math.max(_, b0.longValue)))
+                  case _ => unknown = true
+                }
+              else if (b.getRowCount - st.getNumNulls > 0)
+                unknown = true // non-null rows but no min/max recorded
             }
         }
       }
-      FileKeyStats(kmin, kmax, nonNull, rows)
+      // a footer that doesn't fully describe the key column must yield a
+      // MAXIMALLY-ADMISSIVE row (every probe admits, like a missing Bloom
+      // sidecar), never a precise-looking one that skips a purge target
+      if (unknown)
+        FileKeyStats(Some(Long.MinValue), Some(Long.MaxValue), rows, rows)
+      else FileKeyStats(kmin, kmax, nonNull, rows)
     } finally r.close()
   }
 
@@ -205,8 +229,10 @@ object StatsIndex {
     * at local-FS latencies). No-op when `oldDir` had no manifest (the
     * index stays opt-in). */
   def rebuildAfterRewrite(spark: SparkSession, oldDir: String,
-                          newDir: String, keyCol: String): Unit =
-    load(spark, oldDir).foreach { old =>
+                          newDir: String, keyCol: String,
+                          preloaded: Option[Map[String, FileKeyStats]] = None)
+      : Unit =
+    preloaded.orElse(load(spark, oldDir)).foreach { old =>
       val conf = spark.sparkContext.hadoopConfiguration
       val rows = fs(spark, newDir).listStatus(new Path(newDir)).toSeq
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))

@@ -56,18 +56,58 @@ object Upsert {
   /** Full CDC apply: `batch` carries an `opCol` of "I"/"U"/"D"; I and U
     * rows upsert, D rows delete (only their key column is read). One
     * file-targeted pass handles all three — a D and a U on keys in the
-    * same file cost one rewrite, not two. */
+    * same file cost one rewrite, not two.
+    *
+    * BATCH CONTRACT (enforced, one validation action): at most ONE op per
+    * key per batch, and no NULL keys. Multiple ops per key have no
+    * defined order inside a DataFrame — an I then D for the same key
+    * would otherwise silently resurrect the row, and two Us would insert
+    * a duplicate. A producer with intra-batch churn reduces first with
+    * [[lastPerKey]] (needs a sequence column — that is where the order
+    * lives). */
   def applyCdc(spark: SparkSession, table: String, keyCol: String,
                batch: DataFrame, opCol: String = "op",
                batchTag: Option[String] = None): Long = {
     import spark.implicits._
-    val ops = batch.select(col(opCol)).distinct().as[String].collect().toSet
-    require(ops.subsetOf(Set("I", "U", "D")),
-      s"unknown ops ${ops -- Set("I", "U", "D")} in $opCol")
-    val deletes = batch.filter(col(opCol) === "D")
-      .select(col(keyCol).cast("long")).as[Long].collect().toSeq
-    applyChanges(spark, table, keyCol,
-      batch.filter(col(opCol) =!= "D").drop(opCol), deletes, batchTag)
+    batch.persist()
+    try {
+      // single validation pass over the batch: op domain, NULL keys,
+      // one-op-per-key — collapsed into one aggregate action so the
+      // micro-batch lineage is not re-run per check
+      val v = batch.agg(
+        collect_set(col(opCol)).as("ops"),
+        count(when(col(keyCol).isNull, 1)).as("nulls"),
+        count(lit(1)).as("n"),
+        countDistinct(col(keyCol)).as("nk")).head()
+      val ops = v.getSeq[String](0).toSet
+      require(ops.subsetOf(Set("I", "U", "D")),
+        s"unknown ops ${ops -- Set("I", "U", "D")} in $opCol")
+      require(v.getLong(1) == 0L,
+        s"changeset has NULL $keyCol keys — a NULL key matches no row")
+      require(v.getLong(2) == v.getLong(3),
+        s"${v.getLong(2) - v.getLong(3)} duplicate key(s) in one batch — " +
+          s"ops per key are unordered in a DataFrame; reduce with " +
+          s"Upsert.lastPerKey first")
+      val deletes = batch.filter(col(opCol) === "D")
+        .select(col(keyCol).cast("long")).as[Long].collect().toSeq
+      applyChanges(spark, table, keyCol,
+        batch.filter(col(opCol) =!= "D").drop(opCol), deletes, batchTag)
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Reduce an intra-batch-churn CDC frame to the LAST op per key, by
+    * `seqCol` (a producer offset / LSN — the only place a batch's op
+    * order lives; ties by op descending make a same-sequence U win over
+    * its I, deterministically). The result satisfies [[applyCdc]]'s
+    * one-op-per-key contract; `seqCol` is dropped. */
+  def lastPerKey(batch: DataFrame, keyCol: String, seqCol: String,
+                 opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    batch.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", seqCol)
   }
 
   /** The `batchTag` the LIVE version was published under, if any — the
@@ -116,6 +156,9 @@ object Upsert {
     val cols = a.columns.toSeq
     require(cols.sorted.sameElements(b.columns.sorted),
       s"schema changed between v$fromV and v$toV — diff needs like schemas")
+    require(!cols.contains(opCol),
+      s"table already has a column named '$opCol' — pass a different opCol" +
+        " (the emitted frame would carry a duplicate column name)")
     val others = cols.filterNot(_ == keyCol)
     val af = a.select(struct(cols.map(col): _*).as("a"))
     val bf = b.select(struct(cols.map(col): _*).as("b"))
@@ -144,55 +187,73 @@ object Upsert {
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
     val liveDir = s"$table/v=$live"
-    require(spark.read.parquet(liveDir).columns.sorted.sameElements(
-      upserts.columns.sorted),
+    // ONE schema inference serves both the require and the column-align
+    val tableCols = spark.read.parquet(liveDir).columns.toSeq
+    require(tableCols.sorted == upserts.columns.toSeq.sorted,
       s"changeset schema ${upserts.columns.toSeq} != table schema")
-    require(upserts.filter(col(keyCol).isNull).isEmpty,
-      s"changeset has NULL $keyCol keys — a NULL key matches no row")
-    // driver-resident by the changeset dial (scaladoc): distinct changed keys
-    val upsertKeys = upserts.select(col(keyCol).cast("long"))
-      .distinct().as[Long].collect().toSeq
-    require(upsertKeys.nonEmpty || deleteKeys.nonEmpty, "empty changeset")
-    val ks = (upsertKeys ++ deleteKeys).distinct
+    upserts.persist()
+    try {
+      // one validation + key-collect pass ([[applyCdc]] pre-validates its
+      // whole batch, but merge() reaches here directly)
+      val v = upserts.agg(
+        count(when(col(keyCol).isNull, 1)).as("nulls"),
+        count(lit(1)).as("n"),
+        countDistinct(col(keyCol)).as("nk")).head()
+      require(v.getLong(0) == 0L,
+        s"changeset has NULL $keyCol keys — a NULL key matches no row")
+      require(v.getLong(1) == v.getLong(2),
+        s"${v.getLong(1) - v.getLong(2)} duplicate $keyCol key(s) in the " +
+          "changeset — each would insert its own row; reduce to one row " +
+          "per key first")
+      // driver-resident by the changeset dial (scaladoc): changed keys
+      val upsertKeys = upserts.select(col(keyCol).cast("long"))
+        .as[Long].collect().toSeq
+      require(upsertKeys.nonEmpty || deleteKeys.nonEmpty, "empty changeset")
+      val ks = (upsertKeys ++ deleteKeys).distinct
 
-    val f = fs(spark, table)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val parts = f.listStatus(new Path(liveDir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath)
-    // range source: StatsIndex manifest when present (one metadata read),
-    // per-file footer opens otherwise — same discipline as Forget.purge
-    val stats = StatsIndex.load(spark, liveDir)
-    val (affected, untouched) = parts.partition { p =>
-      BloomIndex.mightContainAny(f, liveDir, p.getName, ks) &&
-        (stats.flatMap(_.get(p.getName)) match {
-          case Some(st) => st.admitsAny(ks)
-          case None => Forget.rangeAdmitsAny(conf, p, keyCol, ks)
-        })
-    }
-
-    Versioned.publishWith(spark, table) { newDir =>
-      // survivors: affected-file rows not named by the changeset (NULL-key
-      // guard as in Forget.purge — `!isin` is NULL for NULL keys); plus
-      // the upsert rows, column-aligned to the table's order
-      val tableCols = spark.read.parquet(liveDir).columns.toSeq
-      val survivors =
-        if (affected.isEmpty) spark.read.parquet(liveDir).limit(0)
-        else spark.read.parquet(affected.map(_.toString): _*)
-          .filter(col(keyCol).isNull || !col(keyCol).isin(ks: _*))
-      survivors.select(tableCols.map(col): _*)
-        .unionByName(upserts.select(tableCols.map(col): _*))
-        .repartitionByRange(math.max(1, affected.size), col(keyCol))
-        .sortWithinPartitions(col(keyCol))
-        .write.mode("overwrite").parquet(newDir)
-      BloomIndex.indexExisting(spark, newDir, keyCol)
-      Forget.copyUntouched(f, conf, liveDir, newDir, untouched)
-      StatsIndex.rebuildAfterRewrite(spark, liveDir, newDir, keyCol)
-      batchTag.foreach { tag =>
-        val out = f.create(new Path(s"$newDir/_cdc_batch"), true)
-        try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+      val f = fs(spark, table)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val parts = f.listStatus(new Path(liveDir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath)
+      // range source: StatsIndex manifest when present (one metadata read),
+      // per-file footer opens otherwise — same discipline as Forget.purge
+      val stats = StatsIndex.load(spark, liveDir)
+      val (affected, untouched) = parts.partition { p =>
+        BloomIndex.mightContainAny(f, liveDir, p.getName, ks) &&
+          (stats.flatMap(_.get(p.getName)) match {
+            case Some(st) => st.admitsAny(ks)
+            case None => Forget.rangeAdmitsAny(conf, p, keyCol, ks)
+          })
       }
-    }
+      // vacuous batch (e.g. a delete-only replay whose keys no file can
+      // hold, nothing to insert): Forget.purge's idempotent no-op — a
+      // publish here would byte-copy the WHOLE table for nothing
+      if (affected.isEmpty && upsertKeys.isEmpty) return live
+
+      Versioned.publishWith(spark, table) { newDir =>
+        // survivors: affected-file rows not named by the changeset
+        // (NULL-key guard as in Forget.purge — `!isin` is NULL for NULL
+        // keys); plus the upsert rows, column-aligned to the table's order
+        val survivors =
+          if (affected.isEmpty) spark.read.parquet(liveDir).limit(0)
+          else spark.read.parquet(affected.map(_.toString): _*)
+            .filter(col(keyCol).isNull || !col(keyCol).isin(ks: _*))
+        survivors.select(tableCols.map(col): _*)
+          .unionByName(upserts.select(tableCols.map(col): _*))
+          .repartitionByRange(math.max(1, affected.size), col(keyCol))
+          .sortWithinPartitions(col(keyCol))
+          .write.mode("overwrite").parquet(newDir)
+        BloomIndex.indexExisting(spark, newDir, keyCol)
+        Forget.copyUntouched(f, conf, liveDir, newDir, untouched)
+        StatsIndex.rebuildAfterRewrite(spark, liveDir, newDir, keyCol,
+          preloaded = stats)
+        batchTag.foreach { tag =>
+          val out = f.create(new Path(s"$newDir/_cdc_batch"), true)
+          try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
+    } finally { upserts.unpersist(); () }
   }
 }

@@ -27,26 +27,40 @@ import graft.lake.Upsert
  * only the Bloom/footer-admitted files, byte-copy the rest — so a trickle
  * of CDC against a 100 TB table touches the changed fraction, not the
  * table. Empty micro-batches (idle triggers) publish nothing.
+ *
+ * Intra-batch churn: [[Upsert.applyCdc]] enforces ONE op per key per
+ * batch (ops inside a DataFrame are unordered — an I-then-D for one key
+ * would silently resurrect the row). A real CDC feed carries a sequence
+ * column (Kafka offset, LSN); pass it as `seqCol` and each micro-batch is
+ * first reduced to its last op per key ([[Upsert.lastPerKey]]). Without a
+ * `seqCol`, a micro-batch with duplicate keys is REJECTED, failing the
+ * query rather than corrupting the table.
  */
 object CdcSink {
 
   /** Apply one micro-batch (idempotent under replay). Public so batch
     * backfills and specs can drive the exact sink path. */
   def applyBatch(spark: SparkSession, table: String, keyCol: String,
-                 batch: DataFrame, batchId: Long, opCol: String = "op"): Unit =
+                 batch: DataFrame, batchId: Long, opCol: String = "op",
+                 seqCol: Option[String] = None): Unit =
     if (!batch.isEmpty &&
         !Upsert.lastBatchTag(spark, table).contains(batchId.toString)) {
-      Upsert.applyCdc(spark, table, keyCol, batch, opCol,
+      val reduced = seqCol.fold(batch)(s =>
+        Upsert.lastPerKey(batch, keyCol, s, opCol))
+      Upsert.applyCdc(spark, table, keyCol, reduced, opCol,
         batchTag = Some(batchId.toString))
       ()
     }
 
   /** Wire a change stream into `table`; caller sets trigger/checkpoint and
-    * starts. */
+    * starts. Pass the feed's sequence column as `seqCol` whenever one op
+    * per key per micro-batch is not guaranteed upstream. */
   def into(changes: DataFrame, table: String, keyCol: String,
-           opCol: String = "op"): DataStreamWriter[Row] =
+           opCol: String = "op",
+           seqCol: Option[String] = None): DataStreamWriter[Row] =
     changes.writeStream.foreachBatch {
       (batch: DataFrame, id: Long) =>
-        applyBatch(batch.sparkSession, table, keyCol, batch, id, opCol)
+        applyBatch(batch.sparkSession, table, keyCol, batch, id, opCol,
+          seqCol)
     }
 }

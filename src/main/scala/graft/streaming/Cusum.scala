@@ -50,8 +50,9 @@ final case class CusumAlarm(metric: String, ts: Timestamp, side: String,
  * positions are order-sensitive by definition; the watermark bounds how
  * late that can be.
  *
- * State budget: three longs per live metric key, no growth in stream
- * length; event-time timeout drops metrics silent past the horizon.
+ * State budget: four longs per live metric key (two accumulators, the
+ * since-reset count, the eviction anchor), no growth in stream length;
+ * event-time timeout drops metrics silent past the horizon.
  */
 object Cusum {
 

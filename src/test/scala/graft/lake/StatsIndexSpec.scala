@@ -145,6 +145,20 @@ class StatsIndexSpec extends SparkSpec {
       .columns.toSeq == Seq("k", "v"))
   }
 
+  test("a stale manifest degrades readRange to the full scan, never missing rows") {
+    val t = s"$root/stale"
+    (0L until 1000L).map(k => (k, s"p-$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(t)
+    StatsIndex.build(spark, t, "k")
+    // files appended AFTER the build: the manifest no longer covers the dir
+    (5000L until 5100L).map(k => (k, s"late-$k")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(t)
+    val got = StatsIndex.readRange(spark, t, "k", 5000L, 5050L)
+      .orderBy($"k").as[(Long, String)].collect().toSeq
+    assert(got.size == 51 && got.head == (5000L, "late-5000"),
+      "stale manifest must fall back to the full scan")
+  }
+
   test("manifest and untouched files survive vacuum-free time travel") {
     val t = s"$root/travel"
     val rows = (0L until 1000L).map(k => (k, s"p-$k")).toDF("k", "v")

@@ -197,6 +197,72 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("duplicate keys in one batch are rejected, not silently applied") {
+    val t = freshTable("dupes", n = 100L)
+    // I then D for one key: unordered in a DataFrame, so applying both is
+    // undefined — the old behavior silently resurrected the deleted row
+    val churn = Seq(("I", 7L, "created"), ("D", 7L, null.asInstanceOf[String]))
+      .toDF("op", "k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Upsert.applyCdc(spark, t, "k", churn)
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    // two upserts for one key through merge(): would insert both rows
+    val e2 = intercept[IllegalArgumentException] {
+      Upsert.merge(spark, t, "k", Seq((5L, "a"), (5L, "b")).toDF("k", "v"))
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    // and a D row with a NULL key gets the friendly rejection too
+    val e3 = intercept[IllegalArgumentException] {
+      Upsert.applyCdc(spark, t, "k",
+        Seq(("D", Option.empty[Long], Option.empty[String]))
+          .toDF("op", "k", "v"))
+    }
+    assert(e3.getMessage.contains("NULL"))
+  }
+
+  test("lastPerKey reduces intra-batch churn by sequence; applyCdc accepts it") {
+    val t = freshTable("churn", n = 100L)
+    val feed = Seq(
+      ("I", 7L, "created", 1L), ("U", 7L, "updated", 2L),
+      ("D", 7L, null.asInstanceOf[String], 3L),   // net: delete 7
+      ("U", 9L, "first", 10L), ("U", 9L, "last", 11L)) // net: 9 -> last
+      .toDF("op", "k", "v", "seq")
+    val reduced = Upsert.lastPerKey(feed, "k", "seq")
+    assert(reduced.count() == 2L)
+    Upsert.applyCdc(spark, t, "k", reduced)
+    val after = Versioned.read(spark, t)
+    assert(after.filter($"k" === 7L).isEmpty)
+    assert(after.filter($"k" === 9L).select($"v").as[String].head() == "last")
+    assert(after.count() == 99L)
+  }
+
+  test("a vacuous delete-only batch is a no-op, not a full-table copy") {
+    val t = freshTable("vacuous", n = 1000L)
+    val before = Versioned.currentVersion(spark, t).get
+    // keys the table never held and (overwhelmingly likely) no Bloom
+    // false positive admits; the old behavior byte-copied all 8 files
+    // into a fresh version
+    val v = Upsert.applyCdc(spark, t, "k",
+      Seq(("D", 999999901L, null.asInstanceOf[String]),
+        ("D", 999999902L, null.asInstanceOf[String])).toDF("op", "k", "v"))
+    assert(v == before || v == before + 1) // fpp may legitimately admit one
+    if (v == before)
+      assert(Versioned.versions(spark, t).max == before) // nothing published
+  }
+
+  test("diff rejects an opCol that collides with a table column") {
+    val t = s"$root/opclash"
+    Forget.publishIndexed(Seq((1L, "x")).toDF("k", "op"), t, 2, "k")
+    Upsert.merge(spark, t, "k", Seq((2L, "y")).toDF("k", "op"))
+    val e = intercept[IllegalArgumentException] {
+      Upsert.diff(spark, t, 1L, 2L, "k") // default opCol = "op" collides
+    }
+    assert(e.getMessage.contains("op"))
+    // a non-colliding opCol works
+    assert(Upsert.diff(spark, t, 1L, 2L, "k", opCol = "cdc_op").count() == 1L)
+  }
+
   test("schema-mismatched changesets are rejected") {
     val t = freshTable("schema", n = 100L)
     val e = intercept[IllegalArgumentException] {
