@@ -72,6 +72,29 @@ class CdcSinkSpec extends SparkSpec {
     assert(after.count() == 1000L)
   }
 
+  test("seqCol reduces intra-batch churn before the merge (stream path)") {
+    val t = fresh("churn")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String, Long)]
+    val q = CdcSink.into(
+        input.toDF().toDF("op", "k", "v", "seq"), t, "k",
+        seqCol = Some("seq"))
+      .option("checkpointLocation", s"$root/ckpt-churn").start()
+    try {
+      // one micro-batch with churn on both keys: I->U->D nets to a
+      // delete of 3; U->U nets to the later value for 8
+      input.addData(
+        ("I", 3000L, "created", 1L), ("U", 3000L, "updated", 2L),
+        ("D", 3000L, null.asInstanceOf[String], 3L),
+        ("U", 8L, "first", 10L), ("U", 8L, "last", 11L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = Versioned.read(spark, t)
+    assert(after.filter($"k" === 3000L).isEmpty)
+    assert(after.filter($"k" === 8L).select($"v").as[String].head() == "last")
+    assert(after.count() == 1000L)
+  }
+
   test("empty micro-batches publish nothing") {
     val t = fresh("empty")
     val v = Versioned.currentVersion(spark, t).get
