@@ -48,7 +48,8 @@ object Upsert {
   /** Upsert: each row of `changes` replaces the table row with the same
     * `keyCol` value (update) or is added (insert). `changes` must match
     * the table schema; its keys must be non-null (a NULL key matches
-    * nothing — reject rather than guess). Returns the new live version. */
+    * nothing) and UNIQUE (two rows for one key would each insert) — both
+    * enforced, reject rather than guess. Returns the new live version. */
   def merge(spark: SparkSession, table: String, keyCol: String,
             changes: DataFrame): Long =
     applyChanges(spark, table, keyCol, changes, Seq.empty)
