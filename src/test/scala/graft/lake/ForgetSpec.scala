@@ -151,6 +151,37 @@ class ForgetSpec extends SparkSpec {
     assert(after.count() == 200L - 3 + 10)
   }
 
+  test("end-to-end on the real documents corpus: publish, purge doc_ids, merge a correction") {
+    // the governance flow a training-data lake actually runs: land the
+    // documents table Bloom-indexed, serve a deletion request for specific
+    // doc_ids, then land a redaction-corrected replacement for another
+    val t = s"$root/documents"
+    val docs = graft.lake.Tables.load(spark, sf001, "documents")
+    val total = docs.count()
+    Forget.publishIndexed(docs, t, nFiles = 4, keyCol = "doc_id")
+    // deletion request
+    val gone = Seq(3L, 17L, 99L)
+    Forget.purge(spark, t, "doc_id", gone)
+    val purged = Versioned.read(spark, t)
+    assert(purged.filter($"doc_id".isin(gone: _*)).isEmpty)
+    assert(purged.count() == total - gone.size)
+    // correction batch: replace one doc's text, add a late-arriving doc
+    val fix = Seq(
+      (5L, "[REDACTED]", "en", "web", 10L),
+      (900000L, "late arrival", "en", "books", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Upsert.merge(spark, t, "doc_id", fix)
+    val after = Versioned.read(spark, t)
+    assert(after.filter($"doc_id" === 5L).select($"text").as[String].head()
+      == "[REDACTED]")
+    assert(after.filter($"doc_id" === 900000L).count() == 1L)
+    assert(after.count() == total - gone.size + 1)
+    // the untouched corpus content is intact (spot check an unrelated doc)
+    val orig = docs.filter($"doc_id" === 42L).select($"text").as[String].head()
+    assert(after.filter($"doc_id" === 42L).select($"text").as[String].head()
+      == orig)
+  }
+
   test("purging keys the table never held is a bounded no-op") {
     val before = Versioned.currentVersion(spark, table()).get
     val v = Forget.purge(spark, table(), "k", Seq(77777777L))
