@@ -138,11 +138,18 @@ object StatsIndex {
   }
 
   /** How many files [[readRange]] would open for [lo, hi] (planning /
-    * spec observability). */
+    * spec observability) — INCLUDING its staleness fallback: a manifest
+    * not covering the dir means readRange full-scans, so the answer is
+    * the on-disk file count, keeping both APIs consistent. -1 = no
+    * manifest at all. */
   def admittedCount(spark: SparkSession, dir: String,
                     lo: Long, hi: Long): Int =
-    load(spark, dir).fold(-1)(_.values.count(st =>
-      st.nonNull > 0 && st.kmin.get <= hi && st.kmax.get >= lo))
+    load(spark, dir).fold(-1) { stats =>
+      val onDisk = partFiles(spark, dir)
+      if (onDisk.toSet != stats.keySet) onDisk.size
+      else stats.values.count(st =>
+        st.nonNull > 0 && st.kmin.get <= hi && st.kmax.get >= lo)
+    }
 
   // per-file stats straight from the file's own parquet footer (the
   // rewrite just wrote it, so the footer already holds exact min/max/null

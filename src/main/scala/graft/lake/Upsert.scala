@@ -72,11 +72,14 @@ object Upsert {
     import spark.implicits._
     batch.persist()
     try {
-      // single validation pass over the batch: op domain, NULL keys,
-      // one-op-per-key — collapsed into one aggregate action so the
-      // micro-batch lineage is not re-run per check
+      // single validation pass over the batch: op domain (incl. NULL ops,
+      // which collect_set would silently ignore and the D/non-D filters
+      // would then silently DROP), NULL keys, one-op-per-key — collapsed
+      // into one aggregate action so the micro-batch lineage is not
+      // re-run per check
       val v = batch.agg(
         collect_set(col(opCol)).as("ops"),
+        count(when(col(opCol).isNull, 1)).as("nullops"),
         count(when(col(keyCol).isNull, 1)).as("nulls"),
         count(lit(1)).as("n"),
         countDistinct(col(keyCol)).as("nk")).head()
@@ -84,28 +87,47 @@ object Upsert {
       require(ops.subsetOf(Set("I", "U", "D")),
         s"unknown ops ${ops -- Set("I", "U", "D")} in $opCol")
       require(v.getLong(1) == 0L,
+        s"${v.getLong(1)} row(s) with NULL $opCol — refusing to guess")
+      require(v.getLong(2) == 0L,
         s"changeset has NULL $keyCol keys — a NULL key matches no row")
-      require(v.getLong(2) == v.getLong(3),
-        s"${v.getLong(2) - v.getLong(3)} duplicate key(s) in one batch — " +
+      require(v.getLong(3) == v.getLong(4),
+        s"${v.getLong(3) - v.getLong(4)} duplicate key(s) in one batch — " +
           s"ops per key are unordered in a DataFrame; reduce with " +
           s"Upsert.lastPerKey first")
       val deletes = batch.filter(col(opCol) === "D")
         .select(col(keyCol).cast("long")).as[Long].collect().toSeq
       applyChanges(spark, table, keyCol,
-        batch.filter(col(opCol) =!= "D").drop(opCol), deletes, batchTag)
+        batch.filter(col(opCol) =!= "D").drop(opCol), deletes, batchTag,
+        prevalidated = true)
     } finally { batch.unpersist(); () }
   }
 
   /** Reduce an intra-batch-churn CDC frame to the LAST op per key, by
     * `seqCol` (a producer offset / LSN — the only place a batch's op
-    * order lives; ties by op descending make a same-sequence U win over
-    * its I, deterministically). The result satisfies [[applyCdc]]'s
+    * order lives). Determinism contract (enforced): `seqCol` must be
+    * non-null and UNIQUE per key — two ops for one key at the same
+    * sequence mean the producer's ordering is broken, and row_number
+    * would pick an arbitrary winner; reject rather than publish
+    * run-dependent table contents. The result satisfies [[applyCdc]]'s
     * one-op-per-key contract; `seqCol` is dropped. */
   def lastPerKey(batch: DataFrame, keyCol: String, seqCol: String,
                  opCol: String = "op"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val v = batch.agg(
+      count(when(col(seqCol).isNull, 1)).as("nullseq"),
+      count(when(col(keyCol).isNull, 1)).as("nullkey"),
+      count(lit(1)).as("n"),
+      countDistinct(col(keyCol), col(seqCol)).as("nks")).head()
+    require(v.getLong(0) == 0L,
+      s"${v.getLong(0)} row(s) with NULL $seqCol — an unsequenced op " +
+        "cannot be ordered")
+    require(v.getLong(1) == 0L,
+      s"changeset has NULL $keyCol keys — a NULL key matches no row")
+    require(v.getLong(2) == v.getLong(3),
+      s"${v.getLong(2) - v.getLong(3)} (key, $seqCol) collision(s) — the " +
+        "sequence does not order this feed; the last-op winner would be " +
+        "arbitrary")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
     batch.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", seqCol)
@@ -183,7 +205,8 @@ object Upsert {
 
   private def applyChanges(spark: SparkSession, table: String, keyCol: String,
                            upserts: DataFrame, deleteKeys: Seq[Long],
-                           batchTag: Option[String] = None): Long = {
+                           batchTag: Option[String] = None,
+                           prevalidated: Boolean = false): Long = {
     import spark.implicits._
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
@@ -192,20 +215,24 @@ object Upsert {
     val tableCols = spark.read.parquet(liveDir).columns.toSeq
     require(tableCols.sorted == upserts.columns.toSeq.sorted,
       s"changeset schema ${upserts.columns.toSeq} != table schema")
-    upserts.persist()
+    // applyCdc pre-validates (and persists) its WHOLE batch, which covers
+    // the upsert subset — re-running the agg and double-caching the child
+    // frame would cost an extra shuffle per micro-batch on the CDC hot
+    // path. merge() reaches here directly and validates now.
+    if (!prevalidated) upserts.persist()
     try {
-      // one validation + key-collect pass ([[applyCdc]] pre-validates its
-      // whole batch, but merge() reaches here directly)
-      val v = upserts.agg(
-        count(when(col(keyCol).isNull, 1)).as("nulls"),
-        count(lit(1)).as("n"),
-        countDistinct(col(keyCol)).as("nk")).head()
-      require(v.getLong(0) == 0L,
-        s"changeset has NULL $keyCol keys — a NULL key matches no row")
-      require(v.getLong(1) == v.getLong(2),
-        s"${v.getLong(1) - v.getLong(2)} duplicate $keyCol key(s) in the " +
-          "changeset — each would insert its own row; reduce to one row " +
-          "per key first")
+      if (!prevalidated) {
+        val v = upserts.agg(
+          count(when(col(keyCol).isNull, 1)).as("nulls"),
+          count(lit(1)).as("n"),
+          countDistinct(col(keyCol)).as("nk")).head()
+        require(v.getLong(0) == 0L,
+          s"changeset has NULL $keyCol keys — a NULL key matches no row")
+        require(v.getLong(1) == v.getLong(2),
+          s"${v.getLong(1) - v.getLong(2)} duplicate $keyCol key(s) in the " +
+            "changeset — each would insert its own row; reduce to one row " +
+            "per key first")
+      }
       // driver-resident by the changeset dial (scaladoc): changed keys
       val upsertKeys = upserts.select(col(keyCol).cast("long"))
         .as[Long].collect().toSeq
@@ -255,6 +282,6 @@ object Upsert {
           finally out.close()
         }
       }
-    } finally { upserts.unpersist(); () }
+    } finally { if (!prevalidated) upserts.unpersist(); () }
   }
 }

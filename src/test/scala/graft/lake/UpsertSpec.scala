@@ -221,6 +221,32 @@ class UpsertSpec extends SparkSpec {
     assert(e3.getMessage.contains("NULL"))
   }
 
+  test("NULL ops and sequence collisions are rejected, never silently dropped") {
+    val t = freshTable("nullop", n = 100L)
+    // a NULL op would be dropped by BOTH the ===\"D\" and =!=\"D\" filters —
+    // the change would silently vanish; reject instead
+    val e1 = intercept[IllegalArgumentException] {
+      Upsert.applyCdc(spark, t, "k",
+        Seq((Option.empty[String], 9L, Some("x"))).toDF("op", "k", "v"))
+    }
+    assert(e1.getMessage.contains("NULL op"))
+    // two ops for one key at the SAME sequence: the winner would be
+    // arbitrary — the producer's ordering is broken, refuse
+    val e2 = intercept[IllegalArgumentException] {
+      Upsert.lastPerKey(
+        Seq(("U", 5L, "a", 10L), ("U", 5L, "b", 10L))
+          .toDF("op", "k", "v", "seq"), "k", "seq")
+    }
+    assert(e2.getMessage.contains("collision"))
+    // an unsequenced row cannot be ordered either
+    val e3 = intercept[IllegalArgumentException] {
+      Upsert.lastPerKey(
+        Seq(("U", 5L, "a", Option.empty[Long]))
+          .toDF("op", "k", "v", "seq"), "k", "seq")
+    }
+    assert(e3.getMessage.contains("NULL seq"))
+  }
+
   test("lastPerKey reduces intra-batch churn by sequence; applyCdc accepts it") {
     val t = freshTable("churn", n = 100L)
     val feed = Seq(
