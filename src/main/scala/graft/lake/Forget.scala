@@ -53,21 +53,28 @@ object Forget {
 
   /** Publish `df` as the first/next version of `table`, hash-distributed
     * into `nFiles` files on `keyCol` with Bloom sidecars — the layout
-    * [[purge]] prunes against. */
+    * [[purge]] prunes against. `stats = true` also births the
+    * [[StatsIndex]] manifest, which every later [[purge]]/[[Upsert]]
+    * rewrite then maintains incrementally. */
   def publishIndexed(df: DataFrame, table: String, nFiles: Int,
-                     keyCol: String, fpp: Double = 0.01): Long =
+                     keyCol: String, fpp: Double = 0.01,
+                     stats: Boolean = false): Long =
     Versioned.publishWith(df.sparkSession, table) { dir =>
       BloomIndex.writeIndexed(df, dir, nFiles, keyCol, fpp)
+      if (stats) StatsIndex.build(df.sparkSession, dir, keyCol)
     }
 
   /** Publish `df` range-clustered on `keyCol` ([[Cluster]] layout, no
     * sidecars): every file covers a disjoint key range, so [[purge]]
     * prunes candidates from parquet FOOTER min/max alone — ~1 admitted
-    * file per key. */
+    * file per key. `stats = true` additionally births the [[StatsIndex]]
+    * manifest so that pruning costs one metadata read instead of
+    * per-file footer opens. */
   def publishClustered(df: DataFrame, table: String, nFiles: Int,
-                       keyCol: String): Long =
+                       keyCol: String, stats: Boolean = false): Long =
     Versioned.publishWith(df.sparkSession, table) { dir =>
       Cluster.writeClustered(df, dir, nFiles, col(keyCol))
+      if (stats) StatsIndex.build(df.sparkSession, dir, keyCol)
     }
 
   /** Does any row group of `file` have [min,max] admitting ANY of `keys`?

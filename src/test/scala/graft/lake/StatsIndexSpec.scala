@@ -145,6 +145,15 @@ class StatsIndexSpec extends SparkSpec {
       .columns.toSeq == Seq("k", "v"))
   }
 
+  test("stats=true at publish births the manifest; DML maintains it from v=1 on") {
+    val t = s"$root/born"
+    val rows = (0L until 2000L).map(k => (k, s"p-$k")).toDF("k", "v")
+    Forget.publishClustered(rows, t, nFiles = 4, keyCol = "k", stats = true)
+    assert(StatsIndex.exists(spark, s"$t/v=1"))
+    Forget.purge(spark, t, "k", Seq(42L))
+    assert(StatsIndex.load(spark, s"$t/v=2").get.size == 4)
+  }
+
   test("a stale manifest degrades readRange to the full scan, never missing rows") {
     val t = s"$root/stale"
     (0L until 1000L).map(k => (k, s"p-$k")).toDF("k", "v")
