@@ -167,6 +167,38 @@ class UpsertSpec extends SparkSpec {
     assert(replica == main)
   }
 
+  test("randomized CHURN feeds through lastPerKey + applyCdc agree with the model") {
+    // the full production stack: an unreduced feed with intra-batch churn
+    // and a sequence column, reduced by lastPerKey, applied by applyCdc —
+    // vs a model that folds ops in sequence order
+    val t = s"$root/churnrandom"
+    val rnd = new scala.util.Random(424242L)
+    var model = (0L until 200L).map(k => k -> s"payload-$k").toMap
+    Forget.publishIndexed(
+      model.toSeq.toDF("k", "v"), t, nFiles = 4, keyCol = "k")
+    var seq = 0L
+    for (round <- 1 to 4) {
+      val feed = (0 until 40).map { _ =>
+        seq += 1
+        val k = rnd.nextInt(250).toLong
+        rnd.nextInt(3) match {
+          case 0 => ("U", k, s"u$seq", seq)
+          case 1 => ("I", k, s"i$seq", seq)
+          case _ => ("D", k, null.asInstanceOf[String], seq)
+        }
+      }
+      // model folds in SEQUENCE order — exactly what lastPerKey must pick
+      feed.sortBy(_._4).foreach {
+        case ("D", k, _, _) => model -= k
+        case (_, k, v, _) => model += (k -> v)
+      }
+      Upsert.applyCdc(spark, t, "k",
+        Upsert.lastPerKey(feed.toDF("op", "k", "v", "seq"), "k", "seq"))
+      val got = Versioned.read(spark, t).as[(Long, String)].collect().toMap
+      assert(got == model, s"diverged from model at round $round")
+    }
+  }
+
   test("randomized CDC sequences agree with an in-memory model") {
     val t = s"$root/random"
     val rnd = new scala.util.Random(20260814L)
