@@ -85,6 +85,21 @@ case class PqRecon(child: Expression, cents: Array[Array[Array[Double]]])
   require(cents.nonEmpty && cents(0).nonEmpty && cents(0)(0).nonEmpty,
     "pq_recon needs non-empty codebooks")
 
+  // The synthesized case-class equals/hashCode compare the `cents` array
+  // by REFERENCE, so two semantically identical pq_recon expressions never
+  // canonicalize equal and Catalyst's common-subexpression elimination
+  // misses the dedup. Compare the codebooks structurally (deep hash cached
+  // once — the array is plan-baked and never mutated).
+  private lazy val centsHash: Int =
+    java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
+  override def equals(other: Any): Boolean = other match {
+    case PqRecon(c, cs) =>
+      child == c && java.util.Arrays.deepEquals(
+        cents.asInstanceOf[Array[AnyRef]], cs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode() + centsHash
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

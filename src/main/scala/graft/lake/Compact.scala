@@ -125,6 +125,14 @@ object Compact {
         .write.mode(SaveMode.Overwrite).parquet(newDir)
       if (hadBloom) BloomIndex.indexExisting(spark, newDir, keyCol)
       if (hadStats) StatsIndex.build(spark, newDir, keyCol)
+      // carry the CDC replay-dedup tag forward: compaction changes the
+      // layout, not the applied-batch watermark, and a streaming sink's
+      // crash-replay probe must survive a maintenance publish + vacuum
+      val tag = new Path(s"$liveDir/_cdc_batch")
+      if (f.exists(tag))
+        org.apache.hadoop.fs.FileUtil.copy(
+          f, tag, f, new Path(s"$newDir/_cdc_batch"), false, true,
+          spark.sparkContext.hadoopConfiguration)
     }
   }
 }

@@ -133,28 +133,47 @@ object Upsert {
       .drop("_rn", seqCol)
   }
 
+  /** Read one version dir's `_cdc_batch` tag, to EOF — a fixed-size
+    * buffer would silently truncate a long caller-supplied tag, and a
+    * truncated tag never matches on replay, silently defeating the dedup. */
+  private def readTag(f: FileSystem, table: String, v: Long): Option[String] = {
+    val p = new Path(s"$table/v=$v/_cdc_batch")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream(256)
+        val chunk = new Array[Byte](4096)
+        var r = in.read(chunk)
+        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        val s = new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (s.isEmpty) None else Some(s)
+      } finally in.close()
+    }
+  }
+
   /** The `batchTag` the LIVE version was published under, if any — the
     * replay-dedup handle for [[graft.streaming.CdcSink]]: the tag file is
     * written INSIDE the version dir before the manifest swap, so tag and
     * data become visible in the same atomic step. */
   def lastBatchTag(spark: SparkSession, table: String): Option[String] = {
     val f = fs(spark, table)
-    Versioned.currentVersion(spark, table).flatMap { v =>
-      val p = new Path(s"$table/v=$v/_cdc_batch")
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        try {
-          val bytes = new Array[Byte](256)
-          var n = 0
-          var r = in.read(bytes, 0, bytes.length)
-          while (r > 0) { n += r; r = in.read(bytes, n, bytes.length - n) }
-          if (n <= 0) None
-          else Some(new String(bytes, 0, n,
-            java.nio.charset.StandardCharsets.UTF_8).trim)
-        } finally in.close()
-      }
-    }
+    Versioned.currentVersion(spark, table).flatMap(readTag(f, table, _))
+  }
+
+  /** Batch tags across the most recent `lookback` EXISTING versions (not
+    * just the live one). This is the replay-dedup probe that survives
+    * interleaved DML: a compact/purge/merge published between a CDC
+    * batch's publish and its checkpoint commit replaces the LIVE version,
+    * but the batch's own tagged version dir is still on disk until a
+    * vacuum, so a crash-replay of that batch still sees its tag here and
+    * no-ops. Cost: `lookback` metadata probes — no data reads. */
+  def recentBatchTags(spark: SparkSession, table: String,
+                      lookback: Int = 16): Set[String] = {
+    val f = fs(spark, table)
+    Versioned.versions(spark, table).sorted.takeRight(lookback)
+      .flatMap(readTag(f, table, _)).toSet
   }
 
   /** Row-level changeset BETWEEN two published versions — CDC derived from
@@ -267,9 +286,24 @@ object Upsert {
           if (affected.isEmpty) spark.read.parquet(liveDir).limit(0)
           else spark.read.parquet(affected.map(_.toString): _*)
             .filter(col(keyCol).isNull || !col(keyCol).isin(ks: _*))
+        // Rewrite width: the affected-file count when files rewrite; for a
+        // PURE-INSERT batch (no admitted files) that count is 0 and a
+        // backfill-sized insert must not land in ONE oversized file — size
+        // from the batch instead: rows (== distinct keys, enforced above)
+        // over the live table's average rows-per-file (stats manifest when
+        // present, a 1M-row default otherwise).
+        val rewriteParts =
+          if (affected.nonEmpty) affected.size
+          else {
+            val rowsPerFile = stats.filter(_.nonEmpty)
+              .map(m => math.max(1L, m.values.map(_.rows).sum / m.size))
+              .getOrElse(1000000L)
+            math.max(1L, math.min(4096L,
+              (upsertKeys.size + rowsPerFile - 1) / rowsPerFile)).toInt
+          }
         survivors.select(tableCols.map(col): _*)
           .unionByName(upserts.select(tableCols.map(col): _*))
-          .repartitionByRange(math.max(1, affected.size), col(keyCol))
+          .repartitionByRange(rewriteParts, col(keyCol))
           .sortWithinPartitions(col(keyCol))
           .write.mode("overwrite").parquet(newDir)
         BloomIndex.indexExisting(spark, newDir, keyCol)

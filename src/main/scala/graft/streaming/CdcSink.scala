@@ -16,12 +16,20 @@ import graft.lake.Upsert
  *  - foreachBatch re-delivers a failed micro-batch under the SAME batchId;
  *  - each applied batch publishes its batchId as a tag file INSIDE the new
  *    version dir, so tag and data appear in one atomic manifest swap;
- *  - a replayed batch whose id matches the live version's tag is skipped.
+ *  - a replayed batch whose id matches any recent version's tag
+ *    ([[Upsert.recentBatchTags]]) is skipped.
  *
  * A crash after the publish but before the checkpoint commit therefore
  * re-sends the batch, sees its own tag, and no-ops — the table never
  * double-applies. (Out-of-order ids cannot occur: foreachBatch delivers
- * ids monotonically per checkpoint.)
+ * ids monotonically per checkpoint.) The probe scans tags across the
+ * recent EXISTING version dirs, not just the live one, so maintenance DML
+ * (compact / purge / ad-hoc merge) interleaved between a batch's publish
+ * and its checkpoint commit does not defeat the dedup — the batch's own
+ * tagged version dir is still on disk. The one way to lose the tag is a
+ * VACUUM that deletes that version inside the crash window; keep vacuum
+ * retention longer than the stream's restart window (the same contract
+ * Delta's `logRetentionDuration` carries).
  *
  * Scale posture: the merge cost per micro-batch is [[Upsert]]'s — rewrite
  * only the Bloom/footer-admitted files, byte-copy the rest — so a trickle
@@ -44,7 +52,7 @@ object CdcSink {
                  batch: DataFrame, batchId: Long, opCol: String = "op",
                  seqCol: Option[String] = None): Unit =
     if (!batch.isEmpty &&
-        !Upsert.lastBatchTag(spark, table).contains(batchId.toString)) {
+        !Upsert.recentBatchTags(spark, table).contains(batchId.toString)) {
       val reduced = seqCol.fold(batch)(s =>
         Upsert.lastPerKey(batch, keyCol, s, opCol))
       Upsert.applyCdc(spark, table, keyCol, reduced, opCol,

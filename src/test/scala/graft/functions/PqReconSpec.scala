@@ -80,4 +80,25 @@ class PqReconSpec extends SparkSpec {
     assert(nullRow.select(pq_recon(col("emb_d"), cents))
       .collect().head.isNullAt(0))
   }
+
+  test("structurally equal codebooks canonicalize equal (CSE-visible)") {
+    // two pq_recon expressions built from DISTINCT but element-equal
+    // codebook arrays: case-class equality on Array is reference-based,
+    // so without the structural override these never compare equal and
+    // Catalyst's subexpression elimination misses the dedup
+    val copy: Array[Array[Array[Double]]] =
+      cents.map(_.map(_.clone()))
+    assert(!(copy eq cents))
+    val child =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("emb_d")
+    val a = PqRecon(child, cents)
+    val b = PqRecon(child, copy)
+    assert(a == b)
+    assert(a.hashCode() == b.hashCode())
+    assert(a.semanticEquals(b))
+    // and a genuinely different codebook still distinguishes
+    val tweaked = cents.map(_.map(_.clone()))
+    tweaked(0)(0)(0) += 1.0
+    assert(a != PqRecon(child, tweaked))
+  }
 }

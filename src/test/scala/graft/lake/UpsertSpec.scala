@@ -328,4 +328,35 @@ class UpsertSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("schema"))
   }
+
+  test("a long batchTag (> one read buffer) round-trips untruncated") {
+    val t = freshTable("longtag", n = 100L)
+    // longer than any fixed read buffer — a truncated tag would never
+    // match on replay, silently re-applying the batch
+    val tag = Seq.fill(500)("segment").mkString("-")
+    Upsert.applyCdc(spark, t, "k",
+      Seq(("U", 1L, "UPDATED-1")).toDF("op", "k", "v"),
+      batchTag = Some(tag))
+    assert(Upsert.lastBatchTag(spark, t).contains(tag))
+    assert(Upsert.recentBatchTags(spark, t).contains(tag))
+  }
+
+  test("a pure-insert batch is sized from the batch, not the affected set") {
+    val t = s"$root/pureinsert"
+    val rows = (0L until 10000L).map(k => (k, s"payload-$k")).toDF("k", "v")
+    Forget.publishIndexed(rows, t, nFiles = 8, keyCol = "k", stats = true)
+    // 5000 brand-new keys outside every file's [kmin, kmax]: zero files
+    // admitted, so this is the pure-insert path. The live table averages
+    // 1250 rows/file — the batch must land in 4 fresh files, never ONE
+    // oversized skew-prone file
+    val inserts = (20000L until 25000L).map(k => (k, s"new-$k")).toDF("k", "v")
+    assert(Upsert.merge(spark, t, "k", inserts) == 2L)
+    val before = partSums(s"$t/v=1").keySet
+    val after = partSums(s"$t/v=2").keySet
+    assert(before.subsetOf(after), "originals must byte-copy over")
+    val freshFiles = after.diff(before)
+    assert(freshFiles.size == 4,
+      s"expected 4 insert files sized from the batch, got ${freshFiles.size}")
+    assert(Versioned.read(spark, t).count() == 15000L)
+  }
 }

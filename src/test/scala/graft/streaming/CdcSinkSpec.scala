@@ -95,6 +95,29 @@ class CdcSinkSpec extends SparkSpec {
     assert(after.count() == 1000L)
   }
 
+  test("maintenance DML between publish and replay does not defeat dedup") {
+    val t = fresh("interleave")
+    val b0 = Seq(("U", 1L, "UPDATED-1")).toDF("op", "k", "v")
+    CdcSink.applyBatch(spark, t, "k", b0, batchId = 0L)
+    // interleaved maintenance inside the crash window, BEFORE the
+    // checkpoint commit: a compaction (which must carry the tag forward)
+    // and a purge (a fresh, untagged version on top)
+    graft.lake.Compact.compactVersion(spark, t, "k",
+      targetBytes = Long.MaxValue)
+    assert(Upsert.lastBatchTag(spark, t).contains("0"),
+      "compaction must carry the CDC tag forward")
+    Forget.purge(spark, t, "k", Seq(999L))
+    val v = Versioned.currentVersion(spark, t).get
+    // crash-replay of batch 0: the live version is no longer the tagged
+    // one, but the tag is found across recent versions — still a no-op
+    CdcSink.applyBatch(spark, t, "k", b0, batchId = 0L)
+    assert(Versioned.currentVersion(spark, t).contains(v))
+    val after = Versioned.read(spark, t)
+    assert(after.filter($"k" === 1L).select($"v").as[String].head()
+      == "UPDATED-1")
+    assert(after.filter($"k" === 999L).isEmpty) // the purge held too
+  }
+
   test("empty micro-batches publish nothing") {
     val t = fresh("empty")
     val v = Versioned.currentVersion(spark, t).get
