@@ -503,6 +503,77 @@ object Lm extends Family {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // PMI collocations: adjacent token pairs that co-occur more than their
+  // unigram frequencies predict (Church & Hanks 1990) — the multi-word-
+  // expression miner a tokenizer/vocab pipeline runs before merging tokens.
+  // PMI is kept as the EXACT probability ratio p(a,b)/(p(a)·p(b)) rather
+  // than its log: the ranking is monotone-identical and the output stays
+  // transcendental-free (this file's oracle-exactness discipline). All
+  // counts are int64; the ratio is ONE fixed-order double expression,
+  // bit-identical across engines.
+  //
+  // Scale shape: ONE corpus token pass feeds both count tables (bigram
+  // counts group map-side-combinably; unigram counts and both grand totals
+  // derive from the VOCAB-sized aggregates, never a second corpus pass);
+  // the unigram side joins onto the bigram table as a vocab-sized
+  // broadcast, totals as 1-row broadcasts; the top-k cut bounds the output.
+  // The min-count dial (20 at the catalog SF) is the standard collocation
+  // support floor — production tracks it with corpus size like the
+  // rare-bigram threshold above.
+  private val pmiBigrams = Q(
+    "lm_pmi_bigrams",
+    Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      uni AS (SELECT unnest(tk) AS w FROM t),
+      uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+      nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+      bg AS (SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                 i -> {'wa': tk[i], 'wb': tk[i + 1]})
+             ELSE [] END) AS p FROM t),
+      bc AS (SELECT (p).wa AS wa, (p).wb AS wb, CAST(COUNT(*) AS BIGINT) AS cab
+             FROM bg GROUP BY 1, 2),
+      nb AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM bc)
+      SELECT wa || ' ' || wb AS bigram, cab AS n_pair,
+        (CAST(cab AS DOUBLE) * nt.n * nt.n) / (CAST(nb.n AS DOUBLE) * ua.c * ub.c)
+          AS pmi_ratio
+      FROM bc
+      JOIN uc ua ON ua.w = bc.wa
+      JOIN uc ub ON ub.w = bc.wb
+      CROSS JOIN nt CROSS JOIN nb
+      WHERE cab >= 20
+      ORDER BY pmi_ratio DESC, bigram LIMIT 50
+    """)) { (spark, dir) =>
+    val tk = TextOps.tokens(col("text"))
+    val pairs = docs(spark, dir)
+      .select(when(size(tk) >= 2,
+          transform(sequence(lit(1), size(tk) - 1), i =>
+            struct(element_at(tk, i).as("wa"), element_at(tk, i + 1).as("wb"))))
+        .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
+        .as("ps"))
+      .select(explode(col("ps")).as("p"))
+    val bc = pairs
+      .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .agg(count(lit(1)).as("cab"))
+      .localCheckpoint() // consumed 2x: the nb total + the join spine
+    val uc = docs(spark, dir).select(explode(tk).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumed 3x: nt total + both join sides
+    val nt = uc.agg(sum(col("c")).as("nt"))
+    val nb = bc.agg(sum(col("cab")).as("nb"))
+    bc.join(broadcast(uc.select(col("w").as("wa"), col("c").as("ca"))), "wa")
+      .join(broadcast(uc.select(col("w").as("wb"), col("c").as("cb"))), "wb")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .filter(col("cab") >= 20)
+      .select(concat_ws(" ", col("wa"), col("wb")).as("bigram"),
+        col("cab").as("n_pair"),
+        ((col("cab").cast("double") * col("nt") * col("nt")) /
+          (col("nb").cast("double") * col("ca") * col("cb"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("bigram")).limit(50)
+  }
+
   override val specs: Seq[Q] =
-    Seq(rareBigram, vocabEncode, bpeMerges, bpeEncode, knBigram, knDocScore)
+    Seq(rareBigram, vocabEncode, bpeMerges, bpeEncode, knBigram, knDocScore,
+      pmiBigrams)
 }

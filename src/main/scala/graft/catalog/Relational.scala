@@ -312,6 +312,46 @@ object Relational extends Family {
       .orderBy(col("lvl"), col("status"), col("priority"))
   }
 
+  // A6: explicit GROUPING SETS — the general form rollup/cube specialize:
+  // exactly the (region), (priority), (region, priority) groupings, no
+  // grand total. One Expand + one aggregate in Spark (same physical shape
+  // as rollup — the row is replicated once per grouping set map-side, so
+  // the plan is a single shuffle regardless of how many sets are asked).
+  private val groupingSetsQ = Q(
+    "agg_grouping_sets",
+    Some("""
+      SELECT COALESCE(r_name, 'ALL') AS region,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        GROUPING(r_name, o_orderpriority) AS lvl,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name), (o_orderpriority),
+                              (r_name, o_orderpriority))
+      ORDER BY lvl, region, priority
+    """)) { (spark, dir) =>
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name")), Seq(col("o_orderpriority")),
+          Seq(col("r_name"), col("o_orderpriority"))),
+        col("r_name"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("lvl"),
+        count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("lvl"), col("n_orders"), col("revenue"))
+      .orderBy(col("lvl"), col("region"), col("priority"))
+  }
+
   // A4: distinct counts — exact + HLL sketch (the scale path) per segment.
   // approx_count_distinct is NOT oracle-comparable (sketch internals differ),
   // so the oracle checks the exact column; the approx column is exercised in
@@ -882,7 +922,7 @@ object Relational extends Family {
   override val specs: Seq[Q] = Seq(rfmQ,
     q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
-    rollupQ, cubeQ, distinctQ, topkQ, runningQ, lagQ, ewmaQ,
+    rollupQ, cubeQ, groupingSetsQ, distinctQ, topkQ, runningQ, lagQ, ewmaQ,
     percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ, rankMetricsQ,
     dispersionQ, hotKeysQ, trailing7dQ, histogramQ, quantSketchQ)
 }

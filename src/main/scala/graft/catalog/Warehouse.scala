@@ -819,7 +819,83 @@ object Warehouse extends Family {
         abs(col("s_k")).as("s_abs"))
   }
 
+  // ---------------------------------------------------------------------
+  // STL-style additive decomposition of the daily revenue series:
+  // trend (centered 7-day moving average, COMPLETE calendar windows only —
+  // the RANGE frame over day numbers is gap-correct), weekly seasonal
+  // (per-weekday mean of the detrended series), residual (what anomaly
+  // detection actually thresholds — cf. anomaly_daily_revenue, which
+  // z-scores the RAW series and so flags every weekend).
+  //
+  // Exactness: revenue is cents-int64; the detrended series is kept
+  // SCALED BY 7 (det7 = 7·cents − sum7, exact int64 — no per-row rational)
+  // so every aggregate is an order-independent integer sum; each output is
+  // a fixed-order double expression off those integers. Weekday is pure
+  // epoch-day arithmetic ((day_n + 3) % 7, 0 = Monday) — no engine
+  // calendar functions. Scale shape: one map-side-combinable aggregate to
+  // day grain, one window + one 7-row aggregate on the calendar-bounded
+  // day table (the same bounded-domain dial as trailing7dQ), 7-row
+  // broadcast back.
+  private val stlWeekly = Q(
+    "ts_stl_weekly",
+    Some("""
+      WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_n,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2),
+      w AS (
+        SELECT day, day_n, cents,
+          SUM(cents) OVER (ORDER BY day_n
+            RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+          COUNT(*) OVER (ORDER BY day_n
+            RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+          (day_n + 3) % 7 AS weekday
+        FROM d),
+      core AS (SELECT *, 7 * cents - sum7 AS det7 FROM w WHERE n7 = 7),
+      seas AS (SELECT weekday, CAST(SUM(det7) AS BIGINT) AS sdet,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM core GROUP BY weekday)
+      SELECT c.day, c.weekday,
+        CAST(c.cents AS DOUBLE) / 100.0 AS revenue,
+        CAST(c.sum7 AS DOUBLE) / 700.0 AS trend,
+        CAST(s.sdet AS DOUBLE) / (CAST(s.cnt AS DOUBLE) * 700.0) AS seasonal,
+        CAST(c.det7 AS DOUBLE) / 700.0
+          - CAST(s.sdet AS DOUBLE) / (CAST(s.cnt AS DOUBLE) * 700.0) AS residual
+      FROM core c JOIN seas s USING (weekday)
+      ORDER BY c.day
+    """)) { (spark, dir) =>
+    val day = col("o_orderdate").cast("date")
+    val d = Tables.load(spark, dir, "orders")
+      .groupBy(day.as("day"),
+        datediff(day, to_date(lit("1970-01-01"))).as("day_n"))
+      .agg(sum((graft.ops.Exact.dec2(col("o_totalprice")) * 100)
+        .cast("long")).as("cents"))
+    val fr = Window.orderBy(col("day_n")).rangeBetween(-3, 3)
+    val core = d
+      .select(col("day"), col("day_n"), col("cents"),
+        sum(col("cents")).over(fr).as("sum7"),
+        count(lit(1)).over(fr).as("n7"),
+        ((col("day_n") + 3) % 7).cast("long").as("weekday"))
+      .filter(col("n7") === 7)
+      .withColumn("det7", lit(7) * col("cents") - col("sum7"))
+    val seas = core.groupBy(col("weekday"))
+      .agg(sum(col("det7")).as("sdet"), count(lit(1)).as("cnt"))
+    core.join(broadcast(seas), Seq("weekday"))
+      .select(col("day"), col("weekday"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        (col("sum7").cast("double") / 700.0).as("trend"),
+        (col("sdet").cast("double") / (col("cnt").cast("double") * 700.0))
+          .as("seasonal"),
+        (col("det7").cast("double") / 700.0 -
+          col("sdet").cast("double") / (col("cnt").cast("double") * 700.0))
+          .as("residual"))
+      .orderBy(col("day"))
+  }
+
   override val specs: Seq[Q] =
     Seq(scd2, scd2AsOf, dq, basket, calendarFill, tsInterp, profile,
-      weekdaySeasonality, autocorrLag7, spearman, mannKendall, cusum)
+      weekdaySeasonality, stlWeekly, autocorrLag7, spearman, mannKendall,
+      cusum)
 }
