@@ -919,10 +919,74 @@ object Relational extends Family {
       .orderBy(col("l_returnflag"))
   }
 
+  // Count-Min frequency sketch: point count estimates for keys chosen
+  // AFTER the pass — the frequency sibling of quantSketchQ (ranks) /
+  // freq_heavy_hitters (top-k). One map-side-combinable aggregation builds
+  // the 4×1024-counter grid ([[graft.functions.CountMinSketch]]); the
+  // probe stage is a 24-row broadcast of the finished sketch. est ≥ exact
+  // always (min over the key's cells; over by the collision mass). Hashing
+  // is md5-derived in BOTH engines, so the DuckDB twin reproduces the
+  // exact cells and collision sums — the estimate column matches
+  // bit-for-bit, sketch and all. The exact counts ride along from a
+  // partition-pruned probe-key scan for the error readout.
+  private val cmsQ = Q(
+    "agg_cms_probe_counts",
+    Some("""
+      WITH c AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM lineitem GROUP BY 1),
+      j AS (SELECT unnest(generate_series(0, 3)) AS j),
+      cells AS (SELECT j.j,
+          CAST(('0x' || substr(md5(j.j || ':' || c.k), 1, 15)) AS BIGINT)
+            % 1024 AS cell,
+          CAST(SUM(c.cnt) AS BIGINT) AS total
+        FROM c CROSS JOIN j GROUP BY 1, 2),
+      probes AS (SELECT unnest(generate_series(1, 24)) AS k),
+      pc AS (SELECT p.k, j.j,
+          CAST(('0x' || substr(md5(j.j || ':' || p.k), 1, 15)) AS BIGINT)
+            % 1024 AS cell
+        FROM probes p CROSS JOIN j)
+      SELECT pc.k AS probe_key, CAST(MIN(cells.total) AS BIGINT) AS est_count,
+        CAST(MAX(COALESCE(c.cnt, 0)) AS BIGINT) AS exact_count
+      FROM pc JOIN cells ON cells.j = pc.j AND cells.cell = pc.cell
+      LEFT JOIN c ON c.k = pc.k
+      GROUP BY pc.k ORDER BY pc.k
+    """)) { (spark, dir) =>
+    import graft.functions.CountMinSketch
+    val depth = 4; val width = 1024
+    // grid build: key counts first (map-side combinable over the raw
+    // scan), then the depth×width cell sums over the DISTINCT-KEY table —
+    // the same two-level shape as the oracle; hashing runs once per
+    // distinct key, not once per row. (The single-row-sketch formulation
+    // — udaf(new CountMinSketch(...)) over per-row cells — is the
+    // streaming/merge surface, exercised in CmsSpec; as a batch catalog
+    // plan the 4096-group hash aggregate IS the sketch, held as rows.)
+    val keyCounts = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))
+    val cells = keyCounts
+      .select(posexplode(CountMinSketch.cells(col("k"), depth, width))
+        .as(Seq("j", "cell")), col("cnt"))
+      .groupBy(col("j"), col("cell")).agg(sum(col("cnt")).as("total"))
+    val probes = spark.range(1, 25).select(col("id").as("probe_key"))
+    val pc = probes.select(col("probe_key"),
+      posexplode(CountMinSketch.cells(col("probe_key"), depth, width))
+        .as(Seq("j", "cell")))
+    val exact = t(spark, dir, "lineitem")
+      .filter(col("l_partkey").between(1, 24)) // pushed to the scan
+      .groupBy(col("l_partkey").as("probe_key"))
+      .agg(count(lit(1)).as("cnt"))
+    pc.join(broadcast(cells), Seq("j", "cell"))
+      .groupBy(col("probe_key"))
+      .agg(min(col("total")).as("est_count"))
+      .join(broadcast(exact), Seq("probe_key"), "left")
+      .select(col("probe_key"), col("est_count"),
+        coalesce(col("cnt"), lit(0L)).as("exact_count"))
+      .orderBy(col("probe_key"))
+  }
+
   override val specs: Seq[Q] = Seq(rfmQ,
     q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
     rollupQ, cubeQ, groupingSetsQ, distinctQ, topkQ, runningQ, lagQ, ewmaQ,
     percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ, rankMetricsQ,
-    dispersionQ, hotKeysQ, trailing7dQ, histogramQ, quantSketchQ)
+    dispersionQ, hotKeysQ, trailing7dQ, histogramQ, quantSketchQ, cmsQ)
 }
