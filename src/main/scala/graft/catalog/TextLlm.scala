@@ -1008,11 +1008,89 @@ object TextLlm extends Family {
       .orderBy(col("comp_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // TextRank keyword extraction (Mihalcea & Tarau 2004): weighted PageRank
+  // over the token co-occurrence graph — nodes are corpus terms, an edge's
+  // weight counts how often the two terms are ADJACENT anywhere in the
+  // corpus (support ≥ 2 prunes noise edges), and the stationary score
+  // ranks "keywords" the way raw frequency can't (a term scores high by
+  // neighboring OTHER high-scoring terms, not by count alone). This is the
+  // unsupervised keyword miner a training-data pipeline runs for corpus
+  // cards / topic drift alongside tfidf_top_terms (which needs a document
+  // grouping; TextRank works corpus-global).
+  //
+  // Exactness: [[graft.ops.PageRank.runFixedPointWeighted]] — 1e15-scaled
+  // integer fixed-point, truncate-before-multiply edge contributions, so
+  // five power iterations are bit-identical to the oracle's five unrolled
+  // integer CTEs (the graph_pagerank_parts discipline on a text graph).
+  // Scale shape: graph build is one corpus-linear bigram aggregate
+  // (map-side combinable); iterations are O(iters × |E|) with the edge
+  // side exchange-free across rounds; |E| is vocabulary², bounded far
+  // below corpus size by Heaps' law and the support floor.
+  private val textrankTerms = Q(
+    "text_textrank_terms",
+    Some {
+      val S = "1000000000000000"
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (
+          SELECT n.node,
+                 CAST($S * 15 // 100 // (SELECT n FROM c)
+                      + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum((r.r // d.wdeg) * e.w) AS s
+            FROM e JOIN $prev r ON e.src = r.node JOIN wdeg d ON e.src = d.src
+            GROUP BY e.dst) s ON n.node = s.node)"""
+      s"""
+      WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      bg AS (SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                 i -> {'wa': tk[i], 'wb': tk[i + 1]})
+             ELSE [] END) AS p FROM t),
+      pw AS (SELECT least((p).wa, (p).wb) AS a, greatest((p).wa, (p).wb) AS b,
+               CAST(COUNT(*) AS BIGINT) AS w
+             FROM bg WHERE (p).wa <> (p).wb GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      e AS (SELECT a AS src, b AS dst, w FROM pw
+            UNION ALL SELECT b, a, w FROM pw),
+      wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM e GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      c AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT node, CAST($S // (SELECT n FROM c) AS BIGINT) AS r FROM nodes),
+      ${iter("r0", "r1")},
+      ${iter("r1", "r2")},
+      ${iter("r2", "r3")},
+      ${iter("r3", "r4")},
+      ${iter("r4", "r5")}
+      SELECT node AS term, r AS rank_fp, r / $S.0 AS rank
+      FROM r5 ORDER BY rank_fp DESC, term LIMIT 20"""
+    }
+  ) { (spark, dir) =>
+    val tk = TextOps.tokens(col("text"))
+    val pairs = docs(spark, dir)
+      .select(when(size(tk) >= 2,
+          transform(sequence(lit(1), size(tk) - 1), i =>
+            struct(element_at(tk, i).as("wa"), element_at(tk, i + 1).as("wb"))))
+        .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
+        .as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .filter(col("p.wa") =!= col("p.wb"))
+    val pw = pairs
+      .groupBy(least(col("p.wa"), col("p.wb")).as("a"),
+        greatest(col("p.wa"), col("p.wb")).as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val edges = pw.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(pw.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    graft.ops.PageRank.runFixedPointWeighted(edges, iters = 5)
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("term"), col("rank_fp"), col("rank"))
+  }
+
   override val specs: Seq[Q] = Seq(clusterCanonical,
     dedupExact, dedupNorm, minhashLsh, components, jaccard, simhash,
     quality, qualityPctl, repetition, langId, tokenCounts, fingerprint,
     gopherRules, sourceQualityGate,
     piiRedact, sourceParse, hashSample, stratifiedSample, ppsSample, trainValTest,
     packBins,
-    levenshteinPairs, jwPairs, tfidfTopTerms, incremental)
+    levenshteinPairs, jwPairs, tfidfTopTerms, incremental, textrankTerms)
 }
