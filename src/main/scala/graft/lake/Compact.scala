@@ -110,6 +110,9 @@ object Compact {
     import org.apache.spark.sql.functions.col
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
+    require(!Versioned.isShallowRef(spark, table, live),
+      s"$table v$live is a shallow-clone reference (no data of its own) — " +
+        "Clone.materialize(...) first, then compact")
     val liveDir = s"$table/v=$live"
     val f = fs(spark, liveDir)
     val files = dataFiles(f, new Path(liveDir))

@@ -139,6 +139,9 @@ object Forget {
     val ks = keys.distinct
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
+    require(!Versioned.isShallowRef(spark, table, live),
+      s"$table v$live is a shallow-clone reference (no data of its own) — " +
+        "Clone.materialize(...) first, then purge")
     val liveDir = s"$table/v=$live"
     val f = fs(spark, table)
     val parts = f.listStatus(new Path(liveDir)).toSeq

@@ -229,6 +229,9 @@ object Upsert {
     import spark.implicits._
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
+    require(!Versioned.isShallowRef(spark, table, live),
+      s"$table v$live is a shallow-clone reference (no data of its own) — " +
+        "Clone.materialize(...) first, then merge")
     val liveDir = s"$table/v=$live"
     // ONE schema inference serves both the require and the column-align
     val tableCols = spark.read.parquet(liveDir).columns.toSeq

@@ -122,6 +122,13 @@ object Versioned {
     // (that version number was never exposed, so deleting it is safe)
     f.delete(new Path(s"$table/v=$next"), true)
     build(s"$table/v=$next")
+    // commit timestamp INSIDE the version dir (appears atomically with the
+    // data at the manifest swap — an object-store-honest commit log with no
+    // append dependency): the [[readAsOf]] timestamp-travel handle
+    val ts = f.create(new Path(s"$table/v=$next/_commit_ts"), true)
+    try ts.write(System.currentTimeMillis().toString
+      .getBytes(StandardCharsets.UTF_8))
+    finally ts.close()
     val out = f.create(tmp(table), true)
     try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -144,7 +151,68 @@ object Versioned {
 
   /** Time travel: read a specific published version. */
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame =
-    spark.read.parquet(s"$table/v=$v")
+    spark.read.parquet(dataDir(spark, table, v))
+
+  /** The directory a version's DATA actually lives in: the version dir
+    * itself, or — for a [[Clone.shallow]] version — the source data dir
+    * its `_ref` pointer names. Always one hop: shallow publishes resolve
+    * their source through this first, so refs never chain. */
+  def dataDir(spark: SparkSession, table: String, v: Long): String = {
+    val dir = s"$table/v=$v"
+    val f = fs(spark, table)
+    val ref = new Path(s"$dir/_ref")
+    if (!f.exists(ref)) dir
+    else {
+      val in = f.open(ref)
+      try {
+        val buf = new java.io.ByteArrayOutputStream(256)
+        val chunk = new Array[Byte](4096)
+        var r = in.read(chunk)
+        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8).trim
+      } finally in.close()
+    }
+  }
+
+  /** True when version `v` is a shallow-clone REFERENCE (no data of its
+    * own) — file-targeted DML must materialize first ([[Clone]]). */
+  def isShallowRef(spark: SparkSession, table: String, v: Long): Boolean =
+    fs(spark, table).exists(new Path(s"$table/v=$v/_ref"))
+
+  /** Commit timestamps (version → epoch millis) for every EXISTING version
+    * that carries a `_commit_ts` marker, ascending by version. Versions
+    * published before the marker existed are absent (and so invisible to
+    * [[readAsOf]] — documented migration caveat, not a failure). */
+  def commitTimes(spark: SparkSession, table: String): Seq[(Long, Long)] = {
+    val f = fs(spark, table)
+    versions(spark, table).flatMap { v =>
+      val p = new Path(s"$table/v=$v/_commit_ts")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val bytes = new Array[Byte](64)
+          var n = 0
+          var r = in.read(bytes, 0, bytes.length)
+          while (r > 0) { n += r; r = in.read(bytes, n, bytes.length - n) }
+          if (n <= 0) None
+          else Some(v -> new String(bytes, 0, n, StandardCharsets.UTF_8)
+            .trim.toLong)
+        } finally in.close()
+      }
+    }
+  }
+
+  /** Timestamp travel: the newest version committed at or before
+    * `tsMillis` — Delta's `timestampAsOf` read on this layout. Throws when
+    * nothing was committed by then (reading "before the table existed" is
+    * a caller bug, not an empty frame). */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+    val at = commitTimes(spark, table).filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no version of $table committed at or before $tsMillis")
+    readVersion(spark, table, at.map(_._1).max)
+  }
 
   /** Drop all version dirs older than the live one minus `keep`. */
   def vacuum(spark: SparkSession, table: String, keep: Int = 1): Seq[Long] = {

@@ -1,0 +1,102 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/**
+ * Shallow clone + timestamp travel ([[Clone]], [[Versioned.readAsOf]]):
+ * a clone is one pointer file (zero data movement), reads the pinned
+ * snapshot through source republishes, refuses file-targeted DML until
+ * materialized, and never chains refs; commit timestamps resolve
+ * as-of reads to the newest version at or before the asked instant.
+ */
+class CloneSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-clone").toString
+
+  private def publish(name: String, n: Long): String = {
+    val t = s"$root/$name"
+    val rows = (0L until n).map(k => (k, s"payload-$k")).toDF("k", "v")
+    Forget.publishIndexed(rows, t, nFiles = 4, keyCol = "k")
+    t
+  }
+
+  test("shallow clone: zero-copy, identical read, pinned through source DML") {
+    val src = publish("src", 1000L)
+    val dst = s"$root/dst"
+    assert(Clone.shallow(spark, src, dst) == 1L)
+    // zero data movement: the clone's version dir holds no part- files
+    val cloneFiles = new java.io.File(s"$dst/v=1").listFiles().map(_.getName)
+    assert(!cloneFiles.exists(_.startsWith("part-")), cloneFiles.mkString(","))
+    assert(Files.exists(Paths.get(s"$dst/v=1/_ref")))
+    assert(Versioned.read(spark, dst).count() == 1000L)
+    // the clone pins the SNAPSHOT: a source merge publishes source v2,
+    // the clone still reads the v1 files it references
+    Upsert.merge(spark, src, "k",
+      Seq((1L, "SOURCE-CHANGED")).toDF("k", "v"))
+    assert(Versioned.read(spark, src)
+      .filter($"k" === 1L).select($"v").as[String].head() == "SOURCE-CHANGED")
+    assert(Versioned.read(spark, dst)
+      .filter($"k" === 1L).select($"v").as[String].head() == "payload-1")
+  }
+
+  test("DML on a ref version is rejected; materialize unlocks it") {
+    val src = publish("dmlsrc", 200L)
+    val dst = s"$root/dmldst"
+    Clone.shallow(spark, src, dst)
+    val changes = Seq((7L, "CLONE-CHANGED")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.merge(spark, dst, "k", changes)
+    }
+    assert(e.getMessage.contains("materialize"))
+    val e2 = intercept[IllegalArgumentException] {
+      Forget.purge(spark, dst, "k", Seq(7L))
+    }
+    assert(e2.getMessage.contains("materialize"))
+    // copy-on-write escalation: materialize, then DML applies to the
+    // clone and the source never sees it
+    val mv = Clone.materialize(spark, dst)
+    assert(mv == 2L)
+    assert(Clone.materialize(spark, dst) == mv) // idempotent no-op
+    Upsert.merge(spark, dst, "k", changes)
+    assert(Versioned.read(spark, dst)
+      .filter($"k" === 7L).select($"v").as[String].head() == "CLONE-CHANGED")
+    assert(Versioned.read(spark, src)
+      .filter($"k" === 7L).select($"v").as[String].head() == "payload-7")
+  }
+
+  test("clone of a clone points at real data — refs never chain") {
+    val src = publish("chainsrc", 100L)
+    val a = s"$root/chain-a"
+    val b = s"$root/chain-b"
+    Clone.shallow(spark, src, a)
+    Clone.shallow(spark, a, b)
+    val srcDir = Versioned.dataDir(spark, src,
+      Versioned.currentVersion(spark, src).get)
+    assert(Versioned.dataDir(spark, b, 1L) == srcDir)
+    assert(Versioned.read(spark, b).count() == 100L)
+  }
+
+  test("readAsOf resolves the newest version at or before the instant") {
+    val t = publish("asof", 100L)
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    Upsert.merge(spark, t, "k", Seq((1L, "V2")).toDF("k", "v"))
+    // at `mid` only v1 existed
+    assert(Versioned.readAsOf(spark, t, mid)
+      .filter($"k" === 1L).select($"v").as[String].head() == "payload-1")
+    assert(Versioned.readAsOf(spark, t, System.currentTimeMillis())
+      .filter($"k" === 1L).select($"v").as[String].head() == "V2")
+    val times = Versioned.commitTimes(spark, t)
+    assert(times.map(_._1) == Seq(1L, 2L))
+    assert(times.map(_._2).sorted == times.map(_._2)) // monotone commits
+    val e = intercept[IllegalArgumentException] {
+      Versioned.readAsOf(spark, t, times.head._2 - 1000L)
+    }
+    assert(e.getMessage.contains("no version"))
+  }
+}
