@@ -444,6 +444,46 @@ object Eval extends Family {
       .orderBy(col("user_id"), col("feature"))
   }
 
+  // ---------------------------------------------------------------------
+  // Quantile feature binning: NTILE(10) over exact customer-spend cents —
+  // the equal-frequency discretization a feature pipeline emits alongside
+  // target encoding (robust to skew where equi-WIDTH bins like
+  // profile_price_histogram's collapse on the Zipf head). The bin bounds
+  // (lo/hi per decile) are what serving-time bucketizers ship. Total
+  // order (cents, custkey) makes NTILE's remainder placement — both
+  // engines follow the SQL rule: first buckets take the extra rows —
+  // deterministic. Scale shape: one map-side-combinable per-customer
+  // aggregate; the NTILE window sorts the CUSTOMER-grain table (dimension
+  // cardinality, not fact rows); the decile rollup is 10 groups.
+  private val decileBins = Q(
+    "train_decile_bins",
+    Some("""
+      WITH s AS (SELECT o_custkey AS custkey,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      d AS (SELECT custkey, cents,
+          NTILE(10) OVER (ORDER BY cents, custkey) AS decile FROM s)
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        CAST(MIN(cents) AS DOUBLE) / 100.0 AS lo_spend,
+        CAST(MAX(cents) AS DOUBLE) / 100.0 AS hi_spend
+      FROM d GROUP BY decile ORDER BY decile
+    """)) { (spark, dir) =>
+    val s = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum((graft.ops.Exact.dec2(col("o_totalprice")) * 100)
+        .cast("long")).as("cents"))
+    val d = s.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("cents"), col("custkey"))))
+    d.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        (min(col("cents")).cast("double") / 100.0).as("lo_spend"),
+        (max(col("cents")).cast("double") / 100.0).as("hi_spend"))
+      .select(col("decile").cast("long").as("decile"), col("n_customers"),
+        col("lo_spend"), col("hi_spend"))
+      .orderBy(col("decile"))
+  }
+
   val specs: Seq[Q] = Seq(aucRank, confusion, calibration, kappa,
-    cdcDiff, nextEventPairs, targetEncodeLoo, hashedFeatures)
+    cdcDiff, nextEventPairs, targetEncodeLoo, hashedFeatures, decileBins)
 }
