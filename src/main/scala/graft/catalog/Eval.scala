@@ -454,7 +454,10 @@ object Eval extends Family {
   // engines follow the SQL rule: first buckets take the extra rows —
   // deterministic. Scale shape: one map-side-combinable per-customer
   // aggregate; the NTILE window sorts the CUSTOMER-grain table (dimension
-  // cardinality, not fact rows); the decile rollup is 10 groups.
+  // cardinality, not fact rows); the decile rollup is 10 groups. Exact
+  // NTILE needs that total order — past ~1e8 customers swap in sketch
+  // cutoffs (agg_quantiles_sketch's mergeable bins) and trade exact
+  // equal-frequency for one-bin-width bound, as production bucketizers do.
   private val decileBins = Q(
     "train_decile_bins",
     Some("""

@@ -546,16 +546,10 @@ object Lm extends Family {
       ORDER BY pmi_ratio DESC, bigram LIMIT 50
     """)) { (spark, dir) =>
     val tk = TextOps.tokens(col("text"))
-    val pairs = docs(spark, dir)
-      .select(when(size(tk) >= 2,
-          transform(sequence(lit(1), size(tk) - 1), i =>
-            struct(element_at(tk, i).as("wa"), element_at(tk, i + 1).as("wb"))))
-        .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
-        .as("ps"))
-      .select(explode(col("ps")).as("p"))
-    val bc = pairs
-      .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
-      .agg(count(lit(1)).as("cab"))
+    // the directed pair-count spine (TextLlm.pairCounts — codegen
+    // arrays_zip pair build, shared with text_textrank_terms); vocab²-sized
+    val bc = TextLlm.pairCounts(spark, dir)
+      .select(col("wa"), col("wb"), col("cnt").as("cab"))
       .localCheckpoint() // consumed 2x: the nb total + the join spine
     val uc = docs(spark, dir).select(explode(tk).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))

@@ -53,7 +53,24 @@ object TextLlm extends Family {
     graft.ops.Warmed.warm("dup_components", dir)(
       graft.ops.Components.connectedComponents(
         lshPairs(spark, dir), "doc_a", "doc_b"))
+    graft.ops.Warmed.warm("text_pair_counts", dir)(
+      buildPairCounts(spark, dir))
   }
+
+  /** Directed adjacent-token pair counts over the corpus — ONE vocab²-sized
+    * aggregate of the corpus-width pair explode, the shared spine
+    * `lm_pmi_bigrams` and `text_textrank_terms` both fan out from
+    * (collocation stats and the co-occurrence graph are the same counts). */
+  private def buildPairCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(
+        TextOps.adjacentPairs(TextOps.tokens(col("text")))).as("p"))
+      .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private[catalog] def pairCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Warmed.getOrBuild("text_pair_counts", dir)(
+      buildPairCounts(spark, dir))
 
   // -------------------------------------------------------------------------
   // Exact dedup: one survivor (min doc_id) per identical text.
@@ -1064,19 +1081,14 @@ object TextLlm extends Family {
       FROM r5 ORDER BY rank_fp DESC, term LIMIT 20"""
     }
   ) { (spark, dir) =>
-    val tk = TextOps.tokens(col("text"))
-    val pairs = docs(spark, dir)
-      .select(when(size(tk) >= 2,
-          transform(sequence(lit(1), size(tk) - 1), i =>
-            struct(element_at(tk, i).as("wa"), element_at(tk, i + 1).as("wb"))))
-        .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
-        .as("ps"))
-      .select(explode(col("ps")).as("p"))
-      .filter(col("p.wa") =!= col("p.wb"))
-    val pw = pairs
-      .groupBy(least(col("p.wa"), col("p.wb")).as("a"),
-        greatest(col("p.wa"), col("p.wb")).as("b"))
-      .agg(count(lit(1)).as("w"))
+    // edge weights fold the DIRECTED pair-count spine ([[pairCounts]] —
+    // shared with lm_pmi_bigrams, codegen arrays_zip pair build) to
+    // undirected adjacency: w(a,b) = cnt(a→b) + cnt(b→a), a ≠ b
+    val pw = pairCounts(spark, dir)
+      .filter(col("wa") =!= col("wb"))
+      .groupBy(least(col("wa"), col("wb")).as("a"),
+        greatest(col("wa"), col("wb")).as("b"))
+      .agg(sum(col("cnt")).as("w"))
       .filter(col("w") >= 2)
     val edges = pw.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .union(pw.select(col("b").as("src"), col("a").as("dst"), col("w")))

@@ -23,6 +23,16 @@ object TextOps {
   /** Whitespace tokens; the lake's documents are space-separated text. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Adjacent token pairs of a token array, as array<struct<wa,wb>> —
+    * arrays_zip over two slices instead of a `transform` lambda: the
+    * higher-order function is interpreted per element (~µs/element — a
+    * corpus-width pair build paid seconds for it), arrays_zip + slice stay
+    * in codegen. Empty/1-token arrays yield an empty pair array. */
+  def adjacentPairs(tk: Column): Column = {
+    val n = greatest(size(tk) - 1, lit(0))
+    arrays_zip(slice(tk, lit(1), n).as("wa"), slice(tk, lit(2), n).as("wb"))
+  }
+
   /** Aggressive normalization for near-exact dedup: lowercase, strip
     * non-alphanumerics, collapse whitespace — the single-pass codegen kernel
     * ([[graft.functions.NormalizeText]]); [[normalizeSql]] is the regex

@@ -50,7 +50,10 @@ object ScaleSweep {
     "train_target_encode_loo", "train_hashed_features",
     "dedup_source_overlap_kmv", "ts_autocorr_lag7",
     "ts_spearman_rev_orders", "sessionize_session_window",
-    "ts_mann_kendall_trend", "ts_cusum_changepoint", "ann_ivf_pq")
+    "ts_mann_kendall_trend", "ts_cusum_changepoint", "ann_ivf_pq",
+    "agg_grouping_sets", "lm_pmi_bigrams", "ts_stl_weekly",
+    "agg_cms_probe_counts", "text_textrank_terms", "train_decile_bins",
+    "agg_rollup_region_nation")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,

@@ -94,7 +94,9 @@ class PlanGateSpec extends SparkSpec {
     // label median (x2 consumers) + 1-row activity-span frame
     "train_hashed_features" -> 3,
     // |sources|x|sources| inequality pair join, both sides catalog-sized
-    "dedup_source_overlap_kmv" -> 1)
+    "dedup_source_overlap_kmv" -> 1,
+    // broadcast 1-row token total (nt) + 1-row bigram total (nb)
+    "lm_pmi_bigrams" -> 2)
 
   /** query -> max SinglePartition exchanges, each the final combine of a
     * 1-row global aggregate (metadata-sized by construction). */
@@ -167,9 +169,18 @@ class PlanGateSpec extends SparkSpec {
     "ts_mann_kendall_trend" -> 3,        // 1-row S / n / tie_adj scalar
                                          // finalizes, all over the
                                          // calendar-bounded day frame
-    "ts_cusum_changepoint" -> 3)         // cumsum + argmax windows over
+    "ts_cusum_changepoint" -> 3,         // cumsum + argmax windows over
                                          // the calendar-bounded day frame
                                          // + 1-row totals finalize
+    "lm_pmi_bigrams" -> 2,               // nt + nb 1-row total finalizes
+    "ts_stl_weekly" -> 2,                // centered-window pass over the
+                                         // calendar-bounded day frame +
+                                         // final day ordering
+    "train_decile_bins" -> 1)            // NTILE total order over the
+                                         // CUSTOMER-grain spend table
+                                         // (dimension cardinality; swap in
+                                         // agg_quantiles_sketch cutoffs
+                                         // past ~1e8 customers — scaladoc)
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */

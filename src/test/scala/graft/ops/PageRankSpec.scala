@@ -120,4 +120,59 @@ class PageRankSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.shuffle.partitions", wide)
     assert(a == b)
   }
+
+  // ----- weighted variant (the TextRank arithmetic) -----
+
+  private def wRanks(edges: Seq[(Long, Long, Long)],
+                     iters: Int): Map[Long, Long] =
+    PageRank.runFixedPointWeighted(edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side replay of the exact integer recurrence:
+    * r' = base + 85·Σ (r//W_u)·w // 100 (no dangling in these graphs). */
+  private def simulate(edges: Seq[(Long, Long, Long)],
+                       iters: Int): Map[Long, Long] = {
+    val s = 1000000000000000L
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val wdeg = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val base = s * 15 / 100 / nodes.size
+    var r = nodes.map(_ -> s / nodes.size).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (u, v, w) =>
+        contrib(v) += (r(u) / wdeg(u)) * w
+      }
+      r = nodes.map(n => n -> (base + 85L * contrib(n) / 100L)).toMap
+    }
+    r
+  }
+
+  test("weighted fixed point replays the integer recurrence exactly") {
+    val g = Seq((1L, 2L, 3L), (2L, 1L, 3L), (2L, 3L, 1L), (3L, 2L, 1L),
+      (1L, 3L, 5L), (3L, 1L, 5L), (4L, 1L, 2L), (1L, 4L, 2L))
+    assert(wRanks(g, iters = 6) == simulate(g, iters = 6))
+    // weight matters: the heavy 1<->3 edge pulls 3 above 2
+    val r = wRanks(g, iters = 6)
+    assert(r(3L) > r(2L))
+  }
+
+  test("unit weights reproduce the unweighted fixed point exactly") {
+    val g = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 5L -> 2L, 6L -> 2L)
+    // 5 and 6 dangle-free sources exist; both variants share the dangling
+    // handling, so unit weights must be a perfect identity
+    val unw = fpRanks(g, iters = 6)
+    val w1 = wRanks(g.map { case (a, b) => (a, b, 1L) }, iters = 6)
+    assert(w1 == unw)
+  }
+
+  test("weighted fixed point is partition-width invariant") {
+    val g = Seq((1L, 2L, 7L), (2L, 3L, 2L), (3L, 1L, 4L), (1L, 3L, 1L))
+    val a = wRanks(g, iters = 5)
+    val wide = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = try wRanks(g, iters = 5)
+    finally spark.conf.set("spark.sql.shuffle.partitions", wide)
+    assert(a == b)
+  }
 }
