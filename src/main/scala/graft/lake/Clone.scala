@@ -20,9 +20,13 @@ import org.apache.spark.sql.SparkSession
  *  - a ref version owns no data: file-targeted DML ([[Upsert]],
  *    [[Forget.purge]], [[Compact.compactVersion]]) REJECTS it loudly —
  *    [[materialize]] first (copy-on-write escalation), then merge away;
- *  - VACUUMING THE SOURCE breaks clones that still reference the vacuumed
- *    version dir. Keep source retention ≥ clone lifetime, or materialize
- *    the clone before reclaiming the source.
+ *  - a clone PINS its referenced version against the source's vacuum:
+ *    [[shallow]] registers a `_clones/` back-pointer at the source, and
+ *    [[Versioned.vacuum]] skips pinned version dirs — the Delta
+ *    shallow-clone hazard (vacuum breaks clones) closed at the layout
+ *    level. [[materialize]] releases the pin; a clone deleted by raw `rm`
+ *    leaks its pin until [[detach]] is called (documented trade: a leaked
+ *    pin blocks space reclaim loudly, a missed pin breaks reads silently).
  *
  * Reference provenance: the reference pipeline re-uploads whole day
  * partitions to stage experiments (`s3_loader.py`); a shallow clone is the
@@ -31,8 +35,16 @@ import org.apache.spark.sql.SparkSession
  */
 object Clone {
 
+  private def pinName(dst: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dst.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** Publish the source's LIVE snapshot as the next version of `dst` —
-    * zero data movement. Returns the clone's new version. */
+    * zero data movement — and pin the referenced version against the
+    * source's vacuum (`_clones/` back-pointer: line 1 the referenced data
+    * dir, line 2 the clone path, for diagnostics). Returns the clone's new
+    * version. */
   def shallow(spark: SparkSession, src: String, dst: String): Long = {
     val srcV = Versioned.currentVersion(spark, src).getOrElse(
       throw new IllegalStateException(s"no published version at $src"))
@@ -40,7 +52,7 @@ object Clone {
     val dataDir = Versioned.dataDir(spark, src, srcV)
     require(new Path(dataDir).isAbsolute,
       s"shallow clone needs an absolute source path, got $dataDir")
-    Versioned.publishWith(spark, dst) { dir =>
+    val v = Versioned.publishWith(spark, dst) { dir =>
       val f = new Path(dir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       f.mkdirs(new Path(dir))
@@ -48,15 +60,47 @@ object Clone {
       try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
+    // pin at the DATA's owning table (src may itself be a clone; the ref
+    // was resolved, so the owner is the data dir's parent), keyed by the
+    // clone path — re-cloning the same dst just moves its one pin
+    val owner = new Path(dataDir).getParent
+    val f = owner.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pin = f.create(new Path(s"$owner/_clones/${pinName(dst)}"), true)
+    try pin.write(s"$dataDir\n$dst".getBytes(StandardCharsets.UTF_8))
+    finally pin.close()
+    v
+  }
+
+  /** Release `dst`'s vacuum pin at `src` — called by [[materialize]];
+    * call directly after deleting a clone by hand (a leaked pin blocks
+    * the source's space reclaim loudly until released — and works even
+    * when the clone dir is already gone, which is exactly the leak case).
+    * Safe no-op when no pin exists. */
+  def detach(spark: SparkSession, src: String, dst: String): Unit = {
+    val f = new Path(src).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(s"$src/_clones/${pinName(dst)}"), false)
+    ()
   }
 
   /** Copy-on-write escalation: republish the clone's live snapshot as REAL
-    * data files, after which DML applies and the source can be vacuumed
-    * freely. No-op (returns the live version) when already materialized. */
+    * data files and release the source pin, after which DML applies and
+    * the source vacuums freely. No-op (returns the live version) when
+    * already materialized. The pin is released only AFTER the new version
+    * is published — the source data must stay vacuum-safe while the
+    * materializing copy still reads it. */
   def materialize(spark: SparkSession, table: String): Long = {
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
     if (!Versioned.isShallowRef(spark, table, live)) live
-    else Versioned.publish(Versioned.readVersion(spark, table, live), table)
+    else {
+      // resolve the pin's owner while the live version is still the ref
+      val src = new Path(Versioned.dataDir(spark, table, live))
+        .getParent.toString
+      val v = Versioned.publish(
+        Versioned.readVersion(spark, table, live), table)
+      detach(spark, src, table)
+      v
+    }
   }
 }

@@ -214,11 +214,43 @@ object Versioned {
     readVersion(spark, table, at.map(_._1).max)
   }
 
-  /** Drop all version dirs older than the live one minus `keep`. */
+  /** Version dirs of THIS table that a registered shallow clone still
+    * references (`_clones/` back-pointers, written by [[Clone.shallow]]). */
+  private[lake] def clonePinnedVersions(spark: SparkSession,
+                                        table: String): Set[Long] = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/_clones")
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).toSeq.filter(_.isFile).flatMap { s =>
+      val in = f.open(s.getPath)
+      val target =
+        try {
+          val buf = new java.io.ByteArrayOutputStream(256)
+          val chunk = new Array[Byte](4096)
+          var r = in.read(chunk)
+          while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+          new String(buf.toByteArray, StandardCharsets.UTF_8).trim
+            .linesIterator.toSeq.headOption.getOrElse("")
+        } finally in.close()
+      // only pins under THIS table pin vacuum here
+      val prefix = s"$table/v="
+      if (target.startsWith(prefix))
+        target.stripPrefix(prefix).takeWhile(_.isDigit).toLongOption
+      else None
+    }.toSet
+  }
+
+  /** Drop all version dirs older than the live one minus `keep` — EXCEPT
+    * versions a registered shallow clone still references
+    * ([[Clone.shallow]]'s `_clones/` back-pointers): deleting those would
+    * break the clone's reads, the Delta shallow-clone hazard this layout
+    * closes. Materialize or [[Clone.detach]] a clone to release its pin. */
   def vacuum(spark: SparkSession, table: String, keep: Int = 1): Seq[Long] = {
     val f = fs(spark, table)
     val live = currentVersion(spark, table).getOrElse(return Seq.empty)
-    val dropped = versions(spark, table).filter(_ < live - keep)
+    val pinned = clonePinnedVersions(spark, table)
+    val dropped = versions(spark, table)
+      .filter(v => v < live - keep && !pinned.contains(v))
     dropped.foreach(v => f.delete(new Path(s"$table/v=$v"), true))
     dropped
   }

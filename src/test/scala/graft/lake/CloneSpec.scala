@@ -80,6 +80,44 @@ class CloneSpec extends SparkSpec {
     assert(Versioned.read(spark, b).count() == 100L)
   }
 
+  test("a clone pins its version against source vacuum until released") {
+    val src = publish("vacsrc", 500L)                      // v1
+    Upsert.merge(spark, src, "k", Seq((1L, "V2")).toDF("k", "v")) // v2
+    val dst = s"$root/vacdst"
+    Clone.shallow(spark, src, dst)                         // pins src v2
+    Upsert.merge(spark, src, "k", Seq((2L, "V3")).toDF("k", "v")) // v3
+    Upsert.merge(spark, src, "k", Seq((3L, "V4")).toDF("k", "v")) // v4
+    // keep=0 would drop v1-v3; the pin must save exactly v2
+    val dropped = Versioned.vacuum(spark, src, keep = 0)
+    assert(dropped == Seq(1L, 3L), s"dropped $dropped")
+    assert(Versioned.versions(spark, src) == Seq(2L, 4L))
+    // the clone still reads its pinned snapshot
+    assert(Versioned.read(spark, dst)
+      .filter($"k" === 1L).select($"v").as[String].head() == "V2")
+    assert(Versioned.read(spark, dst)
+      .filter($"k" === 2L).select($"v").as[String].head() == "payload-2")
+    // materialize releases the pin; the next vacuum reclaims v2
+    Clone.materialize(spark, dst)
+    assert(Versioned.vacuum(spark, src, keep = 0) == Seq(2L))
+    assert(Versioned.read(spark, dst)
+      .filter($"k" === 1L).select($"v").as[String].head() == "V2")
+  }
+
+  test("detach releases a hand-deleted clone's leaked pin") {
+    val src = publish("leaksrc", 200L)                     // v1
+    val dst = s"$root/leakdst"
+    Clone.shallow(spark, src, dst)                         // pins v1
+    Upsert.merge(spark, src, "k", Seq((1L, "V2")).toDF("k", "v")) // v2
+    // simulate `rm -rf` of the clone: the pin leaks and blocks reclaim
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dst))
+    assert(Versioned.vacuum(spark, src, keep = 0).isEmpty) // v1 pinned
+    Clone.detach(spark, src, dst)
+    assert(Versioned.vacuum(spark, src, keep = 0) == Seq(1L))
+  }
+
   test("readAsOf resolves the newest version at or before the instant") {
     val t = publish("asof", 100L)
     Thread.sleep(5)
