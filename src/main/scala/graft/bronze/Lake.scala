@@ -120,6 +120,29 @@ object Lake {
       .take(limit)
   }
 
+  /** Retention policy: drop every day partition strictly OLDER than
+    * `keepFrom` (ISO date, inclusive cutoff — partitions on or after it
+    * survive). A day-partitioned bronze layer makes retention a
+    * METADATA-ONLY delete: whole partition dirs (data + sidecar) go at
+    * listing cost, no file is read or rewritten — the shape that reclaims
+    * a 100 TB tree in seconds where a row-level `DELETE WHERE ts < cutoff`
+    * would rewrite it. Lists WITHOUT [[listAvailableDates]]'s default cap
+    * (an expiry that silently stopped at 100 partitions would leak the
+    * tail forever). Returns the dropped dates, ascending. */
+  def expireDays(spark: SparkSession, root: String, dataType: String,
+                 keepFrom: String): Seq[String] = {
+    java.time.LocalDate.parse(keepFrom) // fail fast on a malformed cutoff
+    val expired = listAvailableDates(spark, root, dataType,
+        limit = Int.MaxValue)
+      .filter(_ < keepFrom) // ISO strings order like dates
+      .sorted
+    val f = fs(spark, root)
+    expired.foreach { d =>
+      f.delete(new Path(dayDir(root, dataType, d)), true)
+    }
+    expired
+  }
+
   /** J1: reconciliation anti-difference — dates available at the source but
     * missing from the sink (pipeline.py:252's list comprehension). */
   def missingDates(sourceDates: Seq[String], sinkDates: Seq[String]): Seq[String] = {

@@ -104,4 +104,24 @@ class BronzeSpec extends SparkSpec {
       == Seq("2024-01-30", "2024-01-31", "2024-02-01", "2024-02-02"))
     assertThrows[IllegalArgumentException](Runner.dateRange("2024-02-02", "2024-01-30"))
   }
+
+  test("expireDays drops exactly the pre-cutoff partitions, data and sidecar") {
+    val root = freshRoot()
+    val days = Seq("2024-01-29", "2024-01-30", "2024-01-31", "2024-02-01")
+    days.foreach(d => Lake.writeDay(spark, extract(d), root, "events", d))
+    // cutoff is INCLUSIVE: 01-31 survives, 01-29/30 go
+    val dropped = Lake.expireDays(spark, root, "events", keepFrom = "2024-01-31")
+    assert(dropped == Seq("2024-01-29", "2024-01-30"))
+    assert(Lake.listAvailableDates(spark, root, "events")
+      == Seq("2024-02-01", "2024-01-31"))
+    assert(!Lake.checkExists(spark, root, "events", "2024-01-30"))
+    // the whole partition dir went, sidecar included
+    assert(!Files.exists(java.nio.file.Paths.get(
+      Lake.dayDir(root, "events", "2024-01-30"))))
+    assert(Lake.readMetadata(spark, root, "events", "2024-02-01").nonEmpty)
+    // idempotent: nothing left to expire
+    assert(Lake.expireDays(spark, root, "events", "2024-01-31").isEmpty)
+    assertThrows[java.time.format.DateTimeParseException](
+      Lake.expireDays(spark, root, "events", "not-a-date"))
+  }
 }
