@@ -43,8 +43,13 @@ object Clone {
   /** Publish the source's LIVE snapshot as the next version of `dst` —
     * zero data movement — and pin the referenced version against the
     * source's vacuum (`_clones/` back-pointer: line 1 the referenced data
-    * dir, line 2 the clone path, for diagnostics). Returns the clone's new
-    * version. */
+    * dir, line 2 the clone path, for diagnostics and [[detach]]'s content
+    * match). The pin is written BEFORE the clone publishes: the reverse
+    * order leaves a window where a concurrent source vacuum deletes the
+    * referenced dir under a just-published clone; a pin orphaned by a
+    * crash between the two steps merely blocks reclaim loudly
+    * ([[detach]] releases it) — the safe failure direction. Returns the
+    * clone's new version. */
   def shallow(spark: SparkSession, src: String, dst: String): Long = {
     val srcV = Versioned.currentVersion(spark, src).getOrElse(
       throw new IllegalStateException(s"no published version at $src"))
@@ -52,35 +57,53 @@ object Clone {
     val dataDir = Versioned.dataDir(spark, src, srcV)
     require(new Path(dataDir).isAbsolute,
       s"shallow clone needs an absolute source path, got $dataDir")
-    val v = Versioned.publishWith(spark, dst) { dir =>
-      val f = new Path(dir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      f.mkdirs(new Path(dir))
-      val out = f.create(new Path(s"$dir/_ref"), true)
-      try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+    // re-cloning dst from a DIFFERENT source: release the pin the old
+    // clone holds at its old owner, or it leaks there forever
+    Versioned.currentVersion(spark, dst).foreach { oldV =>
+      if (Versioned.isShallowRef(spark, dst, oldV)) {
+        val oldOwner = new Path(Versioned.dataDir(spark, dst, oldV))
+          .getParent.toString
+        detach(spark, oldOwner, dst)
+      }
     }
-    // pin at the DATA's owning table (src may itself be a clone; the ref
-    // was resolved, so the owner is the data dir's parent), keyed by the
-    // clone path — re-cloning the same dst just moves its one pin
     val owner = new Path(dataDir).getParent
     val f = owner.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pin = f.create(new Path(s"$owner/_clones/${pinName(dst)}"), true)
     try pin.write(s"$dataDir\n$dst".getBytes(StandardCharsets.UTF_8))
     finally pin.close()
-    v
+    Versioned.publishWith(spark, dst) { dir =>
+      val fd = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fd.mkdirs(new Path(dir))
+      val out = fd.create(new Path(s"$dir/_ref"), true)
+      try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
-  /** Release `dst`'s vacuum pin at `src` — called by [[materialize]];
-    * call directly after deleting a clone by hand (a leaked pin blocks
-    * the source's space reclaim loudly until released — and works even
-    * when the clone dir is already gone, which is exactly the leak case).
-    * Safe no-op when no pin exists. */
+  /** Release `dst`'s vacuum pin at `src` — the table that OWNS the data
+    * (for a clone-of-a-clone that is the original source, where
+    * [[shallow]] registered the pin; the `_ref` file names it). Called by
+    * [[materialize]]; call directly after deleting a clone by hand (a
+    * leaked pin blocks the source's space reclaim loudly until released —
+    * and this works even when the clone dir is already gone, which is
+    * exactly the leak case). Matches by pin filename AND by the recorded
+    * clone path (line 2), so a path-spelling drift between registration
+    * and release still finds the pin. Safe no-op when none exists. */
   def detach(spark: SparkSession, src: String, dst: String): Unit = {
     val f = new Path(src).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     f.delete(new Path(s"$src/_clones/${pinName(dst)}"), false)
-    ()
+    val dir = new Path(s"$src/_clones")
+    if (f.exists(dir)) {
+      val dstQ = f.makeQualified(new Path(dst))
+      f.listStatus(dir).toSeq.filter(_.isFile).foreach { s =>
+        val lines = Versioned.readSmallFile(f, s.getPath)
+          .map(_.linesIterator.toSeq).getOrElse(Seq.empty)
+        if (lines.lift(1).exists(p => f.makeQualified(new Path(p)) == dstQ))
+          f.delete(s.getPath, false)
+      }
+    }
   }
 
   /** Copy-on-write escalation: republish the clone's live snapshot as REAL

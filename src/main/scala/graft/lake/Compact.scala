@@ -121,8 +121,13 @@ object Compact {
     if (files.length <= want) return live
     val hadBloom = f.exists(new Path(s"$liveDir/_bloom"))
     val hadStats = StatsIndex.exists(spark, liveDir)
+    val marker = Versioned.readSchemaMarker(f, liveDir)
     Versioned.publishWith(spark, table) { newDir =>
-      spark.read.parquet(liveDir)
+      // marker-aware read: mixed pre/post-evolution files null-fill
+      // deterministically (compaction then homogenizes the files, but the
+      // marker still travels — it is the table's authoritative schema)
+      marker.map(s => spark.read.schema(s)).getOrElse(spark.read)
+        .parquet(liveDir)
         .repartitionByRange(want, col(keyCol))
         .sortWithinPartitions(col(keyCol))
         .write.mode(SaveMode.Overwrite).parquet(newDir)
@@ -136,6 +141,7 @@ object Compact {
         org.apache.hadoop.fs.FileUtil.copy(
           f, tag, f, new Path(s"$newDir/_cdc_batch"), false, true,
           spark.sparkContext.hadoopConfiguration)
+      marker.foreach(Versioned.writeSchemaMarker(f, newDir, _))
     }
   }
 }

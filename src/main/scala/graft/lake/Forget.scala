@@ -177,7 +177,9 @@ object Forget {
       //    NULL-key guard: `!isin` is NULL for NULL keys and filter drops
       //    NULL predicates — without the isNull arm, rows the deletion
       //    request never named would vanish from rewritten files
-      spark.read.parquet(affected.map(_.toString): _*)
+      val marker = Versioned.readSchemaMarker(f, liveDir)
+      marker.map(s => spark.read.schema(s)).getOrElse(spark.read)
+        .parquet(affected.map(_.toString): _*)
         .filter(col(keyCol).isNull || !col(keyCol).isin(ks: _*))
         .repartitionByRange(affected.size, col(keyCol))
         .sortWithinPartitions(col(keyCol))
@@ -192,6 +194,16 @@ object Forget {
       //    footers (reuses the manifest the prune step already loaded)
       StatsIndex.rebuildAfterRewrite(spark, liveDir, newDir, keyCol,
         preloaded = stats)
+      // 5. carry the CDC replay-dedup tag forward (see compactVersion): a
+      //    purge interleaved inside a streaming sink's crash window must
+      //    not erase the applied-batch watermark
+      val tag = new Path(s"$liveDir/_cdc_batch")
+      if (f.exists(tag))
+        org.apache.hadoop.fs.FileUtil.copy(
+          f, tag, f, new Path(s"$newDir/_cdc_batch"), false, true, conf)
+      // 6. so does the schema marker: byte-copied pre-evolution files keep
+      //    the new version's footer inference ambiguous
+      marker.foreach(Versioned.writeSchemaMarker(f, newDir, _))
     }
   }
 }

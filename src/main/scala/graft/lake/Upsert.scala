@@ -51,8 +51,9 @@ object Upsert {
     * nothing) and UNIQUE (two rows for one key would each insert) — both
     * enforced, reject rather than guess. Returns the new live version. */
   def merge(spark: SparkSession, table: String, keyCol: String,
-            changes: DataFrame): Long =
-    applyChanges(spark, table, keyCol, changes, Seq.empty)
+            changes: DataFrame, evolveSchema: Boolean = false): Long =
+    applyChanges(spark, table, keyCol, changes, Seq.empty,
+      evolveSchema = evolveSchema)
 
   /** Full CDC apply: `batch` carries an `opCol` of "I"/"U"/"D"; I and U
     * rows upsert, D rows delete (only their key column is read). One
@@ -68,7 +69,8 @@ object Upsert {
     * lives). */
   def applyCdc(spark: SparkSession, table: String, keyCol: String,
                batch: DataFrame, opCol: String = "op",
-               batchTag: Option[String] = None): Long = {
+               batchTag: Option[String] = None,
+               evolveSchema: Boolean = false): Long = {
     import spark.implicits._
     batch.persist()
     try {
@@ -98,7 +100,7 @@ object Upsert {
         .select(col(keyCol).cast("long")).as[Long].collect().toSeq
       applyChanges(spark, table, keyCol,
         batch.filter(col(opCol) =!= "D").drop(opCol), deletes, batchTag,
-        prevalidated = true)
+        prevalidated = true, evolveSchema = evolveSchema)
     } finally { batch.unpersist(); () }
   }
 
@@ -133,25 +135,12 @@ object Upsert {
       .drop("_rn", seqCol)
   }
 
-  /** Read one version dir's `_cdc_batch` tag, to EOF — a fixed-size
-    * buffer would silently truncate a long caller-supplied tag, and a
-    * truncated tag never matches on replay, silently defeating the dedup. */
-  private def readTag(f: FileSystem, table: String, v: Long): Option[String] = {
-    val p = new Path(s"$table/v=$v/_cdc_batch")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream(256)
-        val chunk = new Array[Byte](4096)
-        var r = in.read(chunk)
-        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
-        val s = new String(buf.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        if (s.isEmpty) None else Some(s)
-      } finally in.close()
-    }
-  }
+  /** Read one version dir's `_cdc_batch` tag, to EOF
+    * ([[Versioned.readSmallFile]] — a fixed-size buffer would silently
+    * truncate a long caller-supplied tag, and a truncated tag never
+    * matches on replay, silently defeating the dedup). */
+  private def readTag(f: FileSystem, table: String, v: Long): Option[String] =
+    Versioned.readSmallFile(f, new Path(s"$table/v=$v/_cdc_batch"))
 
   /** The `batchTag` the LIVE version was published under, if any — the
     * replay-dedup handle for [[graft.streaming.CdcSink]]: the tag file is
@@ -225,7 +214,8 @@ object Upsert {
   private def applyChanges(spark: SparkSession, table: String, keyCol: String,
                            upserts: DataFrame, deleteKeys: Seq[Long],
                            batchTag: Option[String] = None,
-                           prevalidated: Boolean = false): Long = {
+                           prevalidated: Boolean = false,
+                           evolveSchema: Boolean = false): Long = {
     import spark.implicits._
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
@@ -233,10 +223,31 @@ object Upsert {
       s"$table v$live is a shallow-clone reference (no data of its own) — " +
         "Clone.materialize(...) first, then merge")
     val liveDir = s"$table/v=$live"
-    // ONE schema inference serves both the require and the column-align
-    val tableCols = spark.read.parquet(liveDir).columns.toSeq
-    require(tableCols.sorted == upserts.columns.toSeq.sorted,
-      s"changeset schema ${upserts.columns.toSeq} != table schema")
+    val fMeta = fs(spark, table)
+    // ONE schema read serves the requires and the column-align: the
+    // `_table_schema` marker when the table has evolved before (footer
+    // inference would be ambiguous over mixed-schema files), footer
+    // inference otherwise
+    val hadMarker = Versioned.readSchemaMarker(fMeta, liveDir)
+    val liveSchema = hadMarker.getOrElse(spark.read.parquet(liveDir).schema)
+    val tableCols = liveSchema.fieldNames.toSeq
+    val missing = tableCols.filterNot(upserts.columns.contains)
+    val extra = upserts.columns.toSeq.filterNot(tableCols.contains)
+    require(missing.isEmpty,
+      s"changeset schema lacks table column(s) $missing — a merge row " +
+        "replaces the WHOLE row, so it must carry every column (a " +
+        "partial-column update is a read-modify-write the caller does first)")
+    require(extra.isEmpty || evolveSchema,
+      s"changeset adds column(s) $extra the table schema lacks — pass " +
+        "evolveSchema=true for additive evolution (rows the changeset " +
+        "does not touch read NULL in the new columns)")
+    // additive evolution: new columns append AFTER the table's, nullable
+    // (byte-copied pre-evolution files null-fill them at read)
+    val outSchema =
+      if (extra.isEmpty) liveSchema
+      else org.apache.spark.sql.types.StructType(liveSchema.fields ++
+        extra.map(c => upserts.schema(c).copy(nullable = true)))
+    val outCols = outSchema.fieldNames.toSeq
     // applyCdc pre-validates (and persists) its WHOLE batch, which covers
     // the upsert subset — re-running the agg and double-caching the child
     // frame would cost an extra shuffle per micro-batch on the CDC hot
@@ -285,9 +296,14 @@ object Upsert {
         // survivors: affected-file rows not named by the changeset
         // (NULL-key guard as in Forget.purge — `!isin` is NULL for NULL
         // keys); plus the upsert rows, column-aligned to the table's order
+        // read under the OUTPUT schema: affected files may predate an
+        // evolution (new columns null-fill), and explicit-schema reads are
+        // exactly the plain read when no evolution ever happened
         val survivors =
-          if (affected.isEmpty) spark.read.parquet(liveDir).limit(0)
-          else spark.read.parquet(affected.map(_.toString): _*)
+          if (affected.isEmpty)
+            spark.read.schema(outSchema).parquet(liveDir).limit(0)
+          else spark.read.schema(outSchema)
+            .parquet(affected.map(_.toString): _*)
             .filter(col(keyCol).isNull || !col(keyCol).isin(ks: _*))
         // Rewrite width: the affected-file count when files rewrite; for a
         // PURE-INSERT batch (no admitted files) that count is 0 and a
@@ -304,8 +320,8 @@ object Upsert {
             math.max(1L, math.min(4096L,
               (upsertKeys.size + rowsPerFile - 1) / rowsPerFile)).toInt
           }
-        survivors.select(tableCols.map(col): _*)
-          .unionByName(upserts.select(tableCols.map(col): _*))
+        survivors.select(outCols.map(col): _*)
+          .unionByName(upserts.select(outCols.map(col): _*))
           .repartitionByRange(rewriteParts, col(keyCol))
           .sortWithinPartitions(col(keyCol))
           .write.mode("overwrite").parquet(newDir)
@@ -313,11 +329,21 @@ object Upsert {
         Forget.copyUntouched(f, conf, liveDir, newDir, untouched)
         StatsIndex.rebuildAfterRewrite(spark, liveDir, newDir, keyCol,
           preloaded = stats)
-        batchTag.foreach { tag =>
+        // this batch's tag, or the live version's CARRIED FORWARD: an
+        // untagged merge between a CDC batch's publish and its checkpoint
+        // commit must not erase the replay-dedup watermark (the same
+        // carry compactVersion does — the tag means "latest CDC batch
+        // applied ≤ this version", which any rewrite preserves)
+        batchTag.orElse(readTag(f, table, live)).foreach { tag =>
           val out = f.create(new Path(s"$newDir/_cdc_batch"), true)
           try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
         }
+        // schema marker: written at the FIRST evolution, carried forever
+        // after — byte-copied pre-evolution files make footer inference
+        // ambiguous in every later version (see Versioned.readDataDir)
+        if (extra.nonEmpty || hadMarker.isDefined)
+          Versioned.writeSchemaMarker(f, newDir, outSchema)
       }
     } finally { if (!prevalidated) upserts.unpersist(); () }
   }

@@ -45,21 +45,27 @@ object Versioned {
   private def tmp(table: String) = new Path(s"$table/_manifest.tmp")
   private def bak(table: String) = new Path(s"$table/_manifest.bak")
 
-  private def readVersionFile(f: FileSystem, p: Path): Option[Long] =
+  /** Read a small metadata file to EOF as a trimmed UTF-8 string; None when
+    * absent or empty. The ONE reader every pointer file goes through
+    * (manifest, `_ref`, `_commit_ts`, clone pins, `_cdc_batch` via
+    * [[Upsert]]): a fixed-size buffer would silently truncate a long value
+    * and a single `in.read()` is a short-read hazard on FSDataInputStream. */
+  private[lake] def readSmallFile(f: FileSystem, p: Path): Option[String] =
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
       try {
-        // single in.read() is a short-read hazard on FSDataInputStream —
-        // loop to EOF/buffer-full; an empty file is "no version", not a crash
-        val bytes = new Array[Byte](64)
-        var n = 0
-        var r = in.read(bytes, 0, bytes.length)
-        while (r > 0) { n += r; r = in.read(bytes, n, bytes.length - n) }
-        if (n <= 0) None
-        else Some(new String(bytes, 0, n, StandardCharsets.UTF_8).trim.toLong)
+        val buf = new java.io.ByteArrayOutputStream(256)
+        val chunk = new Array[Byte](4096)
+        var r = in.read(chunk)
+        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        val s = new String(buf.toByteArray, StandardCharsets.UTF_8).trim
+        if (s.isEmpty) None else Some(s)
       } finally in.close()
     }
+
+  private def readVersionFile(f: FileSystem, p: Path): Option[Long] =
+    readSmallFile(f, p).map(_.toLong)
 
   /** The live version — manifest, falling back (read-only) to the bak a
     * crashed swap may have left. None when never published. */
@@ -149,9 +155,45 @@ object Versioned {
     readVersion(spark, table, v)
   }
 
-  /** Time travel: read a specific published version. */
+  /** Time travel: read a specific published version — under the version's
+    * schema marker when it carries one (see [[readSchemaMarker]]). */
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame =
-    spark.read.parquet(dataDir(spark, table, v))
+    readDataDir(spark, dataDir(spark, table, v))
+
+  /** Read a version DATA dir, honoring its `_table_schema` marker. Once a
+    * table has schema-evolved ([[Upsert]] `evolveSchema=true`), its version
+    * dirs hold MIXED parquet schemas — byte-copied pre-evolution files lack
+    * the new columns — and a plain `spark.read.parquet` would take ONE
+    * file's footer as the dir schema (which file is timing-dependent, so
+    * the new columns would appear or vanish at random). The marker pins the
+    * authoritative schema; parquet schema-on-read null-fills columns a file
+    * lacks, deterministically. */
+  private[lake] def readDataDir(spark: SparkSession, dir: String): DataFrame =
+    readSchemaMarker(fs(spark, dir), dir) match {
+      case Some(s) => spark.read.schema(s).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
+
+  /** The `_table_schema` marker of a version DATA dir: the table's
+    * authoritative [[org.apache.spark.sql.types.StructType]] (as Spark
+    * schema JSON), written by the first schema-EVOLVING merge and carried
+    * forward by every later file-targeted rewrite
+    * ([[Upsert]]/[[Forget.purge]]/[[Compact.compactVersion]]). Absent on
+    * tables that never evolved — their files all agree, inference is
+    * safe. */
+  private[lake] def readSchemaMarker(
+      f: FileSystem, dir: String): Option[org.apache.spark.sql.types.StructType] =
+    readSmallFile(f, new Path(s"$dir/_table_schema")).map(
+      org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  private[lake] def writeSchemaMarker(
+      f: FileSystem, dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val out = f.create(new Path(s"$dir/_table_schema"), true)
+    try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** The directory a version's DATA actually lives in: the version dir
     * itself, or — for a [[Clone.shallow]] version — the source data dir
@@ -160,18 +202,7 @@ object Versioned {
   def dataDir(spark: SparkSession, table: String, v: Long): String = {
     val dir = s"$table/v=$v"
     val f = fs(spark, table)
-    val ref = new Path(s"$dir/_ref")
-    if (!f.exists(ref)) dir
-    else {
-      val in = f.open(ref)
-      try {
-        val buf = new java.io.ByteArrayOutputStream(256)
-        val chunk = new Array[Byte](4096)
-        var r = in.read(chunk)
-        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
-        new String(buf.toByteArray, StandardCharsets.UTF_8).trim
-      } finally in.close()
-    }
+    readSmallFile(f, new Path(s"$dir/_ref")).getOrElse(dir)
   }
 
   /** True when version `v` is a shallow-clone REFERENCE (no data of its
@@ -186,20 +217,8 @@ object Versioned {
   def commitTimes(spark: SparkSession, table: String): Seq[(Long, Long)] = {
     val f = fs(spark, table)
     versions(spark, table).flatMap { v =>
-      val p = new Path(s"$table/v=$v/_commit_ts")
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        try {
-          val bytes = new Array[Byte](64)
-          var n = 0
-          var r = in.read(bytes, 0, bytes.length)
-          while (r > 0) { n += r; r = in.read(bytes, n, bytes.length - n) }
-          if (n <= 0) None
-          else Some(v -> new String(bytes, 0, n, StandardCharsets.UTF_8)
-            .trim.toLong)
-        } finally in.close()
-      }
+      readSmallFile(f, new Path(s"$table/v=$v/_commit_ts"))
+        .map(v -> _.toLong)
     }
   }
 
@@ -215,29 +234,32 @@ object Versioned {
   }
 
   /** Version dirs of THIS table that a registered shallow clone still
-    * references (`_clones/` back-pointers, written by [[Clone.shallow]]). */
+    * references (`_clones/` back-pointers, written by [[Clone.shallow]]).
+    * Matching is PATH-normalized (`FileSystem.makeQualified` on both the
+    * pin target's parent and this table), not raw-string: a trailing
+    * slash, `file:` scheme, or relative spelling on either side must not
+    * silently unpin a version — that would be exactly the vacuum-breaks-
+    * clones hazard the pin exists to close. */
   private[lake] def clonePinnedVersions(spark: SparkSession,
                                         table: String): Set[Long] = {
     val f = fs(spark, table)
     val dir = new Path(s"$table/_clones")
     if (!f.exists(dir)) Set.empty
-    else f.listStatus(dir).toSeq.filter(_.isFile).flatMap { s =>
-      val in = f.open(s.getPath)
-      val target =
-        try {
-          val buf = new java.io.ByteArrayOutputStream(256)
-          val chunk = new Array[Byte](4096)
-          var r = in.read(chunk)
-          while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
-          new String(buf.toByteArray, StandardCharsets.UTF_8).trim
-            .linesIterator.toSeq.headOption.getOrElse("")
-        } finally in.close()
-      // only pins under THIS table pin vacuum here
-      val prefix = s"$table/v="
-      if (target.startsWith(prefix))
-        target.stripPrefix(prefix).takeWhile(_.isDigit).toLongOption
-      else None
-    }.toSet
+    else {
+      val tableQ = f.makeQualified(new Path(table))
+      f.listStatus(dir).toSeq.filter(_.isFile).flatMap { s =>
+        readSmallFile(f, s.getPath)
+          .map(_.linesIterator.next())
+          .flatMap { target =>
+            val tp = new Path(target)
+            val name = tp.getName
+            if (name.startsWith("v=") &&
+                f.makeQualified(tp.getParent) == tableQ)
+              name.stripPrefix("v=").toLongOption
+            else None
+          }
+      }.toSet
+    }
   }
 
   /** Drop all version dirs older than the live one minus `keep` — EXCEPT

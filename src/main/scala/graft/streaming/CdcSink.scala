@@ -50,25 +50,30 @@ object CdcSink {
     * backfills and specs can drive the exact sink path. */
   def applyBatch(spark: SparkSession, table: String, keyCol: String,
                  batch: DataFrame, batchId: Long, opCol: String = "op",
-                 seqCol: Option[String] = None): Unit =
+                 seqCol: Option[String] = None,
+                 evolveSchema: Boolean = false): Unit =
     if (!batch.isEmpty &&
         !Upsert.recentBatchTags(spark, table).contains(batchId.toString)) {
       val reduced = seqCol.fold(batch)(s =>
         Upsert.lastPerKey(batch, keyCol, s, opCol))
       Upsert.applyCdc(spark, table, keyCol, reduced, opCol,
-        batchTag = Some(batchId.toString))
+        batchTag = Some(batchId.toString), evolveSchema = evolveSchema)
       ()
     }
 
   /** Wire a change stream into `table`; caller sets trigger/checkpoint and
     * starts. Pass the feed's sequence column as `seqCol` whenever one op
-    * per key per micro-batch is not guaranteed upstream. */
+    * per key per micro-batch is not guaranteed upstream. `evolveSchema`
+    * forwards [[Upsert.applyCdc]]'s additive-evolution dial — a feed that
+    * grows a column mid-stream evolves the table at the first batch that
+    * carries it instead of failing the query. */
   def into(changes: DataFrame, table: String, keyCol: String,
            opCol: String = "op",
-           seqCol: Option[String] = None): DataStreamWriter[Row] =
+           seqCol: Option[String] = None,
+           evolveSchema: Boolean = false): DataStreamWriter[Row] =
     changes.writeStream.foreachBatch {
       (batch: DataFrame, id: Long) =>
         applyBatch(batch.sparkSession, table, keyCol, batch, id, opCol,
-          seqCol)
+          seqCol, evolveSchema)
     }
 }

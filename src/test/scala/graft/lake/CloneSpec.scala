@@ -103,6 +103,42 @@ class CloneSpec extends SparkSpec {
       .filter($"k" === 1L).select($"v").as[String].head() == "V2")
   }
 
+  test("pin matching is path-normalized: a spelling drift cannot unpin") {
+    val src = publish("spellsrc", 100L)                    // v1
+    val dst = s"$root/spelldst"
+    // clone FROM a trailing-slash spelling: the recorded pin target then
+    // reads ".../spellsrc//v=1"; vacuum below uses the clean spelling —
+    // raw string comparison would unpin and delete v1 under the clone
+    Clone.shallow(spark, src + "/", dst)
+    Upsert.merge(spark, src, "k", Seq((1L, "V2")).toDF("k", "v")) // v2
+    assert(Versioned.vacuum(spark, src, keep = 0).isEmpty) // v1 stays pinned
+    assert(Versioned.read(spark, dst).count() == 100L)
+    // content-matched detach finds the pin despite the drift
+    Clone.detach(spark, src, dst)
+    assert(Versioned.vacuum(spark, src, keep = 0) == Seq(1L))
+  }
+
+  test("clone-of-clone pins at the data OWNER; re-clone moves the pin") {
+    val a = publish("ownersrc", 100L)                      // the real data
+    val b = s"$root/owner-b"
+    val c = s"$root/owner-c"
+    // count pin FILES only — the local checksum FS adds .crc sidecars
+    def pins(table: String): Int = {
+      val fl = new java.io.File(s"$table/_clones").listFiles()
+      if (fl == null) 0 else fl.count(!_.getName.startsWith("."))
+    }
+    Clone.shallow(spark, a, b)
+    Clone.shallow(spark, b, c) // C's pin must land at A, not B
+    assert(pins(a) == 2)
+    assert(!new java.io.File(s"$b/_clones").exists())
+    // re-cloning C from a DIFFERENT source releases the old pin at A
+    val a2 = publish("ownersrc2", 50L)
+    Clone.shallow(spark, a2, c)
+    assert(pins(a) == 1)
+    assert(pins(a2) == 1)
+    assert(Versioned.read(spark, c).count() == 50L)
+  }
+
   test("detach releases a hand-deleted clone's leaked pin") {
     val src = publish("leaksrc", 200L)                     // v1
     val dst = s"$root/leakdst"

@@ -107,15 +107,24 @@ class CdcSinkSpec extends SparkSpec {
     assert(Upsert.lastBatchTag(spark, t).contains("0"),
       "compaction must carry the CDC tag forward")
     Forget.purge(spark, t, "k", Seq(999L))
+    assert(Upsert.lastBatchTag(spark, t).contains("0"),
+      "purge must carry the CDC tag forward")
+    Upsert.merge(spark, t, "k", Seq((2L, "ADHOC")).toDF("k", "v"))
+    assert(Upsert.lastBatchTag(spark, t).contains("0"),
+      "an untagged ad-hoc merge must carry the CDC tag forward")
+    // with the carry, even a vacuum that DROPS the originally-tagged
+    // version dirs cannot erase the watermark — the live version has it
+    Versioned.vacuum(spark, t, keep = 0)
     val v = Versioned.currentVersion(spark, t).get
-    // crash-replay of batch 0: the live version is no longer the tagged
-    // one, but the tag is found across recent versions — still a no-op
+    // crash-replay of batch 0 after compact+purge+merge+vacuum: no-op
     CdcSink.applyBatch(spark, t, "k", b0, batchId = 0L)
     assert(Versioned.currentVersion(spark, t).contains(v))
     val after = Versioned.read(spark, t)
     assert(after.filter($"k" === 1L).select($"v").as[String].head()
       == "UPDATED-1")
-    assert(after.filter($"k" === 999L).isEmpty) // the purge held too
+    assert(after.filter($"k" === 999L).isEmpty)            // the purge held
+    assert(after.filter($"k" === 2L).select($"v").as[String].head()
+      == "ADHOC")                                          // the merge held
   }
 
   test("empty micro-batches publish nothing") {
