@@ -181,11 +181,19 @@ object Bench {
     // budget row (new queries) are never retried.
     val budgets: Map[String, Double] =
       try {
-        val src = sys.env.getOrElse("SPARK_GRAFT_BUDGETS", "BASELINE.md")
+        val path = sys.env.getOrElse("SPARK_GRAFT_BUDGETS", "BASELINE.md")
         val re = """\|\s*([a-z0-9_]+)\s*\|[^|]*\|[^|]*\|\s*([0-9.]+)\s*\|""".r
-        scala.io.Source.fromFile(src)("UTF-8").getLines()
-          .collect { case re(n, b) => n -> b.toDouble }.toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+        val src = scala.io.Source.fromFile(path)("UTF-8")
+        try src.getLines().collect { case re(n, b) => n -> b.toDouble }.toMap
+        finally src.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // failing open disables the retry feature — say so, or a
+          // renamed budgets file silently turns contention filtering off
+          System.err.println(s"[bench] no budget table (${e.getMessage}) " +
+            "— end-of-run budget retry disabled")
+          Map.empty
+      }
     val retriedCells = scala.collection.mutable.ArrayBuffer.empty[String]
     val results0 =
       if (par != 1 || budgets.isEmpty) results1
@@ -212,11 +220,18 @@ object Bench {
         case (n, w, _, _, false, _)
           if retriedCells.contains(n) && budgets.get(n).exists(w <= _) => n
       }
+      // no silent caps: over-budget cells past the retry cap keep their
+      // possibly-inflated minima — name the skip so the capture says so
+      val skipped = results0.count { case (n, w, _, _, failed, _) =>
+        !failed && !retriedCells.contains(n) && budgets.get(n).exists(w > _)
+      }
       System.err.println(s"[bench] budget retry: ${retriedCells.size} " +
         s"cell(s) over their BASELINE.md budget re-timed at end of run; " +
         s"${recovered.size} recovered under budget (transient noise), " +
-        s"${retriedCells.size - recovered.size} still over (real): " +
-        retriedCells.sorted.mkString(", "))
+        s"${retriedCells.size - recovered.size} still over (real)" +
+        (if (skipped > 0) s"; $skipped more over-budget cell(s) past the " +
+          "24-cell retry cap kept their first-pass minima" else "") +
+        ": " + retriedCells.sorted.mkString(", "))
     }
     val results = results0.map { case (n, w, _, _, f, _) => (n, w, f) }
     val wall = (System.nanoTime() - t0) / 1e9

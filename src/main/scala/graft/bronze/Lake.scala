@@ -132,15 +132,29 @@ object Lake {
   def expireDays(spark: SparkSession, root: String, dataType: String,
                  keepFrom: String): Seq[String] = {
     java.time.LocalDate.parse(keepFrom) // fail fast on a malformed cutoff
-    val expired = listAvailableDates(spark, root, dataType,
-        limit = Int.MaxValue)
+    val base = new Path(s"$root/$dataType")
+    val f = fs(spark, root)
+    if (!f.exists(base)) return Seq.empty
+    // enumerate day DIRS, not _SUCCESS markers ([[listAvailableDates]]'s
+    // glob): a partition a crashed writeDay left without its marker is
+    // invisible to readers but still holds bytes — retention must reclaim
+    // it too, or it leaks forever
+    val expired = f.globStatus(new Path(base, "year=*/month=*/day=*")).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        val (dDir, mDir) = (s.getPath, s.getPath.getParent)
+        for {
+          y <- mDir.getParent.getName.stripPrefix("year=").toIntOption
+          m <- mDir.getName.stripPrefix("month=").toIntOption
+          d <- dDir.getName.stripPrefix("day=").toIntOption
+        } yield f"$y%04d-$m%02d-$d%02d"
+      }
       .filter(_ < keepFrom) // ISO strings order like dates
       .sorted
-    val f = fs(spark, root)
-    expired.foreach { d =>
-      f.delete(new Path(dayDir(root, dataType, d)), true)
-    }
-    expired
+    // report only what actually went: a failed delete (permissions,
+    // transient FS error) recorded as "dropped" would hide a partition
+    // that is still on disk
+    expired.filter(d => f.delete(new Path(dayDir(root, dataType, d)), true))
   }
 
   /** J1: reconciliation anti-difference — dates available at the source but

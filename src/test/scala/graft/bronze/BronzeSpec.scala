@@ -123,5 +123,16 @@ class BronzeSpec extends SparkSpec {
     assert(Lake.expireDays(spark, root, "events", "2024-01-31").isEmpty)
     assertThrows[java.time.format.DateTimeParseException](
       Lake.expireDays(spark, root, "events", "not-a-date"))
+    // a crashed write's partition (data, no _SUCCESS) is invisible to
+    // listAvailableDates but must still expire — it holds bytes
+    val torn = Lake.dayDir(root, "events", "2024-01-02")
+    Files.createDirectories(java.nio.file.Paths.get(torn))
+    Files.write(java.nio.file.Paths.get(s"$torn/part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Lake.listAvailableDates(spark, root, "events")
+      == Seq("2024-02-01", "2024-01-31")) // readers never see it
+    assert(Lake.expireDays(spark, root, "events", "2024-01-31")
+      == Seq("2024-01-02"))               // retention reclaims it
+    assert(!Files.exists(java.nio.file.Paths.get(torn)))
   }
 }
