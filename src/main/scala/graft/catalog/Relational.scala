@@ -270,22 +270,15 @@ object Relational extends Family {
       GROUP BY ROLLUP(r_name, n_name)
       ORDER BY lvl, region, nation
     """)) { (spark, dir) =>
-    // partial-agg-below-join (see groupingSetsQ): orders reduce to
-    // customer grain before the dimension joins, so the join + Expand +
-    // rollup shuffle run on dimension-bounded rows; decimal partials keep
-    // the fold value-identical
     t(spark, dir, "orders")
-      .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_part"),
-        sum(dec2(col("o_totalprice"))).as("rev_part"))
       .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(
         grouping_id().as("lvl"),
-        sum(col("n_part")).cast("long").as("n_orders"),
-        sum(col("rev_part")).cast("double").as("revenue"))
+        count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("revenue"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
@@ -324,15 +317,14 @@ object Relational extends Family {
   // grand total. One Expand + one aggregate in Spark (same physical shape
   // as rollup — the row is replicated once per grouping set map-side, so
   // the plan is a single shuffle regardless of how many sets are asked).
-  //
-  // Partial-agg-below-join: orders reduce to (custkey, priority) partial
-  // sums BEFORE the dimension joins, so the join, the Expand replication,
-  // and the grouping shuffle all run on the customer×priority grain
-  // (dimension-bounded) instead of raw fact rows — decimal partials are
-  // exact, so the fold is value-identical. Without it the x16 sweep point
-  // paid 31× (the customer join crosses the broadcast threshold right
-  // where Expand has tripled 24M fact rows); with it the ratio is
-  // sub-data-ratio.
+  // Join-then-aggregate like its rollup/cube siblings: the one fact-row
+  // shuffle is the join's, and the Expand+aggregate combine map-side over
+  // ~75 grouping rows. (Round-13 note: this cell briefly carried a
+  // pre-agg-below-join form chasing a superlinear sweep point that turned
+  // out to be a SWEEP-DATA artifact — replicated-unoffset dimension
+  // tables multiplied every dim join's output ×f per join, 39.3e9 rows at
+  // x64; the generator is fixed and the canonical plan measures linear.
+  // See SCALE.md's round-13 note.)
   private val groupingSetsQ = Q(
     "agg_grouping_sets",
     Some("""
@@ -350,9 +342,6 @@ object Relational extends Family {
       ORDER BY lvl, region, priority
     """)) { (spark, dir) =>
     t(spark, dir, "orders")
-      .groupBy(col("o_custkey"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_part"),
-        sum(dec2(col("o_totalprice"))).as("rev_part"))
       .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
@@ -362,8 +351,8 @@ object Relational extends Family {
         col("r_name"), col("o_orderpriority"))
       .agg(
         grouping_id().as("lvl"),
-        sum(col("n_part")).cast("long").as("n_orders"),
-        sum(col("rev_part")).cast("double").as("revenue"))
+        count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("revenue"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),

@@ -894,8 +894,125 @@ object Warehouse extends Family {
       .orderBy(col("day"))
   }
 
+  // ---------------------------------------------------------------------
+  // Benford first-digit audit: the classic forensic data-quality screen —
+  // organically-grown monetary amounts follow log10(1+1/d) first-digit
+  // frequencies; synthetic, capped, or fabricated amounts don't. Run over
+  // order totals in exact cents (×100 never changes the leading digit),
+  // with per-digit observed/expected/deviation all in integer ppm so both
+  // engines agree bitwise (the expected shares are IDENTICAL integer
+  // literals, not per-engine log10 calls). On TPC-H-shaped uniform prices
+  // this HONESTLY flags non-Benford (digits 1-4 each ~22%): exactly the
+  // alarm the check exists to raise on synthetic data. Scale shape: one
+  // map-side-combinable aggregate to a ≤9-row digit table + a 1-row total
+  // broadcast; the per-row work is one decimal→cents cast and a leading-
+  // digit extraction.
+  private val benford = Q(
+    "dq_benford_prices",
+    Some("""
+      WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders
+      ), counts AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               COUNT(*) AS n
+        FROM cents GROUP BY 1
+      ), tot AS (SELECT SUM(n) AS total FROM counts),
+      expected(digit, expected_ppm) AS (VALUES
+        (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+      SELECT c.digit, c.n,
+        CAST((1000000 * c.n) // t.total AS BIGINT) AS share_ppm,
+        CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        CAST(abs((1000000 * c.n) // t.total - e.expected_ppm) AS BIGINT)
+          AS dev_ppm
+      FROM counts c JOIN expected e USING (digit), tot t
+      ORDER BY digit
+    """)) { (spark, dir) =>
+    import spark.implicits._
+    val counts = Tables.load(spark, dir, "orders")
+      .select((graft.ops.Exact.dec2(col("o_totalprice")) * 100).cast("long")
+        .as("c"))
+      .groupBy(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    // Benford expectations as integer ppm literals — shared verbatim with
+    // the oracle SQL so no engine ever evaluates a log10
+    val expected = Seq(1 -> 301030, 2 -> 176091, 3 -> 124939, 4 -> 96910,
+      5 -> 79181, 6 -> 66947, 7 -> 57992, 8 -> 51153, 9 -> 45757)
+      .toDF("digit", "expected_ppm")
+    counts.join(broadcast(expected), Seq("digit"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("(1000000 * n) div total").as("share_ppm"),
+        col("expected_ppm").cast("long").as("expected_ppm"),
+        abs(expr("(1000000 * n) div total") - col("expected_ppm"))
+          .cast("long").as("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Revenue concentration (Pareto curve points): the share of total
+  // revenue held by the top 1/5/10/20/50 % of customers — the "how 80/20
+  // is this business" readout pricing and account teams run first, and
+  // the concentration complement to profile_source_gini's single-number
+  // index. Exact cents throughout; the cumulative share is integer ppm
+  // via DECIMAL(38) floor division (operands pass 2^53, so double math
+  // would drift and int64×1e6 would overflow past ~9e12 total cents).
+  // Scale shape: one orders aggregate to customer grain, then ONE global
+  // sort window computing rank and running sum together (same window
+  // frame ⇒ one sort pass) — dimension-bounded like train_decile_bins,
+  // with the same documented sketch-cutoff swap past ~1e8 customers; the
+  // percentile probes are a 5-row broadcast.
+  private val paretoShare = Q(
+    "profile_revenue_concentration",
+    Some("""
+      WITH spend AS (
+        SELECT o_custkey,
+          SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS cents
+        FROM orders GROUP BY o_custkey
+      ), ranked AS (
+        SELECT cents,
+          row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn
+        FROM spend
+      ), cum AS (
+        SELECT rn, SUM(cents) OVER (ORDER BY rn) AS cum_cents FROM ranked
+      ), tot AS (SELECT COUNT(*) AS n, SUM(cents) AS total FROM spend)
+      SELECT v.pct,
+        CAST(max(c.cum_cents) AS BIGINT) AS top_cents,
+        CAST((1000000 * CAST(max(c.cum_cents) AS HUGEINT))
+             // CAST(max(t.total) AS HUGEINT) AS BIGINT) AS share_ppm
+      FROM cum c, tot t, (VALUES (1),(5),(10),(20),(50)) v(pct)
+      WHERE c.rn <= GREATEST(1, (t.n * v.pct) // 100)
+      GROUP BY v.pct ORDER BY v.pct
+    """)) { (spark, dir) =>
+    import spark.implicits._
+    val spend = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((graft.ops.Exact.dec2(col("o_totalprice")) * 100)
+        .cast("long")).as("cents"))
+    // rank and running sum share ONE window ordering → one sort pass
+    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+    val cum = spend.select(
+      row_number().over(w).as("rn"),
+      sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).as("cum_cents"))
+    val tot = spend.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    val pcts = Seq(1, 5, 10, 20, 50).toDF("pct")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))
+      .filter(col("rn") <= greatest(lit(1L), expr("(n * pct) div 100")))
+      .groupBy(col("pct"))
+      .agg(max(col("cum_cents")).as("top_cents"),
+        expr("""CAST((1000000 * CAST(max(cum_cents) AS DECIMAL(38,0)))
+                DIV CAST(max(total) AS DECIMAL(38,0)) AS BIGINT)""")
+          .as("share_ppm"))
+      .orderBy(col("pct"))
+  }
+
   override val specs: Seq[Q] =
     Seq(scd2, scd2AsOf, dq, basket, calendarFill, tsInterp, profile,
       weekdaySeasonality, stlWeekly, autocorrLag7, spearman, mannKendall,
-      cusum)
+      cusum, benford, paretoShare)
 }

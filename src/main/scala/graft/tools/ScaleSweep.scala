@@ -53,7 +53,8 @@ object ScaleSweep {
     "ts_mann_kendall_trend", "ts_cusum_changepoint", "ann_ivf_pq",
     "agg_grouping_sets", "lm_pmi_bigrams", "ts_stl_weekly",
     "agg_cms_probe_counts", "text_textrank_terms", "train_decile_bins",
-    "agg_rollup_region_nation")
+    "agg_rollup_region_nation", "dq_benford_prices",
+    "profile_revenue_concentration")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,
@@ -70,6 +71,10 @@ object ScaleSweep {
         case "orders" => t
           .withColumn("o_orderkey", col("o_orderkey") + i.toLong * 1000000000L)
           .withColumn("o_custkey", col("o_custkey") + i.toLong * 10000000L)
+        case "customer" => t // same offset as orders' o_custkey, so each
+          // replica joins ITS OWN customers — fact⋈dim output scales ×f,
+          // never ×f² (c_nationkey stays base: nation/region emit once)
+          .withColumn("c_custkey", col("c_custkey") + i.toLong * 10000000L)
         case "lineitem" => t
           // offset BOTH keys: each copy is a disjoint replica of the
           // co-purchase graph (edges x factor, linear). Offsetting only
@@ -89,10 +94,16 @@ object ScaleSweep {
               slice(col("embedding"), 1, rot))
           t.withColumn("vec_id", col("vec_id") + i.toLong * 10000000L)
             .withColumn("embedding", rotated)
-        case _ => t // dims and lineitem ride along unscaled (not swept)
+        case _ => null // dims ride along as ONE copy (see below)
       }
     }
-    if (factor == 1) t
+    // Dimension tables must be emitted ONCE, never as f identical copies:
+    // replicated-unoffset dims multiply every dim join's output by f PER
+    // JOIN (measured: the x64 rollup's orders⋈customer⋈nation⋈region blew
+    // up 64×64-fold to 39.3e9 rows — a sweep-DATA artifact that read as a
+    // catastrophic plan knee and cost a round of misdirected "fixes").
+    // Fact/event tables replicate with offset keys as before.
+    if (factor == 1 || copies.head == null) t
     else copies.reduce(_ unionByName _)
   }
 
@@ -110,11 +121,12 @@ object ScaleSweep {
     // writes its table to stdout/outFile arg instead of clobbering it).
     val factors = sys.env.get("SPARK_GRAFT_SWEEP_FACTORS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
-    // v2: cache dir is versioned WITH the generation logic — a stale cache
+    // v4 (round 13: offset customer replicas, single-copy dims): cache
+    // dir is versioned WITH the generation logic — a stale cache
     // from an older generator (e.g. pre-rotation embeddings) would silently
     // sweep the wrong data
     val dirs = factors.map { f =>
-      val dir = s"/tmp/graft-scale-v3/x$f"
+      val dir = s"/tmp/graft-scale-v4/x$f"
       graft.lake.Tables.all.foreach { t =>
         val target = s"$dir/$t.parquet"
         if (!Files.exists(Paths.get(target)))

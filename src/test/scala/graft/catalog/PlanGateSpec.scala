@@ -96,7 +96,10 @@ class PlanGateSpec extends SparkSpec {
     // |sources|x|sources| inequality pair join, both sides catalog-sized
     "dedup_source_overlap_kmv" -> 1,
     // broadcast 1-row token total (nt) + 1-row bigram total (nb)
-    "lm_pmi_bigrams" -> 2)
+    "lm_pmi_bigrams" -> 2,
+    "dq_benford_prices" -> 1,     // broadcast 1-row digit grand total
+    // broadcast 1-row (n, total) + 5-row percentile-probe frame
+    "profile_revenue_concentration" -> 2)
 
   /** query -> max SinglePartition exchanges, each the final combine of a
     * 1-row global aggregate (metadata-sized by construction). */
@@ -176,11 +179,17 @@ class PlanGateSpec extends SparkSpec {
     "ts_stl_weekly" -> 2,                // centered-window pass over the
                                          // calendar-bounded day frame +
                                          // final day ordering
-    "train_decile_bins" -> 1)            // NTILE total order over the
+    "train_decile_bins" -> 1,            // NTILE total order over the
                                          // CUSTOMER-grain spend table
                                          // (dimension cardinality; swap in
                                          // agg_quantiles_sketch cutoffs
                                          // past ~1e8 customers — scaladoc)
+    "dq_benford_prices" -> 1,            // 1-row digit grand-total finalize
+    "profile_revenue_concentration" -> 2) // rank+cumsum window over the
+                                         // CUSTOMER-grain spend table (same
+                                         // posture + sketch cutoff as
+                                         // train_decile_bins) + 1-row
+                                         // (n, total) finalize
 
   /** query -> max SortMergeJoins (both sides result-sized, stats unknown
     * until runtime so AQE keeps the conservative plan). */
