@@ -130,6 +130,117 @@ object Relational extends Family {
   }
 
   // -------------------------------------------------------------------------
+  // J2 + conditional share: promo revenue share by ship month (TPC-H Q14
+  // shape, monthly instead of one month so the output exercises the
+  // group-by too). The share is exact integer ppm: revenue in
+  // ten-thousandths (the DECIMAL(18,4) grain ×10000 — lossless int64),
+  // the ratio via DECIMAL(38) floor division (a year's revenue ×1e6
+  // passes int64). Scale: one fact⋈part equi-join (AQE picks
+  // broadcast-vs-shuffle from part's runtime size), map-side-combinable
+  // conditional sums, ≤12-row output.
+  private val q14Promo = Q(
+    "q14_promo_revenue",
+    Some("""
+      WITH joined AS (
+        SELECT date_trunc('month', l_shipdate) AS month,
+          CAST(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) * 10000
+               AS BIGINT) AS rev4,
+          (p_type LIKE 'PROMO%') AS promo
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      )
+      SELECT CAST(month AS DATE) AS month,
+        CAST(SUM(CASE WHEN promo THEN rev4 ELSE 0 END) AS BIGINT) AS promo_rev4,
+        CAST(SUM(rev4) AS BIGINT) AS total_rev4,
+        CAST((1000000 * CAST(SUM(CASE WHEN promo THEN rev4 ELSE 0 END) AS HUGEINT))
+             // CAST(SUM(rev4) AS HUGEINT) AS BIGINT) AS promo_ppm
+      FROM joined GROUP BY month ORDER BY month
+    """)) { (spark, dir) =>
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+        (dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) *
+          10000).cast("long").as("rev4"),
+        col("p_type").startsWith("PROMO").as("promo"))
+      .groupBy(col("month"))
+      .agg(
+        sum(when(col("promo"), col("rev4")).otherwise(0L)).as("promo_rev4"),
+        sum(col("rev4")).as("total_rev4"))
+      .select(col("month"), col("promo_rev4"), col("total_rev4"),
+        expr("""CAST((1000000 * CAST(promo_rev4 AS DECIMAL(38,0)))
+                DIV CAST(total_rev4 AS DECIMAL(38,0)) AS BIGINT)""")
+          .as("promo_ppm"))
+      .orderBy(col("month"))
+  }
+
+  // -------------------------------------------------------------------------
+  // J4 + correlated condition: orders with a LATE line (TPC-H Q4 shape —
+  // EXISTS with a predicate correlating BOTH sides: l_shipdate more than
+  // 75 days after ITS order's date). Plans as a LEFT SEMI join whose
+  // condition carries the non-equi arm alongside the key equality — the
+  // lineitem side never duplicates order rows however many lines are
+  // late. Scale: one fact⋈fact semi join on the order key (both sides
+  // date-pruned at the scan), ≤5-row output.
+  private val q4Late = Q(
+    "q4_priority_late_ship",
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_late
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 75 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)) { (spark, dir) =>
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    ord.join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // -------------------------------------------------------------------------
+  // J2 + disjunctive residual: discounted revenue under OR'd brand/size/
+  // quantity branches (TPC-H Q19 shape). The join key stays a clean
+  // equi-join (partkey) with the whole disjunction as a residual filter —
+  // the shape that tests an optimizer's ability to NOT fall back to a
+  // nested-loop join on OR predicates. Scale: one fact⋈part equi-join;
+  // the branches' p_brand IN (...) union could push a coarse scan filter,
+  // left to Catalyst.
+  private val q19Disjunct = Q(
+    "q19_disjunctive_revenue",
+    Some("""
+      SELECT
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 20)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """)) { (spark, dir) =>
+    def branch(brand: String, szHi: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand &&
+        col("p_size").between(1, szHi) && col("l_quantity").between(qLo, qHi)
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#12", 15, 1, 20) ||
+        branch("Brand#23", 25, 10, 30) || branch("Brand#34", 35, 20, 40))
+      .agg(
+        sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // -------------------------------------------------------------------------
   // J3: left outer join — per-customer order stats including zero-order rows.
   private val jLeft = Q(
     "join_left_customer_orders",
@@ -992,7 +1103,7 @@ object Relational extends Family {
   }
 
   override val specs: Seq[Q] = Seq(rfmQ,
-    q1, q3, q5, jLeft, jSemi, jAnti, jTheta,
+    q1, q3, q5, q4Late, q14Promo, q19Disjunct, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
     rollupQ, cubeQ, groupingSetsQ, distinctQ, topkQ, runningQ, lagQ, ewmaQ,
     percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ, rankMetricsQ,

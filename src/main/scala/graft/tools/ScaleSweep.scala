@@ -54,7 +54,8 @@ object ScaleSweep {
     "agg_grouping_sets", "lm_pmi_bigrams", "ts_stl_weekly",
     "agg_cms_probe_counts", "text_textrank_terms", "train_decile_bins",
     "agg_rollup_region_nation", "dq_benford_prices",
-    "profile_revenue_concentration")
+    "profile_revenue_concentration", "q14_promo_revenue",
+    "q4_priority_late_ship", "q19_disjunctive_revenue")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,
@@ -75,6 +76,12 @@ object ScaleSweep {
           // replica joins ITS OWN customers — fact⋈dim output scales ×f,
           // never ×f² (c_nationkey stays base: nation/region emit once)
           .withColumn("c_custkey", col("c_custkey") + i.toLong * 10000000L)
+        case "part" => t // same offset as lineitem's l_partkey (which must
+          // offset per-replica to keep co-purchase graphs disjoint), so
+          // part⋈lineitem joins match within every replica — a single-copy
+          // part would starve them to replica 0 and a x16 sweep would
+          // measure a join whose output never grows
+          .withColumn("p_partkey", col("p_partkey") + i.toLong * 10000000L)
         case "lineitem" => t
           // offset BOTH keys: each copy is a disjoint replica of the
           // co-purchase graph (edges x factor, linear). Offsetting only
@@ -121,12 +128,13 @@ object ScaleSweep {
     // writes its table to stdout/outFile arg instead of clobbering it).
     val factors = sys.env.get("SPARK_GRAFT_SWEEP_FACTORS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
-    // v4 (round 13: offset customer replicas, single-copy dims): cache
+    // v5 (round 13: offset part replicas to match lineitem's l_partkey;
+    // v4 offset customer replicas, single-copy remaining dims): cache
     // dir is versioned WITH the generation logic — a stale cache
     // from an older generator (e.g. pre-rotation embeddings) would silently
     // sweep the wrong data
     val dirs = factors.map { f =>
-      val dir = s"/tmp/graft-scale-v4/x$f"
+      val dir = s"/tmp/graft-scale-v5/x$f"
       graft.lake.Tables.all.foreach { t =>
         val target = s"$dir/$t.parquet"
         if (!Files.exists(Paths.get(target)))
