@@ -1,0 +1,230 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Incrementally-maintained materialized aggregate views over [[Versioned]]
+ * tables — the lakehouse MV leg (Databricks/Snowflake materialized views,
+ * classic self-maintainable-view theory): a grouped count/sum view whose
+ * refresh cost tracks the CHANGESET, never the source table.
+ *
+ * The aggregate set is deliberately the self-maintainable core — COUNT and
+ * SUM are closed under inserts AND deletes (averages derive at read as
+ * sum/n), so a refresh needs exactly (a) the batch's new rows and (b) the
+ * OLD rows of updated/deleted keys. (a) is the batch itself; (b) reads
+ * from the PRE-batch source version — whose dir is immutable and still on
+ * disk until vacuum — pruned to the files that can hold the touched keys
+ * via the same Bloom + stats-manifest admission [[Upsert]] uses, so (b)
+ * costs the touched fraction, not a scan. MIN/MAX are NOT
+ * delete-maintainable (a deleted max needs a rescan to find the runner-up)
+ * and are deliberately out; [[create]] over the live source is the
+ * documented recompute path if they're ever needed.
+ *
+ * The view itself is a [[Versioned]] table at group grain — usually
+ * dimension-sized, so each refresh publishes a full new view version
+ * (snapshot isolation, time travel) whose write cost is the view's size,
+ * while the expensive side (the 100 TB source) is never rescanned. The
+ * view's spec and its sync watermark live in a `_matview` file INSIDE each
+ * version dir, so watermark and data appear in one atomic manifest swap —
+ * a crash between "view published" and "watermark advanced" cannot happen,
+ * and a replayed refresh no-ops on the version guard.
+ *
+ * Choreography contract (single maintenance writer, like [[CdcSink]]):
+ * apply a batch to the source ([[Upsert.applyCdc]]), then [[refresh]] the
+ * view with the SAME batch, before any further source DML — refresh
+ * verifies the source advanced by exactly one version. Fell behind (bulk
+ * maintenance, missed batches)? [[recreate]] catches up with one full
+ * recompute. Vacuum discipline: the source's pre-batch version must
+ * still exist at refresh time; refresh-then-vacuum, not the reverse.
+ */
+object MatView {
+
+  /** The view's definition + sync watermark, JSON-persisted per version. */
+  final case class Spec(source: String, keyCol: String,
+                        groupCols: Seq[String], sumCols: Seq[String],
+                        synced: Long)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // hand-rolled flat JSON (the repo has no JSON lib dependency; names are
+  // column identifiers — no escaping needed beyond rejecting quotes)
+  private def toJson(s: Spec): String = {
+    def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
+    (s.groupCols ++ s.sumCols ++ Seq(s.keyCol)).foreach(c =>
+      require(!c.contains("\"") && !c.contains("\\"), s"unsafe column name $c"))
+    s"""{"source":"${s.source}","keyCol":"${s.keyCol}",""" +
+      s""""groupCols":${arr(s.groupCols)},"sumCols":${arr(s.sumCols)},""" +
+      s""""synced":${s.synced}}"""
+  }
+
+  private def fromJson(j: String): Spec = {
+    def str(k: String) =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(j).get.group(1)
+    def arr(k: String) =
+      s""""$k":\\[([^\\]]*)\\]""".r.findFirstMatchIn(j).get.group(1)
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+    def num(k: String) =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
+    Spec(str("source"), str("keyCol"), arr("groupCols"), arr("sumCols"),
+      num("synced"))
+  }
+
+  private def writeSpec(spark: SparkSession, dir: String, s: Spec): Unit = {
+    val f = fs(spark, dir)
+    val out = f.create(new Path(s"$dir/_matview"), true)
+    try out.write(toJson(s).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The live view version's spec (definition + watermark). */
+  def spec(spark: SparkSession, view: String): Spec = {
+    val v = Versioned.currentVersion(spark, view).getOrElse(
+      throw new IllegalStateException(s"no published view at $view"))
+    Versioned.readSmallFile(fs(spark, view),
+        new Path(s"$view/v=$v/_matview"))
+      .map(fromJson).getOrElse(throw new IllegalStateException(
+        s"$view v$v carries no _matview spec — not a MatView table"))
+  }
+
+  // exact additive accumulator type: closed under + and - across refreshes
+  private val acc = DecimalType(38, 6)
+
+  private def grouped(df: DataFrame, groupCols: Seq[String],
+                      sumCols: Seq[String], sign: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(lit(sign.toLong)).as("n_rows"),
+        sumCols.map(c =>
+          sum(col(c).cast(acc) * sign).cast(acc).as(s"sum_$c")): _*)
+
+  /** Full compute of the view over the source's LIVE version; publishes
+    * view v1 (or a fresh version of an existing view — [[recreate]]).
+    * Returns the published view version. */
+  def create(spark: SparkSession, source: String, keyCol: String,
+             view: String, groupCols: Seq[String],
+             sumCols: Seq[String]): Long = {
+    require(groupCols.nonEmpty, "a grouped view needs group columns")
+    val srcV = Versioned.currentVersion(spark, source).getOrElse(
+      throw new IllegalStateException(s"no published version at $source"))
+    val df = Versioned.readVersion(spark, source, srcV)
+    val mv = grouped(df, groupCols, sumCols, 1)
+    Versioned.publishWith(spark, view) { dir =>
+      mv.write.mode("overwrite").parquet(dir)
+      writeSpec(spark, dir, Spec(source, keyCol, groupCols, sumCols, srcV))
+    }
+  }
+
+  /** Catch-up recompute: same as [[create]] with the definition read from
+    * the live view version. */
+  def recreate(spark: SparkSession, view: String): Long = {
+    val s = spec(spark, view)
+    create(spark, s.source, s.keyCol, view, s.groupCols, s.sumCols)
+  }
+
+  /** Old source rows for `keys`, read from the PRE-batch version's data
+    * dir pruned by the same Bloom sidecar + stats-manifest (footer
+    * fallback) admission [[Upsert]] uses — touched-fraction cost. */
+  private def oldRows(spark: SparkSession, source: String, srcV: Long,
+                      keyCol: String, keys: Seq[Long]): DataFrame = {
+    val dir = Versioned.dataDir(spark, source, srcV)
+    val f = fs(spark, dir)
+    require(f.exists(new Path(dir)),
+      s"$source v$srcV data dir is gone (vacuumed?) — the incremental " +
+        "refresh needs the pre-batch version; MatView.recreate instead")
+    // evolved sources hold mixed-schema files — pin via the dir's marker
+    val schema = Versioned.readSchemaMarker(f, dir)
+      .getOrElse(spark.read.parquet(dir).schema)
+    if (keys.isEmpty)
+      return spark.read.schema(schema).parquet(dir).limit(0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stats = StatsIndex.load(spark, dir)
+    val admitted = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+      .filter { p =>
+        BloomIndex.mightContainAny(f, dir, p.getName, keys) &&
+          (stats.flatMap(_.get(p.getName)) match {
+            case Some(st) => st.admitsAny(keys)
+            case None => Forget.rangeAdmitsAny(conf, p, keyCol, keys)
+          })
+      }
+    if (admitted.isEmpty) spark.read.schema(schema).parquet(dir).limit(0)
+    else spark.read.schema(schema).parquet(admitted.map(_.toString): _*)
+      .filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** Incremental refresh from the I/U/D `batch` just applied to the
+    * source ([[Upsert.applyCdc]] semantics and contract: one op per key,
+    * non-null keys, I/U rows carry full source rows, D rows need only the
+    * key). Publishes a new view version whose `_matview` watermark is the
+    * source's live version, atomically with the data. No-op (returns the
+    * live view version) when the view is already synced; rejects a source
+    * that advanced by more than one version — that's [[recreate]]
+    * territory, refusing to guess which changes were missed. */
+  def refresh(spark: SparkSession, view: String, batch: DataFrame,
+              opCol: String = "op"): Long = {
+    val s = spec(spark, view)
+    val srcLive = Versioned.currentVersion(spark, s.source).getOrElse(
+      throw new IllegalStateException(s"no published version at ${s.source}"))
+    val viewLive = Versioned.currentVersion(spark, view).get
+    if (srcLive == s.synced) return viewLive // replayed refresh: no-op
+    require(srcLive == s.synced + 1,
+      s"${s.source} advanced v${s.synced} -> v$srcLive (more than one " +
+        "DML publish since the last refresh) — MatView.recreate to catch up")
+    import spark.implicits._
+    batch.persist()
+    try {
+      require(batch.filter(col(s.keyCol).isNull).isEmpty,
+        "NULL-key rows in a CDC batch are not addressable")
+      // minus side: OLD rows of updated/deleted keys, from the pre-batch
+      // version, file-pruned
+      val udKeys = batch.filter(col(opCol) =!= "I")
+        .select(col(s.keyCol).cast("long")).as[Long].collect().toSeq.distinct
+      val minus = grouped(
+        oldRows(spark, s.source, s.synced, s.keyCol, udKeys),
+        s.groupCols, s.sumCols, -1)
+      // plus side: the batch's new rows (I and U carry full rows)
+      val plus = grouped(batch.filter(col(opCol) =!= "D").drop(opCol),
+        s.groupCols, s.sumCols, 1)
+      val deltaCols = "n_rows" +: s.sumCols.map(c => s"sum_$c")
+      val delta = plus.unionByName(minus)
+        .groupBy(s.groupCols.map(col): _*)
+        .agg(sum(col("n_rows")).as("n_rows"),
+          s.sumCols.map(c =>
+            sum(col(s"sum_$c")).cast(acc).as(s"sum_$c")): _*)
+      // merge: view is group-grain, delta is group-grain — full outer on
+      // the group key, add, drop emptied groups (n_rows == 0 means every
+      // underlying row left; sums are then exact zeros by construction)
+      val live = Versioned.read(spark, view)
+      val merged = live.join(delta, s.groupCols, "full_outer")
+        .select(s.groupCols.map(col) ++ deltaCols.map { c =>
+          val summed = coalesce(live(c), lit(0)) + coalesce(delta(c), lit(0))
+          (if (c == "n_rows") summed.cast("long") else summed.cast(acc))
+            .as(c)
+        }: _*)
+        .filter(col("n_rows") > 0)
+      Versioned.publishWith(spark, view) { dir =>
+        merged.write.mode("overwrite").parquet(dir)
+        writeSpec(spark, dir, s.copy(synced = srcLive))
+      }
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Read the live view with derived averages (`avg_<c> = sum_<c> /
+    * n_rows` as double) — the non-self-maintainable aggregates users
+    * actually want, computed at read where they're free. */
+  def readWithAverages(spark: SparkSession, view: String): DataFrame = {
+    val s = spec(spark, view)
+    val df = Versioned.read(spark, view)
+    s.sumCols.foldLeft(df)((d, c) =>
+      d.withColumn(s"avg_$c",
+        (col(s"sum_$c") / col("n_rows")).cast("double")))
+  }
+}

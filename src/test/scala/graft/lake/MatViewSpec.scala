@@ -1,0 +1,161 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Incrementally-maintained materialized views ([[MatView]]): every refresh
+ * from a CDC batch leaves the view exactly equal to a full groupBy
+ * recompute of the live source — across randomized multi-round churn with
+ * group migrations, emptied groups, and brand-new groups; the watermark
+ * travels atomically with the view version (replayed refreshes no-op, a
+ * skipped batch rejects loudly); averages derive at read.
+ */
+class MatViewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-matview").toString
+
+  private def fullRecompute(src: String): Seq[(String, Long, BigDecimal)] =
+    Versioned.read(spark, src)
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n"),
+        sum($"amount".cast("decimal(38,6)")).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDecimal(2)).setScale(6)))
+      .toSeq.sortBy(_._1)
+
+  private def viewRows(view: String): Seq[(String, Long, BigDecimal)] =
+    Versioned.read(spark, view).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_rows"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("sum_amount")).setScale(6)))
+      .toSeq.sortBy(_._1)
+
+  private def mkSource(name: String, n: Int): String = {
+    val t = s"$root/$name"
+    val df = (0 until n).map { k =>
+      (k.toLong, s"g${k % 7}", BigDecimal(k * 13 % 997) / 100)
+    }.toDF("k", "grp", "amount")
+    Forget.publishIndexed(df, t, nFiles = 8, keyCol = "k", stats = true)
+    t
+  }
+
+  test("create equals the full recompute; averages derive at read") {
+    val src = mkSource("base", 5000)
+    val view = s"$root/base_view"
+    assert(MatView.create(spark, src, "k", view, Seq("grp"),
+      Seq("amount")) == 1L)
+    assert(viewRows(view) == fullRecompute(src))
+    val avg = MatView.readWithAverages(spark, view)
+      .filter($"grp" === "g0")
+      .select(($"sum_amount" / $"n_rows").cast("double"), $"avg_amount")
+      .head()
+    assert(avg.getDouble(0) == avg.getDouble(1))
+  }
+
+  test("randomized churn: refresh per batch == recompute, rounds of I/U/D") {
+    val src = mkSource("churn", 4000)
+    val view = s"$root/churn_view"
+    MatView.create(spark, src, "k", view, Seq("grp"), Seq("amount"))
+    val rnd = new scala.util.Random(4242)
+    var nextKey = 4000L
+    for (round <- 1 to 6) {
+      val liveKeys = Versioned.read(spark, src)
+        .select($"k").as[Long].collect().toSeq
+      // deletes, updates (some migrating groups), inserts (some new groups)
+      val dels = rnd.shuffle(liveKeys).take(120).toSet
+      val upds = rnd.shuffle(liveKeys.filterNot(dels)).take(150)
+      val batch =
+        dels.toSeq.map(k => (k, "", BigDecimal(0), "D")) ++
+          upds.map { k =>
+            val g = if (rnd.nextBoolean()) s"g${rnd.nextInt(7)}"
+                    else s"h${rnd.nextInt(3)}" // migration to new groups
+            (k, g, BigDecimal(rnd.nextInt(100000)) / 100, "U")
+          } ++
+          (0 until 80).map { _ =>
+            nextKey += 1
+            (nextKey, s"g${rnd.nextInt(9)}",
+              BigDecimal(rnd.nextInt(100000)) / 100, "I")
+          }
+      val bdf = rnd.shuffle(batch)
+        .toDF("k", "grp", "amount", "op")
+        .withColumn("grp", when($"op" === "D", lit(null: String))
+          .otherwise($"grp"))
+        .withColumn("amount", when($"op" === "D", lit(null: String)
+          .cast("decimal(38,6)")).otherwise($"amount"))
+      Upsert.applyCdc(spark, src, "k", bdf)
+      MatView.refresh(spark, view, bdf)
+      assert(viewRows(view) == fullRecompute(src),
+        s"view != recompute after round $round")
+    }
+  }
+
+  test("groups empty out and vanish; replay no-ops; skipped batch rejects") {
+    val t = s"$root/vanish"
+    val df = Seq((1L, "a", BigDecimal(1)), (2L, "a", BigDecimal(2)),
+      (3L, "b", BigDecimal(3))).toDF("k", "grp", "amount")
+    Forget.publishIndexed(df, t, nFiles = 2, keyCol = "k", stats = true)
+    val view = s"$root/vanish_view"
+    MatView.create(spark, t, "k", view, Seq("grp"), Seq("amount"))
+    // delete ALL of group a
+    val batch = Seq((1L, "D"), (2L, "D")).toDF("k", "op")
+      .withColumn("grp", lit(null: String))
+      .withColumn("amount", lit(null: String).cast("decimal(38,6)"))
+      .select($"k", $"grp", $"amount", $"op")
+    Upsert.applyCdc(spark, t, "k", batch)
+    val v2 = MatView.refresh(spark, view, batch)
+    assert(viewRows(view) == Seq(("b", 1L, BigDecimal(3).setScale(6))))
+    // replayed refresh (source hasn't moved): no-op, same version
+    assert(MatView.refresh(spark, view, batch) == v2)
+    // two source DMLs without a refresh: loud reject, recreate catches up
+    Upsert.applyCdc(spark, t, "k",
+      Seq((10L, "c", BigDecimal(5), "I")).toDF("k", "grp", "amount", "op"))
+    Upsert.applyCdc(spark, t, "k",
+      Seq((11L, "c", BigDecimal(6), "I")).toDF("k", "grp", "amount", "op"))
+    val e = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, view,
+        Seq((11L, "c", BigDecimal(6), "I")).toDF("k", "grp", "amount", "op"))
+    }
+    assert(e.getMessage.contains("recreate"))
+    MatView.recreate(spark, view)
+    assert(viewRows(view) == fullRecompute(t))
+    // and the spec watermark now matches the live source
+    assert(MatView.spec(spark, view).synced ==
+      Versioned.currentVersion(spark, t).get)
+  }
+
+  test("view versions time-travel; watermark is atomic with the data") {
+    val src = mkSource("travel", 1000)
+    val view = s"$root/travel_view"
+    MatView.create(spark, src, "k", view, Seq("grp"), Seq("amount"))
+    val before = viewRows(view)
+    val batch = Seq((0L, "D")).toDF("k", "op")
+      .withColumn("grp", lit(null: String))
+      .withColumn("amount", lit(null: String).cast("decimal(38,6)"))
+      .select($"k", $"grp", $"amount", $"op")
+    Upsert.applyCdc(spark, src, "k", batch)
+    val v2 = MatView.refresh(spark, view, batch)
+    assert(v2 == 2L)
+    // v1 still reads as the pre-refresh snapshot
+    val v1rows = Versioned.readVersion(spark, view, 1L).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_rows"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("sum_amount")).setScale(6)))
+      .toSeq.sortBy(_._1)
+    assert(v1rows == before)
+    // each version dir carries ITS OWN watermark
+    def synced(v: Long): Long = {
+      val f = new org.apache.hadoop.fs.Path(view).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val j = Versioned.readSmallFile(f,
+        new org.apache.hadoop.fs.Path(s"$view/v=$v/_matview")).get
+      """"synced":(\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
+    }
+    assert(synced(1L) == 1L && synced(2L) == 2L)
+  }
+}
