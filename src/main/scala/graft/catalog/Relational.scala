@@ -241,6 +241,155 @@ object Relational extends Family {
   }
 
   // -------------------------------------------------------------------------
+  // J2 star + top-k: returned-item revenue by customer (TPC-H Q10 shape) —
+  // the "who returned the most" triage list: fact⋈fact join on the order
+  // key, broadcast nation, TakeOrderedAndProject for the top-20 cut (never
+  // a global sort of customers).
+  private val q10Returns = Q(
+    "q10_returned_revenue",
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20
+    """)) { (spark, dir) =>
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // -------------------------------------------------------------------------
+  // A3 + scalar-subquery filter: top supplier by quarterly revenue WITH
+  // ties (TPC-H Q15 shape — the rev view's MAX is a 1-row broadcast, so
+  // "equal to the max" never sorts the supplier-grain frame). Revenue in
+  // exact int64 ten-thousandths so the tie equality is bitwise in both
+  // engines — a double revenue could split a genuine tie.
+  private val q15TopSupp = Q(
+    "q15_top_supplier",
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+          CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+      )
+      SELECT s_suppkey, s_name, rev4
+      FROM rev JOIN supplier ON suppkey = s_suppkey
+      WHERE rev4 = (SELECT MAX(rev4) FROM rev)
+      ORDER BY s_suppkey
+    """)) { (spark, dir) =>
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg((sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        * 10000).cast("long").as("rev4"))
+    val top = rev.agg(max(col("rev4")).as("max_rev4"))
+    rev.join(broadcast(top), col("rev4") === col("max_rev4"))
+      .join(t(spark, dir, "supplier"), col("suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev4"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  // -------------------------------------------------------------------------
+  // A-correlated decorrelation: small-quantity order revenue (TPC-H Q17
+  // shape — `l_quantity < 0.2 * avg(l_quantity per part)`). The correlated
+  // AVG decorrelates into one per-part aggregate joined back; computed on
+  // the BRAND-FILTERED lines only, which is value-identical because the
+  // part key determines the brand (a whole-lineitem per-part aggregate
+  // would shuffle the full fact table for a 1/25th slice). The avg
+  // comparison is exact integer cross-multiplication: qty*100*5*n < qty2
+  // — zero division, zero doubles.
+  private val q17SmallQty = Q(
+    "q17_small_qty_revenue",
+    Some("""
+      WITH pa AS (
+        SELECT l_partkey AS pk,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty2,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey
+      )
+      SELECT
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS below_avg_cents,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN pa   ON l_partkey = pk
+      WHERE p_brand = 'Brand#23'
+        AND CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * 5 * n < qty2
+    """)) { (spark, dir) =>
+    val brandLines = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part").filter(col("p_brand") === "Brand#23"),
+        col("l_partkey") === col("p_partkey"))
+    val pa = brandLines
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((sum(dec2(col("l_quantity"))) * 100).cast("long").as("qty2"),
+        count(lit(1)).as("n"))
+    brandLines.join(pa, col("l_partkey") === col("pk"))
+      .filter((dec2(col("l_quantity")) * 100).cast("long") * 5 * col("n") <
+        col("qty2"))
+      .agg(
+        (sum(dec2(col("l_extendedprice"))) * 100).cast("long")
+          .as("below_avg_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // -------------------------------------------------------------------------
+  // A-HAVING join: large-volume orders (TPC-H Q18 shape) — the per-order
+  // quantity aggregate HAVING-filters to a tiny key set BEFORE joining
+  // back to orders and customer, so the join probe side is the filtered
+  // aggregate, never raw lineitem. Quantities/totals in exact cents.
+  private val q18LargeOrders = Q(
+    "q18_large_orders",
+    Some("""
+      SELECT c_custkey, c_name, o_orderkey,
+        CAST(o_orderdate AS DATE) AS order_date,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS total_cents,
+        big.sum_qty2
+      FROM orders
+      JOIN (SELECT l_orderkey,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty2
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) > 21000) big
+        ON o_orderkey = big.l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY total_cents DESC, o_orderkey LIMIT 25
+    """)) { (spark, dir) =>
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg((sum(dec2(col("l_quantity"))) * 100).cast("long").as("sum_qty2"))
+      .filter(col("sum_qty2") > 21000L)
+    t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(spark, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("total_cents"),
+        col("sum_qty2"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  // -------------------------------------------------------------------------
   // J3: left outer join — per-customer order stats including zero-order rows.
   private val jLeft = Q(
     "join_left_customer_orders",
@@ -1103,7 +1252,8 @@ object Relational extends Family {
   }
 
   override val specs: Seq[Q] = Seq(rfmQ,
-    q1, q3, q5, q4Late, q14Promo, q19Disjunct, jLeft, jSemi, jAnti, jTheta,
+    q1, q3, q5, q4Late, q14Promo, q19Disjunct, q10Returns, q15TopSupp,
+    q17SmallQty, q18LargeOrders, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
     rollupQ, cubeQ, groupingSetsQ, distinctQ, topkQ, runningQ, lagQ, ewmaQ,
     percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ, rankMetricsQ,

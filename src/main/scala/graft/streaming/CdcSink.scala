@@ -76,4 +76,45 @@ object CdcSink {
         applyBatch(batch.sparkSession, table, keyCol, batch, id, opCol,
           seqCol, evolveSchema)
     }
+
+  /** [[applyBatch]] + [[graft.lake.MatView.refresh]] of a view defined
+    * over `table`, in one micro-batch body — the streaming leg of
+    * incremental view maintenance. Both halves are individually
+    * idempotent under replay, which is what makes the PAIR exactly-once
+    * without a cross-table transaction: the source merge no-ops on its
+    * batch tag, and the view refresh no-ops on its version watermark —
+    * so a crash BETWEEN the two (source published, view not yet
+    * refreshed) replays into "source skips, view catches up". The view
+    * refresh runs on the same seqCol-reduced frame the source applied.
+    * Same single-maintenance-writer contract as the tag carry: keep
+    * compaction/purge of the SOURCE outside the stream's crash window
+    * (an interleaved source publish would advance it two versions past
+    * the view's watermark, failing the refresh loudly toward
+    * `MatView.recreate`). */
+  def applyBatchWithView(spark: SparkSession, table: String, keyCol: String,
+                         view: String, batch: DataFrame, batchId: Long,
+                         opCol: String = "op",
+                         seqCol: Option[String] = None,
+                         evolveSchema: Boolean = false): Unit =
+    if (!batch.isEmpty) {
+      val reduced = seqCol.fold(batch)(s =>
+        Upsert.lastPerKey(batch, keyCol, s, opCol))
+      if (!Upsert.recentBatchTags(spark, table).contains(batchId.toString))
+        Upsert.applyCdc(spark, table, keyCol, reduced, opCol,
+          batchTag = Some(batchId.toString), evolveSchema = evolveSchema)
+      graft.lake.MatView.refresh(spark, view, reduced, opCol)
+      ()
+    }
+
+  /** Wire a change stream into `table` AND keep `view` (a
+    * [[graft.lake.MatView]] over it) refreshed per micro-batch. */
+  def intoWithView(changes: DataFrame, table: String, keyCol: String,
+                   view: String, opCol: String = "op",
+                   seqCol: Option[String] = None,
+                   evolveSchema: Boolean = false): DataStreamWriter[Row] =
+    changes.writeStream.foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        applyBatchWithView(batch.sparkSession, table, keyCol, view, batch,
+          id, opCol, seqCol, evolveSchema)
+    }
 }

@@ -55,7 +55,9 @@ object ScaleSweep {
     "agg_cms_probe_counts", "text_textrank_terms", "train_decile_bins",
     "agg_rollup_region_nation", "dq_benford_prices",
     "profile_revenue_concentration", "q14_promo_revenue",
-    "q4_priority_late_ship", "q19_disjunctive_revenue")
+    "q4_priority_late_ship", "q19_disjunctive_revenue",
+    "q10_returned_revenue", "q15_top_supplier", "q17_small_qty_revenue",
+    "q18_large_orders")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,
