@@ -1075,10 +1075,70 @@ object Events extends Family {
       .orderBy(col("user_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // Point-in-time feature assembly (feature-store "PIT join" discipline):
+  // every purchase event becomes a training example carrying features of
+  // the user's STRICTLY-PRIOR activity — running per-type counts and the
+  // previous event's value/time — with zero leakage by construction (the
+  // window frame ends at 1 PRECEDING). The classic formulation is an
+  // as-of join of the spine against feature tables; here spine and
+  // features share one source, so the whole assembly is ONE sort per
+  // user partition and NO join at all — the shape to reach for before
+  // paying an as-of join's range machinery. event_id breaks ts ties, so
+  // both engines agree on frame membership bitwise.
+  private val pitFeatures = Q(
+    "train_pit_features",
+    Some("""
+      WITH feat AS (
+        SELECT event_id, user_id, ts, event_type, value,
+          COUNT(*) FILTER (WHERE event_type = 'view') OVER w AS n_prior_views,
+          COUNT(*) FILTER (WHERE event_type = 'click') OVER w AS n_prior_clicks,
+          COUNT(*) FILTER (WHERE event_type = 'purchase') OVER w AS n_prior_purchases,
+          lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS last_prior_value,
+          epoch_us(CAST(ts AS TIMESTAMP))
+            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS micros_since_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      )
+      SELECT event_id, user_id,
+        CAST(n_prior_views AS BIGINT) AS n_prior_views,
+        CAST(n_prior_clicks AS BIGINT) AS n_prior_clicks,
+        CAST(n_prior_purchases AS BIGINT) AS n_prior_purchases,
+        last_prior_value,
+        CAST(micros_since_prev AS BIGINT) AS micros_since_prev
+      FROM feat WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """)) { (spark, dir) =>
+    // ONE window ordering serves every feature -> one sort pass
+    val prior = byUserTime.rowsBetween(Window.unboundedPreceding, -1)
+    def nPrior(tpe: String): Column =
+      count(when(col("event_type") === tpe, 1)).over(prior)
+    ev(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"),
+        nPrior("view").as("n_prior_views"),
+        nPrior("click").as("n_prior_clicks"),
+        nPrior("purchase").as("n_prior_purchases"),
+        lag(col("value"), 1).over(byUserTime).as("last_prior_value"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(byUserTime))
+          .as("micros_since_prev"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("n_prior_views"),
+        col("n_prior_clicks"), col("n_prior_purchases"),
+        col("last_prior_value"), col("micros_since_prev"))
+      .orderBy(col("event_id"))
+  }
+
   override val specs: Seq[Q] = Seq(
     extractDay, ga4Flatten, dailyKpis, funnel, sessionize, sessionizeNative,
     attribution,
     journeys, cohort, missingDays, propsHistogram, asofQ, propsKv,
     convLatency, abtest, wau, markov, intervalAttr, userFeatures,
-    timeSplit, classBalanced, burstFlags, driftChi2, userDiversity)
+    timeSplit, classBalanced, burstFlags, driftChi2, userDiversity,
+    pitFeatures)
 }
