@@ -147,14 +147,17 @@ object Lake {
           y <- mDir.getParent.getName.stripPrefix("year=").toIntOption
           m <- mDir.getName.stripPrefix("month=").toIntOption
           d <- dDir.getName.stripPrefix("day=").toIntOption
-        } yield f"$y%04d-$m%02d-$d%02d"
+        } yield (f"$y%04d-$m%02d-$d%02d", dDir)
       }
-      .filter(_ < keepFrom) // ISO strings order like dates
-      .sorted
-    // report only what actually went: a failed delete (permissions,
-    // transient FS error) recorded as "dropped" would hide a partition
-    // that is still on disk
-    expired.filter(d => f.delete(new Path(dayDir(root, dataType, d)), true))
+      .filter(_._1 < keepFrom) // ISO strings order like dates
+      .sortBy(_._1)
+    // delete the GLOBBED path, never a reconstructed spelling: a partition
+    // another tool wrote un-zero-padded (month=1/day=2) parses to the same
+    // date but lives at a different path — rebuilding it would miss-delete
+    // and silently leak the bytes. And report only what actually went: a
+    // failed delete (permissions, transient FS error) recorded as
+    // "dropped" would hide a partition that is still on disk.
+    expired.filter { case (_, p) => f.delete(p, true) }.map(_._1)
   }
 
   /** J1: reconciliation anti-difference — dates available at the source but

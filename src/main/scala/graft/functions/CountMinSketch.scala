@@ -40,6 +40,12 @@ class CountMinSketch(depth: Int, width: Int)
     if (b.b.nonEmpty) b else CmsBuf(Array.ofDim[Long](depth * width))
 
   override def reduce(buf0: CmsBuf, cells: Seq[Int]): CmsBuf = {
+    // a NULL key has no identity to count — [[CountMinSketch.cells]] maps
+    // it to a NULL array and it is skipped here (count(col) semantics).
+    // Without the guard, concat_ws would silently DROP the null and hash
+    // the bare row index, piling every null row onto one phantom key whose
+    // collision mass inflates real keys' estimates.
+    if (cells == null) return buf0
     val buf = grid(buf0)
     require(cells.length == depth,
       s"expected $depth cells, got ${cells.length}")
@@ -74,20 +80,25 @@ object CountMinSketch {
   /** The depth hash cells of `k`, as one codegen'd array column:
     * cell_j = md5("j:k")'s first 60 bits mod width — deterministic and
     * engine-portable (DuckDB computes the identical cells from the same
-    * expression, which is what makes the sketch's oracle twin exact). */
+    * expression, which is what makes the sketch's oracle twin exact).
+    * A NULL key yields a NULL array (skipped by the aggregator) — the
+    * formula is unchanged for non-null keys, preserving oracle parity. */
   def cells(k: Column, depth: Int, width: Int): Column =
-    array((0 until depth).map { j =>
-      (conv(substring(md5(concat_ws(":", lit(j), k)), 1, 15), 16, 10)
-        .cast("long") % width).cast("int")
-    }: _*)
+    when(k.isNull, lit(null)).otherwise(
+      array((0 until depth).map { j =>
+        (conv(substring(md5(concat_ws(":", lit(j), k)), 1, 15), 16, 10)
+          .cast("long") % width).cast("int")
+      }: _*))
 
   /** Point estimate of `k`'s count from a finished `sketch` array column:
-    * min over the key's depth cells (1-based element_at). */
+    * min over the key's depth cells (1-based element_at). NULL key ->
+    * NULL estimate (a NULL key was never counted — see [[cells]]). */
   def estimate(sketch: Column, k: Column, depth: Int, width: Int): Column =
-    least((0 until depth).map { j =>
-      element_at(sketch,
-        (lit(j * width + 1) +
-          (conv(substring(md5(concat_ws(":", lit(j), k)), 1, 15), 16, 10)
-            .cast("long") % width).cast("int")).cast("int"))
-    }: _*)
+    when(k.isNull, lit(null)).otherwise(
+      least((0 until depth).map { j =>
+        element_at(sketch,
+          (lit(j * width + 1) +
+            (conv(substring(md5(concat_ws(":", lit(j), k)), 1, 15), 16, 10)
+              .cast("long") % width).cast("int")).cast("int"))
+      }: _*))
 }

@@ -35,9 +35,14 @@ import org.apache.spark.sql.SparkSession
  */
 object Clone {
 
-  private def pinName(dst: String): String =
+  // one pin PER (clone, referenced data dir): a clone's HISTORY can hold
+  // refs at several source versions (re-clones, materialized-over refs
+  // still readable via time travel) and each needs its own protection —
+  // a single per-clone pin released on re-clone/materialize would let a
+  // source vacuum silently break every non-live ref version of the clone
+  private def pinName(dst: String, dataDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(dst.getBytes(StandardCharsets.UTF_8))
+      .digest(s"$dst\n$dataDir".getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
   /** Publish the source's LIVE snapshot as the next version of `dst` —
@@ -57,18 +62,16 @@ object Clone {
     val dataDir = Versioned.dataDir(spark, src, srcV)
     require(new Path(dataDir).isAbsolute,
       s"shallow clone needs an absolute source path, got $dataDir")
-    // re-cloning dst from a DIFFERENT source: release the pin the old
-    // clone holds at its old owner, or it leaks there forever
-    Versioned.currentVersion(spark, dst).foreach { oldV =>
-      if (Versioned.isShallowRef(spark, dst, oldV)) {
-        val oldOwner = new Path(Versioned.dataDir(spark, dst, oldV))
-          .getParent.toString
-        detach(spark, oldOwner, dst)
-      }
-    }
+    // NOTE: a re-clone does NOT release the pins of earlier ref versions —
+    // those versions stay time-travel readable until the CLONE's own
+    // vacuum drops them, which is also what releases their pins
+    // ([[Versioned.vacuum]] calls [[releasePin]] for refs no surviving
+    // version names). Re-cloning the same (dst, dataDir) just rewrites
+    // the same pin file.
     val owner = new Path(dataDir).getParent
     val f = owner.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pin = f.create(new Path(s"$owner/_clones/${pinName(dst)}"), true)
+    val pin = f.create(
+      new Path(s"$owner/_clones/${pinName(dst, dataDir)}"), true)
     try pin.write(s"$dataDir\n$dst".getBytes(StandardCharsets.UTF_8))
     finally pin.close()
     Versioned.publishWith(spark, dst) { dir =>
@@ -81,19 +84,43 @@ object Clone {
     }
   }
 
-  /** Release `dst`'s vacuum pin at `src` — the table that OWNS the data
-    * (for a clone-of-a-clone that is the original source, where
-    * [[shallow]] registered the pin; the `_ref` file names it). Called by
-    * [[materialize]]; call directly after deleting a clone by hand (a
-    * leaked pin blocks the source's space reclaim loudly until released —
-    * and this works even when the clone dir is already gone, which is
-    * exactly the leak case). Matches by pin filename AND by the recorded
-    * clone path (line 2), so a path-spelling drift between registration
-    * and release still finds the pin. Safe no-op when none exists. */
+  /** Release the ONE pin `dst` holds on `refDir` (at refDir's owning
+    * table) — called by [[Versioned.vacuum]] when it drops the last clone
+    * version referencing that dir. Matches by pin filename AND by content
+    * (line 1 the data dir, line 2 the clone path, both path-normalized),
+    * so a spelling drift between registration and release still finds it.
+    * Safe no-op when none exists. */
+  private[lake] def releasePin(spark: SparkSession, refDir: String,
+                               dst: String): Unit = {
+    val owner = new Path(refDir).getParent
+    val f = owner.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(s"$owner/_clones/${pinName(dst, refDir)}"), false)
+    val dir = new Path(s"$owner/_clones")
+    if (f.exists(dir)) {
+      val dstQ = f.makeQualified(new Path(dst))
+      val refQ = f.makeQualified(new Path(refDir))
+      f.listStatus(dir).toSeq.filter(_.isFile).foreach { s =>
+        val lines = Versioned.readSmallFile(f, s.getPath)
+          .map(_.linesIterator.toSeq).getOrElse(Seq.empty)
+        if (lines.headOption.exists(p =>
+              f.makeQualified(new Path(p)) == refQ) &&
+            lines.lift(1).exists(p => f.makeQualified(new Path(p)) == dstQ))
+          f.delete(s.getPath, false)
+      }
+    }
+  }
+
+  /** Release EVERY pin `dst` holds at `src` — the hand-cleanup for a
+    * clone deleted by raw `rm` (its leaked pins block the source's space
+    * reclaim loudly until released — and this works even when the clone
+    * dir is already gone, which is exactly the leak case). Matches by the
+    * recorded clone path (line 2), path-normalized. Safe no-op when none
+    * exists. Do NOT call on a LIVE clone: its ref versions lose their
+    * vacuum protection (their pins release naturally when the clone
+    * vacuums those versions away). */
   def detach(spark: SparkSession, src: String, dst: String): Unit = {
     val f = new Path(src).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    f.delete(new Path(s"$src/_clones/${pinName(dst)}"), false)
     val dir = new Path(s"$src/_clones")
     if (f.exists(dir)) {
       val dstQ = f.makeQualified(new Path(dst))
@@ -106,24 +133,17 @@ object Clone {
     }
   }
 
-  /** Copy-on-write escalation: republish the clone's live snapshot as REAL
-    * data files and release the source pin, after which DML applies and
-    * the source vacuums freely. No-op (returns the live version) when
-    * already materialized. The pin is released only AFTER the new version
-    * is published — the source data must stay vacuum-safe while the
-    * materializing copy still reads it. */
+  /** Copy-on-write escalation: republish the clone's live snapshot as
+    * REAL data files, after which DML applies. No-op (returns the live
+    * version) when already materialized. The source pin is NOT released
+    * here: the ref version stays time-travel readable, so its protection
+    * must outlive the copy — the pin releases when the clone's own
+    * [[Versioned.vacuum]] drops that ref version. */
   def materialize(spark: SparkSession, table: String): Long = {
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
     if (!Versioned.isShallowRef(spark, table, live)) live
-    else {
-      // resolve the pin's owner while the live version is still the ref
-      val src = new Path(Versioned.dataDir(spark, table, live))
-        .getParent.toString
-      val v = Versioned.publish(
-        Versioned.readVersion(spark, table, live), table)
-      detach(spark, src, table)
-      v
-    }
+    else Versioned.publish(
+      Versioned.readVersion(spark, table, live), table)
   }
 }

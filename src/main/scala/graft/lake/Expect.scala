@@ -52,8 +52,10 @@ object Expect {
     rules.map(r => coalesce(expr(r.predicate), lit(false)))
       .reduce(_ && _)
 
-  /** Violation counts for every rule in ONE aggregate pass. */
-  def audit(df: DataFrame, rules: Seq[Rule]): Map[String, Long] = {
+  // (total rows, per-rule violation counts) in ONE aggregate pass — the
+  // total rides the same 1-row aggregate so [[publish]] never re-counts
+  private def auditWithTotal(df: DataFrame,
+                             rules: Seq[Rule]): (Long, Map[String, Long]) = {
     require(rules.nonEmpty, "no rules to audit")
     require(rules.map(_.name).distinct.size == rules.size,
       "duplicate rule names")
@@ -61,10 +63,15 @@ object Expect {
       count(lit(1)).as("_n"),
       rules.map(r => sum(when(coalesce(expr(r.predicate), lit(false)),
         0L).otherwise(1L)).as(r.name)): _*).head()
-    rules.map(r => r.name ->
+    val counts = rules.map(r => r.name ->
       Option(row.getAs[java.lang.Long](r.name)).map(_.longValue)
         .getOrElse(0L)).toMap
+    (row.getAs[Long]("_n"), counts)
   }
+
+  /** Violation counts for every rule in ONE aggregate pass. */
+  def audit(df: DataFrame, rules: Seq[Rule]): Map[String, Long] =
+    auditWithTotal(df, rules)._2
 
   /** Gate `df` through `rules` and publish to `table` per `mode`.
     * Quarantined rows (Drop mode) append a `_violated` column naming every
@@ -72,38 +79,43 @@ object Expect {
     * (required for Drop; ignored otherwise). */
   def publish(df: DataFrame, table: String, rules: Seq[Rule], mode: Mode,
               quarantine: Option[String] = None): Report = {
-    val spark = df.sparkSession
-    val counts = audit(df, rules)
-    val bad = counts.values.sum // row-rule violation pairs; 0 iff all pass
-    mode match {
-      case Mode.Fail =>
-        if (bad > 0)
-          throw new IllegalStateException(
-            s"expectation(s) violated, publish aborted: " +
-              counts.filter(_._2 > 0).map { case (n, c) => s"$n=$c" }
-                .toSeq.sorted.mkString(", "))
-        val v = Versioned.publish(df, table)
-        Report(Some(v), df.count(), 0L, counts)
-      case Mode.Warn =>
-        val v = Versioned.publish(df, table)
-        Report(Some(v), df.count(), 0L, counts)
-      case Mode.Drop =>
-        val q = quarantine.getOrElse(throw new IllegalArgumentException(
-          "Drop mode needs a quarantine table"))
-        df.persist()
-        try {
+    // persist BEFORE the audit so the audit scan, the publish write, and
+    // (in Drop mode) the split all serve from one materialization — the
+    // gate's whole extra cost stays the audited boolean projection
+    df.persist()
+    try {
+      val (total, counts) = auditWithTotal(df, rules)
+      val bad = counts.values.sum // row-rule violation pairs; 0 iff all pass
+      mode match {
+        case Mode.Fail =>
+          if (bad > 0)
+            throw new IllegalStateException(
+              s"expectation(s) violated, publish aborted: " +
+                counts.filter(_._2 > 0).map { case (n, c) => s"$n=$c" }
+                  .toSeq.sorted.mkString(", "))
+          val v = Versioned.publish(df, table)
+          Report(Some(v), total, 0L, counts)
+        case Mode.Warn =>
+          val v = Versioned.publish(df, table)
+          Report(Some(v), total, 0L, counts)
+        case Mode.Drop =>
+          val q = quarantine.getOrElse(throw new IllegalArgumentException(
+            "Drop mode needs a quarantine table"))
           val pass = df.filter(passCol(rules))
-          val failRows = df.filter(!passCol(rules))
-            .withColumn("_violated",
-              array_compact(array(rules.map(r =>
-                when(!coalesce(expr(r.predicate), lit(false)),
-                  lit(r.name))): _*)))
           val v = Versioned.publish(pass, table)
           val nQ =
             if (bad == 0) 0L
-            else { Versioned.publish(failRows, q); failRows.count() }
-          Report(Some(v), pass.count(), nQ, counts)
-        } finally { df.unpersist(); () }
-    }
+            else {
+              val failRows = df.filter(!passCol(rules))
+                .withColumn("_violated",
+                  array_compact(array(rules.map(r =>
+                    when(!coalesce(expr(r.predicate), lit(false)),
+                      lit(r.name))): _*)))
+              Versioned.publish(failRows, q)
+              failRows.count()
+            }
+          Report(Some(v), total - nQ, nQ, counts)
+      }
+    } finally { df.unpersist(); () }
   }
 }

@@ -179,13 +179,23 @@ object MatView {
       s"${s.source} advanced v${s.synced} -> v$srcLive (more than one " +
         "DML publish since the last refresh) — MatView.recreate to catch up")
     import spark.implicits._
-    batch.persist()
+    // respect a caller-held cache (see Upsert.applyCdc — the streaming
+    // sink shares one materialized reduced batch across merge + refresh)
+    val owned =
+      batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (owned) batch.persist()
     try {
       require(batch.filter(col(s.keyCol).isNull).isEmpty,
         "NULL-key rows in a CDC batch are not addressable")
-      // minus side: OLD rows of updated/deleted keys, from the pre-batch
-      // version, file-pruned
-      val udKeys = batch.filter(col(opCol) =!= "I")
+      // minus side: OLD rows of EVERY batch key, from the pre-batch
+      // version, file-pruned. Including "I" keys is deliberate:
+      // Upsert.applyCdc applies I as a full upsert, so an I op on an
+      // EXISTING key replaces that row — excluding I keys here would add
+      // the new row without subtracting the old one and silently diverge
+      // the view forever. A genuinely-new key contributes nothing to the
+      // minus side (no old row exists), so the broader key set costs only
+      // admission checks.
+      val udKeys = batch
         .select(col(s.keyCol).cast("long")).as[Long].collect().toSeq.distinct
       val minus = grouped(
         oldRows(spark, s.source, s.synced, s.keyCol, udKeys),
@@ -214,7 +224,7 @@ object MatView {
         merged.write.mode("overwrite").parquet(dir)
         writeSpec(spark, dir, s.copy(synced = srcLive))
       }
-    } finally { batch.unpersist(); () }
+    } finally { if (owned) { batch.unpersist(); () } }
   }
 
   /** Read the live view with derived averages (`avg_<c> = sum_<c> /

@@ -72,7 +72,13 @@ object Upsert {
                batchTag: Option[String] = None,
                evolveSchema: Boolean = false): Long = {
     import spark.implicits._
-    batch.persist()
+    // respect a caller-held cache (e.g. CdcSink.applyBatchWithView shares
+    // one materialization of the reduced batch across the merge AND the
+    // MatView refresh) — unpersisting a frame we didn't cache would force
+    // the caller's second consumer to recompute the whole batch lineage
+    val owned =
+      batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (owned) batch.persist()
     try {
       // single validation pass over the batch: op domain (incl. NULL ops,
       // which collect_set would silently ignore and the D/non-D filters
@@ -101,7 +107,7 @@ object Upsert {
       applyChanges(spark, table, keyCol,
         batch.filter(col(opCol) =!= "D").drop(opCol), deletes, batchTag,
         prevalidated = true, evolveSchema = evolveSchema)
-    } finally { batch.unpersist(); () }
+    } finally { if (owned) { batch.unpersist(); () } }
   }
 
   /** Reduce an intra-batch-churn CDC frame to the LAST op per key, by

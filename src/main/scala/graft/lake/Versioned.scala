@@ -266,14 +266,31 @@ object Versioned {
     * versions a registered shallow clone still references
     * ([[Clone.shallow]]'s `_clones/` back-pointers): deleting those would
     * break the clone's reads, the Delta shallow-clone hazard this layout
-    * closes. Materialize or [[Clone.detach]] a clone to release its pin. */
+    * closes. When a DROPPED version of THIS table was itself a shallow
+    * ref, its pin at the source releases here — but only once no
+    * SURVIVING version still names the same data dir (a materialized-over
+    * or re-cloned-over ref keeps older siblings readable until they too
+    * vacuum away). Pins therefore live exactly as long as a referencing
+    * version exists; [[Clone.detach]] stays the manual cleanup for clones
+    * deleted by raw `rm`. */
   def vacuum(spark: SparkSession, table: String, keep: Int = 1): Seq[Long] = {
     val f = fs(spark, table)
     val live = currentVersion(spark, table).getOrElse(return Seq.empty)
     val pinned = clonePinnedVersions(spark, table)
     val dropped = versions(spark, table)
       .filter(v => v < live - keep && !pinned.contains(v))
+    // refs the dropped versions hold on OTHER tables' data — resolve
+    // BEFORE deleting (the _ref files are about to go)
+    def refOf(v: Long): Option[String] =
+      readSmallFile(f, new Path(s"$table/v=$v/_ref"))
+    val droppedRefs = dropped.flatMap(refOf).toSet
     dropped.foreach(v => f.delete(new Path(s"$table/v=$v"), true))
+    if (droppedRefs.nonEmpty) {
+      val survivingRefs =
+        versions(spark, table).flatMap(refOf).toSet
+      (droppedRefs -- survivingRefs).foreach(
+        Clone.releasePin(spark, _, table))
+    }
     dropped
   }
 }

@@ -172,7 +172,7 @@ object ZOrder {
         min(col(c).cast("long")).as(s"min_$c"),
         max(col(c).cast("long")).as(s"max_$c"),
         count(col(c)).as(s"nn_$c")))
-    spark.read.parquet(dir)
+    Versioned.readDataDir(spark, dir)
       .select(element_at(split(input_file_name(), "/"), -1).as("file") +:
         cols.map(col): _*)
       .groupBy(col("file"))
@@ -244,14 +244,21 @@ object ZOrder {
     val residual = preds.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _)
+    // all reads honor an evolved table's _table_schema marker — an
+    // evolved-then-DML'd dir holds mixed-schema files, where plain footer
+    // inference is timing-dependent (see Versioned.readDataDir)
+    val marker = Versioned.readSchemaMarker(fs(spark, dir), dir)
+    def read(paths: Seq[String]) =
+      marker.map(s => spark.read.schema(s)).getOrElse(spark.read)
+        .parquet(paths: _*)
     if (partFiles(spark, dir).toSet != boxes.keySet)
-      return spark.read.parquet(dir).filter(residual)
+      return read(Seq(dir)).filter(residual)
     val admitted = boxes.collect {
       case (name, b) if b.admits(preds) => s"$dir/$name"
     }.toSeq
     if (admitted.isEmpty)
-      spark.read.parquet(dir).filter(lit(false)) // schema-stable empty
-    else spark.read.parquet(admitted: _*).filter(residual)
+      read(Seq(dir)).filter(lit(false)) // schema-stable empty
+    else read(admitted).filter(residual)
   }
 
   /** How many files [[readBox]] would open for `preds` — including its

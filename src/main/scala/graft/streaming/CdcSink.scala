@@ -97,13 +97,18 @@ object CdcSink {
                          seqCol: Option[String] = None,
                          evolveSchema: Boolean = false): Unit =
     if (!batch.isEmpty) {
+      // ONE materialization of the reduced batch serves both halves —
+      // applyCdc and MatView.refresh each respect a caller-held cache, so
+      // the per-key reduction window and validation never re-run
       val reduced = seqCol.fold(batch)(s =>
-        Upsert.lastPerKey(batch, keyCol, s, opCol))
-      if (!Upsert.recentBatchTags(spark, table).contains(batchId.toString))
-        Upsert.applyCdc(spark, table, keyCol, reduced, opCol,
-          batchTag = Some(batchId.toString), evolveSchema = evolveSchema)
-      graft.lake.MatView.refresh(spark, view, reduced, opCol)
-      ()
+        Upsert.lastPerKey(batch, keyCol, s, opCol)).persist()
+      try {
+        if (!Upsert.recentBatchTags(spark, table).contains(batchId.toString))
+          Upsert.applyCdc(spark, table, keyCol, reduced, opCol,
+            batchTag = Some(batchId.toString), evolveSchema = evolveSchema)
+        graft.lake.MatView.refresh(spark, view, reduced, opCol)
+        ()
+      } finally { reduced.unpersist(); () }
     }
 
   /** Wire a change stream into `table` AND keep `view` (a

@@ -134,5 +134,16 @@ class BronzeSpec extends SparkSpec {
     assert(Lake.expireDays(spark, root, "events", "2024-01-31")
       == Seq("2024-01-02"))               // retention reclaims it
     assert(!Files.exists(java.nio.file.Paths.get(torn)))
+    // a partition another tool wrote UN-zero-padded parses to the same
+    // date but lives at a different path — expiry must delete the dir the
+    // glob actually FOUND, not a reconstructed zero-padded spelling
+    // (which wouldn't exist: the delete would fail and the bytes leak)
+    val sloppy = s"$root/events/year=2024/month=1/day=3"
+    Files.createDirectories(java.nio.file.Paths.get(sloppy))
+    Files.write(java.nio.file.Paths.get(s"$sloppy/part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Lake.expireDays(spark, root, "events", "2024-01-31")
+      == Seq("2024-01-03"))
+    assert(!Files.exists(java.nio.file.Paths.get(sloppy)))
   }
 }

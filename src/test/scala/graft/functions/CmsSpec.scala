@@ -85,4 +85,28 @@ class CmsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("out of"))
   }
+
+  test("NULL keys are skipped, never hashed onto a phantom key") {
+    // without the null guard, concat_ws drops the NULL and hashes the
+    // bare row index — every null row would inflate one fixed cell per
+    // grid row and the collision mass of any key sharing those cells
+    val width = 1 << 10
+    val cms = udaf(new CountMinSketch(depth, width))
+    val withNulls = (keys.map(Some(_)) ++ Seq.fill(500)(None))
+      .toDF("k")
+    val sketch = withNulls
+      .select(CountMinSketch.cells($"k", depth, width).as("cells"))
+      .agg(cms($"cells")).as[Seq[Long]].head()
+    // grid total per row == number of NON-NULL keys exactly
+    (0 until depth).foreach { j =>
+      assert(sketch.slice(j * width, (j + 1) * width).sum == keys.size)
+    }
+    assert(sketch == sketchOf(keys, width)) // nulls changed nothing
+    // estimate of a NULL key is NULL, not a phantom count
+    val est = Seq(Tuple1(sketch)).toDF("s")
+      .select(CountMinSketch.estimate($"s", lit(null).cast("long"),
+        depth, width).as("e"))
+      .head()
+    assert(est.isNullAt(0))
+  }
 }

@@ -96,8 +96,14 @@ class CloneSpec extends SparkSpec {
       .filter($"k" === 1L).select($"v").as[String].head() == "V2")
     assert(Versioned.read(spark, dst)
       .filter($"k" === 2L).select($"v").as[String].head() == "payload-2")
-    // materialize releases the pin; the next vacuum reclaims v2
+    // materialize does NOT release the pin: the clone's v1 ref is still
+    // time-travel readable and must stay vacuum-safe
     Clone.materialize(spark, dst)
+    assert(Versioned.vacuum(spark, src, keep = 0).isEmpty)
+    assert(Versioned.readVersion(spark, dst, 1L)
+      .filter($"k" === 1L).select($"v").as[String].head() == "V2")
+    // the pin releases when the CLONE vacuums its ref version away
+    assert(Versioned.vacuum(spark, dst, keep = 0) == Seq(1L))
     assert(Versioned.vacuum(spark, src, keep = 0) == Seq(2L))
     assert(Versioned.read(spark, dst)
       .filter($"k" === 1L).select($"v").as[String].head() == "V2")
@@ -118,7 +124,7 @@ class CloneSpec extends SparkSpec {
     assert(Versioned.vacuum(spark, src, keep = 0) == Seq(1L))
   }
 
-  test("clone-of-clone pins at the data OWNER; re-clone moves the pin") {
+  test("clone-of-clone pins at the OWNER; pins live per referenced dir") {
     val a = publish("ownersrc", 100L)                      // the real data
     val b = s"$root/owner-b"
     val c = s"$root/owner-c"
@@ -131,12 +137,19 @@ class CloneSpec extends SparkSpec {
     Clone.shallow(spark, b, c) // C's pin must land at A, not B
     assert(pins(a) == 2)
     assert(!new java.io.File(s"$b/_clones").exists())
-    // re-cloning C from a DIFFERENT source releases the old pin at A
+    // re-cloning C from a DIFFERENT source KEEPS the old pin at A — C's
+    // v1 still refs A's data and stays time-travel readable
     val a2 = publish("ownersrc2", 50L)
     Clone.shallow(spark, a2, c)
-    assert(pins(a) == 1)
+    assert(pins(a) == 2)
     assert(pins(a2) == 1)
     assert(Versioned.read(spark, c).count() == 50L)
+    assert(Versioned.readVersion(spark, c, 1L).count() == 100L)
+    // vacuuming C's old ref version is what releases its pin at A;
+    // B's pin (still live) survives
+    assert(Versioned.vacuum(spark, c, keep = 0) == Seq(1L))
+    assert(pins(a) == 1)
+    assert(pins(a2) == 1)
   }
 
   test("detach releases a hand-deleted clone's leaked pin") {

@@ -130,6 +130,25 @@ class MatViewSpec extends SparkSpec {
       Versioned.currentVersion(spark, t).get)
   }
 
+  test("an I op on an EXISTING key (upsert semantics) stays recompute-exact") {
+    val t = s"$root/iexist"
+    val df = Seq((1L, "a", BigDecimal(10)), (2L, "b", BigDecimal(20)))
+      .toDF("k", "grp", "amount")
+    Forget.publishIndexed(df, t, nFiles = 2, keyCol = "k", stats = true)
+    val view = s"$root/iexist_view"
+    MatView.create(spark, t, "k", view, Seq("grp"), Seq("amount"))
+    // applyCdc treats I as a full upsert — key 1 exists and migrates
+    // group: the view must subtract the old (a, 10) row
+    val batch = Seq((1L, "c", BigDecimal(99), "I"))
+      .toDF("k", "grp", "amount", "op")
+    Upsert.applyCdc(spark, t, "k", batch)
+    MatView.refresh(spark, view, batch)
+    assert(viewRows(view) == fullRecompute(t))
+    assert(viewRows(view) == Seq(
+      ("b", 1L, BigDecimal(20).setScale(6)),
+      ("c", 1L, BigDecimal(99).setScale(6))))
+  }
+
   test("view versions time-travel; watermark is atomic with the data") {
     val src = mkSource("travel", 1000)
     val view = s"$root/travel_view"
