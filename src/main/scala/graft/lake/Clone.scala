@@ -24,9 +24,12 @@ import org.apache.spark.sql.SparkSession
  *    [[shallow]] registers a `_clones/` back-pointer at the source, and
  *    [[Versioned.vacuum]] skips pinned version dirs — the Delta
  *    shallow-clone hazard (vacuum breaks clones) closed at the layout
- *    level. [[materialize]] releases the pin; a clone deleted by raw `rm`
- *    leaks its pin until [[detach]] is called (documented trade: a leaked
- *    pin blocks space reclaim loudly, a missed pin breaks reads silently).
+ *    level. Pins live per (clone, referenced dir) for as long as ANY
+ *    clone version references that dir — the clone's own
+ *    [[Versioned.vacuum]] releases them as ref versions drop; a clone
+ *    deleted by raw `rm` leaks its pins until [[detach]] is called
+ *    (documented trade: a leaked pin blocks space reclaim loudly, a
+ *    missed pin breaks reads silently).
  *
  * Reference provenance: the reference pipeline re-uploads whole day
  * partitions to stage experiments (`s3_loader.py`); a shallow clone is the

@@ -1,0 +1,146 @@
+package graft.lake
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.ops.TextOps
+
+/**
+ * Per-file TOKEN Bloom sidecars — [[BloomIndex]]'s text twin: file
+ * skipping for keyword search over a document table. Key Blooms answer
+ * "might this file contain key k"; these answer "might this file contain
+ * token t", which turns a conjunctive keyword search over 100 TB of text
+ * into a metadata probe (every query token must admit) followed by a scan
+ * of only the surviving files — the lake-level leg under the catalog's
+ * query-side search family (`search_conjunctive` scans and filters;
+ * [[search]] here reads the same semantics off a pruned file list).
+ *
+ * Layout: `<dir>/_tokbloom/<file>.bloom`, one serialized
+ * `org.apache.spark.util.sketch.BloomFilter` of the file's DISTINCT
+ * normalized tokens per data file.
+ *
+ * Build shape: one (file, token)-distinct shuffle (per-file vocabularies
+ * are Heaps-bounded — far smaller than token occurrences), each group
+ * folding executor-side into a filter; only finished bitsets reach the
+ * driver. Read shape: sidecars probe driver-side; a file passes only if
+ * EVERY query token might be present (a missing sidecar admits — the
+ * index is advisory). False positives cost one extra file scan; false
+ * negatives are impossible for the INDEXED tokenization: the residual
+ * filter re-applies exact token membership, so the pruned read equals the
+ * full scan bitwise.
+ *
+ * Tokenization contract: index and query probe must normalize alike —
+ * both go through [[tokensOf]] ([[TextOps.normalize]] + whitespace split),
+ * and [[search]] normalizes the probe tokens itself so a caller cannot
+ * accidentally query the raw-cased spelling of an indexed token.
+ */
+object TokenBloom {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bloomDir(dir: String) = new Path(s"$dir/_tokbloom")
+
+  /** The indexed tokenization: normalized text, whitespace-split, empties
+    * dropped. One definition serves the build, the probe, and the
+    * residual filter. */
+  def tokensOf(text: Column): Column =
+    array_remove(TextOps.tokens(TextOps.normalize(text)), "")
+
+  private def normalizeProbe(spark: SparkSession,
+                             tokens: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    require(tokens.nonEmpty, "no probe tokens")
+    tokens.toDF("t")
+      .select(explode(tokensOf(col("t"))).as("t"))
+      .as[String].collect().toSeq.distinct
+  }
+
+  /** Build one token-Bloom sidecar per `part-*` file already in `dir`.
+    * `fpp` trades sidecar size against false-positive file scans. */
+  def index(spark: SparkSession, dir: String, textCol: String,
+            fpp: Double = 0.01): Unit = {
+    import spark.implicits._
+    val df = Versioned.readDataDir(spark, dir)
+    // (file, token) DISTINCT pairs: the shuffle carries per-file
+    // vocabularies, not token occurrences
+    val pairs = df
+      .select(input_file_name().as("f"),
+        explode(tokensOf(col(textCol))).as("t"))
+      .distinct()
+    pairs.persist()
+    try {
+      // size filters from the LARGEST per-file vocabulary so fpp holds
+      // for every file (a global-average sizing would under-provision the
+      // biggest files exactly where collisions hurt most)
+      val maxVocab = math.max(1000L,
+        pairs.groupBy(col("f")).count()
+          .agg(max(col("count"))).as[Long].head())
+      val perFile = pairs.as[(String, String)]
+        .groupByKey(_._1)
+        .mapGroups { (f, it) =>
+          val bf = BloomFilter.create(maxVocab, fpp)
+          it.foreach(x => bf.putString(x._2))
+          val bos = new ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (f, bos.toByteArray)
+        }
+        .collect() // nFiles finished bitsets — metadata-sized
+      val f = fs(spark, dir)
+      perFile.foreach { case (file, bytes) =>
+        val name = new Path(file).getName
+        val out = f.create(new Path(bloomDir(dir), s"$name.bloom"), true)
+        try out.write(bytes) finally out.close()
+      }
+    } finally { pairs.unpersist(); () }
+  }
+
+  /** Does `file`'s sidecar admit EVERY probe token? (Conjunctive search:
+    * a file missing any token cannot hold a matching document.) Missing
+    * sidecar = true — advisory index. */
+  private def mightContainAll(f: FileSystem, dir: String, fileName: String,
+                              tokens: Seq[String]): Boolean = {
+    val side = new Path(bloomDir(dir), s"$fileName.bloom")
+    !f.exists(side) || {
+      val in = f.open(side)
+      try {
+        val bf = BloomFilter.readFrom(in)
+        tokens.forall(bf.mightContainString)
+      } finally in.close()
+    }
+  }
+
+  /** Data files whose sidecars admit every (normalized) probe token. */
+  def candidateFiles(spark: SparkSession, dir: String,
+                     tokens: Seq[String]): Seq[String] = {
+    val probe = normalizeProbe(spark, tokens)
+    val f = fs(spark, dir)
+    f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+      .filter(p => mightContainAll(f, dir, p.getName, probe))
+      .map(_.toString)
+  }
+
+  /** Conjunctive keyword search reading ONLY Bloom-admitted files; the
+    * residual filter re-applies exact token membership, so the result is
+    * exactly the full scan's. Honors an evolved dir's schema marker. */
+  def search(spark: SparkSession, dir: String, textCol: String,
+             tokens: Seq[String]): DataFrame = {
+    val probe = normalizeProbe(spark, tokens)
+    val files = candidateFiles(spark, dir, probe)
+    val marker = Versioned.readSchemaMarker(fs(spark, dir), dir)
+    def read(paths: Seq[String]) =
+      marker.map(s => spark.read.schema(s)).getOrElse(spark.read)
+        .parquet(paths: _*)
+    val residual = probe
+      .map(t => array_contains(tokensOf(col(textCol)), t))
+      .reduce(_ && _)
+    if (files.isEmpty) read(Seq(dir)).filter(lit(false)) // schema-stable
+    else read(files).filter(residual)
+  }
+}
