@@ -1,0 +1,154 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Change Data Feed — Delta's CDF re-expressed on this layout: every DML
+ * version records ITS OWN changeset as a `_changes` sidecar inside the
+ * version dir (changeset-sized, atomic with the manifest swap), so a
+ * downstream consumer reads "what changed since version v" at CHANGESET
+ * cost — where [[Upsert.diff]] answers the same question by full-outer
+ * joining two whole snapshots (table cost, the fallback when history is
+ * gone). Writers:
+ *
+ *  - [[Upsert.applyCdc]]/merge record their upsert rows (`_op` = "U";
+ *    I and U both apply as upserts, so one op serves) and delete keys
+ *    (`_op` = "D", key column only);
+ *  - [[Forget.purge]] records its deletions;
+ *  - layout-only maintenance ([[Compact.compactVersion]],
+ *    [[ZOrder.cluster]]) records an explicit `_changes_none` marker —
+ *    "this version changed no rows" is a STATEMENT, not an absence;
+ *  - a full [[Versioned.publish]] or [[Clone.shallow]] records nothing:
+ *    a wholesale replace has no changeset, and [[changesSince]] REJECTS
+ *    ranges crossing one (resync from a snapshot instead of guessing).
+ *
+ * [[sync]] is the replica leg: seed a replica as a snapshot copy, then
+ * each sync reads the pending changesets, reduces multi-version churn to
+ * the last op per key (`_version` is the sequence column), and applies
+ * ONE [[Upsert.applyCdc]] merge tagged `cdf:<version>` — the same
+ * batch-tag replay dedup the streaming sink uses, so a crashed sync
+ * replays into a no-op. Vacuum discipline: keep source retention longer
+ * than the replica's sync lag ([[changesSince]] detects a vacuumed gap
+ * and rejects toward reseed — version numbers are contiguous absent a
+ * crash-heal skip, which also safely rejects).
+ */
+object Cdf {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Record a version's changeset: `upserts` rows land with `_op` = "U",
+    * `deleteKeys` as key-only rows with `_op` = "D". Called INSIDE the
+    * publishing `build` so the sidecar appears atomically with the
+    * version. Changeset-sized — one coalesced file per ~1M rows. */
+  private[lake] def record(spark: SparkSession, newDir: String,
+                           schema: StructType, keyCol: String,
+                           upserts: DataFrame,
+                           deleteKeys: Seq[Long]): Unit = {
+    import spark.implicits._
+    val cols = schema.fieldNames.toSeq
+    val ups = upserts.select(cols.map(col): _*)
+      .withColumn("_op", lit("U"))
+    val dels = deleteKeys.toDF(keyCol).select(cols.map { c =>
+      val field = schema(c)
+      if (c == keyCol) col(c).cast(field.dataType).as(c)
+      else lit(null).cast(field.dataType).as(c)
+    }: _*).withColumn("_op", lit("D"))
+    val changes = ups.unionByName(dels)
+    val parts = math.max(1, math.min(64,
+      ((upserts.count() + deleteKeys.size) / 1000000L + 1).toInt))
+    changes.coalesce(parts)
+      .write.mode("overwrite").parquet(s"$newDir/_changes")
+  }
+
+  /** Record "this version changed no rows" (layout-only maintenance). */
+  private[lake] def recordNone(f: FileSystem, newDir: String): Unit = {
+    val out = f.create(new Path(s"$newDir/_changes_none"), true)
+    try out.write("layout-only".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Every change after `sinceV` up to the live version, as one frame
+    * with `_op` (U/D) and `_version` columns — U rows carry the row as of
+    * THAT version (pre-evolution rows null-fill later columns via
+    * unionByName). Rejects loudly when any version in the range carries
+    * no change record (full publish, shallow clone, or a vacuumed /
+    * crash-skipped version number): the feed cannot represent a wholesale
+    * replace — resync from a snapshot. */
+  def changesSince(spark: SparkSession, table: String,
+                   sinceV: Long): DataFrame = {
+    val live = Versioned.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    require(sinceV <= live, s"sinceV $sinceV is past the live version $live")
+    val f = fs(spark, table)
+    val frames = ((sinceV + 1) to live).flatMap { v =>
+      val dir = s"$table/v=$v"
+      if (f.exists(new Path(s"$dir/_changes")))
+        Some(spark.read.parquet(s"$dir/_changes")
+          .withColumn("_version", lit(v)))
+      else if (f.exists(new Path(s"$dir/_changes_none"))) None
+      else throw new IllegalStateException(
+        s"$table v$v has no change record (full publish, shallow clone, " +
+          "vacuumed, or a crash-skipped number) — the change feed cannot " +
+          "bridge it; resync from a snapshot (Cdf.seed)")
+    }
+    frames.reduceOption((a, b) =>
+        a.unionByName(b, allowMissingColumns = true))
+      .getOrElse(Versioned.read(spark, table).limit(0)
+        .withColumn("_op", lit("U")).withColumn("_version", lit(0L)))
+  }
+
+  private def syncTag(v: Long) = s"cdf:$v"
+
+  /** The source version a replica last synced to (its live version's
+    * `cdf:` batch tag). None when never seeded by [[seed]]/[[sync]]. */
+  def syncedVersion(spark: SparkSession, replica: String): Option[Long] =
+    Upsert.lastBatchTag(spark, replica)
+      .filter(_.startsWith("cdf:"))
+      .flatMap(_.stripPrefix("cdf:").toLongOption)
+
+  /** Seed `replica` as a full snapshot copy of the source's live version,
+    * watermarked for [[sync]]. */
+  def seed(spark: SparkSession, source: String, replica: String): Long = {
+    val v = Versioned.currentVersion(spark, source).getOrElse(
+      throw new IllegalStateException(s"no published version at $source"))
+    Versioned.publishWith(spark, replica) { dir =>
+      Versioned.readVersion(spark, source, v)
+        .write.mode("overwrite").parquet(dir)
+      val out = fs(spark, dir).create(new Path(s"$dir/_cdc_batch"), true)
+      try out.write(syncTag(v).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Catch the replica up to the source's live version by applying the
+    * pending changesets as ONE merge (multi-version churn reduced to the
+    * last op per key by `_version`). Idempotent under replay: the merge
+    * carries the `cdf:<live>` batch tag, and an already-applied tag
+    * no-ops. A PURELY-VACUOUS pending range (e.g. deletes of keys the
+    * replica never had) publishes nothing and therefore does not advance
+    * the watermark — harmless, the re-scan re-vacuouses. Returns the
+    * replica's live version. */
+  def sync(spark: SparkSession, source: String, replica: String,
+           keyCol: String): Long = {
+    val since = syncedVersion(spark, replica).getOrElse(
+      throw new IllegalStateException(
+        s"$replica carries no cdf watermark — Cdf.seed it first"))
+    val srcLive = Versioned.currentVersion(spark, source).getOrElse(
+      throw new IllegalStateException(s"no published version at $source"))
+    val replicaLive = Versioned.currentVersion(spark, replica).get
+    if (srcLive == since) return replicaLive
+    if (Upsert.recentBatchTags(spark, replica).contains(syncTag(srcLive)))
+      return replicaLive // crashed sync replay: already applied
+    val pending = changesSince(spark, source, since)
+    if (pending.isEmpty) return replicaLive
+    val reduced = Upsert.lastPerKey(pending, keyCol, "_version", "_op")
+    Upsert.applyCdc(spark, replica, keyCol, reduced, opCol = "_op",
+      batchTag = Some(syncTag(srcLive)), evolveSchema = true)
+  }
+}

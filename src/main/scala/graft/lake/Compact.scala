@@ -142,6 +142,7 @@ object Compact {
           f, tag, f, new Path(s"$newDir/_cdc_batch"), false, true,
           spark.sparkContext.hadoopConfiguration)
       marker.foreach(Versioned.writeSchemaMarker(f, newDir, _))
+      Cdf.recordNone(f, newDir) // layout-only: no row changed
     }
   }
 }

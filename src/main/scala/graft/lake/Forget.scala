@@ -204,6 +204,12 @@ object Forget {
       // 6. so does the schema marker: byte-copied pre-evolution files keep
       //    the new version's footer inference ambiguous
       marker.foreach(Versioned.writeSchemaMarker(f, newDir, _))
+      // 7. change feed: a purge's changeset is its deletions
+      val schema = marker.getOrElse(spark.read.parquet(liveDir).schema)
+      Cdf.record(spark, newDir, schema, keyCol,
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        ks)
     }
   }
 }

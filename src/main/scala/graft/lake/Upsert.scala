@@ -350,6 +350,9 @@ object Upsert {
         // ambiguous in every later version (see Versioned.readDataDir)
         if (extra.nonEmpty || hadMarker.isDefined)
           Versioned.writeSchemaMarker(f, newDir, outSchema)
+        // change feed: this version's OWN changeset, atomic with the swap
+        Cdf.record(spark, newDir, outSchema, keyCol,
+          upserts.select(outCols.map(col): _*), deleteKeys)
       }
     } finally { if (!prevalidated) upserts.unpersist(); () }
   }
