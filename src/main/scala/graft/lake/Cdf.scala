@@ -48,7 +48,7 @@ object Cdf {
     * version. Changeset-sized — one coalesced file per ~1M rows. */
   private[lake] def record(spark: SparkSession, newDir: String,
                            schema: StructType, keyCol: String,
-                           upserts: DataFrame,
+                           upserts: DataFrame, upsertRows: Long,
                            deleteKeys: Seq[Long]): Unit = {
     import spark.implicits._
     val cols = schema.fieldNames.toSeq
@@ -60,8 +60,10 @@ object Cdf {
       else lit(null).cast(field.dataType).as(c)
     }: _*).withColumn("_op", lit("D"))
     val changes = ups.unionByName(dels)
+    // sizing from the caller-known row count (batch keys were already
+    // collected driver-side) — no extra Spark action in the publish path
     val parts = math.max(1, math.min(64,
-      ((upserts.count() + deleteKeys.size) / 1000000L + 1).toInt))
+      ((upsertRows + deleteKeys.size) / 1000000L + 1).toInt))
     changes.coalesce(parts)
       .write.mode("overwrite").parquet(s"$newDir/_changes")
   }
@@ -73,17 +75,21 @@ object Cdf {
     finally out.close()
   }
 
-  /** Every change after `sinceV` up to the live version, as one frame
+  /** Every change after `sinceV` up to `untilV` (the live version when
+    * absent — pass an explicit bound when tagging the result with a
+    * version read earlier, or a concurrent publish leaks newer changes
+    * under the older tag), as one frame
     * with `_op` (U/D) and `_version` columns — U rows carry the row as of
     * THAT version (pre-evolution rows null-fill later columns via
     * unionByName). Rejects loudly when any version in the range carries
     * no change record (full publish, shallow clone, or a vacuumed /
     * crash-skipped version number): the feed cannot represent a wholesale
     * replace — resync from a snapshot. */
-  def changesSince(spark: SparkSession, table: String,
-                   sinceV: Long): DataFrame = {
-    val live = Versioned.currentVersion(spark, table).getOrElse(
-      throw new IllegalStateException(s"no published version at $table"))
+  def changesSince(spark: SparkSession, table: String, sinceV: Long,
+                   untilV: Option[Long] = None): DataFrame = {
+    val live = untilV.getOrElse(
+      Versioned.currentVersion(spark, table).getOrElse(
+        throw new IllegalStateException(s"no published version at $table")))
     require(sinceV <= live, s"sinceV $sinceV is past the live version $live")
     val f = fs(spark, table)
     val frames = ((sinceV + 1) to live).flatMap { v =>
@@ -145,7 +151,10 @@ object Cdf {
     if (srcLive == since) return replicaLive
     if (Upsert.recentBatchTags(spark, replica).contains(syncTag(srcLive)))
       return replicaLive // crashed sync replay: already applied
-    val pending = changesSince(spark, source, since)
+    // bounded at the srcLive the tag names: a concurrent source publish
+    // between the version read and here must NOT leak post-watermark
+    // changes into a merge tagged with the older version
+    val pending = changesSince(spark, source, since, untilV = Some(srcLive))
     if (pending.isEmpty) return replicaLive
     val reduced = Upsert.lastPerKey(pending, keyCol, "_version", "_op")
     Upsert.applyCdc(spark, replica, keyCol, reduced, opCol = "_op",

@@ -209,7 +209,7 @@ object Forget {
       Cdf.record(spark, newDir, schema, keyCol,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-        ks)
+        upsertRows = 0L, deleteKeys = ks)
     }
   }
 }

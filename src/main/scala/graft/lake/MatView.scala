@@ -156,7 +156,7 @@ object MatView {
           })
       }
     if (admitted.isEmpty) spark.read.schema(schema).parquet(dir).limit(0)
-    else spark.read.schema(schema).parquet(admitted.map(_.toString): _*)
+    else Versioned.readFiles(spark, dir, admitted.map(_.toString))
       .filter(col(keyCol).isin(keys: _*))
   }
 

@@ -55,9 +55,13 @@ object TokenBloom {
                              tokens: Seq[String]): Seq[String] = {
     import spark.implicits._
     require(tokens.nonEmpty, "no probe tokens")
-    tokens.toDF("t")
+    val probe = tokens.toDF("t")
       .select(explode(tokensOf(col("t"))).as("t"))
       .as[String].collect().toSeq.distinct
+    require(probe.nonEmpty,
+      s"probe tokens $tokens normalized to nothing (punctuation-only?) — " +
+        "no indexed token could ever match them")
+    probe
   }
 
   /** Build one token-Bloom sidecar per `part-*` file already in `dir`.
@@ -76,10 +80,13 @@ object TokenBloom {
     try {
       // size filters from the LARGEST per-file vocabulary so fpp holds
       // for every file (a global-average sizing would under-provision the
-      // biggest files exactly where collisions hurt most)
+      // biggest files exactly where collisions hurt most); an all-NULL /
+      // all-empty corpus yields zero pairs — nothing to index, and max()
+      // returns NULL (the getAs-Option guard), not a crash
       val maxVocab = math.max(1000L,
-        pairs.groupBy(col("f")).count()
-          .agg(max(col("count"))).as[Long].head())
+        Option(pairs.groupBy(col("f")).count()
+          .agg(max(col("count"))).head().getAs[java.lang.Long](0))
+          .map(_.longValue).getOrElse(0L))
       val perFile = pairs.as[(String, String)]
         .groupByKey(_._1)
         .mapGroups { (f, it) =>
@@ -114,10 +121,10 @@ object TokenBloom {
     }
   }
 
-  /** Data files whose sidecars admit every (normalized) probe token. */
-  def candidateFiles(spark: SparkSession, dir: String,
-                     tokens: Seq[String]): Seq[String] = {
-    val probe = normalizeProbe(spark, tokens)
+  // the probe-normalized core — callers that already normalized skip the
+  // (Spark-action) normalization pass
+  private def candidates(spark: SparkSession, dir: String,
+                         probe: Seq[String]): Seq[String] = {
     val f = fs(spark, dir)
     f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -126,21 +133,24 @@ object TokenBloom {
       .map(_.toString)
   }
 
+  /** Data files whose sidecars admit every (normalized) probe token. */
+  def candidateFiles(spark: SparkSession, dir: String,
+                     tokens: Seq[String]): Seq[String] =
+    candidates(spark, dir, normalizeProbe(spark, tokens))
+
   /** Conjunctive keyword search reading ONLY Bloom-admitted files; the
     * residual filter re-applies exact token membership, so the result is
-    * exactly the full scan's. Honors an evolved dir's schema marker. */
+    * exactly the full scan's. Honors an evolved dir's schema marker
+    * ([[Versioned.readFiles]]). */
   def search(spark: SparkSession, dir: String, textCol: String,
              tokens: Seq[String]): DataFrame = {
-    val probe = normalizeProbe(spark, tokens)
-    val files = candidateFiles(spark, dir, probe)
-    val marker = Versioned.readSchemaMarker(fs(spark, dir), dir)
-    def read(paths: Seq[String]) =
-      marker.map(s => spark.read.schema(s)).getOrElse(spark.read)
-        .parquet(paths: _*)
+    val probe = normalizeProbe(spark, tokens) // ONE normalization pass
+    val files = candidates(spark, dir, probe)
     val residual = probe
       .map(t => array_contains(tokensOf(col(textCol)), t))
       .reduce(_ && _)
-    if (files.isEmpty) read(Seq(dir)).filter(lit(false)) // schema-stable
-    else read(files).filter(residual)
+    if (files.isEmpty)
+      Versioned.readDataDir(spark, dir).filter(lit(false)) // schema-stable
+    else Versioned.readFiles(spark, dir, files).filter(residual)
   }
 }

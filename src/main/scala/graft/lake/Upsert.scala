@@ -351,8 +351,10 @@ object Upsert {
         if (extra.nonEmpty || hadMarker.isDefined)
           Versioned.writeSchemaMarker(f, newDir, outSchema)
         // change feed: this version's OWN changeset, atomic with the swap
+        // (row count == distinct keys, enforced above — no extra action)
         Cdf.record(spark, newDir, outSchema, keyCol,
-          upserts.select(outCols.map(col): _*), deleteKeys)
+          upserts.select(outCols.map(col): _*), upsertKeys.size.toLong,
+          deleteKeys)
       }
     } finally { if (!prevalidated) upserts.unpersist(); () }
   }

@@ -174,6 +174,22 @@ object Versioned {
       case None => spark.read.parquet(dir)
     }
 
+  /** Read an EXPLICIT file list under `dir`'s `_table_schema` marker when
+    * one exists (footer inference otherwise) — the one definition of
+    * "marker-aware pruned read" every skipping index (ZOrder boxes, token
+    * Blooms, MatView's old-row lookups) shares, so the marker contract
+    * evolves in one place. NOTE: [[Upsert]]'s rewrite path deliberately
+    * does NOT use this — it reads under the batch's EVOLVED output schema,
+    * which may extend the marker. */
+  private[lake] def readFiles(spark: SparkSession, dir: String,
+                              paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "readFiles needs at least one path")
+    readSchemaMarker(fs(spark, dir), dir) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
   /** The `_table_schema` marker of a version DATA dir: the table's
     * authoritative [[org.apache.spark.sql.types.StructType]] (as Spark
     * schema JSON), written by the first schema-EVOLVING merge and carried
@@ -280,15 +296,21 @@ object Versioned {
     val dropped = versions(spark, table)
       .filter(v => v < live - keep && !pinned.contains(v))
     // refs the dropped versions hold on OTHER tables' data — resolve
-    // BEFORE deleting (the _ref files are about to go)
+    // BEFORE deleting (the _ref files are about to go). Both sets are
+    // compared PATH-QUALIFIED: two refs to the same dir under different
+    // spellings (file: scheme vs bare path, from re-clones) must cancel,
+    // or the subtraction passes a dir a SURVIVING version still needs to
+    // releasePin — whose own qualified content scan would then delete the
+    // survivor's pin too, reopening the vacuum-breaks-clones hazard.
     def refOf(v: Long): Option[String] =
       readSmallFile(f, new Path(s"$table/v=$v/_ref"))
-    val droppedRefs = dropped.flatMap(refOf).toSet
+    def qual(p: String): String = f.makeQualified(new Path(p)).toString
+    val droppedRefs = dropped.flatMap(refOf).map(r => qual(r) -> r).toMap
     dropped.foreach(v => f.delete(new Path(s"$table/v=$v"), true))
     if (droppedRefs.nonEmpty) {
       val survivingRefs =
-        versions(spark, table).flatMap(refOf).toSet
-      (droppedRefs -- survivingRefs).foreach(
+        versions(spark, table).flatMap(refOf).map(qual).toSet
+      (droppedRefs -- survivingRefs).values.foreach(
         Clone.releasePin(spark, _, table))
     }
     dropped

@@ -247,19 +247,15 @@ object ZOrder {
     }.reduce(_ && _)
     // all reads honor an evolved table's _table_schema marker — an
     // evolved-then-DML'd dir holds mixed-schema files, where plain footer
-    // inference is timing-dependent (see Versioned.readDataDir)
-    val marker = Versioned.readSchemaMarker(fs(spark, dir), dir)
-    def read(paths: Seq[String]) =
-      marker.map(s => spark.read.schema(s)).getOrElse(spark.read)
-        .parquet(paths: _*)
+    // inference is timing-dependent (see Versioned.readDataDir/readFiles)
     if (partFiles(spark, dir).toSet != boxes.keySet)
-      return read(Seq(dir)).filter(residual)
+      return Versioned.readDataDir(spark, dir).filter(residual)
     val admitted = boxes.collect {
       case (name, b) if b.admits(preds) => s"$dir/$name"
     }.toSeq
     if (admitted.isEmpty)
-      read(Seq(dir)).filter(lit(false)) // schema-stable empty
-    else read(admitted).filter(residual)
+      Versioned.readDataDir(spark, dir).filter(lit(false)) // schema-stable
+    else Versioned.readFiles(spark, dir, admitted).filter(residual)
   }
 
   /** How many files [[readBox]] would open for `preds` — including its

@@ -152,6 +152,23 @@ class CloneSpec extends SparkSpec {
     assert(pins(a2) == 1)
   }
 
+  test("vacuum's ref cancellation is path-qualified: spelling drift " +
+       "cannot release a surviving version's pin") {
+    val src = publish("qualsrc", 100L)                     // v1
+    val dst = s"$root/qualdst"
+    // clone TWICE from different spellings of the same source AND the
+    // same source version: two pins (different names), two clone
+    // versions whose _ref strings differ only in spelling
+    Clone.shallow(spark, src + "/", dst)                   // dst v1
+    Clone.shallow(spark, src, dst)                         // dst v2
+    // vacuum the clone: v1 drops; its ref target equals v2's ref target
+    // after qualification, so NO pin may release (v2 still needs it)
+    assert(Versioned.vacuum(spark, dst, keep = 0) == Seq(1L))
+    Upsert.merge(spark, src, "k", Seq((1L, "V2")).toDF("k", "v")) // src v2
+    assert(Versioned.vacuum(spark, src, keep = 0).isEmpty) // v1 stays pinned
+    assert(Versioned.read(spark, dst).count() == 100L)     // clone reads
+  }
+
   test("detach releases a hand-deleted clone's leaked pin") {
     val src = publish("leaksrc", 200L)                     // v1
     val dst = s"$root/leakdst"
