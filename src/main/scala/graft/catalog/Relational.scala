@@ -241,6 +241,32 @@ object Relational extends Family {
   }
 
   // -------------------------------------------------------------------------
+  // A1 + pushdown microcell: forecast revenue change (TPC-H Q6 shape) —
+  // the pure scan+filter+1-row-sum cell: no join, no groupBy, every
+  // predicate pushdown-eligible. This is the classic scan-throughput
+  // microbenchmark — at 100 TB its cost is EXACTLY the column-pruned
+  // parquet read of 4 columns, which is why its plan must show all
+  // three filters pushed and one partial-agg combine.
+  private val q6Forecast = Q(
+    "q6_forecast_revenue",
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """)) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum4(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // -------------------------------------------------------------------------
   // J2 star + top-k: returned-item revenue by customer (TPC-H Q10 shape) —
   // the "who returned the most" triage list: fact⋈fact join on the order
   // key, broadcast nation, TakeOrderedAndProject for the top-20 cut (never
@@ -1252,8 +1278,8 @@ object Relational extends Family {
   }
 
   override val specs: Seq[Q] = Seq(rfmQ,
-    q1, q3, q5, q4Late, q14Promo, q19Disjunct, q10Returns, q15TopSupp,
-    q17SmallQty, q18LargeOrders, jLeft, jSemi, jAnti, jTheta,
+    q1, q3, q5, q4Late, q6Forecast, q14Promo, q19Disjunct, q10Returns,
+    q15TopSupp, q17SmallQty, q18LargeOrders, jLeft, jSemi, jAnti, jTheta,
     setExcept, setIntersect, setUnion,
     rollupQ, cubeQ, groupingSetsQ, distinctQ, topkQ, runningQ, lagQ, ewmaQ,
     percentilesQ, pivotQ, linesProfileQ, datePartsQ, unpivotQ, rankMetricsQ,

@@ -57,7 +57,7 @@ object ScaleSweep {
     "profile_revenue_concentration", "q14_promo_revenue",
     "q4_priority_late_ship", "q19_disjunctive_revenue",
     "q10_returned_revenue", "q15_top_supplier", "q17_small_qty_revenue",
-    "q18_large_orders", "train_pit_features")
+    "q18_large_orders", "train_pit_features", "q6_forecast_revenue")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,

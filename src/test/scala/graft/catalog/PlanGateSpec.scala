@@ -126,6 +126,7 @@ class PlanGateSpec extends SparkSpec {
     "q19_disjunctive_revenue" -> 1,      // 1-row global revenue readout
     "q15_top_supplier" -> 1,             // 1-row max-revenue broadcast
     "q17_small_qty_revenue" -> 1,        // 1-row global revenue readout
+    "q6_forecast_revenue" -> 1,          // 1-row global revenue readout
     "lm_kn_bigram_table" -> 1,           // 1-row bigram-type grand total
     "lm_kn_doc_score" -> 1,              // 1-row bigram-type grand total
     "lm_vocab_encode" -> 1,              // vocabulary ranking window —
