@@ -133,6 +133,11 @@ object Compact {
         .write.mode(SaveMode.Overwrite).parquet(newDir)
       if (hadBloom) BloomIndex.indexExisting(spark, newDir, keyCol)
       if (hadStats) StatsIndex.build(spark, newDir, keyCol)
+      // the token-Bloom index rides the same maintenance as its key twin:
+      // rebuilt from the `_tokbloom/_meta` recipe when the live version
+      // carried one (else keyword search silently degrades to full scans
+      // until a manual re-index)
+      TokenBloom.rebuildIfIndexed(spark, liveDir, newDir)
       // carry the CDC replay-dedup tag forward: compaction changes the
       // layout, not the applied-batch watermark, and a streaming sink's
       // crash-replay probe must survive a maintenance publish + vacuum

@@ -126,6 +126,11 @@ object Forget {
         require(FileUtil.copy(f, side,
           f, BloomIndex.sidecar(newDir, p.getName), false, conf),
           s"sidecar copy failed: $side")
+      val tok = TokenBloom.sidecar(liveDir, p.getName)
+      if (f.exists(tok))
+        require(FileUtil.copy(f, tok,
+          f, TokenBloom.sidecar(newDir, p.getName), false, conf),
+          s"token sidecar copy failed: $tok")
     }
   }
 
@@ -194,6 +199,11 @@ object Forget {
       //    footers (reuses the manifest the prune step already loaded)
       StatsIndex.rebuildAfterRewrite(spark, liveDir, newDir, keyCol,
         preloaded = stats)
+      //    token-Bloom twin: carried files' sidecars were byte-copied in
+      //    step 3; re-index just the rewritten files from the carried
+      //    recipe — touched-fraction maintenance, like `_stats`
+      TokenBloom.carryMeta(spark, liveDir, newDir)
+      TokenBloom.indexMissing(spark, newDir)
       // 5. carry the CDC replay-dedup tag forward (see compactVersion): a
       //    purge interleaved inside a streaming sink's crash window must
       //    not erase the applied-batch watermark

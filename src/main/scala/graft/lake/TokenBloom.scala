@@ -21,7 +21,17 @@ import graft.ops.TextOps
  *
  * Layout: `<dir>/_tokbloom/<file>.bloom`, one serialized
  * `org.apache.spark.util.sketch.BloomFilter` of the file's DISTINCT
- * normalized tokens per data file.
+ * normalized tokens per data file, plus a `_tokbloom/_meta` marker
+ * recording the indexed text column and fpp — what lets every later
+ * MAINTENANCE pass rebuild the index without being told how it was built.
+ *
+ * Maintenance contract (the same path the key-Bloom twin rides): layout
+ * rewrites ([[Compact.compactVersion]], [[ZOrder.cluster]]) rebuild the
+ * whole index via [[rebuildIfIndexed]]; file-targeted DML
+ * ([[Upsert]]/[[Forget.purge]]) byte-copies untouched files' sidecars
+ * alongside the files, carries the `_meta` marker, and re-indexes ONLY the
+ * rewritten files ([[indexMissing]]) — so index maintenance cost tracks
+ * the touched fraction, exactly like `_bloom`/`_stats`.
  *
  * Build shape: one (file, token)-distinct shuffle (per-file vocabularies
  * are Heaps-bounded — far smaller than token occurrences), each group
@@ -45,6 +55,52 @@ object TokenBloom {
 
   private def bloomDir(dir: String) = new Path(s"$dir/_tokbloom")
 
+  /** One data file's token-Bloom sidecar path (for byte-copy carries —
+    * [[Forget.copyUntouched]]'s token twin of `BloomIndex.sidecar`). */
+  private[lake] def sidecar(dir: String, fileName: String): Path =
+    new Path(bloomDir(dir), s"$fileName.bloom")
+
+  private def metaPath(dir: String) = new Path(bloomDir(dir), "_meta")
+
+  /** The index's build recipe — (textCol, fpp) from `_tokbloom/_meta`.
+    * None when `dir` was never token-indexed (or the index predates the
+    * marker — then maintenance can't know the text column and the index
+    * degrades advisorily, as before). */
+  def meta(spark: SparkSession, dir: String): Option[(String, Double)] =
+    Versioned.readSmallFile(fs(spark, dir), metaPath(dir)).map { s =>
+      val lines = s.linesIterator.toSeq
+      (lines.head, lines.lift(1).flatMap(_.toDoubleOption).getOrElse(0.01))
+    }
+
+  private def writeMeta(f: FileSystem, dir: String, textCol: String,
+                        fpp: Double): Unit = {
+    require(!textCol.contains("\n"), s"unsafe column name $textCol")
+    val out = f.create(metaPath(dir), true)
+    try out.write(s"$textCol\n$fpp"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Carry the `_meta` recipe from `oldDir`'s index into `newDir` (after a
+    * file-targeted rewrite byte-copied some sidecars there) so a LATER
+    * full rebuild still knows the text column. No-op when `oldDir` carries
+    * no marker. */
+  private[lake] def carryMeta(spark: SparkSession, oldDir: String,
+                              newDir: String): Unit =
+    meta(spark, oldDir).foreach { case (c, fpp) =>
+      writeMeta(fs(spark, newDir), newDir, c, fpp)
+    }
+
+  /** Rebuild the token index of `newDir` when `oldDir` carried one (and a
+    * `_meta` recipe saying how) — the maintenance hook
+    * [[Compact.compactVersion]] / [[ZOrder.cluster]] call so a layout
+    * rewrite doesn't silently degrade keyword search to full scans. */
+  private[lake] def rebuildIfIndexed(spark: SparkSession, oldDir: String,
+                                     newDir: String): Unit =
+    meta(spark, oldDir).foreach { case (c, fpp) =>
+      index(spark, newDir, c, fpp)
+    }
+
   /** The indexed tokenization: normalized text, whitespace-split, empties
     * dropped. One definition serves the build, the probe, and the
     * residual filter. */
@@ -64,12 +120,40 @@ object TokenBloom {
     probe
   }
 
-  /** Build one token-Bloom sidecar per `part-*` file already in `dir`.
-    * `fpp` trades sidecar size against false-positive file scans. */
+  private def partFiles(f: FileSystem, dir: String): Seq[Path] =
+    f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+
+  /** Build one token-Bloom sidecar per `part-*` file already in `dir`,
+    * and record the (textCol, fpp) recipe in `_tokbloom/_meta` so layout
+    * maintenance can rebuild. `fpp` trades sidecar size against
+    * false-positive file scans. */
   def index(spark: SparkSession, dir: String, textCol: String,
             fpp: Double = 0.01): Unit = {
+    val f = fs(spark, dir)
+    writeMeta(f, dir, textCol, fpp)
+    buildFor(spark, dir, textCol, fpp, partFiles(f, dir))
+  }
+
+  /** Build sidecars for ONLY the data files of `dir` that lack one — the
+    * touched-fraction maintenance hook for file-targeted DML: untouched
+    * files' sidecars byte-copied alongside them, rewritten files
+    * re-indexed here, recipe from the carried `_meta`. No-op when the dir
+    * carries no recipe (never indexed) or nothing is missing. */
+  private[lake] def indexMissing(spark: SparkSession, dir: String): Unit =
+    meta(spark, dir).foreach { case (textCol, fpp) =>
+      val f = fs(spark, dir)
+      val missing = partFiles(f, dir)
+        .filterNot(p => f.exists(sidecar(dir, p.getName)))
+      if (missing.nonEmpty) buildFor(spark, dir, textCol, fpp, missing)
+    }
+
+  private def buildFor(spark: SparkSession, dir: String, textCol: String,
+                       fpp: Double, files: Seq[Path]): Unit = {
     import spark.implicits._
-    val df = Versioned.readDataDir(spark, dir)
+    if (files.isEmpty) return
+    val df = Versioned.readFiles(spark, dir, files.map(_.toString))
     // (file, token) DISTINCT pairs: the shuffle carries per-file
     // vocabularies, not token occurrences
     val pairs = df

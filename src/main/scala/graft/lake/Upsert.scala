@@ -335,6 +335,10 @@ object Upsert {
         Forget.copyUntouched(f, conf, liveDir, newDir, untouched)
         StatsIndex.rebuildAfterRewrite(spark, liveDir, newDir, keyCol,
           preloaded = stats)
+        // token-Bloom twin: untouched sidecars byte-copied above; rebuild
+        // ONLY the rewritten files' from the carried recipe
+        TokenBloom.carryMeta(spark, liveDir, newDir)
+        TokenBloom.indexMissing(spark, newDir)
         // this batch's tag, or the live version's CARRIED FORWARD: an
         // untagged merge between a CDC batch's publish and its checkpoint
         // commit must not erase the replay-dedup watermark (the same

@@ -152,6 +152,8 @@ object ZOrder {
       buildBoxStats(spark, newDir, zCols)
       if (hadBloom) BloomIndex.indexExisting(spark, newDir, keyCol)
       if (hadStats) StatsIndex.build(spark, newDir, keyCol)
+      // token-Bloom index: rebuilt like `_bloom`/`_stats` (see compactVersion)
+      TokenBloom.rebuildIfIndexed(spark, liveDir, newDir)
       val tag = new Path(s"$liveDir/_cdc_batch")
       if (f.exists(tag))
         org.apache.hadoop.fs.FileUtil.copy(

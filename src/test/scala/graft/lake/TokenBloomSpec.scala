@@ -87,6 +87,73 @@ class TokenBloomSpec extends SparkSpec {
     assert(viaIndex(Seq(commonTok.toUpperCase)) == brute(Seq(commonTok)))
   }
 
+  test("the index rides layout maintenance: compact, z-order, merge") {
+    val table = s"$root/vdocs"
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    Forget.publishIndexed(docs.repartition(16, col("doc_id")), table, 16,
+      "doc_id", stats = true)
+    TokenBloom.index(spark,
+      Versioned.dataDir(spark, table, 1), "text")
+
+    def liveDir = Versioned.dataDir(spark, table,
+      Versioned.currentVersion(spark, table).get)
+    def parts(dir: String): Int =
+      spark.read.parquet(dir).select(input_file_name())
+        .distinct().count().toInt
+    def bruteAt(dir: String, tokens: Seq[String]): Seq[Long] =
+      spark.read.parquet(dir)
+        .filter(tokens.map(t =>
+          array_contains(TokenBloom.tokensOf(col("text")), t)).reduce(_ && _))
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    def viaAt(dir: String, tokens: Seq[String]): Seq[Long] =
+      TokenBloom.search(spark, dir, "text", tokens)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+
+    // compaction rebuilds the index from the carried _meta recipe: the
+    // keyword search still prunes (bounded by true files + Bloom fpp) and
+    // still equals the full scan bitwise
+    Compact.compactVersion(spark, table, "doc_id", targetBytes = 24L * 1024)
+    val d2 = liveDir
+    val n2 = parts(d2)
+    assert(n2 > 1, s"compaction should leave several files, got $n2")
+    assert(viaAt(d2, Seq(rareTok)) == bruteAt(d2, Seq(rareTok)))
+    val true2 = spark.read.parquet(d2)
+      .filter(array_contains(TokenBloom.tokensOf($"text"), rareTok))
+      .select(input_file_name()).distinct().count().toInt
+    val cand2 = TokenBloom.candidateFiles(spark, d2, Seq(rareTok)).size
+    assert(cand2 >= true2 && cand2 <= true2 + 3,
+      s"post-compact: $cand2 admitted of $n2 ($true2 true)")
+
+    // z-order rebuilds it too
+    ZOrder.cluster(spark, table, Seq("doc_id", "n_chars"), "doc_id",
+      targetBytes = 24L * 1024)
+    val d3 = liveDir
+    assert(viaAt(d3, Seq(rareTok)) == bruteAt(d3, Seq(rareTok)))
+    val true3 = spark.read.parquet(d3)
+      .filter(array_contains(TokenBloom.tokensOf($"text"), rareTok))
+      .select(input_file_name()).distinct().count().toInt
+    val cand3 = TokenBloom.candidateFiles(spark, d3, Seq(rareTok)).size
+    assert(cand3 >= true3 && cand3 <= true3 + 3,
+      s"post-cluster: $cand3 admitted of ${parts(d3)} ($true3 true)")
+
+    // a file-targeted merge re-indexes ONLY the rewritten files (untouched
+    // sidecars ride along as byte copies): a sentinel token that exists
+    // only in the merged row is findable and admits few files
+    val victim = docs.orderBy($"doc_id").limit(1)
+      .withColumn("text", concat($"text", lit(" zzzmergesentinel")))
+    Upsert.merge(spark, table, "doc_id", victim)
+    val d4 = liveDir
+    assert(viaAt(d4, Seq("zzzmergesentinel")) ==
+      bruteAt(d4, Seq("zzzmergesentinel")))
+    assert(viaAt(d4, Seq("zzzmergesentinel")).size == 1)
+    val cand4 =
+      TokenBloom.candidateFiles(spark, d4, Seq("zzzmergesentinel")).size
+    assert(cand4 >= 1 && cand4 <= 4,
+      s"sentinel token admitted $cand4 of ${parts(d4)} files")
+    // and the ordinary search still matches the full scan post-merge
+    assert(viaAt(d4, Seq(rareTok)) == bruteAt(d4, Seq(rareTok)))
+  }
+
   test("missing sidecars admit: the index is advisory") {
     val d = s"$root/noindex"
     Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
