@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.lake.Tables
+import graft.lake.{Tables, Versioned}
 
 /**
  * The raw-SQL surface: register every testdata table as a temp view so
@@ -32,5 +32,37 @@ object Sql {
   def query(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
     register(spark, sfDir)
     spark.sql(sql)
+  }
+
+  /** Register a [[Versioned]] lake table's LIVE snapshot as temp view
+    * `name`. The view BINDS to the version live at registration (the
+    * manifest resolves here, once): later DML publishes don't shift an
+    * already-registered view under a running session — re-register to see
+    * them. Same relation as a direct read, so pushdown/pruning hold. */
+  def registerTable(spark: SparkSession, name: String, table: String): Long = {
+    val v = Versioned.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    Versioned.readVersion(spark, table, v).createOrReplaceTempView(name)
+    v
+  }
+
+  /** Time travel on the SQL surface: register a SPECIFIC published version
+    * of a lake table as temp view `name` — Delta's `VERSION AS OF` here.
+    * The live view and any number of as-of views of one table coexist
+    * (each is just a pinned relation over an immutable version dir). */
+  def registerAsOf(spark: SparkSession, name: String, table: String,
+                   version: Long): Unit =
+    Versioned.readVersion(spark, table, version).createOrReplaceTempView(name)
+
+  /** `TIMESTAMP AS OF`: register the newest version committed at or before
+    * `tsMillis` ([[Versioned.readAsOf]]). Returns the resolved version. */
+  def registerAsOfTimestamp(spark: SparkSession, name: String, table: String,
+                            tsMillis: Long): Long = {
+    val at = Versioned.commitTimes(spark, table).filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no version of $table committed at or before $tsMillis")
+    val v = at.map(_._1).max
+    registerAsOf(spark, name, table, v)
+    v
   }
 }

@@ -42,6 +42,41 @@ class SqlSpec extends SparkSpec {
     assert(r.forall(row => !row.isNullAt(1) && !row.isNullAt(2)))
   }
 
+  test("version-pinned lake views: live vs AS OF, pushdown intact") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.{Upsert, Versioned}
+    val table =
+      java.nio.file.Files.createTempDirectory("graft-sqlasof").toString + "/t"
+    Versioned.publish(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amount"), table)
+    val t1 = Versioned.commitTimes(spark, table).head._2
+    Upsert.merge(spark, table, "k",
+      Seq((2L, 99.0), (3L, 30.0)).toDF("k", "amount"))
+
+    assert(Sql.registerTable(spark, "t_live", table) == 2L)
+    Sql.registerAsOf(spark, "t_v1", table, 1L)
+    assert(Sql.registerAsOfTimestamp(spark, "t_at1", table, t1) == 1L)
+
+    def vals(view: String): Map[Long, Double] =
+      spark.sql(s"SELECT k, amount FROM $view").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vals("t_live") == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+    assert(vals("t_v1") == Map(1L -> 10.0, 2L -> 20.0))
+    assert(vals("t_at1") == vals("t_v1"))
+    // both relations keep pushdown: the as-of view is a plain parquet
+    // relation over the immutable old version dir
+    val plan = spark.sql("SELECT amount FROM t_v1 WHERE k = 2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,2)"),
+      s"expected pushed filter in:\n$plan")
+    // the LIVE view stays bound to the version live at registration —
+    // a later merge doesn't shift it; re-registration does
+    Upsert.merge(spark, table, "k", Seq((1L, -1.0)).toDF("k", "amount"))
+    assert(vals("t_live")(1L) == 10.0)
+    Sql.registerTable(spark, "t_live", table)
+    assert(vals("t_live")(1L) == -1.0)
+  }
+
   test("view reads keep filter pushdown (same relation underneath)") {
     Sql.register(spark, sf)
     val plan = spark.sql(
