@@ -43,27 +43,29 @@ object Cdf {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Record a version's changeset: `upserts` rows land with `_op` = "U",
-    * `deleteKeys` as key-only rows with `_op` = "D". Called INSIDE the
-    * publishing `build` so the sidecar appears atomically with the
-    * version. Changeset-sized — one coalesced file per ~1M rows. */
+    * `deletes` (a one-column frame of deleted keys, column-named `keyCol`)
+    * as key-only rows with `_op` = "D". Called INSIDE the publishing
+    * `build` so the sidecar appears atomically with the version.
+    * Changeset-sized — one coalesced file per ~1M rows. A DataFrame (not a
+    * driver Seq) so oversized batches ([[Upsert]]'s distributed path)
+    * never round-trip their keys through the driver. */
   private[lake] def record(spark: SparkSession, newDir: String,
                            schema: StructType, keyCol: String,
                            upserts: DataFrame, upsertRows: Long,
-                           deleteKeys: Seq[Long]): Unit = {
-    import spark.implicits._
+                           deletes: DataFrame, deleteRows: Long): Unit = {
     val cols = schema.fieldNames.toSeq
     val ups = upserts.select(cols.map(col): _*)
       .withColumn("_op", lit("U"))
-    val dels = deleteKeys.toDF(keyCol).select(cols.map { c =>
+    val dels = deletes.select(cols.map { c =>
       val field = schema(c)
       if (c == keyCol) col(c).cast(field.dataType).as(c)
       else lit(null).cast(field.dataType).as(c)
     }: _*).withColumn("_op", lit("D"))
     val changes = ups.unionByName(dels)
-    // sizing from the caller-known row count (batch keys were already
-    // collected driver-side) — no extra Spark action in the publish path
+    // sizing from the caller-known row counts (already on hand from the
+    // batch validation) — no extra Spark action in the publish path
     val parts = math.max(1, math.min(64,
-      ((upsertRows + deleteKeys.size) / 1000000L + 1).toInt))
+      ((upsertRows + deleteRows) / 1000000L + 1).toInt))
     changes.coalesce(parts)
       .write.mode("overwrite").parquet(s"$newDir/_changes")
   }

@@ -219,7 +219,10 @@ object Forget {
       Cdf.record(spark, newDir, schema, keyCol,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-        upsertRows = 0L, deleteKeys = ks)
+        upsertRows = 0L,
+        deletes = spark.createDataset(ks)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol),
+        deleteRows = ks.size.toLong)
     }
   }
 }

@@ -128,16 +128,22 @@ object MatView {
     create(spark, s.source, s.keyCol, view, s.groupCols, s.sumCols)
   }
 
+  private def preBatchDir(spark: SparkSession, source: String,
+                          srcV: Long): String = {
+    val dir = Versioned.dataDir(spark, source, srcV)
+    require(fs(spark, dir).exists(new Path(dir)),
+      s"$source v$srcV data dir is gone (vacuumed?) — the incremental " +
+        "refresh needs the pre-batch version; MatView.recreate instead")
+    dir
+  }
+
   /** Old source rows for `keys`, read from the PRE-batch version's data
     * dir pruned by the same Bloom sidecar + stats-manifest (footer
     * fallback) admission [[Upsert]] uses — touched-fraction cost. */
   private def oldRows(spark: SparkSession, source: String, srcV: Long,
                       keyCol: String, keys: Seq[Long]): DataFrame = {
-    val dir = Versioned.dataDir(spark, source, srcV)
+    val dir = preBatchDir(spark, source, srcV)
     val f = fs(spark, dir)
-    require(f.exists(new Path(dir)),
-      s"$source v$srcV data dir is gone (vacuumed?) — the incremental " +
-        "refresh needs the pre-batch version; MatView.recreate instead")
     // evolved sources hold mixed-schema files — pin via the dir's marker
     val schema = Versioned.readSchemaMarker(f, dir)
       .getOrElse(spark.read.parquet(dir).schema)
@@ -160,6 +166,20 @@ object MatView {
       .filter(col(keyCol).isin(keys: _*))
   }
 
+  /** The distributed twin of [[oldRows]] for batches past the driver-key
+    * budget ([[Upsert.MaxDriverKeysDefault]]): one scan of the pre-batch
+    * version SEMI-JOINED against the batch keys — no key ever resides on
+    * the driver, no `isin` expression bomb. A batch that large touches a
+    * large source fraction anyway, so the scan is the honest cost (the
+    * same dial [[Upsert.applyChanges]] documents). */
+  private def oldRowsJoin(spark: SparkSession, source: String, srcV: Long,
+                          keyCol: String, batchKeys: DataFrame): DataFrame = {
+    val dir = preBatchDir(spark, source, srcV)
+    val df = Versioned.readDataDir(spark, dir)
+    df.join(batchKeys, df(keyCol).cast("long") === batchKeys("_k"),
+      "left_semi")
+  }
+
   /** Incremental refresh from the I/U/D `batch` just applied to the
     * source ([[Upsert.applyCdc]] semantics and contract: one op per key,
     * non-null keys, I/U rows carry full source rows, D rows need only the
@@ -169,7 +189,8 @@ object MatView {
     * that advanced by more than one version — that's [[recreate]]
     * territory, refusing to guess which changes were missed. */
   def refresh(spark: SparkSession, view: String, batch: DataFrame,
-              opCol: String = "op"): Long = {
+              opCol: String = "op",
+              maxDriverKeys: Int = Upsert.MaxDriverKeysDefault): Long = {
     val s = spec(spark, view)
     val srcLive = Versioned.currentVersion(spark, s.source).getOrElse(
       throw new IllegalStateException(s"no published version at ${s.source}"))
@@ -185,8 +206,14 @@ object MatView {
       batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (owned) batch.persist()
     try {
-      require(batch.filter(col(s.keyCol).isNull).isEmpty,
+      // ONE validation agg: NULL keys (not addressable) + the distinct-key
+      // count that picks the driver vs distributed minus-side path below
+      val v = batch.agg(
+        count(when(col(s.keyCol).isNull, 1)).as("nulls"),
+        countDistinct(col(s.keyCol)).as("nk")).head()
+      require(v.getLong(0) == 0L,
         "NULL-key rows in a CDC batch are not addressable")
+      val nk = v.getLong(1)
       // minus side: OLD rows of EVERY batch key, from the pre-batch
       // version, file-pruned. Including "I" keys is deliberate:
       // Upsert.applyCdc applies I as a full upsert, so an I op on an
@@ -194,12 +221,18 @@ object MatView {
       // the new row without subtracting the old one and silently diverge
       // the view forever. A genuinely-new key contributes nothing to the
       // minus side (no old row exists), so the broader key set costs only
-      // admission checks.
-      val udKeys = batch
-        .select(col(s.keyCol).cast("long")).as[Long].collect().toSeq.distinct
-      val minus = grouped(
-        oldRows(spark, s.source, s.synced, s.keyCol, udKeys),
-        s.groupCols, s.sumCols, -1)
+      // admission checks. Batches past the driver-key budget never
+      // collect: [[oldRowsJoin]] semi-joins instead (same guard as
+      // [[Upsert.applyChanges]] — a restatement-sized batch must not be a
+      // driver OOM).
+      val oldOfBatch =
+        if (nk <= maxDriverKeys) {
+          val udKeys = batch.select(col(s.keyCol).cast("long"))
+            .as[Long].collect().toSeq.distinct
+          oldRows(spark, s.source, s.synced, s.keyCol, udKeys)
+        } else oldRowsJoin(spark, s.source, s.synced, s.keyCol,
+          batch.select(col(s.keyCol).cast("long").as("_k")).distinct())
+      val minus = grouped(oldOfBatch, s.groupCols, s.sumCols, -1)
       // plus side: the batch's new rows (I and U carry full rows)
       val plus = grouped(batch.filter(col(opCol) =!= "D").drop(opCol),
         s.groupCols, s.sumCols, 1)

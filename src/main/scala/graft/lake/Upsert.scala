@@ -31,16 +31,31 @@ import org.apache.spark.sql.functions._
  * files) still publishes: the new rows land in fresh files alongside the
  * byte-copied table.
  *
- * Changeset dial: same as [[Forget]] — the distinct changed keys are
- * driver-resident (a CDC batch: thousands, not billions). A batch large
- * enough to admit most files has degenerated to a republish; at that point
- * build the merged frame with one outer join and [[Versioned.publish]] it.
+ * Changeset dial: batches up to `maxDriverKeys` distinct keys (default
+ * [[MaxDriverKeysDefault]]) take the DRIVER path — keys collect to the
+ * driver for per-file Bloom + stats admission (a CDC trickle: thousands of
+ * keys, metadata-sized). A larger batch (a restatement, a bulk backfill)
+ * would make that collect a driver OOM and the `isin` survivor filter an
+ * expression-tree bomb, so it takes the DISTRIBUTED path instead: touched
+ * files are found with one COLUMN-PRUNED scan of the live version joined
+ * against the batch keys (Delta MERGE's find-touched-files pass — exact
+ * admission, no driver key residency), survivors are anti-joined rather
+ * than `isin`-filtered, and the change feed records deletes from the
+ * frame. Both paths produce identical tables; the distributed path just
+ * pays one key-column scan for admission — the honest cost of a merge
+ * that touches a large fraction of a 100 TB table.
  *
  * Idempotence: re-applying the same changeset republishes the affected
  * files with identical ROWS (a new version number, byte-identical data
  * content modulo parquet file naming); the table's data is a fixed point.
  */
 object Upsert {
+
+  /** Largest changeset (distinct keys) the driver path handles: 200k keys
+    * is ~1.6 MB of longs driver-side and a Bloom-probe loop that still
+    * beats a table scan; past it the distributed path wins on both driver
+    * memory and plan size. */
+  val MaxDriverKeysDefault: Int = 200000
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -51,9 +66,14 @@ object Upsert {
     * nothing) and UNIQUE (two rows for one key would each insert) — both
     * enforced, reject rather than guess. Returns the new live version. */
   def merge(spark: SparkSession, table: String, keyCol: String,
-            changes: DataFrame, evolveSchema: Boolean = false): Long =
-    applyChanges(spark, table, keyCol, changes, Seq.empty,
-      evolveSchema = evolveSchema)
+            changes: DataFrame, evolveSchema: Boolean = false,
+            maxDriverKeys: Int = MaxDriverKeysDefault): Long =
+    applyChanges(spark, table, keyCol, changes,
+      deletes = emptyKeys(spark, keyCol), nDeletes = 0L,
+      evolveSchema = evolveSchema, maxDriverKeys = maxDriverKeys)
+
+  private def emptyKeys(spark: SparkSession, keyCol: String): DataFrame =
+    spark.emptyDataset(org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
 
   /** Full CDC apply: `batch` carries an `opCol` of "I"/"U"/"D"; I and U
     * rows upsert, D rows delete (only their key column is read). One
@@ -70,8 +90,8 @@ object Upsert {
   def applyCdc(spark: SparkSession, table: String, keyCol: String,
                batch: DataFrame, opCol: String = "op",
                batchTag: Option[String] = None,
-               evolveSchema: Boolean = false): Long = {
-    import spark.implicits._
+               evolveSchema: Boolean = false,
+               maxDriverKeys: Int = MaxDriverKeysDefault): Long = {
     // respect a caller-held cache (e.g. CdcSink.applyBatchWithView shares
     // one materialization of the reduced batch across the merge AND the
     // MatView refresh) — unpersisting a frame we didn't cache would force
@@ -90,7 +110,8 @@ object Upsert {
         count(when(col(opCol).isNull, 1)).as("nullops"),
         count(when(col(keyCol).isNull, 1)).as("nulls"),
         count(lit(1)).as("n"),
-        countDistinct(col(keyCol)).as("nk")).head()
+        countDistinct(col(keyCol)).as("nk"),
+        count(when(col(opCol) === "D", 1)).as("nd")).head()
       val ops = v.getSeq[String](0).toSet
       require(ops.subsetOf(Set("I", "U", "D")),
         s"unknown ops ${ops -- Set("I", "U", "D")} in $opCol")
@@ -102,11 +123,16 @@ object Upsert {
         s"${v.getLong(3) - v.getLong(4)} duplicate key(s) in one batch — " +
           s"ops per key are unordered in a DataFrame; reduce with " +
           s"Upsert.lastPerKey first")
+      // deletes stay a DataFrame end-to-end: the driver path collects them
+      // (bounded by the budget it just checked), the distributed path
+      // never does
       val deletes = batch.filter(col(opCol) === "D")
-        .select(col(keyCol).cast("long")).as[Long].collect().toSeq
+        .select(col(keyCol).cast("long").as(keyCol))
       applyChanges(spark, table, keyCol,
-        batch.filter(col(opCol) =!= "D").drop(opCol), deletes, batchTag,
-        prevalidated = true, evolveSchema = evolveSchema)
+        batch.filter(col(opCol) =!= "D").drop(opCol), deletes,
+        nDeletes = v.getLong(5), batchTag,
+        prevalidated = true, nKeysHint = v.getLong(3),
+        evolveSchema = evolveSchema, maxDriverKeys = maxDriverKeys)
     } finally { if (owned) { batch.unpersist(); () } }
   }
 
@@ -218,10 +244,13 @@ object Upsert {
   }
 
   private def applyChanges(spark: SparkSession, table: String, keyCol: String,
-                           upserts: DataFrame, deleteKeys: Seq[Long],
+                           upserts: DataFrame, deletes: DataFrame,
+                           nDeletes: Long,
                            batchTag: Option[String] = None,
                            prevalidated: Boolean = false,
-                           evolveSchema: Boolean = false): Long = {
+                           nKeysHint: Long = -1L,
+                           evolveSchema: Boolean = false,
+                           maxDriverKeys: Int = MaxDriverKeysDefault): Long = {
     import spark.implicits._
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
@@ -259,24 +288,27 @@ object Upsert {
     // frame would cost an extra shuffle per micro-batch on the CDC hot
     // path. merge() reaches here directly and validates now.
     if (!prevalidated) upserts.persist()
+    // the distributed path's key frame — persisted there, released in the
+    // outer finally so the publish block can reference it lazily
+    var keyFrame: Option[DataFrame] = None
     try {
-      if (!prevalidated) {
-        val v = upserts.agg(
-          count(when(col(keyCol).isNull, 1)).as("nulls"),
-          count(lit(1)).as("n"),
-          countDistinct(col(keyCol)).as("nk")).head()
-        require(v.getLong(0) == 0L,
-          s"changeset has NULL $keyCol keys — a NULL key matches no row")
-        require(v.getLong(1) == v.getLong(2),
-          s"${v.getLong(1) - v.getLong(2)} duplicate $keyCol key(s) in the " +
-            "changeset — each would insert its own row; reduce to one row " +
-            "per key first")
-      }
-      // driver-resident by the changeset dial (scaladoc): changed keys
-      val upsertKeys = upserts.select(col(keyCol).cast("long"))
-        .as[Long].collect().toSeq
-      require(upsertKeys.nonEmpty || deleteKeys.nonEmpty, "empty changeset")
-      val ks = (upsertKeys ++ deleteKeys).distinct
+      val nKeys =
+        if (prevalidated) nKeysHint
+        else {
+          val v = upserts.agg(
+            count(when(col(keyCol).isNull, 1)).as("nulls"),
+            count(lit(1)).as("n"),
+            countDistinct(col(keyCol)).as("nk")).head()
+          require(v.getLong(0) == 0L,
+            s"changeset has NULL $keyCol keys — a NULL key matches no row")
+          require(v.getLong(1) == v.getLong(2),
+            s"${v.getLong(1) - v.getLong(2)} duplicate $keyCol key(s) in the " +
+              "changeset — each would insert its own row; reduce to one row " +
+              "per key first")
+          v.getLong(1) + nDeletes
+        }
+      require(nKeys > 0, "empty changeset")
+      val nUpserts = nKeys - nDeletes
 
       val f = fs(spark, table)
       val conf = spark.sparkContext.hadoopConfiguration
@@ -286,31 +318,68 @@ object Upsert {
       // range source: StatsIndex manifest when present (one metadata read),
       // per-file footer opens otherwise — same discipline as Forget.purge
       val stats = StatsIndex.load(spark, liveDir)
-      val (affected, untouched) = parts.partition { p =>
-        BloomIndex.mightContainAny(f, liveDir, p.getName, ks) &&
-          (stats.flatMap(_.get(p.getName)) match {
-            case Some(st) => st.admitsAny(ks)
-            case None => Forget.rangeAdmitsAny(conf, p, keyCol, ks)
-          })
-      }
+
+      // admission + survivor filter, by changeset size (scaladoc dial):
+      //  - DRIVER path: keys collect (budget-bounded), per-file Bloom +
+      //    range admission, `isin` survivor filter — metadata-cost, no
+      //    scan, right for CDC trickles;
+      //  - DISTRIBUTED path: touched files from ONE column-pruned scan of
+      //    the live version joined against the batch keys (exact
+      //    admission), anti-join survivor filter — no key ever resides on
+      //    the driver, right for restatement-sized batches.
+      val (affected, untouched, keepSurvivors) =
+        if (nKeys <= maxDriverKeys) {
+          val upsertKeys = upserts.select(col(keyCol).cast("long"))
+            .as[Long].collect().toSeq
+          val deleteKeys = deletes.select(col(keyCol).cast("long"))
+            .as[Long].collect().toSeq
+          val ks = (upsertKeys ++ deleteKeys).distinct
+          val (aff, unt) = parts.partition { p =>
+            BloomIndex.mightContainAny(f, liveDir, p.getName, ks) &&
+              (stats.flatMap(_.get(p.getName)) match {
+                case Some(st) => st.admitsAny(ks)
+                case None => Forget.rangeAdmitsAny(conf, p, keyCol, ks)
+              })
+          }
+          // NULL-key guard as in Forget.purge — `!isin` is NULL for NULL
+          // keys, and NULL-key rows always survive (no key names them)
+          (aff, unt, (df: DataFrame) =>
+            df.filter(col(keyCol).isNull || !col(keyCol).isin(ks: _*)))
+        } else {
+          val keys = upserts.select(col(keyCol).cast("long").as("_k"))
+            .union(deletes.select(col(keyCol).cast("long").as("_k")))
+            .distinct().persist()
+          keyFrame = Some(keys)
+          // find-touched-files pass: column-pruned to the key alone
+          val affNames = Versioned.readDataDir(spark, liveDir)
+            .select(col(keyCol).cast("long").as("_k"),
+              input_file_name().as("_f"))
+            .join(keys, "_k")
+            .select(element_at(split(col("_f"), "/"), -1))
+            .distinct().as[String].collect().toSet
+          val (aff, unt) = parts.partition(p => affNames.contains(p.getName))
+          // anti-join survivors: NULL keys never match a join key, so
+          // NULL-key rows survive exactly as under the driver path
+          (aff, unt, (df: DataFrame) =>
+            df.join(keys, df(keyCol).cast("long") === keys("_k"),
+              "left_anti"))
+        }
       // vacuous batch (e.g. a delete-only replay whose keys no file can
       // hold, nothing to insert): Forget.purge's idempotent no-op — a
       // publish here would byte-copy the WHOLE table for nothing
-      if (affected.isEmpty && upsertKeys.isEmpty) return live
+      if (affected.isEmpty && nUpserts == 0L) return live
 
       Versioned.publishWith(spark, table) { newDir =>
-        // survivors: affected-file rows not named by the changeset
-        // (NULL-key guard as in Forget.purge — `!isin` is NULL for NULL
-        // keys); plus the upsert rows, column-aligned to the table's order
-        // read under the OUTPUT schema: affected files may predate an
+        // survivors: affected-file rows not named by the changeset, plus
+        // the upsert rows, column-aligned to the table's order — read
+        // under the OUTPUT schema: affected files may predate an
         // evolution (new columns null-fill), and explicit-schema reads are
         // exactly the plain read when no evolution ever happened
         val survivors =
           if (affected.isEmpty)
             spark.read.schema(outSchema).parquet(liveDir).limit(0)
-          else spark.read.schema(outSchema)
-            .parquet(affected.map(_.toString): _*)
-            .filter(col(keyCol).isNull || !col(keyCol).isin(ks: _*))
+          else keepSurvivors(spark.read.schema(outSchema)
+            .parquet(affected.map(_.toString): _*))
         // Rewrite width: the affected-file count when files rewrite; for a
         // PURE-INSERT batch (no admitted files) that count is 0 and a
         // backfill-sized insert must not land in ONE oversized file — size
@@ -324,7 +393,7 @@ object Upsert {
               .map(m => math.max(1L, m.values.map(_.rows).sum / m.size))
               .getOrElse(1000000L)
             math.max(1L, math.min(4096L,
-              (upsertKeys.size + rowsPerFile - 1) / rowsPerFile)).toInt
+              (nUpserts + rowsPerFile - 1) / rowsPerFile)).toInt
           }
         survivors.select(outCols.map(col): _*)
           .unionByName(upserts.select(outCols.map(col): _*))
@@ -357,9 +426,12 @@ object Upsert {
         // change feed: this version's OWN changeset, atomic with the swap
         // (row count == distinct keys, enforced above — no extra action)
         Cdf.record(spark, newDir, outSchema, keyCol,
-          upserts.select(outCols.map(col): _*), upsertKeys.size.toLong,
-          deleteKeys)
+          upserts.select(outCols.map(col): _*), nUpserts, deletes, nDeletes)
       }
-    } finally { if (!prevalidated) upserts.unpersist(); () }
+    } finally {
+      keyFrame.foreach(_.unpersist())
+      if (!prevalidated) upserts.unpersist()
+      ()
+    }
   }
 }

@@ -130,6 +130,24 @@ class MatViewSpec extends SparkSpec {
       Versioned.currentVersion(spark, t).get)
   }
 
+  test("past the driver-key budget the refresh semi-joins: still recompute-exact") {
+    val src = mkSource("budget", 3000)
+    val view = s"$root/budget_view"
+    MatView.create(spark, src, "k", view, Seq("grp"), Seq("amount"))
+    // a batch whose key count exceeds a tiny budget: deletes, migrating
+    // updates, and inserts — refreshed via the distributed minus side
+    val batch = (
+      (0L until 200L).map(k => (k, "", BigDecimal(0), "D")) ++
+        (200L until 500L).map(k =>
+          (k, s"h${k % 3}", BigDecimal(k) / 10, "U")) ++
+        (3000L until 3100L).map(k =>
+          (k, s"g${k % 7}", BigDecimal(k) / 100, "I")))
+      .toDF("k", "grp", "amount", "op")
+    Upsert.applyCdc(spark, src, "k", batch, maxDriverKeys = 16)
+    MatView.refresh(spark, view, batch, maxDriverKeys = 16)
+    assert(viewRows(view) == fullRecompute(src))
+  }
+
   test("an I op on an EXISTING key (upsert semantics) stays recompute-exact") {
     val t = s"$root/iexist"
     val df = Seq((1L, "a", BigDecimal(10)), (2L, "b", BigDecimal(20)))

@@ -359,4 +359,53 @@ class UpsertSpec extends SparkSpec {
       s"expected 4 insert files sized from the batch, got ${freshFiles.size}")
     assert(Versioned.read(spark, t).count() == 15000L)
   }
+
+  test("past the driver-key budget the distributed path gives identical results") {
+    // two identical tables (one with a NULL-key row, which no changeset can
+    // name), the same I/U/D batch: the driver path and the distributed path
+    // (forced by a tiny budget) must agree on table rows, change feed, and
+    // vacuous-replay behavior
+    def mk(name: String): String = {
+      val t = s"$root/$name"
+      val rows = ((0L until 2000L).map(k => (Some(k), s"payload-$k"))
+        :+ ((None: Option[Long], "null-key-row"))).toDF("k", "v")
+      Forget.publishIndexed(rows, t, nFiles = 8, keyCol = "k", stats = true)
+      t
+    }
+    val a = mk("budget-driver")
+    val b = mk("budget-dist")
+    val batch = (
+      (0L until 300L by 3).map(k => ("U", Some(k), s"UPD-$k")) ++
+        (3000L until 3050L).map(k => ("I", Some(k), s"INS-$k")) ++
+        (1000L until 1040L).map(k => ("D", Some(k), null: String)))
+      .toDF("op", "k", "v")
+    assert(Upsert.applyCdc(spark, a, "k", batch) == 2L)
+    assert(Upsert.applyCdc(spark, b, "k", batch, maxDriverKeys = 8) == 2L)
+
+    def snap(t: String): Set[(Option[Long], String)] =
+      Versioned.read(spark, t).as[(Option[Long], String)].collect().toSet
+    assert(snap(a) == snap(b))
+    assert(Versioned.read(spark, b).filter($"k".isNull).count() == 1L,
+      "the NULL-key row must survive the anti-join survivor filter")
+
+    // the recorded change feeds agree (deletes came from the frame)
+    def feed(t: String): Set[(String, Option[Long], Option[String])] =
+      Cdf.changesSince(spark, t, 1L).select($"_op", $"k", $"v")
+        .as[(String, Option[Long], Option[String])].collect().toSet
+    assert(feed(a) == feed(b))
+
+    // a vacuous delete-only replay still no-ops on the distributed path
+    val delOnly = Seq(("D", 999999L, null: String)).toDF("op", "k", "v")
+    assert(Upsert.applyCdc(spark, b, "k", delOnly, maxDriverKeys = 0) == 2L)
+
+    // additive schema evolution works distributed too
+    val evolved = Seq((1L, "EVOLVED-1", "extra")).toDF("k", "v", "w")
+    assert(Upsert.merge(spark, b, "k", evolved, evolveSchema = true,
+      maxDriverKeys = 0) == 3L)
+    val after = Versioned.read(spark, b)
+    assert(after.columns.toSeq == Seq("k", "v", "w"))
+    assert(after.filter($"k" === 1L).select($"w").as[String].head()
+      == "extra")
+    assert(after.filter($"k" === 2L).select($"w".isNull).as[Boolean].head())
+  }
 }
