@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -52,26 +52,30 @@ object Expect {
     rules.map(r => coalesce(expr(r.predicate), lit(false)))
       .reduce(_ && _)
 
-  // (total rows, per-rule violation counts) in ONE aggregate pass — the
-  // total rides the same 1-row aggregate so [[publish]] never re-counts
-  private def auditWithTotal(df: DataFrame,
-                             rules: Seq[Rule]): (Long, Map[String, Long]) = {
+  // (total rows, rows violating >=1 rule, per-rule violation counts) in
+  // ONE aggregate pass — the totals ride the same 1-row aggregate so
+  // [[publish]]/[[applyCdc]] never re-count
+  private def auditWithTotal(df: DataFrame, rules: Seq[Rule])
+      : (Long, Long, Map[String, Long]) = {
     require(rules.nonEmpty, "no rules to audit")
     require(rules.map(_.name).distinct.size == rules.size,
       "duplicate rule names")
     val row = df.agg(
       count(lit(1)).as("_n"),
-      rules.map(r => sum(when(coalesce(expr(r.predicate), lit(false)),
-        0L).otherwise(1L)).as(r.name)): _*).head()
+      sum(when(passCol(rules), 0L).otherwise(1L)).as("_nbad") +:
+        rules.map(r => sum(when(coalesce(expr(r.predicate), lit(false)),
+          0L).otherwise(1L)).as(r.name)): _*).head()
     val counts = rules.map(r => r.name ->
       Option(row.getAs[java.lang.Long](r.name)).map(_.longValue)
         .getOrElse(0L)).toMap
-    (row.getAs[Long]("_n"), counts)
+    val bad = Option(row.getAs[java.lang.Long]("_nbad"))
+      .map(_.longValue).getOrElse(0L)
+    (row.getAs[Long]("_n"), bad, counts)
   }
 
   /** Violation counts for every rule in ONE aggregate pass. */
   def audit(df: DataFrame, rules: Seq[Rule]): Map[String, Long] =
-    auditWithTotal(df, rules)._2
+    auditWithTotal(df, rules)._3
 
   /** Gate `df` through `rules` and publish to `table` per `mode`.
     * Quarantined rows (Drop mode) append a `_violated` column naming every
@@ -84,15 +88,10 @@ object Expect {
     // gate's whole extra cost stays the audited boolean projection
     df.persist()
     try {
-      val (total, counts) = auditWithTotal(df, rules)
-      val bad = counts.values.sum // row-rule violation pairs; 0 iff all pass
+      val (total, bad, counts) = auditWithTotal(df, rules)
       mode match {
         case Mode.Fail =>
-          if (bad > 0)
-            throw new IllegalStateException(
-              s"expectation(s) violated, publish aborted: " +
-                counts.filter(_._2 > 0).map { case (n, c) => s"$n=$c" }
-                  .toSeq.sorted.mkString(", "))
+          failIfBad(bad, counts, "publish")
           val v = Versioned.publish(df, table)
           Report(Some(v), total, 0L, counts)
         case Mode.Warn =>
@@ -103,19 +102,101 @@ object Expect {
             "Drop mode needs a quarantine table"))
           val pass = df.filter(passCol(rules))
           val v = Versioned.publish(pass, table)
-          val nQ =
-            if (bad == 0) 0L
-            else {
-              val failRows = df.filter(!passCol(rules))
-                .withColumn("_violated",
-                  array_compact(array(rules.map(r =>
-                    when(!coalesce(expr(r.predicate), lit(false)),
-                      lit(r.name))): _*)))
-              Versioned.publish(failRows, q)
-              failRows.count()
-            }
-          Report(Some(v), total - nQ, nQ, counts)
+          if (bad > 0) Versioned.publish(violatorsOf(df, rules), q)
+          Report(Some(v), total - bad, bad, counts)
       }
     } finally { df.unpersist(); () }
+  }
+
+  private def failIfBad(bad: Long, counts: Map[String, Long],
+                        what: String): Unit =
+    if (bad > 0)
+      throw new IllegalStateException(
+        s"expectation(s) violated, $what aborted: " +
+          counts.filter(_._2 > 0).map { case (n, c) => s"$n=$c" }
+            .toSeq.sorted.mkString(", "))
+
+  // violating rows tagged with the names of every rule they broke
+  private def violatorsOf(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    df.filter(!passCol(rules))
+      .withColumn("_violated",
+        array_compact(array(rules.map(r =>
+          when(!coalesce(expr(r.predicate), lit(false)),
+            lit(r.name))): _*)))
+
+  /** Gate a full-row changeset through `rules`, then MERGE the passing
+    * rows ([[Upsert.merge]]) — the DML leg of expectations: a bad
+    * changeset quarantines (Drop) or aborts with the table untouched
+    * (Fail) instead of merging. Drop mode publishes the quarantine
+    * version BEFORE the merge, so a crash between the two writes loses
+    * nothing — a replay re-quarantines (a fresh auditable quarantine
+    * version) and re-merges; `Report.version` is None when nothing merged
+    * (every row quarantined). */
+  def merge(spark: SparkSession, table: String, keyCol: String,
+            changes: DataFrame, rules: Seq[Rule], mode: Mode,
+            quarantine: Option[String] = None,
+            evolveSchema: Boolean = false): Report = {
+    changes.persist()
+    try {
+      val (total, bad, counts) = auditWithTotal(changes, rules)
+      mode match {
+        case Mode.Fail =>
+          failIfBad(bad, counts, "merge")
+          Report(Some(Upsert.merge(spark, table, keyCol, changes,
+            evolveSchema)), total, 0L, counts)
+        case Mode.Warn =>
+          Report(Some(Upsert.merge(spark, table, keyCol, changes,
+            evolveSchema)), total, 0L, counts)
+        case Mode.Drop =>
+          val q = quarantine.getOrElse(throw new IllegalArgumentException(
+            "Drop mode needs a quarantine table"))
+          if (bad > 0) Versioned.publish(violatorsOf(changes, rules), q)
+          val v =
+            if (bad == total) None // nothing passed — table untouched
+            else Some(Upsert.merge(spark, table, keyCol,
+              changes.filter(passCol(rules)), evolveSchema))
+          Report(v, total - bad, bad, counts)
+      }
+    } finally { changes.unpersist(); () }
+  }
+
+  /** The CDC twin of [[merge]]: gate an I/U/D batch, then
+    * [[Upsert.applyCdc]] it. Rules audit only the PAYLOAD rows (I/U) —
+    * a D row carries nothing but its key, so it passes through
+    * unaudited. `Report.published`/`quarantined` therefore count audited
+    * payload rows; deletes ride along whenever anything merges. Same
+    * quarantine-before-merge crash ordering as [[merge]]; `batchTag`
+    * forwards the streaming sink's replay-dedup tag. */
+  def applyCdc(spark: SparkSession, table: String, keyCol: String,
+               batch: DataFrame, rules: Seq[Rule], mode: Mode,
+               quarantine: Option[String] = None, opCol: String = "op",
+               batchTag: Option[String] = None,
+               evolveSchema: Boolean = false): Report = {
+    batch.persist()
+    try {
+      val payload = batch.filter(col(opCol) =!= "D")
+      val (total, bad, counts) = auditWithTotal(payload, rules)
+      def applyAll(b: DataFrame): Long =
+        Upsert.applyCdc(spark, table, keyCol, b, opCol, batchTag,
+          evolveSchema)
+      mode match {
+        case Mode.Fail =>
+          failIfBad(bad, counts, "merge")
+          Report(Some(applyAll(batch)), total, 0L, counts)
+        case Mode.Warn =>
+          Report(Some(applyAll(batch)), total, 0L, counts)
+        case Mode.Drop =>
+          val q = quarantine.getOrElse(throw new IllegalArgumentException(
+            "Drop mode needs a quarantine table"))
+          if (bad == 0L) Report(Some(applyAll(batch)), total, 0L, counts)
+          else {
+            Versioned.publish(violatorsOf(payload, rules), q)
+            val gated = batch.filter(
+              col(opCol) === "D" || passCol(rules))
+            val v = if (gated.isEmpty) None else Some(applyAll(gated))
+            Report(v, total - bad, bad, counts)
+          }
+      }
+    } finally { batch.unpersist(); () }
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
 
-import graft.lake.Upsert
+import graft.lake.{Expect, Upsert}
 
 /**
  * Streaming CDC sink: apply a change stream (`op` = "I"/"U"/"D" + the
@@ -47,17 +47,31 @@ import graft.lake.Upsert
 object CdcSink {
 
   /** Apply one micro-batch (idempotent under replay). Public so batch
-    * backfills and specs can drive the exact sink path. */
+    * backfills and specs can drive the exact sink path. A non-empty
+    * `rules` battery gates each micro-batch through
+    * [[graft.lake.Expect.applyCdc]]: Drop quarantines a batch's violating
+    * payload rows (to `quarantine`, versioned + `_violated`-tagged)
+    * instead of merging them; Fail aborts the batch — and with it the
+    * QUERY, leaving the table untouched (foreachBatch surfaces the throw)
+    * — the streaming analog of a CHECK constraint. */
   def applyBatch(spark: SparkSession, table: String, keyCol: String,
                  batch: DataFrame, batchId: Long, opCol: String = "op",
                  seqCol: Option[String] = None,
-                 evolveSchema: Boolean = false): Unit =
+                 evolveSchema: Boolean = false,
+                 rules: Seq[Expect.Rule] = Seq.empty,
+                 expectMode: Expect.Mode = Expect.Mode.Fail,
+                 quarantine: Option[String] = None): Unit =
     if (!batch.isEmpty &&
         !Upsert.recentBatchTags(spark, table).contains(batchId.toString)) {
       val reduced = seqCol.fold(batch)(s =>
         Upsert.lastPerKey(batch, keyCol, s, opCol))
-      Upsert.applyCdc(spark, table, keyCol, reduced, opCol,
-        batchTag = Some(batchId.toString), evolveSchema = evolveSchema)
+      if (rules.isEmpty)
+        Upsert.applyCdc(spark, table, keyCol, reduced, opCol,
+          batchTag = Some(batchId.toString), evolveSchema = evolveSchema)
+      else
+        Expect.applyCdc(spark, table, keyCol, reduced, rules, expectMode,
+          quarantine, opCol, batchTag = Some(batchId.toString),
+          evolveSchema = evolveSchema)
       ()
     }
 

@@ -83,4 +83,93 @@ class ExpectSpec extends SparkSpec {
       t, rules, Mode.Fail)
     assert(ok.version.contains(2L) && ok.published == 1L)
   }
+
+  test("Drop-mode MERGE lands passing rows, quarantines violators") {
+    val t = s"$root/dmlmerge"
+    val q = s"$root/dmlmergeq"
+    Forget.publishIndexed(
+      (1L to 6L).map(k => (k, s"n$k", 100)).toDF("k", "name", "amount"),
+      t, nFiles = 3, keyCol = "k")
+    // k=2 updates clean; k=4 violates amount_pos; k=9 inserts clean
+    val changes = Seq((2L, "UPD", 5), (4L, "BAD", -9), (9L, "INS", 1))
+      .toDF("k", "name", "amount")
+    val r = Expect.merge(spark, t, "k", changes, rules, Mode.Drop,
+      quarantine = Some(q))
+    assert(r.version.contains(2L))
+    assert(r.published == 2L && r.quarantined == 1L)
+    val after = Versioned.read(spark, t)
+    assert(after.count() == 7L)
+    assert(after.filter($"k" === 2L).select($"name").as[String].head()
+      == "UPD")
+    // the violating update never landed: k=4 keeps its pre-merge row
+    assert(after.filter($"k" === 4L).select($"amount").as[Int].head()
+      == 100)
+    val quar = Versioned.read(spark, q)
+    assert(quar.count() == 1L)
+    assert(quar.select($"k").as[Long].head() == 4L)
+    assert(quar.select($"_violated").as[Seq[String]].head()
+      == Seq("amount_pos"))
+  }
+
+  test("Fail-mode MERGE aborts with the table untouched; CDC gates audit payload only") {
+    val t = s"$root/dmlfail"
+    Forget.publishIndexed(
+      (1L to 4L).map(k => (k, s"n$k", 100)).toDF("k", "name", "amount"),
+      t, nFiles = 2, keyCol = "k")
+    val e = intercept[IllegalStateException] {
+      Expect.merge(spark, t, "k",
+        Seq((1L, "X", -1)).toDF("k", "name", "amount"), rules, Mode.Fail)
+    }
+    assert(e.getMessage.contains("amount_pos=1"))
+    assert(Versioned.currentVersion(spark, t).contains(1L),
+      "Fail mode must not publish")
+
+    // CDC: D rows carry NULL payload and must NOT be audited as violations
+    val cdc = Seq(
+      ("D", 2L, null.asInstanceOf[String], null.asInstanceOf[Integer]),
+      ("U", 3L, "U3", Integer.valueOf(7)))
+      .toDF("op", "k", "name", "amount")
+    val r = Expect.applyCdc(spark, t, "k", cdc, rules, Mode.Fail)
+    assert(r.version.contains(2L) && r.published == 1L)
+    assert(Versioned.read(spark, t).count() == 3L)
+
+    // Drop-mode CDC where EVERY payload row violates: deletes still apply
+    val q = s"$root/dmlfailq"
+    val allBad = Seq(
+      ("D", 1L, null.asInstanceOf[String], null.asInstanceOf[Integer]),
+      ("U", 3L, "neg", Integer.valueOf(-3)))
+      .toDF("op", "k", "name", "amount")
+    val r2 = Expect.applyCdc(spark, t, "k", allBad, rules, Mode.Drop,
+      quarantine = Some(q))
+    assert(r2.quarantined == 1L && r2.published == 0L)
+    assert(r2.version.contains(3L), "the delete should still merge")
+    val live = Versioned.read(spark, t)
+    assert(live.filter($"k" === 1L).count() == 0L, "D row applied")
+    assert(live.filter($"k" === 3L).select($"amount").as[Int].head() == 7,
+      "the violating update must not land")
+    assert(Versioned.read(spark, q).select($"k").as[Long].head() == 3L)
+  }
+
+  test("the streaming sink quarantines per micro-batch, replay-safe") {
+    import graft.streaming.CdcSink
+    val t = s"$root/sink"
+    val q = s"$root/sinkq"
+    Forget.publishIndexed(
+      (1L to 4L).map(k => (k, s"n$k", 100)).toDF("k", "name", "amount"),
+      t, nFiles = 2, keyCol = "k")
+    val b1 = Seq(("U", 1L, "ok", 5), ("I", 10L, "bad", -1))
+      .toDF("op", "k", "name", "amount")
+    CdcSink.applyBatch(spark, t, "k", b1, batchId = 0L,
+      rules = rules, expectMode = Mode.Drop, quarantine = Some(q))
+    val live = Versioned.read(spark, t)
+    assert(live.count() == 4L, "the violating insert must not land")
+    assert(live.filter($"k" === 1L).select($"amount").as[Int].head() == 5)
+    assert(Versioned.read(spark, q).count() == 1L)
+    // replayed batch (same id): tag-dedup no-ops BOTH the merge and the
+    // quarantine — no duplicate quarantine version
+    CdcSink.applyBatch(spark, t, "k", b1, batchId = 0L,
+      rules = rules, expectMode = Mode.Drop, quarantine = Some(q))
+    assert(Versioned.currentVersion(spark, q).contains(1L))
+    assert(Versioned.read(spark, t).count() == 4L)
+  }
 }
