@@ -13,17 +13,26 @@ import org.apache.spark.sql.types.DecimalType
  * classic self-maintainable-view theory): a grouped count/sum view whose
  * refresh cost tracks the CHANGESET, never the source table.
  *
- * The aggregate set is deliberately the self-maintainable core — COUNT and
- * SUM are closed under inserts AND deletes (averages derive at read as
- * sum/n), so a refresh needs exactly (a) the batch's new rows and (b) the
- * OLD rows of updated/deleted keys. (a) is the batch itself; (b) reads
- * from the PRE-batch source version — whose dir is immutable and still on
- * disk until vacuum — pruned to the files that can hold the touched keys
- * via the same Bloom + stats-manifest admission [[Upsert]] uses, so (b)
- * costs the touched fraction, not a scan. MIN/MAX are NOT
- * delete-maintainable (a deleted max needs a rescan to find the runner-up)
- * and are deliberately out; [[create]] over the live source is the
- * documented recompute path if they're ever needed.
+ * The aggregate core is self-maintainable — COUNT and SUM are closed under
+ * inserts AND deletes (averages derive at read as sum/n), so a refresh
+ * needs exactly (a) the batch's new rows and (b) the OLD rows of
+ * updated/deleted keys. (a) is the batch itself; (b) reads from the
+ * PRE-batch source version — whose dir is immutable and still on disk
+ * until vacuum — pruned to the files that can hold the touched keys via
+ * the same Bloom + stats-manifest admission [[Upsert]] uses, so (b) costs
+ * the touched fraction, not a scan.
+ *
+ * MIN/MAX (`minMaxCols`) are NOT delete-maintainable in general (a deleted
+ * max needs a rescan to find the runner-up), so they refresh in two
+ * regimes: groups touched only by INSERTS merge incrementally
+ * (least/greatest — monotone under insert), while groups that LOST rows
+ * (any batch key's old row — a delete, or an update that replaces/migrates
+ * it) recompute exactly, from the POST-batch source version restricted to
+ * those groups: a GROUP-BOUNDED rescan, never a source rescan. With one
+ * group column and a changeset-bounded touched-group set the restriction
+ * is an `isin` literal filter — pushdown-eligible, so parquet row-group
+ * stats file-prune the rescan on group-clustered layouts; otherwise it is
+ * a broadcast semi-join. Refresh cost stays changeset + touched groups.
  *
  * The view itself is a [[Versioned]] table at group grain — usually
  * dimension-sized, so each refresh publishes a full new view version
@@ -44,10 +53,11 @@ import org.apache.spark.sql.types.DecimalType
  */
 object MatView {
 
-  /** The view's definition + sync watermark, JSON-persisted per version. */
+  /** The view's definition + sync watermark, JSON-persisted per version.
+    * `minMaxCols` is empty on views created before the MIN/MAX leg. */
   final case class Spec(source: String, keyCol: String,
                         groupCols: Seq[String], sumCols: Seq[String],
-                        synced: Long)
+                        synced: Long, minMaxCols: Seq[String] = Seq.empty)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -56,24 +66,27 @@ object MatView {
   // column identifiers — no escaping needed beyond rejecting quotes)
   private def toJson(s: Spec): String = {
     def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
-    (s.groupCols ++ s.sumCols ++ Seq(s.keyCol)).foreach(c =>
+    (s.groupCols ++ s.sumCols ++ s.minMaxCols ++ Seq(s.keyCol)).foreach(c =>
       require(!c.contains("\"") && !c.contains("\\"), s"unsafe column name $c"))
     s"""{"source":"${s.source}","keyCol":"${s.keyCol}",""" +
       s""""groupCols":${arr(s.groupCols)},"sumCols":${arr(s.sumCols)},""" +
+      s""""minMaxCols":${arr(s.minMaxCols)},""" +
       s""""synced":${s.synced}}"""
   }
 
   private def fromJson(j: String): Spec = {
     def str(k: String) =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(j).get.group(1)
-    def arr(k: String) =
-      s""""$k":\\[([^\\]]*)\\]""".r.findFirstMatchIn(j).get.group(1)
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq
+    def arr(k: String) = // absent key (pre-minMax spec files) = empty
+      s""""$k":\\[([^\\]]*)\\]""".r.findFirstMatchIn(j)
+        .map(_.group(1).split(",")
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
     def num(k: String) =
       s""""$k":(\\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
     Spec(str("source"), str("keyCol"), arr("groupCols"), arr("sumCols"),
-      num("synced"))
+      num("synced"), arr("minMaxCols"))
   }
 
   private def writeSpec(spark: SparkSession, dir: String, s: Spec): Unit = {
@@ -96,28 +109,37 @@ object MatView {
   // exact additive accumulator type: closed under + and - across refreshes
   private val acc = DecimalType(38, 6)
 
+  // sign=+1 with mmCols adds min_/max_ legs; the MINUS side (sign=-1)
+  // never carries them — a removed row's min/max cannot be subtracted,
+  // that is exactly what the touched-group recompute handles
   private def grouped(df: DataFrame, groupCols: Seq[String],
-                      sumCols: Seq[String], sign: Int): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(
-        sum(lit(sign.toLong)).as("n_rows"),
-        sumCols.map(c =>
-          sum(col(c).cast(acc) * sign).cast(acc).as(s"sum_$c")): _*)
+                      sumCols: Seq[String], sign: Int,
+                      mmCols: Seq[String] = Seq.empty): DataFrame = {
+    val aggs = sum(lit(sign.toLong)).as("n_rows") +:
+      (sumCols.map(c =>
+        sum(col(c).cast(acc) * sign).cast(acc).as(s"sum_$c")) ++
+        (if (sign > 0) mmCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+         else Seq.empty))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Full compute of the view over the source's LIVE version; publishes
     * view v1 (or a fresh version of an existing view — [[recreate]]).
     * Returns the published view version. */
   def create(spark: SparkSession, source: String, keyCol: String,
              view: String, groupCols: Seq[String],
-             sumCols: Seq[String]): Long = {
+             sumCols: Seq[String],
+             minMaxCols: Seq[String] = Seq.empty): Long = {
     require(groupCols.nonEmpty, "a grouped view needs group columns")
     val srcV = Versioned.currentVersion(spark, source).getOrElse(
       throw new IllegalStateException(s"no published version at $source"))
     val df = Versioned.readVersion(spark, source, srcV)
-    val mv = grouped(df, groupCols, sumCols, 1)
+    val mv = grouped(df, groupCols, sumCols, 1, minMaxCols)
     Versioned.publishWith(spark, view) { dir =>
       mv.write.mode("overwrite").parquet(dir)
-      writeSpec(spark, dir, Spec(source, keyCol, groupCols, sumCols, srcV))
+      writeSpec(spark, dir,
+        Spec(source, keyCol, groupCols, sumCols, srcV, minMaxCols))
     }
   }
 
@@ -125,7 +147,8 @@ object MatView {
     * the live view version. */
   def recreate(spark: SparkSession, view: String): Long = {
     val s = spec(spark, view)
-    create(spark, s.source, s.keyCol, view, s.groupCols, s.sumCols)
+    create(spark, s.source, s.keyCol, view, s.groupCols, s.sumCols,
+      s.minMaxCols)
   }
 
   private def preBatchDir(spark: SparkSession, source: String,
@@ -205,6 +228,7 @@ object MatView {
     val owned =
       batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (owned) batch.persist()
+    var oldCached: Option[DataFrame] = None
     try {
       // ONE validation agg: NULL keys (not addressable) + the distinct-key
       // count that picks the driver vs distributed minus-side path below
@@ -232,32 +256,87 @@ object MatView {
           oldRows(spark, s.source, s.synced, s.keyCol, udKeys)
         } else oldRowsJoin(spark, s.source, s.synced, s.keyCol,
           batch.select(col(s.keyCol).cast("long").as("_k")).distinct())
+      val mm = s.minMaxCols
+      // the min/max leg reads the old rows twice (minus side + touched
+      // groups) — one materialization serves both
+      if (mm.nonEmpty) { oldOfBatch.persist(); oldCached = Some(oldOfBatch) }
       val minus = grouped(oldOfBatch, s.groupCols, s.sumCols, -1)
       // plus side: the batch's new rows (I and U carry full rows)
       val plus = grouped(batch.filter(col(opCol) =!= "D").drop(opCol),
-        s.groupCols, s.sumCols, 1)
-      val deltaCols = "n_rows" +: s.sumCols.map(c => s"sum_$c")
-      val delta = plus.unionByName(minus)
+        s.groupCols, s.sumCols, 1, mm)
+      val deltaAggs = sum(col("n_rows")).as("n_rows") +:
+        (s.sumCols.map(c =>
+          sum(col(s"sum_$c")).cast(acc).as(s"sum_$c")) ++
+          mm.flatMap(c => Seq(min(col(s"min_$c")).as(s"min_$c"),
+            max(col(s"max_$c")).as(s"max_$c"))))
+      val delta = plus.unionByName(minus, allowMissingColumns = true)
         .groupBy(s.groupCols.map(col): _*)
-        .agg(sum(col("n_rows")).as("n_rows"),
-          s.sumCols.map(c =>
-            sum(col(s"sum_$c")).cast(acc).as(s"sum_$c")): _*)
+        .agg(deltaAggs.head, deltaAggs.tail: _*)
       // merge: view is group-grain, delta is group-grain — full outer on
       // the group key, add, drop emptied groups (n_rows == 0 means every
-      // underlying row left; sums are then exact zeros by construction)
+      // underlying row left; sums are then exact zeros by construction).
+      // min/max merge least/greatest — the insert-monotone rule, valid
+      // exactly for groups that lost no rows; the recompute below replaces
+      // every group that did.
+      val sumLegs = "n_rows" +: s.sumCols.map(c => s"sum_$c")
       val live = Versioned.read(spark, view)
       val merged = live.join(delta, s.groupCols, "full_outer")
-        .select(s.groupCols.map(col) ++ deltaCols.map { c =>
+        .select(s.groupCols.map(col) ++ sumLegs.map { c =>
           val summed = coalesce(live(c), lit(0)) + coalesce(delta(c), lit(0))
           (if (c == "n_rows") summed.cast("long") else summed.cast(acc))
             .as(c)
-        }: _*)
+        } ++ mm.flatMap(c => Seq(
+          least(live(s"min_$c"), delta(s"min_$c")).as(s"min_$c"),
+          greatest(live(s"max_$c"), delta(s"max_$c")).as(s"max_$c"))): _*)
         .filter(col("n_rows") > 0)
+      val result =
+        if (mm.isEmpty) merged
+        else {
+          // groups that LOST rows — the old rows of every batch key —
+          // recompute exactly from the POST-batch version, group-bounded.
+          // Null-safe group matching throughout (<=>): a NULL group value
+          // is a real group to groupBy.
+          val touched = oldOfBatch
+            .select(s.groupCols.map(col): _*).distinct()
+            .toDF(s.groupCols.map(g => s"_tg_$g"): _*)
+          val srcNow = Versioned.readVersion(spark, s.source, srcLive)
+          val matchCond = (f: DataFrame) => s.groupCols
+            .map(g => f(g) <=> touched(s"_tg_$g")).reduce(_ && _)
+          // one group column + a driver-bounded touched set: an `isin`
+          // literal filter, pushdown-eligible so row-group stats file-prune
+          // the rescan on group-clustered layouts; else a broadcast semi
+          val touchedRows =
+            if (s.groupCols.size == 1) {
+              val g = s.groupCols.head
+              val vs = touched.limit(maxDriverKeys + 1).collect()
+                .map(_.get(0))
+              if (vs.length > maxDriverKeys)
+                srcNow.join(broadcast(touched), matchCond(srcNow),
+                  "left_semi")
+              else {
+                val nonNull = vs.filter(_ != null)
+                val cond =
+                  if (nonNull.length == vs.length)
+                    col(g).isin(nonNull.toSeq: _*)
+                  else if (nonNull.isEmpty) col(g).isNull
+                  else col(g).isNull || col(g).isin(nonNull.toSeq: _*)
+                srcNow.filter(cond)
+              }
+            } else
+              srcNow.join(broadcast(touched), matchCond(srcNow), "left_semi")
+          val recomputed =
+            grouped(touchedRows, s.groupCols, s.sumCols, 1, mm)
+          merged.join(broadcast(touched), matchCond(merged), "left_anti")
+            .unionByName(recomputed)
+        }
       Versioned.publishWith(spark, view) { dir =>
-        merged.write.mode("overwrite").parquet(dir)
+        result.write.mode("overwrite").parquet(dir)
         writeSpec(spark, dir, s.copy(synced = srcLive))
       }
-    } finally { if (owned) { batch.unpersist(); () } }
+    } finally {
+      oldCached.foreach(_.unpersist())
+      if (owned) { batch.unpersist(); () }
+    }
   }
 
   /** Read the live view with derived averages (`avg_<c> = sum_<c> /

@@ -130,6 +130,95 @@ class MatViewSpec extends SparkSpec {
       Versioned.currentVersion(spark, t).get)
   }
 
+  test("MIN/MAX leg: touched-group recompute stays exact through churn") {
+    val src = mkSource("minmax", 3000)
+    val view = s"$root/minmax_view"
+    MatView.create(spark, src, "k", view, Seq("grp"), Seq("amount"),
+      minMaxCols = Seq("amount"))
+
+    def mmRecompute(): Seq[(String, Long, BigDecimal, BigDecimal, BigDecimal)] =
+      Versioned.read(spark, src).groupBy($"grp")
+        .agg(count(lit(1)), sum($"amount".cast("decimal(38,6)")),
+          min($"amount"), max($"amount"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          BigDecimal(r.getDecimal(2)).setScale(6),
+          BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4))))
+        .toSeq.sortBy(_._1)
+    def mmView(): Seq[(String, Long, BigDecimal, BigDecimal, BigDecimal)] =
+      Versioned.read(spark, view).collect()
+        .map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_rows"),
+          BigDecimal(r.getAs[java.math.BigDecimal]("sum_amount")).setScale(6),
+          BigDecimal(r.getAs[java.math.BigDecimal]("min_amount")),
+          BigDecimal(r.getAs[java.math.BigDecimal]("max_amount"))))
+        .toSeq.sortBy(_._1)
+
+    assert(mmView() == mmRecompute())
+
+    def applyAndRefresh(batch: DataFrame, budget: Int = 200000): Unit = {
+      Upsert.applyCdc(spark, src, "k", batch)
+      MatView.refresh(spark, view, batch, maxDriverKeys = budget)
+      assert(mmView() == mmRecompute())
+    }
+
+    // 1. delete the CURRENT MAX row of g0 — the runner-up must surface
+    //    (exactly what least/greatest alone cannot do)
+    val g0max = Versioned.read(spark, src).filter($"grp" === "g0")
+      .orderBy($"amount".desc, $"k").select($"k").as[Long].head()
+    applyAndRefresh(Seq((g0max, "", BigDecimal(0), "D"))
+      .toDF("k", "grp", "amount", "op"))
+
+    // 2. an update that LOWERS a group's max in place
+    val g1max = Versioned.read(spark, src).filter($"grp" === "g1")
+      .orderBy($"amount".desc, $"k").select($"k").as[Long].head()
+    applyAndRefresh(Seq((g1max, "g1", BigDecimal(-7.5), "U"))
+      .toDF("k", "grp", "amount", "op"))
+
+    // 3. migration: the min row of g2 moves to a BRAND-NEW group
+    val g2min = Versioned.read(spark, src).filter($"grp" === "g2")
+      .orderBy($"amount".asc, $"k").select($"k").as[Long].head()
+    applyAndRefresh(Seq((g2min, "brandnew", BigDecimal(123.45), "U"))
+      .toDF("k", "grp", "amount", "op"))
+
+    // 4. empty that new group out entirely — it must vanish
+    applyAndRefresh(Seq((g2min, "", BigDecimal(0), "D"))
+      .toDF("k", "grp", "amount", "op"))
+    assert(!mmView().exists(_._1 == "brandnew"))
+
+    // 5. pure inserts extend min/max incrementally (no recompute needed,
+    //    but the result must be identical either way)
+    applyAndRefresh(
+      Seq((90001L, "g3", BigDecimal(99999), "I"),
+        (90002L, "g3", BigDecimal(-99999), "I"))
+        .toDF("k", "grp", "amount", "op"))
+
+    // 6. randomized churn rounds, one forced onto the semi-join regime
+    val rnd = new scala.util.Random(77)
+    for (round <- 1 to 3) {
+      val liveKeys = Versioned.read(spark, src)
+        .select($"k").as[Long].collect().toSeq
+      val dels = rnd.shuffle(liveKeys).take(100).toSet
+      val upds = rnd.shuffle(liveKeys.filterNot(dels)).take(120)
+      val batch =
+        dels.toSeq.map(k => (k, "", BigDecimal(0), "D")) ++
+          upds.map(k => (k, s"g${rnd.nextInt(7)}",
+            BigDecimal(rnd.nextInt(200000) - 100000) / 100, "U")) ++
+          (0 until 60).map(i => (100000L + round * 1000 + i,
+            s"g${rnd.nextInt(7)}", BigDecimal(rnd.nextInt(9999)) / 100, "I"))
+      applyAndRefresh(batch.toDF("k", "grp", "amount", "op"),
+        budget = if (round == 2) 1 else 200000)
+    }
+
+    // replay still no-ops; recreate preserves the min/max definition
+    val vNow = Versioned.currentVersion(spark, view).get
+    assert(MatView.refresh(spark, view,
+      Seq((1L, "g0", BigDecimal(1), "U")).toDF("k", "grp", "amount", "op"))
+      == vNow)
+    MatView.recreate(spark, view)
+    assert(mmView() == mmRecompute())
+    assert(MatView.spec(spark, view).minMaxCols == Seq("amount"))
+  }
+
   test("past the driver-key budget the refresh semi-joins: still recompute-exact") {
     val src = mkSource("budget", 3000)
     val view = s"$root/budget_view"
