@@ -106,7 +106,13 @@ object Compact {
    * No-op (returns the live version) when already at/below target.
    */
   def compactVersion(spark: SparkSession, table: String, keyCol: String,
-                     targetBytes: Long = 128L * 1024 * 1024): Long = {
+                     targetBytes: Long = 128L * 1024 * 1024): Long =
+    Versioned.withWriteRetry() {
+      compactVersionOnce(spark, table, keyCol, targetBytes)
+    }
+
+  private def compactVersionOnce(spark: SparkSession, table: String,
+                                 keyCol: String, targetBytes: Long): Long = {
     import org.apache.spark.sql.functions.col
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
@@ -122,7 +128,7 @@ object Compact {
     val hadBloom = f.exists(new Path(s"$liveDir/_bloom"))
     val hadStats = StatsIndex.exists(spark, liveDir)
     val marker = Versioned.readSchemaMarker(f, liveDir)
-    Versioned.publishWith(spark, table) { newDir =>
+    Versioned.publishFrom(spark, table, live) { newDir =>
       // marker-aware read: mixed pre/post-evolution files null-fill
       // deterministically (compaction then homogenizes the files, but the
       // marker still travels — it is the table's authoritative schema)

@@ -139,7 +139,11 @@ object Forget {
     * one unchanged when no file can contain any key — an idempotent
     * no-op, e.g. a re-submitted deletion request). */
   def purge(spark: SparkSession, table: String, keyCol: String,
-            keys: Seq[Long]): Long = {
+            keys: Seq[Long]): Long =
+    Versioned.withWriteRetry() { purgeOnce(spark, table, keyCol, keys) }
+
+  private def purgeOnce(spark: SparkSession, table: String, keyCol: String,
+                        keys: Seq[Long]): Long = {
     require(keys.nonEmpty, "purge needs a non-empty key set")
     val ks = keys.distinct
     val live = Versioned.currentVersion(spark, table).getOrElse(
@@ -169,7 +173,7 @@ object Forget {
     }
     if (affected.isEmpty) return live
 
-    Versioned.publishWith(spark, table) { newDir =>
+    Versioned.publishFrom(spark, table, live) { newDir =>
       // 1. rewrite the affected files in ONE distributed job (Spark owns
       //    the dir): anti-filter the key set, keep file granularity with a
       //    RANGE repartition + sort — restores sorted, mostly-disjoint

@@ -213,7 +213,14 @@ object MatView {
     * territory, refusing to guess which changes were missed. */
   def refresh(spark: SparkSession, view: String, batch: DataFrame,
               opCol: String = "op",
-              maxDriverKeys: Int = Upsert.MaxDriverKeysDefault): Long = {
+              maxDriverKeys: Int = Upsert.MaxDriverKeysDefault): Long =
+    Versioned.withWriteRetry() {
+      refreshOnce(spark, view, batch, opCol, maxDriverKeys)
+    }
+
+  private def refreshOnce(spark: SparkSession, view: String,
+                          batch: DataFrame, opCol: String,
+                          maxDriverKeys: Int): Long = {
     val s = spec(spark, view)
     val srcLive = Versioned.currentVersion(spark, s.source).getOrElse(
       throw new IllegalStateException(s"no published version at ${s.source}"))
@@ -329,7 +336,7 @@ object MatView {
           merged.join(broadcast(touched), matchCond(merged), "left_anti")
             .unionByName(recomputed)
         }
-      Versioned.publishWith(spark, view) { dir =>
+      Versioned.publishFrom(spark, view, viewLive) { dir =>
         result.write.mode("overwrite").parquet(dir)
         writeSpec(spark, dir, s.copy(synced = srcLive))
       }

@@ -68,9 +68,11 @@ object Upsert {
   def merge(spark: SparkSession, table: String, keyCol: String,
             changes: DataFrame, evolveSchema: Boolean = false,
             maxDriverKeys: Int = MaxDriverKeysDefault): Long =
-    applyChanges(spark, table, keyCol, changes,
-      deletes = emptyKeys(spark, keyCol), nDeletes = 0L,
-      evolveSchema = evolveSchema, maxDriverKeys = maxDriverKeys)
+    Versioned.withWriteRetry() { // re-derives from the new live on conflict
+      applyChanges(spark, table, keyCol, changes,
+        deletes = emptyKeys(spark, keyCol), nDeletes = 0L,
+        evolveSchema = evolveSchema, maxDriverKeys = maxDriverKeys)
+    }
 
   private def emptyKeys(spark: SparkSession, keyCol: String): DataFrame =
     spark.emptyDataset(org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
@@ -128,11 +130,13 @@ object Upsert {
       // never does
       val deletes = batch.filter(col(opCol) === "D")
         .select(col(keyCol).cast("long").as(keyCol))
-      applyChanges(spark, table, keyCol,
-        batch.filter(col(opCol) =!= "D").drop(opCol), deletes,
-        nDeletes = v.getLong(5), batchTag,
-        prevalidated = true, nKeysHint = v.getLong(3),
-        evolveSchema = evolveSchema, maxDriverKeys = maxDriverKeys)
+      Versioned.withWriteRetry() { // re-derive from the new live on conflict
+        applyChanges(spark, table, keyCol,
+          batch.filter(col(opCol) =!= "D").drop(opCol), deletes,
+          nDeletes = v.getLong(5), batchTag,
+          prevalidated = true, nKeysHint = v.getLong(3),
+          evolveSchema = evolveSchema, maxDriverKeys = maxDriverKeys)
+      }
     } finally { if (owned) { batch.unpersist(); () } }
   }
 
@@ -369,7 +373,9 @@ object Upsert {
       // publish here would byte-copy the WHOLE table for nothing
       if (affected.isEmpty && nUpserts == 0L) return live
 
-      Versioned.publishWith(spark, table) { newDir =>
+      // derived from `live`: claims exactly live+1, throwing on a
+      // concurrent commit so the retry wrapper re-derives (OCC)
+      Versioned.publishFrom(spark, table, live) { newDir =>
         // survivors: affected-file rows not named by the changeset, plus
         // the upsert rows, column-aligned to the table's order — read
         // under the OUTPUT schema: affected files may predate an

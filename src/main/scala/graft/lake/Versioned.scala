@@ -14,29 +14,70 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * table) — and any historical version stays readable until vacuumed
  * (time travel).
  *
- * Swap protocol (same tmp/bak discipline as [[Compact]], where Hadoop's
- * no-clobber `rename` forces a two-step): write `_manifest.tmp`, demote the
- * live manifest to `_manifest.bak`, promote tmp, drop bak. A crash between
- * steps leaves either the old manifest or the bak — [[currentVersion]]
- * resolves by falling back to the bak READ-ONLY, never to a half-published
- * version (the new `v=N/` dir without a manifest pointing at it is
- * invisible and simply overwritten by the next publish). Restoring the
- * manifest file itself is [[recover]], invoked only from the write path:
- * a reader that renamed bak back to live would race a concurrent publish's
- * demote→promote window and make its no-clobber promote fail. On HDFS the
- * promote step is atomic; on S3 a production deployment swaps via
- * conditional PUT (If-None-Match) — the layout and reader contract stay
- * identical.
+ * Commit protocol (round 14 — optimistic concurrency): a writer BUILDS
+ * into a private hidden staging dir (`.stage-<uuid>`, completion marker
+ * `_commit_ts` inside), then CLAIMS its version number by
+ * `create("_claims/<N>", overwrite = false)` — atomic-exclusive on local
+ * FS and HDFS (namenode), a conditional PUT on S3 — and only the claim
+ * holder renames the stage to `v=N`. The rename delivers a COMPLETE dir
+ * (marker already inside), so the commit point is one atomic metadata op
+ * and readers never see a half-published version. The `_manifest` is now
+ * a POINTER CACHE: updated best-effort after each commit (monotone-
+ * guarded), while [[currentVersion]] probes FORWARD from it through
+ * committed `v=N+1` dirs — claim exclusivity plus no-skip numbering keep
+ * versions contiguous, so the probe is sound and a crash between rename
+ * and pointer update costs readers one extra existence check, never a
+ * wrong answer. The tmp/bak swap and [[recover]] survive for the cache
+ * file itself.
  *
- * Concurrency contract: ONE writer at a time (publish/recover/vacuum are
- * single-process operations — serialize them externally); any number of
- * concurrent readers.
+ * Concurrency contract: ANY number of concurrent writers. Blind publishes
+ * ([[publish]]/[[publishWith]]) retry internally on a taken version —
+ * their content is version-independent, so the staged data re-claims the
+ * next number without a rebuild. DERIVED publishes ([[publishFrom]] —
+ * merge/purge/compact/cluster/view refresh) claim exactly `base + 1` and
+ * throw [[ConcurrentWriteException]] when it is taken: committing the
+ * derivation under a higher number would silently drop the competitor's
+ * changes (the lost update OCC exists to prevent). Their public entry
+ * points re-derive-and-retry ([[withWriteRetry]]) — first-committer-wins
+ * serializability, Delta's commit semantics on this layout. A crash
+ * BETWEEN claim and rename orphans the claim and blocks that number:
+ * writers fail loudly toward [[healClaims]] (the claim-layer [[recover]];
+ * also run by [[vacuum]]) rather than guess whether the claimant is
+ * alive. Maintenance ops (vacuum/healClaims/recover) remain exclusive —
+ * run them with no writers active.
  *
- * Scale posture: the manifest is one small file read once per query plan;
- * data paths are immutable-once-published, so caches and speculative
- * re-reads stay consistent by construction.
+ * Scale posture: the pointer cache is one small file read once per query
+ * plan (+1 existence probe when a competitor's pointer update is in
+ * flight); data paths are immutable-once-published, so caches and
+ * speculative re-reads stay consistent by construction.
  */
 object Versioned {
+
+  /** A derived publish lost the race for `base + 1`: the table moved
+    * under the writer. Re-derive from the new live version and retry —
+    * [[withWriteRetry]] does exactly that for the DML entry points. */
+  final class ConcurrentWriteException(table: String, version: Long)
+    extends RuntimeException(
+      s"version $version of $table was committed by a concurrent writer " +
+        "(or its claim is orphaned — Versioned.healClaims if no writer is " +
+        "active); re-derive from the new live version and retry")
+
+  /** Re-run `op` on [[ConcurrentWriteException]] — the rebase loop for
+    * derived DML (each attempt re-reads the live version, so re-running
+    * IS the rebase). Gives up after `attempts` (an orphaned claim never
+    * resolves by retrying — heal it). */
+  def withWriteRetry[T](attempts: Int = 5)(op: => T): T = {
+    var left = attempts
+    while (true) {
+      try return op
+      catch {
+        case e: ConcurrentWriteException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -44,6 +85,8 @@ object Versioned {
   private def manifest(table: String) = new Path(s"$table/_manifest")
   private def tmp(table: String) = new Path(s"$table/_manifest.tmp")
   private def bak(table: String) = new Path(s"$table/_manifest.bak")
+  private def claim(table: String, v: Long) =
+    new Path(s"$table/_claims/$v")
 
   /** Read a small metadata file to EOF as a trimmed UTF-8 string; None when
     * absent or empty. The ONE reader every pointer file goes through
@@ -64,14 +107,50 @@ object Versioned {
       } finally in.close()
     }
 
-  private def readVersionFile(f: FileSystem, p: Path): Option[Long] =
-    readSmallFile(f, p).map(_.toLong)
+  // Pointer-file read, resilient to the LOCAL checksum FS's non-atomic
+  // file+crc rename pair: a reader racing a pointer update can observe a
+  // fresh `_manifest` beside a stale `.crc` for a moment — retry briefly,
+  // then treat as unreadable (bak fallback / probe-forward cover it; the
+  // pointer is a cache). HDFS/S3 have no crc sidecars — local-FS-only
+  // hazard. A non-numeric husk also reads as unreadable (recover() heals).
+  private def readVersionFile(f: FileSystem, p: Path): Option[Long] = {
+    var attempts = 3
+    while (attempts > 0) {
+      try return readSmallFile(f, p).flatMap(_.toLongOption)
+      catch {
+        case _: org.apache.hadoop.fs.ChecksumException =>
+          attempts -= 1
+          if (attempts > 0) Thread.sleep(10)
+      }
+    }
+    None
+  }
 
-  /** The live version — manifest, falling back (read-only) to the bak a
-    * crashed swap may have left. None when never published. */
+  // serialize same-JVM pointer-cache updates (a Spark driver's concurrent
+  // writers): the tmp/bak/promote dance interleaved from two threads can
+  // strand a stale crc sidecar on the local FS. Cross-process writers are
+  // covered by the commit protocol itself (the pointer is only a cache).
+  private val pointerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def pointerLock(f: FileSystem, table: String): Object =
+    pointerLocks.computeIfAbsent(
+      f.makeQualified(new Path(table)).toString, _ => new Object)
+
+  /** The live version: the pointer cache (manifest, falling back
+    * read-only to the bak a crashed swap may have left), probed FORWARD
+    * through committed `v=N+1` dirs — a commit whose pointer update was
+    * lost (crash, racing writers) is still found, because claim
+    * exclusivity + no-skip numbering keep committed versions contiguous.
+    * None when never published. */
   def currentVersion(spark: SparkSession, table: String): Option[Long] = {
     val f = fs(spark, table)
-    readVersionFile(f, manifest(table)).orElse(readVersionFile(f, bak(table)))
+    readVersionFile(f, manifest(table))
+      .orElse(readVersionFile(f, bak(table)))
+      .map { base =>
+        var v = base
+        while (f.exists(new Path(s"$table/v=${v + 1}/_commit_ts"))) v += 1
+        v
+      }
   }
 
   /** Finish an interrupted swap: promote the bak back to live. Write-path
@@ -82,11 +161,14 @@ object Versioned {
     * versioning at 1 and destroy the only good pointer. */
   def recover(spark: SparkSession, table: String): Option[Long] = {
     val f = fs(spark, table)
-    if (readVersionFile(f, manifest(table)).isEmpty && f.exists(bak(table))) {
-      f.delete(manifest(table), false) // drop the unreadable husk, if any
-      f.rename(bak(table), manifest(table))
+    pointerLock(f, table).synchronized {
+      if (readVersionFile(f, manifest(table)).isEmpty &&
+          f.exists(bak(table))) {
+        f.delete(manifest(table), false) // drop the unreadable husk, if any
+        f.rename(bak(table), manifest(table))
+      }
+      readVersionFile(f, manifest(table))
     }
-    readVersionFile(f, manifest(table))
   }
 
   /** All published version dirs, ascending (includes pre-vacuum history). */
@@ -101,51 +183,173 @@ object Versioned {
   }
 
   /** Publish `df` as the next version; returns the new version number.
-    * The data dir is complete before the manifest swap exposes it. */
+    * The data dir is complete before the commit exposes it. Retries the
+    * rare transient conflict (a competitor mid-commit) by rebuilding. */
   def publish(df: DataFrame, table: String): Long =
-    publishWith(df.sparkSession, table) { dir =>
-      df.write.mode("overwrite").parquet(dir)
+    withWriteRetry() {
+      publishWith(df.sparkSession, table) { dir =>
+        df.write.mode("overwrite").parquet(dir)
+      }
     }
 
   /** Publish a version whose data dir is COMPOSED by `build` (e.g.
     * [[Forget]]'s mix of byte-copied untouched files and rewritten
     * affected files) rather than written from one DataFrame. `build`
-    * receives the new version dir path and must leave it complete; only
-    * then does the manifest swap expose it. Same single-writer contract
-    * as [[publish]]. */
+    * receives the new (staged) dir path and must leave it complete; only
+    * then does the claim + rename expose it. BLIND-publish semantics: the
+    * content must not depend on the live version — on a taken number the
+    * SAME staged data re-claims the next one (no rebuild). Derived
+    * content goes through [[publishFrom]]. */
   def publishWith(spark: SparkSession, table: String)
-                 (build: String => Unit): Long = {
+                 (build: String => Unit): Long =
+    staged(spark, table, build) { (f, stage) =>
+      recover(spark, table) // heal a crashed pointer swap (write path only)
+      // Double pointer loss (manifest AND bak unreadable) with version
+      // dirs still on disk must not rewind the counter to 1 — that would
+      // overwrite v=1, which versions()/time travel still expose. Seed
+      // past the highest dir instead.
+      var next = currentVersion(spark, table)
+        .orElse(versions(spark, table).lastOption).getOrElse(0L) + 1
+      var attempts = 0
+      while (true) {
+        if (commitStage(f, table, stage, next)) return next
+        // taken: by a COMMITTED competitor (re-read live, go past it) —
+        // never by an orphaned claim, which commitStage throws on
+        attempts += 1
+        require(attempts < 1024, s"publish livelock on $table at v$next")
+        next = math.max(next + 1,
+          currentVersion(spark, table).getOrElse(0L) + 1)
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+  /** Publish a version DERIVED from `base` (a merge/purge/compact/cluster
+    * computed against the live version the caller read): claims exactly
+    * `base + 1`, throwing [[ConcurrentWriteException]] when it is taken —
+    * committing under a higher number would silently drop the
+    * competitor's changes. Entry points wrap the whole derivation in
+    * [[withWriteRetry]], so a conflict re-derives against the new live
+    * version (first-committer-wins serializability). */
+  def publishFrom(spark: SparkSession, table: String, base: Long)
+                 (build: String => Unit): Long =
+    staged(spark, table, build) { (f, stage) =>
+      recover(spark, table)
+      if (!commitStage(f, table, stage, base + 1))
+        throw new ConcurrentWriteException(table, base + 1)
+      base + 1
+    }
+
+  // build into a private hidden stage dir, hand it to the commit logic,
+  // clean the stage on any failure path (success renames it away)
+  private def staged(spark: SparkSession, table: String,
+                     build: String => Unit)
+                    (commit: (FileSystem, Path) => Long): Long = {
     val f = fs(spark, table)
-    // single-writer path: safe to heal a predecessor's interrupted swap here
-    // Double pointer loss (manifest AND bak unreadable) with version dirs
-    // still on disk must not rewind the counter to 1 — that would overwrite
-    // v=1, which versions()/time travel still expose. Seed past the highest
-    // dir instead; if that dir was a half-written crash leftover this skips
-    // one version number, which is harmless.
-    val next = recover(spark, table)
-      .orElse(versions(spark, table).lastOption).getOrElse(0L) + 1
-    // clear a half-written dir from a publish that crashed before its swap
-    // (that version number was never exposed, so deleting it is safe)
-    f.delete(new Path(s"$table/v=$next"), true)
-    build(s"$table/v=$next")
-    // commit timestamp INSIDE the version dir (appears atomically with the
-    // data at the manifest swap — an object-store-honest commit log with no
-    // append dependency): the [[readAsOf]] timestamp-travel handle
-    val ts = f.create(new Path(s"$table/v=$next/_commit_ts"), true)
+    val stage =
+      new Path(s"$table/.stage-${java.util.UUID.randomUUID.toString}")
+    try {
+      build(stage.toString)
+      commit(f, stage)
+    } finally {
+      if (f.exists(stage)) { f.delete(stage, true); () }
+    }
+  }
+
+  /** One commit attempt of a COMPLETE stage dir as `v=next`. True = won.
+    * False = `next` is committed by a competitor (blind publishes move
+    * on). Throws [[ConcurrentWriteException]] on an ORPHANED claim (claim
+    * file without a committed dir — a claimant crashed mid-commit, or is
+    * mid-rename right now): no-skip numbering keeps versions contiguous,
+    * so the number stays blocked until [[healClaims]]. */
+  private def commitStage(f: FileSystem, table: String, stage: Path,
+                          next: Long): Boolean = {
+    // commit timestamp INSIDE the stage (refreshed per attempt so commit
+    // times track commit order, not stage-build order): the rename below
+    // delivers the version dir atomically COMPLETE — marker included
+    val ts = f.create(new Path(stage, "_commit_ts"), true)
     try ts.write(System.currentTimeMillis().toString
       .getBytes(StandardCharsets.UTF_8))
     finally ts.close()
-    val out = f.create(tmp(table), true)
-    try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (f.exists(manifest(table))) {
-      f.delete(bak(table), false)
-      f.rename(manifest(table), bak(table))
+    val dest = new Path(s"$table/v=$next")
+    val committed = new Path(dest, "_commit_ts")
+    // already committed under this number (its claim may have been pruned
+    // by a later vacuum/healClaims): plain conflict, do NOT claim — a
+    // "won" claim here would rename INTO the committed dir
+    if (f.exists(committed)) return false
+    try {
+      val out = f.create(claim(table, next), false) // atomic-exclusive
+      out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        // the claimant is either committed, mid-rename (give it a beat),
+        // or dead (orphan — blocked toward healClaims)
+        var waits = 0
+        while (waits < 10) {
+          if (f.exists(committed)) return false
+          Thread.sleep(50)
+          waits += 1
+        }
+        throw new ConcurrentWriteException(table, next)
     }
-    require(f.rename(tmp(table), manifest(table)),
-      s"manifest promote failed for $table v$next")
-    f.delete(bak(table), false)
-    next
+    // we own v=next. A pre-OCC crash can have left a half-built dir under
+    // this number (never exposed — its publish died before the swap):
+    // clear it so the rename lands clean instead of moving INTO it.
+    if (f.exists(dest) && !f.exists(committed))
+      f.delete(dest, true)
+    require(f.rename(stage, dest), s"commit rename failed: $stage -> $dest")
+    // local-FS/HDFS rename moves INTO an existing dest dir instead of
+    // failing; under claim exclusivity dest cannot exist, but verify — a
+    // silent move-into would corrupt the competitor's committed version
+    val movedInto = new Path(dest, stage.getName)
+    if (f.exists(movedInto)) {
+      f.delete(movedInto, true) // un-pollute the winner's dir
+      throw new IllegalStateException(
+        s"commit rename moved the stage INTO $dest — claim exclusivity " +
+          "violated (healClaims run against a live writer?)")
+    }
+    updatePointer(f, table, next)
+    true
+  }
+
+  // the pointer file is a CACHE (readers probe forward): update it
+  // best-effort with a monotone guard, never fail a committed publish
+  // over it
+  private def updatePointer(f: FileSystem, table: String,
+                            next: Long): Unit =
+    pointerLock(f, table).synchronized {
+      try {
+        if (readVersionFile(f, manifest(table)).exists(_ >= next)) return
+        val out = f.create(tmp(table), true)
+        try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        if (f.exists(manifest(table))) {
+          f.delete(bak(table), false)
+          f.rename(manifest(table), bak(table))
+        }
+        if (!f.rename(tmp(table), manifest(table)))
+          f.delete(tmp(table), false) // competitor promoted first — fine
+        f.delete(bak(table), false)
+        ()
+      } catch { case _: java.io.IOException => () }
+    }
+
+  /** Claim-layer [[recover]]: drop every `_claims/` entry. Any claim is
+    * either SERVED (its version dir committed — the claim only serializes
+    * the commit) or ORPHANED by a crash between claim and rename; with no
+    * writer active both are safe to clear, and orphans must be, or their
+    * number blocks writers forever. EXCLUSIVE maintenance — run with no
+    * writers active (a live claimant healed away would race its own
+    * commit; the move-into verify in the commit path catches even that,
+    * loudly). Also run by [[vacuum]]. Returns the number of claims
+    * cleared. */
+  def healClaims(spark: SparkSession, table: String): Int = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/_claims")
+    if (!f.exists(dir)) return 0
+    val n = f.listStatus(dir).length
+    f.delete(dir, true)
+    n
   }
 
   /** Read the live snapshot. */
@@ -292,6 +496,12 @@ object Versioned {
   def vacuum(spark: SparkSession, table: String, keep: Int = 1): Seq[Long] = {
     val f = fs(spark, table)
     val live = currentVersion(spark, table).getOrElse(return Seq.empty)
+    // vacuum is exclusive maintenance: clear served/orphaned claims and
+    // crashed writers' stage dirs alongside the old versions
+    healClaims(spark, table)
+    f.listStatus(new Path(table)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))
+      .foreach(s => f.delete(s.getPath, true))
     val pinned = clonePinnedVersions(spark, table)
     val dropped = versions(spark, table)
       .filter(v => v < live - keep && !pinned.contains(v))

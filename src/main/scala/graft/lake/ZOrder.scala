@@ -107,7 +107,14 @@ object ZOrder {
     * DML contract). */
   def cluster(spark: SparkSession, table: String, zCols: Seq[String],
               keyCol: String,
-              targetBytes: Long = 128L * 1024 * 1024): Long = {
+              targetBytes: Long = 128L * 1024 * 1024): Long =
+    Versioned.withWriteRetry() {
+      clusterOnce(spark, table, zCols, keyCol, targetBytes)
+    }
+
+  private def clusterOnce(spark: SparkSession, table: String,
+                          zCols: Seq[String], keyCol: String,
+                          targetBytes: Long): Long = {
     require(zCols.size >= 2 && zCols.size <= 4,
       s"z-order interleaves 2-4 columns, got ${zCols.size}")
     val live = Versioned.currentVersion(spark, table).getOrElse(
@@ -143,7 +150,7 @@ object ZOrder {
     val z = zValue(zCols.zip(spans).map { case (c, (lo, hi)) =>
       bucket(col(c).cast("long"), lo, hi, bits)
     }, bits)
-    Versioned.publishWith(spark, table) { newDir =>
+    Versioned.publishFrom(spark, table, live) { newDir =>
       df.withColumn("_graft_z", z)
         .repartitionByRange(want, col("_graft_z"))
         .sortWithinPartitions(col("_graft_z"))

@@ -1,0 +1,165 @@
+package graft.lake
+
+import java.nio.file.Files
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import graft.SparkSpec
+
+/**
+ * Optimistic concurrency ([[Versioned]] claim-commit protocol): concurrent
+ * blind publishes all land under distinct contiguous versions; concurrent
+ * MERGES on one table never lose an update (first-committer-wins, losers
+ * re-derive); a derived publish against a stale base rejects; a lost
+ * pointer update is invisible to readers (probe-forward); orphaned claims
+ * block loudly and [[Versioned.healClaims]] restores liveness.
+ */
+class OccSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-occ").toString
+
+  private def pool(n: Int) =
+    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(n))
+
+  test("concurrent blind publishes: distinct contiguous versions, no loss") {
+    val t = s"$root/blind"
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService = pool(2)
+    try {
+      val writers = (1 to 2).map { w =>
+        Future {
+          (1 to 8).map { i =>
+            Versioned.publish(
+              Seq((w.toLong, i.toLong)).toDF("writer", "round"), t)
+          }
+        }
+      }
+      val versions = Await.result(Future.sequence(writers), 5.minutes).flatten
+      assert(versions.toSet.size == 16, s"duplicate version won twice: " +
+        versions.sorted.mkString(","))
+      assert(versions.toSet == (1L to 16L).toSet,
+        s"non-contiguous: ${versions.sorted.mkString(",")}")
+      assert(Versioned.currentVersion(spark, t).contains(16L))
+      // every committed version is complete and readable
+      (1L to 16L).foreach { v =>
+        assert(Versioned.readVersion(spark, t, v).count() == 1L)
+      }
+    } finally ec.shutdown()
+  }
+
+  test("concurrent merges never lose an update (the OCC point)") {
+    val t = s"$root/merges"
+    Forget.publishIndexed(
+      (0L until 2000L).map(k => (k, 0L)).toDF("k", "touched"),
+      t, nFiles = 8, keyCol = "k", stats = true)
+    // two writers each apply 6 merges on DISJOINT key ranges; under the
+    // old last-wins manifest every interleaved pair could drop one side
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService = pool(2)
+    try {
+      val writers = (0 to 1).map { w =>
+        Future {
+          (1 to 6).foreach { round =>
+            val lo = w * 1000 + (round - 1) * 100
+            val changes = (lo until lo + 100)
+              .map(k => (k.toLong, (w + 1) * 1000L + round))
+              .toDF("k", "touched")
+            // outer patience on top of merge's built-in retry: under
+            // deliberate six-round contention a writer may lose more
+            // consecutive races than the default allows
+            Versioned.withWriteRetry(10) {
+              Upsert.merge(spark, t, "k", changes)
+            }
+          }
+        }
+      }
+      Await.result(Future.sequence(writers), 5.minutes)
+      val after = Versioned.read(spark, t)
+      // ALL 1200 touched rows carry their writer's stamp — nothing lost
+      assert(after.filter($"touched" > 0L).count() == 1200L)
+      (0 to 1).foreach { w =>
+        (1 to 6).foreach { round =>
+          val lo = w * 1000 + (round - 1) * 100
+          val got = after
+            .filter($"k" >= lo.toLong && $"k" < (lo + 100).toLong)
+            .select($"touched").distinct().as[Long].collect().toSeq
+          assert(got == Seq((w + 1) * 1000L + round),
+            s"writer $w round $round lost: $got")
+        }
+      }
+      // versions are contiguous: 1 (seed) + 12 merges
+      assert(Versioned.currentVersion(spark, t).contains(13L))
+      assert(Versioned.versions(spark, t) == (1L to 13L))
+      // and the change feed bridges the whole history (no gaps)
+      assert(Cdf.changesSince(spark, t, 1L).count() == 1200L)
+    } finally ec.shutdown()
+  }
+
+  test("a derived publish against a stale base rejects; blind moves on") {
+    val t = s"$root/stale"
+    Versioned.publish(Seq((1L, "a")).toDF("k", "v"), t)
+    Versioned.publish(Seq((2L, "b")).toDF("k", "v"), t) // live = 2
+    intercept[Versioned.ConcurrentWriteException] {
+      Versioned.publishFrom(spark, t, base = 1L) { dir =>
+        Seq((9L, "stale")).toDF("k", "v").write.parquet(dir)
+      }
+    }
+    // nothing half-published: live still 2, no v=3, no stage leftovers
+    assert(Versioned.currentVersion(spark, t).contains(2L))
+    assert(Versioned.versions(spark, t) == Seq(1L, 2L))
+    // blind publish keeps working and lands at 3
+    assert(Versioned.publish(Seq((3L, "c")).toDF("k", "v"), t) == 3L)
+  }
+
+  test("lost pointer update: readers probe forward, writers continue") {
+    val t = s"$root/probe"
+    Versioned.publish(Seq((1L, "a")).toDF("k", "v"), t)
+    Versioned.publish(Seq((2L, "b")).toDF("k", "v"), t)
+    // simulate a crash between commit-rename and pointer update: wind the
+    // pointer cache back to 1 by hand
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(s"$t/_manifest")
+    f.delete(m, false)
+    val out = f.create(m, true)
+    out.write("1".getBytes); out.close()
+    // reader sees v=2 anyway (contiguity + _commit_ts probe)
+    assert(Versioned.currentVersion(spark, t).contains(2L))
+    assert(Versioned.read(spark, t).select($"v").as[String].head() == "b")
+    // next publish claims 3, not 2
+    assert(Versioned.publish(Seq((3L, "c")).toDF("k", "v"), t) == 3L)
+    assert(Versioned.versions(spark, t) == Seq(1L, 2L, 3L))
+  }
+
+  test("orphaned claim blocks loudly; healClaims restores liveness") {
+    val t = s"$root/orphan"
+    Versioned.publish(Seq((1L, "a")).toDF("k", "v"), t)
+    // a claimant that died between claim and rename
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(s"$t/_claims/2")
+    val out = f.create(orphan, false)
+    out.close()
+    val e = intercept[Versioned.ConcurrentWriteException] {
+      Upsert.merge(spark, t, "k", Seq((1L, "blocked")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("healClaims"))
+    assert(Versioned.currentVersion(spark, t).contains(1L),
+      "a blocked merge must not publish anything")
+    // clears the orphan AND v=1's served claim (claims persist until
+    // healClaims/vacuum — they only serialize commits)
+    assert(Versioned.healClaims(spark, t) == 2)
+    assert(Upsert.merge(spark, t, "k",
+      Seq((1L, "unblocked")).toDF("k", "v")) == 2L)
+    assert(Versioned.read(spark, t).select($"v").as[String].head()
+      == "unblocked")
+    // vacuum also clears the claim layer + crashed stages
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$t/.stage-deadbeef"))
+    Versioned.publish(Seq((9L, "z")).toDF("k", "v"), t)
+    Versioned.vacuum(spark, t, keep = 0)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$t/.stage-deadbeef")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$t/_claims")))
+  }
+}
