@@ -61,6 +61,9 @@ object Clone {
   def shallow(spark: SparkSession, src: String, dst: String): Long = {
     val srcV = Versioned.currentVersion(spark, src).getOrElse(
       throw new IllegalStateException(s"no published version at $src"))
+    require(!Dv.hasVector(spark, src, srcV),
+      s"$src v$srcV carries a deletion vector — a ref-only clone would " +
+        "resurrect the deleted rows; Clone.materialize the source first")
     // resolve through any existing ref so the pointer is always one hop
     val dataDir = Versioned.dataDir(spark, src, srcV)
     require(new Path(dataDir).isAbsolute,
@@ -71,12 +74,7 @@ object Clone {
     // ([[Versioned.vacuum]] calls [[releasePin]] for refs no surviving
     // version names). Re-cloning the same (dst, dataDir) just rewrites
     // the same pin file.
-    val owner = new Path(dataDir).getParent
-    val f = owner.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pin = f.create(
-      new Path(s"$owner/_clones/${pinName(dst, dataDir)}"), true)
-    try pin.write(s"$dataDir\n$dst".getBytes(StandardCharsets.UTF_8))
-    finally pin.close()
+    pin(spark, dataDir, dst)
     Versioned.publishWith(spark, dst) { dir =>
       val fd = new Path(dir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
@@ -85,6 +83,20 @@ object Clone {
       try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
+  }
+
+  /** Register `dst`'s pin on `dataDir` at the dir's owning table —
+    * write-before-publish (see [[shallow]]'s ordering argument). Shared
+    * with [[Dv.purge]], whose ref versions pin their own table's data
+    * dir through exactly this mechanism. */
+  private[lake] def pin(spark: SparkSession, dataDir: String,
+                        dst: String): Unit = {
+    val owner = new Path(dataDir).getParent
+    val f = owner.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(
+      new Path(s"$owner/_clones/${pinName(dst, dataDir)}"), true)
+    try out.write(s"$dataDir\n$dst".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Release the ONE pin `dst` holds on `refDir` (at refDir's owning

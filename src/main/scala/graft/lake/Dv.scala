@@ -1,0 +1,177 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deletion vectors — Delta's DV story on this layout: a delete that
+ * rewrites NO data file. [[Forget.purge]] rewrites every index-admitted
+ * file (touched-fraction cost); at 100 TB even that is hours of parquet
+ * encode for a deletion request naming a handful of users. [[purge]] here
+ * publishes a ZERO-COPY version instead:
+ *
+ *  - `_ref` points at the live version's data dir (the shallow-clone
+ *    pointer — [[Versioned.dataDir]] resolves it transparently, and the
+ *    referenced dir is PINNED against vacuum by the same `_clones/`
+ *    back-pointer machinery [[Clone]] uses);
+ *  - `_dv/` is a deletion-sized parquet of (file, row_index) pairs — the
+ *    rows this version considers deleted (CUMULATIVE: a re-purge on a DV
+ *    version unions into it, so every version dir is self-describing and
+ *    time travel needs no replay);
+ *  - `_changes` records the deletions, so the change feed and replica
+ *    sync see a DV purge exactly like a rewriting one.
+ *
+ * Reads: [[Versioned.readVersion]] (and so [[Versioned.read]], time
+ * travel, [[Upsert.diff]], [[MatView]], SQL views, Cdf seeds) anti-join
+ * the scan against the version's vector on the parquet metadata columns
+ * (`_metadata.file_name`, `_metadata.row_index`) — a broadcast anti-join
+ * against a deletion-sized set, no data rewrite ever. Row indexes are
+ * stable per immutable parquet file, which the versioned layout
+ * guarantees.
+ *
+ * Write cost: ONE column-pruned scan of the index-admitted files to
+ * locate victim row indexes + one metadata-sized parquet write + the
+ * pointer files. Nothing else moves.
+ *
+ * Materialization: a DV version is a shallow ref, so every file-targeted
+ * DML op already REJECTS it loudly toward [[Clone.materialize]] — which
+ * reads through [[Versioned.readVersion]] and therefore applies the
+ * vector while copying: materialize IS the DV compactor. After it, DML
+ * proceeds on real files with the deleted rows physically gone.
+ *
+ * COMPLIANCE NOTE (same as [[Forget.purge]], one step stronger): a DV
+ * delete is logical until materialize + vacuum remove the referenced
+ * data dir; a deletion-SLA deployment runs purge → materialize →
+ * vacuum(keep = 0) inside its window. Dir-level scan utilities that take
+ * RAW data-dir paths ([[TokenBloom.search]], [[ZOrder.readBox]],
+ * [[StatsIndex.readRange]]) read the data dir beneath the vector and so
+ * see pre-delete rows — materialize before relying on them against a
+ * DV'd table (the advisory-index posture: never wrong through
+ * [[Versioned]] readers, stale only through raw-dir utilities).
+ */
+object Dv {
+
+  private[lake] def dvDir(versionDir: String) = s"$versionDir/_dv"
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Does version `v` of `table` carry a deletion vector? */
+  def hasVector(spark: SparkSession, table: String, v: Long): Boolean =
+    fs(spark, table).exists(new Path(dvDir(s"$table/v=$v")))
+
+  /** Deleted (file, row_index) count of version `v` (0 = no vector). */
+  def deletedRows(spark: SparkSession, table: String, v: Long): Long =
+    if (!hasVector(spark, table, v)) 0L
+    else spark.read.parquet(dvDir(s"$table/v=$v")).count()
+
+  /** Apply version `v`'s deletion vector to a frame READ FROM ITS DATA
+    * DIR (the frame must still expose the parquet `_metadata` column —
+    * i.e. be the raw scan, before projections). No-op without a vector. */
+  private[lake] def applyVector(spark: SparkSession, table: String, v: Long,
+                                df: DataFrame): DataFrame = {
+    if (!hasVector(spark, table, v)) return df
+    val dv = spark.read.parquet(dvDir(s"$table/v=$v"))
+      .withColumnRenamed("file", "_graft_dv_file")
+      .withColumnRenamed("row_index", "_graft_dv_ri")
+    val keyed = df
+      .withColumn("_graft_dv_file", col("_metadata.file_name"))
+      .withColumn("_graft_dv_ri", col("_metadata.row_index"))
+    keyed.join(broadcast(dv), Seq("_graft_dv_file", "_graft_dv_ri"),
+        "left_anti")
+      .drop("_graft_dv_file", "_graft_dv_ri")
+  }
+
+  /** Zero-copy delete: every row whose `keyCol` is in `keys` becomes
+    * invisible behind a new version that REWRITES NOTHING — `_ref` to the
+    * live data dir + a deletion-vector sidecar. Key-set dial as
+    * [[Forget.purge]] (a deletion request: driver-resident). Idempotent:
+    * keys no live row matches publish nothing (returns the live version).
+    * Works on an already-DV'd live version (vectors accumulate — refs
+    * never chain, both versions share one data dir). Returns the live
+    * version. */
+  def purge(spark: SparkSession, table: String, keyCol: String,
+            keys: Seq[Long]): Long =
+    Versioned.withWriteRetry() { purgeOnce(spark, table, keyCol, keys) }
+
+  private def purgeOnce(spark: SparkSession, table: String, keyCol: String,
+                        keys: Seq[Long]): Long = {
+    require(keys.nonEmpty, "purge needs a non-empty key set")
+    val ks = keys.distinct
+    val live = Versioned.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    val liveVDir = s"$table/v=$live"
+    val dataDir = Versioned.dataDir(spark, table, live) // one hop, always
+    val f = fs(spark, table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // admission: same Bloom + stats/footer intersection as Forget.purge,
+    // over the DATA dir (the sidecars live beside the data)
+    val parts = f.listStatus(new Path(dataDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+    val stats = StatsIndex.load(spark, dataDir)
+    val admitted = parts.filter { p =>
+      BloomIndex.mightContainAny(f, dataDir, p.getName, ks) &&
+        (stats.flatMap(_.get(p.getName)) match {
+          case Some(st) => st.admitsAny(ks)
+          case None => Forget.rangeAdmitsAny(conf, p, keyCol, ks)
+        })
+    }
+    if (admitted.isEmpty) return live // no file can hold any key: no-op
+
+    // victim locations: ONE column-pruned scan of the admitted files.
+    // Prior-vector rows are excluded so the count below means NEW deletes
+    // (re-deleting an already-deleted key stays a no-op).
+    val prior =
+      if (hasVector(spark, table, live))
+        spark.read.parquet(dvDir(liveVDir))
+      else spark.emptyDataset(org.apache.spark.sql.Encoders.product[(String, Long)])
+        .toDF("file", "row_index")
+    val schemaed = Versioned.readFiles(spark, dataDir,
+      admitted.map(_.toString))
+    val victims = schemaed
+      .select(col("_metadata.file_name").as("file"),
+        col("_metadata.row_index").as("row_index"),
+        col(keyCol).cast("long").as("_k"))
+      .filter(col("_k").isin(ks: _*))
+      .select(col("file"), col("row_index"))
+      .join(broadcast(prior), Seq("file", "row_index"), "left_anti")
+    victims.persist()
+    try {
+      if (victims.isEmpty) return live // all named rows already deleted/absent
+      val nNew = victims.count()
+      // pin the shared data dir BEFORE publishing the ref (Clone.shallow's
+      // ordering argument: an orphaned pin blocks reclaim loudly, a
+      // missing pin breaks reads silently)
+      Clone.pin(spark, dataDir, table)
+      Versioned.publishFrom(spark, table, live) { dir =>
+        val fd = fs(spark, dir)
+        fd.mkdirs(new Path(dir))
+        val out = fd.create(new Path(s"$dir/_ref"), true)
+        try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        // cumulative vector: prior ∪ new — each version self-describing
+        prior.unionByName(victims)
+          .coalesce(math.max(1, (nNew / 4000000L).toInt + 1))
+          .write.mode("overwrite").parquet(dvDir(dir))
+        // replay-dedup tag + change feed ride along like every DML
+        val tag = new Path(s"$liveVDir/_cdc_batch")
+        if (f.exists(tag))
+          org.apache.hadoop.fs.FileUtil.copy(
+            f, tag, f, new Path(s"$dir/_cdc_batch"), false, true, conf)
+        val schema = Versioned.readSchemaMarker(f, dataDir)
+          .getOrElse(spark.read.parquet(dataDir).schema)
+        Cdf.record(spark, dir, schema, keyCol,
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          upsertRows = 0L,
+          deletes = spark.createDataset(ks)(
+            org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol),
+          deleteRows = ks.size.toLong)
+      }
+    } finally { victims.unpersist(); () }
+  }
+}

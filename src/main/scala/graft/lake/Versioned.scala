@@ -360,9 +360,15 @@ object Versioned {
   }
 
   /** Time travel: read a specific published version — under the version's
-    * schema marker when it carries one (see [[readSchemaMarker]]). */
+    * schema marker when it carries one (see [[readSchemaMarker]]), minus
+    * the version's deletion vector when it carries one ([[Dv]]): a
+    * zero-copy purge's version reads its shared data dir through a
+    * broadcast anti-join on the parquet metadata columns, so EVERY
+    * Versioned reader (live reads, time travel, diff, views, SQL) sees
+    * deletes without any file rewrite. */
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame =
-    readDataDir(spark, dataDir(spark, table, v))
+    Dv.applyVector(spark, table, v,
+      readDataDir(spark, dataDir(spark, table, v)))
 
   /** Read a version DATA dir, honoring its `_table_schema` marker. Once a
     * table has schema-evolved ([[Upsert]] `evolveSchema=true`), its version
