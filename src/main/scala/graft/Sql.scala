@@ -55,13 +55,11 @@ object Sql {
     Versioned.readVersion(spark, table, version).createOrReplaceTempView(name)
 
   /** `TIMESTAMP AS OF`: register the newest version committed at or before
-    * `tsMillis` ([[Versioned.readAsOf]]). Returns the resolved version. */
+    * `tsMillis` ([[Versioned.versionAsOf]] — the same resolution
+    * `readAsOf` uses). Returns the resolved version. */
   def registerAsOfTimestamp(spark: SparkSession, name: String, table: String,
                             tsMillis: Long): Long = {
-    val at = Versioned.commitTimes(spark, table).filter(_._2 <= tsMillis)
-    require(at.nonEmpty,
-      s"no version of $table committed at or before $tsMillis")
-    val v = at.map(_._1).max
+    val v = Versioned.versionAsOf(spark, table, tsMillis)
     registerAsOf(spark, name, table, v)
     v
   }

@@ -144,10 +144,44 @@ object Dv {
       if (victims.isEmpty) return live // all named rows already deleted/absent
       val nNew = victims.count()
       // pin the shared data dir BEFORE publishing the ref (Clone.shallow's
-      // ordering argument: an orphaned pin blocks reclaim loudly, a
-      // missing pin breaks reads silently)
+      // ordering argument: an orphaned pin blocks reclaim, a missing pin
+      // breaks reads silently). An OCC conflict below is a NORMAL path —
+      // release the pin on the way out unless some existing version still
+      // references the dir (a prior DV version, a concurrent purge that
+      // won the race), or the retry's abandoned pin would silently exempt
+      // the pre-delete data from every future vacuum.
       Clone.pin(spark, dataDir, table)
-      Versioned.publishFrom(spark, table, live) { dir =>
+      try publishPurge(spark, table, live, liveVDir, dataDir, keyCol, ks,
+        prior, victims, nNew, f, conf)
+      catch {
+        case e: Versioned.ConcurrentWriteException =>
+          if (!refStillHeld(spark, table, dataDir))
+            Clone.releasePin(spark, dataDir, table)
+          throw e
+      }
+    } finally { victims.unpersist(); () }
+  }
+
+  // does ANY existing version of `table` still reference `dataDir`?
+  // (path-qualified — the vacuum-side comparisons use the same rule)
+  private def refStillHeld(spark: SparkSession, table: String,
+                           dataDir: String): Boolean = {
+    val f = fs(spark, table)
+    val q = f.makeQualified(new Path(dataDir)).toString
+    Versioned.versions(spark, table).exists { v =>
+      Versioned.readSmallFile(f, new Path(s"$table/v=$v/_ref"))
+        .exists(r => f.makeQualified(new Path(r)).toString == q)
+    }
+  }
+
+  private def publishPurge(spark: SparkSession, table: String, live: Long,
+                           liveVDir: String, dataDir: String,
+                           keyCol: String, ks: Seq[Long],
+                           prior: DataFrame, victims: DataFrame,
+                           nNew: Long, f: org.apache.hadoop.fs.FileSystem,
+                           conf: org.apache.hadoop.conf.Configuration)
+      : Long =
+    Versioned.publishFrom(spark, table, live) { dir =>
         val fd = fs(spark, dir)
         fd.mkdirs(new Path(dir))
         val out = fd.create(new Path(s"$dir/_ref"), true)
@@ -172,6 +206,4 @@ object Dv {
             org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol),
           deleteRows = ks.size.toLong)
       }
-    } finally { victims.unpersist(); () }
-  }
 }

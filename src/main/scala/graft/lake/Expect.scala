@@ -181,7 +181,7 @@ object Expect {
           evolveSchema)
       mode match {
         case Mode.Fail =>
-          failIfBad(bad, counts, "merge")
+          failIfBad(bad, counts, "CDC apply")
           Report(Some(applyAll(batch)), total, 0L, counts)
         case Mode.Warn =>
           Report(Some(applyAll(batch)), total, 0L, counts)

@@ -162,7 +162,10 @@ object MatView {
 
   /** Old source rows for `keys`, read from the PRE-batch version's data
     * dir pruned by the same Bloom sidecar + stats-manifest (footer
-    * fallback) admission [[Upsert]] uses — touched-fraction cost. */
+    * fallback) admission [[Upsert]] uses — touched-fraction cost. MINUS
+    * the pre-batch version's deletion vector ([[Dv.applyVector]]): a row
+    * a prior zero-copy purge already hid is physically present in the
+    * shared dir, and re-subtracting it would silently diverge the view. */
   private def oldRows(spark: SparkSession, source: String, srcV: Long,
                       keyCol: String, keys: Seq[Long]): DataFrame = {
     val dir = preBatchDir(spark, source, srcV)
@@ -185,7 +188,8 @@ object MatView {
           })
       }
     if (admitted.isEmpty) spark.read.schema(schema).parquet(dir).limit(0)
-    else Versioned.readFiles(spark, dir, admitted.map(_.toString))
+    else Dv.applyVector(spark, source, srcV,
+      Versioned.readFiles(spark, dir, admitted.map(_.toString)))
       .filter(col(keyCol).isin(keys: _*))
   }
 
@@ -194,11 +198,13 @@ object MatView {
     * version SEMI-JOINED against the batch keys — no key ever resides on
     * the driver, no `isin` expression bomb. A batch that large touches a
     * large source fraction anyway, so the scan is the honest cost (the
-    * same dial [[Upsert.applyChanges]] documents). */
+    * same dial [[Upsert.applyChanges]] documents). Vector-aware like
+    * [[oldRows]]. */
   private def oldRowsJoin(spark: SparkSession, source: String, srcV: Long,
                           keyCol: String, batchKeys: DataFrame): DataFrame = {
     val dir = preBatchDir(spark, source, srcV)
-    val df = Versioned.readDataDir(spark, dir)
+    val df = Dv.applyVector(spark, source, srcV,
+      Versioned.readDataDir(spark, dir))
     df.join(batchKeys, df(keyCol).cast("long") === batchKeys("_k"),
       "left_semi")
   }
@@ -236,6 +242,7 @@ object MatView {
       batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (owned) batch.persist()
     var oldCached: Option[DataFrame] = None
+    var touchedCached: Option[DataFrame] = None
     try {
       // ONE validation agg: NULL keys (not addressable) + the distinct-key
       // count that picks the driver vs distributed minus-side path below
@@ -306,34 +313,38 @@ object MatView {
           val touched = oldOfBatch
             .select(s.groupCols.map(col): _*).distinct()
             .toDF(s.groupCols.map(g => s"_tg_$g"): _*)
+          // one bounded probe decides the regime: past the budget the
+          // touched frame must NOT carry a broadcast hint (the hint
+          // bypasses autoBroadcastJoinThreshold and would collect the
+          // whole set to the driver — the OOM this branch exists to
+          // avoid); a plain shuffle semi/anti join is the honest shape
+          touched.persist()
+          touchedCached = Some(touched)
+          val touchedSmall =
+            touched.limit(maxDriverKeys + 1).count() <= maxDriverKeys
+          val touchedJ = if (touchedSmall) broadcast(touched) else touched
           val srcNow = Versioned.readVersion(spark, s.source, srcLive)
           val matchCond = (f: DataFrame) => s.groupCols
             .map(g => f(g) <=> touched(s"_tg_$g")).reduce(_ && _)
           // one group column + a driver-bounded touched set: an `isin`
           // literal filter, pushdown-eligible so row-group stats file-prune
-          // the rescan on group-clustered layouts; else a broadcast semi
+          // the rescan on group-clustered layouts; else a semi join
           val touchedRows =
-            if (s.groupCols.size == 1) {
+            if (s.groupCols.size == 1 && touchedSmall) {
               val g = s.groupCols.head
-              val vs = touched.limit(maxDriverKeys + 1).collect()
-                .map(_.get(0))
-              if (vs.length > maxDriverKeys)
-                srcNow.join(broadcast(touched), matchCond(srcNow),
-                  "left_semi")
-              else {
-                val nonNull = vs.filter(_ != null)
-                val cond =
-                  if (nonNull.length == vs.length)
-                    col(g).isin(nonNull.toSeq: _*)
-                  else if (nonNull.isEmpty) col(g).isNull
-                  else col(g).isNull || col(g).isin(nonNull.toSeq: _*)
-                srcNow.filter(cond)
-              }
+              val vs = touched.collect().map(_.get(0))
+              val nonNull = vs.filter(_ != null)
+              val cond =
+                if (nonNull.length == vs.length)
+                  col(g).isin(nonNull.toSeq: _*)
+                else if (nonNull.isEmpty) col(g).isNull
+                else col(g).isNull || col(g).isin(nonNull.toSeq: _*)
+              srcNow.filter(cond)
             } else
-              srcNow.join(broadcast(touched), matchCond(srcNow), "left_semi")
+              srcNow.join(touchedJ, matchCond(srcNow), "left_semi")
           val recomputed =
             grouped(touchedRows, s.groupCols, s.sumCols, 1, mm)
-          merged.join(broadcast(touched), matchCond(merged), "left_anti")
+          merged.join(touchedJ, matchCond(merged), "left_anti")
             .unionByName(recomputed)
         }
       Versioned.publishFrom(spark, view, viewLive) { dir =>
@@ -341,6 +352,7 @@ object MatView {
         writeSpec(spark, dir, s.copy(synced = srcLive))
       }
     } finally {
+      touchedCached.foreach(_.unpersist())
       oldCached.foreach(_.unpersist())
       if (owned) { batch.unpersist(); () }
     }

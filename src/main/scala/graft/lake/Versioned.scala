@@ -17,8 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * Commit protocol (round 14 — optimistic concurrency): a writer BUILDS
  * into a private hidden staging dir (`.stage-<uuid>`, completion marker
  * `_commit_ts` inside), then CLAIMS its version number by
- * `create("_claims/<N>", overwrite = false)` — atomic-exclusive on local
- * FS and HDFS (namenode), a conditional PUT on S3 — and only the claim
+ * `create("_claims/<N>", overwrite = false)` — namenode-atomic on HDFS, a
+ * conditional PUT on S3; the local FS's is exists-then-create, so
+ * same-JVM claimants additionally serialize on a per-table lock and a
+ * cross-process local-FS race is caught by the move-into backstop in the
+ * commit step (surfaced as the retryable conflict) — and only the claim
  * holder renames the stage to `v=N`. The rename delivers a COMPLETE dir
  * (marker already inside), so the commit point is one atomic metadata op
  * and readers never see a half-published version. The `_manifest` is now
@@ -276,40 +279,47 @@ object Versioned {
     // by a later vacuum/healClaims): plain conflict, do NOT claim — a
     // "won" claim here would rename INTO the committed dir
     if (f.exists(committed)) return false
-    try {
-      val out = f.create(claim(table, next), false) // atomic-exclusive
-      out.close()
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException =>
-        // the claimant is either committed, mid-rename (give it a beat),
-        // or dead (orphan — blocked toward healClaims)
-        var waits = 0
-        while (waits < 10) {
-          if (f.exists(committed)) return false
-          Thread.sleep(50)
-          waits += 1
-        }
+    // same-JVM claimants serialize on the table lock (reentrant with
+    // updatePointer's): HDFS create-exclusive is namenode-atomic, but the
+    // LOCAL FS's is exists-then-create — two threads can both "win" the
+    // TOCTOU window. Cross-process local-FS writers keep the move-into
+    // backstop below as the (retryable) last line.
+    pointerLock(f, table).synchronized {
+      try {
+        val out = f.create(claim(table, next), false) // atomic-exclusive
+        out.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          // the claimant is either committed, mid-rename (give it a beat),
+          // or dead (orphan — blocked toward healClaims)
+          var waits = 0
+          while (waits < 10) {
+            if (f.exists(committed)) return false
+            Thread.sleep(50)
+            waits += 1
+          }
+          throw new ConcurrentWriteException(table, next)
+      }
+      // we own v=next. A pre-OCC crash can have left a half-built dir under
+      // this number (never exposed — its publish died before the swap):
+      // clear it so the rename lands clean instead of moving INTO it.
+      if (f.exists(dest) && !f.exists(committed))
+        f.delete(dest, true)
+      require(f.rename(stage, dest), s"commit rename failed: $stage -> $dest")
+      // local-FS/HDFS rename moves INTO an existing dest dir instead of
+      // failing; under claim exclusivity dest cannot exist, but verify — a
+      // silent move-into would corrupt the competitor's committed version.
+      // Surfaced as the RETRYABLE conflict it is (the stage is consumed;
+      // the withWriteRetry wrappers re-derive and re-stage).
+      val movedInto = new Path(dest, stage.getName)
+      if (f.exists(movedInto)) {
+        f.delete(movedInto, true) // un-pollute the winner's dir
         throw new ConcurrentWriteException(table, next)
+      }
+      updatePointer(f, table, next)
+      true
     }
-    // we own v=next. A pre-OCC crash can have left a half-built dir under
-    // this number (never exposed — its publish died before the swap):
-    // clear it so the rename lands clean instead of moving INTO it.
-    if (f.exists(dest) && !f.exists(committed))
-      f.delete(dest, true)
-    require(f.rename(stage, dest), s"commit rename failed: $stage -> $dest")
-    // local-FS/HDFS rename moves INTO an existing dest dir instead of
-    // failing; under claim exclusivity dest cannot exist, but verify — a
-    // silent move-into would corrupt the competitor's committed version
-    val movedInto = new Path(dest, stage.getName)
-    if (f.exists(movedInto)) {
-      f.delete(movedInto, true) // un-pollute the winner's dir
-      throw new IllegalStateException(
-        s"commit rename moved the stage INTO $dest — claim exclusivity " +
-          "violated (healClaims run against a live writer?)")
-    }
-    updatePointer(f, table, next)
-    true
   }
 
   // the pointer file is a CACHE (readers probe forward): update it
@@ -448,16 +458,21 @@ object Versioned {
     }
   }
 
-  /** Timestamp travel: the newest version committed at or before
-    * `tsMillis` — Delta's `timestampAsOf` read on this layout. Throws when
+  /** The newest version committed at or before `tsMillis` — the ONE
+    * definition of timestamp resolution ([[readAsOf]] and the SQL
+    * surface's `registerAsOfTimestamp` both go through it). Throws when
     * nothing was committed by then (reading "before the table existed" is
     * a caller bug, not an empty frame). */
-  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+  def versionAsOf(spark: SparkSession, table: String, tsMillis: Long): Long = {
     val at = commitTimes(spark, table).filter(_._2 <= tsMillis)
     require(at.nonEmpty,
       s"no version of $table committed at or before $tsMillis")
-    readVersion(spark, table, at.map(_._1).max)
+    at.map(_._1).max
   }
+
+  /** Timestamp travel: Delta's `timestampAsOf` read on this layout. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    readVersion(spark, table, versionAsOf(spark, table, tsMillis))
 
   /** Version dirs of THIS table that a registered shallow clone still
     * references (`_clones/` back-pointers, written by [[Clone.shallow]]).
@@ -508,27 +523,38 @@ object Versioned {
     f.listStatus(new Path(table)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))
       .foreach(s => f.delete(s.getPath, true))
-    val pinned = clonePinnedVersions(spark, table)
-    val dropped = versions(spark, table)
-      .filter(v => v < live - keep && !pinned.contains(v))
-    // refs the dropped versions hold on OTHER tables' data — resolve
-    // BEFORE deleting (the _ref files are about to go). Both sets are
-    // compared PATH-QUALIFIED: two refs to the same dir under different
-    // spellings (file: scheme vs bare path, from re-clones) must cancel,
-    // or the subtraction passes a dir a SURVIVING version still needs to
-    // releasePin — whose own qualified content scan would then delete the
-    // survivor's pin too, reopening the vacuum-breaks-clones hazard.
     def refOf(v: Long): Option[String] =
       readSmallFile(f, new Path(s"$table/v=$v/_ref"))
     def qual(p: String): String = f.makeQualified(new Path(p)).toString
-    val droppedRefs = dropped.flatMap(refOf).map(r => qual(r) -> r).toMap
-    dropped.foreach(v => f.delete(new Path(s"$table/v=$v"), true))
-    if (droppedRefs.nonEmpty) {
-      val survivingRefs =
-        versions(spark, table).flatMap(refOf).map(qual).toSet
-      (droppedRefs -- survivingRefs).values.foreach(
-        Clone.releasePin(spark, _, table))
+    // one sweep; looped to a FIXPOINT below, because dropping a ref
+    // version releases its pin and can unlock the pinned data version it
+    // referenced — the purge→materialize→vacuum(0) compliance sequence
+    // must physically reclaim in ONE vacuum, not two
+    def sweep(): Seq[Long] = {
+      val pinned = clonePinnedVersions(spark, table)
+      val dropped = versions(spark, table)
+        .filter(v => v < live - keep && !pinned.contains(v))
+      // refs the dropped versions hold (on this or other tables' data) —
+      // resolve BEFORE deleting (the _ref files are about to go). Both
+      // sets are compared PATH-QUALIFIED: two refs to the same dir under
+      // different spellings (file: scheme vs bare path, from re-clones)
+      // must cancel, or the subtraction passes a dir a SURVIVING version
+      // still needs to releasePin — whose own qualified content scan
+      // would then delete the survivor's pin too, reopening the
+      // vacuum-breaks-clones hazard.
+      val droppedRefs = dropped.flatMap(refOf).map(r => qual(r) -> r).toMap
+      dropped.foreach(v => f.delete(new Path(s"$table/v=$v"), true))
+      if (droppedRefs.nonEmpty) {
+        val survivingRefs =
+          versions(spark, table).flatMap(refOf).map(qual).toSet
+        (droppedRefs -- survivingRefs).values.foreach(
+          Clone.releasePin(spark, _, table))
+      }
+      dropped
     }
-    dropped
+    var all = Seq.empty[Long]
+    var more = sweep()
+    while (more.nonEmpty) { all ++= more; more = sweep() }
+    all
   }
 }

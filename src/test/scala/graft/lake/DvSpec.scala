@@ -135,6 +135,38 @@ class DvSpec extends SparkSpec {
     assert(live.filter($"k".isNull).count() == 1L)
   }
 
+  test("MatView refresh over a DV'd source does not double-subtract") {
+    import org.apache.spark.sql.functions._
+    val src = s"$root/mv_src"
+    val df = Seq((1L, "a", BigDecimal(1)), (2L, "a", BigDecimal(2)),
+      (3L, "a", BigDecimal(3)), (4L, "b", BigDecimal(4)))
+      .toDF("k", "grp", "amount")
+    Forget.publishIndexed(df, src, nFiles = 2, keyCol = "k", stats = true)
+    val view = s"$root/mv_view"
+    MatView.create(spark, src, "k", view, Seq("grp"), Seq("amount"))
+    def batchD(keys: Seq[Long]) = keys.toDF("k")
+      .withColumn("grp", lit(null: String))
+      .withColumn("amount", lit(null: String).cast("decimal(38,18)"))
+      .withColumn("op", lit("D"))
+    def viewMap(): Map[String, (Long, BigDecimal)] =
+      Versioned.read(spark, view).collect().map(r =>
+        r.getAs[String]("grp") -> ((r.getAs[Long]("n_rows"),
+          BigDecimal(r.getAs[java.math.BigDecimal]("sum_amount"))
+            .setScale(6)))).toMap
+
+    Dv.purge(spark, src, "k", Seq(1L))
+    MatView.refresh(spark, view, batchD(Seq(1L)))
+    assert(viewMap()("a") == ((2L, BigDecimal(5).setScale(6))))
+    // the second purge re-names the already-vector-deleted key 1: its
+    // physically-present row must NOT be subtracted again (the minus side
+    // reads the pre-batch version MINUS its vector)
+    Dv.purge(spark, src, "k", Seq(1L, 2L))
+    MatView.refresh(spark, view, batchD(Seq(1L, 2L)))
+    assert(viewMap()("a") == ((1L, BigDecimal(3).setScale(6))),
+      "group a must keep key 3 — double-subtraction would empty it")
+    assert(viewMap()("b") == ((1L, BigDecimal(4).setScale(6))))
+  }
+
   test("vacuum keeps the shared dir alive under a vector version") {
     val t = mk("vac")
     Dv.purge(spark, t, "k", Seq(0L))
@@ -142,10 +174,10 @@ class DvSpec extends SparkSpec {
     val dropped = Versioned.vacuum(spark, t, keep = 0)
     assert(!dropped.contains(1L), s"vacuum dropped the referenced dir")
     assert(Versioned.read(spark, t).count() == 3000L) // still readable
-    // materialize, then two vacuums fully reclaim: the ref version drops
-    // (releasing its pin), then the data version
+    // materialize, then ONE vacuum fully reclaims (the fixpoint sweep:
+    // dropping the ref version releases its pin, unlocking the data
+    // version in the same run — the compliance-window sequence)
     Clone.materialize(spark, t)
-    Versioned.vacuum(spark, t, keep = 0)
     Versioned.vacuum(spark, t, keep = 0)
     assert(Versioned.versions(spark, t) == Seq(3L))
     assert(Versioned.read(spark, t).count() == 3000L)
