@@ -81,6 +81,19 @@ object LakeOpsBench {
     println(f"republish full table (same changeset): $tFull%.2f s")
     println(f"targeted/full ratio: ${tMerge / tFull}%.2f  " +
       f"(versions $v2%d/$v3%d/$v4%d)")
+
+    // the zero-copy arm: a deletion-vector purge rewrites NOTHING — cost
+    // is the victim-locating scan of admitted files + one metadata write
+    val dvKeys = (0 until nKeys).map(i => i.toLong * (nRows / nKeys) + 13)
+    val (v5, tDv) = timeS(graft.lake.Dv.purge(spark, t, "k", dvKeys))
+    val dvParts = Option(new java.io.File(s"$t/v=$v5").listFiles())
+      .map(_.count(f => f.isFile && f.getName.startsWith("part-")))
+      .getOrElse(0)
+    println(f"dv purge  $nKeys keys (zero-copy): $tDv%.2f s  " +
+      f"(wrote $dvParts%d data files; " +
+      f"${graft.lake.Dv.deletedRows(spark, t, v5)}%d rows vectored)")
+    val (_, tMat) = timeS(graft.lake.Clone.materialize(spark, t))
+    println(f"materialize (DV compactor, full rewrite): $tMat%.2f s")
     spark.stop()
   }
 }

@@ -97,6 +97,57 @@ class OccSpec extends SparkSpec {
     } finally ec.shutdown()
   }
 
+  test("mixed concurrent writers: merges, purges, compactions serialize") {
+    val t = s"$root/mixed"
+    Forget.publishIndexed(
+      (0L until 1000L).map(k => (k, 0L)).toDF("k", "stamp"),
+      t, nFiles = 8, keyCol = "k", stats = true)
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService = pool(3)
+    try {
+      val merger = Future {
+        (1 to 5).foreach { r =>
+          val changes = (r * 100L until r * 100L + 50L)
+            .map(k => (k, r.toLong)).toDF("k", "stamp")
+          Versioned.withWriteRetry(20) { Upsert.merge(spark, t, "k", changes) }
+        }
+      }
+      val purger = Future {
+        (0 until 3).foreach { i =>
+          Versioned.withWriteRetry(20) {
+            Forget.purge(spark, t, "k", Seq(900L + i * 2, 901L + i * 2))
+          }
+          Thread.sleep(50)
+        }
+      }
+      val compactor = Future {
+        (0 until 3).foreach { _ =>
+          Versioned.withWriteRetry(20) {
+            Compact.compactVersion(spark, t, "k", targetBytes = 32L * 1024)
+          }
+          Thread.sleep(100)
+        }
+      }
+      Await.result(Future.sequence(Seq(merger, purger, compactor)),
+        5.minutes)
+      val after = Versioned.read(spark, t)
+      assert(after.count() == 1000L - 6L)
+      (1 to 5).foreach { r =>
+        val got = after
+          .filter($"k" >= r * 100L && $"k" < r * 100L + 50L)
+          .select($"stamp").distinct().as[Long].collect().toSeq
+        assert(got == Seq(r.toLong), s"merge round $r lost: $got")
+      }
+      assert(after.filter($"k" >= 900L && $"k" <= 905L).count() == 0L,
+        "a purge was lost")
+      // versions contiguous (no-skip numbering survives the mix)
+      val vs = Versioned.versions(spark, t)
+      assert(vs == (1L to vs.max), s"non-contiguous: $vs")
+      // the change feed bridges the whole history: 250 merge upserts +
+      // 6 purge deletions; compactions bridge via _changes_none
+      assert(Cdf.changesSince(spark, t, 1L).count() == 256L)
+    } finally ec.shutdown()
+  }
+
   test("a derived publish against a stale base rejects; blind moves on") {
     val t = s"$root/stale"
     Versioned.publish(Seq((1L, "a")).toDF("k", "v"), t)
