@@ -145,33 +145,18 @@ object Dv {
       val nNew = victims.count()
       // pin the shared data dir BEFORE publishing the ref (Clone.shallow's
       // ordering argument: an orphaned pin blocks reclaim, a missing pin
-      // breaks reads silently). An OCC conflict below is a NORMAL path —
-      // release the pin on the way out unless some existing version still
-      // references the dir (a prior DV version, a concurrent purge that
-      // won the race), or the retry's abandoned pin would silently exempt
-      // the pre-delete data from every future vacuum.
+      // breaks reads silently). An OCC conflict below may abandon the pin
+      // — deliberately NOT released here: two concurrent purges share ONE
+      // pin file (pinName is (table, dataDir)-keyed), and a loser
+      // releasing it can unpin a winner whose rename is still in flight
+      // cross-process, silently exposing the live DV version to vacuum.
+      // Stale self-pins are instead garbage-collected by the next
+      // [[Versioned.vacuum]], whose exclusivity contract makes the
+      // no-version-references-this-dir check race-free.
       Clone.pin(spark, dataDir, table)
-      try publishPurge(spark, table, live, liveVDir, dataDir, keyCol, ks,
+      publishPurge(spark, table, live, liveVDir, dataDir, keyCol, ks,
         prior, victims, nNew, f, conf)
-      catch {
-        case e: Versioned.ConcurrentWriteException =>
-          if (!refStillHeld(spark, table, dataDir))
-            Clone.releasePin(spark, dataDir, table)
-          throw e
-      }
     } finally { victims.unpersist(); () }
-  }
-
-  // does ANY existing version of `table` still reference `dataDir`?
-  // (path-qualified — the vacuum-side comparisons use the same rule)
-  private def refStillHeld(spark: SparkSession, table: String,
-                           dataDir: String): Boolean = {
-    val f = fs(spark, table)
-    val q = f.makeQualified(new Path(dataDir)).toString
-    Versioned.versions(spark, table).exists { v =>
-      Versioned.readSmallFile(f, new Path(s"$table/v=$v/_ref"))
-        .exists(r => f.makeQualified(new Path(r)).toString == q)
-    }
   }
 
   private def publishPurge(spark: SparkSession, table: String, live: Long,

@@ -279,47 +279,53 @@ object Versioned {
     // by a later vacuum/healClaims): plain conflict, do NOT claim — a
     // "won" claim here would rename INTO the committed dir
     if (f.exists(committed)) return false
-    // same-JVM claimants serialize on the table lock (reentrant with
-    // updatePointer's): HDFS create-exclusive is namenode-atomic, but the
-    // LOCAL FS's is exists-then-create — two threads can both "win" the
-    // TOCTOU window. Cross-process local-FS writers keep the move-into
-    // backstop below as the (retryable) last line.
-    pointerLock(f, table).synchronized {
+    // same-JVM claimants serialize the CLAIM on the table lock: HDFS
+    // create-exclusive is namenode-atomic, but the LOCAL FS's is
+    // exists-then-create — two threads can both "win" the TOCTOU window.
+    // Only the create itself needs the lock; a same-JVM competitor that
+    // won it has already left the critical section, so the lost-race
+    // polling below runs UNLOCKED (sleeping under the lock would stall
+    // every other writer on the table for the full wait).
+    val claimed = pointerLock(f, table).synchronized {
       try {
         val out = f.create(claim(table, next), false) // atomic-exclusive
         out.close()
+        true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          // the claimant is either committed, mid-rename (give it a beat),
-          // or dead (orphan — blocked toward healClaims)
-          var waits = 0
-          while (waits < 10) {
-            if (f.exists(committed)) return false
-            Thread.sleep(50)
-            waits += 1
-          }
-          throw new ConcurrentWriteException(table, next)
+             _: java.nio.file.FileAlreadyExistsException => false
       }
-      // we own v=next. A pre-OCC crash can have left a half-built dir under
-      // this number (never exposed — its publish died before the swap):
-      // clear it so the rename lands clean instead of moving INTO it.
-      if (f.exists(dest) && !f.exists(committed))
-        f.delete(dest, true)
-      require(f.rename(stage, dest), s"commit rename failed: $stage -> $dest")
-      // local-FS/HDFS rename moves INTO an existing dest dir instead of
-      // failing; under claim exclusivity dest cannot exist, but verify — a
-      // silent move-into would corrupt the competitor's committed version.
-      // Surfaced as the RETRYABLE conflict it is (the stage is consumed;
-      // the withWriteRetry wrappers re-derive and re-stage).
-      val movedInto = new Path(dest, stage.getName)
-      if (f.exists(movedInto)) {
-        f.delete(movedInto, true) // un-pollute the winner's dir
-        throw new ConcurrentWriteException(table, next)
-      }
-      updatePointer(f, table, next)
-      true
     }
+    if (!claimed) {
+      // the claimant is either committed, mid-rename (same-JVM or
+      // cross-process — give it a beat), or dead (orphan — blocked
+      // toward healClaims)
+      var waits = 0
+      while (waits < 10) {
+        if (f.exists(committed)) return false
+        Thread.sleep(50)
+        waits += 1
+      }
+      throw new ConcurrentWriteException(table, next)
+    }
+    // we own v=next. A pre-OCC crash can have left a half-built dir under
+    // this number (never exposed — its publish died before the swap):
+    // clear it so the rename lands clean instead of moving INTO it.
+    if (f.exists(dest) && !f.exists(committed))
+      f.delete(dest, true)
+    require(f.rename(stage, dest), s"commit rename failed: $stage -> $dest")
+    // local-FS/HDFS rename moves INTO an existing dest dir instead of
+    // failing; under claim exclusivity dest cannot exist, but verify — a
+    // silent move-into would corrupt the competitor's committed version.
+    // Surfaced as the RETRYABLE conflict it is (the stage is consumed;
+    // the withWriteRetry wrappers re-derive and re-stage).
+    val movedInto = new Path(dest, stage.getName)
+    if (f.exists(movedInto)) {
+      f.delete(movedInto, true) // un-pollute the winner's dir
+      throw new ConcurrentWriteException(table, next)
+    }
+    updatePointer(f, table, next)
+    true
   }
 
   // the pointer file is a CACHE (readers probe forward): update it
@@ -526,24 +532,52 @@ object Versioned {
     def refOf(v: Long): Option[String] =
       readSmallFile(f, new Path(s"$table/v=$v/_ref"))
     def qual(p: String): String = f.makeQualified(new Path(p)).toString
+    // garbage-collect stale SELF-pins: a Dv.purge that lost an OCC race
+    // after registering its pin leaves a (this-table, own-version-dir)
+    // pin no version references. Only vacuum may release it — its
+    // exclusivity contract is what makes "no version references this
+    // dir" race-free (a live writer could be mid-commit otherwise).
+    // Pins registered BY OTHER TABLES (real clones) are never touched.
+    locally {
+      val clones = new Path(s"$table/_clones")
+      if (f.exists(clones)) {
+        val tableQ = qual(table)
+        val refd = versions(spark, table).flatMap(refOf).map(qual).toSet
+        f.listStatus(clones).toSeq.filter(_.isFile).foreach { s =>
+          val lines = readSmallFile(f, s.getPath)
+            .map(_.linesIterator.toSeq).getOrElse(Seq.empty)
+          val selfOwned = lines.lift(1).exists(o => qual(o) == tableQ)
+          val target = lines.headOption
+          val ownDir = target.exists(t =>
+            f.makeQualified(new Path(t)).getParent.toString == tableQ)
+          if (selfOwned && ownDir && target.exists(t => !refd.contains(qual(t))))
+            f.delete(s.getPath, false)
+        }
+      }
+    }
     // one sweep; looped to a FIXPOINT below, because dropping a ref
     // version releases its pin and can unlock the pinned data version it
     // referenced — the purge→materialize→vacuum(0) compliance sequence
-    // must physically reclaim in ONE vacuum, not two
+    // must physically reclaim in ONE vacuum, not two. Only versions whose
+    // delete actually SUCCEEDED count as dropped (Hadoop delete returns
+    // false rather than throwing), both for the returned list and for the
+    // pin release — and so the loop terminates even when a dir is stuck.
     def sweep(): Seq[Long] = {
       val pinned = clonePinnedVersions(spark, table)
-      val dropped = versions(spark, table)
+      val candidates = versions(spark, table)
         .filter(v => v < live - keep && !pinned.contains(v))
-      // refs the dropped versions hold (on this or other tables' data) —
-      // resolve BEFORE deleting (the _ref files are about to go). Both
+      // refs the candidates hold (on this or other tables' data) —
+      // resolve BEFORE deleting (the _ref files are about to go). All
       // sets are compared PATH-QUALIFIED: two refs to the same dir under
       // different spellings (file: scheme vs bare path, from re-clones)
       // must cancel, or the subtraction passes a dir a SURVIVING version
       // still needs to releasePin — whose own qualified content scan
       // would then delete the survivor's pin too, reopening the
       // vacuum-breaks-clones hazard.
-      val droppedRefs = dropped.flatMap(refOf).map(r => qual(r) -> r).toMap
-      dropped.foreach(v => f.delete(new Path(s"$table/v=$v"), true))
+      val refs = candidates.flatMap(v => refOf(v).map(v -> _)).toMap
+      val dropped = candidates
+        .filter(v => f.delete(new Path(s"$table/v=$v"), true))
+      val droppedRefs = dropped.flatMap(refs.get).map(r => qual(r) -> r).toMap
       if (droppedRefs.nonEmpty) {
         val survivingRefs =
           versions(spark, table).flatMap(refOf).map(qual).toSet

@@ -167,6 +167,26 @@ class DvSpec extends SparkSpec {
     assert(viewMap()("b") == ((1L, BigDecimal(4).setScale(6))))
   }
 
+  test("a stale self-pin (lost purge race) is GC'd by vacuum") {
+    val t = mk("stalepin")
+    // what a Dv.purge that lost its OCC race leaves behind: a self-pin on
+    // a version dir that no version ever came to reference
+    Clone.pin(spark, s"$t/v=1", t)
+    Versioned.publish(Seq((1L, "fresh")).toDF("k", "v"), t) // v2, real
+    val dropped = Versioned.vacuum(spark, t, keep = 0)
+    assert(dropped == Seq(1L), s"stale pin blocked the reclaim: $dropped")
+    assert(Versioned.versions(spark, t) == Seq(2L))
+    val clones = new java.io.File(s"$t/_clones")
+    assert(!clones.exists() || clones.listFiles().isEmpty)
+    // whereas a LIVE vector version's pin survives the GC (covered again
+    // here with the GC active): purge, vacuum, still readable
+    Dv.purge(spark, t, "k", Seq(1L))
+    Versioned.vacuum(spark, t, keep = 0)
+    assert(Versioned.read(spark, t).count() == 0L) // the one row deleted
+    assert(Versioned.versions(spark, t).contains(2L),
+      "the referenced data version must survive")
+  }
+
   test("vacuum keeps the shared dir alive under a vector version") {
     val t = mk("vac")
     Dv.purge(spark, t, "k", Seq(0L))
