@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.lake.{Tables, Versioned}
+import graft.lake.{Cdf, Tables, Versioned}
 
 /**
  * The raw-SQL surface: register every testdata table as a temp view so
@@ -62,5 +62,19 @@ object Sql {
     val v = Versioned.versionAsOf(spark, table, tsMillis)
     registerAsOf(spark, name, table, v)
     v
+  }
+
+  /** Delta's `table_changes(...)` on the SQL surface: register the change
+    * feed AFTER `sinceV` up to the live version ([[Cdf.changesSince]] —
+    * `_op` U/D + `_version` columns, loud reject across an unbridgeable
+    * range) as temp view `name`, bound to the live version at
+    * registration like [[registerTable]]. Returns the bound version. */
+  def registerChanges(spark: SparkSession, name: String, table: String,
+                      sinceV: Long): Long = {
+    val live = Versioned.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    Cdf.changesSince(spark, table, sinceV, untilV = Some(live))
+      .createOrReplaceTempView(name)
+    live
   }
 }

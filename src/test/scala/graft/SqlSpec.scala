@@ -75,6 +75,16 @@ class SqlSpec extends SparkSpec {
     assert(vals("t_live")(1L) == 10.0)
     Sql.registerTable(spark, "t_live", table)
     assert(vals("t_live")(1L) == -1.0)
+
+    // the change feed is SQL-queryable too (table_changes-style): every
+    // merge since v1, with its op and version
+    assert(Sql.registerChanges(spark, "t_changes", table, sinceV = 1L) == 3L)
+    val ch = spark.sql(
+      "SELECT _op, k, amount, _version FROM t_changes ORDER BY _version, k")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(ch == Seq(("U", 2L, 99.0, 2L), ("U", 3L, 30.0, 2L),
+      ("U", 1L, -1.0, 3L)))
   }
 
   test("view reads keep filter pushdown (same relation underneath)") {
