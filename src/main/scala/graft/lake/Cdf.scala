@@ -94,16 +94,36 @@ object Cdf {
         throw new IllegalStateException(s"no published version at $table")))
     require(sinceV <= live, s"sinceV $sinceV is past the live version $live")
     val f = fs(spark, table)
+    def unbridgeable(v: Long) = new IllegalStateException(
+      s"$table v$v has no change record (full publish, shallow clone, " +
+        "vacuumed, or a crash-skipped number) — the change feed cannot " +
+        "bridge it; resync from a snapshot (Cdf.seed)")
+    // change-record KIND per version: one checkpoint read covers versions
+    // at/below its floor (no per-version existence probes — the walk
+    // stays O(uncheckpointed tail) at long histories); reads of the
+    // actual `_changes` data are inherent to the answer either way
+    val kinds = Checkpoint.read(f, table)
+      .map(_.feed).getOrElse(Map.empty[Long, Char])
     val frames = ((sinceV + 1) to live).flatMap { v =>
       val dir = s"$table/v=$v"
-      if (f.exists(new Path(s"$dir/_changes")))
-        Some(spark.read.parquet(s"$dir/_changes")
-          .withColumn("_version", lit(v)))
-      else if (f.exists(new Path(s"$dir/_changes_none"))) None
-      else throw new IllegalStateException(
-        s"$table v$v has no change record (full publish, shallow clone, " +
-          "vacuumed, or a crash-skipped number) — the change feed cannot " +
-          "bridge it; resync from a snapshot (Cdf.seed)")
+      val kind = kinds.getOrElse(v,
+        if (f.exists(new Path(s"$dir/_changes"))) 'c'
+        else if (f.exists(new Path(s"$dir/_changes_none"))) 'n'
+        else 'x')
+      kind match {
+        case 'c' =>
+          // a checkpointed 'c' whose dir was since vacuumed must reject
+          // with the SAME resync message the probe path gives
+          try Some(spark.read.parquet(s"$dir/_changes")
+            .withColumn("_version", lit(v)))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("does not exist") =>
+                throw unbridgeable(v)
+          }
+        case 'n' => None
+        case _ => throw unbridgeable(v)
+      }
     }
     frames.reduceOption((a, b) =>
         a.unionByName(b, allowMissingColumns = true))

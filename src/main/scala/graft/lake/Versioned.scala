@@ -57,30 +57,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Versioned {
 
   /** A derived publish lost the race for `base + 1`: the table moved
-    * under the writer. Re-derive from the new live version and retry —
-    * [[withWriteRetry]] does exactly that for the DML entry points. */
-  final class ConcurrentWriteException(table: String, version: Long)
+    * under the writer. `orphaned = false` is PLAIN CONTENTION (a
+    * competitor committed — re-derive from the new live version and
+    * retry; [[withWriteRetry]] does exactly that for the DML entry
+    * points). `orphaned = true` means the number's claim is older than
+    * the liveness grace with no committed dir — a claimant crashed
+    * between claim and rename, and the number stays blocked until
+    * [[healClaims]] (retrying cannot resolve it). */
+  final class ConcurrentWriteException(table: String, version: Long,
+                                       val orphaned: Boolean = false)
     extends RuntimeException(
-      s"version $version of $table was committed by a concurrent writer " +
-        "(or its claim is orphaned — Versioned.healClaims if no writer is " +
-        "active); re-derive from the new live version and retry")
+      if (orphaned)
+        s"the claim for version $version of $table is ORPHANED (older " +
+          "than the liveness grace with no committed dir — a claimant " +
+          "crashed between claim and rename); run Versioned.healClaims " +
+          "with no writers active, then retry"
+      else
+        s"version $version of $table was committed by a concurrent " +
+          "writer (plain write contention); re-derive from the new live " +
+          "version and retry — Versioned.withWriteRetry does this")
 
   /** Re-run `op` on [[ConcurrentWriteException]] — the rebase loop for
     * derived DML (each attempt re-reads the live version, so re-running
-    * IS the rebase). Gives up after `attempts` (an orphaned claim never
-    * resolves by retrying — heal it). */
-  def withWriteRetry[T](attempts: Int = 5)(op: => T): T = {
-    var left = attempts
+    * IS the rebase). A small randomized backoff de-synchronizes herding
+    * writers (two retriers re-colliding every round otherwise burn
+    * attempts in lockstep). Gives up after `attempts`; an ORPHANED
+    * claim is rethrown immediately — it never resolves by retrying,
+    * only [[healClaims]] clears it. */
+  def withWriteRetry[T](attempts: Int = 10)(op: => T): T = {
+    var tried = 0
     while (true) {
       try return op
       catch {
         case e: ConcurrentWriteException =>
-          left -= 1
-          if (left <= 0) throw e
+          if (e.orphaned) throw e
+          tried += 1
+          if (tried >= attempts) throw e
+          Thread.sleep(20L * tried + java.util.concurrent.ThreadLocalRandom
+            .current().nextLong(80L))
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** How long an uncommitted claim is presumed LIVE (its holder
+    * mid-rename) before [[commitStage]] adjudicates it orphaned. On an
+    * object store a rename-as-copy of a large staged version can run
+    * minutes — size the grace to the slowest expected commit rename,
+    * via system property `graft.occ.claimGraceMs` (default 10 s; the
+    * old fixed 10×50 ms poll misread any >500 ms rename as a crash). */
+  private[lake] def claimGraceMs: Long =
+    sys.props.get("graft.occ.claimGraceMs").flatMap(_.toLongOption)
+      .getOrElse(10000L)
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -115,13 +143,19 @@ object Versioned {
   // fresh `_manifest` beside a stale `.crc` for a moment — retry briefly,
   // then treat as unreadable (bak fallback / probe-forward cover it; the
   // pointer is a cache). HDFS/S3 have no crc sidecars — local-FS-only
-  // hazard. A non-numeric husk also reads as unreadable (recover() heals).
+  // hazard. FileNotFoundException covers the OTHER race: updatePointer's
+  // manifest→bak rename can land between readSmallFile's exists check and
+  // its open (pointerLock only serializes same-JVM writers; cross-process
+  // swaps and reader threads hit this window on every commit) — same
+  // treatment, the swap completes in a beat or the bak/probe path covers
+  // it. A non-numeric husk also reads as unreadable (recover() heals).
   private def readVersionFile(f: FileSystem, p: Path): Option[Long] = {
     var attempts = 3
     while (attempts > 0) {
       try return readSmallFile(f, p).flatMap(_.toLongOption)
       catch {
-        case _: org.apache.hadoop.fs.ChecksumException =>
+        case _: org.apache.hadoop.fs.ChecksumException |
+             _: java.io.FileNotFoundException =>
           attempts -= 1
           if (attempts > 0) Thread.sleep(10)
       }
@@ -133,22 +167,36 @@ object Versioned {
   // writers): the tmp/bak/promote dance interleaved from two threads can
   // strand a stale crc sidecar on the local FS. Cross-process writers are
   // covered by the commit protocol itself (the pointer is only a cache).
+  // Entries are evicted by [[vacuum]] (exclusive maintenance — no writer
+  // can be holding the lock), so a long-lived driver touching many
+  // ephemeral tables doesn't accumulate them forever; clearing outside
+  // that exclusivity would hand two live writers different lock objects.
   private val pointerLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def pointerLock(f: FileSystem, table: String): Object =
     pointerLocks.computeIfAbsent(
       f.makeQualified(new Path(table)).toString, _ => new Object)
+  private[lake] def pointerLockFor(f: FileSystem, table: String): Object =
+    pointerLock(f, table)
 
   /** The live version: the pointer cache (manifest, falling back
-    * read-only to the bak a crashed swap may have left), probed FORWARD
-    * through committed `v=N+1` dirs — a commit whose pointer update was
-    * lost (crash, racing writers) is still found, because claim
-    * exclusivity + no-skip numbering keep committed versions contiguous.
-    * None when never published. */
+    * read-only to the bak a crashed swap may have left, then to the
+    * `_checkpoint`'s version floor), probed FORWARD through committed
+    * `v=N+1` dirs — a commit whose pointer update was lost (crash,
+    * racing writers) is still found, because claim exclusivity + no-skip
+    * numbering keep committed versions contiguous. When NO pointer is
+    * readable at all, a committed `v=1` still seeds the probe: the very
+    * first publish can crash between its rename and the first pointer
+    * write, and that committed-but-unpointed version must be found, not
+    * reported as "never published". None only when truly never
+    * published. */
   def currentVersion(spark: SparkSession, table: String): Option[Long] = {
     val f = fs(spark, table)
     readVersionFile(f, manifest(table))
       .orElse(readVersionFile(f, bak(table)))
+      .orElse(Checkpoint.read(f, table).map(_.version))
+      .orElse(
+        if (f.exists(new Path(s"$table/v=1/_commit_ts"))) Some(1L) else None)
       .map { base =>
         var v = base
         while (f.exists(new Path(s"$table/v=${v + 1}/_commit_ts"))) v += 1
@@ -297,16 +345,28 @@ object Versioned {
       }
     }
     if (!claimed) {
-      // the claimant is either committed, mid-rename (same-JVM or
-      // cross-process — give it a beat), or dead (orphan — blocked
-      // toward healClaims)
-      var waits = 0
-      while (waits < 10) {
+      // The claimant is either committed, mid-rename, or dead. Adjudicate
+      // on the CLAIM FILE'S AGE, not a fixed poll: a live committer whose
+      // stage→dest rename runs long (an object store's rename-as-copy of
+      // a large staged version) keeps a young claim and is waited out up
+      // to [[claimGraceMs]]; a claim older than the grace with no
+      // committed dir is an orphan — blocked loudly toward healClaims.
+      while (true) {
         if (f.exists(committed)) return false
-        Thread.sleep(50)
-        waits += 1
+        val age =
+          try System.currentTimeMillis() -
+            f.getFileStatus(claim(table, next)).getModificationTime
+          catch {
+            // claim vanished without a commit (a healClaims raced us):
+            // surface as plain contention — the retry wrapper re-derives
+            // and the number is claimable again
+            case _: java.io.FileNotFoundException => -1L
+          }
+        if (age < 0) throw new ConcurrentWriteException(table, next)
+        if (age > claimGraceMs)
+          throw new ConcurrentWriteException(table, next, orphaned = true)
+        Thread.sleep(25)
       }
-      throw new ConcurrentWriteException(table, next)
     }
     // we own v=next. A pre-OCC crash can have left a half-built dir under
     // this number (never exposed — its publish died before the swap):
@@ -325,6 +385,7 @@ object Versioned {
       throw new ConcurrentWriteException(table, next)
     }
     updatePointer(f, table, next)
+    Checkpoint.maybeWrite(f, table, next) // every Nth commit, best-effort
     true
   }
 
@@ -455,12 +516,20 @@ object Versioned {
   /** Commit timestamps (version → epoch millis) for every EXISTING version
     * that carries a `_commit_ts` marker, ascending by version. Versions
     * published before the marker existed are absent (and so invisible to
-    * [[readAsOf]] — documented migration caveat, not a failure). */
+    * [[readAsOf]] — documented migration caveat, not a failure). Versions
+    * at or below the [[Checkpoint]] floor resolve from ONE checkpoint
+    * read; only the uncheckpointed tail opens per-version files — at a
+    * 10⁴-version history this is one listing + one small read + a
+    * ≤interval-sized tail, not 10⁴ file opens. */
   def commitTimes(spark: SparkSession, table: String): Seq[(Long, Long)] = {
     val f = fs(spark, table)
+    val ckpt = Checkpoint.read(f, table)
+      .map(_.commitTs).getOrElse(Map.empty[Long, Long])
     versions(spark, table).flatMap { v =>
-      readSmallFile(f, new Path(s"$table/v=$v/_commit_ts"))
-        .map(v -> _.toLong)
+      ckpt.get(v)
+        .orElse(readSmallFile(f, new Path(s"$table/v=$v/_commit_ts"))
+          .map(_.toLong))
+        .map(v -> _)
     }
   }
 
@@ -589,6 +658,14 @@ object Versioned {
     var all = Seq.empty[Long]
     var more = sweep()
     while (more.nonEmpty) { all ++= more; more = sweep() }
+    // the checkpoint cache must not keep naming vacuumed dirs (its version
+    // is a probe-forward FLOOR — a floor at a dropped dir would stall the
+    // double-pointer-loss recovery path): rebuild it against what exists.
+    // Exclusive-maintenance context also makes this the one safe place to
+    // evict the table's pointer-lock entry (no writer can hold it) — a
+    // long-lived driver over many ephemeral tables stays bounded.
+    Checkpoint.refresh(f, table, live, versions(spark, table))
+    pointerLocks.remove(f.makeQualified(new Path(table)).toString)
     all
   }
 }

@@ -187,15 +187,18 @@ class OccSpec extends SparkSpec {
   test("orphaned claim blocks loudly; healClaims restores liveness") {
     val t = s"$root/orphan"
     Versioned.publish(Seq((1L, "a")).toDF("k", "v"), t)
-    // a claimant that died between claim and rename
+    // a claimant that died between claim and rename — LONG AGO (the claim
+    // mtime is the adjudication signal: older than the grace = orphan)
     val f = new org.apache.hadoop.fs.Path(t)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val orphan = new org.apache.hadoop.fs.Path(s"$t/_claims/2")
     val out = f.create(orphan, false)
     out.close()
+    f.setTimes(orphan, System.currentTimeMillis() - 3600000L, -1L)
     val e = intercept[Versioned.ConcurrentWriteException] {
       Upsert.merge(spark, t, "k", Seq((1L, "blocked")).toDF("k", "v"))
     }
+    assert(e.orphaned, "a stale claim must adjudicate as orphaned")
     assert(e.getMessage.contains("healClaims"))
     assert(Versioned.currentVersion(spark, t).contains(1L),
       "a blocked merge must not publish anything")
@@ -212,5 +215,54 @@ class OccSpec extends SparkSpec {
     Versioned.vacuum(spark, t, keep = 0)
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$t/.stage-deadbeef")))
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$t/_claims")))
+  }
+
+  test("slow committer inside the grace wins; competitor waits, no throw") {
+    val t = s"$root/slow"
+    Versioned.publish(Seq((1L, "a")).toDF("k", "v"), t)
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a cross-process committer whose claim→rename window runs
+    // 1.2 s (an S3-style rename-as-copy): claim v=2 now, rename later —
+    // under the old fixed 10×50 ms poll this was indistinguishable from
+    // an orphan and threw; under mtime-grace adjudication the competitor
+    // WAITS it out and moves on to v=3
+    val stage = new org.apache.hadoop.fs.Path(s"$t/.stage-slowsim")
+    f.mkdirs(stage)
+    val ts = f.create(new org.apache.hadoop.fs.Path(stage, "_commit_ts"), true)
+    ts.write(System.currentTimeMillis().toString.getBytes); ts.close()
+    val d = f.create(new org.apache.hadoop.fs.Path(stage, "part-0.parquet"),
+      true)
+    d.close()
+    val claim = f.create(new org.apache.hadoop.fs.Path(s"$t/_claims/2"), false)
+    claim.close()
+    val renamer = new Thread(() => {
+      Thread.sleep(1200)
+      f.rename(stage, new org.apache.hadoop.fs.Path(s"$t/v=2"))
+      ()
+    })
+    renamer.start()
+    // blind publish: sees claim 2 taken by a LIVE (young-claim) committer,
+    // waits for its commit, then lands at 3 — no ConcurrentWriteException
+    val v = Versioned.publish(Seq((3L, "c")).toDF("k", "v"), t)
+    renamer.join()
+    assert(v == 3L, s"expected the competitor to land at 3, got $v")
+    assert(Versioned.currentVersion(spark, t).contains(3L))
+    assert(Versioned.versions(spark, t) == Seq(1L, 2L, 3L))
+  }
+
+  test("first-commit crash window: committed v=1 found without a pointer") {
+    val t = s"$root/firstcrash"
+    Versioned.publish(Seq((1L, "a")).toDF("k", "v"), t)
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash between the stage→v=1 rename and the FIRST pointer write:
+    // no _manifest, no bak — readers must still find the committed v=1
+    f.delete(new org.apache.hadoop.fs.Path(s"$t/_manifest"), false)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$t/_manifest.bak")))
+    assert(Versioned.currentVersion(spark, t).contains(1L))
+    assert(Versioned.read(spark, t).count() == 1L)
+    // and the next publish claims 2, not a restart at 1
+    assert(Versioned.publish(Seq((2L, "b")).toDF("k", "v"), t) == 2L)
   }
 }

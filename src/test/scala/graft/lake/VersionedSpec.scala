@@ -81,13 +81,16 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t).as[Int].collect().sameElements(Array(3)))
   }
 
-  test("an empty or truncated manifest reads as no version, not a crash") {
+  test("an empty or truncated manifest still finds committed versions") {
     val t = tbl()
     Versioned.publish(Seq(1).toDF("x"), t)
     val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(new Path(s"$t/_manifest"), true).close() // zero-byte manifest
-    // falls back to the bak chain; none exists -> None
-    assert(Versioned.currentVersion(spark, t).isEmpty)
+    // no readable pointer anywhere — the committed v=1 seeds the forward
+    // probe (the first-publish crash window: rename done, pointer never
+    // written, and readers must not report "never published")
+    assert(Versioned.currentVersion(spark, t).contains(1L))
+    assert(Versioned.read(spark, t).as[Int].collect().sameElements(Array(1)))
   }
 
   test("double pointer loss with live version dirs does not rewind the counter") {
@@ -95,9 +98,10 @@ class VersionedSpec extends SparkSpec {
     Versioned.publish(Seq(1).toDF("x"), t)
     Versioned.publish(Seq(2).toDF("x"), t)
     val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // both pointers unreadable (manifest truncated, no bak): the worst case
+    // both pointers unreadable (manifest truncated, no bak): the worst
+    // case — readers recover the live version through the v=1 probe
     fs.create(new Path(s"$t/_manifest"), true).close()
-    assert(Versioned.currentVersion(spark, t).isEmpty)
+    assert(Versioned.currentVersion(spark, t).contains(2L))
     // publish must seed PAST the highest on-disk version dir — restarting at
     // 1 would overwrite v=1 data that versions()/time travel still expose
     assert(Versioned.publish(Seq(3).toDF("x"), t) == 3L)
