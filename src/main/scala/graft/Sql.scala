@@ -77,4 +77,22 @@ object Sql {
       .createOrReplaceTempView(name)
     live
   }
+
+  /** Register a lake table for BOTH reads and SQL DML ([[SqlDml.register]]
+    * — DML needs the table's key column). */
+  def registerDml(spark: SparkSession, name: String, table: String,
+                  keyCol: String): Long =
+    SqlDml.register(spark, name, table, keyCol)
+
+  /** Execute one SQL DML statement (`MERGE INTO` / `UPDATE` / `DELETE
+    * FROM`) against a [[registerDml]]-registered lake table — parsed and
+    * routed to the lake's DataFrame DML, expectations and OCC retry
+    * included; see [[SqlDml.execute]] for the grammar and contracts.
+    * Returns the live version after the statement. */
+  def execute(spark: SparkSession, sql: String,
+              rules: Seq[graft.lake.Expect.Rule] = Nil,
+              mode: graft.lake.Expect.Mode = graft.lake.Expect.Mode.Fail,
+              quarantine: Option[String] = None,
+              zeroCopyDelete: Boolean = false): Long =
+    SqlDml.execute(spark, sql, rules, mode, quarantine, zeroCopyDelete)
 }

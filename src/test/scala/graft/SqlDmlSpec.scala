@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Cdf, Dv, Expect, Forget, Upsert, Versioned}
+
+/**
+ * SQL DML surface ([[SqlDml]] / [[Sql.execute]]): statement text routes
+ * to the lake's DataFrame DML with IDENTICAL results — a SQL MERGE
+ * equals the equivalent [[Upsert.applyCdc]] row-for-row including the
+ * change feed and version history; UPDATE/DELETE are read-modify-write
+ * and purge; expectations gate the SQL path exactly as the API path;
+ * unsupported syntax rejects loudly.
+ */
+class SqlDmlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-sqldml").toString
+
+  private def seed(n: Int) =
+    (0 until n).map(k => (k.toLong, s"v$k", k.toLong)).toDF("k", "v", "n")
+
+  test("SQL MERGE == Upsert.applyCdc row-for-row, feed and history too") {
+    val tA = s"$root/mergeA"
+    val tB = s"$root/mergeB"
+    Forget.publishIndexed(seed(100), tA, 4, "k", stats = true)
+    Forget.publishIndexed(seed(100), tB, 4, "k", stats = true)
+    SqlDml.register(spark, "ta", tA, "k")
+
+    Seq(
+      (5L, "five!", 500L, false), (10L, "ten!", 1000L, false),
+      (200L, "fresh", 2000L, false), (7L, "", 0L, true))
+      .toDF("k", "v", "n", "del").createOrReplaceTempView("chg")
+
+    val v = Sql.execute(spark,
+      """MERGE INTO ta AS t USING chg AS s ON t.k = s.k
+        |WHEN MATCHED AND s.del THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND NOT s.del THEN INSERT *""".stripMargin)
+    assert(v == 2L)
+
+    // the API twin on tB
+    val batch = Seq(
+      ("U", 5L, "five!", 500L), ("U", 10L, "ten!", 1000L),
+      ("I", 200L, "fresh", 2000L), ("D", 7L, null, 0L))
+      .toDF("op", "k", "v", "n")
+    assert(Upsert.applyCdc(spark, tB, "k", batch) == 2L)
+
+    val a = Versioned.read(spark, tA).orderBy("k").collect().toSeq
+    val b = Versioned.read(spark, tB).orderBy("k").collect().toSeq
+    assert(a == b, "SQL MERGE must equal the DataFrame merge row-for-row")
+    assert(a.size == 100) // 100 - 1 delete + 1 insert
+    // change feed identical (modulo the D row's non-key nulls, which both
+    // paths null out)
+    val fa = Cdf.changesSince(spark, tA, 1L).orderBy("_op", "k")
+      .collect().toSeq
+    val fb = Cdf.changesSince(spark, tB, 1L).orderBy("_op", "k")
+      .collect().toSeq
+    assert(fa == fb, "change feeds must match")
+    // the registered view re-bound to the post-DML version
+    assert(spark.table("ta").filter($"k" === 7L).isEmpty)
+    assert(spark.table("ta").filter($"k" === 200L).count() == 1L)
+  }
+
+  test("MERGE with a USING subquery and explicit assignment lists") {
+    val t = s"$root/sub"
+    Forget.publishIndexed(seed(20), t, 2, "k", stats = true)
+    SqlDml.register(spark, "tsub", t, "k")
+    Seq((1L, 111L), (2L, 222L), (50L, 555L))
+      .toDF("kk", "nn").createOrReplaceTempView("raw")
+    val v = Sql.execute(spark,
+      """MERGE INTO tsub t
+        |USING (SELECT kk, nn FROM raw WHERE nn > 100) AS s
+        |ON t.k = s.kk
+        |WHEN MATCHED THEN UPDATE SET n = s.nn, v = concat(t.v, '+')
+        |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.kk, 'new', s.nn)
+        |""".stripMargin)
+    assert(v == 2L)
+    val rows = Versioned.read(spark, t)
+      .filter($"k".isin(1L, 2L, 50L)).orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "v1+", 111L), (2L, "v2+", 222L),
+      (50L, "new", 555L)))
+    // untouched rows untouched
+    assert(Versioned.read(spark, t).filter($"k" === 3L)
+      .as[(Long, String, Long)].head() == ((3L, "v3", 3L)))
+  }
+
+  test("UPDATE: read-modify-write merge; key assignment rejects") {
+    val t = s"$root/upd"
+    Forget.publishIndexed(seed(30), t, 2, "k", stats = true)
+    SqlDml.register(spark, "tupd", t, "k")
+    val v = Sql.execute(spark,
+      "UPDATE tupd SET v = concat(v, '!'), n = n + 100 WHERE k < 3")
+    assert(v == 2L)
+    val rows = Versioned.read(spark, t).filter($"k" < 5L).orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((0L, "v0!", 100L), (1L, "v1!", 101L),
+      (2L, "v2!", 102L), (3L, "v3", 3L), (4L, "v4", 4L)))
+    // a no-match predicate publishes nothing
+    assert(Sql.execute(spark, "UPDATE tupd SET n = 0 WHERE k > 999") == 2L)
+    val e = intercept[IllegalArgumentException] {
+      Sql.execute(spark, "UPDATE tupd SET k = 1 WHERE k = 2")
+    }
+    assert(e.getMessage.contains("key column"))
+  }
+
+  test("DELETE: rewriting purge by default, deletion-vector on request") {
+    val t = s"$root/del"
+    Forget.publishIndexed(seed(40), t, 4, "k", stats = true)
+    SqlDml.register(spark, "tdel", t, "k")
+    assert(Sql.execute(spark, "DELETE FROM tdel WHERE n >= 38") == 2L)
+    assert(Versioned.read(spark, t).count() == 38L)
+    assert(!Versioned.isShallowRef(spark, t, 2L), "default purge rewrites")
+    // zero-copy arm: a DV version (ref + vector), same visible result
+    assert(Sql.execute(spark, "DELETE FROM tdel WHERE k < 2",
+      zeroCopyDelete = true) == 3L)
+    assert(Versioned.isShallowRef(spark, t, 3L))
+    assert(Dv.deletedRows(spark, t, 3L) == 2L)
+    assert(Versioned.read(spark, t).count() == 36L)
+    assert(spark.table("tdel").count() == 36L) // view re-bound
+    // matching nothing is a no-op, not a publish
+    assert(Sql.execute(spark, "DELETE FROM tdel WHERE k = 12345") == 3L)
+  }
+
+  test("Drop-mode expectations quarantine via the SQL path") {
+    val t = s"$root/gate"
+    val q = s"$root/gateQ"
+    Forget.publishIndexed(seed(10), t, 2, "k", stats = true)
+    SqlDml.register(spark, "tgate", t, "k")
+    Seq((1L, "ok", 50L), (2L, "bad", -5L), (300L, "ok2", 7L))
+      .toDF("k", "v", "n").createOrReplaceTempView("gatesrc")
+    val v = Sql.execute(spark,
+      """MERGE INTO tgate t USING gatesrc s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      rules = Seq(Expect.Rule("nonneg", "n >= 0")),
+      mode = Expect.Mode.Drop, quarantine = Some(q))
+    assert(v == 2L)
+    val after = Versioned.read(spark, t)
+    assert(after.filter($"k" === 1L).select($"n").as[Long].head() == 50L)
+    assert(after.filter($"k" === 300L).count() == 1L)
+    // the violating row: quarantined with its broken rule, NOT merged
+    assert(after.filter($"k" === 2L).select($"v").as[String].head() == "v2")
+    val quarantined = Versioned.read(spark, q).collect().toSeq
+    assert(quarantined.size == 1 &&
+      quarantined.head.getAs[Long]("k") == 2L)
+    // Fail mode aborts with the table untouched
+    intercept[IllegalStateException] {
+      Sql.execute(spark,
+        """MERGE INTO tgate t USING gatesrc s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
+        rules = Seq(Expect.Rule("nonneg", "n >= 0")),
+        mode = Expect.Mode.Fail)
+    }
+    assert(Versioned.currentVersion(spark, t).contains(2L))
+  }
+
+  test("unsupported syntax rejects loudly; nothing half-executes") {
+    val t = s"$root/rej"
+    Forget.publishIndexed(seed(5), t, 1, "k", stats = true)
+    SqlDml.register(spark, "trej", t, "k")
+    def rejects(sql: String, why: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Sql.execute(spark, sql)
+      }
+      assert(e.getMessage.toLowerCase.contains(why.toLowerCase),
+        s"message for '$sql' was: ${e.getMessage}")
+    }
+    rejects("TRUNCATE TABLE trej", "statement kind")
+    rejects("MERGE INTO trej USING x WHEN MATCHED THEN DELETE", "USING, ON")
+    rejects(
+      """MERGE INTO trej t USING trej s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET n = 1
+        |WHEN MATCHED THEN UPDATE SET n = 2""".stripMargin,
+      "at most one")
+    rejects(
+      """MERGE INTO trej t USING trej s ON t.k = s.k
+        |WHEN MATCHED THEN UPSERT""".stripMargin, "unsupported WHEN action")
+    rejects("DELETE FROM nowhere WHERE k = 1", "not a registered")
+    rejects("UPDATE trej SET WHERE k = 1", "assignment")
+    // and every version is still the seed — nothing half-executed
+    assert(Versioned.currentVersion(spark, t).contains(1L))
+  }
+}
