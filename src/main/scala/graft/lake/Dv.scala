@@ -70,9 +70,11 @@ object Dv {
 
   /** Apply version `v`'s deletion vector to a frame READ FROM ITS DATA
     * DIR (the frame must still expose the parquet `_metadata` column —
-    * i.e. be the raw scan, before projections). No-op without a vector. */
-  private[lake] def applyVector(spark: SparkSession, table: String, v: Long,
-                                df: DataFrame): DataFrame = {
+    * i.e. be the raw scan, before projections). No-op without a vector.
+    * Works on STREAMING frames too (a stream-static broadcast anti-join —
+    * [[graft.streaming.LakeStream.table]]'s snapshot leg). */
+  private[graft] def applyVector(spark: SparkSession, table: String, v: Long,
+                                 df: DataFrame): DataFrame = {
     if (!hasVector(spark, table, v)) return df
     val dv = spark.read.parquet(dvDir(s"$table/v=$v"))
       .withColumnRenamed("file", "_graft_dv_file")
@@ -97,6 +99,197 @@ object Dv {
             keys: Seq[Long]): Long =
     Versioned.withWriteRetry() { purgeOnce(spark, table, keyCol, keys) }
 
+  /** Zero-copy MERGE — deletion vectors extended from deletes to the
+    * whole CDC triad, so update-heavy CDC stops rewriting admitted files
+    * entirely: each changed key's OLD row is vectored out (one
+    * column-pruned victim-locating scan of the index-admitted files, as
+    * [[purge]]) and the batch's I/U rows land as FRESH changeset-sized
+    * files INSIDE the new version dir, beside the `_ref` to the untouched
+    * base data dir. [[Versioned.readVersion]] unions base + appended
+    * files and anti-joins the vector, so every reader (live, time travel,
+    * diff, views, SQL, Cdf seeds) sees exactly what a rewriting
+    * [[Upsert.merge]] would have produced — the change feed is recorded
+    * identically. Chained zero-copy merges byte-copy the (changeset-
+    * sized) prior appends forward so `_ref` never chains; after enough
+    * churn, [[Clone.materialize]] compacts appends + vector back into
+    * real files, exactly as for a DV purge.
+    *
+    * Scope dials (reject, don't guess): batches up to
+    * [[Upsert.MaxDriverKeysDefault]] keys (this is the CDC-trickle path —
+    * a restatement belongs on [[Upsert.merge]]'s distributed path) and NO
+    * schema evolution (evolution needs the rewriting merge's marker
+    * machinery). Same batch contract as [[Upsert.applyCdc]], enforced by
+    * the same validation. */
+  def applyCdc(spark: SparkSession, table: String, keyCol: String,
+               batch: DataFrame, opCol: String = "op",
+               batchTag: Option[String] = None): Long = {
+    val owned =
+      batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (owned) batch.persist()
+    try {
+      val p = Upsert.validateCdc(batch, keyCol, opCol)
+      require(p.nKeys > 0, "empty changeset")
+      require(p.nKeys <= Upsert.MaxDriverKeysDefault,
+        s"${p.nKeys} keys — past the zero-copy merge's driver budget " +
+          s"(${Upsert.MaxDriverKeysDefault}); a batch this wide belongs " +
+          "on Upsert.merge's distributed path")
+      Versioned.withWriteRetry() {
+        mergeOnce(spark, table, keyCol, p.upserts, p.deletes,
+          p.nKeys - p.nDeletes, p.nDeletes, batchTag)
+      }
+    } finally { if (owned) { batch.unpersist(); () } }
+  }
+
+  /** Zero-copy upsert (no deletes): see [[applyCdc]]. */
+  def merge(spark: SparkSession, table: String, keyCol: String,
+            changes: DataFrame): Long = {
+    changes.persist()
+    try {
+      import org.apache.spark.sql.functions.{col => fcol}
+      val v = changes.agg(
+        count(when(fcol(keyCol).isNull, 1)).as("nulls"),
+        count(lit(1)).as("n"),
+        countDistinct(fcol(keyCol)).as("nk")).head()
+      require(v.getLong(0) == 0L,
+        s"changeset has NULL $keyCol keys — a NULL key matches no row")
+      require(v.getLong(1) == v.getLong(2),
+        s"${v.getLong(1) - v.getLong(2)} duplicate $keyCol key(s) in the " +
+          "changeset — each would insert its own row")
+      require(v.getLong(1) > 0, "empty changeset")
+      require(v.getLong(1) <= Upsert.MaxDriverKeysDefault,
+        s"${v.getLong(1)} keys — past the zero-copy merge's driver budget")
+      val empty = spark
+        .emptyDataset(org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
+      Versioned.withWriteRetry() {
+        mergeOnce(spark, table, keyCol, changes, empty,
+          v.getLong(1), 0L, None)
+      }
+    } finally { changes.unpersist(); () }
+  }
+
+  private def mergeOnce(spark: SparkSession, table: String, keyCol: String,
+                        upserts: DataFrame, deletes: DataFrame,
+                        nUpserts: Long, nDeletes: Long,
+                        batchTag: Option[String]): Long = {
+    import spark.implicits._
+    val live = Versioned.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    val liveVDir = s"$table/v=$live"
+    val dataDir = Versioned.dataDir(spark, table, live) // one hop, always
+    val f = fs(spark, table)
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // schema discipline: the base dir's marker (or footers) is THE table
+    // schema; the zero-copy path refuses evolution (scope dial above)
+    val schema = Versioned.readSchemaMarker(f, dataDir)
+      .getOrElse(spark.read.parquet(dataDir).schema)
+    val cols = schema.fieldNames.toSeq
+    val missing = cols.filterNot(upserts.columns.contains)
+    val extra = upserts.columns.toSeq.filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"changeset schema lacks table column(s) $missing — a merge row " +
+        "replaces the WHOLE row")
+    require(extra.isEmpty,
+      s"changeset adds column(s) $extra — the zero-copy merge does not " +
+        "evolve schemas; use Upsert.merge(evolveSchema = true)")
+
+    val upsertKeys = upserts.select(col(keyCol).cast("long"))
+      .as[Long].collect().toSeq
+    val deleteKeys = deletes.select(col(keyCol).cast("long"))
+      .as[Long].collect().toSeq
+    val ks = (upsertKeys ++ deleteKeys).distinct
+
+    // candidate files: the base data dir AND the live version's own
+    // appended files (a prior zero-copy merge) — victims can live in both
+    val stats = StatsIndex.load(spark, dataDir)
+    def admitted(dir: String): Seq[Path] = {
+      val parts = Versioned.dataFilePaths(spark, dir).map(new Path(_))
+      parts.filter { p =>
+        BloomIndex.mightContainAny(f, dir, p.getName, ks) &&
+          ((if (dir == dataDir) stats.flatMap(_.get(p.getName)) else None)
+            match {
+              case Some(st) => st.admitsAny(ks)
+              case None => Forget.rangeAdmitsAny(conf, p, keyCol, ks)
+            })
+      }
+    }
+    val ownParts =
+      if (dataDir == liveVDir) Seq.empty
+      else Versioned.dataFilePaths(spark, liveVDir).map(new Path(_))
+    val admittedAll = admitted(dataDir) ++
+      (if (dataDir == liveVDir) Seq.empty else admitted(liveVDir))
+
+    val prior =
+      if (hasVector(spark, table, live))
+        spark.read.parquet(dvDir(liveVDir))
+      else spark
+        .emptyDataset(org.apache.spark.sql.Encoders.product[(String, Long)])
+        .toDF("file", "row_index")
+    val victims =
+      if (admittedAll.isEmpty)
+        prior.limit(0)
+      else Versioned.readFiles(spark, dataDir, admittedAll.map(_.toString))
+        .select(col("_metadata.file_name").as("file"),
+          col("_metadata.row_index").as("row_index"),
+          col(keyCol).cast("long").as("_k"))
+        .filter(col("_k").isin(ks: _*))
+        .select(col("file"), col("row_index"))
+        .join(broadcast(prior), Seq("file", "row_index"), "left_anti")
+    victims.persist()
+    try {
+      val nNew = victims.count()
+      // nothing vectored AND nothing to upsert: the idempotent no-op
+      if (nNew == 0L && nUpserts == 0L) return live
+      Clone.pin(spark, dataDir, table) // ordering argument: see purgeOnce
+      Versioned.publishFrom(spark, table, live) { dir =>
+        val fd = fs(spark, dir)
+        // 1. fresh appends FIRST (the parquet overwrite creates the dir);
+        //    key-sorted so later footer admission stays tight
+        if (nUpserts > 0L) {
+          val parts = math.max(1L, math.min(64L,
+            nUpserts / 1000000L + 1)).toInt
+          upserts.select(cols.map(col): _*)
+            .repartitionByRange(parts, col(keyCol))
+            .sortWithinPartitions(col(keyCol))
+            .write.mode("overwrite").parquet(dir)
+          // Bloom sidecars for the appends (only they exist here yet)
+          BloomIndex.indexExisting(spark, dir, keyCol)
+        } else fd.mkdirs(new Path(dir))
+        // 2. carry the prior zero-copy merges' appends forward (byte
+        //    copies, changeset-scale) so _ref never chains
+        ownParts.foreach { p =>
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            f, p, fd, new Path(dir, p.getName), false, conf),
+            s"append carry failed: $p")
+          val bs = BloomIndex.sidecar(liveVDir, p.getName)
+          if (f.exists(bs))
+            org.apache.hadoop.fs.FileUtil.copy(f, bs, fd,
+              BloomIndex.sidecar(dir, p.getName), false, conf)
+        }
+        // 3. ref + cumulative vector + tag + change feed, as purge
+        val out = fd.create(new Path(s"$dir/_ref"), true)
+        try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        prior.unionByName(victims)
+          .coalesce(math.max(1, (nNew / 4000000L).toInt + 1))
+          .write.mode("overwrite").parquet(dvDir(dir))
+        val tagPath = new Path(s"$liveVDir/_cdc_batch")
+        batchTag match {
+          case Some(t) =>
+            val o = fd.create(new Path(s"$dir/_cdc_batch"), true)
+            try o.write(t.getBytes(StandardCharsets.UTF_8))
+            finally o.close()
+          case None =>
+            if (f.exists(tagPath))
+              org.apache.hadoop.fs.FileUtil.copy(f, tagPath, fd,
+                new Path(s"$dir/_cdc_batch"), false, true, conf)
+        }
+        Cdf.record(spark, dir, schema, keyCol,
+          upserts.select(cols.map(col): _*), nUpserts, deletes, nDeletes)
+      }
+    } finally { victims.unpersist(); () }
+  }
+
   private def purgeOnce(spark: SparkSession, table: String, keyCol: String,
                         keys: Seq[Long]): Long = {
     require(keys.nonEmpty, "purge needs a non-empty key set")
@@ -108,18 +301,21 @@ object Dv {
     val f = fs(spark, table)
     val conf = spark.sparkContext.hadoopConfiguration
     // admission: same Bloom + stats/footer intersection as Forget.purge,
-    // over the DATA dir (the sidecars live beside the data)
-    val parts = f.listStatus(new Path(dataDir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath)
+    // over the DATA dir (the sidecars live beside the data) AND the live
+    // version's own appended files (a prior zero-copy merge leaves
+    // changeset-sized appends beside its _ref — victims can live there)
     val stats = StatsIndex.load(spark, dataDir)
-    val admitted = parts.filter { p =>
-      BloomIndex.mightContainAny(f, dataDir, p.getName, ks) &&
-        (stats.flatMap(_.get(p.getName)) match {
-          case Some(st) => st.admitsAny(ks)
-          case None => Forget.rangeAdmitsAny(conf, p, keyCol, ks)
-        })
-    }
+    def admit(dir: String): Seq[Path] =
+      Versioned.dataFilePaths(spark, dir).map(new Path(_)).filter { p =>
+        BloomIndex.mightContainAny(f, dir, p.getName, ks) &&
+          ((if (dir == dataDir) stats.flatMap(_.get(p.getName)) else None)
+            match {
+              case Some(st) => st.admitsAny(ks)
+              case None => Forget.rangeAdmitsAny(conf, p, keyCol, ks)
+            })
+      }
+    val admitted = admit(dataDir) ++
+      (if (dataDir == liveVDir) Seq.empty else admit(liveVDir))
     if (admitted.isEmpty) return live // no file can hold any key: no-op
 
     // victim locations: ONE column-pruned scan of the admitted files.
@@ -169,6 +365,20 @@ object Dv {
     Versioned.publishFrom(spark, table, live) { dir =>
         val fd = fs(spark, dir)
         fd.mkdirs(new Path(dir))
+        // carry a prior zero-copy MERGE's appended files forward (byte
+        // copies, changeset-scale) — their rows are part of the snapshot
+        // and _ref only names the base dir
+        if (dataDir != liveVDir)
+          Versioned.dataFilePaths(spark, liveVDir).map(new Path(_))
+            .foreach { p =>
+              require(org.apache.hadoop.fs.FileUtil.copy(
+                f, p, fd, new Path(dir, p.getName), false, conf),
+                s"append carry failed: $p")
+              val bs = BloomIndex.sidecar(liveVDir, p.getName)
+              if (f.exists(bs))
+                org.apache.hadoop.fs.FileUtil.copy(f, bs, fd,
+                  BloomIndex.sidecar(dir, p.getName), false, conf)
+            }
         val out = fd.create(new Path(s"$dir/_ref"), true)
         try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
         finally out.close()

@@ -227,6 +227,15 @@ object Forget {
         deletes = spark.createDataset(ks)(
           org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol),
         deleteRows = ks.size.toLong)
+      // 8. file-level commit record (what this purge removed/added vs its
+      //    base) — lets a concurrent disjoint-file MERGE rebase over this
+      //    commit instead of re-deriving (see Upsert's conflict check)
+      val untouchedNames = untouched.map(_.getName).toSet
+      val added = f.listStatus(new Path(newDir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath.getName).toSet -- untouchedNames
+      Versioned.writeCommitInfo(f, newDir,
+        Versioned.CommitInfo(live, affected.map(_.getName).toSet, added))
     }
   }
 }

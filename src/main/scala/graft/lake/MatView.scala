@@ -177,16 +177,20 @@ object MatView {
       return spark.read.schema(schema).parquet(dir).limit(0)
     val conf = spark.sparkContext.hadoopConfiguration
     val stats = StatsIndex.load(spark, dir)
-    val admitted = f.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath)
-      .filter { p =>
-        BloomIndex.mightContainAny(f, dir, p.getName, keys) &&
-          (stats.flatMap(_.get(p.getName)) match {
+    // candidates: the data dir, plus a zero-copy MERGE version's own
+    // appended files (its updated/inserted rows live beside the _ref —
+    // old rows for re-touched keys can be there)
+    def admit(d: String): Seq[Path] =
+      Versioned.dataFilePaths(spark, d).map(new Path(_)).filter { p =>
+        BloomIndex.mightContainAny(f, d, p.getName, keys) &&
+          ((if (d == dir) stats.flatMap(_.get(p.getName)) else None) match {
             case Some(st) => st.admitsAny(keys)
             case None => Forget.rangeAdmitsAny(conf, p, keyCol, keys)
           })
       }
+    val ownDir = s"$source/v=$srcV"
+    val admitted = admit(dir) ++
+      (if (ownDir == dir) Seq.empty else admit(ownDir))
     if (admitted.isEmpty) spark.read.schema(schema).parquet(dir).limit(0)
     else Dv.applyVector(spark, source, srcV,
       Versioned.readFiles(spark, dir, admitted.map(_.toString)))
@@ -202,9 +206,10 @@ object MatView {
     * [[oldRows]]. */
   private def oldRowsJoin(spark: SparkSession, source: String, srcV: Long,
                           keyCol: String, batchKeys: DataFrame): DataFrame = {
-    val dir = preBatchDir(spark, source, srcV)
-    val df = Dv.applyVector(spark, source, srcV,
-      Versioned.readDataDir(spark, dir))
+    preBatchDir(spark, source, srcV) // vacuum guard (loud reject)
+    // readVersion semantics for the pre-batch version: base dir + any
+    // zero-copy-merge appends, minus the vector
+    val df = Versioned.readVersion(spark, source, srcV)
     df.join(batchKeys, df(keyCol).cast("long") === batchKeys("_k"),
       "left_semi")
   }

@@ -57,6 +57,15 @@ object Upsert {
     * memory and plan size. */
   val MaxDriverKeysDefault: Int = 200000
 
+  /** Count of merge DERIVATIONS (admission + rewrite planning) actually
+    * executed — instrumentation for the rebase contract: two concurrent
+    * disjoint-file merges must cost exactly two derivations (the loser
+    * REBASES its staged files instead of re-deriving). Test-facing. */
+  private[lake] val derivations = new java.util.concurrent.atomic.AtomicLong
+
+  /** Rebases performed in lieu of a re-derivation (see [[derivations]]). */
+  private[lake] val rebases = new java.util.concurrent.atomic.AtomicLong
+
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -102,42 +111,57 @@ object Upsert {
       batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (owned) batch.persist()
     try {
-      // single validation pass over the batch: op domain (incl. NULL ops,
-      // which collect_set would silently ignore and the D/non-D filters
-      // would then silently DROP), NULL keys, one-op-per-key — collapsed
-      // into one aggregate action so the micro-batch lineage is not
-      // re-run per check
-      val v = batch.agg(
-        collect_set(col(opCol)).as("ops"),
-        count(when(col(opCol).isNull, 1)).as("nullops"),
-        count(when(col(keyCol).isNull, 1)).as("nulls"),
-        count(lit(1)).as("n"),
-        countDistinct(col(keyCol)).as("nk"),
-        count(when(col(opCol) === "D", 1)).as("nd")).head()
-      val ops = v.getSeq[String](0).toSet
-      require(ops.subsetOf(Set("I", "U", "D")),
-        s"unknown ops ${ops -- Set("I", "U", "D")} in $opCol")
-      require(v.getLong(1) == 0L,
-        s"${v.getLong(1)} row(s) with NULL $opCol — refusing to guess")
-      require(v.getLong(2) == 0L,
-        s"changeset has NULL $keyCol keys — a NULL key matches no row")
-      require(v.getLong(3) == v.getLong(4),
-        s"${v.getLong(3) - v.getLong(4)} duplicate key(s) in one batch — " +
-          s"ops per key are unordered in a DataFrame; reduce with " +
-          s"Upsert.lastPerKey first")
-      // deletes stay a DataFrame end-to-end: the driver path collects them
-      // (bounded by the budget it just checked), the distributed path
-      // never does
-      val deletes = batch.filter(col(opCol) === "D")
-        .select(col(keyCol).cast("long").as(keyCol))
+      val p = validateCdc(batch, keyCol, opCol)
       Versioned.withWriteRetry() { // re-derive from the new live on conflict
         applyChanges(spark, table, keyCol,
-          batch.filter(col(opCol) =!= "D").drop(opCol), deletes,
-          nDeletes = v.getLong(5), batchTag,
-          prevalidated = true, nKeysHint = v.getLong(3),
+          p.upserts, p.deletes,
+          nDeletes = p.nDeletes, batchTag,
+          prevalidated = true, nKeysHint = p.nKeys,
           evolveSchema = evolveSchema, maxDriverKeys = maxDriverKeys)
       }
     } finally { if (owned) { batch.unpersist(); () } }
+  }
+
+  /** The validated split of an I/U/D batch: payload upserts (op column
+    * dropped), delete keys (one `keyCol` column), total distinct keys and
+    * delete count. */
+  private[lake] final case class CdcParts(upserts: DataFrame,
+                                          deletes: DataFrame,
+                                          nKeys: Long, nDeletes: Long)
+
+  /** Enforce the CDC BATCH CONTRACT (see [[applyCdc]]) in one aggregate
+    * action — op domain (incl. NULL ops, which collect_set would silently
+    * ignore and the D/non-D filters would then silently DROP), NULL keys,
+    * one-op-per-key — and split the batch. Shared with the zero-copy
+    * merge ([[Dv.applyCdc]]); call on a persisted batch. */
+  private[lake] def validateCdc(batch: DataFrame, keyCol: String,
+                                opCol: String): CdcParts = {
+    val v = batch.agg(
+      collect_set(col(opCol)).as("ops"),
+      count(when(col(opCol).isNull, 1)).as("nullops"),
+      count(when(col(keyCol).isNull, 1)).as("nulls"),
+      count(lit(1)).as("n"),
+      countDistinct(col(keyCol)).as("nk"),
+      count(when(col(opCol) === "D", 1)).as("nd")).head()
+    val ops = v.getSeq[String](0).toSet
+    require(ops.subsetOf(Set("I", "U", "D")),
+      s"unknown ops ${ops -- Set("I", "U", "D")} in $opCol")
+    require(v.getLong(1) == 0L,
+      s"${v.getLong(1)} row(s) with NULL $opCol — refusing to guess")
+    require(v.getLong(2) == 0L,
+      s"changeset has NULL $keyCol keys — a NULL key matches no row")
+    require(v.getLong(3) == v.getLong(4),
+      s"${v.getLong(3) - v.getLong(4)} duplicate key(s) in one batch — " +
+        s"ops per key are unordered in a DataFrame; reduce with " +
+        s"Upsert.lastPerKey first")
+    // deletes stay a DataFrame end-to-end: the driver path collects them
+    // (bounded by the budget it just checked), the distributed path
+    // never does
+    CdcParts(
+      batch.filter(col(opCol) =!= "D").drop(opCol),
+      batch.filter(col(opCol) === "D")
+        .select(col(keyCol).cast("long").as(keyCol)),
+      v.getLong(3), v.getLong(5))
   }
 
   /** Reduce an intra-batch-churn CDC frame to the LAST op per key, by
@@ -331,7 +355,7 @@ object Upsert {
       //    the live version joined against the batch keys (exact
       //    admission), anti-join survivor filter — no key ever resides on
       //    the driver, right for restatement-sized batches.
-      val (affected, untouched, keepSurvivors) =
+      val (affected, untouched, keepSurvivors, driverKeys) =
         if (nKeys <= maxDriverKeys) {
           val upsertKeys = upserts.select(col(keyCol).cast("long"))
             .as[Long].collect().toSeq
@@ -348,7 +372,8 @@ object Upsert {
           // NULL-key guard as in Forget.purge — `!isin` is NULL for NULL
           // keys, and NULL-key rows always survive (no key names them)
           (aff, unt, (df: DataFrame) =>
-            df.filter(col(keyCol).isNull || !col(keyCol).isin(ks: _*)))
+            df.filter(col(keyCol).isNull || !col(keyCol).isin(ks: _*)),
+            Some(ks))
         } else {
           val keys = upserts.select(col(keyCol).cast("long").as("_k"))
             .union(deletes.select(col(keyCol).cast("long").as("_k")))
@@ -366,16 +391,105 @@ object Upsert {
           // NULL-key rows survive exactly as under the driver path
           (aff, unt, (df: DataFrame) =>
             df.join(keys, df(keyCol).cast("long") === keys("_k"),
-              "left_anti"))
+              "left_anti"),
+            None)
         }
       // vacuous batch (e.g. a delete-only replay whose keys no file can
       // hold, nothing to insert): Forget.purge's idempotent no-op — a
       // publish here would byte-copy the WHOLE table for nothing
       if (affected.isEmpty && nUpserts == 0L) return live
 
-      // derived from `live`: claims exactly live+1, throwing on a
-      // concurrent commit so the retry wrapper re-derives (OCC)
-      Versioned.publishFrom(spark, table, live) { newDir =>
+      derivations.incrementAndGet()
+      val ourRemoved = affected.map(_.getName).toSet
+      var builtAdded = Set.empty[String] // fresh files, captured by build
+      // data files our stage CARRIES from the base (byte copies) — updated
+      // per rebase so a second competitor's removed set resolves against
+      // what the stage actually holds by then
+      var carried = untouched.map(_.getName).toSet
+
+      // File-level conflict check (Delta's, on this layout): a competitor
+      // committed at the number we claimed. When its commit provably
+      // touched DISJOINT files AND none of its fresh files can contain any
+      // of our changeset keys, our staged version is patched into a valid
+      // derivation of the competitor's (delete its removed files from our
+      // byte-copied set, copy in its added files + sidecars, remint the
+      // stats manifest) and re-claims the next number — NO re-derivation.
+      // Any doubt returns false: the withWriteRetry wrapper re-derives,
+      // which is always correct, just costlier.
+      def tryRebase(conflictV: Long, stage: String): Boolean = driverKeys match {
+        case None => false // distributed-path keys never reside driver-side
+        case Some(ks) =>
+          val compDir = s"$table/v=$conflictV"
+          // DV/clone versions share data dirs — file identity doesn't
+          // compose; evolution changes the read schema — bail on any marker
+          if (f.exists(new Path(s"$compDir/_ref")) ||
+              f.exists(new Path(s"$compDir/_dv")) ||
+              extra.nonEmpty || hadMarker.isDefined ||
+              Versioned.readSchemaMarker(f, compDir).isDefined) return false
+          val info = Versioned.readCommitInfo(f, compDir) match {
+            case Some(i) if i.base == conflictV - 1 => i
+            case _ => return false // blind publish / maintenance / unknown
+          }
+          // file-level disjointness: the competitor must not have touched
+          // any file our derivation read (and rewrote away)
+          if (info.removed.exists(ourRemoved.contains)) return false
+          if (!info.removed.subsetOf(carried)) return false
+          // replay-dedup tags must agree, or the carried watermark could
+          // go backward relative to the competitor's
+          val ourTag = batchTag.orElse(readTag(f, table, live))
+          if (readTag(f, table, conflictV) != ourTag) return false
+          // key-level check on the competitor's FRESH files (its changeset
+          // + survivors): Bloom/stats prefilter, then an EXACT key scan of
+          // the admitted few — a false positive here would only force a
+          // re-derivation, but the exact pass keeps rebase effective for
+          // wide changesets (100 keys × fpp 0.01 would spuriously admit)
+          val compStats = StatsIndex.load(spark, compDir)
+          val candidates = info.added.toSeq.filter { n =>
+            BloomIndex.mightContainAny(f, compDir, n, ks) &&
+              (compStats.flatMap(_.get(n)) match {
+                case Some(st) => st.admitsAny(ks)
+                case None => Forget.rangeAdmitsAny(conf,
+                  new Path(s"$compDir/$n"), keyCol, ks)
+              })
+          }
+          if (candidates.nonEmpty && !spark.read
+              .parquet(candidates.map(n => s"$compDir/$n"): _*)
+              .filter(col(keyCol).cast("long").isin(ks: _*))
+              .isEmpty) return false
+          // ---- patch the stage: swap byte copies, never recompute ----
+          info.removed.foreach { n =>
+            require(f.delete(new Path(s"$stage/$n"), false),
+              s"rebase: failed dropping $n from the stage")
+            f.delete(BloomIndex.sidecar(stage, n), false)
+            f.delete(TokenBloom.sidecar(stage, n), false)
+          }
+          info.added.foreach { n =>
+            require(org.apache.hadoop.fs.FileUtil.copy(f,
+              new Path(s"$compDir/$n"), f, new Path(s"$stage/$n"),
+              false, conf), s"rebase: copy failed for $n")
+            val bs = BloomIndex.sidecar(compDir, n)
+            if (f.exists(bs))
+              org.apache.hadoop.fs.FileUtil.copy(f, bs, f,
+                BloomIndex.sidecar(stage, n), false, conf)
+            val tk = TokenBloom.sidecar(compDir, n)
+            if (f.exists(tk))
+              org.apache.hadoop.fs.FileUtil.copy(f, tk, f,
+                TokenBloom.sidecar(stage, n), false, conf)
+          }
+          if (StatsIndex.exists(spark, stage))
+            StatsIndex.rebuildAfterRewrite(spark, compDir, stage, keyCol,
+              preloaded = compStats)
+          carried = carried -- info.removed ++ info.added
+          Versioned.writeCommitInfo(f, stage,
+            Versioned.CommitInfo(conflictV, ourRemoved, builtAdded))
+          rebases.incrementAndGet()
+          true
+      }
+
+      // derived from `live`: claims exactly live+1; on a concurrent
+      // commit, rebases when provably disjoint (above) and otherwise
+      // throws so the retry wrapper re-derives (OCC)
+      Versioned.publishFromRebasing(spark, table, live)({ newDir =>
         // survivors: affected-file rows not named by the changeset, plus
         // the upsert rows, column-aligned to the table's order — read
         // under the OUTPUT schema: affected files may predate an
@@ -433,7 +547,14 @@ object Upsert {
         // (row count == distinct keys, enforced above — no extra action)
         Cdf.record(spark, newDir, outSchema, keyCol,
           upserts.select(outCols.map(col): _*), nUpserts, deletes, nDeletes)
-      }
+        // file-level commit record: what this version removed from and
+        // added to its base — the rebase hook's conflict-check input
+        builtAdded = f.listStatus(new Path(newDir)).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map(_.getPath.getName).toSet -- carried
+        Versioned.writeCommitInfo(f, newDir,
+          Versioned.CommitInfo(live, ourRemoved, builtAdded))
+      })(tryRebase)
     } finally {
       keyFrame.foreach(_.unpersist())
       if (!prevalidated) upserts.unpersist()

@@ -283,11 +283,65 @@ object Versioned {
     * version (first-committer-wins serializability). */
   def publishFrom(spark: SparkSession, table: String, base: Long)
                  (build: String => Unit): Long =
+    publishFromRebasing(spark, table, base)(build)((_, _) => false)
+
+  /** [[publishFrom]] with a REBASE hook — Delta's file-level conflict
+    * check on this layout: when `base + 1` is already committed by a
+    * competitor, `rebase(competitorVersion, stageDir)` may PATCH the
+    * staged dir so it is a valid derivation of the competitor's version
+    * (byte-level file swaps — no re-derivation) and return true to
+    * re-attempt at the next number; returning false falls back to
+    * [[ConcurrentWriteException]] and the caller's re-derive loop. The
+    * hook owns the safety argument (disjointness of touched files/keys —
+    * see [[Upsert]]); this method just drives claim attempts up the
+    * version chain, one rebase per committed competitor. */
+  def publishFromRebasing(spark: SparkSession, table: String, base: Long)
+                         (build: String => Unit)
+                         (rebase: (Long, String) => Boolean): Long =
     staged(spark, table, build) { (f, stage) =>
       recover(spark, table)
-      if (!commitStage(f, table, stage, base + 1))
-        throw new ConcurrentWriteException(table, base + 1)
-      base + 1
+      var b = base
+      while (true) {
+        if (commitStage(f, table, stage, b + 1)) return b + 1
+        if (!rebase(b + 1, stage.toString))
+          throw new ConcurrentWriteException(table, b + 1)
+        b += 1
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+  /** File-level record of what a file-targeted DML commit did to its base
+    * version's data files — the conflict-check input for [[Upsert]]'s
+    * rebase: `base` (the version derived from), `removed` (base data
+    * files NOT carried into this version: the rewritten-away admitted
+    * set) and `added` (fresh files this commit wrote). Written by
+    * [[Upsert]] and [[Forget.purge]] inside the version dir (atomic with
+    * the commit rename); absent on blind publishes, layout maintenance
+    * and DV versions — which therefore never rebase over. */
+  private[lake] final case class CommitInfo(base: Long,
+                                            removed: Set[String],
+                                            added: Set[String])
+
+  private[lake] def writeCommitInfo(f: FileSystem, dir: String,
+                                    info: CommitInfo): Unit = {
+    val body = (s"base ${info.base}" +:
+      (info.removed.toSeq.sorted.map("r " + _) ++
+        info.added.toSeq.sorted.map("a " + _))).mkString("\n")
+    val out = f.create(new Path(s"$dir/_commit_info"), true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[lake] def readCommitInfo(f: FileSystem,
+                                   dir: String): Option[CommitInfo] =
+    readSmallFile(f, new Path(s"$dir/_commit_info")).flatMap { body =>
+      val lines = body.linesIterator.toSeq
+      lines.headOption.filter(_.startsWith("base "))
+        .flatMap(_.stripPrefix("base ").toLongOption).map { base =>
+          CommitInfo(base,
+            lines.collect { case l if l.startsWith("r ") => l.drop(2) }.toSet,
+            lines.collect { case l if l.startsWith("a ") => l.drop(2) }.toSet)
+        }
     }
 
   // build into a private hidden stage dir, hand it to the commit logic,
@@ -442,10 +496,32 @@ object Versioned {
     * zero-copy purge's version reads its shared data dir through a
     * broadcast anti-join on the parquet metadata columns, so EVERY
     * Versioned reader (live reads, time travel, diff, views, SQL) sees
-    * deletes without any file rewrite. */
-  def readVersion(spark: SparkSession, table: String, v: Long): DataFrame =
-    Dv.applyVector(spark, table, v,
-      readDataDir(spark, dataDir(spark, table, v)))
+    * deletes without any file rewrite. A ref version that ALSO carries
+    * its own `part-` files (a zero-copy [[Dv.applyCdc]] merge: base dir
+    * untouched, updated/inserted rows appended beside the vector) scans
+    * the union of both, under the base dir's schema discipline. */
+  def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
+    val own = s"$table/v=$v"
+    val data = dataDir(spark, table, v)
+    val df =
+      if (data == own) readDataDir(spark, own)
+      else {
+        val ownParts = dataFilePaths(spark, own)
+        if (ownParts.isEmpty) readDataDir(spark, data)
+        else readFiles(spark, data, dataFilePaths(spark, data) ++ ownParts)
+      }
+    Dv.applyVector(spark, table, v, df)
+  }
+
+  /** `part-` data files of one dir, as full path strings. */
+  private[lake] def dataFilePaths(spark: SparkSession,
+                                  dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) Seq.empty
+    else f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+  }
 
   /** Read a version DATA dir, honoring its `_table_schema` marker. Once a
     * table has schema-evolved ([[Upsert]] `evolveSchema=true`), its version
