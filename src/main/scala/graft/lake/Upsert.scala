@@ -61,10 +61,10 @@ object Upsert {
     * executed — instrumentation for the rebase contract: two concurrent
     * disjoint-file merges must cost exactly two derivations (the loser
     * REBASES its staged files instead of re-deriving). Test-facing. */
-  private[lake] val derivations = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val derivations = new java.util.concurrent.atomic.AtomicLong
 
   /** Rebases performed in lieu of a re-derivation (see [[derivations]]). */
-  private[lake] val rebases = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val rebases = new java.util.concurrent.atomic.AtomicLong
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)

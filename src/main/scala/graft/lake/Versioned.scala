@@ -124,7 +124,7 @@ object Versioned {
     * (manifest, `_ref`, `_commit_ts`, clone pins, `_cdc_batch` via
     * [[Upsert]]): a fixed-size buffer would silently truncate a long value
     * and a single `in.read()` is a short-read hazard on FSDataInputStream. */
-  private[lake] def readSmallFile(f: FileSystem, p: Path): Option[String] =
+  private[graft] def readSmallFile(f: FileSystem, p: Path): Option[String] =
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
@@ -514,7 +514,7 @@ object Versioned {
   }
 
   /** `part-` data files of one dir, as full path strings. */
-  private[lake] def dataFilePaths(spark: SparkSession,
+  private[graft] def dataFilePaths(spark: SparkSession,
                                   dir: String): Seq[String] = {
     val f = fs(spark, dir)
     if (!f.exists(new Path(dir))) Seq.empty

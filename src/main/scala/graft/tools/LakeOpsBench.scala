@@ -5,21 +5,29 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.lake.{Forget, Upsert, Versioned}
+import graft.lake.{Clone, Dv, Forget, MatView, Upsert, Versioned}
 
 /** Dev measurement main — not part of the library surface.
-  * Puts NUMBERS behind the lake DML scale claim (SCALE.md "lake ops"):
-  * Forget.purge / Upsert.applyCdc cost tracks the TOUCHED-FILE fraction,
-  * not table size, while a naive full republish tracks table size.
+  * Puts NUMBERS behind the lake DML scale claims (SCALE.md "lake ops",
+  * BASELINE.md "lake DML budget table"): targeted ops track the
+  * TOUCHED-FILE fraction, zero-copy ops track the changeset, while a
+  * naive full republish tracks table size.
   *
   * Usage: runMain graft.tools.LakeOpsBench [nRows] [nFiles] [nKeys] [stats]
   * Defaults: 4,000,000 rows x 64 files, 5-key changesets, stats=false.
   * With stats=true a [[graft.lake.StatsIndex]] manifest is built after
   * publish, so purge/merge prune from ONE manifest read instead of
-  * nFiles footer opens — run both arms at a high nFiles to see the
-  * metadata-round-trip cost the manifest removes. Prints one
-  * human-readable table: publish / purge / merge / full-republish wall
-  * seconds + files rewritten vs carried.
+  * nFiles footer opens.
+  *
+  * Arms (each printed human-readable, all collected into ONE final JSON
+  * line for programmatic budget capture — tools/budget_table.py style):
+  *   publish, purge (rewriting), merge_driver (Bloom-admission CDC
+  *   trickle), republish_full (the naive alternative), dv_purge
+  *   (zero-copy delete), dv_merge (zero-copy CDC), materialize (the DV
+  *   compactor), merge_distributed (find-touched-files path, forced via
+  *   maxDriverKeys=0), matview_refresh vs matview_recreate, and
+  *   occ_contention (two barrier-synced disjoint-range writers on a
+  *   clustered table — the conflict-rebase path).
   */
 object LakeOpsBench {
   def main(args: Array[String]): Unit = {
@@ -33,28 +41,32 @@ object LakeOpsBench {
     spark.sparkContext.setLogLevel("WARN")
     val root = Files.createTempDirectory("graft-lakeops").toString
     val t = s"$root/t"
+    val arms = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     def timeS[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
     def partNames(v: Long): Set[String] =
-      new java.io.File(s"$t/v=$v").listFiles()
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-        .map(_.getName).toSet
+      Option(new java.io.File(s"$t/v=$v").listFiles())
+        .map(_.filter(f => f.isFile && f.getName.startsWith("part-"))
+          .map(_.getName).toSet).getOrElse(Set.empty)
 
     val df = spark.range(nRows).select(col("id").as("k"),
       concat(lit("payload-"), col("id")).as("v"))
     val (_, tPub) = timeS(Forget.publishIndexed(df, t, nFiles, "k"))
+    arms("publish") = tPub
     println(f"publish   $nRows%,d rows x $nFiles files: $tPub%.2f s")
     if (useStats) {
       val (_, tStats) = timeS(
         graft.lake.StatsIndex.build(spark, s"$t/v=1", "k"))
+      arms("stats_build") = tStats
       println(f"stats manifest build: $tStats%.2f s")
     }
 
     val purgeKeys = (0 until nKeys).map(i => i.toLong * (nRows / nKeys) + 7)
     val (v2, tPurge) = timeS(Forget.purge(spark, t, "k", purgeKeys))
+    arms("purge") = tPurge
     val rewrote = partNames(v2).diff(partNames(v2 - 1)).size
     println(f"purge     $nKeys keys: $tPurge%.2f s  " +
       f"(rewrote $rewrote%d of $nFiles files, carried ${nFiles - rewrote}%d)")
@@ -64,8 +76,9 @@ object LakeOpsBench {
     import spark.implicits._
     val (v3, tMerge) = timeS(Upsert.applyCdc(spark, t, "k",
       changes.toDF("op", "k", "v")))
+    arms("merge_driver") = tMerge
     val rewroteM = partNames(v3).diff(partNames(v3 - 1)).size
-    println(f"merge     ${changes.size} I/U ops: $tMerge%.2f s  " +
+    println(f"merge     ${changes.size} I/U ops (driver path): $tMerge%.2f s  " +
       f"(rewrote $rewroteM%d of $nFiles files)")
 
     // the naive alternative: full-table anti-join republish, INCLUDING the
@@ -78,22 +91,100 @@ object LakeOpsBench {
         cur.join(ch.select(col("k")), Seq("k"), "left_anti").unionByName(ch),
         t, nFiles, "k")
     }
+    arms("republish_full") = tFull
     println(f"republish full table (same changeset): $tFull%.2f s")
     println(f"targeted/full ratio: ${tMerge / tFull}%.2f  " +
       f"(versions $v2%d/$v3%d/$v4%d)")
 
-    // the zero-copy arm: a deletion-vector purge rewrites NOTHING — cost
-    // is the victim-locating scan of admitted files + one metadata write
+    // the zero-copy arms: a deletion-vector purge rewrites NOTHING, a
+    // deletion-vector MERGE appends changeset-sized files beside a _ref
     val dvKeys = (0 until nKeys).map(i => i.toLong * (nRows / nKeys) + 13)
-    val (v5, tDv) = timeS(graft.lake.Dv.purge(spark, t, "k", dvKeys))
-    val dvParts = Option(new java.io.File(s"$t/v=$v5").listFiles())
-      .map(_.count(f => f.isFile && f.getName.startsWith("part-")))
-      .getOrElse(0)
+    val (v5, tDv) = timeS(Dv.purge(spark, t, "k", dvKeys))
+    arms("dv_purge") = tDv
+    val dvParts = partNames(v5).size
     println(f"dv purge  $nKeys keys (zero-copy): $tDv%.2f s  " +
       f"(wrote $dvParts%d data files; " +
-      f"${graft.lake.Dv.deletedRows(spark, t, v5)}%d rows vectored)")
-    val (_, tMat) = timeS(graft.lake.Clone.materialize(spark, t))
+      f"${Dv.deletedRows(spark, t, v5)}%d rows vectored)")
+
+    val dvChanges = (0 until nKeys).map(i =>
+      ("U", i.toLong * 37 + 2, s"dv-updated-$i")) :+
+      (("I", nRows + 50L, "dv-inserted"))
+    val (v6, tDvMerge) = timeS(Dv.applyCdc(spark, t, "k",
+      dvChanges.toDF("op", "k", "v")))
+    arms("dv_merge") = tDvMerge
+    println(f"dv merge  ${dvChanges.size} I/U ops (zero-copy): " +
+      f"$tDvMerge%.2f s  (${partNames(v6).size}%d appended files; " +
+      f"${Dv.deletedRows(spark, t, v6)}%d rows vectored)")
+
+    val (_, tMat) = timeS(Clone.materialize(spark, t))
+    arms("materialize") = tMat
     println(f"materialize (DV compactor, full rewrite): $tMat%.2f s")
+
+    // distributed-path merge: the same trickle FORCED through the
+    // find-touched-files scan (maxDriverKeys=0) — the restatement shape
+    val distChanges = (0 until nKeys).map(i =>
+      ("U", i.toLong * 41 + 3, s"dist-updated-$i"))
+    val (_, tDist) = timeS(Upsert.applyCdc(spark, t, "k",
+      distChanges.toDF("op", "k", "v"), maxDriverKeys = 0))
+    arms("merge_distributed") = tDist
+    println(f"merge     ${distChanges.size} ops (distributed path): " +
+      f"$tDist%.2f s")
+
+    // MatView arms: incremental refresh from one CDC batch vs recompute
+    val src = s"$root/mvsrc"
+    val view = s"$root/mv"
+    Forget.publishIndexed(
+      spark.range(nRows).select(col("id").as("k"),
+        (col("id") % 1024).as("g"), (col("id") % 97).as("amt")),
+      src, nFiles, "k")
+    MatView.create(spark, src, "k", view, Seq("g"), Seq("amt"))
+    val mvBatch = (0 until nKeys).map(i =>
+      ("U", i.toLong * 43 + 5, i.toLong % 1024, 7L))
+      .toDF("op", "k", "g", "amt")
+    Upsert.applyCdc(spark, src, "k", mvBatch)
+    val (_, tRefresh) = timeS(MatView.refresh(spark, view, mvBatch))
+    arms("matview_refresh") = tRefresh
+    val (_, tRecreate) = timeS(MatView.recreate(spark, view))
+    arms("matview_recreate") = tRecreate
+    println(f"matview   refresh $tRefresh%.2f s vs recreate $tRecreate%.2f s")
+
+    // OCC contention: two barrier-synced writers on DISJOINT key ranges of
+    // a range-clustered table — the file-level rebase path absorbs the
+    // claim conflict, so the pair costs ~one derivation each, not a
+    // re-derivation cascade. Wall for both to commit.
+    val tOcc = s"$root/occ"
+    Forget.publishClustered(
+      spark.range(nRows).select(col("id").as("k"),
+        concat(lit("p-"), col("id")).as("v")),
+      tOcc, nFiles, "k", stats = true)
+    val d0 = System.nanoTime()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.concurrent._
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContextExecutorService =
+        ExecutionContext.fromExecutorService(pool)
+      val writers = (0 to 1).map { w =>
+        Future {
+          val lo = w.toLong * (nRows - nKeys.toLong)
+          val ch = (0 until nKeys).map(i => (lo + i, s"occ-$w-$i"))
+            .toDF("k", "v")
+          barrier.await()
+          Upsert.merge(spark, tOcc, "k", ch)
+        }
+      }
+      Await.result(Future.sequence(writers), 10.minutes)
+    } finally pool.shutdown()
+    val tOccWall = (System.nanoTime() - d0) / 1e9
+    arms("occ_contention_pair") = tOccWall
+    println(f"occ pair  2 barrier-synced disjoint merges: $tOccWall%.2f s " +
+      f"(rebases so far: ${Upsert.rebases.get}%d)")
+
+    val armsJson = arms.map { case (k, s) => s""""$k":${f"$s%.3f"}""" }
+      .mkString(",")
+    println(s"""{"metric":"lake_ops","rows":$nRows,"files":$nFiles,""" +
+      s""""keys":$nKeys,"stats":$useStats,"arms":{$armsJson}}""")
     spark.stop()
   }
 }
