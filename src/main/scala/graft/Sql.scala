@@ -95,4 +95,9 @@ object Sql {
               quarantine: Option[String] = None,
               zeroCopyDelete: Boolean = false): Long =
     SqlDml.execute(spark, sql, rules, mode, quarantine, zeroCopyDelete)
+
+  /** `DESCRIBE HISTORY t` against a [[registerDml]]-registered lake
+    * table — one row per existing version ([[SqlDml.describe]]). */
+  def describe(spark: SparkSession, sql: String): DataFrame =
+    SqlDml.describe(spark, sql)
 }

@@ -5,7 +5,8 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.lake.{Dv, Expect, Forget, Upsert, Versioned}
+import graft.lake.{Clone, Compact, Dv, Expect, Forget, History, Restore,
+  Upsert, Versioned}
 
 /**
  * SQL DML statements against registered lake tables — the write-side of
@@ -31,6 +32,11 @@ import graft.lake.{Dv, Expect, Forget, Upsert, Versioned}
  *   WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (exprs) | INSERT *
  * UPDATE t SET col = expr, ... [WHERE cond]
  * DELETE FROM t [WHERE cond]
+ * INSERT INTO t [(cols)] VALUES (exprs), ... | <subquery>
+ * VACUUM t [RETAIN n VERSIONS]
+ * OPTIMIZE t
+ * RESTORE [TABLE] t TO VERSION AS OF n
+ * DESCRIBE HISTORY t            (via [[describe]] — returns a DataFrame)
  * }}}
  *
  * At most one clause of each WHEN kind; MATCHED clauses apply in the
@@ -127,7 +133,9 @@ object SqlDml {
     throw new IllegalArgumentException(
       s"unsupported SQL DML ($why) — supported forms are MERGE INTO ... " +
         "USING ... ON ... WHEN [NOT] MATCHED ..., UPDATE ... SET ... " +
-        "[WHERE ...], DELETE FROM ... [WHERE ...]. Statement: " +
+        "[WHERE ...], DELETE FROM ... [WHERE ...], VACUUM t [RETAIN n " +
+        "VERSIONS], OPTIMIZE t, RESTORE [TABLE] t TO VERSION AS OF n, " +
+        "DESCRIBE HISTORY t. Statement: " +
         sql.linesIterator.mkString(" ").take(200))
 
   private def stripSemi(sql: String): String = {
@@ -167,8 +175,72 @@ object SqlDml {
       case "MERGE" => merge(spark, s, rules, mode, quarantine)
       case "UPDATE" => update(spark, s, rules, mode, quarantine)
       case "DELETE" => delete(spark, s, zeroCopyDelete)
+      case "INSERT" => insert(spark, s, rules, mode, quarantine)
+      case "VACUUM" => vacuumStmt(spark, s)
+      case "OPTIMIZE" => optimizeStmt(spark, s)
+      case "RESTORE" => restoreStmt(spark, s)
       case _ => reject(s, s"statement kind '$head'")
     }
+    v
+  }
+
+  /** Metadata statements that RETURN a frame — currently `DESCRIBE
+    * HISTORY t` ([[graft.lake.History.frame]]: one row per existing
+    * version, with commit timestamp, operation kind, zero-copy/DV
+    * markers and file-level counts). */
+  def describe(spark: SparkSession, sql: String): DataFrame = {
+    val s = stripSemi(sql)
+    val m = "(?is)^DESCRIBE\\s+HISTORY\\s+(\\S+)$".r
+    s match {
+      case m(name) => History.frame(spark, lookup(name)._1)
+      case _ => reject(s, "expected DESCRIBE HISTORY <table>")
+    }
+  }
+
+  // VACUUM t [RETAIN n VERSIONS] — drop version dirs older than live-n
+  // (clone/restore-pinned dirs always survive; see Versioned.vacuum)
+  private def vacuumStmt(spark: SparkSession, sql: String): Long = {
+    val m = "(?is)^VACUUM\\s+(\\S+?)(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?$".r
+    val (name, keep) = sql match {
+      case m(n, k) => (n, Option(k).map(_.toInt).getOrElse(1))
+      case _ => reject(sql, "expected VACUUM <table> [RETAIN n VERSIONS]")
+    }
+    val (table, _) = lookup(name)
+    Versioned.vacuum(spark, table, keep)
+    Versioned.currentVersion(spark, table).get // live is never vacuumed
+  }
+
+  // OPTIMIZE t — Delta's compaction statement: materialize first when the
+  // live version is a zero-copy ref (DV purge/merge/restore — compaction
+  // needs real files), then the range-clustering file-count compaction
+  private def optimizeStmt(spark: SparkSession, sql: String): Long = {
+    val m = "(?is)^OPTIMIZE\\s+(\\S+)$".r
+    val name = sql match {
+      case m(n) => n
+      case _ => reject(sql, "expected OPTIMIZE <table>")
+    }
+    val (table, keyCol) = lookup(name)
+    val live = Versioned.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    if (Versioned.isShallowRef(spark, table, live))
+      Clone.materialize(spark, table)
+    val v = Compact.compactVersion(spark, table, keyCol)
+    rebind(spark, name, table)
+    v
+  }
+
+  // RESTORE [TABLE] t TO VERSION AS OF n — zero-copy content rewind
+  private def restoreStmt(spark: SparkSession, sql: String): Long = {
+    val m = ("(?is)^RESTORE\\s+(?:TABLE\\s+)?(\\S+)\\s+TO\\s+VERSION\\s+" +
+      "AS\\s+OF\\s+(\\d+)$").r
+    val (name, toV) = sql match {
+      case m(n, v) => (n, v.toLong)
+      case _ => reject(sql,
+        "expected RESTORE [TABLE] <table> TO VERSION AS OF <n>")
+    }
+    val (table, _) = lookup(name)
+    val v = Restore.restore(spark, table, toV)
+    rebind(spark, name, table)
     v
   }
 
@@ -211,6 +283,101 @@ object SqlDml {
       else Forget.purge(spark, table, keyCol, keys)
     rebind(spark, name, table)
     v
+  }
+
+  // INSERT INTO t [(cols)] VALUES (r1), (r2), ... | <subquery>
+  // Routed to Upsert.merge with an EXISTENCE GUARD: this lake's key
+  // column is row identity, so an INSERT naming a live key would either
+  // duplicate it (ANSI append semantics) or silently update it (merge
+  // semantics) — both are surprises. Reject loudly toward MERGE/UPDATE.
+  // The guard is one broadcast-able semi-join of the live snapshot
+  // against the changeset's keys (changeset-sized result, table-scan
+  // cost only in the key column — pruned like every admission pass).
+  private def insert(spark: SparkSession, sql: String,
+                     rules: Seq[Expect.Rule], mode: Expect.Mode,
+                     quarantine: Option[String]): Long = {
+    val m = "(?is)^INSERT\\s+INTO\\s+(\\S+)\\s+(.*)$".r
+    val (name, body) = sql match {
+      case m(n, b) => (n, b.trim)
+      case _ => reject(sql, "cannot parse INSERT")
+    }
+    val (table, keyCol) = lookup(name)
+    val live = Versioned.read(spark, table)
+    val tableCols = live.schema.fieldNames.toSeq
+
+    // optional explicit column list
+    val (cols, rest) =
+      if (body.startsWith("(")) {
+        val close = matchParen(body, sql)
+        val listed = splitTop(body.substring(1, close), ',')
+          .map(_.stripPrefix("`").stripSuffix("`"))
+        listed.foreach(c => require(tableCols.exists(_.equalsIgnoreCase(c)),
+          s"INSERT names unknown column '$c' of $name"))
+        require(listed.exists(_.equalsIgnoreCase(keyCol)),
+          s"INSERT column list must include the key column '$keyCol'")
+        (listed, body.substring(close + 1).trim)
+      } else (tableCols, body)
+
+    val src: DataFrame =
+      if (rest.toUpperCase.startsWith("VALUES")) {
+        val rowsSeg = rest.substring(6).trim
+        val rows = splitTop(rowsSeg, ',').map { r =>
+          require(r.startsWith("(") && r.endsWith(")"),
+            reject(sql, s"expected parenthesized VALUES row, got '$r'")
+              .toString)
+          splitTop(r.substring(1, r.length - 1), ',')
+        }
+        rows.foreach(r => require(r.size == cols.size,
+          s"VALUES row arity ${r.size} != column count ${cols.size}"))
+        // one select per row over a single-row range, unioned — tiny by
+        // construction (a VALUES list is typed by hand)
+        rows.map { r =>
+          spark.range(1).select(cols.zip(r).map { case (c, e) =>
+            expr(e).as(c)
+          }: _*)
+        }.reduce(_ unionByName _)
+      } else spark.sql(rest).toDF(cols: _*)
+
+    // missing columns read NULL (ANSI), cast to the table's types
+    val changes = src.select(tableCols.map { c =>
+      val field = live.schema(live.schema.fieldIndex(c))
+      (if (cols.exists(_.equalsIgnoreCase(c))) col(c)
+       else lit(null)).cast(field.dataType).as(c)
+    }: _*)
+
+    val clash = changes.join(live,
+      changes(keyCol) === live(keyCol), "left_semi")
+    val nClash = clash.count()
+    require(nClash == 0L,
+      s"INSERT INTO $name names $nClash key(s) that already exist — an " +
+        "insert on a live key is an UPDATE (or a MERGE); this surface " +
+        "refuses to guess which you meant")
+    val v =
+      if (rules.isEmpty) Upsert.merge(spark, table, keyCol, changes)
+      else Expect.merge(spark, table, keyCol, changes, rules, mode,
+        quarantine).version
+        .getOrElse(Versioned.currentVersion(spark, table).get)
+    rebind(spark, name, table)
+    v
+  }
+
+  // index of the ')' closing the '(' at position 0
+  private def matchParen(s: String, sql: String): Int = {
+    var depth = 0
+    var quote = ' '
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != ' ') { if (c == quote) quote = ' ' }
+      else c match {
+        case '\'' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    reject(sql, "unbalanced parentheses")
   }
 
   // UPDATE t SET a = e, ... [WHERE cond] — read-modify-write, then merge

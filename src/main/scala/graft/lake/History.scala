@@ -1,0 +1,73 @@
+package graft.lake
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * DESCRIBE HISTORY — Delta's table-history view on this layout, built
+ * from the per-version metadata every commit already writes: the
+ * `_commit_ts` marker (timestamp), the [[Versioned.CommitInfo]] sidecar
+ * (file-level base/removed/added, present on file-targeted DML), the
+ * change-record kind (`_changes` / `_changes_none` / absent — the same
+ * trichotomy [[Cdf.changesSince]] reads), the `_ref`/`_dv` markers
+ * (zero-copy shape) and the `_cdc_batch` replay tag.
+ *
+ * Cost: O(existing versions) driver-side small-file reads — the
+ * inherent cost of the ANSWER (every row describes one version), the
+ * same shape as Delta's history scan of its log. Vacuumed versions are
+ * absent (their metadata is gone with their data); at long histories
+ * the listing itself is one directory scan.
+ */
+object History {
+
+  val schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = true),
+    StructField("operation", StringType, nullable = false),
+    StructField("is_zero_copy", BooleanType, nullable = false),
+    StructField("has_deletion_vector", BooleanType, nullable = false),
+    StructField("base_version", LongType, nullable = true),
+    StructField("files_removed", IntegerType, nullable = true),
+    StructField("files_added", IntegerType, nullable = true),
+    StructField("batch_tag", StringType, nullable = true)))
+
+  /** One row per EXISTING version of `table`, ascending. `operation` is
+    * derived from the commit's recorded markers:
+    *  - "dml"         — recorded a row changeset (`_changes`: merge/
+    *                     purge/CDC, rewriting or zero-copy);
+    *  - "maintenance" — layout-only (`_changes_none`: compact/cluster);
+    *  - "restore"     — a zero-copy ref WITHOUT a changeset
+    *                     ([[Restore.restore]], or a [[Clone.shallow]]
+    *                     seed version — both are wholesale replaces);
+    *  - "publish"     — a full snapshot publish. */
+  def frame(spark: SparkSession, table: String): DataFrame = {
+    val f = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ts = Versioned.commitTimes(spark, table).toMap
+    val rows = Versioned.versions(spark, table).map { v =>
+      val dir = s"$table/v=$v"
+      def has(p: String) = f.exists(new Path(s"$dir/$p"))
+      val isRef = has("_ref")
+      val op =
+        if (has("_changes")) "dml"
+        else if (has("_changes_none")) "maintenance"
+        else if (isRef) "restore"
+        else "publish"
+      val info = Versioned.readCommitInfo(f, dir)
+      Row(v,
+        ts.get(v).map(new Timestamp(_)).orNull,
+        op,
+        isRef,
+        has("_dv"),
+        info.map(i => java.lang.Long.valueOf(i.base)).orNull,
+        info.map(i => java.lang.Integer.valueOf(i.removed.size)).orNull,
+        info.map(i => java.lang.Integer.valueOf(i.added.size)).orNull,
+        Versioned.readSmallFile(f, new Path(s"$dir/_cdc_batch")).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}

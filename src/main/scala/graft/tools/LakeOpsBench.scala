@@ -157,6 +157,27 @@ object LakeOpsBench {
       spark.range(nRows).select(col("id").as("k"),
         concat(lit("p-"), col("id")).as("v")),
       tOcc, nFiles, "k", stats = true)
+
+    // big-batch restatement: a contiguous-range changeset LARGER than the
+    // driver-key budget (forces the find-touched-files distributed path —
+    // no key ever reaches the driver) against the range-clustered copy.
+    // The rewrite tracks the touched key RANGE's files, so at a bigger
+    // table the SAME batch touches a smaller file fraction; the only
+    // table-size-linear piece is the one column-pruned key-column scan of
+    // the admission join. This is the SCALE.md "distributed-path knee" row.
+    val bigN = math.min(nRows / 4, 500000L)
+    val bigLo = nRows / 3
+    val bigCh = spark.range(bigLo, bigLo + bigN).select(col("id").as("k"),
+      concat(lit("big-"), col("id")).as("v"))
+    val (vBig, tBig) = timeS(Upsert.merge(spark, tOcc, "k", bigCh))
+    arms("merge_bigbatch") = tBig
+    val bigRewrote = Option(new java.io.File(s"$tOcc/v=$vBig").listFiles())
+      .map(_.count(f => f.isFile && f.getName.startsWith("part-")))
+      .getOrElse(0)
+    println(f"merge     $bigN%,d-key contiguous batch (distributed path, " +
+      f"budget ${Upsert.MaxDriverKeysDefault}%,d): $tBig%.2f s  " +
+      f"(version holds $bigRewrote%d data files)")
+
     val d0 = System.nanoTime()
     val barrier = new java.util.concurrent.CyclicBarrier(2)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)

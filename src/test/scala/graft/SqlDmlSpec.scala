@@ -185,4 +185,94 @@ class SqlDmlSpec extends SparkSpec {
     // and every version is still the seed — nothing half-executed
     assert(Versioned.currentVersion(spark, t).contains(1L))
   }
+
+  test("INSERT INTO: VALUES and subquery forms append; live keys reject") {
+    val t = s"$root/ins"
+    Forget.publishIndexed(seed(20), t, 2, "k", stats = true)
+    SqlDml.register(spark, "tins", t, "k")
+
+    // VALUES form, full column list implied
+    val v2 = Sql.execute(spark,
+      "INSERT INTO tins VALUES (100, 'hundred', 1), (101, 'hundred-one', 2)")
+    assert(v2 == 2L)
+    assert(spark.table("tins").count() == 22)
+
+    // explicit column list: omitted columns read NULL
+    Sql.execute(spark, "INSERT INTO tins (k, v) VALUES (102, 'no-n')")
+    val r = spark.sql("SELECT n FROM tins WHERE k = 102").head()
+    assert(r.isNullAt(0))
+
+    // subquery form
+    Seq((200L, "sub-200", 9L)).toDF("k", "v", "n")
+      .createOrReplaceTempView("ins_src")
+    Sql.execute(spark, "INSERT INTO tins SELECT k, v, n FROM ins_src")
+    assert(spark.sql("SELECT v FROM tins WHERE k = 200").head()
+      .getString(0) == "sub-200")
+
+    // a live key rejects loudly — this surface never guesses
+    // insert-or-update
+    val e = intercept[IllegalArgumentException](
+      Sql.execute(spark, "INSERT INTO tins VALUES (5, 'dup', 0)"))
+    assert(e.getMessage.contains("already exist"))
+    // key column must be present in an explicit list
+    val e2 = intercept[IllegalArgumentException](
+      Sql.execute(spark, "INSERT INTO tins (v, n) VALUES ('x', 1)"))
+    assert(e2.getMessage.contains("key column"))
+  }
+
+  test("utility statements: RESTORE / VACUUM / OPTIMIZE / DESCRIBE " +
+      "HISTORY route to the lake maintenance API") {
+    val t = s"$root/util"
+    Forget.publishIndexed(seed(50), t, 4, "k", stats = true)
+    SqlDml.register(spark, "tutil", t, "k")
+    Sql.execute(spark, "UPDATE tutil SET v = 'bad-load' WHERE k < 10") // v2
+    Sql.execute(spark, "DELETE FROM tutil WHERE k = 49")               // v3
+
+    // RESTORE publishes a zero-copy version with v1's exact content
+    // and re-binds the registered view
+    val v4 = Sql.execute(spark, "RESTORE TABLE tutil TO VERSION AS OF 1")
+    assert(v4 == 4L)
+    assert(Versioned.isShallowRef(spark, t, 4L))
+    assert(spark.table("tutil").count() == 50)
+    assert(spark.sql("SELECT v FROM tutil WHERE k = 3").head().getString(0)
+      == "v3")
+
+    // DESCRIBE HISTORY: one row per version, operations derived from
+    // the commit markers
+    val h = Sql.describe(spark, "DESCRIBE HISTORY tutil")
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(h.map(_.getString(2)).toSeq ==
+      Seq("publish", "dml", "dml", "restore"))
+    assert(h.forall(r => !r.isNullAt(1))) // every commit carries its ts
+    assert(h(3).getBoolean(3)) // the restore is zero-copy
+
+    // OPTIMIZE materializes the ref and compacts — file-targeted DML
+    // works again afterwards
+    Sql.execute(spark, "OPTIMIZE tutil")
+    val live = Versioned.currentVersion(spark, t).get
+    assert(!Versioned.isShallowRef(spark, t, live))
+    Sql.execute(spark, "UPDATE tutil SET v = 'post' WHERE k = 0")
+
+    // VACUUM RETAIN 1 VERSIONS keeps live + 1 (and anything pinned)
+    Sql.execute(spark, "VACUUM tutil RETAIN 1 VERSIONS")
+    val left = Versioned.versions(spark, t)
+    assert(left.size <= 3 && left.contains(live + 1))
+    // the table still reads its full restored-then-updated content
+    assert(spark.sql("SELECT count(*) FROM tutil").head().getLong(0) == 50)
+
+    rejectsUtil("RESTORE tutil VERSION 1")
+    rejectsUtil("VACUUM tutil RETAIN x VERSIONS")
+    rejectsUtil("OPTIMIZE tutil FULL")
+    rejectsUtil("DESCRIBE HISTORY") // missing table
+  }
+
+  private def rejectsUtil(sql: String): Unit = {
+    val e = intercept[IllegalArgumentException] {
+      if (sql.toUpperCase.startsWith("DESCRIBE")) Sql.describe(spark, sql)
+      else Sql.execute(spark, sql)
+    }
+    assert(e.getMessage.contains("unsupported SQL DML") ||
+      e.getMessage.contains("not a registered"), e.getMessage)
+  }
 }
