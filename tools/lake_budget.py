@@ -47,9 +47,10 @@ def check(fresh_path, baseline="BASELINE.md"):
     sect = text.split("## Lake DML budget table", 1)
     if len(sect) < 2:
         raise SystemExit("BASELINE.md has no 'Lake DML budget table' section")
+    body = re.split(r"^#", sect[1], maxsplit=1, flags=re.M)[0]  # this section only
     budgets = {}
     for m in re.finditer(r"^\| (\w+) \| [\d.]+ \| [\d.]+ \| ([\d.]+) \|",
-                         sect[1], re.M):
+                         body, re.M):
         budgets[m.group(1)] = float(m.group(2))
     if not budgets:
         raise SystemExit("no budget rows parsed")
