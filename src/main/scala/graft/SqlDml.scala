@@ -29,13 +29,16 @@ import graft.lake.{Clone, Compact, Dv, Expect, Forget, History, Restore,
  * MERGE INTO t [AS a] USING (subquery)|view [AS b] ON <cond>
  *   WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ... | SET *
  *   WHEN MATCHED [AND c] THEN DELETE
- *   WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (exprs) | INSERT *
+ *   WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT (cols) VALUES (exprs) | INSERT *
+ *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET col = expr, ... | DELETE
  * UPDATE t SET col = expr, ... [WHERE cond]
  * DELETE FROM t [WHERE cond]
  * INSERT INTO t [(cols)] VALUES (exprs), ... | <subquery>
  * VACUUM t [RETAIN n VERSIONS]
  * OPTIMIZE t
  * RESTORE [TABLE] t TO VERSION AS OF n
+ * ALTER TABLE t ADD CONSTRAINT name CHECK (pred)
+ * ALTER TABLE t DROP CONSTRAINT name
  * DESCRIBE HISTORY t            (via [[describe]] — returns a DataFrame)
  * }}}
  *
@@ -179,6 +182,7 @@ object SqlDml {
       case "VACUUM" => vacuumStmt(spark, s)
       case "OPTIMIZE" => optimizeStmt(spark, s)
       case "RESTORE" => restoreStmt(spark, s)
+      case "ALTER" => alterStmt(spark, s)
       case _ => reject(s, s"statement kind '$head'")
     }
     v
@@ -227,6 +231,31 @@ object SqlDml {
     val v = Compact.compactVersion(spark, table, keyCol)
     rebind(spark, name, table)
     v
+  }
+
+  // ALTER TABLE t ADD CONSTRAINT name CHECK (pred) | DROP CONSTRAINT name
+  // — persistent table CHECK constraints (graft.lake.Constraints):
+  // ADD validates existing rows first; registered constraints then gate
+  // EVERY row-adding write (API and SQL alike) with Fail semantics
+  private def alterStmt(spark: SparkSession, sql: String): Long = {
+    val add = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+ADD\\s+CONSTRAINT\\s+" +
+      "(\\S+)\\s+CHECK\\s*\\((.+)\\)$").r
+    val drop = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+DROP\\s+CONSTRAINT\\s+" +
+      "(\\S+)$").r
+    sql match {
+      case add(name, cname, pred) =>
+        val (table, _) = lookup(name)
+        graft.lake.Constraints.add(spark, table, cname, pred.trim)
+        Versioned.currentVersion(spark, table).getOrElse(0L)
+      case drop(name, cname) =>
+        val (table, _) = lookup(name)
+        require(graft.lake.Constraints.drop(spark, table, cname),
+          s"no constraint '$cname' on $name")
+        Versioned.currentVersion(spark, table).getOrElse(0L)
+      case _ => reject(sql,
+        "expected ALTER TABLE t ADD CONSTRAINT name CHECK (pred) or " +
+          "ALTER TABLE t DROP CONSTRAINT name")
+    }
   }
 
   // RESTORE [TABLE] t TO VERSION AS OF n — zero-copy content rewind
@@ -450,6 +479,12 @@ object SqlDml {
                                         cols: Option[Seq[String]],
                                         vals: Option[Seq[String]])
     extends Clause // cols/vals None = INSERT *
+  // WHEN NOT MATCHED BY SOURCE ... — target rows no source row matched
+  private final case class SourceUpdateClause(cond: Option[String],
+                                              assigns: Map[String, String])
+    extends Clause
+  private final case class SourceDeleteClause(cond: Option[String])
+    extends Clause
 
   private def merge(spark: SparkSession, sql: String,
                     rules: Seq[Expect.Rule], mode: Expect.Mode,
@@ -486,74 +521,96 @@ object SqlDml {
 
     // WHEN clauses, in written order
     val clauses = parseWhenClauses(sql.substring(whenAt), sql)
-    val upd = clauses.collect { case c: UpdateClause => c }
-    val del = clauses.collect { case c: DeleteClause => c }
-    val ins = clauses.collect { case c: InsertClause => c }
-    if (upd.size > 1 || del.size > 1 || ins.size > 1)
-      reject(sql, "at most one WHEN clause of each kind")
     if (clauses.isEmpty) reject(sql, "no WHEN clause")
+    def countKind(p: Clause => Boolean) = clauses.count(p)
+    if (countKind(_.isInstanceOf[UpdateClause]) > 1 ||
+        countKind(_.isInstanceOf[DeleteClause]) > 1 ||
+        countKind(_.isInstanceOf[InsertClause]) > 1 ||
+        countKind(_.isInstanceOf[SourceUpdateClause]) > 1 ||
+        countKind(_.isInstanceOf[SourceDeleteClause]) > 1)
+      reject(sql, "at most one WHEN clause of each kind")
+    val hasBySource = clauses.exists(c =>
+      c.isInstanceOf[SourceUpdateClause] || c.isInstanceOf[SourceDeleteClause])
 
     val tgtSchema = Versioned.read(spark, table).schema
     val tgt = Versioned.read(spark, table)
       .withColumn("_graft_matched", lit(true)).alias(tAlias)
-    val src = srcDf.alias(sAlias)
-    val joined = src.join(tgt, expr(onCond), "left_outer")
+    val src = srcDf.withColumn("_graft_src", lit(true)).alias(sAlias)
+    // BY SOURCE clauses need the source-ABSENT target rows in the frame,
+    // so only they pay the full-outer; the plain shape keeps the
+    // left-outer from the (usually small, broadcastable) source side.
+    // NOTE: a NULL-key target row never matches any source row (SQL
+    // three-valued equality), so a BY SOURCE clause would name it — and
+    // key-targeted DML cannot address a NULL key; Upsert.applyCdc
+    // rejects the batch loudly. Exclude them in the clause condition
+    // (`AND t.key IS NOT NULL`) when the table tolerates NULL keys.
+    val joined =
+      if (hasBySource) src.join(tgt, expr(onCond), "full_outer")
+      else src.join(tgt, expr(onCond), "left_outer")
 
-    val matchedC = col("_graft_matched").isNotNull
+    val tgtPresent = col("_graft_matched").isNotNull
+    val srcPresent = col("_graft_src").isNotNull
     def condC(c: Option[String]): Column = c.map(expr).getOrElse(lit(true))
-    // op per joined row, clauses applied in WRITTEN order for MATCHED
-    val matchedOps: Seq[(Column, String)] = clauses.collect {
-      case UpdateClause(c, _) => (matchedC && condC(c), "U")
-      case DeleteClause(c) => (matchedC && condC(c), "D")
-    }
-    val insOp: Seq[(Column, String)] = ins.map(c =>
-      (!matchedC && condC(c.cond), "I"))
-    val allOps = matchedOps ++ insOp
-    val op = allOps.tail.foldLeft(
-      when(allOps.head._1, lit(allOps.head._2))) {
-        case (acc, (p, o)) => acc.when(p, lit(o))
-      }
 
     def tcol(c: String) = col(s"$tAlias.`$c`")
     def scol(c: String) = col(s"$sAlias.`$c`")
-    val updAssign: String => Column = upd.headOption match {
-      case Some(UpdateClause(_, None)) => scol // SET *
-      case Some(UpdateClause(_, Some(as))) =>
-        (c: String) => as.get(c).map(expr).getOrElse(tcol(c))
-      case None => tcol
+    def checkCols(cols: Iterable[String], what: String): Unit =
+      cols.foreach { c =>
+        require(tgtSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"$what names unknown column '$c' of $name")
+      }
+    // each clause arms (guard, CDC op, per-column assignment); the FIRST
+    // armed guard in written order wins, per the standard
+    val armed: Seq[(Column, String, String => Column)] = clauses.map {
+      case UpdateClause(c, None) => // SET *
+        (tgtPresent && srcPresent && condC(c), "U", scol _)
+      case UpdateClause(c, Some(as)) =>
+        checkCols(as.keys, "UPDATE SET")
+        (tgtPresent && srcPresent && condC(c), "U",
+          (n: String) => as.get(n).map(expr).getOrElse(tcol(n)))
+      case DeleteClause(c) =>
+        (tgtPresent && srcPresent && condC(c), "D", tcol _)
+      case InsertClause(c, None, None) => // INSERT *
+        (!tgtPresent && condC(c), "I", scol _)
+      case InsertClause(c, Some(colsL), Some(vals)) =>
+        require(colsL.size == vals.size,
+          s"INSERT column/value count mismatch: $colsL vs $vals")
+        checkCols(colsL, "INSERT")
+        val byCol = colsL.map(_.toLowerCase).zip(vals).toMap
+        (!tgtPresent && condC(c), "I",
+          (n: String) => byCol.get(n.toLowerCase).map(expr)
+            .getOrElse(lit(null)))
+      case InsertClause(_, _, _) =>
+        reject(sql, "INSERT needs (cols) VALUES (exprs) or *")
+      case SourceUpdateClause(c, as) =>
+        checkCols(as.keys, "NOT MATCHED BY SOURCE UPDATE SET")
+        require(!as.keys.exists(_.equalsIgnoreCase(keyCol)),
+          s"UPDATE SET must not assign the key column '$keyCol'")
+        (!srcPresent && condC(c), "U",
+          (n: String) => as.get(n).map(expr).getOrElse(tcol(n)))
+      case SourceDeleteClause(c) =>
+        (!srcPresent && condC(c), "D", tcol _)
     }
-    val insAssign: String => Column = ins.headOption match {
-      case Some(InsertClause(_, None, None)) => scol // INSERT *
-      case Some(InsertClause(_, Some(cols), Some(vals))) =>
-        require(cols.size == vals.size,
-          s"INSERT column/value count mismatch: $cols vs $vals")
-        val byCol = cols.map(_.toLowerCase).zip(vals).toMap
-        (c: String) => byCol.get(c.toLowerCase).map(expr)
-          .getOrElse(lit(null))
-      case _ => (_: String) => lit(null)
-    }
-    upd.headOption.foreach {
-      case UpdateClause(_, Some(as)) =>
-        as.keys.foreach { c =>
-          require(tgtSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
-            s"UPDATE SET names unknown column '$c' of $name")
-        }
-      case _ => ()
-    }
-    ins.headOption.foreach {
-      case InsertClause(_, Some(cols), _) =>
-        cols.foreach { c =>
-          require(tgtSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
-            s"INSERT names unknown column '$c' of $name")
-        }
-      case _ => ()
-    }
-
+    // first-match clause index; null = row untouched by the statement
+    val idxCol = armed.zipWithIndex.tail.foldLeft(
+      when(armed.head._1, lit(0))) { case (acc, ((p, _, _), i)) =>
+        acc.when(p, lit(i))
+      }
+    // op via the same when-chain as rowCols — NOT element_at over a
+    // literal array: Catalyst's extract-value simplification on a
+    // 1-element CreateArray returns the element even for a NULL index,
+    // which would tag every untouched row with the clause's op
+    val op = armed.zipWithIndex.tail.foldLeft(
+      when(idxCol === 0, lit(armed.head._2))) {
+        case (acc, ((_, o, _), i)) => acc.when(idxCol === i, lit(o))
+      }
     val rowCols = tgtSchema.fields.toSeq.map { f =>
-      when(op === lit("U"), updAssign(f.name))
-        .when(op === lit("I"), insAssign(f.name))
-        .otherwise(tcol(f.name)) // D rows: only the key is read downstream
-        .cast(f.dataType).as(f.name)
+      val chain = armed.zipWithIndex.tail.foldLeft(
+        when(idxCol === 0, armed.head._3(f.name))) {
+          case (acc, ((_, _, assign), i)) =>
+            acc.when(idxCol === i, assign(f.name))
+        }
+      chain.cast(f.dataType).as(f.name)
     }
     val batch = joined.select((op.as("_graft_op") +: rowCols): _*)
       .filter(col("_graft_op").isNotNull)
@@ -587,14 +644,32 @@ object SqlDml {
       val matched = !notMatched && headPart.toUpperCase.startsWith("MATCHED")
       if (!matched && !notMatched)
         reject(sql, s"WHEN must be MATCHED or NOT MATCHED: '$seg'")
-      val afterKw = headPart.substring(if (notMatched) 11 else 7).trim
+      var afterKw = headPart.substring(if (notMatched) 11 else 7).trim
+      // NOT MATCHED [BY TARGET | BY SOURCE]
+      val bySource = notMatched &&
+        afterKw.toUpperCase.startsWith("BY SOURCE")
+      if (bySource) afterKw = afterKw.substring(9).trim
+      else if (notMatched && afterKw.toUpperCase.startsWith("BY TARGET"))
+        afterKw = afterKw.substring(9).trim
       val cond =
         if (afterKw.isEmpty) None
         else if (afterKw.toUpperCase.startsWith("AND"))
           Some(afterKw.substring(3).trim)
         else reject(sql, s"unexpected text after MATCHED: '$afterKw'")
       val actionU = action.toUpperCase
-      if (matched && actionU == "DELETE") DeleteClause(cond)
+      if (bySource && actionU == "DELETE") SourceDeleteClause(cond)
+      else if (bySource && actionU.startsWith("UPDATE")) {
+        val setAt = topIndexOf(action, "SET")
+        if (setAt < 0) reject(sql, "UPDATE clause without SET")
+        val setBody = action.substring(setAt + 3).trim
+        if (setBody == "*")
+          reject(sql, "NOT MATCHED BY SOURCE has no source row — " +
+            "SET * is undefined; list assignments explicitly")
+        SourceUpdateClause(cond, parseAssigns(setBody, sql))
+      } else if (bySource)
+        reject(sql, s"NOT MATCHED BY SOURCE supports UPDATE SET ... or " +
+          s"DELETE, got '$action'")
+      else if (matched && actionU == "DELETE") DeleteClause(cond)
       else if (matched && actionU.startsWith("UPDATE")) {
         val setAt = topIndexOf(action, "SET")
         if (setAt < 0) reject(sql, "UPDATE clause without SET")

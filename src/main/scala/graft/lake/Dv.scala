@@ -133,6 +133,7 @@ object Dv {
         s"${p.nKeys} keys — past the zero-copy merge's driver budget " +
           s"(${Upsert.MaxDriverKeysDefault}); a batch this wide belongs " +
           "on Upsert.merge's distributed path")
+      Constraints.enforce(spark, table, p.upserts, "Dv.applyCdc")
       Versioned.withWriteRetry() {
         mergeOnce(spark, table, keyCol, p.upserts, p.deletes,
           p.nKeys - p.nDeletes, p.nDeletes, batchTag)
@@ -158,6 +159,7 @@ object Dv {
       require(v.getLong(1) > 0, "empty changeset")
       require(v.getLong(1) <= Upsert.MaxDriverKeysDefault,
         s"${v.getLong(1)} keys — past the zero-copy merge's driver budget")
+      Constraints.enforce(spark, table, changes, "Dv.merge")
       val empty = spark
         .emptyDataset(org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
       Versioned.withWriteRetry() {

@@ -58,11 +58,13 @@ object Forget {
     * rewrite then maintains incrementally. */
   def publishIndexed(df: DataFrame, table: String, nFiles: Int,
                      keyCol: String, fpp: Double = 0.01,
-                     stats: Boolean = false): Long =
+                     stats: Boolean = false): Long = {
+    Constraints.enforce(df.sparkSession, table, df, "publishIndexed")
     Versioned.publishWith(df.sparkSession, table) { dir =>
       BloomIndex.writeIndexed(df, dir, nFiles, keyCol, fpp)
       if (stats) StatsIndex.build(df.sparkSession, dir, keyCol)
     }
+  }
 
   /** Publish `df` range-clustered on `keyCol` ([[Cluster]] layout, no
     * sidecars): every file covers a disjoint key range, so [[purge]]
@@ -71,11 +73,13 @@ object Forget {
     * manifest so that pruning costs one metadata read instead of
     * per-file footer opens. */
   def publishClustered(df: DataFrame, table: String, nFiles: Int,
-                       keyCol: String, stats: Boolean = false): Long =
+                       keyCol: String, stats: Boolean = false): Long = {
+    Constraints.enforce(df.sparkSession, table, df, "publishClustered")
     Versioned.publishWith(df.sparkSession, table) { dir =>
       Cluster.writeClustered(df, dir, nFiles, col(keyCol))
       if (stats) StatsIndex.build(df.sparkSession, dir, keyCol)
     }
+  }
 
   /** Does any row group of `file` have [min,max] admitting ANY of `keys`?
     * Missing/absent stats admit (conservative, like a missing sidecar).

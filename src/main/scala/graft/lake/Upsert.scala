@@ -76,12 +76,14 @@ object Upsert {
     * enforced, reject rather than guess. Returns the new live version. */
   def merge(spark: SparkSession, table: String, keyCol: String,
             changes: DataFrame, evolveSchema: Boolean = false,
-            maxDriverKeys: Int = MaxDriverKeysDefault): Long =
+            maxDriverKeys: Int = MaxDriverKeysDefault): Long = {
+    Constraints.enforce(spark, table, changes, "merge")
     Versioned.withWriteRetry() { // re-derives from the new live on conflict
       applyChanges(spark, table, keyCol, changes,
         deletes = emptyKeys(spark, keyCol), nDeletes = 0L,
         evolveSchema = evolveSchema, maxDriverKeys = maxDriverKeys)
     }
+  }
 
   private def emptyKeys(spark: SparkSession, keyCol: String): DataFrame =
     spark.emptyDataset(org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
@@ -112,6 +114,9 @@ object Upsert {
     if (owned) batch.persist()
     try {
       val p = validateCdc(batch, keyCol, opCol)
+      // table CHECK constraints gate the ADDED rows (deletes exempt) —
+      // once per statement, before any version claim
+      Constraints.enforce(spark, table, p.upserts, "applyCdc")
       Versioned.withWriteRetry() { // re-derive from the new live on conflict
         applyChanges(spark, table, keyCol,
           p.upserts, p.deletes,

@@ -235,13 +235,17 @@ object Versioned {
 
   /** Publish `df` as the next version; returns the new version number.
     * The data dir is complete before the commit exposes it. Retries the
-    * rare transient conflict (a competitor mid-commit) by rebuilding. */
-  def publish(df: DataFrame, table: String): Long =
+    * rare transient conflict (a competitor mid-commit) by rebuilding.
+    * Gated by the table's registered [[Constraints]] (one audit pass,
+    * no-op without any). */
+  def publish(df: DataFrame, table: String): Long = {
+    Constraints.enforce(df.sparkSession, table, df, "publish")
     withWriteRetry() {
       publishWith(df.sparkSession, table) { dir =>
         df.write.mode("overwrite").parquet(dir)
       }
     }
+  }
 
   /** Publish a version whose data dir is COMPOSED by `build` (e.g.
     * [[Forget]]'s mix of byte-copied untouched files and rewritten

@@ -186,6 +186,48 @@ class SqlDmlSpec extends SparkSpec {
     assert(Versioned.currentVersion(spark, t).contains(1L))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: sync-to-source and flagging") {
+    val t = s"$root/bysrc"
+    Forget.publishIndexed(seed(10), t, 2, "k", stats = true)
+    SqlDml.register(spark, "tsync", t, "k")
+
+    // full sync: target becomes exactly the source (update / insert /
+    // delete-the-rest) — the replication shape BY SOURCE exists for
+    Seq((3L, "s3", 30L), (7L, "s7", 70L), (99L, "s99", 990L))
+      .toDF("k", "v", "n").createOrReplaceTempView("sync_src")
+    val v = Sql.execute(spark,
+      """MERGE INTO tsync t USING sync_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED BY TARGET THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(v == 2L)
+    val got = Versioned.read(spark, t).as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((3L, "s3", 30L), (7L, "s7", 70L), (99L, "s99", 990L)))
+
+    // conditional BY SOURCE UPDATE: flag (don't delete) the unmatched
+    val t2 = s"$root/bysrc2"
+    Forget.publishIndexed(seed(6), t2, 2, "k", stats = true)
+    SqlDml.register(spark, "tflag", t2, "k")
+    Seq((1L, "x", 0L), (2L, "x", 0L)).toDF("k", "v", "n")
+      .createOrReplaceTempView("flag_src")
+    Sql.execute(spark,
+      """MERGE INTO tflag t USING flag_src s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE AND t.k >= 4 THEN UPDATE SET v = 'stale'
+        |""".stripMargin)
+    val flags = Versioned.read(spark, t2).as[(Long, String, Long)]
+      .collect().map { case (k, vv, n) => k -> ((vv, n)) }.toMap
+    assert(flags(4L)._1 == "stale" && flags(5L)._1 == "stale")
+    assert(flags(0L)._1 == "v0" && flags(3L)._1 == "v3") // under the cond
+    assert(flags(1L)._1 == "v1") // matched rows untouched (no MATCHED arm)
+
+    // SET * is undefined without a source row
+    val e = intercept[IllegalArgumentException](Sql.execute(spark,
+      """MERGE INTO tflag t USING flag_src s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""".stripMargin))
+    assert(e.getMessage.contains("no source row"))
+  }
+
   test("INSERT INTO: VALUES and subquery forms append; live keys reject") {
     val t = s"$root/ins"
     Forget.publishIndexed(seed(20), t, 2, "k", stats = true)
