@@ -96,8 +96,40 @@ object Sql {
               zeroCopyDelete: Boolean = false): Long =
     SqlDml.execute(spark, sql, rules, mode, quarantine, zeroCopyDelete)
 
-  /** `DESCRIBE HISTORY t` against a [[registerDml]]-registered lake
-    * table — one row per existing version ([[SqlDml.describe]]). */
+  /** `DESCRIBE HISTORY t` / `DESCRIBE DETAIL t` against a
+    * [[registerDml]]-registered lake table ([[SqlDml.describe]]). */
   def describe(spark: SparkSession, sql: String): DataFrame =
     SqlDml.describe(spark, sql)
+
+  /** Run one SELECT with Delta-style INLINE time travel: each
+    * `<table> VERSION AS OF <n>` / `<table> TIMESTAMP AS OF '<ts>'`
+    * reference to a [[registerDml]]-registered lake table is rewritten
+    * to a pinned as-of temp view (named `<table>__asof_v<n>` — plain
+    * parquet relation over the immutable version dir, so pushdown
+    * holds) before `spark.sql` runs the statement. Timestamps accept
+    * `yyyy-MM-dd HH:mm:ss[.f]` or ISO `T` form and resolve through
+    * [[graft.lake.Versioned.versionAsOf]] (the one definition of
+    * timestamp resolution). A travel clause on an unregistered name
+    * rejects loudly — guessing a table path is how wrong data gets
+    * read. Statements without travel clauses pass through verbatim. */
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    val ver = "(?i)\\b(\\w+)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+    val tsp = "(?i)\\b(\\w+)\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
+    var out = text
+    for (m <- ver.findAllMatchIn(text)) {
+      val (table, _) = SqlDml.lookup(m.group(1))
+      val view = s"${m.group(1)}__asof_v${m.group(2)}"
+      registerAsOf(spark, view, table, m.group(2).toLong)
+      out = out.replace(m.matched, view)
+    }
+    for (m <- tsp.findAllMatchIn(out)) {
+      val (table, _) = SqlDml.lookup(m.group(1))
+      val ts = java.sql.Timestamp.valueOf(m.group(2).replace('T', ' '))
+      val v = Versioned.versionAsOf(spark, table, ts.getTime)
+      val view = s"${m.group(1)}__asof_v$v"
+      registerAsOf(spark, view, table, v)
+      out = out.replace(m.matched, view)
+    }
+    spark.sql(out)
+  }
 }

@@ -39,7 +39,7 @@ import graft.lake.{Clone, Compact, Dv, Expect, Forget, History, Restore,
  * RESTORE [TABLE] t TO VERSION AS OF n
  * ALTER TABLE t ADD CONSTRAINT name CHECK (pred)
  * ALTER TABLE t DROP CONSTRAINT name
- * DESCRIBE HISTORY t            (via [[describe]] — returns a DataFrame)
+ * DESCRIBE HISTORY t | DESCRIBE DETAIL t   (via [[describe]] — a DataFrame)
  * }}}
  *
  * At most one clause of each WHEN kind; MATCHED clauses apply in the
@@ -77,7 +77,7 @@ object SqlDml {
     Sql.registerTable(spark, name, table)
   }
 
-  private def lookup(name: String): (String, String) =
+  private[graft] def lookup(name: String): (String, String) =
     registry.getOrElse(name.toLowerCase, throw new IllegalArgumentException(
       s"'$name' is not a registered lake table — SqlDml.register(name, " +
         "path, keyCol) first (DML needs the table's key column)"))
@@ -188,16 +188,19 @@ object SqlDml {
     v
   }
 
-  /** Metadata statements that RETURN a frame — currently `DESCRIBE
-    * HISTORY t` ([[graft.lake.History.frame]]: one row per existing
-    * version, with commit timestamp, operation kind, zero-copy/DV
-    * markers and file-level counts). */
+  /** Metadata statements that RETURN a frame: `DESCRIBE HISTORY t`
+    * ([[graft.lake.History.frame]]: one row per existing version, with
+    * commit timestamp, operation kind, zero-copy/DV markers and
+    * file-level counts) and `DESCRIBE DETAIL t`
+    * ([[graft.lake.History.detail]]: one row of table-level facts). */
   def describe(spark: SparkSession, sql: String): DataFrame = {
     val s = stripSemi(sql)
-    val m = "(?is)^DESCRIBE\\s+HISTORY\\s+(\\S+)$".r
+    val h = "(?is)^DESCRIBE\\s+HISTORY\\s+(\\S+)$".r
+    val d = "(?is)^DESCRIBE\\s+DETAIL\\s+(\\S+)$".r
     s match {
-      case m(name) => History.frame(spark, lookup(name)._1)
-      case _ => reject(s, "expected DESCRIBE HISTORY <table>")
+      case h(name) => History.frame(spark, lookup(name)._1)
+      case d(name) => History.detail(spark, lookup(name)._1)
+      case _ => reject(s, "expected DESCRIBE HISTORY|DETAIL <table>")
     }
   }
 

@@ -70,4 +70,58 @@ object History {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  val detailSchema: StructType = StructType(Seq(
+    StructField("location", StringType, nullable = false),
+    StructField("live_version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = true),
+    StructField("num_versions", LongType, nullable = false),
+    StructField("num_data_files", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("is_zero_copy", BooleanType, nullable = false),
+    StructField("deletion_vector_rows", LongType, nullable = false),
+    StructField("constraints", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("indexes", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+
+  /** DESCRIBE DETAIL — one row of table-level facts: location, live
+    * version + commit time, version count, LIVE data file count and
+    * bytes (the resolved data dir plus any zero-copy appends), zero-copy
+    * flag, vectored-row count, registered constraint names, and which
+    * skipping indexes the live version carries. All driver-side
+    * metadata reads (listings + small files) except the vector count
+    * (one deletion-sized parquet count when a vector exists). */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    val f = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = Versioned.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    val liveDir = s"$table/v=$live"
+    val dataDir = Versioned.dataDir(spark, table, live)
+    val files = (Versioned.dataFilePaths(spark, dataDir) ++
+      (if (dataDir == liveDir) Seq.empty
+       else Versioned.dataFilePaths(spark, liveDir))).map(new Path(_))
+    val bytes = files.map(p => f.getFileStatus(p).getLen).sum
+    val indexes = Seq(
+      "bloom" -> f.exists(new Path(s"$dataDir/_bloom")),
+      "stats" -> StatsIndex.exists(spark, dataDir),
+      "tokbloom" -> f.exists(new Path(s"$dataDir/_tokbloom")),
+      "boxstats" -> f.exists(new Path(s"$dataDir/_boxstats")))
+      .collect { case (n, true) => n }
+    val row = Row(
+      table,
+      live,
+      Versioned.commitTimes(spark, table).toMap.get(live)
+        .map(new Timestamp(_)).orNull,
+      Versioned.versions(spark, table).size.toLong,
+      files.size.toLong,
+      bytes,
+      Versioned.isShallowRef(spark, table, live),
+      Dv.deletedRows(spark, table, live),
+      Constraints.list(spark, table).map(_.name),
+      indexes)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), detailSchema)
+  }
 }

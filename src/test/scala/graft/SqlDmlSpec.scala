@@ -289,6 +289,14 @@ class SqlDmlSpec extends SparkSpec {
     assert(h.forall(r => !r.isNullAt(1))) // every commit carries its ts
     assert(h(3).getBoolean(3)) // the restore is zero-copy
 
+    // DESCRIBE DETAIL: one row of table-level facts (live = the ref)
+    val det = Sql.describe(spark, "DESCRIBE DETAIL tutil").head()
+    assert(det.getString(0) == t)
+    assert(det.getLong(1) == 4L) // live_version
+    assert(det.getLong(3) == 4L) // num_versions
+    assert(det.getBoolean(6)) // the restore ref is zero-copy
+    assert(det.getLong(4) > 0L && det.getLong(5) > 0L) // files + bytes
+
     // OPTIMIZE materializes the ref and compacts — file-targeted DML
     // works again afterwards
     Sql.execute(spark, "OPTIMIZE tutil")
@@ -307,6 +315,33 @@ class SqlDmlSpec extends SparkSpec {
     rejectsUtil("VACUUM tutil RETAIN x VERSIONS")
     rejectsUtil("OPTIMIZE tutil FULL")
     rejectsUtil("DESCRIBE HISTORY") // missing table
+  }
+
+  test("inline time travel: VERSION/TIMESTAMP AS OF in statement text") {
+    val t = s"$root/tt"
+    Forget.publishIndexed(seed(10), t, 2, "k", stats = true)
+    SqlDml.register(spark, "ttt", t, "k")
+    Sql.execute(spark, "UPDATE ttt SET v = 'new' WHERE k = 1") // v2
+
+    assert(Sql.sql(spark,
+      "SELECT v FROM ttt VERSION AS OF 1 WHERE k = 1").head().getString(0)
+      == "v1")
+    assert(spark.sql("SELECT v FROM ttt WHERE k = 1").head().getString(0)
+      == "new")
+    // live vs historical in ONE statement (the audit-diff shape)
+    val changed = Sql.sql(spark,
+      """SELECT count(*) AS c FROM ttt a
+        |JOIN ttt VERSION AS OF 1 b ON a.k = b.k
+        |WHERE a.v <> b.v""".stripMargin).head().getLong(0)
+    assert(changed == 1L)
+    // timestamp form resolves through Versioned.versionAsOf
+    val ts = new java.sql.Timestamp(System.currentTimeMillis() + 3600000L)
+    assert(Sql.sql(spark,
+      s"SELECT v FROM ttt TIMESTAMP AS OF '$ts' WHERE k = 1")
+      .head().getString(0) == "new")
+    // a travel clause on an unregistered name rejects loudly
+    intercept[IllegalArgumentException](
+      Sql.sql(spark, "SELECT * FROM nope VERSION AS OF 1"))
   }
 
   private def rejectsUtil(sql: String): Unit = {
