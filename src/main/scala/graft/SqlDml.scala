@@ -368,7 +368,7 @@ object SqlDml {
             expr(e).as(c)
           }: _*)
         }.reduce(_ unionByName _)
-      } else spark.sql(rest).toDF(cols: _*)
+      } else Sql.sql(spark, rest).toDF(cols: _*)
 
     // missing columns read NULL (ANSI), cast to the table's types
     val changes = src.select(tableCols.map { c =>
@@ -516,7 +516,9 @@ object SqlDml {
           .filter(_.nonEmpty)
         if (alias.length != 1)
           reject(sql, "USING (subquery) needs exactly one alias")
-        (spark.sql(q), alias(0))
+        // Sql.sql, not spark.sql: inline VERSION/TIMESTAMP AS OF travel
+        // clauses resolve inside a MERGE source too (repair-from-history)
+        (Sql.sql(spark, q), alias(0))
       } else {
         val (vn, a) = nameAlias(srcSeg, sql)
         (spark.table(vn), a)

@@ -23,9 +23,16 @@ import org.apache.spark.sql.types.StructType
  *  - layout-only maintenance ([[Compact.compactVersion]],
  *    [[ZOrder.cluster]]) records an explicit `_changes_none` marker —
  *    "this version changed no rows" is a STATEMENT, not an absence;
- *  - a full [[Versioned.publish]] or [[Clone.shallow]] records nothing:
- *    a wholesale replace has no changeset, and [[changesSince]] REJECTS
- *    ranges crossing one (resync from a snapshot instead of guessing).
+ *  - a WHOLESALE REPLACE (full [[Versioned.publish]]/
+ *    [[Forget.publishIndexed]]/`publishClustered`, [[Clone.shallow]],
+ *    [[Restore]], [[seed]]) records an explicit BREAK ([[recordBreak]]:
+ *    a `_changes_break` marker plus one `_op` = "B" poison row in the
+ *    feed dir) — a replace has no changeset, [[changesSince]] REJECTS
+ *    ranges crossing one (resync from a snapshot instead of guessing),
+ *    and raw streaming tails DELIVER the poison instead of silently
+ *    skipping a version that would otherwise write no feed file;
+ *  - a bare absence (internal `publishWith` builds, vacuumed or
+ *    crash-skipped numbers) rejects identically.
  *
  * [[sync]] is the replica leg: seed a replica as a snapshot copy, then
  * each sync reads the pending changesets, reduces multi-version churn to
@@ -77,6 +84,30 @@ object Cdf {
     finally out.close()
   }
 
+  /** Record "this version is a WHOLESALE REPLACE" (full publish, shallow
+    * clone seed, [[Restore]]): a `_changes_break` marker — the
+    * metadata-only kind [[changesSince]] and [[Checkpoint]] reject on
+    * without reading anything — plus ONE all-null poison row (`_op` =
+    * "B") in the `_changes` feed dir, so RAW STREAMING consumers
+    * ([[graft.streaming.CdfStream.changes]] tails the `v=*&#47;_changes`
+    * glob and cannot see a version that writes no file there) receive
+    * the break instead of silently skipping the replace and diverging.
+    * [[graft.streaming.LakeStream.assemble]] rejects on the row; batch
+    * readers never reach it (the marker rejects first). */
+  private[lake] def recordBreak(spark: SparkSession, newDir: String,
+                                schema: StructType): Unit = {
+    val f = fs(spark, newDir)
+    val out = f.create(new Path(s"$newDir/_changes_break"), true)
+    try out.write("wholesale-replace".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val cols = schema.fields.toSeq.map(fd =>
+      lit(null).cast(fd.dataType).as(fd.name))
+    spark.range(1).select(cols: _*)
+      .withColumn("_op", lit("B"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$newDir/_changes")
+  }
+
   /** Every change after `sinceV` up to `untilV` (the live version when
     * absent — pass an explicit bound when tagging the result with a
     * version read earlier, or a concurrent publish leaks newer changes
@@ -96,8 +127,8 @@ object Cdf {
     val f = fs(spark, table)
     def unbridgeable(v: Long) = new IllegalStateException(
       s"$table v$v has no change record (full publish, shallow clone, " +
-        "vacuumed, or a crash-skipped number) — the change feed cannot " +
-        "bridge it; resync from a snapshot (Cdf.seed)")
+        "RESTORE, vacuumed, or a crash-skipped number) — the change feed " +
+        "cannot bridge it; resync from a snapshot (Cdf.seed)")
     // change-record KIND per version: one checkpoint read covers versions
     // at/below its floor (no per-version existence probes — the walk
     // stays O(uncheckpointed tail) at long histories); reads of the
@@ -107,7 +138,8 @@ object Cdf {
     val frames = ((sinceV + 1) to live).flatMap { v =>
       val dir = s"$table/v=$v"
       val kind = kinds.getOrElse(v,
-        if (f.exists(new Path(s"$dir/_changes"))) 'c'
+        if (f.exists(new Path(s"$dir/_changes_break"))) 'b'
+        else if (f.exists(new Path(s"$dir/_changes"))) 'c'
         else if (f.exists(new Path(s"$dir/_changes_none"))) 'n'
         else 'x')
       kind match {
@@ -146,11 +178,12 @@ object Cdf {
     val v = Versioned.currentVersion(spark, source).getOrElse(
       throw new IllegalStateException(s"no published version at $source"))
     Versioned.publishWith(spark, replica) { dir =>
-      Versioned.readVersion(spark, source, v)
-        .write.mode("overwrite").parquet(dir)
+      val snap = Versioned.readVersion(spark, source, v)
+      snap.write.mode("overwrite").parquet(dir)
       val out = fs(spark, dir).create(new Path(s"$dir/_cdc_batch"), true)
       try out.write(syncTag(v).getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      recordBreak(spark, dir, snap.schema) // a seed is a replace
     }
   }
 

@@ -90,7 +90,8 @@ object Checkpoint {
     Versioned.readSmallFile(f, new Path(s"$table/v=$v/_commit_ts"))
       .flatMap(_.toLongOption).map { ts =>
         val kind =
-          if (f.exists(new Path(s"$table/v=$v/_changes"))) 'c'
+          if (f.exists(new Path(s"$table/v=$v/_changes_break"))) 'b'
+          else if (f.exists(new Path(s"$table/v=$v/_changes"))) 'c'
           else if (f.exists(new Path(s"$table/v=$v/_changes_none"))) 'n'
           else 'x'
         (v, ts, kind)

@@ -75,6 +75,10 @@ object Clone {
     // version names). Re-cloning the same (dst, dataDir) just rewrites
     // the same pin file.
     pin(spark, dataDir, dst)
+    val schema = Versioned.readSchemaMarker(
+      new Path(dataDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), dataDir)
+      .getOrElse(spark.read.parquet(dataDir).schema)
     Versioned.publishWith(spark, dst) { dir =>
       val fd = new Path(dir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
@@ -82,6 +86,7 @@ object Clone {
       val out = fd.create(new Path(s"$dir/_ref"), true)
       try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      Cdf.recordBreak(spark, dir, schema) // a clone seed is a replace
     }
   }
 

@@ -63,6 +63,7 @@ object Forget {
     Versioned.publishWith(df.sparkSession, table) { dir =>
       BloomIndex.writeIndexed(df, dir, nFiles, keyCol, fpp)
       if (stats) StatsIndex.build(df.sparkSession, dir, keyCol)
+      Cdf.recordBreak(df.sparkSession, dir, df.schema) // wholesale replace
     }
   }
 
@@ -78,6 +79,7 @@ object Forget {
     Versioned.publishWith(df.sparkSession, table) { dir =>
       Cluster.writeClustered(df, dir, nFiles, col(keyCol))
       if (stats) StatsIndex.build(df.sparkSession, dir, keyCol)
+      Cdf.recordBreak(df.sparkSession, dir, df.schema) // wholesale replace
     }
   }
 

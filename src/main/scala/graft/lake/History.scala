@@ -52,9 +52,10 @@ object History {
       def has(p: String) = f.exists(new Path(s"$dir/$p"))
       val isRef = has("_ref")
       val op =
-        if (has("_changes")) "dml"
+        if (has("_changes_break")) { if (isRef) "restore" else "publish" }
+        else if (has("_changes")) "dml"
         else if (has("_changes_none")) "maintenance"
-        else if (isRef) "restore"
+        else if (isRef) "restore" // pre-break-marker refs (legacy dirs)
         else "publish"
       val info = Versioned.readCommitInfo(f, dir)
       Row(v,

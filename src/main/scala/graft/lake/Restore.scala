@@ -94,7 +94,12 @@ object Restore {
       if (f.exists(tag))
         FileUtil.copy(f, tag, fd, new Path(s"$dir/_cdc_batch"), false,
           true, conf)
-      // no _changes sidecar: wholesale replace (Cdf rejects across it)
+      // wholesale replace: batch feed readers reject on the break
+      // marker, raw streaming tails get the poison row — never a
+      // silent skip (Cdf.recordBreak's contract)
+      val schema = Versioned.readSchemaMarker(f, dataDir)
+        .getOrElse(spark.read.parquet(dataDir).schema)
+      Cdf.recordBreak(spark, dir, schema)
     }
   }
 }

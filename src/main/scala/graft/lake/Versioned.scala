@@ -243,6 +243,10 @@ object Versioned {
     withWriteRetry() {
       publishWith(df.sparkSession, table) { dir =>
         df.write.mode("overwrite").parquet(dir)
+        // a full publish is a wholesale replace: poison the change feed
+        // (batch readers reject on the marker, streaming tails get the
+        // break row instead of silently skipping the version)
+        Cdf.recordBreak(df.sparkSession, dir, df.schema)
       }
     }
   }

@@ -26,7 +26,11 @@ import graft.lake.{Cdf, Versioned}
  * when several versions land between triggers; `_version` carries the
  * sequence, so order-sensitive consumers reduce with
  * [[graft.lake.Upsert.lastPerKey]] (seqCol = `_version`) per batch and
- * must tolerate version interleaving ACROSS batches.
+ * must tolerate version interleaving ACROSS batches. A WHOLESALE REPLACE
+ * (full publish, clone seed, RESTORE) delivers one `_op` = "B" poison
+ * row ([[graft.lake.Cdf.recordBreak]]) — the feed cannot represent it;
+ * consumers must stop and resync ([[graft.streaming.LakeStream.assemble]]
+ * rejects on it, [[subscribe]]'s sync rejects on the marker).
  *
  * [[subscribe]] is the replica leg, which needs exactly-once and strict
  * version order — so it deliberately does NOT apply the delivered rows.

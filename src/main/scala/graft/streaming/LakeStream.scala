@@ -97,12 +97,22 @@ object LakeStream {
 
   /** Reduce a batch of [[table]] change rows to the table they assemble:
     * last op per key by `_version` (the snapshot is version-tagged like
-    * any change), deletes drop out. */
-  def assemble(changeRows: DataFrame, keyCol: String): DataFrame =
+    * any change), deletes drop out. REJECTS a feed-break row (`_op` =
+    * "B" — a wholesale replace landed mid-stream: full publish, clone
+    * seed, RESTORE) instead of assembling a silently-diverged table:
+    * the feed cannot represent a replace, restart the stream from a
+    * fresh snapshot/checkpoint. */
+  def assemble(changeRows: DataFrame, keyCol: String): DataFrame = {
+    require(changeRows.filter(col("_op") === "B").isEmpty,
+      "feed break delivered (_op = B): a wholesale replace — full " +
+        "publish, clone seed, or RESTORE — landed on the table " +
+        "mid-stream; the change feed cannot represent it. Stop this " +
+        "stream and restart from a fresh snapshot (new checkpoint dir)")
     Upsert.lastPerKey(changeRows, keyCol, seqCol = "_version",
         opCol = "_op")
       .filter(col("_op") =!= "D")
       .drop("_op")
+  }
 
   // resolve the snapshot version ONCE per checkpoint lineage: first start
   // pins the live version into the checkpoint dir (create-exclusive — a

@@ -342,6 +342,16 @@ class SqlDmlSpec extends SparkSpec {
     // a travel clause on an unregistered name rejects loudly
     intercept[IllegalArgumentException](
       Sql.sql(spark, "SELECT * FROM nope VERSION AS OF 1"))
+
+    // repair-from-history: a MERGE whose USING subquery reads a
+    // historical snapshot (selective row-level restore)
+    Sql.execute(spark,
+      """MERGE INTO ttt t
+        |USING (SELECT k, v, n FROM ttt VERSION AS OF 1 WHERE k = 1) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(spark.sql("SELECT v FROM ttt WHERE k = 1").head().getString(0)
+      == "v1")
   }
 
   private def rejectsUtil(sql: String): Unit = {

@@ -157,7 +157,8 @@ class CheckpointSpec extends SparkSpec {
     val f = new Path(t).getFileSystem(hconf)
     val st = Checkpoint.read(f, t).get
     assert(st.version == 3L, "the commit hook checkpoints every Nth commit")
-    assert(st.feed(1L) == 'x' && st.feed(2L) == 'c' && st.feed(3L) == 'c')
+    // v1 is the creation publish — a wholesale replace, kind 'b' (break)
+    assert(st.feed(1L) == 'b' && st.feed(2L) == 'c' && st.feed(3L) == 'c')
 
     val live = Versioned.currentVersion(spark, t).get
     val withCkpt = Cdf.changesSince(spark, t, 1L, untilV = Some(live))

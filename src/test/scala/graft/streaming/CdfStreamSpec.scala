@@ -107,7 +107,8 @@ class CdfStreamSpec extends SparkSpec {
       cdcBatch(Seq(("U", 5L, "x5"), ("D", 6L, null))))
     Upsert.applyCdc(spark, src, "k", cdcBatch(Seq(("I", 200L, "i200"))))
     val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
-    val q = CdfStream.changes(spark, src)
+    // sinceV = 1: past the creation publish's break poison (v1, _op = B)
+    val q = CdfStream.changes(spark, src, sinceV = 1)
       .select($"_op", $"k", $"_version")
       .writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
@@ -135,11 +136,42 @@ class CdfStreamSpec extends SparkSpec {
     assert(expected.contains(("U", 7L, 4L)))
   }
 
-  test("a feed-less table rejects toward DML-first; sinceV filters") {
+  test("a wholesale replace poisons the raw feed; assemble rejects it; " +
+      "a truly feed-less table still rejects eagerly") {
     val src = s"$root/nofeed"
-    Versioned.publish(Seq((1L, "a")).toDF("k", "v"), src)
+    Versioned.publish(Seq((1L, "a")).toDF("k", "v"), src) // v1 + break
+    // from 0 the raw feed delivers exactly the creation break row — a
+    // wholesale replace is VISIBLE to streaming consumers, never a
+    // silent skip
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var assembleErr: Option[Throwable] = None
+    val q = CdfStream.changes(spark, src)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.select($"_op", $"_version")
+            .as[(String, Long)].collect()
+        }
+        // the assemble guard fires on the poison row
+        if (assembleErr.isEmpty)
+          assembleErr = scala.util.Try(
+            LakeStream.assemble(df, "k").count()).failed.toOption
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.synchronized(got.toSeq) == Seq(("B", 1L)))
+    assert(assembleErr.exists(_.getMessage.contains("feed break")))
+
+    // a table published WITHOUT the break machinery (raw publishWith —
+    // internal composed builds) still rejects at stream start: the file
+    // source needs one glob match
+    val bare = s"$root/bare"
+    Versioned.publishWith(spark, bare) { dir =>
+      Seq((1L, "x")).toDF("k", "v").write.parquet(dir)
+    }
     val e = intercept[IllegalArgumentException] {
-      CdfStream.changes(spark, src)
+      CdfStream.changes(spark, bare)
     }
     assert(e.getMessage.contains("_changes"))
   }
