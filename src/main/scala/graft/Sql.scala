@@ -111,25 +111,57 @@ object Sql {
     * [[graft.lake.Versioned.versionAsOf]] (the one definition of
     * timestamp resolution). A travel clause on an unregistered name
     * rejects loudly — guessing a table path is how wrong data gets
-    * read. Statements without travel clauses pass through verbatim. */
+    * read. Travel-shaped text INSIDE a string literal is left alone
+    * (the rewrite is quote-aware). Statements without travel clauses
+    * pass through verbatim. Alias placement: write the alias AFTER the
+    * clause (`FROM t VERSION AS OF 3 b`) — `FROM t b VERSION AS OF 3`
+    * would resolve `b` as the table name and reject. */
   def sql(spark: SparkSession, text: String): DataFrame = {
     val ver = "(?i)\\b(\\w+)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
     val tsp = "(?i)\\b(\\w+)\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
-    var out = text
-    for (m <- ver.findAllMatchIn(text)) {
-      val (table, _) = SqlDml.lookup(m.group(1))
-      val view = s"${m.group(1)}__asof_v${m.group(2)}"
-      registerAsOf(spark, view, table, m.group(2).toLong)
-      out = out.replace(m.matched, view)
-    }
-    for (m <- tsp.findAllMatchIn(out)) {
+    // timestamp form first: its own quoted literal is PART of the match
+    // (the quote-mask below would otherwise hide it from the ver pass)
+    var out = rewriteOutsideQuotes(text, tsp) { m =>
       val (table, _) = SqlDml.lookup(m.group(1))
       val ts = java.sql.Timestamp.valueOf(m.group(2).replace('T', ' '))
       val v = Versioned.versionAsOf(spark, table, ts.getTime)
       val view = s"${m.group(1)}__asof_v$v"
       registerAsOf(spark, view, table, v)
-      out = out.replace(m.matched, view)
+      view
+    }
+    out = rewriteOutsideQuotes(out, ver) { m =>
+      val (table, _) = SqlDml.lookup(m.group(1))
+      val view = s"${m.group(1)}__asof_v${m.group(2)}"
+      registerAsOf(spark, view, table, m.group(2).toLong)
+      view
     }
     spark.sql(out)
+  }
+
+  // Apply `re` replacements only where the match STARTS outside a
+  // single-quoted string literal — a travel-shaped phrase INSIDE a
+  // literal is data, and rewriting it would silently change the query's
+  // results. Positional splice (never a global replace), so identical
+  // text inside a literal elsewhere is untouched.
+  private def rewriteOutsideQuotes(text: String,
+                                   re: scala.util.matching.Regex)
+                                  (replace: scala.util.matching.Regex.Match
+                                    => String): String = {
+    val mask = new Array[Boolean](math.max(text.length, 1))
+    var q = false
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '\'') q = !q
+      mask(i) = q
+      i += 1
+    }
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(text))
+      if (m.start >= last && !mask(m.start)) {
+        sb.append(text.substring(last, m.start)).append(replace(m))
+        last = m.end
+      }
+    sb.append(text.substring(last)).toString
   }
 }

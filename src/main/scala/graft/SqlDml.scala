@@ -183,6 +183,9 @@ object SqlDml {
       case "OPTIMIZE" => optimizeStmt(spark, s)
       case "RESTORE" => restoreStmt(spark, s)
       case "ALTER" => alterStmt(spark, s)
+      case "DESCRIBE" => reject(s,
+        "DESCRIBE returns a DataFrame, not a version — call " +
+          "Sql.describe / SqlDml.describe instead of execute")
       case _ => reject(s, s"statement kind '$head'")
     }
     v
@@ -377,17 +380,15 @@ object SqlDml {
        else lit(null)).cast(field.dataType).as(c)
     }: _*)
 
-    val clash = changes.join(live,
-      changes(keyCol) === live(keyCol), "left_semi")
-    val nClash = clash.count()
-    require(nClash == 0L,
-      s"INSERT INTO $name names $nClash key(s) that already exist — an " +
-        "insert on a live key is an UPDATE (or a MERGE); this surface " +
-        "refuses to guess which you meant")
+    // insert-only is enforced INSIDE the merge's OCC retry (re-checked
+    // against each attempt's live version), so a concurrent writer
+    // landing the same key flips this statement into a loud reject —
+    // never a silent update
     val v =
-      if (rules.isEmpty) Upsert.merge(spark, table, keyCol, changes)
+      if (rules.isEmpty)
+        Upsert.merge(spark, table, keyCol, changes, insertOnly = true)
       else Expect.merge(spark, table, keyCol, changes, rules, mode,
-        quarantine).version
+        quarantine, insertOnly = true).version
         .getOrElse(Versioned.currentVersion(spark, table).get)
     rebind(spark, name, table)
     v
@@ -567,10 +568,18 @@ object SqlDml {
     // each clause arms (guard, CDC op, per-column assignment); the FIRST
     // armed guard in written order wins, per the standard
     val armed: Seq[(Column, String, String => Column)] = clauses.map {
-      case UpdateClause(c, None) => // SET *
-        (tgtPresent && srcPresent && condC(c), "U", scol _)
+      case UpdateClause(c, None) => // SET * — key pinned to the TARGET's:
+        // an update updates the MATCHED row; sourcing the key from the
+        // source side under a non-key ON condition would re-key the row,
+        // which the CDC re-expression turns into a silent duplicate
+        (tgtPresent && srcPresent && condC(c), "U",
+          (n: String) => if (n.equalsIgnoreCase(keyCol)) tcol(n)
+                         else scol(n))
       case UpdateClause(c, Some(as)) =>
         checkCols(as.keys, "UPDATE SET")
+        require(!as.keys.exists(_.equalsIgnoreCase(keyCol)),
+          s"UPDATE SET must not assign the key column '$keyCol' — a key " +
+            "change is a DELETE + INSERT (write both arms explicitly)")
         (tgtPresent && srcPresent && condC(c), "U",
           (n: String) => as.get(n).map(expr).getOrElse(tcol(n)))
       case DeleteClause(c) =>

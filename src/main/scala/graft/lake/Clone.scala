@@ -158,12 +158,32 @@ object Clone {
     * version) when already materialized. The source pin is NOT released
     * here: the ref version stays time-travel readable, so its protection
     * must outlive the copy — the pin releases when the clone's own
-    * [[Versioned.vacuum]] drops that ref version. */
-  def materialize(spark: SparkSession, table: String): Long = {
-    val live = Versioned.currentVersion(spark, table).getOrElse(
-      throw new IllegalStateException(s"no published version at $table"))
-    if (!Versioned.isShallowRef(spark, table, live)) live
-    else Versioned.publish(
-      Versioned.readVersion(spark, table, live), table)
-  }
+    * [[Versioned.vacuum]] drops that ref version.
+    *
+    * LAYOUT-ONLY maintenance, like [[Compact.compactVersion]]: the
+    * content is row-identical to the base version, so it records
+    * `_changes_none` (feed consumers bridge it, never a break/poison),
+    * skips the table-constraint audit (same rows — nothing new to
+    * gate), and derives via [[Versioned.publishFrom]] so a concurrent
+    * DML commit is never silently shadowed by the copy. */
+  def materialize(spark: SparkSession, table: String): Long =
+    Versioned.withWriteRetry() {
+      val live = Versioned.currentVersion(spark, table).getOrElse(
+        throw new IllegalStateException(s"no published version at $table"))
+      if (!Versioned.isShallowRef(spark, table, live)) live
+      else Versioned.publishFrom(spark, table, live) { dir =>
+        Versioned.readVersion(spark, table, live)
+          .write.mode("overwrite").parquet(dir)
+        val f = new Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        // carry the CDC replay-dedup tag: materialize changes the
+        // layout, not the applied-batch watermark (Compact's rule)
+        val tag = new Path(s"$table/v=$live/_cdc_batch")
+        if (f.exists(tag))
+          org.apache.hadoop.fs.FileUtil.copy(f, tag, f,
+            new Path(s"$dir/_cdc_batch"), false, true,
+            spark.sparkContext.hadoopConfiguration)
+        Cdf.recordNone(f, dir) // layout-only: no row changed
+      }
+    }
 }

@@ -56,16 +56,30 @@ object Constraints {
       }
   }
 
+  // tmp + rename, never create-over: an in-place truncate would open a
+  // window where a concurrent writer's enforce() reads an EMPTY rule set
+  // and admits a violating batch — the same torn-read discipline as the
+  // manifest pointer and Checkpoint sidecars. add/drop additionally
+  // serialize same-JVM on the table's pointer lock (cross-process
+  // last-writer-wins on the rename is the documented limit: constraint
+  // ADMINISTRATION is an operator action, not a concurrent hot path —
+  // but a reader can never observe a half-written set).
   private def write(spark: SparkSession, table: String,
                     rules: Seq[Expect.Rule]): Unit = {
     val f = fs(spark, table)
     if (rules.isEmpty) { f.delete(path(table), false); () }
     else {
+      val tmp = new Path(s"$table/_constraints.tmp")
       val body = rules.map(r => s"${r.name}\t${r.predicate}")
         .mkString("\n")
-      val out = f.create(path(table), true)
+      val out = f.create(tmp, true)
       try out.write(body.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      if (!f.rename(tmp, path(table))) {
+        f.delete(path(table), false)
+        require(f.rename(tmp, path(table)),
+          s"cannot swap ${path(table)} into place")
+      }
     }
   }
 
@@ -75,26 +89,33 @@ object Constraints {
     * be unique (re-adding a name rejects; [[drop]] first to replace). */
   def add(spark: SparkSession, table: String, name: String,
           predicate: String): Unit = {
-    val existing = list(spark, table)
-    require(!existing.exists(_.name.equalsIgnoreCase(name)),
-      s"constraint '$name' already exists on $table — drop it first")
     val rule = Expect.Rule(name, predicate)
+    // validate OUTSIDE the lock (a table scan under a lock shared with
+    // commit pointer updates would stall writers)...
     if (Versioned.currentVersion(spark, table).isDefined) {
       val bad = Expect.audit(Versioned.read(spark, table), Seq(rule))(name)
       require(bad == 0L,
         s"cannot add constraint '$name' CHECK ($predicate) to $table — " +
           s"$bad existing row(s) violate it")
     }
-    write(spark, table, existing :+ rule)
+    // ...then read-modify-write the set under it (same-JVM serialization;
+    // see write() for the cross-process posture)
+    Versioned.pointerLockFor(fs(spark, table), table).synchronized {
+      val existing = list(spark, table)
+      require(!existing.exists(_.name.equalsIgnoreCase(name)),
+        s"constraint '$name' already exists on $table — drop it first")
+      write(spark, table, existing :+ rule)
+    }
   }
 
   /** Drop constraint `name`. Returns whether it existed. */
-  def drop(spark: SparkSession, table: String, name: String): Boolean = {
-    val existing = list(spark, table)
-    val kept = existing.filterNot(_.name.equalsIgnoreCase(name))
-    if (kept.size == existing.size) false
-    else { write(spark, table, kept); true }
-  }
+  def drop(spark: SparkSession, table: String, name: String): Boolean =
+    Versioned.pointerLockFor(fs(spark, table), table).synchronized {
+      val existing = list(spark, table)
+      val kept = existing.filterNot(_.name.equalsIgnoreCase(name))
+      if (kept.size == existing.size) false
+      else { write(spark, table, kept); true }
+    }
 
   /** Audit the LIVE snapshot against the registered constraints (e.g.
     * after a [[Restore]]) — per-constraint violation counts. */

@@ -135,7 +135,8 @@ object Expect {
   def merge(spark: SparkSession, table: String, keyCol: String,
             changes: DataFrame, rules: Seq[Rule], mode: Mode,
             quarantine: Option[String] = None,
-            evolveSchema: Boolean = false): Report = {
+            evolveSchema: Boolean = false,
+            insertOnly: Boolean = false): Report = {
     changes.persist()
     try {
       val (total, bad, counts) = auditWithTotal(changes, rules)
@@ -143,10 +144,10 @@ object Expect {
         case Mode.Fail =>
           failIfBad(bad, counts, "merge")
           Report(Some(Upsert.merge(spark, table, keyCol, changes,
-            evolveSchema)), total, 0L, counts)
+            evolveSchema, insertOnly = insertOnly)), total, 0L, counts)
         case Mode.Warn =>
           Report(Some(Upsert.merge(spark, table, keyCol, changes,
-            evolveSchema)), total, 0L, counts)
+            evolveSchema, insertOnly = insertOnly)), total, 0L, counts)
         case Mode.Drop =>
           val q = quarantine.getOrElse(throw new IllegalArgumentException(
             "Drop mode needs a quarantine table"))
@@ -154,7 +155,8 @@ object Expect {
           val v =
             if (bad == total) None // nothing passed — table untouched
             else Some(Upsert.merge(spark, table, keyCol,
-              changes.filter(passCol(rules)), evolveSchema))
+              changes.filter(passCol(rules)), evolveSchema,
+              insertOnly = insertOnly))
           Report(v, total - bad, bad, counts)
       }
     } finally { changes.unpersist(); () }

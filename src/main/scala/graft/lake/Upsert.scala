@@ -76,9 +76,23 @@ object Upsert {
     * enforced, reject rather than guess. Returns the new live version. */
   def merge(spark: SparkSession, table: String, keyCol: String,
             changes: DataFrame, evolveSchema: Boolean = false,
-            maxDriverKeys: Int = MaxDriverKeysDefault): Long = {
+            maxDriverKeys: Int = MaxDriverKeysDefault,
+            insertOnly: Boolean = false): Long = {
     Constraints.enforce(spark, table, changes, "merge")
     Versioned.withWriteRetry() { // re-derives from the new live on conflict
+      // insert-only contract (SQL INSERT INTO): re-checked INSIDE the
+      // retry, against the live version each attempt re-reads — a
+      // competitor inserting the same key between attempts must flip
+      // this statement into a loud reject, never a silent update
+      if (insertOnly) {
+        val live = Versioned.read(spark, table)
+        val n = changes.join(live, changes(keyCol) === live(keyCol),
+          "left_semi").count()
+        require(n == 0L,
+          s"insert-only merge names $n key(s) that already exist in " +
+            s"$table — an insert on a live key is an UPDATE (or a " +
+            "MERGE); refusing to guess which was meant")
+      }
       applyChanges(spark, table, keyCol, changes,
         deletes = emptyKeys(spark, keyCol), nDeletes = 0L,
         evolveSchema = evolveSchema, maxDriverKeys = maxDriverKeys)
@@ -178,13 +192,25 @@ object Upsert {
     * run-dependent table contents. The result satisfies [[applyCdc]]'s
     * one-op-per-key contract; `seqCol` is dropped. */
   def lastPerKey(batch: DataFrame, keyCol: String, seqCol: String,
-                 opCol: String = "op"): DataFrame = {
+                 opCol: String = "op",
+                 rejectOps: Set[String] = Set.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = batch.agg(
       count(when(col(seqCol).isNull, 1)).as("nullseq"),
       count(when(col(keyCol).isNull, 1)).as("nullkey"),
       count(lit(1)).as("n"),
-      countDistinct(col(keyCol), col(seqCol)).as("nks")).head()
+      countDistinct(col(keyCol), col(seqCol)).as("nks"),
+      // poison-op detection rides the SAME validation pass — zero extra
+      // jobs on the per-micro-batch hot path ([[graft.streaming
+      // .LakeStream.assemble]] passes Set("B"))
+      count(when(
+        if (rejectOps.isEmpty) lit(false)
+        else col(opCol).isin(rejectOps.toSeq: _*), 1)).as("nrej")).head()
+    require(v.getLong(4) == 0L,
+      s"${v.getLong(4)} feed-break row(s) (op in $rejectOps) — a " +
+        "wholesale replace (full publish, clone seed, or RESTORE) landed " +
+        "on the table mid-stream and the change feed cannot represent " +
+        "it; stop this consumer and resync from a fresh snapshot")
     require(v.getLong(0) == 0L,
       s"${v.getLong(0)} row(s) with NULL $seqCol — an unsequenced op " +
         "cannot be ordered")

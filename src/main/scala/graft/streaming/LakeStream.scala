@@ -102,17 +102,11 @@ object LakeStream {
     * seed, RESTORE) instead of assembling a silently-diverged table:
     * the feed cannot represent a replace, restart the stream from a
     * fresh snapshot/checkpoint. */
-  def assemble(changeRows: DataFrame, keyCol: String): DataFrame = {
-    require(changeRows.filter(col("_op") === "B").isEmpty,
-      "feed break delivered (_op = B): a wholesale replace — full " +
-        "publish, clone seed, or RESTORE — landed on the table " +
-        "mid-stream; the change feed cannot represent it. Stop this " +
-        "stream and restart from a fresh snapshot (new checkpoint dir)")
+  def assemble(changeRows: DataFrame, keyCol: String): DataFrame =
     Upsert.lastPerKey(changeRows, keyCol, seqCol = "_version",
-        opCol = "_op")
+        opCol = "_op", rejectOps = Set("B"))
       .filter(col("_op") =!= "D")
       .drop("_op")
-  }
 
   // resolve the snapshot version ONCE per checkpoint lineage: first start
   // pins the live version into the checkpoint dir (create-exclusive — a

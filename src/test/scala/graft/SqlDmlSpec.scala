@@ -180,6 +180,10 @@ class SqlDmlSpec extends SparkSpec {
     rejects(
       """MERGE INTO trej t USING trej s ON t.k = s.k
         |WHEN MATCHED THEN UPSERT""".stripMargin, "unsupported WHEN action")
+    rejects(
+      """MERGE INTO trej t USING trej s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET k = 99""".stripMargin, "key column")
+    rejects("DESCRIBE HISTORY trej", "Sql.describe")
     rejects("DELETE FROM nowhere WHERE k = 1", "not a registered")
     rejects("UPDATE trej SET WHERE k = 1", "assignment")
     // and every version is still the seed — nothing half-executed

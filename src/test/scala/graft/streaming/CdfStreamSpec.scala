@@ -161,7 +161,7 @@ class CdfStreamSpec extends SparkSpec {
       .start()
     try q.processAllAvailable() finally q.stop()
     assert(got.synchronized(got.toSeq) == Seq(("B", 1L)))
-    assert(assembleErr.exists(_.getMessage.contains("feed break")))
+    assert(assembleErr.exists(_.getMessage.contains("feed-break")))
 
     // a table published WITHOUT the break machinery (raw publishWith —
     // internal composed builds) still rejects at stream start: the file
