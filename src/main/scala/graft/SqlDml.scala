@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.lake.{Clone, Compact, Dv, Expect, Forget, History, Restore,
-  Upsert, Versioned}
+  Upsert, Versioned, ZOrder}
 
 /**
  * SQL DML statements against registered lake tables — the write-side of
@@ -70,17 +70,32 @@ object SqlDml {
   /** Register a [[Versioned]] lake table for BOTH reads and DML: the live
     * snapshot becomes temp view `name` (as [[Sql.registerTable]]) and
     * `name` becomes addressable by [[execute]] statements, keyed by
-    * `keyCol`. Returns the bound live version. */
+    * `keyCol`. Returns the bound live version — 0 when the table has no
+    * published version yet (an empty table registers fine so `COPY INTO`
+    * can bootstrap it; the view binds at the first write's rebind —
+    * schema-needing statements like INSERT still reject until then). */
   def register(spark: SparkSession, name: String, table: String,
                keyCol: String): Long = {
     registry.put(name.toLowerCase, (table, keyCol))
-    Sql.registerTable(spark, name, table)
+    if (Versioned.currentVersion(spark, table).isEmpty) 0L
+    else Sql.registerTable(spark, name, table)
   }
 
   private[graft] def lookup(name: String): (String, String) =
     registry.getOrElse(name.toLowerCase, throw new IllegalArgumentException(
       s"'$name' is not a registered lake table — SqlDml.register(name, " +
         "path, keyCol) first (DML needs the table's key column)"))
+
+  /** Is the table's live version a shallow ref (a DV purge/merge, clone
+    * seed, restore or [[graft.lake.Evolve]] overlay)? Statements on such
+    * a base route through the ZERO-COPY DML family ([[Dv]]) — the
+    * rewriting family's contract is materialize-first, and a SQL user
+    * should not have to know which lever the last write pulled. The
+    * check is advisory (a concurrent materialize between check and merge
+    * just lands the zero-copy path on a real base, which is valid). */
+  private def liveIsRef(spark: SparkSession, table: String): Boolean =
+    Versioned.currentVersion(spark, table)
+      .exists(v => Versioned.isShallowRef(spark, table, v))
 
   // ---------------------------------------------------------------- lexing
 
@@ -136,9 +151,14 @@ object SqlDml {
     throw new IllegalArgumentException(
       s"unsupported SQL DML ($why) — supported forms are MERGE INTO ... " +
         "USING ... ON ... WHEN [NOT] MATCHED ..., UPDATE ... SET ... " +
-        "[WHERE ...], DELETE FROM ... [WHERE ...], VACUUM t [RETAIN n " +
-        "VERSIONS], OPTIMIZE t, RESTORE [TABLE] t TO VERSION AS OF n, " +
-        "DESCRIBE HISTORY t. Statement: " +
+        "[WHERE ...], DELETE FROM ... [WHERE ...], INSERT INTO|OVERWRITE " +
+        "t [(cols)] VALUES|<subquery>, CREATE [OR REPLACE] TABLE n [KEY " +
+        "k] LOCATION 'p' AS <select>, CREATE TABLE d SHALLOW CLONE s " +
+        "[VERSION AS OF n] LOCATION 'p', COPY INTO t FROM '<dir>', " +
+        "VACUUM t [RETAIN n VERSIONS], OPTIMIZE t [ZORDER BY (cols)], " +
+        "RESTORE [TABLE] t TO VERSION AS OF n, ALTER TABLE t ADD " +
+        "COLUMNS (...) | ADD/DROP CONSTRAINT, DESCRIBE HISTORY|DETAIL " +
+        "t. Statement: " +
         sql.linesIterator.mkString(" ").take(200))
 
   private def stripSemi(sql: String): String = {
@@ -183,6 +203,8 @@ object SqlDml {
       case "OPTIMIZE" => optimizeStmt(spark, s)
       case "RESTORE" => restoreStmt(spark, s)
       case "ALTER" => alterStmt(spark, s)
+      case "CREATE" => createStmt(spark, s)
+      case "COPY" => copyIntoStmt(spark, s, rules, mode, quarantine)
       case "DESCRIBE" => reject(s,
         "DESCRIBE returns a DataFrame, not a version — call " +
           "Sql.describe / SqlDml.describe instead of execute")
@@ -220,23 +242,108 @@ object SqlDml {
     Versioned.currentVersion(spark, table).get // live is never vacuumed
   }
 
-  // OPTIMIZE t — Delta's compaction statement: materialize first when the
-  // live version is a zero-copy ref (DV purge/merge/restore — compaction
-  // needs real files), then the range-clustering file-count compaction
+  // OPTIMIZE t [ZORDER BY (c1, c2, ...)] — Delta's compaction statement:
+  // materialize first when the live version is a zero-copy ref (DV
+  // purge/merge/restore/schema overlay — layout work needs real files),
+  // then the range-clustering file-count compaction, or — with ZORDER
+  // BY — the multi-column z-value re-layout (graft.lake.ZOrder, 2-4
+  // interleaved columns, skipping sidecars rebuilt)
   private def optimizeStmt(spark: SparkSession, sql: String): Long = {
-    val m = "(?is)^OPTIMIZE\\s+(\\S+)$".r
-    val name = sql match {
-      case m(n) => n
-      case _ => reject(sql, "expected OPTIMIZE <table>")
+    val m = ("(?is)^OPTIMIZE\\s+(\\S+?)" +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?$").r
+    val (name, zcols) = sql match {
+      case m(n, z) => (n, Option(z).map(splitTop(_, ',')
+        .map(_.stripPrefix("`").stripSuffix("`"))).getOrElse(Seq.empty))
+      case _ => reject(sql, "expected OPTIMIZE <table> [ZORDER BY (cols)]")
     }
     val (table, keyCol) = lookup(name)
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
     if (Versioned.isShallowRef(spark, table, live))
       Clone.materialize(spark, table)
-    val v = Compact.compactVersion(spark, table, keyCol)
+    val v =
+      if (zcols.isEmpty) Compact.compactVersion(spark, table, keyCol)
+      else ZOrder.cluster(spark, table, zcols, keyCol)
     rebind(spark, name, table)
     v
+  }
+
+  // CREATE [OR REPLACE] TABLE n [KEY k] LOCATION 'p' AS <select>   (CTAS)
+  // CREATE TABLE d SHALLOW CLONE s [VERSION AS OF n] LOCATION 'p'
+  // No metastore in this sandbox, so LOCATION is required — the path IS
+  // the table; the name is the session binding (registerDml semantics).
+  // KEY makes the new table DML-addressable (and is enforced unique —
+  // this lake's key column is row identity); without it the table
+  // registers read-only. A CTAS is a full publish: constraints at the
+  // location (if any survive from a replaced table) gate it, and the
+  // change feed records the wholesale-replace break.
+  private def createStmt(spark: SparkSession, sql: String): Long = {
+    val clone = ("(?is)^CREATE\\s+TABLE\\s+(\\S+)\\s+SHALLOW\\s+CLONE\\s+" +
+      "(\\S+?)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s+LOCATION\\s+" +
+      "'([^']+)'$").r
+    val ctas = ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+(\\S+?)" +
+      "(?:\\s+KEY\\s+(\\S+?))?\\s+LOCATION\\s+'([^']+)'\\s+AS\\s+(.+)$").r
+    sql match {
+      case clone(dstName, srcName, vOpt, path) =>
+        val (srcTable, srcKey) = lookup(srcName)
+        val v = Clone.shallow(spark, srcTable, path,
+          Option(vOpt).map(_.toLong))
+        register(spark, dstName, path, srcKey)
+        v
+      case ctas(orReplace, name, keyOpt, path, select) =>
+        val replacing = orReplace != null
+        require(replacing ||
+          Versioned.currentVersion(spark, path).isEmpty,
+          s"a table already exists at $path — CREATE OR REPLACE TABLE " +
+            s"to restate it, or INSERT/MERGE INTO to change it")
+        val df = Sql.sql(spark, select.trim)
+        Option(keyOpt).map(_.stripPrefix("`").stripSuffix("`"))
+          .foreach { k =>
+            require(df.columns.exists(_.equalsIgnoreCase(k)),
+              s"KEY column '$k' is not in the CTAS output " +
+                s"(${df.columns.toSeq})")
+            val a = df.agg(count(lit(1)).as("n"),
+              countDistinct(col(k)).as("nk"),
+              count(when(col(k).isNull, 1)).as("nulls")).head()
+            require(a.getLong(2) == 0L, s"CTAS output has NULL $k keys")
+            require(a.getLong(0) == a.getLong(1),
+              s"${a.getLong(0) - a.getLong(1)} duplicate $k key(s) in " +
+                "the CTAS output — the key column is row identity")
+          }
+        val v = Versioned.publish(df, path)
+        Option(keyOpt).map(_.stripPrefix("`").stripSuffix("`")) match {
+          case Some(k) => register(spark, name, path, k)
+          case None => Sql.registerTable(spark, name, path)
+        }
+        v
+      case _ => reject(sql,
+        "expected CREATE [OR REPLACE] TABLE n [KEY k] LOCATION 'p' AS " +
+          "<select>, or CREATE TABLE d SHALLOW CLONE s [VERSION AS OF " +
+          "n] LOCATION 'p'")
+    }
+  }
+
+  // COPY INTO t FROM 'dir' [FILEFORMAT = PARQUET] — idempotent
+  // file-grain ingest (graft.lake.CopyInto: each landing file loads
+  // exactly once across reruns; fresh rows take the standard merge path)
+  private def copyIntoStmt(spark: SparkSession, sql: String,
+                           rules: Seq[Expect.Rule], mode: Expect.Mode,
+                           quarantine: Option[String]): Long = {
+    val m = ("(?is)^COPY\\s+INTO\\s+(\\S+)\\s+FROM\\s+'([^']+)'" +
+      "(?:\\s+FILEFORMAT\\s*=\\s*(\\S+))?$").r
+    val (name, dir, fmt) = sql match {
+      case m(n, d, ff) => (n, d, Option(ff).getOrElse("PARQUET"))
+      case _ => reject(sql,
+        "expected COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET]")
+    }
+    require(fmt.equalsIgnoreCase("PARQUET"),
+      s"COPY INTO supports FILEFORMAT = PARQUET here, got '$fmt' — " +
+        "convert via graft.lake.Formats first")
+    val (table, keyCol) = lookup(name)
+    val r = graft.lake.CopyInto.load(spark, table, keyCol, dir,
+      rules, mode, quarantine)
+    rebind(spark, name, table)
+    r.version
   }
 
   // ALTER TABLE t ADD CONSTRAINT name CHECK (pred) | DROP CONSTRAINT name
@@ -248,6 +355,10 @@ object SqlDml {
       "(\\S+)\\s+CHECK\\s*\\((.+)\\)$").r
     val drop = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+DROP\\s+CONSTRAINT\\s+" +
       "(\\S+)$").r
+    val addCols = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+ADD\\s+COLUMNS\\s*" +
+      "\\((.+)\\)$").r
+    val addCol = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+ADD\\s+COLUMN\\s+" +
+      "(.+)$").r
     sql match {
       case add(name, cname, pred) =>
         val (table, _) = lookup(name)
@@ -258,9 +369,23 @@ object SqlDml {
         require(graft.lake.Constraints.drop(spark, table, cname),
           s"no constraint '$cname' on $name")
         Versioned.currentVersion(spark, table).getOrElse(0L)
+      case addCols(name, ddl) =>
+        val (table, _) = lookup(name)
+        val v = graft.lake.Evolve.addColumns(spark, table,
+          org.apache.spark.sql.types.StructType.fromDDL(ddl.trim))
+        rebind(spark, name, table) // the view's schema just widened
+        v
+      case addCol(name, ddl) =>
+        val (table, _) = lookup(name)
+        val v = graft.lake.Evolve.addColumns(spark, table,
+          org.apache.spark.sql.types.StructType.fromDDL(ddl.trim))
+        rebind(spark, name, table)
+        v
       case _ => reject(sql,
-        "expected ALTER TABLE t ADD CONSTRAINT name CHECK (pred) or " +
-          "ALTER TABLE t DROP CONSTRAINT name")
+        "expected ALTER TABLE t ADD CONSTRAINT name CHECK (pred), " +
+          "ALTER TABLE t DROP CONSTRAINT name, or ALTER TABLE t ADD " +
+          "COLUMNS (c1 TYPE1, ...) — metadata-only schema evolution " +
+          "(graft.lake.Evolve)")
     }
   }
 
@@ -314,7 +439,8 @@ object SqlDml {
     val keys = matched.select(col(keyCol).cast("long")).distinct()
       .as[Long].collect().toSeq
     val v =
-      if (zeroCopy) Dv.purge(spark, table, keyCol, keys)
+      if (zeroCopy || liveIsRef(spark, table))
+        Dv.purge(spark, table, keyCol, keys)
       else Forget.purge(spark, table, keyCol, keys)
     rebind(spark, name, table)
     v
@@ -331,9 +457,9 @@ object SqlDml {
   private def insert(spark: SparkSession, sql: String,
                      rules: Seq[Expect.Rule], mode: Expect.Mode,
                      quarantine: Option[String]): Long = {
-    val m = "(?is)^INSERT\\s+INTO\\s+(\\S+)\\s+(.*)$".r
-    val (name, body) = sql match {
-      case m(n, b) => (n, b.trim)
+    val m = "(?is)^INSERT\\s+(INTO|OVERWRITE)\\s+(\\S+)\\s+(.*)$".r
+    val (overwrite, name, body) = sql match {
+      case m(kw, n, b) => (kw.equalsIgnoreCase("OVERWRITE"), n, b.trim)
       case _ => reject(sql, "cannot parse INSERT")
     }
     val (table, keyCol) = lookup(name)
@@ -380,15 +506,38 @@ object SqlDml {
        else lit(null)).cast(field.dataType).as(c)
     }: _*)
 
+    // INSERT OVERWRITE: a wholesale restatement — full publish (the
+    // change feed records the break; constraints gate it), with this
+    // lake's key-is-row-identity invariant enforced on the new content
+    if (overwrite) {
+      val a = changes.agg(count(lit(1)).as("n"),
+        countDistinct(col(keyCol)).as("nk"),
+        count(when(col(keyCol).isNull, 1)).as("nulls")).head()
+      require(a.getLong(2) == 0L,
+        s"INSERT OVERWRITE content has NULL $keyCol keys")
+      require(a.getLong(0) == a.getLong(1),
+        s"${a.getLong(0) - a.getLong(1)} duplicate $keyCol key(s) in " +
+          "the INSERT OVERWRITE content — the key column is row identity")
+      val v =
+        if (rules.isEmpty) Versioned.publish(changes, table)
+        else Expect.publish(changes, table, rules, mode, quarantine)
+          .version.get // publish always lands a version (Drop publishes
+                       // the passing slice, even when empty)
+      rebind(spark, name, table)
+      return v
+    }
+
     // insert-only is enforced INSIDE the merge's OCC retry (re-checked
     // against each attempt's live version), so a concurrent writer
     // landing the same key flips this statement into a loud reject —
     // never a silent update
+    val zc = liveIsRef(spark, table)
     val v =
-      if (rules.isEmpty)
-        Upsert.merge(spark, table, keyCol, changes, insertOnly = true)
-      else Expect.merge(spark, table, keyCol, changes, rules, mode,
-        quarantine, insertOnly = true).version
+      if (rules.isEmpty) {
+        if (zc) Dv.merge(spark, table, keyCol, changes, insertOnly = true)
+        else Upsert.merge(spark, table, keyCol, changes, insertOnly = true)
+      } else Expect.merge(spark, table, keyCol, changes, rules, mode,
+        quarantine, insertOnly = true, zeroCopy = zc).version
         .getOrElse(Versioned.currentVersion(spark, table).get)
     rebind(spark, name, table)
     v
@@ -445,10 +594,13 @@ object SqlDml {
       }.toSeq: _*)
     if (changes.isEmpty)
       return Versioned.currentVersion(spark, table).get
+    val zc = liveIsRef(spark, table)
     val v =
-      if (rules.isEmpty) Upsert.merge(spark, table, keyCol, changes)
-      else Expect.merge(spark, table, keyCol, changes, rules, mode,
-        quarantine).version
+      if (rules.isEmpty) {
+        if (zc) Dv.merge(spark, table, keyCol, changes)
+        else Upsert.merge(spark, table, keyCol, changes)
+      } else Expect.merge(spark, table, keyCol, changes, rules, mode,
+        quarantine, zeroCopy = zc).version
         .getOrElse(Versioned.currentVersion(spark, table).get)
     rebind(spark, name, table)
     v
@@ -630,11 +782,15 @@ object SqlDml {
       .filter(col("_graft_op").isNotNull)
     if (batch.isEmpty)
       return Versioned.currentVersion(spark, table).get
+    val zc = liveIsRef(spark, table)
     val v =
-      if (rules.isEmpty)
-        Upsert.applyCdc(spark, table, keyCol, batch, opCol = "_graft_op")
-      else Expect.applyCdc(spark, table, keyCol, batch, rules, mode,
-        quarantine, opCol = "_graft_op").version
+      if (rules.isEmpty) {
+        if (zc) Dv.applyCdc(spark, table, keyCol, batch,
+          opCol = "_graft_op")
+        else Upsert.applyCdc(spark, table, keyCol, batch,
+          opCol = "_graft_op")
+      } else Expect.applyCdc(spark, table, keyCol, batch, rules, mode,
+        quarantine, opCol = "_graft_op", zeroCopy = zc).version
         .getOrElse(Versioned.currentVersion(spark, table).get)
     rebind(spark, name, table)
     v

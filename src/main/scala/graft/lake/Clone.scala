@@ -48,19 +48,28 @@ object Clone {
       .digest(s"$dst\n$dataDir".getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-  /** Publish the source's LIVE snapshot as the next version of `dst` —
-    * zero data movement — and pin the referenced version against the
-    * source's vacuum (`_clones/` back-pointer: line 1 the referenced data
-    * dir, line 2 the clone path, for diagnostics and [[detach]]'s content
-    * match). The pin is written BEFORE the clone publishes: the reverse
-    * order leaves a window where a concurrent source vacuum deletes the
-    * referenced dir under a just-published clone; a pin orphaned by a
-    * crash between the two steps merely blocks reclaim loudly
-    * ([[detach]] releases it) — the safe failure direction. Returns the
-    * clone's new version. */
-  def shallow(spark: SparkSession, src: String, dst: String): Long = {
-    val srcV = Versioned.currentVersion(spark, src).getOrElse(
-      throw new IllegalStateException(s"no published version at $src"))
+  /** Publish the source's LIVE snapshot (or, with `asOf`, a specific
+    * published version — Delta's `CLONE src VERSION AS OF n`) as the
+    * next version of `dst` — zero data movement — and pin the referenced
+    * version against the source's vacuum (`_clones/` back-pointer: line
+    * 1 the referenced data dir, line 2 the clone path, for diagnostics
+    * and [[detach]]'s content match). The pin is written BEFORE the
+    * clone publishes: the reverse order leaves a window where a
+    * concurrent source vacuum deletes the referenced dir under a
+    * just-published clone; a pin orphaned by a crash between the two
+    * steps merely blocks reclaim loudly ([[detach]] releases it) — the
+    * safe failure direction. Returns the clone's new version. */
+  def shallow(spark: SparkSession, src: String, dst: String,
+              asOf: Option[Long] = None): Long = {
+    val srcV = asOf match {
+      case Some(v) =>
+        require(Versioned.versions(spark, src).contains(v),
+          s"version $v of $src does not exist (never published or " +
+            "vacuumed) — cannot clone it")
+        v
+      case None => Versioned.currentVersion(spark, src).getOrElse(
+        throw new IllegalStateException(s"no published version at $src"))
+    }
     require(!Dv.hasVector(spark, src, srcV),
       s"$src v$srcV carries a deletion vector — a ref-only clone would " +
         "resurrect the deleted rows; Clone.materialize the source first")
@@ -75,9 +84,14 @@ object Clone {
     // version names). Re-cloning the same (dst, dataDir) just rewrites
     // the same pin file.
     pin(spark, dataDir, dst)
-    val schema = Versioned.readSchemaMarker(
-      new Path(dataDir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration), dataDir)
+    val fSrc = new Path(dataDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // version-aware: the source version's OWN marker (an Evolve
+    // overlay's EXTENDED schema) wins over the base dir's
+    val srcVDir = s"$src/v=$srcV"
+    val ownMarker = Versioned.readSchemaMarker(fSrc, srcVDir)
+    val schema = ownMarker
+      .orElse(Versioned.readSchemaMarker(fSrc, dataDir))
       .getOrElse(spark.read.parquet(dataDir).schema)
     Versioned.publishWith(spark, dst) { dir =>
       val fd = new Path(dir).getFileSystem(
@@ -86,6 +100,9 @@ object Clone {
       val out = fd.create(new Path(s"$dir/_ref"), true)
       try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      // an overlay source's extended schema travels as the clone's own
+      // marker (the shared data dir's marker, when any, stays narrower)
+      ownMarker.foreach(Versioned.writeSchemaMarker(fd, dir, _))
       Cdf.recordBreak(spark, dir, schema) // a clone seed is a replace
     }
   }

@@ -141,9 +141,13 @@ object Dv {
     } finally { if (owned) { batch.unpersist(); () } }
   }
 
-  /** Zero-copy upsert (no deletes): see [[applyCdc]]. */
+  /** Zero-copy upsert (no deletes): see [[applyCdc]]. `insertOnly`
+    * enforces SQL INSERT INTO's live-key contract — a changeset key a
+    * live row carries flips the statement into a loud reject, never a
+    * silent update; checked INSIDE the OCC retry against each attempt's
+    * victim scan (a victim IS a live row with that key). */
   def merge(spark: SparkSession, table: String, keyCol: String,
-            changes: DataFrame): Long = {
+            changes: DataFrame, insertOnly: Boolean = false): Long = {
     changes.persist()
     try {
       import org.apache.spark.sql.functions.{col => fcol}
@@ -164,7 +168,7 @@ object Dv {
         .emptyDataset(org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
       Versioned.withWriteRetry() {
         mergeOnce(spark, table, keyCol, changes, empty,
-          v.getLong(1), 0L, None)
+          v.getLong(1), 0L, None, insertOnly)
       }
     } finally { changes.unpersist(); () }
   }
@@ -172,7 +176,8 @@ object Dv {
   private def mergeOnce(spark: SparkSession, table: String, keyCol: String,
                         upserts: DataFrame, deletes: DataFrame,
                         nUpserts: Long, nDeletes: Long,
-                        batchTag: Option[String]): Long = {
+                        batchTag: Option[String],
+                        insertOnly: Boolean = false): Long = {
     import spark.implicits._
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
@@ -181,9 +186,12 @@ object Dv {
     val f = fs(spark, table)
     val conf = spark.sparkContext.hadoopConfiguration
 
-    // schema discipline: the base dir's marker (or footers) is THE table
-    // schema; the zero-copy path refuses evolution (scope dial above)
-    val schema = Versioned.readSchemaMarker(f, dataDir)
+    // schema discipline: version-aware marker resolution — the live
+    // version's OWN marker (an [[Evolve.addColumns]] overlay) wins over
+    // the base dir's; the zero-copy path refuses FURTHER evolution
+    // (scope dial above), but composes with a prior metadata-only one
+    val schema = Versioned.readSchemaMarker(f, liveVDir)
+      .orElse(Versioned.readSchemaMarker(f, dataDir))
       .getOrElse(spark.read.parquet(dataDir).schema)
     val cols = schema.fieldNames.toSeq
     val missing = cols.filterNot(upserts.columns.contains)
@@ -240,6 +248,13 @@ object Dv {
     victims.persist()
     try {
       val nNew = victims.count()
+      // insert-only contract (SQL INSERT INTO on a zero-copy base):
+      // a victim IS a live row carrying a changeset key — re-checked
+      // each OCC attempt, same guarantee as Upsert.merge's guard
+      if (insertOnly) require(nNew == 0L,
+        s"insert-only merge names $nNew key(s) that already exist in " +
+          s"$table — an insert on a live key is an UPDATE (or a " +
+          "MERGE); refusing to guess which was meant")
       // nothing vectored AND nothing to upsert: the idempotent no-op
       if (nNew == 0L && nUpserts == 0L) return live
       Clone.pin(spark, dataDir, table) // ordering argument: see purgeOnce
@@ -286,6 +301,12 @@ object Dv {
               org.apache.hadoop.fs.FileUtil.copy(f, tagPath, fd,
                 new Path(s"$dir/_cdc_batch"), false, true, conf)
         }
+        // carry an Evolve overlay's OWN schema marker forward — the new
+        // ref version must keep resolving the EXTENDED schema
+        val sm = new Path(s"$liveVDir/_table_schema")
+        if (f.exists(sm))
+          org.apache.hadoop.fs.FileUtil.copy(f, sm, fd,
+            new Path(s"$dir/_table_schema"), false, true, conf)
         Cdf.record(spark, dir, schema, keyCol,
           upserts.select(cols.map(col): _*), nUpserts, deletes, nDeletes)
       }
@@ -393,7 +414,14 @@ object Dv {
         if (f.exists(tag))
           org.apache.hadoop.fs.FileUtil.copy(
             f, tag, f, new Path(s"$dir/_cdc_batch"), false, true, conf)
-        val schema = Versioned.readSchemaMarker(f, dataDir)
+        // carry an Evolve overlay's OWN schema marker (wins over the
+        // base dir's — see Versioned.schemaMarkerAt)
+        val sm = new Path(s"$liveVDir/_table_schema")
+        if (f.exists(sm))
+          org.apache.hadoop.fs.FileUtil.copy(f, sm, fd,
+            new Path(s"$dir/_table_schema"), false, true, conf)
+        val schema = Versioned.readSchemaMarker(f, liveVDir)
+          .orElse(Versioned.readSchemaMarker(f, dataDir))
           .getOrElse(spark.read.parquet(dataDir).schema)
         Cdf.record(spark, dir, schema, keyCol,
           spark.createDataFrame(

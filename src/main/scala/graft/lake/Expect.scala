@@ -136,27 +136,31 @@ object Expect {
             changes: DataFrame, rules: Seq[Rule], mode: Mode,
             quarantine: Option[String] = None,
             evolveSchema: Boolean = false,
-            insertOnly: Boolean = false): Report = {
+            insertOnly: Boolean = false,
+            zeroCopy: Boolean = false): Report = {
+    require(!(zeroCopy && evolveSchema),
+      "zero-copy merges do not evolve schemas (Dv's scope dial) — " +
+        "evolve metadata-only via Evolve.addColumns first")
+    def run(c: DataFrame): Long =
+      if (zeroCopy) Dv.merge(spark, table, keyCol, c, insertOnly)
+      else Upsert.merge(spark, table, keyCol, c, evolveSchema,
+        insertOnly = insertOnly)
     changes.persist()
     try {
       val (total, bad, counts) = auditWithTotal(changes, rules)
       mode match {
         case Mode.Fail =>
           failIfBad(bad, counts, "merge")
-          Report(Some(Upsert.merge(spark, table, keyCol, changes,
-            evolveSchema, insertOnly = insertOnly)), total, 0L, counts)
+          Report(Some(run(changes)), total, 0L, counts)
         case Mode.Warn =>
-          Report(Some(Upsert.merge(spark, table, keyCol, changes,
-            evolveSchema, insertOnly = insertOnly)), total, 0L, counts)
+          Report(Some(run(changes)), total, 0L, counts)
         case Mode.Drop =>
           val q = quarantine.getOrElse(throw new IllegalArgumentException(
             "Drop mode needs a quarantine table"))
           if (bad > 0) Versioned.publish(violatorsOf(changes, rules), q)
           val v =
             if (bad == total) None // nothing passed — table untouched
-            else Some(Upsert.merge(spark, table, keyCol,
-              changes.filter(passCol(rules)), evolveSchema,
-              insertOnly = insertOnly))
+            else Some(run(changes.filter(passCol(rules))))
           Report(v, total - bad, bad, counts)
       }
     } finally { changes.unpersist(); () }
@@ -173,13 +177,18 @@ object Expect {
                batch: DataFrame, rules: Seq[Rule], mode: Mode,
                quarantine: Option[String] = None, opCol: String = "op",
                batchTag: Option[String] = None,
-               evolveSchema: Boolean = false): Report = {
+               evolveSchema: Boolean = false,
+               zeroCopy: Boolean = false): Report = {
+    require(!(zeroCopy && evolveSchema),
+      "zero-copy merges do not evolve schemas (Dv's scope dial) — " +
+        "evolve metadata-only via Evolve.addColumns first")
     batch.persist()
     try {
       val payload = batch.filter(col(opCol) =!= "D")
       val (total, bad, counts) = auditWithTotal(payload, rules)
       def applyAll(b: DataFrame): Long =
-        Upsert.applyCdc(spark, table, keyCol, b, opCol, batchTag,
+        if (zeroCopy) Dv.applyCdc(spark, table, keyCol, b, opCol, batchTag)
+        else Upsert.applyCdc(spark, table, keyCol, b, opCol, batchTag,
           evolveSchema)
       mode match {
         case Mode.Fail =>

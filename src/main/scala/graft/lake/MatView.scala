@@ -170,8 +170,9 @@ object MatView {
                       keyCol: String, keys: Seq[Long]): DataFrame = {
     val dir = preBatchDir(spark, source, srcV)
     val f = fs(spark, dir)
-    // evolved sources hold mixed-schema files — pin via the dir's marker
-    val schema = Versioned.readSchemaMarker(f, dir)
+    // evolved sources hold mixed-schema files — pin via the version-aware
+    // marker (an Evolve overlay's own marker wins over the data dir's)
+    val schema = Versioned.schemaMarkerAt(spark, source, srcV)
       .getOrElse(spark.read.parquet(dir).schema)
     if (keys.isEmpty)
       return spark.read.schema(schema).parquet(dir).limit(0)

@@ -94,10 +94,18 @@ object Restore {
       if (f.exists(tag))
         FileUtil.copy(f, tag, fd, new Path(s"$dir/_cdc_batch"), false,
           true, conf)
+      // the target's OWN schema marker (an Evolve overlay) is part of
+      // its content — carry it so the restored snapshot keeps the
+      // EXTENDED schema (Versioned.schemaMarkerAt resolves it first)
+      val sm = new Path(s"$tgtVDir/_table_schema")
+      if (f.exists(sm))
+        FileUtil.copy(f, sm, fd, new Path(s"$dir/_table_schema"),
+          false, true, conf)
       // wholesale replace: batch feed readers reject on the break
       // marker, raw streaming tails get the poison row — never a
       // silent skip (Cdf.recordBreak's contract)
-      val schema = Versioned.readSchemaMarker(f, dataDir)
+      val schema = Versioned.readSchemaMarker(f, tgtVDir)
+        .orElse(Versioned.readSchemaMarker(f, dataDir))
         .getOrElse(spark.read.parquet(dataDir).schema)
       Cdf.recordBreak(spark, dir, schema)
     }

@@ -514,12 +514,43 @@ object Versioned {
     val df =
       if (data == own) readDataDir(spark, own)
       else {
+        // a ref version's OWN `_table_schema` marker (a metadata-only
+        // [[Evolve.addColumns]] overlay) EXTENDS the base dir's schema —
+        // it wins; the base data dir's marker otherwise
+        val ownMarker = readSchemaMarker(fs(spark, own), own)
         val ownParts = dataFilePaths(spark, own)
-        if (ownParts.isEmpty) readDataDir(spark, data)
-        else readFiles(spark, data, dataFilePaths(spark, data) ++ ownParts)
+        ownMarker match {
+          case Some(s) =>
+            spark.read.schema(s)
+              .parquet(dataFilePaths(spark, data) ++ ownParts: _*)
+          case None =>
+            if (ownParts.isEmpty) readDataDir(spark, data)
+            else readFiles(spark, data, dataFilePaths(spark, data) ++ ownParts)
+        }
       }
     Dv.applyVector(spark, table, v, df)
   }
+
+  /** Version-aware schema-marker resolution: version `v`'s OWN
+    * `_table_schema` (a metadata-only [[Evolve.addColumns]] overlay
+    * publishes a ref version whose own marker EXTENDS the base data
+    * dir's) wins over the resolved data dir's marker. */
+  private[graft] def schemaMarkerAt(
+      spark: SparkSession, table: String,
+      v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, table)
+    readSchemaMarker(f, s"$table/v=$v")
+      .orElse(readSchemaMarker(f, dataDir(spark, table, v)))
+  }
+
+  /** The authoritative schema of version `v`: the version-aware marker
+    * ([[schemaMarkerAt]]), parquet footer inference over the resolved
+    * data dir when no marker exists (an unevolved table — all files
+    * agree). */
+  private[graft] def schemaAt(spark: SparkSession, table: String,
+      v: Long): org.apache.spark.sql.types.StructType =
+    schemaMarkerAt(spark, table, v)
+      .getOrElse(spark.read.parquet(dataDir(spark, table, v)).schema)
 
   /** `part-` data files of one dir, as full path strings. */
   private[graft] def dataFilePaths(spark: SparkSession,

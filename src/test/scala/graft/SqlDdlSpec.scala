@@ -1,0 +1,213 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.lake.{Clone, CopyInto, Dv, Expect, Forget, Upsert, Versioned}
+
+/**
+ * The round-15 SQL DDL statements: `CREATE [OR REPLACE] TABLE ... AS`
+ * (CTAS), `CREATE TABLE ... SHALLOW CLONE` (incl. `VERSION AS OF`),
+ * `INSERT OVERWRITE`, `COPY INTO` (idempotent file-grain ingest), and
+ * `OPTIMIZE ... ZORDER BY`. Each statement routes to the same lake
+ * primitive its DataFrame twin uses — these specs pin the equivalences
+ * and the loud rejects.
+ */
+class SqlDdlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-sqlddl").toString
+
+  private def seed(n: Int) =
+    (0 until n).map(k => (k.toLong, s"v$k", k.toLong)).toDF("k", "v", "n")
+
+  test("CTAS publishes v1, registers for DML; plain CREATE rejects a " +
+      "second time; OR REPLACE restates") {
+    val t = s"$root/ctas"
+    seed(30).createOrReplaceTempView("ctas_src")
+    val v = Sql.execute(spark,
+      s"CREATE TABLE ctas_t KEY k LOCATION '$t' AS " +
+        "SELECT k, v, n FROM ctas_src WHERE k < 20")
+    assert(v == 1L)
+    assert(spark.sql("SELECT count(*) FROM ctas_t").head().getLong(0) == 20L)
+    // DML-addressable immediately
+    Sql.execute(spark, "UPDATE ctas_t SET v = 'upd' WHERE k = 1")
+    assert(spark.sql("SELECT v FROM ctas_t WHERE k = 1").head()
+      .getString(0) == "upd")
+    // plain CREATE on an existing table rejects
+    val e = intercept[IllegalArgumentException] {
+      Sql.execute(spark,
+        s"CREATE TABLE ctas_t KEY k LOCATION '$t' AS SELECT * FROM ctas_src")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // OR REPLACE restates (wholesale replace; a new version, not v1)
+    val v3 = Sql.execute(spark,
+      s"CREATE OR REPLACE TABLE ctas_t KEY k LOCATION '$t' AS " +
+        "SELECT k, v, n FROM ctas_src")
+    assert(v3 == 3L)
+    assert(spark.sql("SELECT count(*) FROM ctas_t").head().getLong(0) == 30L)
+    // time travel across the replace still works
+    assert(Versioned.readVersion(spark, t, 1L).count() == 20L)
+  }
+
+  test("CTAS KEY contract: duplicate and NULL keys reject, nothing " +
+      "published") {
+    val t = s"$root/ctas_dup"
+    Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+      .createOrReplaceTempView("ctas_dup_src")
+    val e = intercept[IllegalArgumentException] {
+      Sql.execute(spark,
+        s"CREATE TABLE ctas_dup LOCATION '$t' KEY k AS " +
+          "SELECT * FROM ctas_dup_src")
+    }
+    // (KEY must precede LOCATION in the grammar — this also pins the
+    // reject for the swapped order)
+    assert(e.getMessage.contains("unsupported SQL DML"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sql.execute(spark,
+        s"CREATE TABLE ctas_dup KEY k LOCATION '$t' AS " +
+          "SELECT * FROM ctas_dup_src")
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    assert(Versioned.currentVersion(spark, t).isEmpty)
+  }
+
+  test("SHALLOW CLONE via SQL: zero-copy, DML-ready, VERSION AS OF") {
+    val t = s"$root/clone_src"
+    Forget.publishIndexed(seed(50), t, 4, "k", stats = true)
+    SqlDml.register(spark, "clsrc", t, "k")
+    Sql.execute(spark, "UPDATE clsrc SET v = 'v2' WHERE k = 0") // v2
+    val d1 = s"$root/clone_live"
+    val d2 = s"$root/clone_v1"
+    Sql.execute(spark,
+      s"CREATE TABLE cl_live SHALLOW CLONE clsrc LOCATION '$d1'")
+    Sql.execute(spark,
+      s"CREATE TABLE cl_v1 SHALLOW CLONE clsrc VERSION AS OF 1 " +
+        s"LOCATION '$d2'")
+    assert(Versioned.isShallowRef(spark, d1, 1L))
+    assert(Versioned.isShallowRef(spark, d2, 1L))
+    assert(spark.sql("SELECT v FROM cl_live WHERE k = 0").head()
+      .getString(0) == "v2")
+    assert(spark.sql("SELECT v FROM cl_v1 WHERE k = 0").head()
+      .getString(0) == "v0")
+    // the clone inherits the source's key and is DML-addressable —
+    // writes auto-route zero-copy (ref base), source untouched
+    Sql.execute(spark, "DELETE FROM cl_live WHERE k = 1")
+    assert(spark.sql("SELECT count(*) FROM cl_live").head()
+      .getLong(0) == 49L)
+    assert(spark.sql("SELECT count(*) FROM clsrc").head()
+      .getLong(0) == 50L)
+  }
+
+  test("INSERT OVERWRITE == a gated full publish: restates content, " +
+      "records the feed break, enforces key identity") {
+    val t = s"$root/overwrite"
+    Forget.publishIndexed(seed(20), t, 2, "k", stats = true)
+    SqlDml.register(spark, "ow_t", t, "k")
+    val v = Sql.execute(spark,
+      "INSERT OVERWRITE ow_t VALUES (100, 'a', 1), (101, 'b', 2)")
+    assert(v == 2L)
+    assert(spark.sql("SELECT count(*) FROM ow_t").head().getLong(0) == 2L)
+    assert(Versioned.readVersion(spark, t, 1L).count() == 20L) // history
+    // the feed rejects across the replace (wholesale contract)
+    val e = intercept[IllegalStateException] {
+      graft.lake.Cdf.changesSince(spark, t, 1L).collect()
+    }
+    assert(e.getMessage.contains("resync"))
+    // key identity enforced
+    val dup = intercept[IllegalArgumentException] {
+      Sql.execute(spark,
+        "INSERT OVERWRITE ow_t VALUES (1, 'a', 1), (1, 'b', 2)")
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    // subquery form with missing columns null-filled (ANSI), like INSERT
+    Sql.execute(spark,
+      "INSERT OVERWRITE ow_t (k, v) VALUES (7, 'seven')")
+    assert(spark.sql("SELECT n FROM ow_t WHERE k = 7").head().isNullAt(0))
+  }
+
+  test("COPY INTO loads each landing file exactly once across reruns") {
+    val t = s"$root/copy_t"
+    val land = s"$root/landing"
+    // two landing files
+    seed(10).coalesce(1).write.parquet(s"$land/batch1")
+    (10 until 20).map(k => (k.toLong, s"v$k", k.toLong))
+      .toDF("k", "v", "n").coalesce(1).write.parquet(s"$land/batch2")
+    val flat = s"$root/landing_flat"
+    val fs = new org.apache.hadoop.fs.Path(land).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(flat))
+    def moveParts(sub: String): Unit =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$land/$sub")).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .foreach(s => fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(s"$flat/${s.getPath.getName}")))
+    moveParts("batch1")
+
+    SqlDml.register(spark, "copy_t", t, "k")
+    // bootstrap: COPY INTO an empty table seeds v1
+    val v1 = Sql.execute(spark, s"COPY INTO copy_t FROM '$flat'")
+    assert(v1 == 1L)
+    assert(spark.sql("SELECT count(*) FROM copy_t").head().getLong(0) == 10L)
+    // rerun: nothing new — idempotent no-op, version unchanged
+    val v1b = Sql.execute(spark, s"COPY INTO copy_t FROM '$flat'")
+    assert(v1b == 1L)
+    // land batch2: only the new file loads
+    moveParts("batch2")
+    val v2 = Sql.execute(spark, s"COPY INTO copy_t FROM '$flat'")
+    assert(v2 == 2L)
+    assert(spark.sql("SELECT count(*) FROM copy_t").head().getLong(0) == 20L)
+    // rerun again: still idempotent
+    assert(Sql.execute(spark, s"COPY INTO copy_t FROM '$flat'") == 2L)
+    // ledger carries both commits' file names
+    assert(CopyInto.loadedFiles(spark, t).size == 2)
+    // non-parquet format rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      Sql.execute(spark, s"COPY INTO copy_t FROM '$flat' FILEFORMAT = CSV")
+    }
+    assert(e.getMessage.contains("PARQUET"))
+  }
+
+  test("COPY INTO crash replay (ledger lost after commit) is content-" +
+      "idempotent: same rows, one extra version") {
+    val t = s"$root/copy_crash"
+    val land = s"$root/landing_crash"
+    seed(5).coalesce(1).write.parquet(s"$land/b")
+    val flat = s"$root/landing_crash_flat"
+    val fs = new org.apache.hadoop.fs.Path(land).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(flat))
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$land/b")).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .foreach(s => fs.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(s"$flat/${s.getPath.getName}")))
+    SqlDml.register(spark, "copy_crash", t, "k")
+    Sql.execute(spark, s"COPY INTO copy_crash FROM '$flat'")
+    val rows = spark.sql("SELECT * FROM copy_crash").collect().toSet
+    // simulate the crash window: commit landed, ledger entry lost
+    fs.delete(new org.apache.hadoop.fs.Path(s"$t/_copy_into"), true)
+    val v2 = Sql.execute(spark, s"COPY INTO copy_crash FROM '$flat'")
+    assert(v2 == 2L) // one extra version ...
+    assert(spark.sql("SELECT * FROM copy_crash").collect().toSet == rows)
+  } // ... same content: the replay is a key-idempotent upsert
+
+  test("OPTIMIZE ZORDER BY routes to the z-order re-layout") {
+    val t = s"$root/zorder"
+    Forget.publishIndexed(
+      (0L until 2000L).map(k => (k, k % 97, k / 97, s"p$k"))
+        .toDF("k", "a", "b", "v"),
+      t, 8, "k", stats = true)
+    SqlDml.register(spark, "zo_t", t, "k")
+    val before = spark.sql("SELECT * FROM zo_t").collect().toSet
+    val v = Sql.execute(spark, "OPTIMIZE zo_t ZORDER BY (a, b)")
+    assert(v == 2L)
+    assert(spark.sql("SELECT * FROM zo_t").collect().toSet == before)
+    // z-order wrote box stats for pruned range reads
+    assert(new java.io.File(s"$t/v=2/_boxstats").exists())
+    // 1 column rejects toward plain OPTIMIZE (z-order interleaves 2-4)
+    val e = intercept[IllegalArgumentException] {
+      Sql.execute(spark, "OPTIMIZE zo_t ZORDER BY (a)")
+    }
+    assert(e.getMessage.contains("2-4"))
+  }
+}

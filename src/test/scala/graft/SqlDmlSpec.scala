@@ -366,4 +366,48 @@ class SqlDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported SQL DML") ||
       e.getMessage.contains("not a registered"), e.getMessage)
   }
+
+  test("statements on a zero-copy (shallow-ref) base auto-route through " +
+      "the Dv family — no materialize needed, base files untouched") {
+    val t = s"$root/zc_route"
+    Forget.publishIndexed(seed(50), t, 4, "k", stats = true)
+    SqlDml.register(spark, "zcr", t, "k")
+    // make the live version a ref: a zero-copy DELETE
+    Sql.execute(spark, "DELETE FROM zcr WHERE k = 49", zeroCopyDelete = true)
+    assert(Versioned.isShallowRef(spark, t,
+      Versioned.currentVersion(spark, t).get))
+    def baseParts = Option(new java.io.File(s"$t/v=1").listFiles())
+      .map(_.count(f => f.isFile && f.getName.startsWith("part-")))
+      .getOrElse(0)
+    val nBase = baseParts
+
+    // UPDATE on the ref base: works, stays zero-copy
+    Sql.execute(spark, "UPDATE zcr SET v = 'upd' WHERE k = 1")
+    assert(spark.sql("SELECT v FROM zcr WHERE k = 1").head().getString(0)
+      == "upd")
+    // INSERT on the ref base: works; live-key guard still enforced
+    Sql.execute(spark, "INSERT INTO zcr VALUES (500, 'new', 5)")
+    val dup = intercept[Exception] {
+      Sql.execute(spark, "INSERT INTO zcr VALUES (500, 'again', 5)")
+    }
+    assert(dup.getMessage.contains("already exist"))
+    // MERGE on the ref base: works
+    Seq((2L, "merged", 20L)).toDF("k", "v", "n")
+      .createOrReplaceTempView("zcr_chg")
+    Sql.execute(spark,
+      """MERGE INTO zcr AS t USING zcr_chg AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT v FROM zcr WHERE k = 2").head().getString(0)
+      == "merged")
+    // DELETE auto-routes zero-copy on a ref base even without the flag
+    Sql.execute(spark, "DELETE FROM zcr WHERE k = 3")
+    assert(spark.sql("SELECT count(*) FROM zcr WHERE k = 3").head()
+      .getLong(0) == 0L)
+    // every statement above was zero-copy: still a ref, base untouched
+    assert(Versioned.isShallowRef(spark, t,
+      Versioned.currentVersion(spark, t).get))
+    assert(baseParts == nBase)
+    assert(spark.sql("SELECT count(*) FROM zcr").head().getLong(0) == 49L)
+  }
 }

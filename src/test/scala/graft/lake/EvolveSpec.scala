@@ -1,0 +1,183 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkSpec
+
+/**
+ * [[Evolve.addColumns]]: METADATA-ONLY `ALTER TABLE ADD COLUMNS`. The
+ * overlay version holds no data files of its own (a pinned `_ref` + an
+ * extended `_table_schema` marker), every reader null-fills the new
+ * columns, time travel keeps the old schema at old versions, the
+ * zero-copy DML family composes with the overlay (and carries it
+ * forward), clone/restore/materialize all preserve the extended schema,
+ * and the rejects are loud (collision, dup, empty).
+ */
+class EvolveSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-evolve").toString
+
+  private def mk(name: String): String = {
+    val t = s"$root/$name"
+    Forget.publishIndexed(
+      (0L until 100L).map(k => (k, s"p-$k")).toDF("k", "v"),
+      t, nFiles = 4, keyCol = "k")
+    t
+  }
+
+  private def parts(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles())
+      .map(_.filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(_.getName).toSeq).getOrElse(Seq.empty)
+
+  test("addColumns is metadata-only: no data files, extended schema, " +
+      "null-filled rows, old versions keep the old schema") {
+    val t = mk("meta_only")
+    val v2 = Evolve.addColumns(spark, t,
+      StructType.fromDDL("score DOUBLE, tag STRING"))
+    assert(v2 == 2L)
+    // zero data files of its own; a pinned ref to v=1
+    assert(parts(s"$t/v=2").isEmpty)
+    assert(Versioned.isShallowRef(spark, t, 2L))
+    assert(Versioned.dataDir(spark, t, 2L) == s"$t/v=1")
+    // live schema extended, rows null-filled
+    val live = Versioned.read(spark, t)
+    assert(live.columns.toSeq == Seq("k", "v", "score", "tag"))
+    assert(live.count() == 100L)
+    assert(live.filter("score IS NOT NULL OR tag IS NOT NULL").count() == 0L)
+    // time travel: v1 keeps the pre-evolution schema
+    assert(Versioned.readVersion(spark, t, 1L).columns.toSeq ==
+      Seq("k", "v"))
+    // history calls it out as a schema change, not maintenance
+    val ops = History.frame(spark, t)
+      .select("version", "operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(2L) == "schema")
+  }
+
+  test("zero-copy merge composes with the overlay and carries it forward") {
+    val t = mk("zc_merge")
+    Evolve.addColumns(spark, t, StructType.fromDDL("score DOUBLE")) // v2
+    // changeset must carry the new column (whole-row replacement)
+    val e = intercept[IllegalArgumentException] {
+      Dv.merge(spark, t, "k", Seq((5L, "nope")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("score"))
+    val v3 = Dv.merge(spark, t, "k",
+      Seq((5L, "v3-5", 0.9), (200L, "v3-new", 0.1))
+        .toDF("k", "v", "score"))
+    assert(v3 == 3L)
+    val live = Versioned.read(spark, t)
+    assert(live.count() == 101L)
+    assert(live.filter("k = 5 AND v = 'v3-5' AND score = 0.9").count() == 1L)
+    assert(live.filter("k = 7 AND score IS NULL").count() == 1L)
+    // the merge's ref version carries the overlay marker forward
+    assert(new java.io.File(s"$t/v=3/_table_schema").exists())
+    // and a zero-copy DELETE after that still reads the wide schema
+    Dv.purge(spark, t, "k", Seq(5L)) // v4
+    val after = Versioned.read(spark, t)
+    assert(after.columns.toSeq == Seq("k", "v", "score"))
+    assert(after.filter("k = 5").count() == 0L)
+    assert(after.count() == 100L)
+  }
+
+  test("overlay on a DV'd live version carries vector and appends") {
+    val t = mk("dv_carry")
+    Dv.merge(spark, t, "k",
+      Seq((3L, "zc-3"), (300L, "zc-new")).toDF("k", "v")) // v2: appends
+    Dv.purge(spark, t, "k", Seq(9L)) // v3: vector
+    val before = Versioned.read(spark, t).as[(Long, String)].collect().toSet
+    val v4 = Evolve.addColumns(spark, t, StructType.fromDDL("w INT"))
+    assert(v4 == 4L)
+    val live = Versioned.read(spark, t)
+    assert(live.columns.toSeq == Seq("k", "v", "w"))
+    // content identical modulo the null-filled new column
+    assert(live.select("k", "v").as[(Long, String)].collect().toSet
+      == before)
+    assert(live.filter("k = 9").count() == 0L) // vector traveled
+    assert(live.filter("k = 300 AND v = 'zc-new'").count() == 1L) // appends
+  }
+
+  test("materialize bakes the evolved schema into real files; rewriting " +
+      "DML then proceeds") {
+    val t = mk("materialize")
+    Evolve.addColumns(spark, t, StructType.fromDDL("score DOUBLE")) // v2
+    // rewriting merge rejects on the overlay (shallow-ref contract) ...
+    val e = intercept[Exception] {
+      Upsert.merge(spark, t, "k", Seq((1L, "x", 1.0)).toDF("k", "v", "score"))
+    }
+    assert(e.getMessage.contains("materialize"))
+    // ... and materialize unlocks it with the evolved schema
+    val v3 = Clone.materialize(spark, t)
+    assert(v3 == 3L)
+    assert(parts(s"$t/v=3").nonEmpty)
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("k", "v", "score"))
+    val v4 = Upsert.merge(spark, t, "k",
+      Seq((1L, "x", 1.0)).toDF("k", "v", "score"))
+    assert(v4 == 4L)
+    assert(Versioned.read(spark, t)
+      .filter("k = 1 AND score = 1.0").count() == 1L)
+  }
+
+  test("clone and restore preserve the extended schema") {
+    val t = mk("clone_restore")
+    Evolve.addColumns(spark, t, StructType.fromDDL("score DOUBLE")) // v2
+    val c = s"$root/clone_restore_dst"
+    Clone.shallow(spark, t, c)
+    assert(Versioned.read(spark, c).columns.toSeq == Seq("k", "v", "score"))
+    // restore BACK to the overlay version after a narrowing restore
+    Restore.restore(spark, t, 1L) // v3: pre-evolution content
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("k", "v"))
+    Restore.restore(spark, t, 2L) // v4: the overlay again
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("k", "v", "score"))
+  }
+
+  test("SQL surface: ALTER TABLE ADD COLUMNS evolves and rebinds the view") {
+    val t = mk("sql_alter")
+    graft.SqlDml.register(spark, "evolve_sql_t", t, "k")
+    val v = graft.SqlDml.execute(spark,
+      "ALTER TABLE evolve_sql_t ADD COLUMNS (score DOUBLE, tag STRING)")
+    assert(v == 2L)
+    val out = spark.sql(
+      "SELECT count(*) AS n FROM evolve_sql_t WHERE score IS NULL").head()
+    assert(out.getLong(0) == 100L)
+    // single-column form
+    graft.SqlDml.execute(spark,
+      "ALTER TABLE evolve_sql_t ADD COLUMN extra INT")
+    assert(spark.table("evolve_sql_t").columns.toSeq ==
+      Seq("k", "v", "score", "tag", "extra"))
+  }
+
+  test("rejects: collision (case-insensitive), duplicate new names, empty") {
+    val t = mk("rejects")
+    val c = intercept[IllegalArgumentException] {
+      Evolve.addColumns(spark, t, StructType.fromDDL("V INT"))
+    }
+    assert(c.getMessage.contains("already exist"))
+    val d = intercept[IllegalArgumentException] {
+      Evolve.addColumns(spark, t, StructType.fromDDL("a INT, A STRING"))
+    }
+    assert(d.getMessage.contains("duplicate"))
+    intercept[IllegalArgumentException] {
+      Evolve.addColumns(spark, t, new StructType())
+    }
+    // nothing published by any reject
+    assert(Versioned.currentVersion(spark, t).contains(1L))
+  }
+
+  test("change feed bridges the overlay (no break): changesSince spans it") {
+    val t = mk("feed")
+    Upsert.merge(spark, t, "k", Seq((1L, "v2-1")).toDF("k", "v")) // v2
+    Evolve.addColumns(spark, t, StructType.fromDDL("score DOUBLE")) // v3
+    Dv.merge(spark, t, "k",
+      Seq((2L, "v4-2", 0.5)).toDF("k", "v", "score")) // v4
+    val ch = Cdf.changesSince(spark, t, 1L)
+    val ks = ch.select("k").as[Long].collect().toSet
+    assert(ks == Set(1L, 2L))
+  }
+}
