@@ -359,6 +359,10 @@ object SqlDml {
       "\\((.+)\\)$").r
     val addCol = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+ADD\\s+COLUMN\\s+" +
       "(.+)$").r
+    val dropCols = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+DROP\\s+COLUMNS\\s*" +
+      "\\((.+)\\)$").r
+    val dropCol = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+DROP\\s+COLUMN\\s+" +
+      "(\\S+)$").r
     sql match {
       case add(name, cname, pred) =>
         val (table, _) = lookup(name)
@@ -381,11 +385,24 @@ object SqlDml {
           org.apache.spark.sql.types.StructType.fromDDL(ddl.trim))
         rebind(spark, name, table)
         v
+      case dropCols(name, list) =>
+        val (table, keyCol) = lookup(name)
+        val v = graft.lake.Evolve.dropColumns(spark, table,
+          splitTop(list, ',').map(_.stripPrefix("`").stripSuffix("`")),
+          keyCol)
+        rebind(spark, name, table)
+        v
+      case dropCol(name, cname) =>
+        val (table, keyCol) = lookup(name)
+        val v = graft.lake.Evolve.dropColumns(spark, table,
+          Seq(cname.stripPrefix("`").stripSuffix("`")), keyCol)
+        rebind(spark, name, table)
+        v
       case _ => reject(sql,
         "expected ALTER TABLE t ADD CONSTRAINT name CHECK (pred), " +
-          "ALTER TABLE t DROP CONSTRAINT name, or ALTER TABLE t ADD " +
-          "COLUMNS (c1 TYPE1, ...) — metadata-only schema evolution " +
-          "(graft.lake.Evolve)")
+          "ALTER TABLE t DROP CONSTRAINT name, ALTER TABLE t ADD " +
+          "COLUMNS (c1 TYPE1, ...), or ALTER TABLE t DROP COLUMN[S] — " +
+          "metadata-only schema evolution (graft.lake.Evolve)")
     }
   }
 

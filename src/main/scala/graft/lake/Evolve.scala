@@ -8,24 +8,26 @@ import org.apache.spark.sql.types.StructType
 
 /**
  * METADATA-ONLY schema evolution — Delta's `ALTER TABLE t ADD COLUMNS
- * (...)` re-expressed on this layout: adding nullable columns to a
- * 100 TB table must cost metadata writes, not a table rewrite (the
- * reference's pipeline grows its event schema release-over-release —
- * `extract_events.sql` selects an ever-wider GA4 surface — and a
- * re-extract per schema bump is exactly what a lakehouse avoids).
+ * (...)` / `DROP COLUMN` re-expressed on this layout: widening or
+ * narrowing a 100 TB table must cost metadata writes, not a table
+ * rewrite (the reference's pipeline grows its event schema
+ * release-over-release — `extract_events.sql` selects an ever-wider GA4
+ * surface — and a re-extract per schema bump is exactly what a
+ * lakehouse avoids).
  *
- * Mechanics: [[addColumns]] publishes a SCHEMA-OVERLAY version — a
+ * Mechanics: both statements publish a SCHEMA-OVERLAY version — a
  * shallow ref (`_ref` to the live version's untouched data dir, pinned
  * against vacuum by the same `_clones/` back-pointer [[Clone]], [[Dv]]
- * and [[Restore]] use) whose OWN `_table_schema` marker carries the
- * EXTENDED schema. Version-aware readers ([[Versioned.readVersion]],
- * and every marker consumer routed through
- * [[Versioned.schemaMarkerAt]]) resolve the overlay's own marker FIRST,
- * so the new columns appear — null-filled by parquet schema-on-read —
- * in the live snapshot, SQL views, clones, restores and the streaming
- * snapshot leg, while TIME TRAVEL to pre-evolution versions still shows
- * the old schema (their dirs carry no overlay marker). The live
- * version's zero-copy state travels whole: changeset-sized appends are
+ * and [[Restore]] use) whose OWN `_table_schema` marker carries the NEW
+ * schema. Version-aware readers ([[Versioned.readVersion]], and every
+ * marker consumer routed through [[Versioned.schemaMarkerAt]]) resolve
+ * the overlay's own marker FIRST, so added columns appear (null-filled
+ * by parquet schema-on-read) and dropped columns vanish (never read —
+ * explicit-schema scans project them out at the footer) in the live
+ * snapshot, SQL views, clones, restores and the streaming snapshot leg,
+ * while TIME TRAVEL to pre-evolution versions still shows the old
+ * schema (their dirs carry no overlay marker). The live version's
+ * zero-copy state travels whole: changeset-sized appends are
  * byte-copied forward (file NAMES preserved — deletion-vector row
  * addressing is (file_name, row_index)), the cumulative `_dv` vector
  * and the CDC replay watermark are carried, and the change feed records
@@ -34,14 +36,23 @@ import org.apache.spark.sql.types.StructType
  *
  * After the overlay: the ZERO-COPY DML family ([[Dv.merge]],
  * [[Dv.applyCdc]], [[Dv.purge]]) reads the overlay schema and keeps
- * working (changesets must carry the new columns — whole-row
- * replacement, the documented merge contract); the REWRITING family
- * keeps its existing shallow-ref contract (materialize first — which
- * reads through the overlay and so bakes the evolved schema into real
- * files). Contrast [[Upsert]]'s `evolveSchema = true`, which evolves
- * DURING a rewriting merge: that path byte-copies every untouched file
- * (write-amplification proportional to the table); this one touches
- * nothing.
+ * working (changesets must carry exactly the new column set —
+ * whole-row replacement, the documented merge contract); the REWRITING
+ * family keeps its existing shallow-ref contract (materialize first —
+ * which reads through the overlay and so bakes the evolved schema into
+ * real files). Contrast [[Upsert]]'s `evolveSchema = true`, which
+ * evolves DURING a rewriting merge: that path byte-copies every
+ * untouched file (write-amplification proportional to the table); this
+ * one touches nothing.
+ *
+ * DROP-then-re-ADD trap (Delta solves it with column mapping; this
+ * layout refuses it loudly): a dropped column's VALUES are still
+ * physically present in the data files — re-adding the same name would
+ * silently resurrect them on old rows instead of reading NULL.
+ * [[addColumns]] therefore collision-checks against the PHYSICAL footer
+ * schema too, and rejects a physically-present name toward
+ * materialize-first (which rewrites the files without the dropped
+ * column, making the re-add safe).
  */
 object Evolve {
 
@@ -54,8 +65,9 @@ object Evolve {
     * field is forced nullable (existing rows read NULL — there is no
     * backfill to default values, by design: a DEFAULT is a rewrite).
     * Collisions with existing columns (case-insensitive, matching
-    * Spark's resolution) and duplicate new names reject before any
-    * claim. Returns the overlay's version. */
+    * Spark's resolution), with PHYSICALLY-present dropped columns (see
+    * the resurrect trap in the object doc), and duplicate new names all
+    * reject before any claim. Returns the overlay's version. */
   def addColumns(spark: SparkSession, table: String,
                  cols: StructType): Long = {
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
@@ -63,6 +75,78 @@ object Evolve {
       .collect { case (_, vs) if vs.length > 1 => vs.head }
     require(dupNew.isEmpty,
       s"duplicate new column name(s) ${dupNew.toSeq.sorted}")
+    overlay(spark, table, { case (liveSchema, dataDir, liveVDir) =>
+      val lower = liveSchema.fieldNames.map(_.toLowerCase).toSet
+      val clash = cols.fieldNames.filter(c => lower(c.toLowerCase))
+      require(clash.isEmpty,
+        s"column(s) ${clash.toSeq} already exist on $table")
+      // resurrect guard: a name absent from the marker but present in
+      // the FILES was dropped — re-adding it would read the old values
+      val ownParts =
+        if (dataDir == liveVDir) Seq.empty[String]
+        else Versioned.dataFilePaths(spark, liveVDir)
+      val ownPhysical: Seq[String] =
+        if (ownParts.isEmpty) Seq.empty
+        else spark.read.parquet(ownParts: _*).schema.fieldNames.toSeq
+      val physical =
+        (spark.read.parquet(dataDir).schema.fieldNames.toSeq ++
+          ownPhysical).map(_.toLowerCase).toSet
+      val ghost = cols.fieldNames
+        .filter(c => physical(c.toLowerCase) && !lower(c.toLowerCase))
+      require(ghost.isEmpty,
+        s"column(s) ${ghost.toSeq} were DROPPED but their values are " +
+          s"still physically present in $table's files — re-adding the " +
+          "name would resurrect them on old rows; Clone.materialize " +
+          "(or SQL OPTIMIZE) first to rewrite the files without them")
+      StructType(liveSchema.fields ++ cols.fields.map(_.copy(nullable = true)))
+    })
+  }
+
+  /** Drop columns from `table`'s live schema — metadata-only: the
+    * overlay's marker simply omits them, so every explicit-schema scan
+    * projects them out at the parquet footer (the bytes stay until the
+    * next materialize/compaction rewrites the files — the same logical-
+    * until-vacuum posture as [[Dv]] deletes, documented for deletion-SLA
+    * deployments). The DML key column cannot drop; a registered CHECK
+    * constraint naming a dropped column rejects first (its predicate
+    * could no longer evaluate); at least one column must remain. Time
+    * travel to pre-drop versions (and RESTORE to them) still reads the
+    * full wide schema. Returns the overlay's version. */
+  def dropColumns(spark: SparkSession, table: String, cols: Seq[String],
+                  keyCol: String): Long = {
+    require(cols.nonEmpty, "DROP COLUMN needs at least one column")
+    require(!cols.exists(_.equalsIgnoreCase(keyCol)),
+      s"cannot drop the DML key column '$keyCol' — the key is row " +
+        "identity; re-keying is a restatement (CREATE OR REPLACE)")
+    val rules = Constraints.list(spark, table)
+    cols.foreach { c =>
+      val hit = rules.find(r => ("(?i)\\b" + java.util.regex.Pattern
+        .quote(c) + "\\b").r.findFirstIn(r.predicate).isDefined)
+      require(hit.isEmpty,
+        s"constraint '${hit.map(_.name).getOrElse("")}' references " +
+          s"column '$c' — DROP CONSTRAINT first")
+    }
+    overlay(spark, table, { case (liveSchema, _, _) =>
+      val lower = liveSchema.fieldNames.map(_.toLowerCase).toSet
+      val missing = cols.filterNot(c => lower(c.toLowerCase))
+      require(missing.isEmpty,
+        s"column(s) $missing do not exist on $table")
+      val dropSet = cols.map(_.toLowerCase).toSet
+      val out = liveSchema.fields
+        .filterNot(f => dropSet(f.name.toLowerCase))
+      require(out.nonEmpty,
+        "cannot drop every column — a table needs at least one")
+      StructType(out)
+    })
+  }
+
+  /** The shared overlay publish: pin + ref + carry (appends, vector,
+    * watermark) + the transformed schema as the overlay's OWN marker.
+    * `newSchema` receives (live schema, resolved data dir, live version
+    * dir) and must validate + return the overlay schema. */
+  private def overlay(spark: SparkSession, table: String,
+                      newSchema: (StructType, String, String) => StructType)
+      : Long =
     Versioned.withWriteRetry() {
       val live = Versioned.currentVersion(spark, table).getOrElse(
         throw new IllegalStateException(s"no published version at $table"))
@@ -71,12 +155,7 @@ object Evolve {
       val f = fs(spark, table)
       val conf = spark.sparkContext.hadoopConfiguration
       val liveSchema = Versioned.schemaAt(spark, table, live)
-      val lower = liveSchema.fieldNames.map(_.toLowerCase).toSet
-      val clash = cols.fieldNames.filter(c => lower(c.toLowerCase))
-      require(clash.isEmpty,
-        s"column(s) ${clash.toSeq} already exist on $table")
-      val outSchema = StructType(
-        liveSchema.fields ++ cols.fields.map(_.copy(nullable = true)))
+      val outSchema = newSchema(liveSchema, dataDir, liveVDir)
       // pin the shared data dir BEFORE publishing the ref (Clone.shallow's
       // ordering argument; an OCC-abandoned pin is GC'd by vacuum)
       Clone.pin(spark, dataDir, table)
@@ -109,12 +188,11 @@ object Evolve {
         if (f.exists(tag))
           FileUtil.copy(f, tag, fd, new Path(s"$dir/_cdc_batch"),
             false, true, conf)
-        // THE point: the extended schema as this version's OWN marker —
+        // THE point: the new schema as this version's OWN marker —
         // version-aware readers resolve it ahead of the base dir's
         Versioned.writeSchemaMarker(fd, dir, outSchema)
         // no row changed: feed consumers bridge, never a break
         Cdf.recordNone(fd, dir)
       }
     }
-  }
 }

@@ -170,6 +170,87 @@ class EvolveSpec extends SparkSpec {
     assert(Versioned.currentVersion(spark, t).contains(1L))
   }
 
+  test("dropColumns is metadata-only: column vanishes live, survives " +
+      "time travel, bytes stay until materialize") {
+    val t = mk("drop_meta")
+    val v2 = Evolve.dropColumns(spark, t, Seq("v"), keyCol = "k")
+    assert(v2 == 2L)
+    assert(parts(s"$t/v=2").isEmpty) // no data files of its own
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("k"))
+    // pre-drop version still reads the wide schema (and the values)
+    val old = Versioned.readVersion(spark, t, 1L)
+    assert(old.columns.toSeq == Seq("k", "v"))
+    assert(old.filter("v = 'p-5'").count() == 1L)
+    // the bytes are still in the shared files (logical-until-rewrite)
+    assert(spark.read.parquet(s"$t/v=1").columns.contains("v"))
+    // zero-copy merge after the drop speaks the NARROW schema
+    val e = intercept[IllegalArgumentException] {
+      Dv.merge(spark, t, "k", Seq((1L, "x")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("adds column"))
+    Dv.merge(spark, t, "k", Seq(Tuple1(500L)).toDF("k")) // v3
+    assert(Versioned.read(spark, t).count() == 101L)
+  }
+
+  test("dropColumns rejects: key column, constraint-referenced column, " +
+      "unknown column, dropping everything") {
+    val t = mk("drop_rejects")
+    val k = intercept[IllegalArgumentException] {
+      Evolve.dropColumns(spark, t, Seq("k"), keyCol = "k")
+    }
+    assert(k.getMessage.contains("key column"))
+    Constraints.add(spark, t, "v_nonempty", "v IS NOT NULL")
+    val c = intercept[IllegalArgumentException] {
+      Evolve.dropColumns(spark, t, Seq("v"), keyCol = "k")
+    }
+    assert(c.getMessage.contains("v_nonempty"))
+    Constraints.drop(spark, t, "v_nonempty")
+    val u = intercept[IllegalArgumentException] {
+      Evolve.dropColumns(spark, t, Seq("nope"), keyCol = "k")
+    }
+    assert(u.getMessage.contains("do not exist"))
+    val all = intercept[IllegalArgumentException] {
+      Evolve.dropColumns(spark, t, Seq("v", "k"), keyCol = "x")
+    }
+    assert(all.getMessage.contains("at least one"))
+    assert(Versioned.currentVersion(spark, t).contains(1L))
+  }
+
+  test("re-adding a dropped column rejects until materialize rewrites " +
+      "the files (the resurrect guard)") {
+    val t = mk("resurrect")
+    Evolve.dropColumns(spark, t, Seq("v"), keyCol = "k") // v2
+    val g = intercept[IllegalArgumentException] {
+      Evolve.addColumns(spark, t, StructType.fromDDL("v STRING"))
+    }
+    assert(g.getMessage.contains("resurrect"))
+    Clone.materialize(spark, t) // v3: files physically narrowed
+    val v4 = Evolve.addColumns(spark, t, StructType.fromDDL("v STRING"))
+    assert(v4 == 4L)
+    // the re-added column reads NULL — never the old values
+    assert(Versioned.read(spark, t).filter("v IS NOT NULL").count() == 0L)
+  }
+
+  test("SQL surface: ALTER TABLE DROP COLUMN / DROP COLUMNS") {
+    val t = mk("sql_drop")
+    graft.SqlDml.register(spark, "evolve_drop_t", t, "k")
+    graft.SqlDml.execute(spark,
+      "ALTER TABLE evolve_drop_t ADD COLUMNS (a INT, b INT)") // v2
+    val v3 = graft.SqlDml.execute(spark,
+      "ALTER TABLE evolve_drop_t DROP COLUMNS (a, b)")
+    assert(v3 == 3L)
+    assert(spark.table("evolve_drop_t").columns.toSeq == Seq("k", "v"))
+    graft.SqlDml.execute(spark,
+      "ALTER TABLE evolve_drop_t DROP COLUMN v")
+    assert(spark.table("evolve_drop_t").columns.toSeq == Seq("k"))
+    // DROP CONSTRAINT still parses (grammar ordering)
+    val e = intercept[Exception] {
+      graft.SqlDml.execute(spark,
+        "ALTER TABLE evolve_drop_t DROP CONSTRAINT nope")
+    }
+    assert(e.getMessage.contains("no constraint"))
+  }
+
   test("change feed bridges the overlay (no break): changesSince spans it") {
     val t = mk("feed")
     Upsert.merge(spark, t, "k", Seq((1L, "v2-1")).toDF("k", "v")) // v2
