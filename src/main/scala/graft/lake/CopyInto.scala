@@ -85,10 +85,16 @@ object CopyInto {
       s"COPY INTO source files lack the key column '$keyCol'")
 
     val v = Versioned.currentVersion(spark, table) match {
-      case Some(_) =>
-        if (rules.isEmpty) Upsert.merge(spark, table, keyCol, df)
-        else Expect.merge(spark, table, keyCol, df, rules, mode,
-          quarantine).version
+      case Some(lv) =>
+        // a shallow-ref live version (DV delete, restore, schema overlay)
+        // routes zero-copy, same as the SQL DML statements — a landing
+        // rerun must not demand a materialize
+        val zc = Versioned.isShallowRef(spark, table, lv)
+        if (rules.isEmpty) {
+          if (zc) Dv.merge(spark, table, keyCol, df)
+          else Upsert.merge(spark, table, keyCol, df)
+        } else Expect.merge(spark, table, keyCol, df, rules, mode,
+          quarantine, zeroCopy = zc).version
           .getOrElse(Versioned.currentVersion(spark, table).get)
       case None =>
         // bootstrap: key-uniqueness is the merge path's validation —

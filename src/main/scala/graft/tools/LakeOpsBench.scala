@@ -25,9 +25,12 @@ import graft.lake.{Clone, Dv, Forget, MatView, Upsert, Versioned}
   *   trickle), republish_full (the naive alternative), dv_purge
   *   (zero-copy delete), dv_merge (zero-copy CDC), materialize (the DV
   *   compactor), merge_distributed (find-touched-files path, forced via
-  *   maxDriverKeys=0), matview_refresh vs matview_recreate, and
-  *   occ_contention (two barrier-synced disjoint-range writers on a
-  *   clustered table — the conflict-rebase path).
+  *   maxDriverKeys=0), copy_into_fresh/copy_into_noop (file-grain
+  *   ingest + its ledger no-op rerun), evolve_add/evolve_drop
+  *   (metadata-only schema overlay), matview_refresh vs
+  *   matview_recreate, and occ_contention (two barrier-synced
+  *   disjoint-range writers on a clustered table — the conflict-rebase
+  *   path).
   */
 object LakeOpsBench {
   def main(args: Array[String]): Unit = {
@@ -129,6 +132,33 @@ object LakeOpsBench {
     arms("merge_distributed") = tDist
     println(f"merge     ${distChanges.size} ops (distributed path): " +
       f"$tDist%.2f s")
+
+    // COPY INTO: file-grain ingest — cost tracks the LANDED file, the
+    // no-op rerun tracks the ledger (metadata)
+    val land = s"$root/landing"
+    spark.range(nRows, nRows + 10000L).select(col("id").as("k"),
+      concat(lit("land-"), col("id")).as("v"))
+      .coalesce(1).write.parquet(land)
+    val (r1, tCopy) = timeS(
+      graft.lake.CopyInto.load(spark, t, "k", land))
+    arms("copy_into_fresh") = tCopy
+    val (r2, tCopyNoop) = timeS(
+      graft.lake.CopyInto.load(spark, t, "k", land))
+    arms("copy_into_noop") = tCopyNoop
+    println(f"copy into 10,000-row landing file: $tCopy%.2f s " +
+      f"(${r1.loaded.size}%d files); rerun no-op: $tCopyNoop%.2f s " +
+      f"(${r2.loaded.size}%d files)")
+
+    // metadata-only schema evolution: cost must track METADATA (a pin +
+    // a ref + a marker), never the table's rows
+    val (_, tEvoAdd) = timeS(graft.lake.Evolve.addColumns(spark, t,
+      org.apache.spark.sql.types.StructType.fromDDL("bench_extra DOUBLE")))
+    arms("evolve_add") = tEvoAdd
+    val (_, tEvoDrop) = timeS(
+      graft.lake.Evolve.dropColumns(spark, t, Seq("bench_extra"), "k"))
+    arms("evolve_drop") = tEvoDrop
+    println(f"evolve    add column $tEvoAdd%.2f s, drop column " +
+      f"$tEvoDrop%.2f s ($nRows%,d-row table untouched)")
 
     // MatView arms: incremental refresh from one CDC batch vs recompute
     val src = s"$root/mvsrc"

@@ -191,6 +191,32 @@ class SqlDdlSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM copy_crash").collect().toSet == rows)
   } // ... same content: the replay is a key-idempotent upsert
 
+  test("COPY INTO a zero-copy (shallow-ref) base routes through the Dv " +
+      "family — no materialize between a DV delete and the next landing") {
+    val t = s"$root/copy_ref"
+    Forget.publishIndexed(seed(10), t, 2, "k", stats = true)
+    SqlDml.register(spark, "copy_ref", t, "k")
+    Sql.execute(spark, "DELETE FROM copy_ref WHERE k = 9",
+      zeroCopyDelete = true) // live is now a ref
+    val land = s"$root/landing_ref"
+    val flat = s"$root/landing_ref_flat"
+    (20 until 25).map(k => (k.toLong, s"v$k", k.toLong))
+      .toDF("k", "v", "n").coalesce(1).write.parquet(land)
+    val fs = new org.apache.hadoop.fs.Path(land).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(flat))
+    fs.listStatus(new org.apache.hadoop.fs.Path(land)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .foreach(s => fs.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(s"$flat/${s.getPath.getName}")))
+    val v = Sql.execute(spark, s"COPY INTO copy_ref FROM '$flat'")
+    assert(v == 3L)
+    // still zero-copy: the landing appended beside the ref
+    assert(Versioned.isShallowRef(spark, t, 3L))
+    assert(spark.sql("SELECT count(*) FROM copy_ref").head()
+      .getLong(0) == 14L) // 10 - 1 deleted + 5 landed
+  }
+
   test("OPTIMIZE ZORDER BY routes to the z-order re-layout") {
     val t = s"$root/zorder"
     Forget.publishIndexed(

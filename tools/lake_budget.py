@@ -38,7 +38,11 @@ def emit(p1, p2):
     print("|---|---|---|---|")
     for k in a1:  # LakeOpsBench emits arms in execution order
         a, b = a1[k], a2[k]
-        print(f"| {k} | {a:.2f} | {b:.2f} | {2 * max(a, b):.2f} |")
+        # 0.25 s absolute floor: a metadata-only arm (copy_into_noop,
+        # evolve_*) can land in single-digit milliseconds, where a 2x
+        # multiplicative budget is inside scheduler jitter
+        bud = max(2 * max(a, b), 0.25)
+        print(f"| {k} | {a:.2f} | {b:.2f} | {bud:.2f} |")
 
 
 def check(fresh_path, baseline="BASELINE.md"):
