@@ -205,8 +205,8 @@ object SqlDml {
       case "ALTER" => alterStmt(spark, s)
       case "CREATE" => createStmt(spark, s)
       case "COPY" => copyIntoStmt(spark, s, rules, mode, quarantine)
-      case "DESCRIBE" => reject(s,
-        "DESCRIBE returns a DataFrame, not a version — call " +
+      case "DESCRIBE" | "SHOW" => reject(s,
+        s"$head returns a DataFrame, not a version — call " +
           "Sql.describe / SqlDml.describe instead of execute")
       case _ => reject(s, s"statement kind '$head'")
     }
@@ -222,16 +222,71 @@ object SqlDml {
     val s = stripSemi(sql)
     val h = "(?is)^DESCRIBE\\s+HISTORY\\s+(\\S+)$".r
     val d = "(?is)^DESCRIBE\\s+DETAIL\\s+(\\S+)$".r
+    val vdr = ("(?is)^VACUUM\\s+(\\S+?)(?:\\s+RETAIN\\s+(\\d+)\\s+" +
+      "VERSIONS)?\\s+DRY\\s+RUN$").r
+    val st = "(?is)^SHOW\\s+TABLES$".r
     s match {
       case h(name) => History.frame(spark, lookup(name)._1)
       case d(name) => History.detail(spark, lookup(name)._1)
-      case _ => reject(s, "expected DESCRIBE HISTORY|DETAIL <table>")
+      case vdr(name, k) =>
+        vacuumDryRun(spark, lookup(name)._1,
+          Option(k).map(_.toInt).getOrElse(1))
+      case st() => showTables(spark)
+      case _ => reject(s, "expected DESCRIBE HISTORY|DETAIL <table>, " +
+        "VACUUM <table> [RETAIN n VERSIONS] DRY RUN, or SHOW TABLES")
     }
+  }
+
+  // VACUUM ... DRY RUN — Versioned.vacuumPlan's first-sweep list with
+  // per-version OWN bytes (a ref version holds no data of its own; the
+  // shared dir it references is reclaimed only when the pin-release
+  // fixpoint unlocks it, which the plan conservatively omits)
+  private def vacuumDryRun(spark: SparkSession, table: String,
+                           keep: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val f = new org.apache.hadoop.fs.Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = Versioned.vacuumPlan(spark, table, keep).map { v =>
+      val dir = s"$table/v=$v"
+      val own = Versioned.dataFilePaths(spark, dir)
+        .map(p => f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)
+      Row(v, Versioned.isShallowRef(spark, table, v),
+        own.size.toLong, own.sum)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("is_ref", BooleanType, nullable = false),
+        StructField("own_files", LongType, nullable = false),
+        StructField("own_bytes", LongType, nullable = false))))
+  }
+
+  // SHOW TABLES — the session's registered DML targets
+  private def showTables(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = registry.toSeq.sortBy(_._1).map { case (name, (path, key)) =>
+      Row(name, path, key,
+        Versioned.currentVersion(spark, path)
+          .map(java.lang.Long.valueOf).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("location", StringType, nullable = false),
+        StructField("key_column", StringType, nullable = false),
+        StructField("live_version", LongType, nullable = true))))
   }
 
   // VACUUM t [RETAIN n VERSIONS] — drop version dirs older than live-n
   // (clone/restore-pinned dirs always survive; see Versioned.vacuum)
   private def vacuumStmt(spark: SparkSession, sql: String): Long = {
+    if (sql.toUpperCase.endsWith("DRY RUN")) reject(sql,
+      "VACUUM ... DRY RUN returns a DataFrame, not a version — call " +
+        "Sql.describe / SqlDml.describe instead of execute")
     val m = "(?is)^VACUUM\\s+(\\S+?)(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?$".r
     val (name, keep) = sql match {
       case m(n, k) => (n, Option(k).map(_.toInt).getOrElse(1))
@@ -406,14 +461,24 @@ object SqlDml {
     }
   }
 
-  // RESTORE [TABLE] t TO VERSION AS OF n — zero-copy content rewind
+  // RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF — zero-copy content
+  // rewind; the timestamp form resolves through Versioned.versionAsOf
+  // (the one definition of timestamp resolution, as in Sql.sql)
   private def restoreStmt(spark: SparkSession, sql: String): Long = {
     val m = ("(?is)^RESTORE\\s+(?:TABLE\\s+)?(\\S+)\\s+TO\\s+VERSION\\s+" +
       "AS\\s+OF\\s+(\\d+)$").r
+    val mt = ("(?is)^RESTORE\\s+(?:TABLE\\s+)?(\\S+)\\s+TO\\s+TIMESTAMP" +
+      "\\s+AS\\s+OF\\s+'([^']+)'$").r
     val (name, toV) = sql match {
       case m(n, v) => (n, v.toLong)
+      case mt(n, ts) =>
+        val (table, _) = lookup(n)
+        val millis = java.sql.Timestamp.valueOf(ts.replace('T', ' '))
+          .getTime
+        (n, Versioned.versionAsOf(spark, table, millis))
       case _ => reject(sql,
-        "expected RESTORE [TABLE] <table> TO VERSION AS OF <n>")
+        "expected RESTORE [TABLE] <table> TO VERSION AS OF <n> or TO " +
+          "TIMESTAMP AS OF '<ts>'")
     }
     val (table, _) = lookup(name)
     val v = Restore.restore(spark, table, toV)

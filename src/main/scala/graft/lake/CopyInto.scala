@@ -16,12 +16,15 @@ import org.apache.spark.sql.SparkSession
  * file per successful COPY commit, listing the source file NAMES that
  * commit loaded. An invocation lists the landing dir (non-hidden files),
  * subtracts the ledger union, reads ONLY the fresh files and merges them
- * through the standard DML path ([[Upsert.merge]] — expectations,
- * constraints, OCC retry, change feed, skipping-index maintenance all
- * identical to any other write), then appends its ledger entry. Nothing
- * table-sized ever reaches the driver: the ledger is file-NAME-grain
- * metadata, the merge takes [[Upsert]]'s driver/distributed dial like
- * every changeset.
+ * through the standard gated DML paths (expectations, constraints, OCC
+ * retry, change feed all identical to any other write). The merge SHAPE
+ * is the scale decision: a landing within the zero-copy driver budget
+ * takes [[Dv.merge]] — Delta's append model, `_ref` + the landed rows as
+ * fresh files, nothing rewritten or byte-carried, so a daily ingest
+ * costs the landed bytes however big the table is ([[Clone.materialize]]
+ * / SQL `OPTIMIZE` compacts the accumulated appends); bigger landings
+ * fall back to [[Upsert.merge]]'s distributed find-touched-files path.
+ * Nothing table-sized ever reaches the driver.
  *
  * Crash ordering (ledger AFTER commit, deliberately): a crash between
  * the merge's publish and the ledger append re-loads the same files on
@@ -86,10 +89,17 @@ object CopyInto {
 
     val v = Versioned.currentVersion(spark, table) match {
       case Some(lv) =>
-        // a shallow-ref live version (DV delete, restore, schema overlay)
-        // routes zero-copy, same as the SQL DML statements — a landing
-        // rerun must not demand a materialize
-        val zc = Versioned.isShallowRef(spark, table, lv)
+        // THE append path: a landing within the zero-copy driver budget
+        // takes the Delta-append shape — `_ref` to the untouched base +
+        // the landed rows as fresh files, NOTHING byte-carried (the
+        // rewriting merge would byte-copy every untouched file, i.e.
+        // table bytes per landing — wrong shape for a daily ingest at
+        // 100 TB; OPTIMIZE compacts the accumulated appends when file
+        // count matters). Bigger landings fall back to the rewriting
+        // merge's distributed path; a shallow-ref base stays zero-copy
+        // regardless (same auto-routing as the SQL DML statements).
+        val zc = Versioned.isShallowRef(spark, table, lv) ||
+          df.count() <= Upsert.MaxDriverKeysDefault
         if (rules.isEmpty) {
           if (zc) Dv.merge(spark, table, keyCol, df)
           else Upsert.merge(spark, table, keyCol, df)

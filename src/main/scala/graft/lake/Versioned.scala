@@ -704,6 +704,20 @@ object Versioned {
     * vacuum away). Pins therefore live exactly as long as a referencing
     * version exists; [[Clone.detach]] stays the manual cleanup for clones
     * deleted by raw `rm`. */
+  /** What [[vacuum]]'s FIRST sweep would drop, without touching anything
+    * (SQL `VACUUM t [RETAIN n VERSIONS] DRY RUN`): versions older than
+    * live−keep whose dirs no clone pin protects. CONSERVATIVE on chained
+    * zero-copy histories: the real vacuum loops to a fixpoint (dropping a
+    * ref version releases its pin and can unlock the data version it
+    * referenced), so it may reclaim MORE than this plan lists — never
+    * less, and never a version this plan omits for a pin that holds. */
+  def vacuumPlan(spark: SparkSession, table: String,
+                 keep: Int = 1): Seq[Long] = {
+    val live = currentVersion(spark, table).getOrElse(return Seq.empty)
+    val pinned = clonePinnedVersions(spark, table)
+    versions(spark, table).filter(v => v < live - keep && !pinned.contains(v))
+  }
+
   def vacuum(spark: SparkSession, table: String, keep: Int = 1): Seq[Long] = {
     val f = fs(spark, table)
     val live = currentVersion(spark, table).getOrElse(return Seq.empty)

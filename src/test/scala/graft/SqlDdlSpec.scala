@@ -217,6 +217,53 @@ class SqlDdlSpec extends SparkSpec {
       .getLong(0) == 14L) // 10 - 1 deleted + 5 landed
   }
 
+  test("RESTORE TO TIMESTAMP AS OF resolves through versionAsOf") {
+    val t = s"$root/restore_ts"
+    Forget.publishIndexed(seed(10), t, 2, "k", stats = true)
+    SqlDml.register(spark, "rts", t, "k")
+    Sql.execute(spark, "UPDATE rts SET v = 'v2' WHERE k = 0") // v2
+    val ts1 = Versioned.commitTimes(spark, t).toMap.apply(1L)
+    val v = Sql.execute(spark,
+      s"RESTORE TABLE rts TO TIMESTAMP AS OF " +
+        s"'${new java.sql.Timestamp(ts1)}'")
+    assert(v == 3L)
+    assert(spark.sql("SELECT v FROM rts WHERE k = 0").head()
+      .getString(0) == "v0") // v1 content — the newest commit at/before ts1
+  }
+
+  test("VACUUM DRY RUN lists without reclaiming; SHOW TABLES lists the " +
+      "registry; both reject through execute()") {
+    val t = s"$root/dryrun"
+    Forget.publishIndexed(seed(10), t, 2, "k", stats = true)
+    SqlDml.register(spark, "dry_t", t, "k")
+    Sql.execute(spark, "UPDATE dry_t SET v = 'v2' WHERE k = 1") // v2
+    Sql.execute(spark, "UPDATE dry_t SET v = 'v3' WHERE k = 2") // v3
+    val plan = Sql.describe(spark, "VACUUM dry_t DRY RUN").collect()
+    assert(plan.map(_.getLong(0)).toSet == Set(1L))
+    assert(plan.head.getLong(2) > 0L) // v1 owns real files
+    // nothing reclaimed by the dry run
+    assert(Versioned.versions(spark, t) == Seq(1L, 2L, 3L))
+    // RETAIN widens the keep window
+    assert(Sql.describe(spark,
+      "VACUUM dry_t RETAIN 5 VERSIONS DRY RUN").count() == 0L)
+    // the real vacuum drops exactly the plan
+    Sql.execute(spark, "VACUUM dry_t")
+    assert(Versioned.versions(spark, t) == Seq(2L, 3L))
+    // SHOW TABLES carries the registration
+    val st = Sql.describe(spark, "SHOW TABLES").collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(st("dry_t") == (("k", 3L)))
+    // frame-returning statements reject through execute, loudly
+    val e = intercept[IllegalArgumentException] {
+      Sql.execute(spark, "VACUUM dry_t DRY RUN")
+    }
+    assert(e.getMessage.contains("describe"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sql.execute(spark, "SHOW TABLES")
+    }
+    assert(e2.getMessage.contains("describe"))
+  }
+
   test("OPTIMIZE ZORDER BY routes to the z-order re-layout") {
     val t = s"$root/zorder"
     Forget.publishIndexed(
