@@ -70,15 +70,25 @@ object SqlDml {
   /** Register a [[Versioned]] lake table for BOTH reads and DML: the live
     * snapshot becomes temp view `name` (as [[Sql.registerTable]]) and
     * `name` becomes addressable by [[execute]] statements, keyed by
-    * `keyCol`. Returns the bound live version — 0 when the table has no
-    * published version yet (an empty table registers fine so `COPY INTO`
-    * can bootstrap it; the view binds at the first write's rebind —
-    * schema-needing statements like INSERT still reject until then). */
+    * `keyCol`. Returns the bound live version. A table with no published
+    * version rejects — fail-fast on a typo'd path — unless
+    * `allowMissing = true` (the `COPY INTO` bootstrap flow: register the
+    * not-yet-existing table, land the first file, the view binds at the
+    * write's rebind; schema-needing statements reject until then).
+    * Returns 0 for an allowed-missing registration. */
   def register(spark: SparkSession, name: String, table: String,
-               keyCol: String): Long = {
-    registry.put(name.toLowerCase, (table, keyCol))
-    if (Versioned.currentVersion(spark, table).isEmpty) 0L
-    else Sql.registerTable(spark, name, table)
+               keyCol: String, allowMissing: Boolean = false): Long = {
+    if (Versioned.currentVersion(spark, table).isEmpty) {
+      require(allowMissing,
+        s"no published version at $table — a typo'd path registers a " +
+          "table that can never read; pass allowMissing = true only " +
+          "for the COPY INTO bootstrap flow (register, land, rebind)")
+      registry.put(name.toLowerCase, (table, keyCol))
+      0L
+    } else {
+      registry.put(name.toLowerCase, (table, keyCol))
+      Sql.registerTable(spark, name, table)
+    }
   }
 
   private[graft] def lookup(name: String): (String, String) =
@@ -203,7 +213,7 @@ object SqlDml {
       case "OPTIMIZE" => optimizeStmt(spark, s)
       case "RESTORE" => restoreStmt(spark, s)
       case "ALTER" => alterStmt(spark, s)
-      case "CREATE" => createStmt(spark, s)
+      case "CREATE" => createStmt(spark, s, rules, mode, quarantine)
       case "COPY" => copyIntoStmt(spark, s, rules, mode, quarantine)
       case "DESCRIBE" | "SHOW" => reject(s,
         s"$head returns a DataFrame, not a version — call " +
@@ -249,8 +259,12 @@ object SqlDml {
       spark.sparkContext.hadoopConfiguration)
     val rows = Versioned.vacuumPlan(spark, table, keep).map { v =>
       val dir = s"$table/v=$v"
-      val own = Versioned.dataFilePaths(spark, dir)
-        .map(p => f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)
+      // ONE listing per version dir — the statuses already carry the
+      // lengths (a per-file getFileStatus would be N+1 RPCs on an
+      // object store)
+      val own = f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getLen)
       Row(v, Versioned.isShallowRef(spark, table, v),
         own.size.toLong, own.sum)
     }
@@ -332,7 +346,9 @@ object SqlDml {
   // registers read-only. A CTAS is a full publish: constraints at the
   // location (if any survive from a replaced table) gate it, and the
   // change feed records the wholesale-replace break.
-  private def createStmt(spark: SparkSession, sql: String): Long = {
+  private def createStmt(spark: SparkSession, sql: String,
+                         rules: Seq[Expect.Rule], mode: Expect.Mode,
+                         quarantine: Option[String]): Long = {
     val clone = ("(?is)^CREATE\\s+TABLE\\s+(\\S+)\\s+SHALLOW\\s+CLONE\\s+" +
       "(\\S+?)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s+LOCATION\\s+" +
       "'([^']+)'$").r
@@ -340,6 +356,9 @@ object SqlDml {
       "(?:\\s+KEY\\s+(\\S+?))?\\s+LOCATION\\s+'([^']+)'\\s+AS\\s+(.+)$").r
     sql match {
       case clone(dstName, srcName, vOpt, path) =>
+        require(rules.isEmpty,
+          "expectations do not gate SHALLOW CLONE (zero-copy of already-" +
+            "gated content) — pass rules to the DML that writes rows")
         val (srcTable, srcKey) = lookup(srcName)
         val v = Clone.shallow(spark, srcTable, path,
           Option(vOpt).map(_.toLong))
@@ -351,21 +370,27 @@ object SqlDml {
           Versioned.currentVersion(spark, path).isEmpty,
           s"a table already exists at $path — CREATE OR REPLACE TABLE " +
             s"to restate it, or INSERT/MERGE INTO to change it")
+        // a replace is a restatement: ingest history must not survive
+        // it (a stale COPY INTO ledger would skip re-landing files the
+        // new incarnation never saw)
+        if (replacing) graft.lake.CopyInto.clearLedger(spark, path)
         val df = Sql.sql(spark, select.trim)
-        Option(keyOpt).map(_.stripPrefix("`").stripSuffix("`"))
-          .foreach { k =>
-            require(df.columns.exists(_.equalsIgnoreCase(k)),
-              s"KEY column '$k' is not in the CTAS output " +
-                s"(${df.columns.toSeq})")
-            val a = df.agg(count(lit(1)).as("n"),
-              countDistinct(col(k)).as("nk"),
-              count(when(col(k).isNull, 1)).as("nulls")).head()
-            require(a.getLong(2) == 0L, s"CTAS output has NULL $k keys")
-            require(a.getLong(0) == a.getLong(1),
-              s"${a.getLong(0) - a.getLong(1)} duplicate $k key(s) in " +
-                "the CTAS output — the key column is row identity")
-          }
-        val v = Versioned.publish(df, path)
+        // persist: the key audit and the publish must serve from ONE
+        // materialization — a non-deterministic select could otherwise
+        // pass validation and publish different (violating) content
+        df.persist()
+        val v = try {
+          Option(keyOpt).map(_.stripPrefix("`").stripSuffix("`"))
+            .foreach { k =>
+              require(df.columns.exists(_.equalsIgnoreCase(k)),
+                s"KEY column '$k' is not in the CTAS output " +
+                  s"(${df.columns.toSeq})")
+              requireKeyIdentity(df, k, "CTAS output")
+            }
+          if (rules.isEmpty) Versioned.publish(df, path)
+          else Expect.publish(df, path, rules, mode, quarantine)
+            .version.get // publish always lands a version
+        } finally { df.unpersist(); () }
         Option(keyOpt).map(_.stripPrefix("`").stripSuffix("`")) match {
           case Some(k) => register(spark, name, path, k)
           case None => Sql.registerTable(spark, name, path)
@@ -376,6 +401,19 @@ object SqlDml {
           "<select>, or CREATE TABLE d SHALLOW CLONE s [VERSION AS OF " +
           "n] LOCATION 'p'")
     }
+  }
+
+  // one NULL/duplicate-key audit over an already-persisted frame — the
+  // key-is-row-identity invariant every full restatement must establish
+  private def requireKeyIdentity(df: DataFrame, keyCol: String,
+                                 what: String): Unit = {
+    val a = df.agg(count(lit(1)).as("n"),
+      countDistinct(col(keyCol)).as("nk"),
+      count(when(col(keyCol).isNull, 1)).as("nulls")).head()
+    require(a.getLong(2) == 0L, s"$what has NULL $keyCol keys")
+    require(a.getLong(0) == a.getLong(1),
+      s"${a.getLong(0) - a.getLong(1)} duplicate $keyCol key(s) in " +
+        s"the $what — the key column is row identity")
   }
 
   // COPY INTO t FROM 'dir' [FILEFORMAT = PARQUET] — idempotent
@@ -410,14 +448,17 @@ object SqlDml {
       "(\\S+)\\s+CHECK\\s*\\((.+)\\)$").r
     val drop = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+DROP\\s+CONSTRAINT\\s+" +
       "(\\S+)$").r
-    val addCols = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+ADD\\s+COLUMNS\\s*" +
-      "\\((.+)\\)$").r
-    val addCol = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+ADD\\s+COLUMN\\s+" +
+    // COLUMN c TYPE and COLUMNS (c1 T1, ...) share one body each — the
+    // optional parens normalize away
+    val addCols = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+ADD\\s+COLUMNS?\\s+" +
       "(.+)$").r
-    val dropCols = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+DROP\\s+COLUMNS\\s*" +
-      "\\((.+)\\)$").r
-    val dropCol = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+DROP\\s+COLUMN\\s+" +
-      "(\\S+)$").r
+    val dropCols = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+DROP\\s+COLUMNS?\\s+" +
+      "(.+)$").r
+    def unparen(s: String): String = {
+      val t = s.trim
+      if (t.startsWith("(") && t.endsWith(")")) t.drop(1).dropRight(1)
+      else t
+    }
     sql match {
       case add(name, cname, pred) =>
         val (table, _) = lookup(name)
@@ -431,26 +472,15 @@ object SqlDml {
       case addCols(name, ddl) =>
         val (table, _) = lookup(name)
         val v = graft.lake.Evolve.addColumns(spark, table,
-          org.apache.spark.sql.types.StructType.fromDDL(ddl.trim))
-        rebind(spark, name, table) // the view's schema just widened
-        v
-      case addCol(name, ddl) =>
-        val (table, _) = lookup(name)
-        val v = graft.lake.Evolve.addColumns(spark, table,
-          org.apache.spark.sql.types.StructType.fromDDL(ddl.trim))
-        rebind(spark, name, table)
+          org.apache.spark.sql.types.StructType.fromDDL(unparen(ddl)))
+        rebind(spark, name, table) // the view's schema just changed
         v
       case dropCols(name, list) =>
         val (table, keyCol) = lookup(name)
         val v = graft.lake.Evolve.dropColumns(spark, table,
-          splitTop(list, ',').map(_.stripPrefix("`").stripSuffix("`")),
+          splitTop(unparen(list), ',')
+            .map(_.stripPrefix("`").stripSuffix("`")),
           keyCol)
-        rebind(spark, name, table)
-        v
-      case dropCol(name, cname) =>
-        val (table, keyCol) = lookup(name)
-        val v = graft.lake.Evolve.dropColumns(spark, table,
-          Seq(cname.stripPrefix("`").stripSuffix("`")), keyCol)
         rebind(spark, name, table)
         v
       case _ => reject(sql,
@@ -590,21 +620,21 @@ object SqlDml {
 
     // INSERT OVERWRITE: a wholesale restatement — full publish (the
     // change feed records the break; constraints gate it), with this
-    // lake's key-is-row-identity invariant enforced on the new content
+    // lake's key-is-row-identity invariant enforced on the new content.
+    // Persist: the audit and the publish must serve from ONE
+    // materialization (a non-deterministic subquery could otherwise
+    // pass validation and publish violating content). Ingest history
+    // does not survive a restatement (stale COPY INTO ledger).
     if (overwrite) {
-      val a = changes.agg(count(lit(1)).as("n"),
-        countDistinct(col(keyCol)).as("nk"),
-        count(when(col(keyCol).isNull, 1)).as("nulls")).head()
-      require(a.getLong(2) == 0L,
-        s"INSERT OVERWRITE content has NULL $keyCol keys")
-      require(a.getLong(0) == a.getLong(1),
-        s"${a.getLong(0) - a.getLong(1)} duplicate $keyCol key(s) in " +
-          "the INSERT OVERWRITE content — the key column is row identity")
-      val v =
+      graft.lake.CopyInto.clearLedger(spark, table)
+      changes.persist()
+      val v = try {
+        requireKeyIdentity(changes, keyCol, "INSERT OVERWRITE content")
         if (rules.isEmpty) Versioned.publish(changes, table)
         else Expect.publish(changes, table, rules, mode, quarantine)
           .version.get // publish always lands a version (Drop publishes
                        // the passing slice, even when empty)
+      } finally { changes.unpersist(); () }
       rebind(spark, name, table)
       return v
     }

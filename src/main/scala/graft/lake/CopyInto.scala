@@ -49,15 +49,33 @@ object CopyInto {
 
   private def ledgerDir(table: String) = s"$table/_copy_into"
 
-  /** File names every prior COPY commit loaded (ledger union). */
+  /** File names every prior COPY commit loaded (ledger union). Skips
+    * `.tmp` entries — a crash between create and rename leaves one, and
+    * reading it would break the no-torn-entry guarantee the tmp+rename
+    * write exists to provide. */
   def loadedFiles(spark: SparkSession, table: String): Set[String] = {
     val f = fs(spark, table)
     val dir = new Path(ledgerDir(table))
     if (!f.exists(dir)) Set.empty
-    else f.listStatus(dir).toSeq.filter(_.isFile).flatMap { s =>
-      Versioned.readSmallFile(f, s.getPath)
-        .map(_.linesIterator.toSeq).getOrElse(Seq.empty)
-    }.toSet
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.endsWith(".tmp"))
+      .flatMap { s =>
+        Versioned.readSmallFile(f, s.getPath)
+          .map(_.linesIterator.toSeq).getOrElse(Seq.empty)
+      }.toSet
+  }
+
+  /** Drop the ledger — called by every WHOLESALE REPLACE of the table's
+    * content ([[Restore.restore]], SQL `CREATE OR REPLACE TABLE` /
+    * `INSERT OVERWRITE`): a restatement invalidates ingest history, so
+    * the next COPY re-considers every landing file (re-landing is
+    * key-idempotent; an operator restating to get RID of a landed file
+    * removes it from the landing dir — that is where file identity
+    * lives). Safe no-op when no ledger exists. */
+  def clearLedger(spark: SparkSession, table: String): Unit = {
+    val f = fs(spark, table)
+    f.delete(new Path(ledgerDir(table)), true)
+    ()
   }
 
   /** Load the not-yet-landed parquet files of `srcDir` into `table`
@@ -87,47 +105,62 @@ object CopyInto {
     require(df.columns.exists(_.equalsIgnoreCase(keyCol)),
       s"COPY INTO source files lack the key column '$keyCol'")
 
-    val v = Versioned.currentVersion(spark, table) match {
-      case Some(lv) =>
-        // THE append path: a landing within the zero-copy driver budget
-        // takes the Delta-append shape — `_ref` to the untouched base +
-        // the landed rows as fresh files, NOTHING byte-carried (the
-        // rewriting merge would byte-copy every untouched file, i.e.
-        // table bytes per landing — wrong shape for a daily ingest at
-        // 100 TB; OPTIMIZE compacts the accumulated appends when file
-        // count matters). Bigger landings fall back to the rewriting
-        // merge's distributed path; a shallow-ref base stays zero-copy
-        // regardless (same auto-routing as the SQL DML statements).
-        val zc = Versioned.isShallowRef(spark, table, lv) ||
-          df.count() <= Upsert.MaxDriverKeysDefault
-        if (rules.isEmpty) {
-          if (zc) Dv.merge(spark, table, keyCol, df)
-          else Upsert.merge(spark, table, keyCol, df)
-        } else Expect.merge(spark, table, keyCol, df, rules, mode,
-          quarantine, zeroCopy = zc).version
-          .getOrElse(Versioned.currentVersion(spark, table).get)
-      case None =>
-        // bootstrap: key-uniqueness is the merge path's validation —
-        // enforce the same invariant on the seeding publish
-        val agg = df.agg(
-          org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n"),
-          org.apache.spark.sql.functions.countDistinct(
-            org.apache.spark.sql.functions.col(keyCol)).as("nk"),
-          org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.when(
-              org.apache.spark.sql.functions.col(keyCol).isNull, 1))
-            .as("nulls")).head()
-        require(agg.getLong(2) == 0L,
-          s"COPY INTO batch has NULL $keyCol keys")
-        require(agg.getLong(0) == agg.getLong(1),
-          s"${agg.getLong(0) - agg.getLong(1)} duplicate $keyCol key(s) " +
-            "across the copied files — the key column is row identity")
-        if (rules.isEmpty) Versioned.publish(df, table)
-        else Expect.publish(df, table, rules, mode, quarantine).version
-          .getOrElse(throw new IllegalStateException(
-            "every copied row was quarantined — nothing published"))
-    }
+    // persist: the landing-size count, the bootstrap key audit, and the
+    // merge/publish must all serve from ONE materialization (parquet
+    // input is deterministic, but the 2-3 recomputes are not free)
+    df.persist()
+    val v = try {
+      val n = df.count()
+      Versioned.currentVersion(spark, table) match {
+        case Some(lv) =>
+          // THE append path: a landing within the zero-copy driver
+          // budget takes the Delta-append shape — `_ref` to the
+          // untouched base + the landed rows as fresh files, NOTHING
+          // byte-carried (the rewriting merge would byte-copy every
+          // untouched file, i.e. table bytes per landing — wrong shape
+          // for a daily ingest at 100 TB; OPTIMIZE / Maintain.auto
+          // compacts the accumulated appends). Bigger landings fall
+          // back to the rewriting merge's distributed path — which
+          // rejects shallow-ref bases, so that combination gets ITS
+          // OWN loud reject naming the remedy instead of a dead-end
+          // chain of rejects that each point at the other.
+          val overBudget = n > Upsert.MaxDriverKeysDefault
+          val refBase = Versioned.isShallowRef(spark, table, lv)
+          if (refBase && overBudget)
+            throw new IllegalStateException(
+              s"landing has $n rows (past the zero-copy budget " +
+                s"${Upsert.MaxDriverKeysDefault}) and $table's live " +
+                "version is a zero-copy ref — compact first " +
+                "(Maintain.auto / Clone.materialize / SQL OPTIMIZE), " +
+                "then rerun; the ledger makes the rerun safe")
+          val zc = refBase || !overBudget
+          if (rules.isEmpty) {
+            if (zc) Dv.merge(spark, table, keyCol, df)
+            else Upsert.merge(spark, table, keyCol, df)
+          } else Expect.merge(spark, table, keyCol, df, rules, mode,
+            quarantine, zeroCopy = zc).version
+            .getOrElse(Versioned.currentVersion(spark, table).get)
+        case None =>
+          // bootstrap: key-uniqueness is the merge path's validation —
+          // enforce the same invariant on the seeding publish
+          val agg = df.agg(
+            org.apache.spark.sql.functions.countDistinct(
+              org.apache.spark.sql.functions.col(keyCol)).as("nk"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.when(
+                org.apache.spark.sql.functions.col(keyCol).isNull, 1))
+              .as("nulls")).head()
+          require(agg.getLong(1) == 0L,
+            s"COPY INTO batch has NULL $keyCol keys")
+          require(n == agg.getLong(0),
+            s"${n - agg.getLong(0)} duplicate $keyCol key(s) " +
+              "across the copied files — the key column is row identity")
+          if (rules.isEmpty) Versioned.publish(df, table)
+          else Expect.publish(df, table, rules, mode, quarantine).version
+            .getOrElse(throw new IllegalStateException(
+              "every copied row was quarantined — nothing published"))
+      }
+    } finally { df.unpersist(); () }
 
     // ledger AFTER the commit (see crash-ordering argument); tmp+rename
     // so a reader of the ledger never sees a torn entry

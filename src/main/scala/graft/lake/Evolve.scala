@@ -85,11 +85,17 @@ object Evolve {
       val ownParts =
         if (dataDir == liveVDir) Seq.empty[String]
         else Versioned.dataFilePaths(spark, liveVDir)
+      // mergeSchema = UNION of every footer: an evolved/narrowed dir
+      // holds mixed-schema files, and a single sampled footer (the
+      // default) could miss the dropped column and let the resurrect
+      // slip through — the guard must see every file's columns
       val ownPhysical: Seq[String] =
         if (ownParts.isEmpty) Seq.empty
-        else spark.read.parquet(ownParts: _*).schema.fieldNames.toSeq
+        else spark.read.option("mergeSchema", "true")
+          .parquet(ownParts: _*).schema.fieldNames.toSeq
       val physical =
-        (spark.read.parquet(dataDir).schema.fieldNames.toSeq ++
+        (spark.read.option("mergeSchema", "true")
+          .parquet(dataDir).schema.fieldNames.toSeq ++
           ownPhysical).map(_.toLowerCase).toSet
       val ghost = cols.fieldNames
         .filter(c => physical(c.toLowerCase) && !lower(c.toLowerCase))
@@ -120,8 +126,13 @@ object Evolve {
         "identity; re-keying is a restatement (CREATE OR REPLACE)")
     val rules = Constraints.list(spark, table)
     cols.foreach { c =>
-      val hit = rules.find(r => ("(?i)\\b" + java.util.regex.Pattern
-        .quote(c) + "\\b").r.findFirstIn(r.predicate).isDefined)
+      // match the name OUTSIDE string literals only — a predicate like
+      // `status != 'score'` does not evaluate a column named score
+      val hit = rules.find { r =>
+        val masked = r.predicate.replaceAll("'[^']*'", " ")
+        ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+          .findFirstIn(masked).isDefined
+      }
       require(hit.isEmpty,
         s"constraint '${hit.map(_.name).getOrElse("")}' references " +
           s"column '$c' — DROP CONSTRAINT first")

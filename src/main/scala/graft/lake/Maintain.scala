@@ -23,10 +23,11 @@ import org.apache.spark.sql.SparkSession
  *  1. MATERIALIZE when the live version is a shallow ref whose
  *     deferred state exceeds a dial — `maxAppendedFiles` (zero-copy
  *     merge/landing appends) or `maxVectorRows` (DV'd deletes) — or
- *     when it is a plain ref with none of either (a clone seed /
- *     restore / schema overlay is ALWAYS one hop from needing real
- *     files for rewriting DML, but costs a table copy, so it only
- *     materializes when `materializeRefs = true`).
+ *     unconditionally when `materializeRefs = true` (the explicit
+ *     lever: ANY ref costs a table copy to materialize, so forcing it
+ *     is an operator decision — e.g. unwedging an over-budget landing,
+ *     or readying a clone seed / restore / schema overlay for
+ *     rewriting DML).
  *  2. COMPACT when (after any materialize) the live data dir holds
  *     more than `maxDataFiles` files — [[Compact.compactVersion]],
  *     which re-establishes clustering and rebuilds the skipping
@@ -60,7 +61,7 @@ object Maintain {
       val vectorRows = Dv.deletedRows(spark, table, live)
       val due =
         ownAppends > maxAppendedFiles || vectorRows > maxVectorRows ||
-          (materializeRefs && ownAppends == 0 && vectorRows == 0L)
+          materializeRefs
       if (due) {
         Clone.materialize(spark, table)
         taken += s"materialize(appends=$ownAppends, vector=$vectorRows)"

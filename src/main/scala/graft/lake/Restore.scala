@@ -66,6 +66,13 @@ object Restore {
     val dataDir = Versioned.dataDir(spark, table, toV) // one hop, never chains
     val f = fs(spark, table)
     val conf = spark.sparkContext.hadoopConfiguration
+    // a restore rewinds CONTENT, so ingest history must not survive it:
+    // a COPY INTO ledger still naming files whose rows the rewind
+    // removed would silently refuse to re-land them. Cleared BEFORE the
+    // publish — a crash after the clear merely re-considers landing
+    // files (key-idempotent), where the reverse order's crash window
+    // resurrects the stale-ledger bug.
+    CopyInto.clearLedger(spark, table)
     // pin BEFORE publishing the ref (Clone.shallow's ordering argument:
     // an orphaned pin blocks reclaim until vacuum GC; a missing pin
     // breaks reads silently)

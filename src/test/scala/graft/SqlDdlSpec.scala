@@ -144,7 +144,7 @@ class SqlDdlSpec extends SparkSpec {
           new org.apache.hadoop.fs.Path(s"$flat/${s.getPath.getName}")))
     moveParts("batch1")
 
-    SqlDml.register(spark, "copy_t", t, "k")
+    SqlDml.register(spark, "copy_t", t, "k", allowMissing = true)
     // bootstrap: COPY INTO an empty table seeds v1
     val v1 = Sql.execute(spark, s"COPY INTO copy_t FROM '$flat'")
     assert(v1 == 1L)
@@ -181,7 +181,7 @@ class SqlDdlSpec extends SparkSpec {
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .foreach(s => fs.rename(s.getPath,
         new org.apache.hadoop.fs.Path(s"$flat/${s.getPath.getName}")))
-    SqlDml.register(spark, "copy_crash", t, "k")
+    SqlDml.register(spark, "copy_crash", t, "k", allowMissing = true)
     Sql.execute(spark, s"COPY INTO copy_crash FROM '$flat'")
     val rows = spark.sql("SELECT * FROM copy_crash").collect().toSet
     // simulate the crash window: commit landed, ledger entry lost
@@ -215,6 +215,65 @@ class SqlDdlSpec extends SparkSpec {
     assert(Versioned.isShallowRef(spark, t, 3L))
     assert(spark.sql("SELECT count(*) FROM copy_ref").head()
       .getLong(0) == 14L) // 10 - 1 deleted + 5 landed
+  }
+
+  test("wholesale replaces clear the COPY INTO ledger: a restore or " +
+      "restatement re-considers every landing file") {
+    val t = s"$root/ledger_clear"
+    val land = s"$root/ledger_clear_land"
+    seed(6).coalesce(1).write.parquet(s"$land/b")
+    val flat = s"$root/ledger_clear_flat"
+    val fs = new org.apache.hadoop.fs.Path(land).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(flat))
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$land/b")).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .foreach(s => fs.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(s"$flat/${s.getPath.getName}")))
+    SqlDml.register(spark, "lc_t", t, "k", allowMissing = true)
+    Sql.execute(spark, s"COPY INTO lc_t FROM '$flat'") // v1: 6 rows
+    assert(CopyInto.loadedFiles(spark, t).nonEmpty)
+    // a restore rewinds content — here to the same v1, but the ledger
+    // must clear regardless (content lineage restated)
+    Sql.execute(spark, "INSERT OVERWRITE lc_t VALUES (100, 'x', 1)") // v2
+    assert(CopyInto.loadedFiles(spark, t).isEmpty) // replace cleared it
+    // re-copy re-lands the file into the restated table
+    Sql.execute(spark, s"COPY INTO lc_t FROM '$flat'") // v3
+    assert(spark.sql("SELECT count(*) FROM lc_t").head().getLong(0) == 7L)
+    // RESTORE clears too
+    Sql.execute(spark, "RESTORE TABLE lc_t TO VERSION AS OF 2")
+    assert(CopyInto.loadedFiles(spark, t).isEmpty)
+  }
+
+  test("an over-budget landing on a zero-copy base rejects with the " +
+      "remedy (compact first), not a dead-end chain") {
+    val t = s"$root/copy_wedge"
+    Forget.publishIndexed(seed(10), t, 2, "k", stats = true)
+    SqlDml.register(spark, "wedge_t", t, "k")
+    Sql.execute(spark, "DELETE FROM wedge_t WHERE k = 9",
+      zeroCopyDelete = true) // live is a ref
+    val flat = s"$root/copy_wedge_flat"
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    spark.range(1000L, 1000L + Upsert.MaxDriverKeysDefault + 1)
+      .select(col("id").as("k"), concat(lit("w"), col("id")).as("v"),
+        col("id").as("n"))
+      .coalesce(1).write.parquet(flat)
+    val e = intercept[IllegalStateException] {
+      Sql.execute(spark, s"COPY INTO wedge_t FROM '$flat'")
+    }
+    assert(e.getMessage.contains("compact first"))
+    // the remedy unwedges: compact, then the same landing goes through
+    graft.lake.Maintain.auto(spark, t, "k", materializeRefs = true)
+    Sql.execute(spark, s"COPY INTO wedge_t FROM '$flat'")
+    assert(spark.sql("SELECT count(*) FROM wedge_t").head().getLong(0)
+      == 9L + Upsert.MaxDriverKeysDefault + 1)
+  }
+
+  test("register without allowMissing fails fast on an unpublished path") {
+    val e = intercept[IllegalArgumentException] {
+      SqlDml.register(spark, "typo_t", s"$root/no_such_table", "k")
+    }
+    assert(e.getMessage.contains("no published version"))
   }
 
   test("RESTORE TO TIMESTAMP AS OF resolves through versionAsOf") {

@@ -231,6 +231,30 @@ class EvolveSpec extends SparkSpec {
     assert(Versioned.read(spark, t).filter("v IS NOT NULL").count() == 0L)
   }
 
+  test("the resurrect guard sees MIXED footers: a narrow append after " +
+      "the drop must not hide the ghost column") {
+    val t = mk("resurrect_mixed")
+    Evolve.dropColumns(spark, t, Seq("v"), keyCol = "k") // v2 overlay
+    // a zero-copy merge under the NARROW schema appends a file that
+    // physically lacks v — a single sampled footer could land on it
+    Dv.merge(spark, t, "k", Seq(Tuple1(900L)).toDF("k")) // v3
+    val g = intercept[IllegalArgumentException] {
+      Evolve.addColumns(spark, t, StructType.fromDDL("v STRING"))
+    }
+    assert(g.getMessage.contains("resurrect"))
+  }
+
+  test("constraint names inside string literals do not block a drop") {
+    val t = mk("drop_literal")
+    Constraints.add(spark, t, "status_ok", "k >= 0 AND v != 'score'")
+    Evolve.addColumns(spark, t, StructType.fromDDL("score DOUBLE"))
+    // 'score' appears only inside the predicate's string literal
+    val v = Evolve.dropColumns(spark, t, Seq("score"), keyCol = "k")
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("k", "v"))
+    assert(v == 3L)
+    Constraints.drop(spark, t, "status_ok")
+  }
+
   test("SQL surface: ALTER TABLE DROP COLUMN / DROP COLUMNS") {
     val t = mk("sql_drop")
     graft.SqlDml.register(spark, "evolve_drop_t", t, "k")
