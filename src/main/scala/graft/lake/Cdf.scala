@@ -108,6 +108,30 @@ object Cdf {
       .write.mode("overwrite").parquet(s"$newDir/_changes")
   }
 
+  /** Record "this commit CHANGED THE TABLE SCHEMA" for the streaming
+    * tail: one all-null `_op` = "S" poison row appended to the commit's
+    * `_changes` dir (under the NEW schema). A raw feed tail
+    * ([[graft.streaming.CdfStream.changes]]) runs with the schema it
+    * started with — a widened column would silently read as absent in
+    * every later change row, assembling a diverged table — so it must
+    * DELIVER the schema change and fail loudly toward a restart (which
+    * picks up the new schema), exactly Delta's streaming-read behavior.
+    * Batch readers never see it: [[changesSince]] filters S rows (the
+    * content change, if any, is in the commit's real U/D rows — a
+    * metadata-only [[Evolve]] overlay has none, so its feed entry
+    * bridges to zero rows). Emitted by [[Evolve.addColumns]]/
+    * [[Evolve.dropColumns]] and by [[Upsert]]'s `evolveSchema = true`
+    * merges. */
+  private[lake] def recordSchemaChange(spark: SparkSession, newDir: String,
+                                       schema: StructType): Unit = {
+    val cols = schema.fields.toSeq.map(fd =>
+      lit(null).cast(fd.dataType).as(fd.name))
+    spark.range(1).select(cols: _*)
+      .withColumn("_op", lit("S"))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$newDir/_changes")
+  }
+
   /** Every change after `sinceV` up to `untilV` (the live version when
     * absent — pass an explicit bound when tagging the result with a
     * version read earlier, or a concurrent publish leaks newer changes
@@ -145,8 +169,13 @@ object Cdf {
       kind match {
         case 'c' =>
           // a checkpointed 'c' whose dir was since vacuumed must reject
-          // with the SAME resync message the probe path gives
+          // with the SAME resync message the probe path gives. S rows
+          // (schema-change poison for the STREAMING tail — see
+          // recordSchemaChange) are metadata, not changes: filtered
+          // here, so a metadata-only Evolve overlay bridges to zero
+          // rows and an evolving merge contributes only its real U/Ds.
           try Some(spark.read.parquet(s"$dir/_changes")
+            .filter(col("_op") =!= "S")
             .withColumn("_version", lit(v)))
           catch {
             case e: org.apache.spark.sql.AnalysisException

@@ -30,9 +30,12 @@ import org.apache.spark.sql.types.StructType
  * zero-copy state travels whole: changeset-sized appends are
  * byte-copied forward (file NAMES preserved — deletion-vector row
  * addressing is (file_name, row_index)), the cumulative `_dv` vector
- * and the CDC replay watermark are carried, and the change feed records
- * `_changes_none` (no row changed — feed consumers bridge it, exactly
- * like compaction).
+ * and the CDC replay watermark are carried. The change feed gets ONE
+ * `_op` = "S" poison row ([[Cdf.recordSchemaChange]]): batch readers
+ * bridge the overlay to zero rows (no row changed), while a raw
+ * STREAMING tail — which runs with its start-time schema and would
+ * otherwise silently drop the new columns from every later change —
+ * fails loudly toward a restart, Delta's streaming-read behavior.
  *
  * After the overlay: the ZERO-COPY DML family ([[Dv.merge]],
  * [[Dv.applyCdc]], [[Dv.purge]]) reads the overlay schema and keeps
@@ -202,8 +205,15 @@ object Evolve {
         // THE point: the new schema as this version's OWN marker —
         // version-aware readers resolve it ahead of the base dir's
         Versioned.writeSchemaMarker(fd, dir, outSchema)
-        // no row changed: feed consumers bridge, never a break
-        Cdf.recordNone(fd, dir)
+        // `_schema_change` names the operation for DESCRIBE HISTORY
+        val sc = fd.create(new Path(s"$dir/_schema_change"), true)
+        try sc.write("metadata-only".getBytes(StandardCharsets.UTF_8))
+        finally sc.close()
+        // no ROW changed — batch feed readers bridge to zero rows —
+        // but the STREAMING tail runs with its start-time schema and
+        // must fail loudly toward a restart: one `_op` = "S" poison row
+        // (Cdf.recordSchemaChange; Delta's streaming behavior)
+        Cdf.recordSchemaChange(spark, dir, outSchema)
       }
     }
 }

@@ -39,8 +39,8 @@ object History {
     *  - "dml"         — recorded a row changeset (`_changes`: merge/
     *                     purge/CDC, rewriting or zero-copy);
     *  - "maintenance" — layout-only (`_changes_none`: compact/cluster);
-    *  - "schema"      — a metadata-only [[Evolve.addColumns]] overlay
-    *                     (`_changes_none` ref with its own marker);
+    *  - "schema"      — a metadata-only [[Evolve]] overlay (its
+    *                     `_schema_change` marker);
     *  - "restore"     — a zero-copy ref WITHOUT a changeset
     *                     ([[Restore.restore]], or a [[Clone.shallow]]
     *                     seed version — both are wholesale replaces);
@@ -55,12 +55,9 @@ object History {
       val isRef = has("_ref")
       val op =
         if (has("_changes_break")) { if (isRef) "restore" else "publish" }
+        else if (has("_schema_change")) "schema" // Evolve overlay
         else if (has("_changes")) "dml"
-        else if (has("_changes_none"))
-          // a ref that changed no rows but carries its OWN schema marker
-          // is an Evolve.addColumns overlay (compaction/materialize
-          // versions are never refs; DML refs record `_changes`)
-          { if (isRef && has("_table_schema")) "schema" else "maintenance" }
+        else if (has("_changes_none")) "maintenance"
         else if (isRef) "restore" // pre-break-marker refs (legacy dirs)
         else "publish"
       val info = Versioned.readCommitInfo(f, dir)

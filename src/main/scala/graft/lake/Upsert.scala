@@ -207,10 +207,12 @@ object Upsert {
         if (rejectOps.isEmpty) lit(false)
         else col(opCol).isin(rejectOps.toSeq: _*), 1)).as("nrej")).head()
     require(v.getLong(4) == 0L,
-      s"${v.getLong(4)} feed-break row(s) (op in $rejectOps) — a " +
-        "wholesale replace (full publish, clone seed, or RESTORE) landed " +
-        "on the table mid-stream and the change feed cannot represent " +
-        "it; stop this consumer and resync from a fresh snapshot")
+      s"${v.getLong(4)} feed poison row(s) (op in $rejectOps) — a " +
+        "wholesale replace (op B: full publish, clone seed, RESTORE) or " +
+        "a schema change (op S: ALTER TABLE ADD/DROP COLUMNS, evolving " +
+        "merge) landed mid-stream and a fixed-schema consumer cannot " +
+        "represent it; stop this consumer and restart from a fresh " +
+        "snapshot/checkpoint (the restart picks up the new schema)")
     require(v.getLong(0) == 0L,
       s"${v.getLong(0)} row(s) with NULL $seqCol — an unsequenced op " +
         "cannot be ordered")
@@ -578,6 +580,11 @@ object Upsert {
         // (row count == distinct keys, enforced above — no extra action)
         Cdf.record(spark, newDir, outSchema, keyCol,
           upserts.select(outCols.map(col): _*), nUpserts, deletes, nDeletes)
+        // an EVOLVING merge also poisons the streaming tail (one _op="S"
+        // row — a fixed-schema raw tail would silently drop the new
+        // columns from every later change; batch readers filter it)
+        if (extra.nonEmpty)
+          Cdf.recordSchemaChange(spark, newDir, outSchema)
         // file-level commit record: what this version removed from and
         // added to its base — the rebase hook's conflict-check input
         builtAdded = f.listStatus(new Path(newDir)).toSeq

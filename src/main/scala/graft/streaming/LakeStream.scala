@@ -97,14 +97,18 @@ object LakeStream {
 
   /** Reduce a batch of [[table]] change rows to the table they assemble:
     * last op per key by `_version` (the snapshot is version-tagged like
-    * any change), deletes drop out. REJECTS a feed-break row (`_op` =
-    * "B" — a wholesale replace landed mid-stream: full publish, clone
-    * seed, RESTORE) instead of assembling a silently-diverged table:
-    * the feed cannot represent a replace, restart the stream from a
-    * fresh snapshot/checkpoint. */
+    * any change), deletes drop out. REJECTS the feed poison rows
+    * instead of assembling a silently-diverged table: `_op` = "B" (a
+    * wholesale replace landed mid-stream — full publish, clone seed,
+    * RESTORE; the feed cannot represent it) and `_op` = "S" (the table
+    * SCHEMA changed — ALTER TABLE ADD/DROP COLUMNS or an evolving
+    * merge; this stream runs with its start-time schema and would drop
+    * the new columns from every later change). Restart from a fresh
+    * snapshot/checkpoint — the restart picks up the new schema, Delta's
+    * streaming-read behavior. */
   def assemble(changeRows: DataFrame, keyCol: String): DataFrame =
     Upsert.lastPerKey(changeRows, keyCol, seqCol = "_version",
-        opCol = "_op", rejectOps = Set("B"))
+        opCol = "_op", rejectOps = Set("B", "S"))
       .filter(col("_op") =!= "D")
       .drop("_op")
 

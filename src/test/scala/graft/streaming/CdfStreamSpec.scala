@@ -161,7 +161,7 @@ class CdfStreamSpec extends SparkSpec {
       .start()
     try q.processAllAvailable() finally q.stop()
     assert(got.synchronized(got.toSeq) == Seq(("B", 1L)))
-    assert(assembleErr.exists(_.getMessage.contains("feed-break")))
+    assert(assembleErr.exists(_.getMessage.contains("poison")))
 
     // a table published WITHOUT the break machinery (raw publishWith —
     // internal composed builds) still rejects at stream start: the file
@@ -174,5 +174,50 @@ class CdfStreamSpec extends SparkSpec {
       CdfStream.changes(spark, bare)
     }
     assert(e.getMessage.contains("_changes"))
+  }
+
+  test("a schema change poisons the raw feed (op S): the tail delivers " +
+      "it, assemble rejects toward a restart, batch readers bridge") {
+    val src = s"$root/schemachange"
+    Forget.publishIndexed(
+      (0L until 50L).map(k => (k, s"p$k")).toDF("k", "v"),
+      src, nFiles = 2, keyCol = "k")
+    Upsert.applyCdc(spark, src, "k", cdcBatch(Seq(("U", 1L, "u1")))) // v2
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var assembleErr: Option[Throwable] = None
+    val q = CdfStream.changes(spark, src, sinceV = 1)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.select($"_op", $"_version")
+            .as[(String, Long)].collect()
+        }
+        if (assembleErr.isEmpty)
+          assembleErr = scala.util.Try(
+            LakeStream.assemble(df, "k").count()).failed.toOption
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(assembleErr.isEmpty) // plain changes assemble fine
+      // ALTER TABLE ADD COLUMNS mid-stream: the tail must DELIVER it
+      graft.lake.Evolve.addColumns(spark, src,
+        org.apache.spark.sql.types.StructType.fromDDL("w INT")) // v3
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.synchronized(got.toSet).contains(("S", 3L)))
+    assert(assembleErr.exists(e => e.getMessage.contains("poison") &&
+      e.getMessage.contains("schema")))
+    // batch readers bridge the overlay to zero rows — and an EVOLVING
+    // merge's feed carries its real rows but not its S poison
+    graft.lake.Clone.materialize(spark, src) // v4 (rewriting DML needs
+    Upsert.merge(spark, src, "k",            //     real files)
+      Seq((2L, "u2", 7, 0.5)).toDF("k", "v", "w", "z"),
+      evolveSchema = true) // v5
+    val batch = Cdf.changesSince(spark, src, 1L)
+    assert(batch.filter($"_op" === "S").count() == 0L)
+    assert(batch.filter($"_version" === 3L).count() == 0L)
+    assert(batch.filter($"_version" === 5L && $"k" === 2L).count() == 1L)
   }
 }
