@@ -119,9 +119,25 @@ object Sql {
   def sql(spark: SparkSession, text: String): DataFrame = {
     val ver = "(?i)\\b(\\w+)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
     val tsp = "(?i)\\b(\\w+)\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
-    // timestamp form first: its own quoted literal is PART of the match
+    // Delta's table_changes(t, startV [, endV]) — startV INCLUDED, so it
+    // maps to Cdf.changesSince(startV - 1). Rewritten first: its own
+    // quoted table name is part of the match, like the timestamp form.
+    val tc = ("(?i)\\bTABLE_CHANGES\\s*\\(\\s*'?(\\w+)'?\\s*,\\s*(\\d+)" +
+      "(?:\\s*,\\s*(\\d+))?\\s*\\)").r
+    var out = rewriteOutsideQuotes(text, tc) { m =>
+      val (table, _) = SqlDml.lookup(m.group(1))
+      val from = m.group(2).toLong
+      val until = Option(m.group(3)).map(_.toLong)
+      val view = s"${m.group(1)}__changes_${from}_${until.getOrElse(0L)}"
+      graft.lake.Cdf.changesSince(spark, table, from - 1,
+        untilV = until.orElse(
+          graft.lake.Versioned.currentVersion(spark, table)))
+        .createOrReplaceTempView(view)
+      view
+    }
+    // timestamp form next: its own quoted literal is PART of the match
     // (the quote-mask below would otherwise hide it from the ver pass)
-    var out = rewriteOutsideQuotes(text, tsp) { m =>
+    out = rewriteOutsideQuotes(out, tsp) { m =>
       val (table, _) = SqlDml.lookup(m.group(1))
       val ts = java.sql.Timestamp.valueOf(m.group(2).replace('T', ' '))
       val v = Versioned.versionAsOf(spark, table, ts.getTime)

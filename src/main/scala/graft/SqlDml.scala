@@ -459,6 +459,13 @@ object SqlDml {
       if (t.startsWith("(") && t.endsWith(")")) t.drop(1).dropRight(1)
       else t
     }
+    // RENAME needs column mapping (logical->physical names) — on this
+    // layout a marker-level rename would silently null a column (parquet
+    // resolves by name). Refuse with the remedy rather than guess.
+    if ("(?is).*\\bRENAME\\s+COLUMN\\b.*".r.matches(sql)) reject(sql,
+      "RENAME COLUMN needs column mapping, which this layout does not " +
+        "carry — restate via CREATE OR REPLACE TABLE ... AS SELECT " +
+        "<old> AS <new>, ...")
     sql match {
       case add(name, cname, pred) =>
         val (table, _) = lookup(name)

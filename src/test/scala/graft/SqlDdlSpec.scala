@@ -269,6 +269,32 @@ class SqlDdlSpec extends SparkSpec {
       == 9L + Upsert.MaxDriverKeysDefault + 1)
   }
 
+  test("TABLE_CHANGES(t, a[, b]) in SELECT text == Cdf.changesSince, " +
+      "start version included; RENAME COLUMN rejects with the remedy") {
+    val t = s"$root/tc"
+    Forget.publishIndexed(seed(10), t, 2, "k", stats = true)
+    SqlDml.register(spark, "tc_t", t, "k")
+    Sql.execute(spark, "UPDATE tc_t SET v = 'v2' WHERE k = 1") // v2
+    Sql.execute(spark, "UPDATE tc_t SET v = 'v3' WHERE k = 2") // v3
+    Sql.execute(spark, "DELETE FROM tc_t WHERE k = 3")         // v4
+    val got = Sql.sql(spark,
+      "SELECT _op, k, _version FROM TABLE_CHANGES(tc_t, 2, 3) ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("U", 1L, 2L), ("U", 2L, 3L)))
+    // open-ended form reaches the live version
+    assert(Sql.sql(spark,
+      "SELECT count(*) AS n FROM TABLE_CHANGES(tc_t, 4)").head()
+      .getLong(0) == 1L) // the delete
+    // a travel-shaped phrase inside a string literal is data
+    assert(Sql.sql(spark,
+      "SELECT 'TABLE_CHANGES(tc_t, 2)' AS s").head().getString(0)
+      == "TABLE_CHANGES(tc_t, 2)")
+    val e = intercept[IllegalArgumentException] {
+      Sql.execute(spark, "ALTER TABLE tc_t RENAME COLUMN v TO w")
+    }
+    assert(e.getMessage.contains("column mapping"))
+  }
+
   test("register without allowMissing fails fast on an unpublished path") {
     val e = intercept[IllegalArgumentException] {
       SqlDml.register(spark, "typo_t", s"$root/no_such_table", "k")
