@@ -70,12 +70,13 @@ object Sql {
     * range) as temp view `name`, bound to the live version at
     * registration like [[registerTable]]. Returns the bound version. */
   def registerChanges(spark: SparkSession, name: String, table: String,
-                      sinceV: Long): Long = {
+                      sinceV: Long, untilV: Option[Long] = None): Long = {
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
-    Cdf.changesSince(spark, table, sinceV, untilV = Some(live))
-      .createOrReplaceTempView(name)
-    live
+    val until = untilV.getOrElse(live) // pin: a concurrent publish must
+    Cdf.changesSince(spark, table, sinceV, untilV = Some(until)) // not
+      .createOrReplaceTempView(name)                   // leak newer rows
+    until
   }
 
   /** Register a lake table for BOTH reads and SQL DML ([[SqlDml.register]]
@@ -129,10 +130,7 @@ object Sql {
       val from = m.group(2).toLong
       val until = Option(m.group(3)).map(_.toLong)
       val view = s"${m.group(1)}__changes_${from}_${until.getOrElse(0L)}"
-      graft.lake.Cdf.changesSince(spark, table, from - 1,
-        untilV = until.orElse(
-          graft.lake.Versioned.currentVersion(spark, table)))
-        .createOrReplaceTempView(view)
+      registerChanges(spark, view, table, from - 1, until)
       view
     }
     // timestamp form next: its own quoted literal is PART of the match

@@ -462,7 +462,10 @@ object SqlDml {
     // RENAME needs column mapping (logical->physical names) — on this
     // layout a marker-level rename would silently null a column (parquet
     // resolves by name). Refuse with the remedy rather than guess.
-    if ("(?is).*\\bRENAME\\s+COLUMN\\b.*".r.matches(sql)) reject(sql,
+    // ANCHORED at the statement head: the phrase inside a string literal
+    // of some other ALTER form (a CHECK predicate, say) is data.
+    if ("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+RENAME\\s+COLUMN\\b.*".r
+        .matches(sql)) reject(sql,
       "RENAME COLUMN needs column mapping, which this layout does not " +
         "carry — restate via CREATE OR REPLACE TABLE ... AS SELECT " +
         "<old> AS <new>, ...")

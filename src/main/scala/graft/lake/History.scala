@@ -57,7 +57,11 @@ object History {
         if (has("_changes_break")) { if (isRef) "restore" else "publish" }
         else if (has("_schema_change")) "schema" // Evolve overlay
         else if (has("_changes")) "dml"
-        else if (has("_changes_none")) "maintenance"
+        else if (has("_changes_none"))
+          // legacy Evolve overlays (pre-`_schema_change` marker) wrote
+          // `_changes_none` + an own marker on a ref — keep labeling
+          // them "schema" (compaction/materialize are never refs)
+          { if (isRef && has("_table_schema")) "schema" else "maintenance" }
         else if (isRef) "restore" // pre-break-marker refs (legacy dirs)
         else "publish"
       val info = Versioned.readCommitInfo(f, dir)
