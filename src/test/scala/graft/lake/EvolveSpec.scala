@@ -275,6 +275,43 @@ class EvolveSpec extends SparkSpec {
     assert(e.getMessage.contains("no constraint"))
   }
 
+  test("an overlay racing a rewriting merge: the overlay always commits " +
+      "(OCC re-derive); the merge commits or fails loudly with the " +
+      "materialize remedy — never a silent outcome") {
+    val t = mk("race")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContextExecutorService =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fe = Future {
+        barrier.await()
+        scala.util.Try(Evolve.addColumns(spark, t,
+          StructType.fromDDL("x INT")))
+      }
+      val fm = Future {
+        barrier.await()
+        scala.util.Try(Upsert.merge(spark, t, "k",
+          Seq((1L, "m1")).toDF("k", "v")))
+      }
+      val (re, rm) = Await.result(fe.zip(fm), 2.minutes)
+      assert(re.isSuccess, s"the overlay must re-derive and commit: $re")
+      rm match {
+        case scala.util.Success(_) => // merge won a claim before the
+          assert(Versioned.read(spark, t) // overlay (or retried past it)
+            .filter("k = 1 AND v = 'm1'").count() == 1L)
+        case scala.util.Failure(e) => // overlay won: rewriting DML on a
+          assert(e.getMessage.contains("materialize"), // ref rejects
+            s"loser must name the remedy: ${e.getMessage}") // loudly
+      }
+      val live = Versioned.read(spark, t)
+      assert(live.columns.contains("x"))
+      assert(live.count() == 100L)
+    } finally { pool.shutdown(); () }
+  }
+
   test("change feed bridges the overlay (no break): changesSince spans it") {
     val t = mk("feed")
     Upsert.merge(spark, t, "k", Seq((1L, "v2-1")).toDF("k", "v")) // v2

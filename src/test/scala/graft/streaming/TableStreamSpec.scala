@@ -118,4 +118,35 @@ class TableStreamSpec extends SparkSpec {
     assert(!snapKs.contains(4L), "the vectored row leaked into the stream")
     assert(snapKs(3L) == "u3" && snapKs(500L) == "i500")
   }
+
+  test("a mid-stream schema change fails the table stream loudly " +
+      "toward a restart (never a silently-narrowed assembly)") {
+    val t = s"$root/evolve"
+    val ckpt = s"$root/evolve_ckpt"
+    Forget.publishIndexed(
+      (0L until 50L).map(k => (k, s"p$k")).toDF("k", "v"),
+      t, nFiles = 2, keyCol = "k", stats = true)
+    Upsert.applyCdc(spark, t, "k", cdc(Seq(("U", 1L, "u1")))) // v2: feed
+    var err: Option[Throwable] = None
+    val q = LakeStream.table(spark, t, ckpt)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (err.isEmpty)
+          err = scala.util.Try(
+            LakeStream.assemble(b, "k").count()).failed.toOption
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(err.isEmpty) // snapshot + plain change assemble fine
+      graft.lake.Evolve.addColumns(spark, t,
+        org.apache.spark.sql.types.StructType.fromDDL("w INT")) // v3
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(err.exists(e => e.getMessage.contains("poison") &&
+      e.getMessage.contains("schema")),
+      s"expected the schema poison reject, got $err")
+  }
 }
