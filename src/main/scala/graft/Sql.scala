@@ -97,6 +97,59 @@ object Sql {
               zeroCopyDelete: Boolean = false): Long =
     SqlDml.execute(spark, sql, rules, mode, quarantine, zeroCopyDelete)
 
+  /** Run a SQL SCRIPT — the reference's users ship statement FILES
+    * (`extract_events.sql`), so the text form must accept one: `--`
+    * line comments stripped, statements split on `;` OUTSIDE string
+    * literals/backticks, blanks skipped, each statement routed through
+    * [[execute]] with the same gates. SEQUENTIAL, NOT ATOMIC (like any
+    * SQL shell): statement N commits its version before N+1 parses, and
+    * a failure stops the script with statements 1..N-1 committed — the
+    * version history is the audit trail of how far it got. Returns the
+    * per-statement versions, in order. */
+  def executeScript(spark: SparkSession, script: String,
+                    rules: Seq[graft.lake.Expect.Rule] = Nil,
+                    mode: graft.lake.Expect.Mode =
+                      graft.lake.Expect.Mode.Fail,
+                    quarantine: Option[String] = None,
+                    zeroCopyDelete: Boolean = false): Seq[Long] = {
+    // strip -- comments quote-aware (a literal may contain the dashes)
+    val noComments = script.linesIterator.map { line =>
+      var q = false
+      var cut = -1
+      var i = 0
+      while (i < line.length && cut < 0) {
+        val c = line.charAt(i)
+        if (c == '\'') q = !q
+        else if (!q && c == '-' && i + 1 < line.length &&
+          line.charAt(i + 1) == '-') cut = i
+        i += 1
+      }
+      if (cut < 0) line else line.substring(0, cut)
+    }.mkString("\n")
+    splitStatements(noComments)
+      .map(execute(spark, _, rules, mode, quarantine, zeroCopyDelete))
+  }
+
+  // split on ';' outside single-quoted literals and backticked names
+  private[graft] def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var quote = ' '
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (quote != ' ') { if (c == quote) quote = ' ' }
+      else c match {
+        case '\'' | '`' => quote = c
+        case ';' => out += text.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += text.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** `DESCRIBE HISTORY t` / `DESCRIBE DETAIL t` against a
     * [[registerDml]]-registered lake table ([[SqlDml.describe]]). */
   def describe(spark: SparkSession, sql: String): DataFrame =

@@ -295,6 +295,36 @@ class SqlDdlSpec extends SparkSpec {
     assert(e.getMessage.contains("column mapping"))
   }
 
+  test("executeScript runs a statement FILE: comments stripped, " +
+      "quote-aware splits, sequential commits, loud mid-script stop") {
+    val t = s"$root/script"
+    Forget.publishIndexed(seed(10), t, 2, "k", stats = true)
+    SqlDml.register(spark, "script_t", t, "k")
+    val vs = Sql.executeScript(spark,
+      """-- nightly fixups (the reference ships statement files)
+        |UPDATE script_t SET v = 'one;two' WHERE k = 1; -- literal ; kept
+        |DELETE FROM script_t WHERE k = 2;
+        |
+        |INSERT INTO script_t VALUES (500, 'five-hundred', 5)""".stripMargin)
+    assert(vs == Seq(2L, 3L, 4L))
+    assert(spark.sql("SELECT v FROM script_t WHERE k = 1").head()
+      .getString(0) == "one;two")
+    assert(spark.sql("SELECT count(*) FROM script_t").head()
+      .getLong(0) == 10L) // 10 - 1 + 1
+    // a failing middle statement stops the script; prior commits stand
+    val e = intercept[Exception] {
+      Sql.executeScript(spark,
+        """UPDATE script_t SET v = 'v5' WHERE k = 5;
+          |FROBNICATE script_t;
+          |UPDATE script_t SET v = 'never' WHERE k = 6""".stripMargin)
+    }
+    assert(e.getMessage.contains("FROBNICATE"))
+    assert(spark.sql("SELECT v FROM script_t WHERE k = 5").head()
+      .getString(0) == "v5") // statement 1 committed
+    assert(spark.sql("SELECT count(*) FROM script_t WHERE v = 'never'")
+      .head().getLong(0) == 0L) // statement 3 never ran
+  }
+
   test("register without allowMissing fails fast on an unpublished path") {
     val e = intercept[IllegalArgumentException] {
       SqlDml.register(spark, "typo_t", s"$root/no_such_table", "k")
