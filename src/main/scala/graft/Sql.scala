@@ -112,15 +112,17 @@ object Sql {
                       graft.lake.Expect.Mode.Fail,
                     quarantine: Option[String] = None,
                     zeroCopyDelete: Boolean = false): Seq[Long] = {
-    // strip -- comments quote-aware (a literal may contain the dashes)
+    // strip -- comments quote-aware (a literal or backticked name may
+    // contain the dashes)
     val noComments = script.linesIterator.map { line =>
-      var q = false
+      var quote = ' ' // active quote char (' or `), ' ' = none
       var cut = -1
       var i = 0
       while (i < line.length && cut < 0) {
         val c = line.charAt(i)
-        if (c == '\'') q = !q
-        else if (!q && c == '-' && i + 1 < line.length &&
+        if (quote != ' ') { if (c == quote) quote = ' ' }
+        else if (c == '\'' || c == '`') quote = c
+        else if (c == '-' && i + 1 < line.length &&
           line.charAt(i + 1) == '-') cut = i
         i += 1
       }
