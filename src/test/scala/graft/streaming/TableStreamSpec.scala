@@ -148,5 +148,33 @@ class TableStreamSpec extends SparkSpec {
     assert(err.exists(e => e.getMessage.contains("poison") &&
       e.getMessage.contains("schema")),
       s"expected the schema poison reject, got $err")
+
+    // the documented remedy WORKS: a fresh stream (new checkpoint =
+    // new snapshot pin) assembles the evolved table, new column and all
+    Dv.merge(spark, t, "k",
+      Seq((2L, "u2", 42)).toDF("k", "v", "w")) // v4: post-evolution DML
+    val assembled = ArrayBuffer.empty[Row]
+    val q2 = LakeStream.table(spark, t, s"$root/evolve_ckpt2")
+      .writeStream
+      .option("checkpointLocation", s"$root/evolve_ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        assembled.synchronized { assembled ++= b.collect(); () }
+        ()
+      }
+      .start()
+    q2.awaitTermination(120000)
+    val byKey = assembled.synchronized {
+      LakeStream.assemble(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(assembled.toSeq),
+          assembled.head.schema), "k")
+        .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    }
+    val live = Versioned.read(spark, t)
+    assert(byKey.size == live.count())
+    assert(byKey(2L).getAs[String]("v") == "u2")
+    assert(byKey(2L).getAs[Int]("w") == 42)
+    assert(byKey(5L).isNullAt(byKey(5L).fieldIndex("w"))) // null-filled
   }
 }
