@@ -105,7 +105,20 @@ object Sql {
     * SQL shell): statement N commits its version before N+1 parses, and
     * a failure stops the script with statements 1..N-1 committed — the
     * version history is the audit trail of how far it got. Returns the
-    * per-statement versions, in order. */
+    * per-statement versions, in order.
+    *
+    * `BEGIN [TRANSACTION]; ...; COMMIT;` marks a CROSS-TABLE ATOMIC
+    * block ([[graft.lake.Txn]]): every statement inside runs, and ALL
+    * their versions — across however many tables the block touches —
+    * flip visible in one atomic step at the COMMIT; any failure inside
+    * aborts every half-done version and stops the script with the
+    * tables exactly as before the BEGIN. `ROLLBACK` in place of COMMIT
+    * executes the block then discards it (a dry run under the real
+    * gates — violations still throw); its statements contribute no
+    * versions to the returned list. The whole block retries as one
+    * unit on write contention. VACUUM inside a block rejects (exclusive
+    * maintenance cannot run under the txn's own pending versions);
+    * nested BEGIN and a script ending inside an open block reject. */
   def executeScript(spark: SparkSession, script: String,
                     rules: Seq[graft.lake.Expect.Rule] = Nil,
                     mode: graft.lake.Expect.Mode =
@@ -128,8 +141,76 @@ object Sql {
       }
       if (cut < 0) line else line.substring(0, cut)
     }.mkString("\n")
-    splitStatements(noComments)
-      .map(execute(spark, _, rules, mode, quarantine, zeroCopyDelete))
+    val stmts = splitStatements(noComments)
+    def run(s: String): Long =
+      execute(spark, s, rules, mode, quarantine, zeroCopyDelete)
+    def isTok(s: String, re: String) = s.matches(s"(?is)$re")
+    val out = Seq.newBuilder[Long]
+    var i = 0
+    while (i < stmts.length) {
+      val s = stmts(i)
+      if (isTok(s, "BEGIN(\\s+(TRANSACTION|TRAN))?")) {
+        // collect the block up to its COMMIT/ROLLBACK
+        val body = Seq.newBuilder[String]
+        var closer: Option[String] = None
+        i += 1
+        while (i < stmts.length && closer.isEmpty) {
+          val b = stmts(i)
+          if (isTok(b, "COMMIT") || isTok(b, "ROLLBACK")) closer = Some(b)
+          else if (isTok(b, "BEGIN(\\s+(TRANSACTION|TRAN))?"))
+            throw new IllegalArgumentException(
+              "nested BEGIN — one atomic block cannot contain another")
+          else if (b.trim.toUpperCase.startsWith("VACUUM"))
+            throw new IllegalArgumentException(
+              "VACUUM inside BEGIN...COMMIT — exclusive maintenance " +
+                "cannot run under the transaction's own pending versions")
+          else body += b
+          i += 1
+        }
+        val block = body.result()
+        closer match {
+          case None => throw new IllegalArgumentException(
+            "script ends inside an open BEGIN block — close it with " +
+              "COMMIT (or ROLLBACK); nothing from the block was applied")
+          case Some(c) if isTok(c, "COMMIT") =>
+            // the whole block is ONE unit of write contention: a txn-level
+            // conflict re-runs every statement against the new live state.
+            // Composed from the txn seams (not atomically) so the abort
+            // path still holds the ctx: views bound mid-txn point at
+            // versions the abort just deleted and must re-bind to the
+            // live state before the script stops, or the session's next
+            // read explodes on vanished files.
+            out ++= Versioned.withWriteRetry() {
+              val ctx = graft.lake.Txn.begin(spark)
+              try {
+                val vs =
+                  try block.map(run)
+                  catch {
+                    case t: Throwable =>
+                      graft.lake.Txn.abort(ctx)
+                      SqlDml.rebindAll(spark, ctx.committedVersions.keySet)
+                      throw t
+                  }
+                graft.lake.Txn.flip(ctx)
+                vs
+              } finally graft.lake.Txn.detach()
+            }
+          case Some(_) => // ROLLBACK: execute under the gates, discard
+            val ctx = graft.lake.Txn.begin(spark)
+            try { block.foreach(run); () }
+            finally {
+              graft.lake.Txn.abort(ctx)
+              graft.lake.Txn.detach()
+              SqlDml.rebindAll(spark,
+                ctx.committedVersions.keySet)
+            }
+        }
+      } else {
+        out += run(s)
+        i += 1
+      }
+    }
+    out.result()
   }
 
   // split on ';' outside single-quoted literals and backticked names

@@ -91,6 +91,20 @@ object SqlDml {
     }
   }
 
+  /** Re-bind every registered view whose table path is in `tables` to
+    * the (re-)resolved live version — [[Sql.executeScript]] heals view
+    * bindings after a transaction block aborts or rolls back (a view
+    * bound mid-txn points at a pending version the abort just deleted). */
+  private[graft] def rebindAll(spark: SparkSession,
+                               tables: Set[String]): Unit =
+    registry.foreach { case (name, (table, _)) =>
+      if (tables.contains(table) &&
+          Versioned.currentVersion(spark, table).isDefined) {
+        Sql.registerTable(spark, name, table)
+        ()
+      }
+    }
+
   private[graft] def lookup(name: String): (String, String) =
     registry.getOrElse(name.toLowerCase, throw new IllegalArgumentException(
       s"'$name' is not a registered lake table — SqlDml.register(name, " +

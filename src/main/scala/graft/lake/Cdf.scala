@@ -74,7 +74,7 @@ object Cdf {
     val parts = math.max(1, math.min(64,
       ((upsertRows + deleteRows) / 1000000L + 1).toInt))
     changes.coalesce(parts)
-      .write.mode("overwrite").parquet(s"$newDir/_changes")
+      .write.mode("overwrite").parquet(s"$newDir/${Txn.feedName}")
   }
 
   /** Record "this version changed no rows" (layout-only maintenance). */
@@ -105,7 +105,7 @@ object Cdf {
     spark.range(1).select(cols: _*)
       .withColumn("_op", lit("B"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$newDir/_changes")
+      .write.mode("overwrite").parquet(s"$newDir/${Txn.feedName}")
   }
 
   /** Record "this commit CHANGED THE TABLE SCHEMA" for the streaming
@@ -129,7 +129,7 @@ object Cdf {
     spark.range(1).select(cols: _*)
       .withColumn("_op", lit("S"))
       .coalesce(1)
-      .write.mode("append").parquet(s"$newDir/_changes")
+      .write.mode("append").parquet(s"$newDir/${Txn.feedName}")
   }
 
   /** Every change after `sinceV` up to `untilV` (the live version when
@@ -161,9 +161,15 @@ object Cdf {
       .map(_.feed).getOrElse(Map.empty[Long, Char])
     val frames = ((sinceV + 1) to live).flatMap { v =>
       val dir = s"$table/v=$v"
+      // `_changes_txn` is a cross-table-txn participant's feed awaiting
+      // its finalize rename ([[graft.lake.Txn]]): this version is only in
+      // range because currentVersion already adjudicated it COMMITTED (or
+      // it is the reading thread's own pending write), so the staged name
+      // reads as the real feed
       val kind = kinds.getOrElse(v,
         if (f.exists(new Path(s"$dir/_changes_break"))) 'b'
-        else if (f.exists(new Path(s"$dir/_changes"))) 'c'
+        else if (f.exists(new Path(s"$dir/_changes")) ||
+                 f.exists(new Path(s"$dir/_changes_txn"))) 'c'
         else if (f.exists(new Path(s"$dir/_changes_none"))) 'n'
         else 'x')
       kind match {
@@ -174,7 +180,10 @@ object Cdf {
           // recordSchemaChange) are metadata, not changes: filtered
           // here, so a metadata-only Evolve overlay bridges to zero
           // rows and an evolving merge contributes only its real U/Ds.
-          try Some(spark.read.parquet(s"$dir/_changes")
+          val feedDir =
+            if (f.exists(new Path(s"$dir/_changes"))) s"$dir/_changes"
+            else s"$dir/_changes_txn"
+          try Some(spark.read.parquet(feedDir)
             .filter(col("_op") =!= "S")
             .withColumn("_version", lit(v)))
           catch {

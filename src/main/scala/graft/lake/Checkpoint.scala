@@ -91,7 +91,10 @@ object Checkpoint {
       .flatMap(_.toLongOption).map { ts =>
         val kind =
           if (f.exists(new Path(s"$table/v=$v/_changes_break"))) 'b'
-          else if (f.exists(new Path(s"$table/v=$v/_changes"))) 'c'
+          // `_changes_txn`: a committed txn participant's feed awaiting
+          // its finalize rename — same changeset, staged name (Txn)
+          else if (f.exists(new Path(s"$table/v=$v/_changes")) ||
+                   f.exists(new Path(s"$table/v=$v/_changes_txn"))) 'c'
           else if (f.exists(new Path(s"$table/v=$v/_changes_none"))) 'n'
           else 'x'
         (v, ts, kind)

@@ -49,14 +49,20 @@ object History {
     val f = new Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ts = Versioned.commitTimes(spark, table).toMap
-    val rows = Versioned.versions(spark, table).map { v =>
+    val rows = Versioned.versions(spark, table)
+      // an uncommitted cross-table txn's pending dirs are not history —
+      // they either flip visible (then they list) or abort away
+      .filter(v => Txn.visible(f, s"$table/v=$v"))
+      .map { v =>
       val dir = s"$table/v=$v"
       def has(p: String) = f.exists(new Path(s"$dir/$p"))
       val isRef = has("_ref")
       val op =
         if (has("_changes_break")) { if (isRef) "restore" else "publish" }
         else if (has("_schema_change")) "schema" // Evolve overlay
-        else if (has("_changes")) "dml"
+        // `_changes_txn`: a committed txn participant's changeset
+        // awaiting its finalize rename — same "dml", staged name
+        else if (has("_changes") || has("_changes_txn")) "dml"
         else if (has("_changes_none"))
           // legacy Evolve overlays (pre-`_schema_change` marker) wrote
           // `_changes_none` + an own marker on a ref — keep labeling

@@ -1,0 +1,389 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Cross-table atomic transactions over [[Versioned]] tables — the one
+ * semantic the per-table commit protocol cannot express: several tables
+ * (a CDC target and its [[MatView]], a table and its quarantine, two
+ * halves of a double-entry update) flipping to their new versions in ONE
+ * atomic step, so no reader ever observes table A advanced while table B
+ * lags. (Delta Lake itself stops at single-table transactions; this is
+ * the Iceberg/Nessie-style multi-table commit, re-expressed on the
+ * claim-commit layout. Reference scope: the reference pipeline's
+ * extract-then-derive steps, e.g. `daily_pipeline.py`, publish each
+ * output independently and accept the skew window — this closes it.)
+ *
+ * Protocol (one new state on top of the [[Versioned]] claim-commit
+ * machinery — every per-table step is unchanged):
+ *
+ *  1. The txn body runs ordinary DML/publish calls. Each publish claims
+ *     and renames its `v=N` exactly as before, but with a `_txn` marker
+ *     inside the version dir (delivered complete by the same atomic
+ *     rename) naming this txn's RECORD file, and with the pointer-cache
+ *     update deferred. The record (`<firstTable>/_txns/<id>`, rewritten
+ *     BEFORE each participant's rename so it always lists every renamed
+ *     dir) is the recovery manifest.
+ *  2. COMMIT POINT: one `create(<record>.commit, overwrite = false)`.
+ *     Every participant version becomes visible in that single atomic
+ *     metadata op — [[resolve]] is how readers adjudicate a marker.
+ *  3. Finalize (best-effort, idempotent, completed by [[heal]] after a
+ *     crash): per participant, promote the `_changes_txn` feed sidecar
+ *     to `_changes` (streaming tails must not discover change files of
+ *     uncommitted versions), drop the `_txn` marker, update the pointer
+ *     cache; then delete the record, then its `.commit`.
+ *
+ * Visibility rule (the whole correctness argument): a version dir whose
+ * `_txn` marker is unresolved-PENDING (record exists, `.commit` does
+ * not) is NOT committed — [[Versioned.currentVersion]]'s forward probe
+ * stops before it, time-travel reads of it throw, replay-tag probes and
+ * history listings skip it. A marker whose record carries `.commit` —
+ * or has been finalized away entirely — reads as committed ([[abort]]
+ * deletes version dirs BEFORE the record, so a surviving marked dir
+ * with no record can only be post-finalize). Within the OWNING txn the
+ * pending versions are visible (read-your-own-writes): a view refresh
+ * inside the txn sees the source version the same txn just published.
+ *
+ * Crash windows: before any rename — stage cleanup only, claims healed
+ * by [[Versioned.healClaims]]. Between a rename and the commit point —
+ * the renamed dirs are pending-invisible forever; [[heal]] (run by
+ * `healClaims`/`vacuum`, exclusive maintenance) aborts the record:
+ * deletes each listed dir whose marker matches, frees the claims,
+ * drops the record. After the commit point — committed; [[heal]]
+ * completes the finalize. Concurrent writers that collide with a
+ * pending version wait for the resolution (flip → plain re-derive;
+ * abort → the number frees up) up to [[txnGraceMs]], then fail loudly
+ * toward `healClaims` — size the grace above the longest expected txn
+ * body, exactly like `claimGraceMs` vs the slowest rename.
+ *
+ * Scale posture: a txn adds per-participant ONE small-file rewrite (the
+ * record), one marker file, and one rename — metadata ops, independent
+ * of data size. Steady-state reads pay nothing: markers exist only
+ * between a participant's rename and the finalize, so the probe's
+ * marker check is one existence probe on dirs younger than the flip.
+ * The claims held across the txn body make competing writers on the
+ * SAME tables wait/retry (first-committer-wins, with the txn as one
+ * commit) — keep txn bodies short, as with any OCC hold.
+ */
+object Txn {
+
+  /** How long a writer colliding with a PENDING txn version waits for
+    * the resolution (commit flip or abort) before failing toward
+    * `healClaims`. Via `graft.txn.graceMs`; default 30 s. */
+  private[lake] def txnGraceMs: Long =
+    sys.props.get("graft.txn.graceMs").flatMap(_.toLongOption)
+      .getOrElse(30000L)
+
+  /** In-flight transaction state, thread-local (a txn is one driver
+    * thread's sequence of publishes — Spark actions inside fan out to
+    * executors as usual; only the COMMITS serialize through here). */
+  private[lake] final class Ctx(val spark: SparkSession,
+                                val id: String) {
+    // (table, version, fs) per renamed participant, registration order
+    private[Txn] val parts = new ArrayBuffer[(String, Long, FileSystem)]
+    private[Txn] var record: Option[Path] = None
+    private[Txn] var recordFs: FileSystem = _
+    /** Qualified record path — the `_txn` marker's first line. */
+    private[lake] def recordPath: String = record.get.toString
+    private[graft] def committedVersions: Map[String, Long] =
+      parts.map(p => p._1 -> p._2).toMap
+  }
+
+  private val activeCtx = new ThreadLocal[Ctx]
+  private[graft] def current: Option[Ctx] = Option(activeCtx.get)
+  private[graft] def currentId: Option[String] = current.map(_.id)
+
+  private def recordDir(table: String) = new Path(s"$table/_txns")
+  private def commitMarker(record: Path) =
+    new Path(record.getParent, record.getName + ".commit")
+
+  /** Run `body` as one atomic cross-table transaction: every
+    * [[Versioned]] publish inside it (merge, purge, view refresh, blind
+    * publish — anything that commits a version) becomes a participant,
+    * and ALL of them flip visible in one atomic step after `body`
+    * returns. Any throw aborts: every renamed participant dir is
+    * deleted, claims freed, and the throw propagates — the tables read
+    * exactly as before the txn. Returns `body`'s value. Nesting is
+    * rejected (one commit point cannot serve two atomicity scopes);
+    * [[Versioned.ConcurrentWriteException]] from a participant
+    * propagates after the abort, so the standard
+    * [[Versioned.withWriteRetry]] wrapper re-runs the WHOLE txn against
+    * the new live versions. */
+  def atomically[T](spark: SparkSession)(body: => T): T = {
+    require(activeCtx.get == null,
+      "nested Txn.atomically — one commit point cannot serve two " +
+        "atomicity scopes; compose the work into the outer txn body")
+    val ctx = new Ctx(spark, java.util.UUID.randomUUID.toString)
+    activeCtx.set(ctx)
+    try {
+      val out =
+        try body
+        catch { case t: Throwable => abort(ctx); throw t }
+      flip(ctx)
+      out
+    } finally activeCtx.remove()
+  }
+
+  /** Spec seams: begin/flip/abort compose [[atomically]] and let a spec
+    * hold the pre-flip state open while another thread observes;
+    * [[detach]] drops the thread-local WITHOUT flip or abort — the
+    * on-disk state a driver crash mid-txn leaves behind. */
+  private[graft] def detach(): Unit = activeCtx.remove()
+
+  private[graft] def begin(spark: SparkSession): Ctx = {
+    require(activeCtx.get == null, "nested Txn.begin")
+    val ctx = new Ctx(spark, java.util.UUID.randomUUID.toString)
+    activeCtx.set(ctx)
+    ctx
+  }
+
+  /** Called by [[Versioned]] commit internals AFTER winning the claim
+    * for `version` and BEFORE the stage→dest rename: ensures the record
+    * exists and lists this participant (so a crash after the rename is
+    * always adjudicable), and plants the `_txn` marker in the stage (the
+    * rename delivers it atomically with the data). */
+  private[lake] def prepare(ctx: Ctx, f: FileSystem, table: String,
+                            version: Long, stage: Path): Unit = {
+    if (ctx.record.isEmpty) {
+      // the record lives under the FIRST participant table — the txn's
+      // coordinator; heal() at that table adjudicates the whole txn
+      val dir = recordDir(table)
+      f.mkdirs(dir)
+      ctx.record = Some(f.makeQualified(new Path(dir, ctx.id)))
+      ctx.recordFs = f
+    }
+    // rewrite the record with every participant INCLUDING this one —
+    // before the rename, so every renamed dir is always listed
+    val body = (ctx.parts.map(p => s"t ${p._1} ${p._2}") :+
+      s"t $table $version").mkString("\n")
+    val out = ctx.recordFs.create(ctx.record.get, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val m = f.create(new Path(stage, "_txn"), true)
+    try m.write(s"${ctx.recordPath}\n${ctx.id}"
+      .getBytes(StandardCharsets.UTF_8))
+    finally m.close()
+  }
+
+  /** Called after the participant's rename won: track it for the flip. */
+  private[lake] def registered(ctx: Ctx, f: FileSystem, table: String,
+                               version: Long): Unit =
+    ctx.parts += ((table, version, f))
+
+  /** COMMIT: one atomic `.commit` create, then finalize. */
+  private[graft] def flip(ctx: Ctx): Unit = {
+    if (ctx.parts.isEmpty) return // empty txn: nothing renamed, no record
+    val rec = ctx.record.get
+    val out = ctx.recordFs.create(commitMarker(rec), false) // COMMIT POINT
+    out.close()
+    finalizeCommitted(ctx.recordFs, rec,
+      ctx.parts.toSeq.map(p => (p._1, p._2, p._3)))
+  }
+
+  /** ROLLBACK a not-yet-flipped ctx: delete every renamed participant
+    * dir (never exposed — their markers are unresolved-pending), free
+    * the claims, drop the record. Dir deletion precedes record deletion
+    * — the invariant that makes "marked dir, no record" read as
+    * committed-finalized. */
+  private[graft] def abort(ctx: Ctx): Unit = {
+    ctx.parts.foreach { case (table, v, f) =>
+      // claim BEFORE dir: a competitor that sees the claim vanish while
+      // the dir lingers re-adjudicates through the pending-marker wait
+      // (ends in Gone); the reverse order would let it misread the
+      // moment as an orphaned claim and fail loudly for nothing
+      f.delete(new Path(s"$table/_claims/$v"), false)
+      f.delete(new Path(s"$table/v=$v"), true)
+    }
+    ctx.record.foreach { rec =>
+      ctx.recordFs.delete(rec, false)
+      ()
+    }
+  }
+
+  // finalize a COMMITTED txn (flip already durable): promote feed
+  // sidecars, drop markers, update pointers, then record, then .commit.
+  // Idempotent — heal() re-runs it after a finalize crash.
+  private def finalizeCommitted(recordFs: FileSystem, record: Path,
+      parts: Seq[(String, Long, FileSystem)]): Unit = {
+    parts.foreach { case (table, v, f) =>
+      val dir = s"$table/v=$v"
+      val pendingFeed = new Path(s"$dir/_changes_txn")
+      if (f.exists(pendingFeed))
+        f.rename(pendingFeed, new Path(s"$dir/_changes"))
+      f.delete(new Path(s"$dir/_txn"), false)
+      Versioned.pointerUpdate(f, table, v)
+      Checkpoint.maybeWrite(f, table, v)
+    }
+    recordFs.delete(record, false)
+    recordFs.delete(commitMarker(record), false)
+    ()
+  }
+
+  /** How a version dir's `_txn` marker reads RIGHT NOW. */
+  private[lake] sealed trait Resolution
+  /** No marker — an ordinary single-table commit. */
+  private[lake] case object NoTxn extends Resolution
+  /** The txn committed (`.commit` exists, or the record is finalized
+    * away — abort deletes dirs before the record, so a surviving marked
+    * dir without a record is always post-finalize). */
+  private[lake] case object Committed extends Resolution
+  /** In-flight or crashed-uncommitted: INVISIBLE to everyone but the
+    * owning thread. */
+  private[lake] case object PendingOther extends Resolution
+  /** Pending, but owned by THIS thread's active txn —
+    * read-your-own-writes. */
+  private[lake] case object PendingOurs extends Resolution
+
+  private[lake] def resolve(f: FileSystem, versionDir: String): Resolution = {
+    val marker = new Path(s"$versionDir/_txn")
+    val content =
+      try {
+        if (!f.exists(marker)) return NoTxn
+        Versioned.readSmallFile(f, marker)
+      } catch {
+        // dir (or marker) vanished under us — an abort raced this read;
+        // the caller's existence checks re-adjudicate the dir itself
+        case _: java.io.FileNotFoundException => return NoTxn
+      }
+    content match {
+      case None => NoTxn // unreadable husk — markers arrive complete
+      case Some(s) =>
+        val lines = s.linesIterator.toSeq
+        if (lines.size < 2) return NoTxn
+        if (currentId.contains(lines(1))) return PendingOurs
+        val rec = new Path(lines.head)
+        val rf = rec.getFileSystem(f.getConf)
+        if (rf.exists(commitMarker(rec))) Committed
+        else if (rf.exists(rec)) PendingOther
+        else Committed // finalized (or abort mid-record-delete: its dirs
+                       // are already gone, so this dir isn't one of them)
+    }
+  }
+
+  /** Reader-side gate: may this EXISTING version dir be served? */
+  private[lake] def visible(f: FileSystem, versionDir: String): Boolean =
+    resolve(f, versionDir) != PendingOther
+
+  private[lake] sealed trait Awaited
+  private[lake] case object Visible extends Awaited
+  private[lake] case object Gone extends Awaited
+  private[lake] case object StillPending extends Awaited
+
+  /** Writer-side wait on a committed-looking dir at a number we want:
+    * poll until the marker resolves (txn committed → [[Visible]], the
+    * competitor's number stands), the dir vanishes (txn aborted →
+    * [[Gone]], the number is claimable), or [[txnGraceMs]] runs out
+    * ([[StillPending]] — in-flight-too-long or crashed; the caller
+    * fails toward `healClaims`). */
+  private[lake] def awaitResolution(f: FileSystem, versionDir: String): Awaited = {
+    val deadline = System.currentTimeMillis() + txnGraceMs
+    while (true) {
+      if (!f.exists(new Path(s"$versionDir/_commit_ts"))) return Gone
+      resolve(f, versionDir) match {
+        case PendingOther =>
+          if (System.currentTimeMillis() > deadline) return StillPending
+          Thread.sleep(25)
+        case _ => return Visible
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Adjudicate every txn this table COORDINATES (its `_txns/` records)
+    * plus any foreign-coordinated pending dir above the live version:
+    * committed records complete their finalize; uncommitted records
+    * ABORT — every listed participant dir whose marker matches is
+    * deleted (across tables: the record lists them), claims freed,
+    * record dropped. EXCLUSIVE maintenance, run with no writers active
+    * (the [[Versioned.healClaims]] contract — which calls this first);
+    * under that exclusivity any uncommitted record is a crashed txn, so
+    * no age check is needed. Returns the number of txns adjudicated. */
+  def heal(spark: SparkSession, table: String): Int = {
+    val f = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var healed = 0
+    val dir = recordDir(table)
+    if (f.exists(dir)) {
+      val entries = f.listStatus(dir).toSeq.filter(_.isFile)
+      val commits = entries.map(_.getPath.getName)
+        .filter(_.endsWith(".commit")).toSet
+      entries.filterNot(_.getPath.getName.endsWith(".commit")).foreach { s =>
+        val rec = s.getPath
+        val parts = Versioned.readSmallFile(f, rec).toSeq
+          .flatMap(_.linesIterator)
+          .collect { case l if l.startsWith("t ") =>
+            val i = l.lastIndexOf(' ')
+            (l.substring(2, i), l.substring(i + 1).toLong)
+          }
+          .map { case (t, v) =>
+            (t, v, new Path(t)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration))
+          }
+        if (commits.contains(rec.getName + ".commit")) {
+          finalizeCommitted(f, rec, parts)
+        } else {
+          // crashed uncommitted: abort. Only dirs whose marker names
+          // THIS record die — a reused version number committed by a
+          // later writer is never collateral.
+          parts.foreach { case (t, v, tf) =>
+            val vdir = s"$t/v=$v"
+            val named = Versioned.readSmallFile(tf,
+              new Path(s"$vdir/_txn")).exists(
+              _.linesIterator.toSeq.headOption.contains(rec.toString))
+            if (named || !tf.exists(new Path(s"$vdir/_commit_ts")))
+              tf.delete(new Path(s"$t/_claims/$v"), false)
+            if (named) tf.delete(new Path(vdir), true)
+          }
+          f.delete(rec, false)
+        }
+        healed += 1
+      }
+      // orphaned .commit markers (record already finalized away)
+      f.listStatus(dir).toSeq.filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".commit"))
+        .filter(s => !f.exists(new Path(dir,
+          s.getPath.getName.stripSuffix(".commit"))))
+        .foreach(s => f.delete(s.getPath, false))
+    }
+    // foreign-coordinated participants: pending dirs above the live
+    // version whose record lives at another table — resolve remotely,
+    // finalize or locally abort
+    val live = Versioned.currentVersion(spark, table).getOrElse(0L)
+    Versioned.versions(spark, table).filter(_ > live).foreach { v =>
+      val vdir = s"$table/v=$v"
+      Versioned.readSmallFile(f, new Path(s"$vdir/_txn")).foreach { s =>
+        val rec = new Path(s.linesIterator.next())
+        if (!f.makeQualified(rec.getParent)
+            .equals(f.makeQualified(recordDir(table)))) {
+          val rf = rec.getFileSystem(f.getConf)
+          if (rf.exists(commitMarker(rec)) || !rf.exists(rec)) {
+            // committed (or finalized) remotely: complete locally
+            val pendingFeed = new Path(s"$vdir/_changes_txn")
+            if (f.exists(pendingFeed))
+              f.rename(pendingFeed, new Path(s"$vdir/_changes"))
+            f.delete(new Path(s"$vdir/_txn"), false)
+            Versioned.pointerUpdate(f, table, v)
+          } else {
+            f.delete(new Path(vdir), true)
+            f.delete(new Path(s"$table/_claims/$v"), false)
+          }
+          healed += 1
+        }
+      }
+    }
+    healed
+  }
+
+  /** The feed-sidecar name DML builds write under: pending txn
+    * participants stage their change feed as `_changes_txn` so the
+    * streaming file source (globbing `v=*&#47;_changes`) never discovers
+    * change files of an uncommitted version; the flip's finalize
+    * promotes it. */
+  private[lake] def feedName: String =
+    if (current.isDefined) "_changes_txn" else "_changes"
+}

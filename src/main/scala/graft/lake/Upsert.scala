@@ -254,7 +254,12 @@ object Upsert {
   def recentBatchTags(spark: SparkSession, table: String,
                       lookback: Int = 16): Set[String] = {
     val f = fs(spark, table)
+    // skip versions of an UNCOMMITTED cross-table txn ([[Txn]]): a
+    // crashed txn's pending dir carries its batch tag, and counting it
+    // would make a replay of that batch no-op against a version heal is
+    // about to abort — the one way tag-dedup could LOSE a batch
     Versioned.versions(spark, table).sorted.takeRight(lookback)
+      .filter(v => Txn.visible(f, s"$table/v=$v"))
       .flatMap(readTag(f, table, _)).toSet
   }
 

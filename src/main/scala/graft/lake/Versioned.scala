@@ -65,9 +65,17 @@ object Versioned {
     * between claim and rename, and the number stays blocked until
     * [[healClaims]] (retrying cannot resolve it). */
   final class ConcurrentWriteException(table: String, version: Long,
-                                       val orphaned: Boolean = false)
+                                       val orphaned: Boolean = false,
+                                       val txnPending: Boolean = false)
     extends RuntimeException(
-      if (orphaned)
+      if (txnPending)
+        s"version $version of $table belongs to a cross-table " +
+          "transaction still PENDING past the txn grace " +
+          s"(graft.txn.graceMs = ${Txn.txnGraceMs} ms) — either a live " +
+          "txn running longer than the grace (raise it) or a claimant " +
+          "crashed before its commit flip; run Versioned.healClaims " +
+          "with no writers active to adjudicate, then retry"
+      else if (orphaned)
         s"the claim for version $version of $table is ORPHANED (older " +
           "than the liveness grace with no committed dir — a claimant " +
           "crashed between claim and rename); run Versioned.healClaims " +
@@ -90,7 +98,10 @@ object Versioned {
       try return op
       catch {
         case e: ConcurrentWriteException =>
-          if (e.orphaned) throw e
+          // neither resolves by retrying: an orphan blocks its number
+          // until healClaims, and a txn-pending timeout already WAITED
+          // the full grace inside the attempt
+          if (e.orphaned || e.txnPending) throw e
           tried += 1
           if (tried >= attempts) throw e
           Thread.sleep(20L * tried + java.util.concurrent.ThreadLocalRandom
@@ -199,7 +210,14 @@ object Versioned {
         if (f.exists(new Path(s"$table/v=1/_commit_ts"))) Some(1L) else None)
       .map { base =>
         var v = base
-        while (f.exists(new Path(s"$table/v=${v + 1}/_commit_ts"))) v += 1
+        // a dir whose _txn marker is unresolved-PENDING is NOT committed
+        // (a cross-table txn mid-flight or crashed pre-flip): the probe
+        // stops before it — except for the OWNING thread's txn, which
+        // reads its own writes. Markers exist only between a txn
+        // participant's rename and its finalize, so the extra resolve is
+        // confined to that window.
+        while (f.exists(new Path(s"$table/v=${v + 1}/_commit_ts")) &&
+               Txn.visible(f, s"$table/v=${v + 1}")) v += 1
         v
       }
   }
@@ -387,8 +405,16 @@ object Versioned {
     val committed = new Path(dest, "_commit_ts")
     // already committed under this number (its claim may have been pruned
     // by a later vacuum/healClaims): plain conflict, do NOT claim — a
-    // "won" claim here would rename INTO the committed dir
-    if (f.exists(committed)) return false
+    // "won" claim here would rename INTO the committed dir. A dir whose
+    // _txn marker is unresolved-PENDING is a cross-table txn mid-flight:
+    // wait for its resolution — flip makes the number stand (plain
+    // conflict), abort frees it (claimable again).
+    if (f.exists(committed)) Txn.awaitResolution(f, dest.toString) match {
+      case Txn.Visible => return false
+      case Txn.Gone => () // txn aborted; the number is claimable
+      case Txn.StillPending =>
+        throw new ConcurrentWriteException(table, next, txnPending = true)
+    }
     // same-JVM claimants serialize the CLAIM on the table lock: HDFS
     // create-exclusive is namenode-atomic, but the LOCAL FS's is
     // exists-then-create — two threads can both "win" the TOCTOU window.
@@ -414,7 +440,13 @@ object Versioned {
       // to [[claimGraceMs]]; a claim older than the grace with no
       // committed dir is an orphan — blocked loudly toward healClaims.
       while (true) {
-        if (f.exists(committed)) return false
+        if (f.exists(committed)) Txn.awaitResolution(f, dest.toString) match {
+          case Txn.Visible => return false
+          case Txn.Gone => () // txn aborted; keep polling the claim
+          case Txn.StillPending =>
+            throw new ConcurrentWriteException(table, next,
+              txnPending = true)
+        }
         val age =
           try System.currentTimeMillis() -
             f.getFileStatus(claim(table, next)).getModificationTime
@@ -435,6 +467,12 @@ object Versioned {
     // clear it so the rename lands clean instead of moving INTO it.
     if (f.exists(dest) && !f.exists(committed))
       f.delete(dest, true)
+    // active cross-table txn: list this participant in the txn record and
+    // plant the _txn marker BEFORE the rename (delivered atomically with
+    // the data), so a crash after the rename is always adjudicable and
+    // the version stays invisible until the txn's one commit flip
+    val txn = Txn.current
+    txn.foreach(ctx => Txn.prepare(ctx, f, table, next, stage))
     require(f.rename(stage, dest), s"commit rename failed: $stage -> $dest")
     // local-FS/HDFS rename moves INTO an existing dest dir instead of
     // failing; under claim exclusivity dest cannot exist, but verify — a
@@ -446,14 +484,26 @@ object Versioned {
       f.delete(movedInto, true) // un-pollute the winner's dir
       throw new ConcurrentWriteException(table, next)
     }
-    updatePointer(f, table, next)
-    Checkpoint.maybeWrite(f, table, next) // every Nth commit, best-effort
+    txn match {
+      case Some(ctx) =>
+        // pointer + checkpoint defer to the txn's commit flip — the
+        // cache must never point at a pending-invisible version
+        Txn.registered(ctx, f, table, next)
+      case None =>
+        updatePointer(f, table, next)
+        Checkpoint.maybeWrite(f, table, next) // every Nth commit
+    }
     true
   }
 
   // the pointer file is a CACHE (readers probe forward): update it
   // best-effort with a monotone guard, never fail a committed publish
   // over it
+  /** [[Txn]]'s finalize advances pointer caches after its commit flip. */
+  private[lake] def pointerUpdate(f: FileSystem, table: String,
+                                  next: Long): Unit =
+    updatePointer(f, table, next)
+
   private def updatePointer(f: FileSystem, table: String,
                             next: Long): Unit =
     pointerLock(f, table).synchronized {
@@ -483,6 +533,15 @@ object Versioned {
     * loudly). Also run by [[vacuum]]. Returns the number of claims
     * cleared. */
   def healClaims(spark: SparkSession, table: String): Int = {
+    require(Txn.current.isEmpty,
+      "healClaims inside an active cross-table transaction would " +
+        "adjudicate the txn's own pending versions as crashed — run " +
+        "maintenance outside the txn")
+    // adjudicate cross-table txns FIRST ([[Txn.heal]]): a crashed txn's
+    // pending dirs must abort (or its committed flip finalize) before the
+    // claims clear, or the dirs would block the probe forever while their
+    // numbers became claimable — the same exclusive-maintenance contract
+    Txn.heal(spark, table)
     val f = fs(spark, table)
     val dir = new Path(s"$table/_claims")
     if (!f.exists(dir)) return 0
@@ -510,6 +569,13 @@ object Versioned {
     * the union of both, under the base dir's schema discipline. */
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
     val own = s"$table/v=$v"
+    // explicit version reads (time travel) must not serve a version whose
+    // cross-table txn has not committed — that would be a dirty read of a
+    // flip that may never happen
+    require(Txn.visible(fs(spark, table), own),
+      s"version $v of $table belongs to an uncommitted cross-table " +
+        "transaction (pending or crashed pre-flip) — not readable; if no " +
+        "txn is live, run Versioned.healClaims to adjudicate")
     val data = dataDir(spark, table, v)
     val df =
       if (data == own) readDataDir(spark, own)
@@ -719,6 +785,9 @@ object Versioned {
   }
 
   def vacuum(spark: SparkSession, table: String, keep: Int = 1): Seq[Long] = {
+    require(Txn.current.isEmpty,
+      "vacuum inside an active cross-table transaction would heal away " +
+        "the txn's own pending versions — run maintenance outside the txn")
     val f = fs(spark, table)
     val live = currentVersion(spark, table).getOrElse(return Seq.empty)
     // vacuum is exclusive maintenance: clear served/orphaned claims and

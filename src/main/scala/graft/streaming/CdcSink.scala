@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
 
-import graft.lake.{Expect, Upsert}
+import graft.lake.{Expect, Txn, Upsert}
 
 /**
  * Streaming CDC sink: apply a change stream (`op` = "I"/"U"/"D" + the
@@ -109,31 +109,50 @@ object CdcSink {
                          view: String, batch: DataFrame, batchId: Long,
                          opCol: String = "op",
                          seqCol: Option[String] = None,
-                         evolveSchema: Boolean = false): Unit =
+                         evolveSchema: Boolean = false,
+                         atomic: Boolean = false): Unit =
     if (!batch.isEmpty) {
       // ONE materialization of the reduced batch serves both halves —
       // applyCdc and MatView.refresh each respect a caller-held cache, so
       // the per-key reduction window and validation never re-run
       val reduced = seqCol.fold(batch)(s =>
         Upsert.lastPerKey(batch, keyCol, s, opCol)).persist()
-      try {
+      def halves(): Unit = {
         if (!Upsert.recentBatchTags(spark, table).contains(batchId.toString))
           Upsert.applyCdc(spark, table, keyCol, reduced, opCol,
             batchTag = Some(batchId.toString), evolveSchema = evolveSchema)
         graft.lake.MatView.refresh(spark, view, reduced, opCol)
         ()
+      }
+      try {
+        if (atomic)
+          // ONE cross-table transaction ([[graft.lake.Txn]]): the source
+          // version and the view version flip visible in one atomic
+          // step, so no reader ever sees the table advanced while the
+          // view lags (the replay-idempotence argument above still
+          // covers the crash-between-halves window; this closes the
+          // LIVE-read skew window too). The refresh inside the txn reads
+          // the source version the same txn just published
+          // (read-your-own-writes); a crash before the flip aborts both
+          // halves and the replay re-applies them — the batch tag of an
+          // unflipped txn is invisible to recentBatchTags by design.
+          Txn.atomically(spark)(halves())
+        else halves()
       } finally { reduced.unpersist(); () }
     }
 
   /** Wire a change stream into `table` AND keep `view` (a
-    * [[graft.lake.MatView]] over it) refreshed per micro-batch. */
+    * [[graft.lake.MatView]] over it) refreshed per micro-batch.
+    * `atomic = true` runs each micro-batch's pair as one cross-table
+    * transaction ([[graft.lake.Txn]]) — table and view flip together. */
   def intoWithView(changes: DataFrame, table: String, keyCol: String,
                    view: String, opCol: String = "op",
                    seqCol: Option[String] = None,
-                   evolveSchema: Boolean = false): DataStreamWriter[Row] =
+                   evolveSchema: Boolean = false,
+                   atomic: Boolean = false): DataStreamWriter[Row] =
     changes.writeStream.foreachBatch {
       (batch: DataFrame, id: Long) =>
         applyBatchWithView(batch.sparkSession, table, keyCol, view, batch,
-          id, opCol, seqCol, evolveSchema)
+          id, opCol, seqCol, evolveSchema, atomic)
     }
 }

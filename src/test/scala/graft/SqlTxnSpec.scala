@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.lake.{Forget, Versioned}
+
+/**
+ * SQL transaction blocks ([[Sql.executeScript]] `BEGIN ... COMMIT /
+ * ROLLBACK`): statements across SEVERAL lake tables flip atomically at
+ * the COMMIT; a failure inside the block aborts every half-done version
+ * and the tables read exactly as before the BEGIN; ROLLBACK executes
+ * then discards; nested/unclosed blocks and VACUUM-in-block reject; and
+ * view bindings heal after an abort.
+ */
+class SqlTxnSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-sqltxn").toString
+
+  private def seed(n: Int) =
+    (0 until n).map(k => (k.toLong, s"v$k", k.toLong)).toDF("k", "v", "n")
+
+  test("BEGIN...COMMIT: two tables flip atomically at the COMMIT") {
+    val tA = s"$root/txA"; val tB = s"$root/txB"
+    Forget.publishIndexed(seed(10), tA, 2, "k", stats = true)
+    Forget.publishIndexed(seed(10), tB, 2, "k", stats = true)
+    SqlDml.register(spark, "txa", tA, "k")
+    SqlDml.register(spark, "txb", tB, "k")
+    val vs = Sql.executeScript(spark,
+      """-- the classic double-entry shape: both sides or neither
+        |BEGIN TRANSACTION;
+        |UPDATE txa SET n = 999 WHERE k = 1;
+        |DELETE FROM txb WHERE k = 1;
+        |COMMIT;
+        |INSERT INTO txa VALUES (100, 'after', 1)""".stripMargin)
+    assert(vs == Seq(2L, 2L, 3L)) // two txn'd v2s, then a plain v3
+    assert(Versioned.currentVersion(spark, tA).contains(3L))
+    assert(Versioned.currentVersion(spark, tB).contains(2L))
+    assert(spark.sql("SELECT n FROM txa WHERE k = 1").head().getLong(0)
+      == 999L)
+    assert(spark.sql("SELECT count(*) FROM txb WHERE k = 1").head()
+      .getLong(0) == 0L)
+    // both tables' histories carry the txn'd version as plain dml
+    assert(Sql.describe(spark, "DESCRIBE HISTORY txa").count() == 3L)
+  }
+
+  test("failure inside the block aborts BOTH tables' half-done versions") {
+    val tA = s"$root/failA"; val tB = s"$root/failB"
+    Forget.publishIndexed(seed(10), tA, 2, "k", stats = true)
+    Forget.publishIndexed(seed(10), tB, 2, "k", stats = true)
+    SqlDml.register(spark, "fla", tA, "k")
+    SqlDml.register(spark, "flb", tB, "k")
+    val e = intercept[Exception] {
+      Sql.executeScript(spark,
+        """BEGIN;
+          |UPDATE fla SET n = 1000 WHERE k = 2;
+          |DELETE FROM flb WHERE k = 2;
+          |FROBNICATE flb;
+          |COMMIT""".stripMargin)
+    }
+    assert(e.getMessage.contains("FROBNICATE"))
+    Seq(tA, tB).foreach { t =>
+      assert(Versioned.currentVersion(spark, t).contains(1L),
+        s"half-done txn version leaked at $t")
+    }
+    // the session's views survived the abort (rebound to live)
+    assert(spark.sql("SELECT n FROM fla WHERE k = 2").head().getLong(0)
+      == 2L)
+    assert(spark.sql("SELECT count(*) FROM flb WHERE k = 2").head()
+      .getLong(0) == 1L)
+  }
+
+  test("ROLLBACK executes under the gates, then discards") {
+    val t = s"$root/rollback"
+    Forget.publishIndexed(seed(5), t, 2, "k", stats = true)
+    SqlDml.register(spark, "rb", t, "k")
+    val vs = Sql.executeScript(spark,
+      """BEGIN;
+        |UPDATE rb SET v = 'discarded' WHERE k = 1;
+        |ROLLBACK;
+        |UPDATE rb SET v = 'kept' WHERE k = 2""".stripMargin)
+    assert(vs == Seq(2L)) // only the post-block statement contributes
+    assert(Versioned.currentVersion(spark, t).contains(2L))
+    assert(spark.sql("SELECT v FROM rb WHERE k = 1").head().getString(0)
+      == "v1")
+    assert(spark.sql("SELECT v FROM rb WHERE k = 2").head().getString(0)
+      == "kept")
+  }
+
+  test("nested BEGIN, unclosed block, and VACUUM-in-block reject") {
+    val t = s"$root/guards"
+    Forget.publishIndexed(seed(3), t, 1, "k", stats = true)
+    SqlDml.register(spark, "gd", t, "k")
+    val nested = intercept[IllegalArgumentException] {
+      Sql.executeScript(spark, "BEGIN; BEGIN; COMMIT; COMMIT")
+    }
+    assert(nested.getMessage.contains("nested BEGIN"))
+    val open = intercept[IllegalArgumentException] {
+      Sql.executeScript(spark,
+        "BEGIN; UPDATE gd SET v = 'x' WHERE k = 1")
+    }
+    assert(open.getMessage.contains("open BEGIN block"))
+    assert(spark.sql("SELECT v FROM gd WHERE k = 1").head().getString(0)
+      == "v1") // nothing from the open block applied
+    val vac = intercept[IllegalArgumentException] {
+      Sql.executeScript(spark, "BEGIN; VACUUM gd; COMMIT")
+    }
+    assert(vac.getMessage.contains("VACUUM inside BEGIN"))
+    // the API-level guards hold too
+    val m = intercept[IllegalArgumentException] {
+      graft.lake.Txn.atomically(spark) {
+        Versioned.vacuum(spark, t)
+      }
+    }
+    assert(m.getMessage.contains("maintenance outside the txn"))
+  }
+}
