@@ -156,14 +156,40 @@ object Sql {
         i += 1
         while (i < stmts.length && closer.isEmpty) {
           val b = stmts(i)
-          if (isTok(b, "COMMIT") || isTok(b, "ROLLBACK")) closer = Some(b)
+          val up = b.trim.toUpperCase
+          if (isTok(b, "(COMMIT|ROLLBACK)(\\s+(TRANSACTION|TRAN|WORK))?"))
+            closer = Some(b)
           else if (isTok(b, "BEGIN(\\s+(TRANSACTION|TRAN))?"))
             throw new IllegalArgumentException(
               "nested BEGIN — one atomic block cannot contain another")
-          else if (b.trim.toUpperCase.startsWith("VACUUM"))
+          else if (up.startsWith("VACUUM"))
             throw new IllegalArgumentException(
               "VACUUM inside BEGIN...COMMIT — exclusive maintenance " +
                 "cannot run under the transaction's own pending versions")
+          // statements whose effect lives OUTSIDE the versioned dirs
+          // cannot be rolled back by the txn's abort — rejecting them
+          // keeps the block's all-or-nothing contract honest:
+          //  - constraint DDL writes the unversioned _constraints sidecar
+          //  - COPY INTO writes the unversioned ingest ledger (an aborted
+          //    landing would be remembered as landed — rows lost forever)
+          //  - SHALLOW CLONE registers an unversioned pin at the SOURCE
+          else if (b.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+" +
+              "(ADD|DROP)\\s+CONSTRAINT\\b.*"))
+            throw new IllegalArgumentException(
+              "constraint DDL inside BEGIN...COMMIT — the _constraints " +
+                "sidecar is table property, not versioned content, so an " +
+                "abort could not undo it; run it outside the block")
+          else if (up.startsWith("COPY INTO"))
+            throw new IllegalArgumentException(
+              "COPY INTO inside BEGIN...COMMIT — the ingest ledger is " +
+                "unversioned, so an aborted landing would be remembered " +
+                "as landed and its rows lost; run it outside the block")
+          else if (b.matches("(?is)^CREATE\\s+TABLE\\s+.*\\bSHALLOW" +
+              "\\s+CLONE\\b.*"))
+            throw new IllegalArgumentException(
+              "SHALLOW CLONE inside BEGIN...COMMIT — the clone pin at " +
+                "the source is unversioned, so an abort would strand it; " +
+                "run it outside the block")
           else body += b
           i += 1
         }
@@ -172,7 +198,7 @@ object Sql {
           case None => throw new IllegalArgumentException(
             "script ends inside an open BEGIN block — close it with " +
               "COMMIT (or ROLLBACK); nothing from the block was applied")
-          case Some(c) if isTok(c, "COMMIT") =>
+          case Some(c) if isTok(c, "COMMIT(\\s+(TRANSACTION|TRAN|WORK))?") =>
             // the whole block is ONE unit of write contention: a txn-level
             // conflict re-runs every statement against the new live state.
             // Composed from the txn seams (not atomically) so the abort
@@ -191,7 +217,17 @@ object Sql {
                       SqlDml.rebindAll(spark, ctx.committedVersions.keySet)
                       throw t
                   }
-                graft.lake.Txn.flip(ctx)
+                try graft.lake.Txn.commitOrAbort(ctx)
+                catch {
+                  case t: Throwable =>
+                    // commitOrAbort aborted (flip provably short of the
+                    // commit point) or the txn committed with a failed
+                    // finalize — either way re-bind the session's views
+                    // to whatever is live now, or their next read
+                    // explodes on pending dirs a heal will delete
+                    SqlDml.rebindAll(spark, ctx.committedVersions.keySet)
+                    throw t
+                }
                 vs
               } finally graft.lake.Txn.detach()
             }

@@ -124,10 +124,31 @@ object Txn {
       val out =
         try body
         catch { case t: Throwable => abort(ctx); throw t }
-      flip(ctx)
+      commitOrAbort(ctx)
       out
     } finally activeCtx.remove()
   }
+
+  /** [[flip]], but a flip failure PROVABLY short of the commit point
+    * (the `.commit` marker does not exist) aborts so the tables
+    * self-heal instead of wedging every writer behind pending dirs
+    * until a manual heal. A failure at-or-past the commit point — or
+    * one whose outcome cannot be established (the existence probe
+    * itself fails) — rethrows without abort: the txn IS committed (or
+    * might be), and [[heal]]/the write-path tidy complete the
+    * finalize. */
+  private[graft] def commitOrAbort(ctx: Ctx): Unit =
+    try flip(ctx)
+    catch {
+      case t: Throwable =>
+        if (ctx.parts.nonEmpty) {
+          val committed =
+            try ctx.recordFs.exists(commitMarker(ctx.record.get))
+            catch { case _: java.io.IOException => true } // assume worst
+          if (!committed) abort(ctx)
+        }
+        throw t
+    }
 
   /** Spec seams: begin/flip/abort compose [[atomically]] and let a spec
     * hold the pre-flip state open while another thread observes;
@@ -158,12 +179,22 @@ object Txn {
       ctx.recordFs = f
     }
     // rewrite the record with every participant INCLUDING this one —
-    // before the rename, so every renamed dir is always listed
+    // before the rename, so every renamed dir is always listed. Tmp +
+    // rename, NOT create-overwrite: an in-place truncate-then-write
+    // leaves an empty/partial record in the crash window, and heal()
+    // would adjudicate an empty record as a zero-participant abort while
+    // earlier-renamed dirs survive — their markers would then resolve
+    // "no record = finalized-committed", exposing half a txn
     val body = (ctx.parts.map(p => s"t ${p._1} ${p._2}") :+
       s"t $table $version").mkString("\n")
-    val out = ctx.recordFs.create(ctx.record.get, true)
+    val rec = ctx.record.get
+    val tmp = new Path(rec.getParent, rec.getName + ".tmp")
+    val out = ctx.recordFs.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    ctx.recordFs.delete(rec, false)
+    require(ctx.recordFs.rename(tmp, rec),
+      s"txn record rewrite failed: $tmp -> $rec")
     val m = f.create(new Path(stage, "_txn"), true)
     try m.write(s"${ctx.recordPath}\n${ctx.id}"
       .getBytes(StandardCharsets.UTF_8))
@@ -205,23 +236,48 @@ object Txn {
     }
   }
 
+  // ONE participant's finalize step (feed promote, marker drop, pointer
+  // + checkpoint caches) — shared by the flip, heal's committed arm, and
+  // heal's foreign-committed arm, so the three paths cannot drift.
+  // Idempotent: every step no-ops when already done.
+  private def finalizeParticipant(f: FileSystem, table: String,
+                                  v: Long): Unit = {
+    val dir = s"$table/v=$v"
+    val pendingFeed = new Path(s"$dir/_changes_txn")
+    if (f.exists(pendingFeed))
+      f.rename(pendingFeed, new Path(s"$dir/_changes"))
+    f.delete(new Path(s"$dir/_txn"), false)
+    Versioned.pointerUpdate(f, table, v)
+    Checkpoint.maybeWrite(f, table, v)
+  }
+
   // finalize a COMMITTED txn (flip already durable): promote feed
   // sidecars, drop markers, update pointers, then record, then .commit.
   // Idempotent — heal() re-runs it after a finalize crash.
   private def finalizeCommitted(recordFs: FileSystem, record: Path,
       parts: Seq[(String, Long, FileSystem)]): Unit = {
-    parts.foreach { case (table, v, f) =>
-      val dir = s"$table/v=$v"
-      val pendingFeed = new Path(s"$dir/_changes_txn")
-      if (f.exists(pendingFeed))
-        f.rename(pendingFeed, new Path(s"$dir/_changes"))
-      f.delete(new Path(s"$dir/_txn"), false)
-      Versioned.pointerUpdate(f, table, v)
-      Checkpoint.maybeWrite(f, table, v)
-    }
+    parts.foreach { case (table, v, f) => finalizeParticipant(f, table, v) }
     recordFs.delete(record, false)
     recordFs.delete(commitMarker(record), false)
     ()
+  }
+
+  /** Opportunistic write-path finalize ([[Versioned]] calls this before a
+    * publish): promote any COMMITTED-but-unfinalized participant in the
+    * recent version window, so a txn that crashed between its commit flip
+    * and its finalize stalls the streaming feed (`_changes_txn` invisible
+    * to the `v=*&#47;_changes` glob) for at most one subsequent commit on
+    * the table, not until a manual heal. Bounded lookback — the window a
+    * crashed finalize can realistically span; older stragglers fall to
+    * [[heal]]. Pending markers (ours or others') are left alone. */
+  private[lake] def tidy(f: FileSystem, table: String, live: Long): Unit = {
+    var v = math.max(1L, live - 8)
+    while (v <= live) {
+      if (f.exists(new Path(s"$table/v=$v/_txn")) &&
+          resolve(f, s"$table/v=$v") == Committed)
+        finalizeParticipant(f, table, v)
+      v += 1
+    }
   }
 
   /** How a version dir's `_txn` marker reads RIGHT NOW. */
@@ -259,7 +315,12 @@ object Txn {
         val rec = new Path(lines.head)
         val rf = rec.getFileSystem(f.getConf)
         if (rf.exists(commitMarker(rec))) Committed
-        else if (rf.exists(rec)) PendingOther
+        // the `.tmp` counts as record-present: prepare's atomic rewrite
+        // (tmp + delete + rename) has a moment where only the tmp exists,
+        // and reading it as "finalized away" would expose half a txn
+        else if (rf.exists(rec) ||
+                 rf.exists(new Path(rec.getParent, rec.getName + ".tmp")))
+          PendingOther
         else Committed // finalized (or abort mid-record-delete: its dirs
                        // are already gone, so this dir isn't one of them)
     }
@@ -304,26 +365,39 @@ object Txn {
     * under that exclusivity any uncommitted record is a crashed txn, so
     * no age check is needed. Returns the number of txns adjudicated. */
   def heal(spark: SparkSession, table: String): Int = {
-    val f = new Path(table)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = new Path(table).getFileSystem(conf)
     var healed = 0
     val dir = recordDir(table)
     if (f.exists(dir)) {
+      // adopt orphaned rewrite tmps first: a crash inside prepare's
+      // tmp+delete+rename leaves the tmp as the NEWEST participant list
+      // (possibly beside a stale record) — promote it before reading
+      f.listStatus(dir).toSeq.filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".tmp")).foreach { s =>
+          val rec = new Path(dir, s.getPath.getName.stripSuffix(".tmp"))
+          f.delete(rec, false)
+          f.rename(s.getPath, rec)
+        }
       val entries = f.listStatus(dir).toSeq.filter(_.isFile)
       val commits = entries.map(_.getPath.getName)
         .filter(_.endsWith(".commit")).toSet
       entries.filterNot(_.getPath.getName.endsWith(".commit")).foreach { s =>
         val rec = s.getPath
+        // tolerant parse: a malformed line (torn write) must not brick
+        // the heal — every well-formed participant still adjudicates
         val parts = Versioned.readSmallFile(f, rec).toSeq
           .flatMap(_.linesIterator)
-          .collect { case l if l.startsWith("t ") =>
-            val i = l.lastIndexOf(' ')
-            (l.substring(2, i), l.substring(i + 1).toLong)
+          .flatMap { l =>
+            if (!l.startsWith("t ")) None
+            else {
+              val i = l.lastIndexOf(' ')
+              if (i <= 2) None
+              else l.substring(i + 1).toLongOption
+                .map(v => (l.substring(2, i), v))
+            }
           }
-          .map { case (t, v) =>
-            (t, v, new Path(t)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration))
-          }
+          .map { case (t, v) => (t, v, new Path(t).getFileSystem(conf)) }
         if (commits.contains(rec.getName + ".commit")) {
           finalizeCommitted(f, rec, parts)
         } else {
@@ -350,31 +424,36 @@ object Txn {
           s.getPath.getName.stripSuffix(".commit"))))
         .foreach(s => f.delete(s.getPath, false))
     }
-    // foreign-coordinated participants: pending dirs above the live
-    // version whose record lives at another table — resolve remotely,
-    // finalize or locally abort
-    val live = Versioned.currentVersion(spark, table).getOrElse(0L)
-    Versioned.versions(spark, table).filter(_ > live).foreach { v =>
+    // foreign-coordinated participants — dirs still carrying a marker
+    // whose record lives at another table. ALL versions, not just the
+    // tail above live: a committed-but-unfinalized participant sits AT or
+    // BELOW the live version (it is visible), and healing its own table
+    // must complete its finalize — the operator cannot be expected to
+    // know which other table coordinated the txn.
+    Versioned.versions(spark, table).foreach { v =>
       val vdir = s"$table/v=$v"
-      Versioned.readSmallFile(f, new Path(s"$vdir/_txn")).foreach { s =>
-        val rec = new Path(s.linesIterator.next())
-        if (!f.makeQualified(rec.getParent)
-            .equals(f.makeQualified(recordDir(table)))) {
-          val rf = rec.getFileSystem(f.getConf)
-          if (rf.exists(commitMarker(rec)) || !rf.exists(rec)) {
-            // committed (or finalized) remotely: complete locally
-            val pendingFeed = new Path(s"$vdir/_changes_txn")
-            if (f.exists(pendingFeed))
-              f.rename(pendingFeed, new Path(s"$vdir/_changes"))
-            f.delete(new Path(s"$vdir/_txn"), false)
-            Versioned.pointerUpdate(f, table, v)
-          } else {
-            f.delete(new Path(vdir), true)
-            f.delete(new Path(s"$table/_claims/$v"), false)
+      val marker = new Path(s"$vdir/_txn")
+      if (f.exists(marker))
+        Versioned.readSmallFile(f, marker).foreach { s =>
+          val rec = new Path(s.linesIterator.next())
+          if (!f.makeQualified(rec.getParent)
+              .equals(f.makeQualified(recordDir(table)))) {
+            val rf = rec.getFileSystem(conf)
+            val recPresent = rf.exists(rec) ||
+              rf.exists(new Path(rec.getParent, rec.getName + ".tmp"))
+            if (rf.exists(commitMarker(rec)) || !recPresent) {
+              // committed (or finalized) remotely: complete locally
+              finalizeParticipant(f, table, v)
+            } else {
+              // still-pending foreign txn — under heal's exclusivity
+              // that is a crashed txn: abort the local participant (the
+              // coordinator's own heal drops the record and the rest)
+              f.delete(new Path(s"$table/_claims/$v"), false)
+              f.delete(new Path(vdir), true)
+            }
+            healed += 1
           }
-          healed += 1
         }
-      }
     }
     healed
   }

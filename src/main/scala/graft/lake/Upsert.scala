@@ -258,8 +258,15 @@ object Upsert {
     // crashed txn's pending dir carries its batch tag, and counting it
     // would make a replay of that batch no-op against a version heal is
     // about to abort — the one way tag-dedup could LOSE a batch
-    Versioned.versions(spark, table).sorted.takeRight(lookback)
-      .filter(v => Txn.visible(f, s"$table/v=$v"))
+    // visibility BEFORE the window cut: pending dirs sort last, and
+    // letting them consume lookback slots would silently shrink the
+    // dedup window below its contract. Pending dirs only sit ABOVE the
+    // live version, so versions at/below it skip the marker probe — the
+    // filter stays O(lookback + in-flight tail), not O(history)
+    val live = Versioned.currentVersion(spark, table).getOrElse(-1L)
+    Versioned.versions(spark, table).sorted
+      .filter(v => v <= live || Txn.visible(f, s"$table/v=$v"))
+      .takeRight(lookback)
       .flatMap(readTag(f, table, _)).toSet
   }
 

@@ -287,6 +287,10 @@ object Versioned {
       // past the highest dir instead.
       var next = currentVersion(spark, table)
         .orElse(versions(spark, table).lastOption).getOrElse(0L) + 1
+      // opportunistic finalize of a crashed txn's committed-but-staged
+      // feed sidecars in the recent window (see [[Txn.tidy]]) — bounds
+      // the streaming-feed gap to one subsequent commit, not a manual heal
+      Txn.tidy(f, table, next - 1)
       var attempts = 0
       while (true) {
         if (commitStage(f, table, stage, next)) return next
@@ -326,6 +330,7 @@ object Versioned {
                          (rebase: (Long, String) => Boolean): Long =
     staged(spark, table, build) { (f, stage) =>
       recover(spark, table)
+      Txn.tidy(f, table, base) // see publishWith — same write-path tidy
       var b = base
       while (true) {
         if (commitStage(f, table, stage, b + 1)) return b + 1
@@ -706,12 +711,21 @@ object Versioned {
     val f = fs(spark, table)
     val ckpt = Checkpoint.read(f, table)
       .map(_.commitTs).getOrElse(Map.empty[Long, Long])
-    versions(spark, table).flatMap { v =>
-      ckpt.get(v)
-        .orElse(readSmallFile(f, new Path(s"$table/v=$v/_commit_ts"))
-          .map(_.toLong))
-        .map(v -> _)
-    }
+    // an uncommitted cross-table txn's pending dirs must not resolve as
+    // commit times — versionAsOf would hand timestamp travel a version
+    // readVersion then rejects. Pending dirs always sit ABOVE the live
+    // version (the probe stops before them), so only the tail pays the
+    // marker resolve; committed-unfinalized markers at/below live read
+    // as visible.
+    val live = currentVersion(spark, table).getOrElse(return Seq.empty)
+    versions(spark, table)
+      .filter(v => v <= live || Txn.visible(f, s"$table/v=$v"))
+      .flatMap { v =>
+        ckpt.get(v)
+          .orElse(readSmallFile(f, new Path(s"$table/v=$v/_commit_ts"))
+            .map(_.toLong))
+          .map(v -> _)
+      }
   }
 
   /** The newest version committed at or before `tsMillis` — the ONE

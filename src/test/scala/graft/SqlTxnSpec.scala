@@ -88,6 +88,48 @@ class SqlTxnSpec extends SparkSpec {
       == "kept")
   }
 
+  test("COMMIT TRANSACTION / ROLLBACK WORK closers are accepted") {
+    val t = s"$root/closers"
+    Forget.publishIndexed(seed(5), t, 2, "k", stats = true)
+    SqlDml.register(spark, "cl", t, "k")
+    val vs = Sql.executeScript(spark,
+      """BEGIN TRANSACTION;
+        |UPDATE cl SET v = 'committed' WHERE k = 1;
+        |COMMIT TRANSACTION;
+        |BEGIN;
+        |UPDATE cl SET v = 'discarded' WHERE k = 2;
+        |ROLLBACK WORK""".stripMargin)
+    assert(vs == Seq(2L))
+    assert(spark.sql("SELECT v FROM cl WHERE k = 1").head().getString(0)
+      == "committed")
+    assert(spark.sql("SELECT v FROM cl WHERE k = 2").head().getString(0)
+      == "v2")
+  }
+
+  test("unversioned-side-effect statements reject inside a block") {
+    val t = s"$root/sidefx"
+    Forget.publishIndexed(seed(3), t, 1, "k", stats = true)
+    SqlDml.register(spark, "sfx", t, "k")
+    val cons = intercept[IllegalArgumentException] {
+      Sql.executeScript(spark,
+        "BEGIN; ALTER TABLE sfx ADD CONSTRAINT c CHECK (n > 0); COMMIT")
+    }
+    assert(cons.getMessage.contains("constraint DDL inside BEGIN"))
+    val copy = intercept[IllegalArgumentException] {
+      Sql.executeScript(spark,
+        "BEGIN; COPY INTO sfx FROM '/tmp/nowhere'; COMMIT")
+    }
+    assert(copy.getMessage.contains("COPY INTO inside BEGIN"))
+    val clone = intercept[IllegalArgumentException] {
+      Sql.executeScript(spark,
+        s"BEGIN; CREATE TABLE c2 SHALLOW CLONE sfx LOCATION '$root/c2'; " +
+          "COMMIT")
+    }
+    assert(clone.getMessage.contains("SHALLOW CLONE inside BEGIN"))
+    // nothing half-ran
+    assert(Versioned.currentVersion(spark, t).contains(1L))
+  }
+
   test("nested BEGIN, unclosed block, and VACUUM-in-block reject") {
     val t = s"$root/guards"
     Forget.publishIndexed(seed(3), t, 1, "k", stats = true)

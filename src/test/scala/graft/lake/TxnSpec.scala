@@ -246,6 +246,76 @@ class TxnSpec extends SparkSpec {
     assert(sumX(red2) == 12L)
   }
 
+  test("timestamp travel never resolves to a pending version") {
+    val t = s"$root/asof"
+    seed(t, Seq((1L, 10L)))
+    val ctx = Txn.begin(spark)
+    Upsert.merge(spark, t, "k", Seq((1L, 11L)).toDF("k", "x"))
+    Txn.detach() // crash pre-flip: v2 pending forever (until heal)
+    // as-of-now resolves to v1 and READS — not to the pending v2 that
+    // readVersion would then reject
+    assert(ctx.committedVersions.values.toSeq == Seq(2L))
+    val now = System.currentTimeMillis() + 60000
+    assert(Versioned.versionAsOf(spark, t, now) == 1L)
+    assert(Versioned.readAsOf(spark, t, now).head().getLong(1) == 10L)
+    Versioned.healClaims(spark, t)
+  }
+
+  test("heal at a NON-coordinator participant completes a crashed " +
+      "finalize (feed promoted, marker dropped)") {
+    val a = s"$root/nc-a"; val b = s"$root/nc-b"
+    seed(a, Seq((1L, 10L))); seed(b, Seq((1L, 100L)))
+    val ctx = Txn.begin(spark)
+    Upsert.merge(spark, a, "k", Seq((1L, 11L)).toDF("k", "x"))
+    Upsert.merge(spark, b, "k", Seq((1L, 111L)).toDF("k", "x"))
+    hfs(a).create(new Path(ctx.recordPath + ".commit"), false).close()
+    Txn.detach() // crash after the flip, before any finalize
+    // healing table B — whose _txns/ is empty (the record lives at A) —
+    // must still finalize B's committed participant: B's version is AT
+    // the live version, so the scan cannot stop above it
+    Versioned.healClaims(spark, b)
+    assert(hfs(b).exists(new Path(s"$b/v=2/_changes")))
+    assert(!hfs(b).exists(new Path(s"$b/v=2/_txn")))
+    // A heals through its own record as usual
+    Versioned.healClaims(spark, a)
+    assert(hfs(a).exists(new Path(s"$a/v=2/_changes")))
+    assert(hfs(a).listStatus(new Path(s"$a/_txns")).isEmpty)
+  }
+
+  test("the next commit tidies a crashed finalize's staged feed") {
+    val t = s"$root/tidy"
+    seed(t, Seq((1L, 10L)))
+    val ctx = Txn.begin(spark)
+    Upsert.merge(spark, t, "k", Seq((1L, 11L)).toDF("k", "x"))
+    hfs(t).create(new Path(ctx.recordPath + ".commit"), false).close()
+    Txn.detach() // committed, finalize never ran: feed staged at v2
+    assert(hfs(t).exists(new Path(s"$t/v=2/_changes_txn")))
+    // an ordinary writer's publish promotes it opportunistically — the
+    // streaming glob's gap lasts one commit, not until a manual heal
+    Upsert.merge(spark, t, "k", Seq((1L, 12L)).toDF("k", "x"))
+    assert(hfs(t).exists(new Path(s"$t/v=2/_changes")))
+    assert(!hfs(t).exists(new Path(s"$t/v=2/_txn")))
+    assert(Cdf.changesSince(spark, t, 1L).count() == 2L)
+  }
+
+  test("replay-dedup window survives pending dirs at the tail") {
+    val t = s"$root/window"
+    seed(t, Seq((1L, 10L)))
+    Upsert.applyCdc(spark, t, "k",
+      Seq(("U", 1L, 20L)).toDF("op", "k", "x"), batchTag = Some("b1"))
+    val ctx = Txn.begin(spark)
+    Upsert.applyCdc(spark, t, "k",
+      Seq(("U", 1L, 30L)).toDF("op", "k", "x"), batchTag = Some("b2"))
+    Txn.detach() // pending v3 carries tag b2
+    assert(ctx.committedVersions.nonEmpty)
+    // the pending dir neither surfaces its own tag nor displaces a
+    // committed one out of the lookback window
+    val tags = Upsert.recentBatchTags(spark, t, lookback = 2)
+    assert(tags.contains("b1"))
+    assert(!tags.contains("b2"))
+    Versioned.healClaims(spark, t)
+  }
+
   test("nested atomically rejects; empty txn is a no-op") {
     val e = intercept[IllegalArgumentException] {
       Txn.atomically(spark) {
