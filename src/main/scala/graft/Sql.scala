@@ -79,6 +79,25 @@ object Sql {
     until
   }
 
+  /** Consistent multi-table snapshot on the SQL surface: pin every
+    * named (registerDml-registered) table's view to versions no
+    * cross-table txn flip straddled ([[graft.lake.Txn.snapshot]] — the
+    * read-side complement of the BEGIN...COMMIT write side). After
+    * this, a session's joins across the named views see one cut of the
+    * version history. Returns the pinned versions by view name. */
+  def registerSnapshot(spark: SparkSession,
+                       names: Seq[String]): Map[String, Long] = {
+    val paths = names.map(n => n -> SqlDml.lookup(n)._1).toMap
+    val pinned =
+      graft.lake.Txn.snapshot(spark, names.map(paths).distinct)
+    names.map { n =>
+      val v = pinned(paths(n))
+      Versioned.readVersion(spark, paths(n), v)
+        .createOrReplaceTempView(n)
+      n -> v
+    }.toMap
+  }
+
   /** Register a lake table for BOTH reads and SQL DML ([[SqlDml.register]]
     * — DML needs the table's key column). */
   def registerDml(spark: SparkSession, name: String, table: String,

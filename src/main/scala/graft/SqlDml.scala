@@ -5,8 +5,8 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.lake.{Clone, Compact, Dv, Expect, Forget, History, Restore,
-  Upsert, Versioned, ZOrder}
+import graft.lake.{Clone, Compact, Dv, Expect, Forget, History, MatView,
+  Restore, Upsert, Versioned, ZOrder}
 
 /**
  * SQL DML statements against registered lake tables — the write-side of
@@ -66,6 +66,10 @@ object SqlDml {
 
   /** Registered DML targets: view name → (table path, key column). */
   private val registry = new TrieMap[String, (String, String)]()
+
+  // materialized-view bindings: view name -> view table path (the SQL
+  // surface of [[graft.lake.MatView]]; session-scoped like `registry`)
+  private val mvRegistry = new TrieMap[String, String]()
 
   /** Register a [[Versioned]] lake table for BOTH reads and DML: the live
     * snapshot becomes temp view `name` (as [[Sql.registerTable]]) and
@@ -181,8 +185,9 @@ object SqlDml {
         "[VERSION AS OF n] LOCATION 'p', COPY INTO t FROM '<dir>', " +
         "VACUUM t [RETAIN n VERSIONS], OPTIMIZE t [ZORDER BY (cols)], " +
         "RESTORE [TABLE] t TO VERSION AS OF n, ALTER TABLE t ADD " +
-        "COLUMNS (...) | ADD/DROP CONSTRAINT, DESCRIBE HISTORY|DETAIL " +
-        "t. Statement: " +
+        "COLUMNS (...) | ADD/DROP CONSTRAINT, CREATE MATERIALIZED VIEW " +
+        "n LOCATION 'p' AS <grouped select>, REFRESH MATERIALIZED VIEW " +
+        "n, DESCRIBE HISTORY|DETAIL t. Statement: " +
         sql.linesIterator.mkString(" ").take(200))
 
   private def stripSemi(sql: String): String = {
@@ -227,7 +232,11 @@ object SqlDml {
       case "OPTIMIZE" => optimizeStmt(spark, s)
       case "RESTORE" => restoreStmt(spark, s)
       case "ALTER" => alterStmt(spark, s)
+      case "CREATE"
+        if s.matches("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\b.*") =>
+        createMvStmt(spark, s)
       case "CREATE" => createStmt(spark, s, rules, mode, quarantine)
+      case "REFRESH" => refreshMvStmt(spark, s)
       case "COPY" => copyIntoStmt(spark, s, rules, mode, quarantine)
       case "DESCRIBE" | "SHOW" => reject(s,
         s"$head returns a DataFrame, not a version — call " +
@@ -428,6 +437,83 @@ object SqlDml {
     require(a.getLong(0) == a.getLong(1),
       s"${a.getLong(0) - a.getLong(1)} duplicate $keyCol key(s) in " +
         s"the $what — the key column is row identity")
+  }
+
+  // CREATE MATERIALIZED VIEW name LOCATION 'path' AS
+  //   SELECT g1, ..., count(*), sum(a), min(b), max(b)
+  //   FROM <registered-src> GROUP BY g1, ...
+  // — the SQL surface of graft.lake.MatView: a full compute now, then
+  // incremental maintenance at changeset cost (CdcSink.intoWithView, or
+  // MatView.refresh from any CDC batch). The supported aggregate shape
+  // IS MatView's self-maintainable algebra: count(*)/sum (incrementally
+  // exact under inserts+deletes), min/max (least/greatest on inserts,
+  // touched-group recompute on deletes). Column names in the stored
+  // view are fixed (n_rows, sum_<c>, min_<c>, max_<c>) — aliases
+  // reject, pointing there. min(c) or max(c) each materialize BOTH
+  // legs (the maintenance algebra needs the pair).
+  private def createMvStmt(spark: SparkSession, sql: String): Long = {
+    val m = ("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+(\\S+)\\s+LOCATION" +
+      "\\s+'([^']+)'\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+(\\S+)\\s+" +
+      "GROUP\\s+BY\\s+(.+)$").r
+    sql match {
+      case m(name, path, selectList, srcName, groupByRaw) =>
+        val (srcTable, keyCol) = lookup(srcName)
+        def clean(c: String) = c.trim.replace("`", "")
+        val groupCols = groupByRaw.split(",").map(clean).toSeq
+        val cnt = "(?i)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
+        val agg = "(?i)^(SUM|MIN|MAX)\\s*\\(\\s*([^)]+?)\\s*\\)$".r
+        var sums = Seq.empty[String]
+        var minMax = Seq.empty[String]
+        selectList.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+          item =>
+            if (item.matches("(?i).*\\sAS\\s.*"))
+              reject(sql, s"alias in '$item' — the stored view's column " +
+                "names are fixed by the maintenance algebra (n_rows, " +
+                "sum_<c>, min_<c>, max_<c>); query them as such")
+            else item match {
+              case cnt() => () // always materialized as n_rows
+              case agg(fn, c) =>
+                if (fn.equalsIgnoreCase("SUM")) sums :+= clean(c)
+                else if (!minMax.contains(clean(c))) minMax :+= clean(c)
+              case bare if groupCols.contains(clean(bare)) => ()
+              case other => reject(sql,
+                s"select item '$other' — a materialized view supports " +
+                  "group columns, count(*), sum(c), min(c), max(c) " +
+                  "(the self-maintainable aggregate algebra); anything " +
+                  "else belongs in a query over the view")
+            }
+        }
+        val v = MatView.create(spark, srcTable, keyCol, path,
+          groupCols, sums.distinct, minMax)
+        mvRegistry.put(name.toLowerCase, path)
+        Versioned.readVersion(spark, path, v).createOrReplaceTempView(name)
+        v
+      case _ => reject(sql,
+        "expected CREATE MATERIALIZED VIEW name LOCATION '<path>' AS " +
+          "SELECT <group cols + count(*)/sum/min/max> FROM <table> " +
+          "GROUP BY <cols>")
+    }
+  }
+
+  // REFRESH MATERIALIZED VIEW name — catch-up recompute over the
+  // source's live version (MatView.recreate). The INCREMENTAL path
+  // stays changeset-driven (MatView.refresh / CdcSink.intoWithView);
+  // this statement is the SQL user's "bring it current now" lever —
+  // inside a BEGIN...COMMIT block it joins the txn, so MERGE + REFRESH
+  // flip together.
+  private def refreshMvStmt(spark: SparkSession, sql: String): Long = {
+    val m = "(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(\\S+)$".r
+    sql match {
+      case m(name) =>
+        val path = mvRegistry.getOrElse(name.toLowerCase,
+          reject(sql, s"'$name' is not a registered materialized view — " +
+            "CREATE MATERIALIZED VIEW first (the binding is " +
+            "session-scoped)"))
+        val v = MatView.recreate(spark, path)
+        Versioned.readVersion(spark, path, v).createOrReplaceTempView(name)
+        v
+      case _ => reject(sql, "expected REFRESH MATERIALIZED VIEW <name>")
+    }
   }
 
   // COPY INTO t FROM 'dir' [FILEFORMAT = PARQUET] — idempotent

@@ -458,6 +458,38 @@ object Txn {
     healed
   }
 
+  /** Consistent multi-table READ versions — the read-side complement of
+    * [[atomically]]: a set of live versions across `tables` that no txn
+    * flip straddled. Seqlock-style validate: read every table's live
+    * version, read them all again, and accept only when the two passes
+    * agree — a flip (or any commit) landing between a pass's reads
+    * changes some version between the passes and forces a retry. With
+    * txn flips the ONLY multi-table mutation, agreement proves the set
+    * is a cut of the version history: either entirely before or
+    * entirely after every flip. Cost: 2×|tables| pointer reads per
+    * attempt, metadata only. Gives up loudly after `attempts` (a table
+    * under continuous write churn needs a quiescent moment — or pin
+    * versions explicitly). */
+  def snapshot(spark: SparkSession, tables: Seq[String],
+               attempts: Int = 64): Map[String, Long] = {
+    require(tables.nonEmpty, "snapshot of zero tables")
+    def pass(): Map[String, Long] =
+      tables.map(t => t -> Versioned.currentVersion(spark, t).getOrElse(
+        throw new IllegalStateException(
+          s"no published version at $t"))).toMap
+    var tried = 0
+    while (tried < attempts) {
+      val a = pass()
+      val b = pass()
+      if (a == b) return a
+      tried += 1
+    }
+    throw new IllegalStateException(
+      s"no stable multi-table snapshot after $attempts attempts — " +
+        "continuous write churn across " + tables.mkString(", ") +
+        "; retry at a quieter moment or pin versions explicitly")
+  }
+
   /** The feed-sidecar name DML builds write under: pending txn
     * participants stage their change feed as `_changes_txn` so the
     * streaming file source (globbing `v=*&#47;_changes`) never discovers

@@ -178,6 +178,34 @@ object LakeOpsBench {
     arms("matview_recreate") = tRecreate
     println(f"matview   refresh $tRefresh%.2f s vs recreate $tRecreate%.2f s")
 
+    // Cross-table txn arm: the CDC-merge + view-refresh pair committed as
+    // ONE atomic flip (Txn.atomically) vs sequentially. The txn adds only
+    // metadata ops per participant — a record rewrite, a marker file, the
+    // feed-sidecar rename at finalize, and one .commit create — so the
+    // delta over the sequential pair IS the protocol overhead, constant
+    // in data size.
+    val seqBatch = (0 until nKeys).map(i =>
+      ("U", i.toLong * 53 + 11, i.toLong % 1024, 9L))
+      .toDF("op", "k", "g", "amt")
+    val (_, tPairSeq) = timeS {
+      Upsert.applyCdc(spark, src, "k", seqBatch)
+      MatView.refresh(spark, view, seqBatch)
+    }
+    arms("pair_sequential") = tPairSeq
+    val txnBatch = (0 until nKeys).map(i =>
+      ("U", i.toLong * 59 + 13, i.toLong % 1024, 11L))
+      .toDF("op", "k", "g", "amt")
+    val (_, tPairTxn) = timeS {
+      graft.lake.Txn.atomically(spark) {
+        Upsert.applyCdc(spark, src, "k", txnBatch)
+        MatView.refresh(spark, view, txnBatch)
+      }
+    }
+    arms("pair_txn") = tPairTxn
+    println(f"txn pair  merge+refresh sequential $tPairSeq%.2f s vs " +
+      f"one atomic flip $tPairTxn%.2f s " +
+      f"(overhead ${(tPairTxn - tPairSeq) * 1000}%.0f ms)")
+
     // OCC contention: two barrier-synced writers on DISJOINT key ranges of
     // a range-clustered table — the file-level rebase path absorbs the
     // claim conflict, so the pair costs ~one derivation each, not a

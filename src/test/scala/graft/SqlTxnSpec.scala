@@ -130,6 +130,95 @@ class SqlTxnSpec extends SparkSpec {
     assert(Versioned.currentVersion(spark, t).contains(1L))
   }
 
+  test("CREATE / REFRESH MATERIALIZED VIEW; MERGE+REFRESH flip " +
+      "together inside a block") {
+    val t = s"$root/mvsrc"
+    (0 until 20).map(k => (k.toLong, s"c${k % 3}", k.toLong))
+      .toDF("k", "color", "amt")
+      .write.mode("overwrite").parquet(s"$root/mvseed")
+    Forget.publishIndexed(
+      spark.read.parquet(s"$root/mvseed"), t, 2, "k", stats = true)
+    SqlDml.register(spark, "mvs", t, "k")
+    val v1 = Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW mv_amt LOCATION '$root/mv' AS
+         |SELECT color, count(*), sum(amt), min(amt), max(amt)
+         |FROM mvs GROUP BY color""".stripMargin)
+    assert(v1 == 1L)
+    val c0 = spark.sql(
+      "SELECT n_rows, sum_amt, min_amt, max_amt FROM mv_amt " +
+        "WHERE color = 'c0'").head()
+    assert(c0.getLong(0) == 7L) // k = 0,3,...,18
+    assert(c0.getDecimal(1).longValueExact() == 63L)
+    // atomically: restate a row AND bring the view current in ONE flip
+    val vs = Sql.executeScript(spark,
+      """BEGIN;
+        |UPDATE mvs SET amt = 1000 WHERE k = 0;
+        |REFRESH MATERIALIZED VIEW mv_amt;
+        |COMMIT""".stripMargin)
+    assert(vs.length == 2)
+    val c0b = spark.sql(
+      "SELECT sum_amt, max_amt FROM mv_amt WHERE color = 'c0'").head()
+    assert(c0b.getDecimal(0).longValueExact() == 1063L)
+    assert(c0b.getLong(1) == 1000L)
+    // guards: aliases and non-algebra aggregates reject
+    val alias = intercept[IllegalArgumentException] {
+      Sql.execute(spark,
+        s"CREATE MATERIALIZED VIEW mv2 LOCATION '$root/mv2' AS " +
+          "SELECT color, sum(amt) AS total FROM mvs GROUP BY color")
+    }
+    assert(alias.getMessage.contains("alias"))
+    val avg = intercept[IllegalArgumentException] {
+      Sql.execute(spark,
+        s"CREATE MATERIALIZED VIEW mv3 LOCATION '$root/mv3' AS " +
+          "SELECT color, avg(amt) FROM mvs GROUP BY color")
+    }
+    assert(avg.getMessage.contains("self-maintainable"))
+    val unreg = intercept[IllegalArgumentException] {
+      Sql.execute(spark, "REFRESH MATERIALIZED VIEW nope")
+    }
+    assert(unreg.getMessage.contains("not a registered materialized view"))
+  }
+
+  test("registerSnapshot pins a consistent cut across tables") {
+    val a = s"$root/snap-a"; val b = s"$root/snap-b"
+    Forget.publishIndexed(seed(5), a, 1, "k", stats = true)
+    Forget.publishIndexed(seed(5), b, 1, "k", stats = true)
+    SqlDml.register(spark, "sna", a, "k")
+    SqlDml.register(spark, "snb", b, "k")
+    // move both tables together through a txn
+    Sql.executeScript(spark,
+      """BEGIN;
+        |UPDATE sna SET n = 100 WHERE k = 1;
+        |UPDATE snb SET n = 200 WHERE k = 1;
+        |COMMIT""".stripMargin)
+    val pins = Sql.registerSnapshot(spark, Seq("sna", "snb"))
+    assert(pins == Map("sna" -> 2L, "snb" -> 2L))
+    // a pending txn does not tear the snapshot: pin DURING a txn held
+    // open by another thread sees the pre-txn cut on BOTH tables
+    val hold = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => {
+      val ctx = graft.lake.Txn.begin(spark)
+      try {
+        graft.lake.Upsert.merge(spark, a, "k",
+          Seq((2L, "x", 9L)).toDF("k", "v", "n"))
+        graft.lake.Upsert.merge(spark, b, "k",
+          Seq((2L, "x", 9L)).toDF("k", "v", "n"))
+        hold.countDown()
+        done.await()
+      } finally { graft.lake.Txn.flip(ctx); graft.lake.Txn.detach() }
+    })
+    writer.start()
+    hold.await()
+    try {
+      val mid = Sql.registerSnapshot(spark, Seq("sna", "snb"))
+      assert(mid == Map("sna" -> 2L, "snb" -> 2L),
+        s"snapshot tore mid-txn: $mid")
+    } finally { done.countDown(); writer.join() }
+    val after = Sql.registerSnapshot(spark, Seq("sna", "snb"))
+    assert(after == Map("sna" -> 3L, "snb" -> 3L))
+  }
+
   test("nested BEGIN, unclosed block, and VACUUM-in-block reject") {
     val t = s"$root/guards"
     Forget.publishIndexed(seed(3), t, 1, "k", stats = true)
