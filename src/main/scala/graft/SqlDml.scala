@@ -495,12 +495,13 @@ object SqlDml {
     }
   }
 
-  // REFRESH MATERIALIZED VIEW name — catch-up recompute over the
-  // source's live version (MatView.recreate). The INCREMENTAL path
-  // stays changeset-driven (MatView.refresh / CdcSink.intoWithView);
-  // this statement is the SQL user's "bring it current now" lever —
-  // inside a BEGIN...COMMIT block it joins the txn, so MERGE + REFRESH
-  // flip together.
+  // REFRESH MATERIALIZED VIEW name — bring the view current at
+  // CHANGESET cost: MatView.catchUp reduces the source's change-feed
+  // span since the view's watermark to its last op per key and applies
+  // one incremental refresh; only an unbridgeable feed (wholesale
+  // replace, vacuumed version) falls back to the full recompute. Inside
+  // a BEGIN...COMMIT block it joins the txn, so MERGE + REFRESH flip
+  // together.
   private def refreshMvStmt(spark: SparkSession, sql: String): Long = {
     val m = "(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(\\S+)$".r
     sql match {
@@ -509,7 +510,7 @@ object SqlDml {
           reject(sql, s"'$name' is not a registered materialized view — " +
             "CREATE MATERIALIZED VIEW first (the binding is " +
             "session-scoped)"))
-        val v = MatView.recreate(spark, path)
+        val v = MatView.catchUp(spark, path)
         Versioned.readVersion(spark, path, v).createOrReplaceTempView(name)
         v
       case _ => reject(sql, "expected REFRESH MATERIALIZED VIEW <name>")

@@ -230,17 +230,60 @@ object MatView {
       refreshOnce(spark, view, batch, opCol, maxDriverKeys)
     }
 
+  /** Bring the view current from the source's CHANGE FEED at changeset
+    * cost — the catch-up lever when refreshes were missed (the SQL
+    * `REFRESH MATERIALIZED VIEW` statement routes here): the whole
+    * span `synced+1 .. live` reduces to its last op per key
+    * ([[Upsert.lastPerKey]] on `_version`) and applies as ONE
+    * incremental refresh — old rows read from the `synced` version,
+    * min/max touched groups recomputed from the live one, exactly the
+    * single-batch algebra stretched over the span. Falls back to
+    * [[recreate]] (full recompute) only when the feed cannot bridge
+    * the span (a wholesale replace, a vacuumed version) — so a routine
+    * catch-up costs the changes, never the table. No-op when already
+    * synced. */
+  def catchUp(spark: SparkSession, view: String,
+              maxDriverKeys: Int = Upsert.MaxDriverKeysDefault): Long =
+    Versioned.withWriteRetry() {
+      val s = spec(spark, view)
+      val srcLive = Versioned.currentVersion(spark, s.source).getOrElse(
+        throw new IllegalStateException(
+          s"no published version at ${s.source}"))
+      if (srcLive == s.synced)
+        Versioned.currentVersion(spark, view).get
+      else {
+        val span =
+          try Some(Cdf.changesSince(spark, s.source, s.synced,
+            untilV = Some(srcLive)))
+          catch { case _: IllegalStateException => None } // unbridgeable
+        span match {
+          case None => recreate(spark, view)
+          case Some(changes) =>
+            val reduced = Upsert.lastPerKey(changes, s.keyCol,
+              "_version", "_op")
+            refreshOnce(spark, view, reduced, "_op", maxDriverKeys,
+              span = true)
+        }
+      }
+    }
+
   private def refreshOnce(spark: SparkSession, view: String,
                           batch: DataFrame, opCol: String,
-                          maxDriverKeys: Int): Long = {
+                          maxDriverKeys: Int,
+                          span: Boolean = false): Long = {
     val s = spec(spark, view)
     val srcLive = Versioned.currentVersion(spark, s.source).getOrElse(
       throw new IllegalStateException(s"no published version at ${s.source}"))
     val viewLive = Versioned.currentVersion(spark, view).get
     if (srcLive == s.synced) return viewLive // replayed refresh: no-op
-    require(srcLive == s.synced + 1,
+    // span = true is [[catchUp]]'s contract: the batch REDUCES the whole
+    // synced+1..srcLive feed span to its last op per key, so the
+    // single-step guard does not apply (old rows still read from the
+    // synced version, which is exactly the span's minus side)
+    require(span || srcLive == s.synced + 1,
       s"${s.source} advanced v${s.synced} -> v$srcLive (more than one " +
-        "DML publish since the last refresh) — MatView.recreate to catch up")
+        "DML publish since the last refresh) — MatView.catchUp (change-" +
+        "feed span) or MatView.recreate (full recompute) to catch up")
     import spark.implicits._
     // respect a caller-held cache (see Upsert.applyCdc — the streaming
     // sink shares one materialized reduced batch across merge + refresh)

@@ -349,6 +349,28 @@ object Upsert {
       s"changeset adds column(s) $extra the table schema lacks — pass " +
         "evolveSchema=true for additive evolution (rows the changeset " +
         "does not touch read NULL in the new columns)")
+    // TYPE equality on every shared column, not just presence: a
+    // changeset whose column type differs (decimal(38,6) vs the table's
+    // decimal(38,18) is the classic) would silently COERCE the
+    // survivors-union-upserts write — Spark's decimal widening can even
+    // LOWER the scale — leaving the new version's rewritten files at a
+    // different physical type than its byte-copied ones, and a plain
+    // read of that dir then explodes (or silently truncates) depending
+    // on which file's footer wins inference. Delta enforces write-time
+    // schema; so does this layout.
+    // NullType (a NULL-literal column, delete-only batches) is exempt:
+    // it promotes to ANY other type losslessly in the union
+    val mistyped = tableCols.filter(c =>
+      upserts.schema(c).dataType != liveSchema(c).dataType &&
+        upserts.schema(c).dataType !=
+          org.apache.spark.sql.types.NullType)
+    require(mistyped.isEmpty,
+      s"changeset column type(s) differ from the table: " +
+        mistyped.map(c => s"$c (${upserts.schema(c).dataType.simpleString}" +
+          s" vs table ${liveSchema(c).dataType.simpleString})")
+          .mkString(", ") +
+        " — cast the changeset to the table's types (a silent coercion " +
+        "would write mixed-schema files into one version dir)")
     // additive evolution: new columns append AFTER the table's, nullable
     // (byte-copied pre-evolution files null-fill them at read)
     val outSchema =

@@ -88,7 +88,7 @@ class MatViewSpec extends SparkSpec {
         .withColumn("grp", when($"op" === "D", lit(null: String))
           .otherwise($"grp"))
         .withColumn("amount", when($"op" === "D", lit(null: String)
-          .cast("decimal(38,6)")).otherwise($"amount"))
+          .cast("decimal(38,18)")).otherwise($"amount"))
       Upsert.applyCdc(spark, src, "k", bdf)
       MatView.refresh(spark, view, bdf)
       assert(viewRows(view) == fullRecompute(src),
@@ -106,7 +106,7 @@ class MatViewSpec extends SparkSpec {
     // delete ALL of group a
     val batch = Seq((1L, "D"), (2L, "D")).toDF("k", "op")
       .withColumn("grp", lit(null: String))
-      .withColumn("amount", lit(null: String).cast("decimal(38,6)"))
+      .withColumn("amount", lit(null: String).cast("decimal(38,18)"))
       .select($"k", $"grp", $"amount", $"op")
     Upsert.applyCdc(spark, t, "k", batch)
     val v2 = MatView.refresh(spark, view, batch)
@@ -256,6 +256,53 @@ class MatViewSpec extends SparkSpec {
       ("c", 1L, BigDecimal(99).setScale(6))))
   }
 
+  test("catchUp bridges a multi-version span from the change feed; " +
+      "recompute only when unbridgeable") {
+    val t = mkSource("catchup", 3000)
+    val view = s"$root/catchup_view"
+    MatView.create(spark, t, "k", view, Seq("grp"), Seq("amount"))
+    // three source DMLs without a refresh — including churn on ONE key
+    // across versions (the last-op-per-key reduction must win)
+    Upsert.applyCdc(spark, t, "k", Seq((5000L, "g1", BigDecimal(9), "I"))
+      .toDF("k", "grp", "amount", "op"))
+    Upsert.applyCdc(spark, t, "k", Seq(
+      (5000L, "g2", BigDecimal(11), "U"),
+      (7L, "g0", BigDecimal(42), "U")).toDF("k", "grp", "amount", "op"))
+    Upsert.applyCdc(spark, t, "k", Seq((3L, "D"))
+      .toDF("k", "op").withColumn("grp", lit(null: String))
+      .withColumn("amount", lit(null: String).cast("decimal(38,18)"))
+      .select($"k", $"grp", $"amount", $"op"))
+    // the single-step refresh rejects this span; catchUp bridges it
+    val e = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, view, Seq((3L, "D")).toDF("k", "op")
+        .withColumn("grp", lit(null: String))
+        .withColumn("amount", lit(null: String).cast("decimal(38,18)")))
+    }
+    assert(e.getMessage.contains("catchUp"))
+    MatView.catchUp(spark, view)
+    assert(viewRows(view) == fullRecompute(t))
+    assert(MatView.spec(spark, view).synced ==
+      Versioned.currentVersion(spark, t).get)
+    // idempotent: a second catchUp no-ops at the same version
+    val vNow = Versioned.currentVersion(spark, view).get
+    assert(MatView.catchUp(spark, view) == vNow)
+    // maintenance-only span: compaction bridges to zero changes, the
+    // watermark still advances
+    Compact.compactVersion(spark, t, "k")
+    MatView.catchUp(spark, view)
+    assert(viewRows(view) == fullRecompute(t))
+    assert(MatView.spec(spark, view).synced ==
+      Versioned.currentVersion(spark, t).get)
+    // unbridgeable: a wholesale replace breaks the feed — catchUp falls
+    // back to the full recompute instead of guessing
+    Forget.publishIndexed(
+      (0 until 100).map(k => (k.toLong, s"g${k % 3}",
+        BigDecimal(k))).toDF("k", "grp", "amount"),
+      t, nFiles = 2, keyCol = "k", stats = true)
+    MatView.catchUp(spark, view)
+    assert(viewRows(view) == fullRecompute(t))
+  }
+
   test("view versions time-travel; watermark is atomic with the data") {
     val src = mkSource("travel", 1000)
     val view = s"$root/travel_view"
@@ -263,7 +310,7 @@ class MatViewSpec extends SparkSpec {
     val before = viewRows(view)
     val batch = Seq((0L, "D")).toDF("k", "op")
       .withColumn("grp", lit(null: String))
-      .withColumn("amount", lit(null: String).cast("decimal(38,6)"))
+      .withColumn("amount", lit(null: String).cast("decimal(38,18)"))
       .select($"k", $"grp", $"amount", $"op")
     Upsert.applyCdc(spark, src, "k", batch)
     val v2 = MatView.refresh(spark, view, batch)
