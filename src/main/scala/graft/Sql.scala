@@ -92,8 +92,7 @@ object Sql {
       graft.lake.Txn.snapshot(spark, names.map(paths).distinct)
     names.map { n =>
       val v = pinned(paths(n))
-      Versioned.readVersion(spark, paths(n), v)
-        .createOrReplaceTempView(n)
+      registerAsOf(spark, n, paths(n), v)
       n -> v
     }.toMap
   }

@@ -100,7 +100,7 @@ object SqlDml {
     * bindings after a transaction block aborts or rolls back (a view
     * bound mid-txn points at a pending version the abort just deleted). */
   private[graft] def rebindAll(spark: SparkSession,
-                               tables: Set[String]): Unit =
+                               tables: Set[String]): Unit = {
     registry.foreach { case (name, (table, _)) =>
       if (tables.contains(table) &&
           Versioned.currentVersion(spark, table).isDefined) {
@@ -108,6 +108,25 @@ object SqlDml {
         ()
       }
     }
+    // materialized-view bindings too: a REFRESH inside the aborted block
+    // left the view's temp view on a deleted pending dir; a CREATE inside
+    // it left a binding whose path has NO published version — re-bind the
+    // former, drop the latter entirely (registry entry and temp view)
+    mvRegistry.foreach { case (name, path) =>
+      if (tables.contains(path)) {
+        Versioned.currentVersion(spark, path) match {
+          case Some(v) =>
+            Versioned.readVersion(spark, path, v)
+              .createOrReplaceTempView(name)
+            ()
+          case None =>
+            mvRegistry.remove(name)
+            spark.catalog.dropTempView(name)
+            ()
+        }
+      }
+    }
+  }
 
   private[graft] def lookup(name: String): (String, String) =
     registry.getOrElse(name.toLowerCase, throw new IllegalArgumentException(
@@ -475,7 +494,9 @@ object SqlDml {
               case agg(fn, c) =>
                 if (fn.equalsIgnoreCase("SUM")) sums :+= clean(c)
                 else if (!minMax.contains(clean(c))) minMax :+= clean(c)
-              case bare if groupCols.contains(clean(bare)) => ()
+              // SQL identifiers are case-insensitive — match them so
+              case bare if groupCols.exists(
+                _.equalsIgnoreCase(clean(bare))) => ()
               case other => reject(sql,
                 s"select item '$other' — a materialized view supports " +
                   "group columns, count(*), sum(c), min(c), max(c) " +

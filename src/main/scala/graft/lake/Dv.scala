@@ -202,6 +202,22 @@ object Dv {
     require(extra.isEmpty,
       s"changeset adds column(s) $extra — the zero-copy merge does not " +
         "evolve schemas; use Upsert.merge(evolveSchema = true)")
+    // TYPE equality on every shared column (same guard as the rewriting
+    // merge, [[Upsert]]): the zero-copy merge appends the changeset's
+    // files BESIDE the referenced base files, so a mistyped column
+    // (decimal(38,6) vs the table's decimal(38,18)) would strand two
+    // physical types in one readable version — exactly the
+    // footer-inference lottery the rewriting path rejects. NullType
+    // (NULL-literal columns) promotes losslessly and stays exempt.
+    val mistyped = cols.filter(c =>
+      upserts.schema(c).dataType != schema(c).dataType &&
+        upserts.schema(c).dataType !=
+          org.apache.spark.sql.types.NullType)
+    require(mistyped.isEmpty,
+      s"changeset column type(s) differ from the table: " +
+        mistyped.map(c => s"$c (${upserts.schema(c).dataType.simpleString}" +
+          s" vs table ${schema(c).dataType.simpleString})").mkString(", ") +
+        " — cast the changeset to the table's types")
 
     val upsertKeys = upserts.select(col(keyCol).cast("long"))
       .as[Long].collect().toSeq

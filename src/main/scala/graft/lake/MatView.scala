@@ -252,17 +252,29 @@ object MatView {
       if (srcLive == s.synced)
         Versioned.currentVersion(spark, view).get
       else {
+        // bridgeability pre-checks the feed probe cannot express as its
+        // own exception: a RE-SEEDED source (live below the watermark —
+        // deleted and re-published) and a VACUUMED synced version (its
+        // data dir is the span's minus side) both mean recompute
+        val preDir = Versioned.dataDir(spark, s.source, s.synced)
+        val bridgeable = srcLive > s.synced &&
+          fs(spark, preDir).exists(new Path(preDir))
         val span =
-          try Some(Cdf.changesSince(spark, s.source, s.synced,
-            untilV = Some(srcLive)))
-          catch { case _: IllegalStateException => None } // unbridgeable
+          if (!bridgeable) None
+          else
+            try Some(Cdf.changesSince(spark, s.source, s.synced,
+              untilV = Some(srcLive)))
+            catch { case _: IllegalStateException => None } // unbridgeable
         span match {
           case None => recreate(spark, view)
           case Some(changes) =>
             val reduced = Upsert.lastPerKey(changes, s.keyCol,
               "_version", "_op")
+            // the span's bound is PINNED through the refresh: a source
+            // publish landing after the srcLive read above must not let
+            // the watermark jump past changes this span never carried
             refreshOnce(spark, view, reduced, "_op", maxDriverKeys,
-              span = true)
+              spanTo = Some(srcLive))
         }
       }
     }
@@ -270,17 +282,23 @@ object MatView {
   private def refreshOnce(spark: SparkSession, view: String,
                           batch: DataFrame, opCol: String,
                           maxDriverKeys: Int,
-                          span: Boolean = false): Long = {
+                          spanTo: Option[Long] = None): Long = {
     val s = spec(spark, view)
-    val srcLive = Versioned.currentVersion(spark, s.source).getOrElse(
-      throw new IllegalStateException(s"no published version at ${s.source}"))
+    // spanTo is [[catchUp]]'s contract: the batch REDUCES the whole
+    // synced+1..spanTo feed span to its last op per key, so the
+    // single-step guard does not apply (old rows still read from the
+    // synced version, which is exactly the span's minus side) — and the
+    // bound is the one catchUp's feed read was built against, NOT a
+    // re-read of the live version: a concurrent source publish landing
+    // mid-refresh must not advance the watermark past changes this
+    // batch never carried (they would be skipped forever).
+    val srcLive = spanTo.getOrElse(
+      Versioned.currentVersion(spark, s.source).getOrElse(
+        throw new IllegalStateException(
+          s"no published version at ${s.source}")))
     val viewLive = Versioned.currentVersion(spark, view).get
     if (srcLive == s.synced) return viewLive // replayed refresh: no-op
-    // span = true is [[catchUp]]'s contract: the batch REDUCES the whole
-    // synced+1..srcLive feed span to its last op per key, so the
-    // single-step guard does not apply (old rows still read from the
-    // synced version, which is exactly the span's minus side)
-    require(span || srcLive == s.synced + 1,
+    require(spanTo.isDefined || srcLive == s.synced + 1,
       s"${s.source} advanced v${s.synced} -> v$srcLive (more than one " +
         "DML publish since the last refresh) — MatView.catchUp (change-" +
         "feed span) or MatView.recreate (full recompute) to catch up")

@@ -179,6 +179,50 @@ class SqlTxnSpec extends SparkSpec {
     assert(unreg.getMessage.contains("not a registered materialized view"))
   }
 
+  test("an aborted block heals MATERIALIZED VIEW bindings too") {
+    val t = s"$root/mvheal"
+    (0 until 12).map(k => (k.toLong, s"c${k % 2}", k.toLong))
+      .toDF("k", "color", "amt")
+      .write.mode("overwrite").parquet(s"$root/mvhealseed")
+    Forget.publishIndexed(
+      spark.read.parquet(s"$root/mvhealseed"), t, 2, "k", stats = true)
+    SqlDml.register(spark, "mvh", t, "k")
+    Sql.execute(spark,
+      s"CREATE MATERIALIZED VIEW mvh_view LOCATION '$root/mvh_v' AS " +
+        "SELECT color, count(*), sum(amt) FROM mvh GROUP BY color")
+    // a block that REFRESHes the view, then fails: the view's pending
+    // version aborts and its binding must re-point at the live one
+    intercept[Exception] {
+      Sql.executeScript(spark,
+        """BEGIN;
+          |UPDATE mvh SET amt = 500 WHERE k = 0;
+          |REFRESH MATERIALIZED VIEW mvh_view;
+          |FROBNICATE mvh;
+          |COMMIT""".stripMargin)
+    }
+    assert(Versioned.currentVersion(spark, s"$root/mvh_v").contains(1L))
+    // the session keeps reading BOTH views at the pre-block state
+    assert(spark.sql(
+      "SELECT sum_amt FROM mvh_view WHERE color = 'c0'").head()
+      .getDecimal(0).longValueExact() == 30L) // 0+2+...+10
+    assert(spark.sql("SELECT amt FROM mvh WHERE k = 0").head()
+      .getLong(0) == 0L)
+    // a CREATE inside an aborted block leaves no dangling binding
+    intercept[Exception] {
+      Sql.executeScript(spark,
+        s"""BEGIN;
+           |CREATE MATERIALIZED VIEW mvh_dead LOCATION '$root/mvh_d' AS
+           |SELECT color, count(*) FROM mvh GROUP BY color;
+           |FROBNICATE mvh;
+           |COMMIT""".stripMargin)
+    }
+    val gone = intercept[IllegalArgumentException] {
+      Sql.execute(spark, "REFRESH MATERIALIZED VIEW mvh_dead")
+    }
+    assert(gone.getMessage.contains("not a registered materialized view"))
+    assert(!spark.catalog.tableExists("mvh_dead"))
+  }
+
   test("registerSnapshot pins a consistent cut across tables") {
     val a = s"$root/snap-a"; val b = s"$root/snap-b"
     Forget.publishIndexed(seed(5), a, 1, "k", stats = true)
@@ -197,6 +241,7 @@ class SqlTxnSpec extends SparkSpec {
     // open by another thread sees the pre-txn cut on BOTH tables
     val hold = new java.util.concurrent.CountDownLatch(1)
     val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var bothMerged = false
     val writer = new Thread(() => {
       val ctx = graft.lake.Txn.begin(spark)
       try {
@@ -204,9 +249,17 @@ class SqlTxnSpec extends SparkSpec {
           Seq((2L, "x", 9L)).toDF("k", "v", "n"))
         graft.lake.Upsert.merge(spark, b, "k",
           Seq((2L, "x", 9L)).toDF("k", "v", "n"))
+        bothMerged = true
+      } finally {
+        // countDown in the finally: a merge failure must FAIL the test,
+        // never wedge the main thread on hold.await(); and only a fully
+        // staged pair may flip — a half-staged ctx aborts
         hold.countDown()
         done.await()
-      } finally { graft.lake.Txn.flip(ctx); graft.lake.Txn.detach() }
+        if (bothMerged) graft.lake.Txn.flip(ctx)
+        else graft.lake.Txn.abort(ctx)
+        graft.lake.Txn.detach()
+      }
     })
     writer.start()
     hold.await()
@@ -215,6 +268,7 @@ class SqlTxnSpec extends SparkSpec {
       assert(mid == Map("sna" -> 2L, "snb" -> 2L),
         s"snapshot tore mid-txn: $mid")
     } finally { done.countDown(); writer.join() }
+    assert(bothMerged, "writer thread failed to stage both merges")
     val after = Sql.registerSnapshot(spark, Seq("sna", "snb"))
     assert(after == Map("sna" -> 3L, "snb" -> 3L))
   }

@@ -301,6 +301,15 @@ class MatViewSpec extends SparkSpec {
       t, nFiles = 2, keyCol = "k", stats = true)
     MatView.catchUp(spark, view)
     assert(viewRows(view) == fullRecompute(t))
+    // unbridgeable: the SYNCED version's data dir was vacuumed (the span
+    // needs it as its minus side) — recompute, not a loud vacuum error
+    Upsert.applyCdc(spark, t, "k", Seq((200L, "g0", BigDecimal(1), "I"))
+      .toDF("k", "grp", "amount", "op"))
+    Upsert.applyCdc(spark, t, "k", Seq((201L, "g1", BigDecimal(2), "I"))
+      .toDF("k", "grp", "amount", "op"))
+    Versioned.vacuum(spark, t, keep = 0) // drops the synced version's dir
+    MatView.catchUp(spark, view)
+    assert(viewRows(view) == fullRecompute(t))
   }
 
   test("view versions time-travel; watermark is atomic with the data") {
