@@ -100,10 +100,14 @@ object Expect {
         case Mode.Drop =>
           val q = quarantine.getOrElse(throw new IllegalArgumentException(
             "Drop mode needs a quarantine table"))
-          val pass = df.filter(passCol(rules))
-          val v = Versioned.publish(pass, table)
-          if (bad > 0) Versioned.publish(violatorsOf(df, rules), q)
-          Report(Some(v), total - bad, bad, counts)
+          // table + quarantine flip as one cross-table txn — same
+          // argument as the DML legs below
+          Txn.atomicallyOrJoin(df.sparkSession) {
+            val pass = df.filter(passCol(rules))
+            val v = Versioned.publish(pass, table)
+            if (bad > 0) Versioned.publish(violatorsOf(df, rules), q)
+            Report(Some(v), total - bad, bad, counts)
+          }
       }
     } finally { df.unpersist(); () }
   }
@@ -127,11 +131,12 @@ object Expect {
   /** Gate a full-row changeset through `rules`, then MERGE the passing
     * rows ([[Upsert.merge]]) — the DML leg of expectations: a bad
     * changeset quarantines (Drop) or aborts with the table untouched
-    * (Fail) instead of merging. Drop mode publishes the quarantine
-    * version BEFORE the merge, so a crash between the two writes loses
-    * nothing — a replay re-quarantines (a fresh auditable quarantine
-    * version) and re-merges; `Report.version` is None when nothing merged
-    * (every row quarantined). */
+    * (Fail) instead of merging. Drop mode flips the quarantine version
+    * and the merge as ONE cross-table transaction ([[Txn]]) — a crash
+    * between the two writes aborts both, and a replay re-runs both
+    * exactly once (no duplicate quarantine versions, no
+    * quarantined-but-unmerged window); `Report.version` is None when
+    * nothing merged (every row quarantined). */
   def merge(spark: SparkSession, table: String, keyCol: String,
             changes: DataFrame, rules: Seq[Rule], mode: Mode,
             quarantine: Option[String] = None,
@@ -157,11 +162,18 @@ object Expect {
         case Mode.Drop =>
           val q = quarantine.getOrElse(throw new IllegalArgumentException(
             "Drop mode needs a quarantine table"))
-          if (bad > 0) Versioned.publish(violatorsOf(changes, rules), q)
-          val v =
-            if (bad == total) None // nothing passed — table untouched
-            else Some(run(changes.filter(passCol(rules))))
-          Report(v, total - bad, bad, counts)
+          // quarantine + gated publish flip as ONE cross-table txn: a
+          // crash between the two can no longer leave the violators
+          // quarantined with the table unmoved (the old ordering
+          // contract), and a replay re-publishes neither twice. Joins a
+          // caller's enclosing txn instead of nesting.
+          Txn.atomicallyOrJoin(spark) {
+            if (bad > 0) Versioned.publish(violatorsOf(changes, rules), q)
+            val v =
+              if (bad == total) None // nothing passed — table untouched
+              else Some(run(changes.filter(passCol(rules))))
+            Report(v, total - bad, bad, counts)
+          }
       }
     } finally { changes.unpersist(); () }
   }
@@ -171,8 +183,9 @@ object Expect {
     * a D row carries nothing but its key, so it passes through
     * unaudited. `Report.published`/`quarantined` therefore count audited
     * payload rows; deletes ride along whenever anything merges. Same
-    * quarantine-before-merge crash ordering as [[merge]]; `batchTag`
-    * forwards the streaming sink's replay-dedup tag. */
+    * one-txn quarantine + merge flip as [[merge]] (joining a caller's
+    * enclosing txn instead of nesting); `batchTag` forwards the
+    * streaming sink's replay-dedup tag. */
   def applyCdc(spark: SparkSession, table: String, keyCol: String,
                batch: DataFrame, rules: Seq[Rule], mode: Mode,
                quarantine: Option[String] = None, opCol: String = "op",
@@ -200,7 +213,12 @@ object Expect {
           val q = quarantine.getOrElse(throw new IllegalArgumentException(
             "Drop mode needs a quarantine table"))
           if (bad == 0L) Report(Some(applyAll(batch)), total, 0L, counts)
-          else {
+          else Txn.atomicallyOrJoin(spark) {
+            // one atomic flip for the quarantine publish + gated merge —
+            // a crash-replay of this micro-batch re-runs BOTH exactly
+            // once (the merge's batch tag was pending-invisible), where
+            // the old ordering re-published the quarantine beside an
+            // already-tagged merge
             Versioned.publish(violatorsOf(payload, rules), q)
             val gated = batch.filter(
               col(opCol) === "D" || passCol(rules))

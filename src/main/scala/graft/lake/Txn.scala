@@ -458,6 +458,16 @@ object Txn {
     healed
   }
 
+  /** [[atomically]], unless a txn is already ACTIVE on this thread — then
+    * the body simply runs inside it (joining the enclosing atomicity
+    * scope instead of rejecting as a nested begin). The composition
+    * primitive for library code that wants its own publishes atomic but
+    * must remain callable from a caller's larger txn — e.g.
+    * [[Expect]]'s quarantine-publish + gated-merge pair inside
+    * [[graft.streaming.CdcSink]]'s atomic micro-batch. */
+  def atomicallyOrJoin[T](spark: SparkSession)(body: => T): T =
+    if (current.isDefined) body else atomically(spark)(body)
+
   /** Consistent multi-table READ versions — the read-side complement of
     * [[atomically]]: a set of live versions across `tables` that no txn
     * flip straddled. Seqlock-style validate: read every table's live

@@ -316,6 +316,43 @@ class TxnSpec extends SparkSpec {
     Versioned.healClaims(spark, t)
   }
 
+  test("Drop-mode quarantine + merge flip as one txn; crash replays " +
+      "both exactly once") {
+    val t = s"$root/exp-t"; val q = s"$root/exp-q"
+    Forget.publishIndexed(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "n"), t, 1, "k", stats = true)
+    val rules = Seq(Expect.Rule("n_positive", "n >= 0"))
+    def batch(good: Long, badV: Long) =
+      Seq(("U", 1L, good), ("U", 2L, badV)).toDF("op", "k", "n")
+    // normal path: both tables flip together
+    val r = Expect.applyCdc(spark, t, "k", batch(11L, -1L), rules,
+      Expect.Mode.Drop, Some(q))
+    assert(r.published == 1L && r.quarantined == 1L)
+    assert(Versioned.currentVersion(spark, t).contains(2L))
+    assert(Versioned.currentVersion(spark, q).contains(1L))
+    assert(Versioned.read(spark, q).count() == 1L)
+    // crash mid-pair: an enclosing txn the Drop path JOINS, detached
+    // before its flip — neither the quarantine version nor the merge is
+    // visible, and the replay applies BOTH exactly once (the old
+    // ordering would have re-published the quarantine a second time)
+    val ctx = Txn.begin(spark)
+    Expect.applyCdc(spark, t, "k", batch(12L, -2L), rules,
+      Expect.Mode.Drop, Some(q), batchTag = Some("b9"))
+    Txn.detach()
+    assert(ctx.committedVersions.size == 2)
+    assert(Versioned.currentVersion(spark, t).contains(2L))
+    assert(Versioned.currentVersion(spark, q).contains(1L))
+    Versioned.healClaims(spark, q) // coordinator: quarantine publishes first
+    Expect.applyCdc(spark, t, "k", batch(12L, -2L), rules,
+      Expect.Mode.Drop, Some(q), batchTag = Some("b9"))
+    assert(Versioned.currentVersion(spark, t).contains(3L))
+    assert(Versioned.currentVersion(spark, q).contains(2L))
+    assert(Versioned.read(spark, t).filter($"k" === 1L)
+      .head().getLong(1) == 12L)
+    // exactly ONE quarantine version carries the replayed violator
+    assert(Versioned.read(spark, q).count() == 1L)
+  }
+
   test("nested atomically rejects; empty txn is a no-op") {
     val e = intercept[IllegalArgumentException] {
       Txn.atomically(spark) {
