@@ -5,8 +5,8 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.lake.{Clone, Compact, Dv, Expect, Forget, History, MatView,
-  Restore, Upsert, Versioned, ZOrder}
+import graft.lake.{BloomIndex, Clone, Compact, Dv, Expect, Forget, History,
+  MatView, Restore, StatsIndex, Upsert, Versioned, ZOrder}
 
 /**
  * SQL DML statements against registered lake tables — the write-side of
@@ -206,7 +206,8 @@ object SqlDml {
         "RESTORE [TABLE] t TO VERSION AS OF n, ALTER TABLE t ADD " +
         "COLUMNS (...) | ADD/DROP CONSTRAINT, CREATE MATERIALIZED VIEW " +
         "n LOCATION 'p' AS <grouped select>, REFRESH MATERIALIZED VIEW " +
-        "n, DESCRIBE HISTORY|DETAIL t. Statement: " +
+        "n, ANALYZE TABLE t COMPUTE STATISTICS [FOR BLOOM], DESCRIBE " +
+        "HISTORY|DETAIL t. Statement: " +
         sql.linesIterator.mkString(" ").take(200))
 
   private def stripSemi(sql: String): String = {
@@ -256,6 +257,7 @@ object SqlDml {
         createMvStmt(spark, s)
       case "CREATE" => createStmt(spark, s, rules, mode, quarantine)
       case "REFRESH" => refreshMvStmt(spark, s)
+      case "ANALYZE" => analyzeStmt(spark, s)
       case "COPY" => copyIntoStmt(spark, s, rules, mode, quarantine)
       case "DESCRIBE" | "SHOW" => reject(s,
         s"$head returns a DataFrame, not a version — call " +
@@ -277,15 +279,18 @@ object SqlDml {
     val vdr = ("(?is)^VACUUM\\s+(\\S+?)(?:\\s+RETAIN\\s+(\\d+)\\s+" +
       "VERSIONS)?\\s+DRY\\s+RUN$").r
     val st = "(?is)^SHOW\\s+TABLES$".r
+    val smv = "(?is)^SHOW\\s+MATERIALIZED\\s+VIEWS$".r
     s match {
       case h(name) => History.frame(spark, lookup(name)._1)
       case d(name) => History.detail(spark, lookup(name)._1)
       case vdr(name, k) =>
         vacuumDryRun(spark, lookup(name)._1,
           Option(k).map(_.toInt).getOrElse(1))
+      case smv() => showMaterializedViews(spark)
       case st() => showTables(spark)
       case _ => reject(s, "expected DESCRIBE HISTORY|DETAIL <table>, " +
-        "VACUUM <table> [RETAIN n VERSIONS] DRY RUN, or SHOW TABLES")
+        "VACUUM <table> [RETAIN n VERSIONS] DRY RUN, SHOW TABLES, or " +
+        "SHOW MATERIALIZED VIEWS")
     }
   }
 
@@ -320,6 +325,36 @@ object SqlDml {
   }
 
   // SHOW TABLES — the session's registered DML targets
+  // SHOW MATERIALIZED VIEWS — session-registered MV bindings with their
+  // definition facts (source, group/agg columns, sync watermark) read
+  // from each view's live spec sidecar
+  private def showMaterializedViews(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = mvRegistry.toSeq.sortBy(_._1).map { case (name, path) =>
+      val sp = scala.util.Try(MatView.spec(spark, path)).toOption
+      Row(name, path,
+        sp.map(_.source).orNull,
+        sp.map(_.groupCols.mkString(",")).orNull,
+        sp.map(_.sumCols.mkString(",")).orNull,
+        sp.map(_.minMaxCols.mkString(",")).orNull,
+        sp.map(s => java.lang.Long.valueOf(s.synced)).orNull,
+        Versioned.currentVersion(spark, path)
+          .map(java.lang.Long.valueOf).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("location", StringType, nullable = false),
+        StructField("source", StringType, nullable = true),
+        StructField("group_cols", StringType, nullable = true),
+        StructField("sum_cols", StringType, nullable = true),
+        StructField("minmax_cols", StringType, nullable = true),
+        StructField("synced_source_version", LongType, nullable = true),
+        StructField("live_version", LongType, nullable = true))))
+  }
+
   private def showTables(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -535,6 +570,32 @@ object SqlDml {
         Versioned.readVersion(spark, path, v).createOrReplaceTempView(name)
         v
       case _ => reject(sql, "expected REFRESH MATERIALIZED VIEW <name>")
+    }
+  }
+
+  // ANALYZE TABLE t COMPUTE STATISTICS [FOR BLOOM] — build/refresh the
+  // skipping indexes of the LIVE version's data dir: the StatsIndex
+  // manifest (per-file key min/max/counts in ONE metadata read — range
+  // pruning without per-file footer opens on an object store) and, with
+  // FOR BLOOM, the per-file key Bloom sidecars (point-lookup pruning
+  // where min/max is blind). Metadata-sized artifacts beside immutable
+  // data files — no version publish, safe to run anytime (DML carries
+  // indexes forward itself; this statement births them on tables
+  // published without). Returns the live version analyzed.
+  private def analyzeStmt(spark: SparkSession, sql: String): Long = {
+    val m = ("(?is)^ANALYZE\\s+TABLE\\s+(\\S+)\\s+COMPUTE\\s+STATISTICS" +
+      "(\\s+FOR\\s+BLOOM)?$").r
+    sql match {
+      case m(name, forBloom) =>
+        val (table, keyCol) = lookup(name)
+        val live = Versioned.currentVersion(spark, table).getOrElse(
+          reject(sql, s"no published version at $table"))
+        val dir = Versioned.dataDir(spark, table, live)
+        StatsIndex.build(spark, dir, keyCol)
+        if (forBloom != null) BloomIndex.indexExisting(spark, dir, keyCol)
+        live
+      case _ => reject(sql,
+        "expected ANALYZE TABLE <t> COMPUTE STATISTICS [FOR BLOOM]")
     }
   }
 

@@ -398,4 +398,45 @@ class SqlDdlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("2-4"))
   }
+
+  test("ANALYZE TABLE births skipping indexes; SHOW MATERIALIZED VIEWS " +
+      "lists the session's bindings") {
+    val t = s"$root/analyze"
+    // publish WITHOUT indexes (plain publish — no Bloom, no stats)
+    Versioned.publish(seed(2000).repartition(4), t)
+    SqlDml.register(spark, "an_t", t, "k")
+    val dir = s"$t/v=${Versioned.currentVersion(spark, t).get}"
+    assert(!graft.lake.StatsIndex.exists(spark, dir))
+    val live = Sql.execute(spark,
+      "ANALYZE TABLE an_t COMPUTE STATISTICS FOR BLOOM")
+    assert(live == 1L)
+    assert(graft.lake.StatsIndex.exists(spark, dir))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/_bloom")))
+    // the indexes are live: a targeted purge byte-carries non-admitted
+    // files instead of rewriting everything
+    Sql.execute(spark, "DELETE FROM an_t WHERE k = 7")
+    assert(spark.sql("SELECT count(*) FROM an_t").head().getLong(0)
+      == 1999L)
+    val bad = intercept[IllegalArgumentException] {
+      Sql.execute(spark, "ANALYZE TABLE an_t COMPUTE NONSENSE")
+    }
+    assert(bad.getMessage.contains("ANALYZE TABLE"))
+
+    // SHOW MATERIALIZED VIEWS reflects the session's MV registry
+    val mv = s"$root/analyze_mv"
+    Sql.execute(spark,
+      s"CREATE MATERIALIZED VIEW an_mv LOCATION '$mv' AS " +
+        "SELECT v, count(*), sum(n) FROM an_t GROUP BY v")
+    val rows = Sql.describe(spark, "SHOW MATERIALIZED VIEWS")
+      .filter("name = 'an_mv'").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("location") == mv)
+    assert(r.getAs[String]("source") == t)
+    assert(r.getAs[String]("group_cols") == "v")
+    assert(r.getAs[String]("sum_cols") == "n")
+    assert(r.getAs[Long]("live_version") == 1L)
+  }
 }

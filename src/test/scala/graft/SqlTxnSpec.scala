@@ -273,6 +273,35 @@ class SqlTxnSpec extends SparkSpec {
     assert(after == Map("sna" -> 3L, "snb" -> 3L))
   }
 
+  test("atomic multi-table point-in-time RESTORE via a BEGIN block") {
+    val a = s"$root/rst-a"; val b = s"$root/rst-b"
+    Forget.publishIndexed(seed(5), a, 1, "k", stats = true)
+    Forget.publishIndexed(seed(5), b, 1, "k", stats = true)
+    SqlDml.register(spark, "rsta", a, "k")
+    SqlDml.register(spark, "rstb", b, "k")
+    // move both tables together twice, then rewind BOTH to the first cut
+    Sql.executeScript(spark,
+      """BEGIN; UPDATE rsta SET n = 1 WHERE k = 0;
+        |UPDATE rstb SET n = 1 WHERE k = 0; COMMIT;
+        |BEGIN; UPDATE rsta SET n = 2 WHERE k = 0;
+        |UPDATE rstb SET n = 2 WHERE k = 0; COMMIT""".stripMargin)
+    assert(Versioned.currentVersion(spark, a).contains(3L))
+    // the rewind is itself one atomic flip: no reader ever sees table a
+    // restored while b still shows the later state
+    val vs = Sql.executeScript(spark,
+      """BEGIN;
+        |RESTORE TABLE rsta TO VERSION AS OF 2;
+        |RESTORE TABLE rstb TO VERSION AS OF 2;
+        |COMMIT""".stripMargin)
+    assert(vs == Seq(4L, 4L))
+    Seq("rsta", "rstb").foreach { n =>
+      assert(spark.sql(s"SELECT n FROM $n WHERE k = 0").head()
+        .getLong(0) == 1L, s"$n not at the v2 cut")
+    }
+    // history preserved on both (zero-copy rewind, not a rollback)
+    assert(Sql.describe(spark, "DESCRIBE HISTORY rsta").count() == 4L)
+  }
+
   test("nested BEGIN, unclosed block, and VACUUM-in-block reject") {
     val t = s"$root/guards"
     Forget.publishIndexed(seed(3), t, 1, "k", stats = true)
