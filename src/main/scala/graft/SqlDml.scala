@@ -324,7 +324,6 @@ object SqlDml {
         StructField("own_bytes", LongType, nullable = false))))
   }
 
-  // SHOW TABLES — the session's registered DML targets
   // SHOW MATERIALIZED VIEWS — session-registered MV bindings with their
   // definition facts (source, group/agg columns, sync watermark) read
   // from each view's live spec sidecar
@@ -355,6 +354,7 @@ object SqlDml {
         StructField("live_version", LongType, nullable = true))))
   }
 
+  // SHOW TABLES — the session's registered DML targets
   private def showTables(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -589,8 +589,18 @@ object SqlDml {
       case m(name, forBloom) =>
         val (table, keyCol) = lookup(name)
         val live = Versioned.currentVersion(spark, table).getOrElse(
-          reject(sql, s"no published version at $table"))
-        val dir = Versioned.dataDir(spark, table, live)
+          throw new IllegalStateException(
+            s"no published version at $table — land data first, then " +
+              "ANALYZE"))
+        // a shallow-ref live version has NO data dir of its own — its
+        // _ref points INTO another table (or an older version): writing
+        // _stats/_bloom there would mutate, and with a mismatched key
+        // column poison, someone else's skipping indexes
+        require(!Versioned.isShallowRef(spark, table, live),
+          s"$table v$live is a shallow-clone/zero-copy reference (no " +
+            "data dir of its own) — ANALYZE the source table, or " +
+            "Clone.materialize first")
+        val dir = s"$table/v=$live"
         StatsIndex.build(spark, dir, keyCol)
         if (forBloom != null) BloomIndex.indexExisting(spark, dir, keyCol)
         live

@@ -100,12 +100,17 @@ object Expect {
         case Mode.Drop =>
           val q = quarantine.getOrElse(throw new IllegalArgumentException(
             "Drop mode needs a quarantine table"))
+          // clean frame: a single publish is already atomic — no txn
+          if (bad == 0L) {
+            val v = Versioned.publish(df, table)
+            Report(Some(v), total, 0L, counts)
           // table + quarantine flip as one cross-table txn — same
-          // argument as the DML legs below
-          Txn.atomicallyOrJoin(df.sparkSession) {
+          // argument as the DML legs below (target first, shared
+          // quarantine second)
+          } else Txn.atomicallyOrJoin(df.sparkSession) {
             val pass = df.filter(passCol(rules))
             val v = Versioned.publish(pass, table)
-            if (bad > 0) Versioned.publish(violatorsOf(df, rules), q)
+            Versioned.publish(violatorsOf(df, rules), q)
             Report(Some(v), total - bad, bad, counts)
           }
       }
@@ -162,16 +167,23 @@ object Expect {
         case Mode.Drop =>
           val q = quarantine.getOrElse(throw new IllegalArgumentException(
             "Drop mode needs a quarantine table"))
-          // quarantine + gated publish flip as ONE cross-table txn: a
+          // clean batch (the common case): one write is already atomic —
+          // skip the txn protocol entirely
+          if (bad == 0L) Report(Some(run(changes)), total, 0L, counts)
+          // quarantine + gated write flip as ONE cross-table txn: a
           // crash between the two can no longer leave the violators
-          // quarantined with the table unmoved (the old ordering
-          // contract), and a replay re-publishes neither twice. Joins a
-          // caller's enclosing txn instead of nesting.
-          Txn.atomicallyOrJoin(spark) {
-            if (bad > 0) Versioned.publish(violatorsOf(changes, rules), q)
+          // quarantined with the table unmoved, and a replay re-runs
+          // neither twice. Joins a caller's enclosing txn instead of
+          // nesting. TARGET writes first, quarantine second: the
+          // quarantine table is often SHARED across writers, and
+          // first-published holds its claim until the flip — put the
+          // long hold on the writer-owned table, the millisecond hold
+          // on the shared one.
+          else Txn.atomicallyOrJoin(spark) {
             val v =
               if (bad == total) None // nothing passed — table untouched
               else Some(run(changes.filter(passCol(rules))))
+            Versioned.publish(violatorsOf(changes, rules), q)
             Report(v, total - bad, bad, counts)
           }
       }
@@ -214,15 +226,16 @@ object Expect {
             "Drop mode needs a quarantine table"))
           if (bad == 0L) Report(Some(applyAll(batch)), total, 0L, counts)
           else Txn.atomicallyOrJoin(spark) {
-            // one atomic flip for the quarantine publish + gated merge —
+            // one atomic flip for the gated merge + quarantine publish —
             // a crash-replay of this micro-batch re-runs BOTH exactly
             // once (the merge's batch tag was pending-invisible), where
             // the old ordering re-published the quarantine beside an
-            // already-tagged merge
-            Versioned.publish(violatorsOf(payload, rules), q)
+            // already-tagged merge. Target first, shared quarantine
+            // second (see [[merge]]'s claim-hold note).
             val gated = batch.filter(
               col(opCol) === "D" || passCol(rules))
             val v = if (gated.isEmpty) None else Some(applyAll(gated))
+            Versioned.publish(violatorsOf(payload, rules), q)
             Report(v, total - bad, bad, counts)
           }
       }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
 
-import graft.lake.{Expect, Txn, Upsert}
+import graft.lake.{Expect, Txn, Upsert, Versioned}
 
 /**
  * Streaming CDC sink: apply a change stream (`op` = "I"/"U"/"D" + the
@@ -46,6 +46,23 @@ import graft.lake.{Expect, Txn, Upsert}
  */
 object CdcSink {
 
+  // The sink OWNS its tables (the single-maintenance-writer contract in
+  // the object doc), so a txn-pending collision here can only be THIS
+  // stream's own crashed transaction (a pre-flip crash left pending dirs
+  // holding the next version numbers). Heal and retry ONCE — the
+  // restart stays self-healing, as it was before cross-table atomicity;
+  // a second txnPending means a genuinely foreign writer and fails
+  // loudly as it should. The grace wait before the first throw is the
+  // restart's one-time cost.
+  private def selfHealing[T](spark: SparkSession,
+                             tables: Seq[String])(op: => T): T =
+    try op
+    catch {
+      case e: Versioned.ConcurrentWriteException if e.txnPending =>
+        tables.foreach(Versioned.healClaims(spark, _))
+        op
+    }
+
   /** Apply one micro-batch (idempotent under replay). Public so batch
     * backfills and specs can drive the exact sink path. A non-empty
     * `rules` battery gates each micro-batch through
@@ -65,13 +82,15 @@ object CdcSink {
         !Upsert.recentBatchTags(spark, table).contains(batchId.toString)) {
       val reduced = seqCol.fold(batch)(s =>
         Upsert.lastPerKey(batch, keyCol, s, opCol))
-      if (rules.isEmpty)
-        Upsert.applyCdc(spark, table, keyCol, reduced, opCol,
-          batchTag = Some(batchId.toString), evolveSchema = evolveSchema)
-      else
-        Expect.applyCdc(spark, table, keyCol, reduced, rules, expectMode,
-          quarantine, opCol, batchTag = Some(batchId.toString),
-          evolveSchema = evolveSchema)
+      selfHealing(spark, table +: quarantine.toSeq) {
+        if (rules.isEmpty)
+          Upsert.applyCdc(spark, table, keyCol, reduced, opCol,
+            batchTag = Some(batchId.toString), evolveSchema = evolveSchema)
+        else
+          Expect.applyCdc(spark, table, keyCol, reduced, rules, expectMode,
+            quarantine, opCol, batchTag = Some(batchId.toString),
+            evolveSchema = evolveSchema)
+      }
       ()
     }
 
@@ -124,7 +143,7 @@ object CdcSink {
         graft.lake.MatView.refresh(spark, view, reduced, opCol)
         ()
       }
-      try {
+      try selfHealing(spark, Seq(table, view)) {
         if (atomic)
           // ONE cross-table transaction ([[graft.lake.Txn]]): the source
           // version and the view version flip visible in one atomic

@@ -342,7 +342,9 @@ class TxnSpec extends SparkSpec {
     assert(ctx.committedVersions.size == 2)
     assert(Versioned.currentVersion(spark, t).contains(2L))
     assert(Versioned.currentVersion(spark, q).contains(1L))
-    Versioned.healClaims(spark, q) // coordinator: quarantine publishes first
+    Versioned.healClaims(spark, t) // coordinator: the TARGET publishes
+    // first inside the pair (the shared quarantine's claim is held only
+    // flip-long), so the record lives at t
     Expect.applyCdc(spark, t, "k", batch(12L, -2L), rules,
       Expect.Mode.Drop, Some(q), batchTag = Some("b9"))
     assert(Versioned.currentVersion(spark, t).contains(3L))
@@ -351,6 +353,31 @@ class TxnSpec extends SparkSpec {
       .head().getLong(1) == 12L)
     // exactly ONE quarantine version carries the replayed violator
     assert(Versioned.read(spark, q).count() == 1L)
+  }
+
+  test("streaming replay over a crashed txn SELF-HEALS (sink owns its " +
+      "tables — no manual healClaims)") {
+    val t = s"$root/heal-t"; val view = s"$root/heal-v"
+    Forget.publishIndexed(
+      Seq((1L, "red", 10L)).toDF("k", "color", "x"),
+      t, 1, "k", stats = true)
+    MatView.create(spark, t, "k", view, Seq("color"), Seq("x"))
+    def batch(x: Long) = Seq(("U", 1L, "red", x)).toDF("op", "k", "color", "x")
+    // crash an atomic micro-batch pre-flip
+    val ctx = Txn.begin(spark)
+    graft.streaming.CdcSink.applyBatch(spark, t, "k", batch(11L), 1L)
+    MatView.refresh(spark, view, batch(11L))
+    Txn.detach()
+    assert(ctx.committedVersions.size == 2)
+    // the replay heals the crashed txn itself and applies exactly once —
+    // tiny grace so the one-time adjudication wait doesn't slow the spec
+    sys.props("graft.txn.graceMs") = "200"
+    try graft.streaming.CdcSink.applyBatchWithView(spark, t, "k", view,
+      batch(11L), 1L, atomic = true)
+    finally sys.props.remove("graft.txn.graceMs")
+    assert(Versioned.currentVersion(spark, t).contains(2L))
+    assert(Versioned.currentVersion(spark, view).contains(2L))
+    assert(Versioned.read(spark, t).head().getLong(2) == 11L)
   }
 
   test("nested atomically rejects; empty txn is a no-op") {
