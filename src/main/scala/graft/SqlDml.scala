@@ -206,7 +206,8 @@ object SqlDml {
         "RESTORE [TABLE] t TO VERSION AS OF n, ALTER TABLE t ADD " +
         "COLUMNS (...) | ADD/DROP CONSTRAINT, CREATE MATERIALIZED VIEW " +
         "n LOCATION 'p' AS <grouped select>, REFRESH MATERIALIZED VIEW " +
-        "n, ANALYZE TABLE t COMPUTE STATISTICS [FOR BLOOM], DESCRIBE " +
+        "n, ANALYZE TABLE t COMPUTE STATISTICS [FOR BLOOM], DROP TABLE " +
+        "t | DROP MATERIALIZED VIEW n (session unbind), DESCRIBE " +
         "HISTORY|DETAIL t. Statement: " +
         sql.linesIterator.mkString(" ").take(200))
 
@@ -258,6 +259,7 @@ object SqlDml {
       case "CREATE" => createStmt(spark, s, rules, mode, quarantine)
       case "REFRESH" => refreshMvStmt(spark, s)
       case "ANALYZE" => analyzeStmt(spark, s)
+      case "DROP" => dropStmt(spark, s)
       case "COPY" => copyIntoStmt(spark, s, rules, mode, quarantine)
       case "DESCRIBE" | "SHOW" => reject(s,
         s"$head returns a DataFrame, not a version — call " +
@@ -570,6 +572,33 @@ object SqlDml {
         Versioned.readVersion(spark, path, v).createOrReplaceTempView(name)
         v
       case _ => reject(sql, "expected REFRESH MATERIALIZED VIEW <name>")
+    }
+  }
+
+  // DROP TABLE t / DROP MATERIALIZED VIEW v — UNBIND the session
+  // registration and temp view. Tables here are path-based (external in
+  // warehouse terms): the versioned dirs on disk are untouched —
+  // re-register to get them back, VACUUM + rm is the operator's data
+  // deletion. Returns the live version at unbind (0 when none existed,
+  // e.g. an allowMissing bootstrap binding).
+  private def dropStmt(spark: SparkSession, sql: String): Long = {
+    val mv = "(?is)^DROP\\s+MATERIALIZED\\s+VIEW\\s+(\\S+)$".r
+    val tb = "(?is)^DROP\\s+TABLE\\s+(\\S+)$".r
+    def unbind(name: String, path: String): Long = {
+      spark.catalog.dropTempView(name)
+      Versioned.currentVersion(spark, path).getOrElse(0L)
+    }
+    sql match {
+      case mv(name) =>
+        val path = mvRegistry.remove(name.toLowerCase).getOrElse(
+          reject(sql, s"'$name' is not a registered materialized view"))
+        unbind(name, path)
+      case tb(name) =>
+        val (path, _) = lookup(name)
+        registry.remove(name.toLowerCase)
+        unbind(name, path)
+      case _ => reject(sql,
+        "expected DROP TABLE <name> or DROP MATERIALIZED VIEW <name>")
     }
   }
 

@@ -439,4 +439,27 @@ class SqlDdlSpec extends SparkSpec {
     assert(r.getAs[String]("sum_cols") == "n")
     assert(r.getAs[Long]("live_version") == 1L)
   }
+
+  test("DROP TABLE / DROP MATERIALIZED VIEW unbind the session; data " +
+      "dirs stay") {
+    val t = s"$root/droptest"
+    Forget.publishIndexed(seed(5), t, 1, "k", stats = true)
+    SqlDml.register(spark, "drop_t", t, "k")
+    val mv = s"$root/droptest_mv"
+    Sql.execute(spark,
+      s"CREATE MATERIALIZED VIEW drop_mv LOCATION '$mv' AS " +
+        "SELECT v, count(*) FROM drop_t GROUP BY v")
+    assert(Sql.execute(spark, "DROP MATERIALIZED VIEW drop_mv") == 1L)
+    assert(!spark.catalog.tableExists("drop_mv"))
+    assert(Sql.execute(spark, "DROP TABLE drop_t") == 1L)
+    assert(!spark.catalog.tableExists("drop_t"))
+    val gone = intercept[IllegalArgumentException] {
+      Sql.execute(spark, "UPDATE drop_t SET v = 'x' WHERE k = 1")
+    }
+    assert(gone.getMessage.contains("not a registered lake table"))
+    // the dirs survive: re-register and keep working (external-table
+    // semantics — the statement unbinds, it does not delete)
+    SqlDml.register(spark, "drop_t", t, "k")
+    assert(spark.sql("SELECT count(*) FROM drop_t").head().getLong(0) == 5L)
+  }
 }
