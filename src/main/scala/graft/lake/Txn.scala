@@ -16,8 +16,9 @@ import org.apache.spark.sql.SparkSession
  * lags. (Delta Lake itself stops at single-table transactions; this is
  * the Iceberg/Nessie-style multi-table commit, re-expressed on the
  * claim-commit layout. Reference scope: the reference pipeline's
- * extract-then-derive steps, e.g. `daily_pipeline.py`, publish each
- * output independently and accept the skew window — this closes it.)
+ * extract-then-load steps (`pipeline.py:76` `run_daily`: extract, then
+ * `upload_events` + metadata as separate writes) publish each output
+ * independently and accept the skew window — this closes it.)
  *
  * Protocol (one new state on top of the [[Versioned]] claim-commit
  * machinery — every per-table step is unchanged):
