@@ -208,6 +208,23 @@ object Sql {
               "SHALLOW CLONE inside BEGIN...COMMIT — the clone pin at " +
                 "the source is unversioned, so an abort would strand it; " +
                 "run it outside the block")
+          //  - CREATE OR REPLACE TABLE / INSERT OVERWRITE are
+          //    restatements: they CLEAR the unversioned COPY INTO ingest
+          //    ledger before publishing, and an abort cannot restore it —
+          //    the surviving old incarnation would then re-land every
+          //    previously-ingested file as duplicate rows
+          else if (b.matches("(?is)^CREATE\\s+OR\\s+REPLACE\\s+TABLE\\b.*"))
+            throw new IllegalArgumentException(
+              "CREATE OR REPLACE TABLE inside BEGIN...COMMIT — a replace " +
+                "clears the unversioned COPY INTO ingest ledger, which an " +
+                "abort cannot restore (the old incarnation would re-land " +
+                "already-ingested files as duplicates); run it outside " +
+                "the block")
+          else if (b.matches("(?is)^INSERT\\s+OVERWRITE\\b.*"))
+            throw new IllegalArgumentException(
+              "INSERT OVERWRITE inside BEGIN...COMMIT — a restatement " +
+                "clears the unversioned COPY INTO ingest ledger, which an " +
+                "abort cannot restore; run it outside the block")
           else body += b
           i += 1
         }

@@ -102,10 +102,19 @@ object SqlDml {
   private[graft] def rebindAll(spark: SparkSession,
                                tables: Set[String]): Unit = {
     registry.foreach { case (name, (table, _)) =>
-      if (tables.contains(table) &&
-          Versioned.currentVersion(spark, table).isDefined) {
-        Sql.registerTable(spark, name, table)
-        ()
+      if (tables.contains(table)) {
+        if (Versioned.currentVersion(spark, table).isDefined) {
+          Sql.registerTable(spark, name, table)
+          ()
+        } else {
+          // a plain CREATE TABLE inside the aborted block: its path has
+          // no published version left, so the binding can never read —
+          // drop it entirely (registry entry and temp view) so the
+          // session's next use says 'not registered', not vanished-files
+          registry.remove(name)
+          spark.catalog.dropTempView(name)
+          ()
+        }
       }
     }
     // materialized-view bindings too: a REFRESH inside the aborted block

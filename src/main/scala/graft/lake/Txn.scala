@@ -213,6 +213,22 @@ object Txn {
     val rec = ctx.record.get
     val out = ctx.recordFs.create(commitMarker(rec), false) // COMMIT POINT
     out.close()
+    // the create succeeds even when a concurrent heal (run in violation
+    // of its no-active-writers contract) already adjudicated this txn as
+    // crashed and DELETED the record and participant dirs — finalizing
+    // then would pointer-update tables toward dirs that no longer exist,
+    // advancing the cache past the real live version. Verify the record
+    // survived the commit point; if it is gone the txn was healed away:
+    // delete the now-orphaned marker and throw (nothing was exposed —
+    // the heal's abort already removed every participant).
+    if (!ctx.recordFs.exists(rec)) {
+      ctx.recordFs.delete(commitMarker(rec), false)
+      throw new IllegalStateException(
+        s"transaction ${ctx.id} was healed away before its commit " +
+          "flip — Versioned.healClaims ran concurrently with an active " +
+          "writer (it is exclusive maintenance); the txn aborted: no " +
+          "participant version is visible. Re-run the transaction.")
+    }
     finalizeCommitted(ctx.recordFs, rec,
       ctx.parts.toSeq.map(p => (p._1, p._2, p._3)))
   }

@@ -53,7 +53,12 @@ object CdcSink {
   // restart stays self-healing, as it was before cross-table atomicity;
   // a second txnPending means a genuinely foreign writer and fails
   // loudly as it should. The grace wait before the first throw is the
-  // restart's one-time cost.
+  // restart's one-time cost. Pass ONLY sink-owned tables: healClaims is
+  // exclusive maintenance, and auto-running it on a SHARED table (the
+  // quarantine, which Expect documents as often shared across writers)
+  // would abort a live foreign txn that is merely slower than
+  // graft.txn.graceMs — its later commit flip would then orphan a
+  // .commit and pointer-update other tables toward deleted dirs.
   private def selfHealing[T](spark: SparkSession,
                              tables: Seq[String])(op: => T): T =
     try op
@@ -82,7 +87,10 @@ object CdcSink {
         !Upsert.recentBatchTags(spark, table).contains(batchId.toString)) {
       val reduced = seqCol.fold(batch)(s =>
         Upsert.lastPerKey(batch, keyCol, s, opCol))
-      selfHealing(spark, table +: quarantine.toSeq) {
+      // heal scope: the sink-owned target only — never the (possibly
+      // shared) quarantine; a pending collision THERE is a foreign
+      // writer's and fails loudly toward a manual, exclusive heal
+      selfHealing(spark, Seq(table)) {
         if (rules.isEmpty)
           Upsert.applyCdc(spark, table, keyCol, reduced, opCol,
             batchTag = Some(batchId.toString), evolveSchema = evolveSchema)

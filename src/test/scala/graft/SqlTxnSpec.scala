@@ -126,8 +126,43 @@ class SqlTxnSpec extends SparkSpec {
           "COMMIT")
     }
     assert(clone.getMessage.contains("SHALLOW CLONE inside BEGIN"))
+    // restatements clear the unversioned COPY INTO ledger — an abort
+    // cannot restore it, so both forms reject inside a block
+    val corTbl = intercept[IllegalArgumentException] {
+      Sql.executeScript(spark,
+        s"BEGIN; CREATE OR REPLACE TABLE sfx KEY k LOCATION '$t' AS " +
+          "SELECT 1 AS k; COMMIT")
+    }
+    assert(corTbl.getMessage.contains("CREATE OR REPLACE TABLE inside BEGIN"))
+    val iow = intercept[IllegalArgumentException] {
+      Sql.executeScript(spark,
+        "BEGIN; INSERT OVERWRITE sfx VALUES (1, 'a', 1); COMMIT")
+    }
+    assert(iow.getMessage.contains("INSERT OVERWRITE inside BEGIN"))
     // nothing half-ran
     assert(Versioned.currentVersion(spark, t).contains(1L))
+  }
+
+  test("a plain CREATE TABLE inside an aborted block leaves no binding") {
+    val t = s"$root/ctasheal"
+    Forget.publishIndexed(seed(4), t, 1, "k", stats = true)
+    SqlDml.register(spark, "cth", t, "k")
+    intercept[Exception] {
+      Sql.executeScript(spark,
+        s"""BEGIN;
+           |CREATE TABLE cth_dead KEY k LOCATION '$root/cth_dead' AS
+           |SELECT k, v, n FROM cth;
+           |FROBNICATE cth;
+           |COMMIT""".stripMargin)
+    }
+    // the aborted CTAS's path has no published version — the registry
+    // entry and temp view must be gone, not bound to vanished files
+    assert(Versioned.currentVersion(spark, s"$root/cth_dead").isEmpty)
+    val gone = intercept[IllegalArgumentException] {
+      Sql.execute(spark, "UPDATE cth_dead SET v = 'x' WHERE k = 1")
+    }
+    assert(gone.getMessage.contains("not a registered lake table"))
+    assert(!spark.catalog.tableExists("cth_dead"))
   }
 
   test("CREATE / REFRESH MATERIALIZED VIEW; MERGE+REFRESH flip " +

@@ -380,6 +380,37 @@ class TxnSpec extends SparkSpec {
     assert(Versioned.read(spark, t).head().getLong(2) == 11L)
   }
 
+  test("a flip racing a concurrent heal detects the healed-away txn " +
+      "instead of finalizing toward deleted dirs") {
+    val t = s"$root/fliprace"
+    Forget.publishIndexed(Seq((1L, 5L)).toDF("k", "x"), t, 1, "k",
+      stats = true)
+    val ctx = Txn.begin(spark)
+    Upsert.merge(spark, t, "k", Seq((1L, 6L)).toDF("k", "x"))
+    Txn.detach()
+    // a heal adjudicates the still-pending txn as crashed (record and
+    // participant dir deleted) — run from "another operator's" thread
+    outside {
+      sys.props("graft.txn.graceMs") = "100"
+      try Versioned.healClaims(spark, t)
+      finally sys.props.remove("graft.txn.graceMs")
+    }
+    // the original owner's flip must DETECT the adjudication: no
+    // finalize, no pointer advance, the orphaned .commit cleaned up
+    val e = intercept[IllegalStateException] { Txn.flip(ctx) }
+    assert(e.getMessage.contains("healed away"))
+    assert(Versioned.currentVersion(spark, t).contains(1L))
+    assert(Versioned.read(spark, t).head().getLong(1) == 5L)
+    val txns = new Path(s"$t/_txns")
+    val leftover =
+      if (!hfs(t).exists(txns)) Seq.empty
+      else hfs(t).listStatus(txns).toSeq.map(_.getPath.getName)
+    assert(leftover.isEmpty, s"orphaned txn artifacts: $leftover")
+    // the table keeps working: the number the healed txn held is free
+    Upsert.merge(spark, t, "k", Seq((1L, 7L)).toDF("k", "x"))
+    assert(Versioned.read(spark, t).head().getLong(1) == 7L)
+  }
+
   test("nested atomically rejects; empty txn is a no-op") {
     val e = intercept[IllegalArgumentException] {
       Txn.atomically(spark) {
