@@ -1,0 +1,157 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Cdf, Versioned}
+
+/**
+ * Versioned-lake READ paths over the committed DML fixture
+ * (`fixtures/lake/orders_lk`, built once by
+ * [[graft.tools.BuildLakeFixture]] through the SQL surface: CTAS → MERGE
+ * → zero-copy DELETE → metadata-only ADD COLUMNS → DV UPDATE → RESTORE)
+ * — the cross-engine hash gate for the lake machinery itself. The
+ * reference's loader rewrites whole day partitions in place
+ * (/root/reference/src/pipeline/loaders/s3_loader.py:23-58, a
+ * put-overwrite model with no history); this lake keeps every version
+ * readable, and these queries prove the LAYOUT is engine-open: each
+ * Spark arm exercises one lake read mechanism (restore-ref resolution,
+ * deletion-vector anti-join, schema-overlay null-fill + append union,
+ * change-feed assembly) while its DuckDB oracle reconstructs the same
+ * snapshot from the RAW committed bytes — plain parquet plus the `_dv`
+ * and `_changes` sidecars — with no graft code in the loop.
+ *
+ * Scale posture: all four reads are metadata-bounded on top of the data
+ * scan. The restore/live read is one pointer resolve + one parquet scan;
+ * the DV read adds ONE broadcast anti-join on (file_name, row_index) —
+ * the vector is deletion-sized, never table-sized; the overlay read is
+ * the same scan under an explicit schema (null-fill happens at the
+ * parquet reader, no compute); the feed read scans only changeset-sized
+ * sidecars. None of them rewrites or shuffles the table — which is the
+ * whole argument for DV deletes and metadata-only evolution at 100 TB.
+ */
+object LakeCatalog extends Family {
+
+  /** The committed fixture table path — ABSOLUTE, because the fixture's
+    * `_ref` pointers (written by its one-shot build) are absolute and the
+    * oracle SQL must name the same location regardless of cwd. */
+  private def fix(): String = Fixtures.abs("fixtures/lake/orders_lk")
+
+  private val cols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority")
+  private val colsSql = cols.mkString(", ")
+
+  private def ordered(df: DataFrame, extra: String*): DataFrame =
+    df.select((cols ++ extra).map(col): _*).orderBy(col("o_orderkey"))
+
+  // ------------------------------------------------------------------
+  // LIVE read through a zero-copy RESTORE: the live version (v6) is a
+  // `_ref` to v2's data dir — the reader resolves the pointer and scans
+  // the shared files. The oracle reads v2's parquet directly: if the
+  // ref resolution is right, the bytes are THE SAME FILES.
+  private val live = Q(
+    "lake_live_restored",
+    Some(s"""
+      SELECT $colsSql
+      FROM read_parquet('${fix()}/v=2/*.parquet', hive_partitioning=false)
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    ordered(Versioned.read(spark, fix()))
+  }
+
+  // ------------------------------------------------------------------
+  // TIME TRAVEL to the deletion-vector version (v3): v2's files minus
+  // the `_dv` (file, row_index) pairs, applied as a broadcast anti-join
+  // on the parquet metadata columns — no file was rewritten by the
+  // DELETE. The oracle replays the exact same subtraction from the raw
+  // sidecar: parse_filename + file_row_number ANTI JOIN the vector.
+  private val asofDv = Q(
+    "lake_time_travel_dv",
+    Some(s"""
+      WITH base AS (
+        SELECT $colsSql, parse_filename(filename) AS f,
+               file_row_number AS ri
+        FROM read_parquet('${fix()}/v=2/*.parquet', filename=true,
+                          file_row_number=true, hive_partitioning=false)),
+      dv AS (
+        SELECT file, row_index
+        FROM read_parquet('${fix()}/v=3/_dv/*.parquet',
+                          hive_partitioning=false))
+      SELECT $colsSql
+      FROM base ANTI JOIN dv ON base.f = dv.file AND base.ri = dv.row_index
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    ordered(Versioned.readVersion(spark, fix(), 3))
+  }
+
+  // ------------------------------------------------------------------
+  // TIME TRAVEL to the evolved + DV-merged version (v5): the overlay
+  // schema adds o_note (null-filled on base rows by parquet
+  // schema-on-read), the UPDATE's rows live as appends INSIDE v=5, and
+  // the accumulated vector tombstones both the v3 deletes and the
+  // updated rows' old copies. The oracle rebuilds all three mechanisms
+  // from raw bytes: NULL-cast column + anti-join + UNION ALL.
+  private val asofEvolved = Q(
+    "lake_time_travel_evolved",
+    Some(s"""
+      WITH base AS (
+        SELECT $colsSql, CAST(NULL AS VARCHAR) AS o_note,
+               parse_filename(filename) AS f, file_row_number AS ri
+        FROM read_parquet('${fix()}/v=2/*.parquet', filename=true,
+                          file_row_number=true, hive_partitioning=false)),
+      dv AS (
+        SELECT file, row_index
+        FROM read_parquet('${fix()}/v=5/_dv/*.parquet',
+                          hive_partitioning=false)),
+      kept AS (
+        SELECT $colsSql, o_note
+        FROM base ANTI JOIN dv
+          ON base.f = dv.file AND base.ri = dv.row_index),
+      app AS (
+        SELECT $colsSql, o_note
+        FROM read_parquet('${fix()}/v=5/part-*.parquet',
+                          hive_partitioning=false))
+      SELECT * FROM kept UNION ALL SELECT * FROM app
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    ordered(Versioned.readVersion(spark, fix(), 5), "o_note")
+  }
+
+  // ------------------------------------------------------------------
+  // CHANGE FEED assembly across the DML span (versions 2..5): the MERGE's
+  // U rows, the DELETE's key-only D rows, the evolution's feed entry
+  // bridging to zero rows (its S poison is streaming-only metadata), and
+  // the DV UPDATE's U rows — pre-evolution rows null-fill o_note via
+  // unionByName. The oracle unions the raw `_changes` sidecars BY NAME
+  // and applies the same S filter.
+  private val changes = Q(
+    "lake_changes_feed",
+    Some(s"""
+      WITH ch AS (
+        SELECT *, CAST(2 AS BIGINT) AS _version
+        FROM read_parquet('${fix()}/v=2/_changes/*.parquet',
+                          hive_partitioning=false)
+        UNION ALL BY NAME
+        SELECT *, CAST(3 AS BIGINT) AS _version
+        FROM read_parquet('${fix()}/v=3/_changes/*.parquet',
+                          hive_partitioning=false)
+        UNION ALL BY NAME
+        SELECT *, CAST(4 AS BIGINT) AS _version
+        FROM read_parquet('${fix()}/v=4/_changes/*.parquet',
+                          hive_partitioning=false)
+        UNION ALL BY NAME
+        SELECT *, CAST(5 AS BIGINT) AS _version
+        FROM read_parquet('${fix()}/v=5/_changes/*.parquet',
+                          hive_partitioning=false))
+      SELECT $colsSql, o_note, _op, _version
+      FROM ch WHERE _op <> 'S'
+      ORDER BY _version, _op, o_orderkey
+    """)) { (spark, _) =>
+    Cdf.changesSince(spark, fix(), sinceV = 1, untilV = Some(5))
+      .select((cols ++ Seq("o_note", "_op", "_version")).map(col): _*)
+      .orderBy(col("_version"), col("_op"), col("o_orderkey"))
+  }
+
+  def specs: Seq[Q] = Seq(live, asofDv, asofEvolved, changes)
+}
