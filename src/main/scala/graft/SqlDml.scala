@@ -71,6 +71,60 @@ object SqlDml {
   // surface of [[graft.lake.MatView]]; session-scoped like `registry`)
   private val mvRegistry = new TrieMap[String, String]()
 
+  // attached durable catalog ([[graft.lake.Metastore]]); None = the
+  // registries stay session-only (the pre-catalog behavior, unchanged)
+  @volatile private var catalogDir: Option[String] = None
+
+  /** Attach a durable catalog directory ([[graft.lake.Metastore]]) and
+    * load every binding it records into this session: tables become
+    * registered DML targets (DML-keyed entries; key-less entries bind
+    * read-only temp views), materialized views re-bind to their live
+    * versions. While attached, `CREATE TABLE` / `CREATE MATERIALIZED
+    * VIEW` / `SqlDml.register` RECORD their bindings durably and `DROP
+    * TABLE` / `DROP MATERIALIZED VIEW` remove them — so the next
+    * session's `useCatalog` discovers exactly the live name set. A
+    * recorded table whose path has no published version yet (a COPY INTO
+    * bootstrap, or data awaiting restore) binds allowMissing-style:
+    * discoverable, readable after its first landing. Returns the number
+    * of bindings restored. Also reachable as SQL: `USE CATALOG '<dir>'`. */
+  def useCatalog(spark: SparkSession, dir: String): Int = {
+    catalogDir = Some(dir)
+    val ts = graft.lake.Metastore.tables(spark, dir)
+    ts.foreach {
+      case graft.lake.Metastore.Binding(name, path, Some(k)) =>
+        register(spark, name, path, k, allowMissing = true)
+      case graft.lake.Metastore.Binding(name, path, None) =>
+        if (Versioned.currentVersion(spark, path).isDefined) {
+          Sql.registerTable(spark, name, path)
+          ()
+        }
+    }
+    val vs = graft.lake.Metastore.views(spark, dir)
+    vs.foreach { case (name, path) =>
+      Versioned.currentVersion(spark, path).foreach { v =>
+        mvRegistry.put(name, path)
+        Versioned.readVersion(spark, path, v).createOrReplaceTempView(name)
+      }
+    }
+    ts.size + vs.size
+  }
+
+  /** Detach the durable catalog (session bindings stay). */
+  def detachCatalog(): Unit = catalogDir = None
+
+  /** Spec seam: the "fresh session" state — clear every session binding
+    * and detach the catalog, so a following [[useCatalog]] exercises the
+    * cold-start discovery path inside one JVM. */
+  private[graft] def resetSessionBindings(spark: SparkSession): Unit = {
+    (registry.keySet ++ mvRegistry.keySet).foreach { n =>
+      spark.catalog.dropTempView(n)
+      ()
+    }
+    registry.clear()
+    mvRegistry.clear()
+    catalogDir = None
+  }
+
   /** Register a [[Versioned]] lake table for BOTH reads and DML: the live
     * snapshot becomes temp view `name` (as [[Sql.registerTable]]) and
     * `name` becomes addressable by [[execute]] statements, keyed by
@@ -88,12 +142,22 @@ object SqlDml {
           "table that can never read; pass allowMissing = true only " +
           "for the COPY INTO bootstrap flow (register, land, rebind)")
       registry.put(name.toLowerCase, (table, keyCol))
+      recordInCatalog(spark, name, table, Some(keyCol))
       0L
     } else {
       registry.put(name.toLowerCase, (table, keyCol))
+      recordInCatalog(spark, name, table, Some(keyCol))
       Sql.registerTable(spark, name, table)
     }
   }
+
+  // durable-catalog record when one is attached (idempotent for an
+  // identical binding — Metastore.claim verifies content)
+  private def recordInCatalog(spark: SparkSession, name: String,
+                              table: String,
+                              keyCol: Option[String]): Unit =
+    catalogDir.foreach(d =>
+      graft.lake.Metastore.recordTable(spark, d, name, table, keyCol))
 
   /** Re-bind every registered view whose table path is in `tables` to
     * the (re-)resolved live version — [[Sql.executeScript]] heals view
@@ -109,9 +173,12 @@ object SqlDml {
         } else {
           // a plain CREATE TABLE inside the aborted block: its path has
           // no published version left, so the binding can never read —
-          // drop it entirely (registry entry and temp view) so the
-          // session's next use says 'not registered', not vanished-files
+          // drop it entirely (registry entry, temp view, and any durable
+          // catalog record the CREATE wrote) so the session's next use
+          // says 'not registered', not vanished-files
           registry.remove(name)
+          catalogDir.foreach(d =>
+            graft.lake.Metastore.removeTable(spark, d, name))
           spark.catalog.dropTempView(name)
           ()
         }
@@ -130,6 +197,8 @@ object SqlDml {
             ()
           case None =>
             mvRegistry.remove(name)
+            catalogDir.foreach(d =>
+              graft.lake.Metastore.removeView(spark, d, name))
             spark.catalog.dropTempView(name)
             ()
         }
@@ -216,8 +285,9 @@ object SqlDml {
         "COLUMNS (...) | ADD/DROP CONSTRAINT, CREATE MATERIALIZED VIEW " +
         "n LOCATION 'p' AS <grouped select>, REFRESH MATERIALIZED VIEW " +
         "n, ANALYZE TABLE t COMPUTE STATISTICS [FOR BLOOM], DROP TABLE " +
-        "t | DROP MATERIALIZED VIEW n (session unbind), DESCRIBE " +
-        "HISTORY|DETAIL t. Statement: " +
+        "t | DROP MATERIALIZED VIEW n (unbind; removes the durable " +
+        "catalog entry when one is attached), USE CATALOG '<dir>', " +
+        "DESCRIBE HISTORY|DETAIL t. Statement: " +
         sql.linesIterator.mkString(" ").take(200))
 
   private def stripSemi(sql: String): String = {
@@ -270,6 +340,7 @@ object SqlDml {
       case "ANALYZE" => analyzeStmt(spark, s)
       case "DROP" => dropStmt(spark, s)
       case "COPY" => copyIntoStmt(spark, s, rules, mode, quarantine)
+      case "USE" => useCatalogStmt(spark, s)
       case "DESCRIBE" | "SHOW" => reject(s,
         s"$head returns a DataFrame, not a version — call " +
           "Sql.describe / SqlDml.describe instead of execute")
@@ -480,8 +551,12 @@ object SqlDml {
             .version.get // publish always lands a version
         } finally { df.unpersist(); () }
         Option(keyOpt).map(_.stripPrefix("`").stripSuffix("`")) match {
-          case Some(k) => register(spark, name, path, k)
-          case None => Sql.registerTable(spark, name, path)
+          case Some(k) =>
+            register(spark, name, path, k)
+            ()
+          case None =>
+            Sql.registerTable(spark, name, path)
+            recordInCatalog(spark, name, path, None)
         }
         v
       case _ => reject(sql,
@@ -553,6 +628,8 @@ object SqlDml {
         val v = MatView.create(spark, srcTable, keyCol, path,
           groupCols, sums.distinct, minMax)
         mvRegistry.put(name.toLowerCase, path)
+        catalogDir.foreach(d =>
+          graft.lake.Metastore.recordView(spark, d, name, path))
         Versioned.readVersion(spark, path, v).createOrReplaceTempView(name)
         v
       case _ => reject(sql,
@@ -601,10 +678,14 @@ object SqlDml {
       case mv(name) =>
         val path = mvRegistry.remove(name.toLowerCase).getOrElse(
           reject(sql, s"'$name' is not a registered materialized view"))
+        catalogDir.foreach(d =>
+          graft.lake.Metastore.removeView(spark, d, name))
         unbind(name, path)
       case tb(name) =>
         val (path, _) = lookup(name)
         registry.remove(name.toLowerCase)
+        catalogDir.foreach(d =>
+          graft.lake.Metastore.removeTable(spark, d, name))
         unbind(name, path)
       case _ => reject(sql,
         "expected DROP TABLE <name> or DROP MATERIALIZED VIEW <name>")
@@ -668,6 +749,17 @@ object SqlDml {
       rules, mode, quarantine)
     rebind(spark, name, table)
     r.version
+  }
+
+  // USE CATALOG '<dir>' — attach the durable catalog and restore every
+  // binding it records ([[useCatalog]]); returns the binding count (the
+  // one statement whose Long is not a version — documented there)
+  private def useCatalogStmt(spark: SparkSession, sql: String): Long = {
+    val m = "(?is)^USE\\s+CATALOG\\s+'([^']+)'$".r
+    sql match {
+      case m(dir) => useCatalog(spark, dir).toLong
+      case _ => reject(sql, "expected USE CATALOG '<dir>'")
+    }
   }
 
   // ALTER TABLE t ADD CONSTRAINT name CHECK (pred) | DROP CONSTRAINT name

@@ -1,0 +1,132 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Metastore-lite: a DURABLE name → (path, key) catalog directory, so a
+ * FRESH session discovers lake tables by name instead of re-registering
+ * every path by hand. The reference's status workflow assumes durable
+ * discoverability (`pipeline.py:234-257` lists the pipeline's tables
+ * without being told their locations); the session-scoped
+ * [[graft.SqlDml]] registry dies with the JVM — this closes the gap with
+ * one small-file-per-binding directory:
+ *
+ * {{{
+ *   <catalogDir>/tables/<name>   "t <path> <keyCol>"  (keyCol "-" = read-only)
+ *   <catalogDir>/views/<name>    "v <path>"           (materialized view)
+ * }}}
+ *
+ * Concurrency: a NEW binding claims its name with
+ * `create(overwrite = false)` — the same namenode-atomic/conditional-PUT
+ * primitive the version claim protocol uses — so two sessions racing to
+ * CREATE TABLE the same name resolve to exactly one winner; the loser
+ * gets the loud already-bound reject. Re-recording an IDENTICAL binding
+ * is an idempotent no-op (session restarts re-attach cleanly); changing
+ * a name's target requires dropping it first — silent re-pointing is how
+ * a reader ends up on the wrong table. Removal is one file delete.
+ *
+ * Scale posture: the catalog is names, not data — one tiny file per
+ * table, read once per session attach. Nothing on the query path ever
+ * touches it (views bind to version dirs at registration as before), so
+ * a 100 TB deployment pays exactly |tables| small reads at startup.
+ */
+object Metastore {
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableEntry(dir: String, name: String) =
+    new Path(s"$dir/tables/${name.toLowerCase}")
+  private def viewEntry(dir: String, name: String) =
+    new Path(s"$dir/views/${name.toLowerCase}")
+
+  /** One durable binding. `keyCol = None` = registered read-only. */
+  final case class Binding(name: String, path: String,
+                           keyCol: Option[String])
+
+  // same-JVM claimants serialize per entry path: the local FS's
+  // create(overwrite = false) is exists-then-create, not atomic (the
+  // same caveat the version-claim protocol documents) — on HDFS/S3 the
+  // create alone is the atomic claim and the lock is a cheap no-op
+  private val claimLocks =
+    new scala.collection.concurrent.TrieMap[String, Object]()
+
+  // claim-or-verify: atomically create the entry; on a taken name accept
+  // only a byte-identical binding (idempotent re-attach), reject a
+  // re-point loudly
+  private def claim(f: FileSystem, entry: Path, body: String,
+                    what: String, name: String): Unit =
+    claimLocks.getOrElseUpdate(
+        f.makeQualified(entry).toString, new Object).synchronized {
+      f.mkdirs(entry.getParent)
+      try {
+        val out = f.create(entry, false)
+        try out.write(body.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      } catch {
+        case _: java.io.IOException =>
+          val existing = Versioned.readSmallFile(f, entry)
+          if (!existing.contains(body))
+            throw new IllegalStateException(
+              s"$what '$name' is already bound in this catalog to " +
+                s"'${existing.getOrElse("<unreadable>")}' — re-pointing a " +
+                s"name is a DROP + CREATE, not a silent replace")
+      }
+    }
+
+  /** Record a durable TABLE binding (idempotent for identical content;
+    * rejects a name bound to a different target). */
+  def recordTable(spark: SparkSession, catalogDir: String, name: String,
+                  path: String, keyCol: Option[String]): Unit =
+    claim(fs(spark, catalogDir), tableEntry(catalogDir, name),
+      s"t $path ${keyCol.getOrElse("-")}", "table", name)
+
+  /** Record a durable MATERIALIZED VIEW binding. */
+  def recordView(spark: SparkSession, catalogDir: String, name: String,
+                 path: String): Unit =
+    claim(fs(spark, catalogDir), viewEntry(catalogDir, name),
+      s"v $path", "materialized view", name)
+
+  /** Drop a table binding; true when an entry existed. Data untouched
+    * (path-based tables are external — VACUUM + rm is data deletion). */
+  def removeTable(spark: SparkSession, catalogDir: String,
+                  name: String): Boolean =
+    fs(spark, catalogDir).delete(tableEntry(catalogDir, name), false)
+
+  /** Drop a view binding; true when an entry existed. */
+  def removeView(spark: SparkSession, catalogDir: String,
+                 name: String): Boolean =
+    fs(spark, catalogDir).delete(viewEntry(catalogDir, name), false)
+
+  /** All durable TABLE bindings, by name. */
+  def tables(spark: SparkSession, catalogDir: String): Seq[Binding] =
+    list(spark, s"$catalogDir/tables", "t ").map { case (n, rest) =>
+      val i = rest.lastIndexOf(' ')
+      require(i > 0, s"malformed catalog entry for '$n': 't $rest'")
+      val key = rest.substring(i + 1)
+      Binding(n, rest.substring(0, i),
+        if (key == "-") None else Some(key))
+    }
+
+  /** All durable VIEW bindings, by name. */
+  def views(spark: SparkSession, catalogDir: String): Seq[(String, String)] =
+    list(spark, s"$catalogDir/views", "v ")
+
+  private def list(spark: SparkSession, dir: String,
+                   prefix: String): Seq[(String, String)] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) Seq.empty
+    else f.listStatus(new Path(dir)).toSeq.filter(_.isFile)
+      .map(_.getPath)
+      .sortBy(_.getName)
+      .flatMap { p =>
+        Versioned.readSmallFile(f, p).collect {
+          case s if s.startsWith(prefix) =>
+            p.getName -> s.stripPrefix(prefix)
+        }
+      }
+  }
+}
