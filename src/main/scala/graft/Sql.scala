@@ -42,7 +42,22 @@ object Sql {
   def registerTable(spark: SparkSession, name: String, table: String): Long = {
     val v = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
-    Versioned.readVersion(spark, table, v).createOrReplaceTempView(name)
+    val df = Versioned.readVersion(spark, table, v)
+    // ANALYZE-fed cold-plan broadcast ([[graft.lake.TableStats]]): a
+    // table analyzed AT THIS live version whose logical bytes fit the
+    // broadcast threshold registers with the hint — a DV-heavy
+    // dimension's file footprint (what Spark's own estimation sees)
+    // can overstate its live rows by orders of magnitude, and the DV
+    // anti-join hides the true size until AQE runtime; stale or absent
+    // stats leave the view un-hinted (never wrong, merely unaided)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val hinted = graft.lake.TableStats.read(spark, table) match {
+      case Some(st) if st.version == v && threshold > 0 &&
+          st.bytes <= threshold =>
+        org.apache.spark.sql.functions.broadcast(df)
+      case _ => df
+    }
+    hinted.createOrReplaceTempView(name)
     v
   }
 
@@ -356,6 +371,11 @@ object Sql {
       registerAsOf(spark, view, table, m.group(2).toLong)
       view
     }
+    // a grouped SELECT a CURRENT materialized view can answer reads the
+    // (dimension-sized) MV instead of the base table; anything the
+    // rewrite cannot prove falls through to the original text
+    // ([[SqlDml.rewriteViaMv]] — the staleness check lives there)
+    out = SqlDml.rewriteViaMv(spark, out).getOrElse(out)
     spark.sql(out)
   }
 

@@ -360,19 +360,26 @@ object SqlDml {
     val d = "(?is)^DESCRIBE\\s+DETAIL\\s+(\\S+)$".r
     val vdr = ("(?is)^VACUUM\\s+(\\S+?)(?:\\s+RETAIN\\s+(\\d+)\\s+" +
       "VERSIONS)?\\s+DRY\\s+RUN$").r
+    val vdrH = ("(?is)^VACUUM\\s+(\\S+?)\\s+RETAIN\\s+(\\d+)\\s+" +
+      "HOURS\\s+DRY\\s+RUN$").r
     val st = "(?is)^SHOW\\s+TABLES$".r
     val smv = "(?is)^SHOW\\s+MATERIALIZED\\s+VIEWS$".r
     s match {
       case h(name) => History.frame(spark, lookup(name)._1)
       case d(name) => History.detail(spark, lookup(name)._1)
       case vdr(name, k) =>
-        vacuumDryRun(spark, lookup(name)._1,
-          Option(k).map(_.toInt).getOrElse(1))
+        val table = lookup(name)._1
+        vacuumDryRun(spark, table, Versioned.vacuumPlan(spark, table,
+          Option(k).map(_.toInt).getOrElse(1)))
+      case vdrH(name, h) =>
+        val table = lookup(name)._1
+        vacuumDryRun(spark, table, Versioned.vacuumPlanOlderThan(spark,
+          table, System.currentTimeMillis() - h.toLong * 3600000L))
       case smv() => showMaterializedViews(spark)
       case st() => showTables(spark)
       case _ => reject(s, "expected DESCRIBE HISTORY|DETAIL <table>, " +
-        "VACUUM <table> [RETAIN n VERSIONS] DRY RUN, SHOW TABLES, or " +
-        "SHOW MATERIALIZED VIEWS")
+        "VACUUM <table> [RETAIN n VERSIONS | RETAIN n HOURS] DRY RUN, " +
+        "SHOW TABLES, or SHOW MATERIALIZED VIEWS")
     }
   }
 
@@ -381,12 +388,12 @@ object SqlDml {
   // shared dir it references is reclaimed only when the pin-release
   // fixpoint unlocks it, which the plan conservatively omits)
   private def vacuumDryRun(spark: SparkSession, table: String,
-                           keep: Int): DataFrame = {
+                           plan: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val f = new org.apache.hadoop.fs.Path(table).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val rows = Versioned.vacuumPlan(spark, table, keep).map { v =>
+    val rows = plan.map { v =>
       val dir = s"$table/v=$v"
       // ONE listing per version dir — the statuses already carry the
       // lengths (a per-file getFileStatus would be N+1 RPCs on an
@@ -454,20 +461,33 @@ object SqlDml {
         StructField("live_version", LongType, nullable = true))))
   }
 
-  // VACUUM t [RETAIN n VERSIONS] — drop version dirs older than live-n
-  // (clone/restore-pinned dirs always survive; see Versioned.vacuum)
+  // VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] — drop version dirs
+  // older than live-n, or (time form, Delta's contract) every version
+  // outside the n-hour window except the as-of-cutoff anchor
+  // (clone/restore-pinned dirs always survive; see Versioned.vacuum /
+  // Versioned.vacuumOlderThan — the change feed shares the window by
+  // construction, its sidecars living inside the version dirs)
   private def vacuumStmt(spark: SparkSession, sql: String): Long = {
     if (sql.toUpperCase.endsWith("DRY RUN")) reject(sql,
       "VACUUM ... DRY RUN returns a DataFrame, not a version — call " +
         "Sql.describe / SqlDml.describe instead of execute")
-    val m = "(?is)^VACUUM\\s+(\\S+?)(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?$".r
-    val (name, keep) = sql match {
-      case m(n, k) => (n, Option(k).map(_.toInt).getOrElse(1))
-      case _ => reject(sql, "expected VACUUM <table> [RETAIN n VERSIONS]")
+    val m = ("(?is)^VACUUM\\s+(\\S+?)(?:\\s+RETAIN\\s+(\\d+)\\s+" +
+      "(VERSIONS|HOURS))?$").r
+    sql match {
+      case m(name, n, unit) =>
+        val (table, _) = lookup(name)
+        (Option(n), Option(unit).map(_.toUpperCase)) match {
+          case (Some(h), Some("HOURS")) =>
+            Versioned.vacuumOlderThan(spark, table,
+              System.currentTimeMillis() - h.toLong * 3600000L)
+          case (k, _) =>
+            Versioned.vacuum(spark, table,
+              k.map(_.toInt).getOrElse(1))
+        }
+        Versioned.currentVersion(spark, table).get // live never vacuumed
+      case _ => reject(sql,
+        "expected VACUUM <table> [RETAIN n VERSIONS | RETAIN n HOURS]")
     }
-    val (table, _) = lookup(name)
-    Versioned.vacuum(spark, table, keep)
-    Versioned.currentVersion(spark, table).get // live is never vacuumed
   }
 
   // OPTIMIZE t [ZORDER BY (c1, c2, ...)] — Delta's compaction statement:
@@ -639,6 +659,142 @@ object SqlDml {
     }
   }
 
+  // ------------------------------------------------ MV automatic rewrite
+
+  /** Try to answer a grouped SELECT from a registered MATERIALIZED VIEW
+    * instead of its (100 TB) base table — the consumption half of the MV
+    * story ([[createMvStmt]] builds them, this makes plain SQL use them
+    * without naming them). Fires only when ALL of:
+    *
+    *  - the statement is `SELECT <items> FROM <registered-src> GROUP BY
+    *    <cols> [ORDER BY <group cols>]` — no WHERE/HAVING/joins (those
+    *    fall through to the base table unchanged);
+    *  - some registered MV has this source, its group columns form a
+    *    SUPERSET of the query's (equal → direct read; coarser query →
+    *    re-aggregate the dimension-sized MV: sum of n_rows/sum_c,
+    *    min of min_c, max of max_c — the algebra is re-aggregable by
+    *    construction), and every select item maps onto materialized
+    *    columns;
+    *  - the MV is CURRENT: its sync watermark equals the source's LIVE
+    *    version (a stale MV answers nothing — fall back to the base, the
+    *    always-correct path).
+    *
+    * The rewritten scan reads the MV's live version through a pinned
+    * temp view, so the 100 TB base is never touched. Ambiguity resolves
+    * to the FEWEST-group-columns current MV that covers the query (the
+    * smallest frame). Sums come back in the MV's exact-decimal
+    * representation (the maintenance algebra's type — values identical
+    * to the base recompute, wider type). Returns None when any condition
+    * fails — the caller runs the original text. */
+  private[graft] def rewriteViaMv(spark: SparkSession,
+                                  text: String): Option[String] = {
+    val shape = ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)\\s+" +
+      "GROUP\\s+BY\\s+(.+?)(?:\\s+ORDER\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
+    val (items, srcName, gbyRaw, obyRaw) = text match {
+      case shape(i, s, g, o) => (i, s, g, Option(o))
+      case _ => return None
+    }
+    val srcPath = registry.get(srcName.toLowerCase).map(_._1)
+      .getOrElse(return None)
+    def clean(c: String) = c.trim.replace("`", "")
+    val gby = splitTop(gbyRaw, ',').map(clean)
+    if (gby.exists(c => !c.matches("[A-Za-z_][A-Za-z0-9_]*")))
+      return None // an EXPRESSION group key is not a materialized column
+    // the ORDER BY tail may only name query group columns — anything
+    // else (an aggregate, an expression) might not survive the mapping
+    val oby = obyRaw.map(o => splitTop(o, ',').map { seg =>
+      val parts = clean(seg).split("\\s+").toSeq
+      val dir = parts.drop(1).map(_.toUpperCase)
+      if (parts.isEmpty ||
+          !gby.exists(_.equalsIgnoreCase(parts.head)) ||
+          !dir.forall(d => d == "ASC" || d == "DESC")) return None
+      parts.head + dir.mkString(" ", " ", "")
+    })
+
+    // parse the select list into mappable items
+    val cnt = "(?i)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
+    val agg = "(?i)^(SUM|MIN|MAX)\\s*\\(\\s*([^)]+?)\\s*\\)$".r
+    val aliased = "(?is)^(.+?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+    sealed trait Item
+    case class GroupItem(c: String, out: String) extends Item
+    case class CountItem(out: String) extends Item
+    case class AggItem(fn: String, c: String, out: String) extends Item
+    val parsed: Seq[Item] = splitTop(items, ',').map { raw =>
+      val (body, alias) = raw.trim match {
+        case aliased(b, a) => (b.trim, Some(a))
+        case b => (b.trim, None)
+      }
+      body match {
+        case cnt() => CountItem(alias.getOrElse("count(1)"))
+        case agg(fn, c) =>
+          val fl = fn.toLowerCase
+          AggItem(fl, clean(c), alias.getOrElse(s"$fl(${clean(c)})"))
+        case bare if gby.exists(_.equalsIgnoreCase(clean(bare))) =>
+          GroupItem(clean(bare), alias.getOrElse(clean(bare)))
+        case _ => return None
+      }
+    }
+
+    // candidate MVs over this source: current, covering, smallest first
+    val candidates = mvRegistry.values.toSeq.distinct.flatMap { path =>
+      scala.util.Try(MatView.spec(spark, path)).toOption.map(path -> _)
+    }.filter { case (_, sp) =>
+      sp.source == srcPath &&
+        gby.forall(g => sp.groupCols.exists(_.equalsIgnoreCase(g))) &&
+        parsed.forall {
+          case GroupItem(_, _) | CountItem(_) => true
+          case AggItem("sum", c, _) =>
+            sp.sumCols.exists(_.equalsIgnoreCase(c))
+          case AggItem(_, c, _) =>
+            sp.minMaxCols.exists(_.equalsIgnoreCase(c))
+        } &&
+        Versioned.currentVersion(spark, sp.source).contains(sp.synced)
+    }.sortBy(_._2.groupCols.size)
+    val (mvPath, _) = candidates.headOption.getOrElse(return None)
+
+    // pin the MV's live version under a throwaway view and re-aggregate
+    // (exact-match groupings re-aggregate one row per group — same
+    // values, one canonical rewrite shape for both cases)
+    val mvLive = Versioned.currentVersion(spark, mvPath).getOrElse(
+      return None)
+    val vn = s"${srcName}__mv_rw_v$mvLive"
+    Versioned.readVersion(spark, mvPath, mvLive)
+      .createOrReplaceTempView(vn)
+    // a rewritten SUM must come back in the type the BASE query would
+    // produce (the MV materializes sums exact-decimal for maintenance;
+    // handing that wider type to e.g. a CTAS would silently re-type the
+    // result): integral sums → BIGINT, float sums → DOUBLE, decimal
+    // follows Spark's sum widening. Derived from the source view's
+    // column type — registered at lookup time, so always resolvable.
+    import org.apache.spark.sql.types._
+    val srcSchema = spark.table(srcName).schema
+    val sumTypes: Map[String, String] = parsed.collect {
+      case AggItem("sum", c, _) => c
+    }.map { c =>
+      val dt = srcSchema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType).getOrElse(return None)
+      c -> (dt match {
+        case ByteType | ShortType | IntegerType | LongType => "BIGINT"
+        case FloatType | DoubleType => "DOUBLE"
+        case d: DecimalType =>
+          s"DECIMAL(${math.min(38, d.precision + 10)},${d.scale})"
+        case other => other.sql
+      })
+    }.toMap
+    val sel = parsed.map {
+      case GroupItem(c, out) => s"$c AS `$out`"
+      case CountItem(out) => s"sum(n_rows) AS `$out`"
+      case AggItem("sum", c, out) =>
+        s"CAST(sum(sum_$c) AS ${sumTypes(c)}) AS `$out`"
+      case AggItem("min", c, out) => s"min(min_$c) AS `$out`"
+      case AggItem("max", c, out) => s"max(max_$c) AS `$out`"
+      case AggItem(fn, _, _) =>
+        throw new IllegalStateException(s"unreachable agg $fn")
+    }.mkString(", ")
+    Some(s"SELECT $sel FROM $vn GROUP BY ${gby.mkString(", ")}" +
+      oby.map(o => s" ORDER BY ${o.mkString(", ")}").getOrElse(""))
+  }
+
   // REFRESH MATERIALIZED VIEW name — bring the view current at
   // CHANGESET cost: MatView.catchUp reduces the source's change-feed
   // span since the view's watermark to its last op per key and applies
@@ -711,17 +867,27 @@ object SqlDml {
           throw new IllegalStateException(
             s"no published version at $table — land data first, then " +
               "ANALYZE"))
-        // a shallow-ref live version has NO data dir of its own — its
-        // _ref points INTO another table (or an older version): writing
-        // _stats/_bloom there would mutate, and with a mismatched key
-        // column poison, someone else's skipping indexes
-        require(!Versioned.isShallowRef(spark, table, live),
+        // TABLE-level stats (graft.lake.TableStats) always: one small
+        // root sidecar feeding the SQL surface's cold-plan broadcast
+        // decision at registerTable — legal on ANY live version (the
+        // zero-copy kinds are exactly where file-size estimation lies)
+        graft.lake.TableStats.write(spark, table,
+          graft.lake.TableStats.compute(spark, table))
+        // skipping indexes only where a data dir of the table's OWN
+        // exists — a shallow-ref's _ref points INTO another table (or an
+        // older version): writing _stats/_bloom there would mutate, and
+        // with a mismatched key column poison, someone else's indexes.
+        // Plain COMPUTE STATISTICS on a ref = table stats only; FOR
+        // BLOOM explicitly asked for indexes and rejects loudly.
+        if (!Versioned.isShallowRef(spark, table, live)) {
+          val dir = s"$table/v=$live"
+          StatsIndex.build(spark, dir, keyCol)
+          if (forBloom != null) BloomIndex.indexExisting(spark, dir, keyCol)
+        } else require(forBloom == null,
           s"$table v$live is a shallow-clone/zero-copy reference (no " +
-            "data dir of its own) — ANALYZE the source table, or " +
-            "Clone.materialize first")
-        val dir = s"$table/v=$live"
-        StatsIndex.build(spark, dir, keyCol)
-        if (forBloom != null) BloomIndex.indexExisting(spark, dir, keyCol)
+            "data dir of its own) — Bloom sidecars cannot build there; " +
+            "ANALYZE the source table, or Clone.materialize first")
+        rebind(spark, name, table) // the fresh stats may arm the hint
         live
       case _ => reject(sql,
         "expected ANALYZE TABLE <t> COMPUTE STATISTICS [FOR BLOOM]")
@@ -782,16 +948,24 @@ object SqlDml {
       if (t.startsWith("(") && t.endsWith(")")) t.drop(1).dropRight(1)
       else t
     }
-    // RENAME needs column mapping (logical->physical names) — on this
-    // layout a marker-level rename would silently null a column (parquet
-    // resolves by name). Refuse with the remedy rather than guess.
-    // ANCHORED at the statement head: the phrase inside a string literal
-    // of some other ALTER form (a CHECK predicate, say) is data.
-    if ("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+RENAME\\s+COLUMN\\b.*".r
-        .matches(sql)) reject(sql,
-      "RENAME COLUMN needs column mapping, which this layout does not " +
-        "carry — restate via CREATE OR REPLACE TABLE ... AS SELECT " +
-        "<old> AS <new>, ...")
+    // RENAME COLUMN old TO new — metadata-only via COLUMN MAPPING
+    // ([[graft.lake.Evolve.renameColumn]]: the overlay's marker carries
+    // the new logical schema, a `_column_mapping` sidecar maps it to the
+    // untouched physical file names; readers resolve at scan, the
+    // zero-copy DML family writes appends under physical names, a
+    // materialize bakes the rename in). The KEY column cannot rename.
+    val rename = ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+RENAME\\s+COLUMN\\s+" +
+      "(\\S+)\\s+TO\\s+(\\S+)$").r
+    sql match {
+      case rename(name, oldC, newC) =>
+        val (table, keyCol) = lookup(name)
+        val v = graft.lake.Evolve.renameColumn(spark, table,
+          oldC.stripPrefix("`").stripSuffix("`"),
+          newC.stripPrefix("`").stripSuffix("`"), keyCol)
+        rebind(spark, name, table) // the view's schema just changed
+        return v
+      case _ => ()
+    }
     sql match {
       case add(name, cname, pred) =>
         val (table, _) = lookup(name)

@@ -101,8 +101,12 @@ object Clone {
       try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
       finally out.close()
       // an overlay source's extended schema travels as the clone's own
-      // marker (the shared data dir's marker, when any, stays narrower)
+      // marker (the shared data dir's marker, when any, stays narrower);
+      // so does a rename overlay's column mapping — without it the clone
+      // would read the PHYSICAL names
       ownMarker.foreach(Versioned.writeSchemaMarker(fd, dir, _))
+      Versioned.carryColumnMapping(fSrc, srcVDir, fd, dir,
+        spark.sparkContext.hadoopConfiguration)
       Cdf.recordBreak(spark, dir, schema) // a clone seed is a replace
     }
   }

@@ -193,6 +193,9 @@ object Dv {
     val schema = Versioned.readSchemaMarker(f, liveVDir)
       .orElse(Versioned.readSchemaMarker(f, dataDir))
       .getOrElse(spark.read.parquet(dataDir).schema)
+    // renamed table: logical → physical names for the appends write
+    val mapping = Versioned.readColumnMapping(f, liveVDir)
+      .getOrElse(Map.empty[String, String])
     val cols = schema.fieldNames.toSeq
     val missing = cols.filterNot(upserts.columns.contains)
     val extra = upserts.columns.toSeq.filterNot(cols.contains)
@@ -277,11 +280,16 @@ object Dv {
       Versioned.publishFrom(spark, table, live) { dir =>
         val fd = fs(spark, dir)
         // 1. fresh appends FIRST (the parquet overwrite creates the dir);
-        //    key-sorted so later footer admission stays tight
+        //    key-sorted so later footer admission stays tight. A RENAMED
+        //    table's appends are written under PHYSICAL names (the
+        //    column-mapping contract: every file in a readable version
+        //    agrees on physical names; readVersion maps them back) —
+        //    the key column never renames, so sort/Bloom stay untouched
         if (nUpserts > 0L) {
           val parts = math.max(1L, math.min(64L,
             nUpserts / 1000000L + 1)).toInt
-          upserts.select(cols.map(col): _*)
+          upserts.select(cols.map(c =>
+              col(s"`$c`").as(mapping.getOrElse(c, c))): _*)
             .repartitionByRange(parts, col(keyCol))
             .sortWithinPartitions(col(keyCol))
             .write.mode("overwrite").parquet(dir)
@@ -323,6 +331,7 @@ object Dv {
         if (f.exists(sm))
           org.apache.hadoop.fs.FileUtil.copy(f, sm, fd,
             new Path(s"$dir/_table_schema"), false, true, conf)
+        Versioned.carryColumnMapping(f, liveVDir, fd, dir, conf)
         Cdf.record(spark, dir, schema, keyCol,
           upserts.select(cols.map(col): _*), nUpserts, deletes, nDeletes)
       }
@@ -436,6 +445,7 @@ object Dv {
         if (f.exists(sm))
           org.apache.hadoop.fs.FileUtil.copy(f, sm, fd,
             new Path(s"$dir/_table_schema"), false, true, conf)
+        Versioned.carryColumnMapping(f, liveVDir, fd, dir, conf)
         val schema = Versioned.readSchemaMarker(f, liveVDir)
           .orElse(Versioned.readSchemaMarker(f, dataDir))
           .getOrElse(spark.read.parquet(dataDir).schema)

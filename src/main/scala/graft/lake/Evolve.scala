@@ -78,7 +78,7 @@ object Evolve {
       .collect { case (_, vs) if vs.length > 1 => vs.head }
     require(dupNew.isEmpty,
       s"duplicate new column name(s) ${dupNew.toSeq.sorted}")
-    overlay(spark, table, { case (liveSchema, dataDir, liveVDir) =>
+    overlay(spark, table, { case (liveSchema, mapping, dataDir, liveVDir) =>
       val lower = liveSchema.fieldNames.map(_.toLowerCase).toSet
       val clash = cols.fieldNames.filter(c => lower(c.toLowerCase))
       require(clash.isEmpty,
@@ -102,12 +102,23 @@ object Evolve {
           ownPhysical).map(_.toLowerCase).toSet
       val ghost = cols.fieldNames
         .filter(c => physical(c.toLowerCase) && !lower(c.toLowerCase))
-      require(ghost.isEmpty,
+      // a MAPPED table (some rename happened) closes the re-add trap by
+      // construction: the new column gets a FRESH physical name, so the
+      // physically-present old bytes can never resolve to it. An
+      // unmapped table keeps the loud reject — silently starting a
+      // mapping on a plain table would surprise raw-parquet readers.
+      require(ghost.isEmpty || mapping.nonEmpty,
         s"column(s) ${ghost.toSeq} were DROPPED but their values are " +
           s"still physically present in $table's files — re-adding the " +
           "name would resurrect them on old rows; Clone.materialize " +
           "(or SQL OPTIMIZE) first to rewrite the files without them")
-      StructType(liveSchema.fields ++ cols.fields.map(_.copy(nullable = true)))
+      val ghostSet = ghost.map(_.toLowerCase).toSet
+      val freshened = cols.fieldNames.filter(c => ghostSet(c.toLowerCase))
+        .map(c => c -> s"${c}__p${java.util.UUID.randomUUID.toString
+          .take(8)}").toMap
+      (StructType(liveSchema.fields ++
+        cols.fields.map(_.copy(nullable = true))),
+        mapping ++ freshened)
     })
   }
 
@@ -140,7 +151,7 @@ object Evolve {
         s"constraint '${hit.map(_.name).getOrElse("")}' references " +
           s"column '$c' — DROP CONSTRAINT first")
     }
-    overlay(spark, table, { case (liveSchema, _, _) =>
+    overlay(spark, table, { case (liveSchema, mapping, _, _) =>
       val lower = liveSchema.fieldNames.map(_.toLowerCase).toSet
       val missing = cols.filterNot(c => lower(c.toLowerCase))
       require(missing.isEmpty,
@@ -150,16 +161,67 @@ object Evolve {
         .filterNot(f => dropSet(f.name.toLowerCase))
       require(out.nonEmpty,
         "cannot drop every column — a table needs at least one")
-      StructType(out)
+      (StructType(out),
+        mapping.filterNot { case (l, _) => dropSet(l.toLowerCase) })
+    })
+  }
+
+  /** Rename a column — metadata-only, via COLUMN MAPPING (Delta's "name"
+    * mode on this layout): the overlay's marker carries the new LOGICAL
+    * schema and a `_column_mapping` sidecar records logical → PHYSICAL
+    * (the renamed column's physical name stays its pre-rename spelling
+    * forever; files are never touched). Readers resolve the mapping at
+    * scan ([[Versioned.readVersion]]); the zero-copy DML family writes
+    * its appends under physical names ([[Dv]]); a materialize/compaction
+    * rewrites under logical names and drops the mapping (rename baked
+    * in). Time travel to pre-rename versions shows the old name (their
+    * dirs carry no mapping). The DML KEY column cannot rename (the
+    * session registry and every skipping index are keyed by it — a
+    * re-key is a restatement); a CHECK constraint naming the column must
+    * drop first (its predicate would stop evaluating). Returns the
+    * overlay's version. */
+  def renameColumn(spark: SparkSession, table: String, oldName: String,
+                   newName: String, keyCol: String): Long = {
+    require(newName.nonEmpty && !newName.exists(c =>
+        c == '\t' || c == '\n' || c == '\r' || c == '`'),
+      s"invalid new column name '$newName'")
+    require(!oldName.equalsIgnoreCase(keyCol),
+      s"cannot rename the DML key column '$keyCol' — the key is row " +
+        "identity (registry + skipping indexes bind to it); re-keying " +
+        "is a restatement (CREATE OR REPLACE)")
+    val rules = Constraints.list(spark, table)
+    val hit = rules.find { r =>
+      val masked = r.predicate.replaceAll("'[^']*'", " ")
+      ("(?i)\\b" + java.util.regex.Pattern.quote(oldName) + "\\b").r
+        .findFirstIn(masked).isDefined
+    }
+    require(hit.isEmpty,
+      s"constraint '${hit.map(_.name).getOrElse("")}' references " +
+        s"column '$oldName' — DROP CONSTRAINT first (its predicate " +
+        "would stop evaluating after the rename)")
+    overlay(spark, table, { case (liveSchema, mapping, _, _) =>
+      val field = liveSchema.fields.find(_.name.equalsIgnoreCase(oldName))
+        .getOrElse(throw new IllegalArgumentException(
+          s"column '$oldName' does not exist on $table"))
+      require(!liveSchema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"column '$newName' already exists on $table")
+      val physOld = mapping.getOrElse(field.name, field.name)
+      val outSchema = StructType(liveSchema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName)
+        else f))
+      ((outSchema, (mapping - field.name) + (newName -> physOld)))
     })
   }
 
   /** The shared overlay publish: pin + ref + carry (appends, vector,
-    * watermark) + the transformed schema as the overlay's OWN marker.
-    * `newSchema` receives (live schema, resolved data dir, live version
-    * dir) and must validate + return the overlay schema. */
+    * watermark, column mapping) + the transformed schema as the
+    * overlay's OWN marker. `newSchema` receives (live schema, current
+    * column mapping, resolved data dir, live version dir) and must
+    * validate + return (overlay schema, column mapping to write — empty
+    * = no mapping sidecar on the new version). */
   private def overlay(spark: SparkSession, table: String,
-                      newSchema: (StructType, String, String) => StructType)
+                      newSchema: (StructType, Map[String, String], String,
+                        String) => (StructType, Map[String, String]))
       : Long =
     Versioned.withWriteRetry() {
       val live = Versioned.currentVersion(spark, table).getOrElse(
@@ -169,7 +231,10 @@ object Evolve {
       val f = fs(spark, table)
       val conf = spark.sparkContext.hadoopConfiguration
       val liveSchema = Versioned.schemaAt(spark, table, live)
-      val outSchema = newSchema(liveSchema, dataDir, liveVDir)
+      val mapping = Versioned.readColumnMapping(f, liveVDir)
+        .getOrElse(Map.empty)
+      val (outSchema, outMapping) =
+        newSchema(liveSchema, mapping, dataDir, liveVDir)
       // pin the shared data dir BEFORE publishing the ref (Clone.shallow's
       // ordering argument; an OCC-abandoned pin is GC'd by vacuum)
       Clone.pin(spark, dataDir, table)
@@ -205,6 +270,9 @@ object Evolve {
         // THE point: the new schema as this version's OWN marker —
         // version-aware readers resolve it ahead of the base dir's
         Versioned.writeSchemaMarker(fd, dir, outSchema)
+        // column mapping (rename support): the overlay's OWN sidecar
+        if (outMapping.nonEmpty)
+          Versioned.writeColumnMapping(fd, dir, outMapping)
         // `_schema_change` names the operation for DESCRIBE HISTORY
         val sc = fd.create(new Path(s"$dir/_schema_change"), true)
         try sc.write("metadata-only".getBytes(StandardCharsets.UTF_8))

@@ -108,6 +108,8 @@ object Restore {
       if (f.exists(sm))
         FileUtil.copy(f, sm, fd, new Path(s"$dir/_table_schema"),
           false, true, conf)
+      // the target's column mapping (a rename overlay) rewinds with it
+      Versioned.carryColumnMapping(f, tgtVDir, fd, dir, conf)
       // wholesale replace: batch feed readers reject on the break
       // marker, raw streaming tails get the poison row — never a
       // silent skip (Cdf.recordBreak's contract)

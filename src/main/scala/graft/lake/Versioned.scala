@@ -582,6 +582,12 @@ object Versioned {
         "transaction (pending or crashed pre-flip) — not readable; if no " +
         "txn is live, run Versioned.healClaims to adjudicate")
     val data = dataDir(spark, table, v)
+    // a renamed table's mapping: files stay under PHYSICAL names; the
+    // scan reads the physical schema and the logical rename is applied
+    // AFTER the deletion-vector anti-join (applyVector needs the scan's
+    // `_metadata` columns, which a projection would sever)
+    val mapping = readColumnMapping(fs(spark, own), own)
+      .getOrElse(Map.empty[String, String])
     val df =
       if (data == own) readDataDir(spark, own)
       else {
@@ -592,14 +598,26 @@ object Versioned {
         val ownParts = dataFilePaths(spark, own)
         ownMarker match {
           case Some(s) =>
-            spark.read.schema(s)
+            spark.read.schema(physicalSchema(s, mapping))
               .parquet(dataFilePaths(spark, data) ++ ownParts: _*)
           case None =>
             if (ownParts.isEmpty) readDataDir(spark, data)
             else readFiles(spark, data, dataFilePaths(spark, data) ++ ownParts)
         }
       }
-    Dv.applyVector(spark, table, v, df)
+    val vectored = Dv.applyVector(spark, table, v, df)
+    if (mapping.isEmpty) vectored
+    else {
+      val logical = schemaMarkerAt(spark, table, v).getOrElse(
+        throw new IllegalStateException(
+          s"$table v$v carries a _column_mapping but no _table_schema " +
+            "marker — the mapping cannot resolve; the version dir is " +
+            "corrupt"))
+      vectored.select(logical.fields.toSeq.map { fd =>
+        org.apache.spark.sql.functions
+          .col(s"`${mapping.getOrElse(fd.name, fd.name)}`").as(fd.name)
+      }: _*)
+    }
   }
 
   /** Version-aware schema-marker resolution: version `v`'s OWN
@@ -632,6 +650,58 @@ object Versioned {
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
   }
+
+  // ------------------------------------------------------- column mapping
+
+  /** The `_column_mapping` sidecar of a version dir: logical column name
+    * → PHYSICAL name (the name in the parquet footers), one
+    * tab-separated pair per line. Written by [[Evolve.renameColumn]]
+    * (Delta's column-mapping "name" mode on this layout: a rename is a
+    * metadata overlay — the files keep their original column names
+    * forever, and readers resolve logical→physical at scan). Columns
+    * absent from the map are identity-mapped. Carried forward by every
+    * zero-copy DML ([[Dv]]), [[Restore]], [[Clone.shallow]] and
+    * [[Evolve]] overlay; a materialize/compaction REWRITES files under
+    * the logical names and drops the mapping (rename baked in). */
+  private[lake] def readColumnMapping(
+      f: FileSystem, dir: String): Option[Map[String, String]] =
+    readSmallFile(f, new Path(s"$dir/_column_mapping")).map {
+      _.linesIterator.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        require(i > 0, s"malformed _column_mapping line '$l' in $dir")
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    }
+
+  private[lake] def writeColumnMapping(
+      f: FileSystem, dir: String, m: Map[String, String]): Unit = {
+    val out = f.create(new Path(s"$dir/_column_mapping"), true)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (l, p) => s"$l\t$p" }.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Byte-copy `srcDir`'s `_column_mapping` (if any) into `dstDir` — the
+    * one carry every zero-copy publish over a renamed table shares. */
+  private[lake] def carryColumnMapping(
+      fSrc: FileSystem, srcDir: String,
+      fDst: FileSystem, dstDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val m = new Path(s"$srcDir/_column_mapping")
+    if (fSrc.exists(m))
+      org.apache.hadoop.fs.FileUtil.copy(fSrc, m, fDst,
+        new Path(s"$dstDir/_column_mapping"), false, true, conf)
+    ()
+  }
+
+  /** The schema as the parquet FOOTERS spell it: `logical` with every
+    * field renamed through the mapping (identity when absent). */
+  private[lake] def physicalSchema(
+      logical: org.apache.spark.sql.types.StructType,
+      m: Map[String, String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      logical.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
 
   /** Read a version DATA dir, honoring its `_table_schema` marker. Once a
     * table has schema-evolved ([[Upsert]] `evolveSchema=true`), its version
@@ -798,7 +868,58 @@ object Versioned {
     versions(spark, table).filter(v => v < live - keep && !pinned.contains(v))
   }
 
+  /** TIME-based retention: the versions [[vacuumOlderThan]] would drop.
+    * The keep set is Delta's `RETAIN n HOURS` contract on this layout:
+    * the LIVE version, every version committed AT/AFTER the cutoff, and
+    * the NEWEST version committed before it (the as-of-cutoff anchor —
+    * `TIMESTAMP AS OF` any instant inside the window must still
+    * resolve). Versions with no `_commit_ts` marker (pre-marker
+    * migration) are conservatively KEPT — reclaiming what cannot be
+    * dated is how retention policies delete the wrong data. The change
+    * feed shares this window by construction: each version's `_changes`
+    * sidecar lives INSIDE its version dir, so feed retention == version
+    * retention, and a `changesSince` spanning a dropped version rejects
+    * toward reseed exactly as for count-based vacuum. */
+  def vacuumPlanOlderThan(spark: SparkSession, table: String,
+                          cutoffMillis: Long): Seq[Long] = {
+    val live = currentVersion(spark, table).getOrElse(return Seq.empty)
+    val pinned = clonePinnedVersions(spark, table)
+    val times = commitTimes(spark, table).toMap
+    val anchor = times.filter(_._2 < cutoffMillis).keys
+      .filter(_ <= live) // a pending-tail version cannot anchor travel
+      .maxOption.getOrElse(Long.MinValue)
+    versions(spark, table).filter { v =>
+      v != live && v != anchor && !pinned.contains(v) &&
+        times.get(v).exists(_ < cutoffMillis)
+    }
+  }
+
+  /** [[vacuum]] under the TIME-based criterion of
+    * [[vacuumPlanOlderThan]] — Delta's `VACUUM ... RETAIN n HOURS`
+    * (resolve `cutoffMillis = now - hours`, callers do the clock
+    * arithmetic so specs can pin synthetic histories). Same exclusivity
+    * contract, claim heal, pin fixpoint and checkpoint refresh as the
+    * count-based form. */
+  def vacuumOlderThan(spark: SparkSession, table: String,
+                      cutoffMillis: Long): Seq[Long] =
+    vacuumCore(spark, table,
+      dropped => vacuumPlanOlderThan(spark, table, cutoffMillis)
+        .filterNot(dropped.contains).toSet)
+
   def vacuum(spark: SparkSession, table: String, keep: Int = 1): Seq[Long] = {
+    val live = currentVersion(spark, table).getOrElse(return Seq.empty)
+    vacuumCore(spark, table, { _ =>
+      val pinned = clonePinnedVersions(spark, table)
+      versions(spark, table)
+        .filter(v => v < live - keep && !pinned.contains(v)).toSet
+    })
+  }
+
+  // the shared sweep machinery; `candidates(alreadyDropped)` re-evaluates
+  // the drop set each sweep (dropping a ref version releases its pin and
+  // can unlock the pinned data version it referenced — the fixpoint)
+  private def vacuumCore(spark: SparkSession, table: String,
+                         candidatesOf: Seq[Long] => Set[Long]): Seq[Long] = {
     require(Txn.current.isEmpty,
       "vacuum inside an active cross-table transaction would heal away " +
         "the txn's own pending versions — run maintenance outside the txn")
@@ -843,10 +964,8 @@ object Versioned {
     // delete actually SUCCEEDED count as dropped (Hadoop delete returns
     // false rather than throwing), both for the returned list and for the
     // pin release — and so the loop terminates even when a dir is stuck.
-    def sweep(): Seq[Long] = {
-      val pinned = clonePinnedVersions(spark, table)
-      val candidates = versions(spark, table)
-        .filter(v => v < live - keep && !pinned.contains(v))
+    def sweep(dropped0: Seq[Long]): Seq[Long] = {
+      val candidates = candidatesOf(dropped0).toSeq.sorted
       // refs the candidates hold (on this or other tables' data) —
       // resolve BEFORE deleting (the _ref files are about to go). All
       // sets are compared PATH-QUALIFIED: two refs to the same dir under
@@ -868,8 +987,8 @@ object Versioned {
       dropped
     }
     var all = Seq.empty[Long]
-    var more = sweep()
-    while (more.nonEmpty) { all ++= more; more = sweep() }
+    var more = sweep(all)
+    while (more.nonEmpty) { all ++= more; more = sweep(all) }
     // the checkpoint cache must not keep naming vacuumed dirs (its version
     // is a probe-forward FLOOR — a floor at a dropped dir would stall the
     // double-pointer-loss recovery path): rebuild it against what exists.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
 
-import graft.lake.{Expect, Txn, Upsert, Versioned}
+import graft.lake.{Expect, Maintain, Txn, Upsert, Versioned}
 
 /**
  * Streaming CDC sink: apply a change stream (`op` = "I"/"U"/"D" + the
@@ -46,6 +46,22 @@ import graft.lake.{Expect, Txn, Upsert, Versioned}
  */
 object CdcSink {
 
+  /** Opt-in post-batch auto-maintenance: every `every`-th micro-batch
+    * (by batchId — stable under replay), one [[graft.lake.Maintain.auto]]
+    * pass runs on the sink's table with these dials, so a long-running
+    * CDC stream self-heals its accumulating small files (and any
+    * deferred DV/append state) without an external scheduler. Replay-
+    * safe twice over: the batch itself dedups on its tag, and a repeated
+    * maintenance pass is a metadata-decided no-op when nothing exceeds
+    * the dials. The pass runs AFTER the batch's merge commits, so it
+    * never taxes the batch that crossed the threshold — the next
+    * trigger pays the (OCC-safe, layout-only) bill. */
+  final case class MaintainPolicy(every: Int = 10,
+                                  maxDataFiles: Int = 64,
+                                  maxAppendedFiles: Int = 8,
+                                  maxVectorRows: Long = 1000000L,
+                                  materializeRefs: Boolean = false)
+
   // The sink OWNS its tables (the single-maintenance-writer contract in
   // the object doc), so a txn-pending collision here can only be THIS
   // stream's own crashed transaction (a pre-flip crash left pending dirs
@@ -82,7 +98,8 @@ object CdcSink {
                  evolveSchema: Boolean = false,
                  rules: Seq[Expect.Rule] = Seq.empty,
                  expectMode: Expect.Mode = Expect.Mode.Fail,
-                 quarantine: Option[String] = None): Unit =
+                 quarantine: Option[String] = None,
+                 maintain: Option[MaintainPolicy] = None): Unit =
     if (!batch.isEmpty &&
         !Upsert.recentBatchTags(spark, table).contains(batchId.toString)) {
       val reduced = seqCol.fold(batch)(s =>
@@ -99,6 +116,16 @@ object CdcSink {
             quarantine, opCol, batchTag = Some(batchId.toString),
             evolveSchema = evolveSchema)
       }
+      // post-batch auto-maintenance ([[MaintainPolicy]]): runs only on
+      // the dialed cadence, after the merge committed — a replayed
+      // batch skips the merge above and this with it (the original
+      // application already paid), and an extra pass is a no-op anyway
+      maintain.filter(p => p.every > 0 && batchId % p.every == p.every - 1)
+        .foreach { p =>
+          Maintain.auto(spark, table, keyCol, p.maxDataFiles,
+            p.maxAppendedFiles, p.maxVectorRows, p.materializeRefs)
+          ()
+        }
       ()
     }
 
@@ -111,11 +138,12 @@ object CdcSink {
   def into(changes: DataFrame, table: String, keyCol: String,
            opCol: String = "op",
            seqCol: Option[String] = None,
-           evolveSchema: Boolean = false): DataStreamWriter[Row] =
+           evolveSchema: Boolean = false,
+           maintain: Option[MaintainPolicy] = None): DataStreamWriter[Row] =
     changes.writeStream.foreachBatch {
       (batch: DataFrame, id: Long) =>
         applyBatch(batch.sparkSession, table, keyCol, batch, id, opCol,
-          seqCol, evolveSchema)
+          seqCol, evolveSchema, maintain = maintain)
     }
 
   /** [[applyBatch]] + [[graft.lake.MatView.refresh]] of a view defined

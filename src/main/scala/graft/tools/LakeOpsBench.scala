@@ -27,10 +27,12 @@ import graft.lake.{Clone, Dv, Forget, MatView, Upsert, Versioned}
   *   compactor), merge_distributed (find-touched-files path, forced via
   *   maxDriverKeys=0), copy_into_fresh/copy_into_noop (file-grain
   *   ingest + its ledger no-op rerun), evolve_add/evolve_drop
-  *   (metadata-only schema overlay), matview_refresh vs
-  *   matview_recreate, and occ_contention (two barrier-synced
-  *   disjoint-range writers on a clustered table — the conflict-rebase
-  *   path).
+  *   (metadata-only schema overlay), rename_column/dv_merge_renamed
+  *   (column-mapping rename + a DV merge through it), matview_refresh vs
+  *   matview_recreate, mv_rewrite_answer/mv_rewrite_base (the automatic
+  *   MV rewrite vs the base recompute), and occ_contention (two
+  *   barrier-synced disjoint-range writers on a clustered table — the
+  *   conflict-rebase path).
   */
 object LakeOpsBench {
   def main(args: Array[String]): Unit = {
@@ -160,6 +162,22 @@ object LakeOpsBench {
     println(f"evolve    add column $tEvoAdd%.2f s, drop column " +
       f"$tEvoDrop%.2f s ($nRows%,d-row table untouched)")
 
+    // rename via column mapping: metadata-only like evolve (a marker +
+    // a mapping sidecar — the table's rows never rewrite), and a DV
+    // merge THROUGH the renamed schema stays changeset-cost (appends
+    // written under physical names)
+    val (_, tRename) = timeS(
+      graft.lake.Evolve.renameColumn(spark, t, "v", "v_renamed", "k"))
+    arms("rename_column") = tRename
+    val renameCh = (0 until nKeys)
+      .map(i => (i.toLong * 53 + 11, s"renamed-$i"))
+      .toDF("k", "v_renamed")
+    val (_, tDvRen) = timeS(Dv.merge(spark, t, "k", renameCh))
+    arms("dv_merge_renamed") = tDvRen
+    println(f"rename    column (mapping overlay): $tRename%.2f s; " +
+      f"dv merge through the renamed schema: $tDvRen%.2f s")
+    graft.lake.Evolve.renameColumn(spark, t, "v_renamed", "v", "k")
+
     // MatView arms: incremental refresh from one CDC batch vs recompute
     val src = s"$root/mvsrc"
     val view = s"$root/mv"
@@ -177,6 +195,22 @@ object LakeOpsBench {
     val (_, tRecreate) = timeS(MatView.recreate(spark, view))
     arms("matview_recreate") = tRecreate
     println(f"matview   refresh $tRefresh%.2f s vs recreate $tRecreate%.2f s")
+
+    // MV automatic rewrite: the same grouped SELECT answered from the
+    // |groups|-sized view vs recomputed from the nRows-row base — the
+    // consumption half of the MV story ([[graft.SqlDml.rewriteViaMv]]);
+    // at 100 TB the gap IS the point (dimension scan vs table scan)
+    graft.SqlDml.register(spark, "lob_src", src, "k")
+    graft.Sql.execute(spark,
+      s"CREATE MATERIALIZED VIEW lob_mv LOCATION '$root/mv_rw' AS " +
+        "SELECT g, count(*), sum(amt) FROM lob_src GROUP BY g")
+    val rwQ = "SELECT g, count(*), sum(amt) FROM lob_src GROUP BY g"
+    val (rwRows, tMvAns) = timeS(graft.Sql.sql(spark, rwQ).collect())
+    arms("mv_rewrite_answer") = tMvAns
+    val (_, tBaseAns) = timeS(spark.sql(rwQ).collect())
+    arms("mv_rewrite_base") = tBaseAns
+    println(f"mv rewrite: answered from the view in $tMvAns%.2f s " +
+      f"(${rwRows.length}%d groups) vs base recompute $tBaseAns%.2f s")
 
     // Cross-table txn arm: the CDC-merge + view-refresh pair committed as
     // ONE atomic flip (Txn.atomically) vs sequentially. The txn adds only

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.lake.{Forget, Versioned}
+
+/**
+ * Automatic materialized-view rewrite ([[SqlDml.rewriteViaMv]], wired
+ * into [[Sql.sql]]): a grouped SELECT a CURRENT registered MV can answer
+ * scans the dimension-sized MV parquet instead of the base table —
+ * verified through `inputFiles` (the rewritten plan's scan paths) and
+ * value equality with the base recompute; a STALE MV falls back to the
+ * base; coarser groupings re-aggregate the MV; unmappable shapes (WHERE,
+ * unsupported aggregates, expression keys) fall through untouched.
+ */
+class MvRewriteSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-mvrw").toString
+
+  private def underPath(files: Array[String], path: String): Boolean =
+    files.nonEmpty && files.forall(_.contains(
+      new java.io.File(path).getName))
+
+  test("exact-match grouped SELECT scans the MV, not the base") {
+    val t = s"$root/src1"
+    Forget.publishIndexed(
+      (0 until 30).map(k => (k.toLong, s"c${k % 3}", k.toLong, k * 2L))
+        .toDF("k", "color", "amt", "qty"),
+      t, 2, "k", stats = true)
+    SqlDml.register(spark, "rw_src", t, "k")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rw_mv LOCATION '$root/mv1' AS
+         |SELECT color, count(*), sum(amt), min(qty), max(qty)
+         |FROM rw_src GROUP BY color""".stripMargin)
+    val q = "SELECT color, count(*) AS n, sum(amt) AS s, " +
+      "min(qty) AS lo, max(qty) AS hi FROM rw_src GROUP BY color " +
+      "ORDER BY color"
+    val rewritten = Sql.sql(spark, q)
+    assert(underPath(rewritten.inputFiles, s"$root/mv1"),
+      s"rewrite did not scan the MV: ${rewritten.inputFiles.toSeq}")
+    // values AND types equal the base recompute (sums cast back from
+    // the MV's exact-decimal to the base's sum type)
+    val base = spark.sql(q)
+    // name + type parity (nullability may differ: count(*) on the base
+    // is non-nullable, the MV rollup's sum is nullable — values agree)
+    assert(rewritten.schema.map(f => (f.name, f.dataType))
+      == base.schema.map(f => (f.name, f.dataType)),
+      s"rewritten schema drifted: ${rewritten.schema} vs ${base.schema}")
+    assert(rewritten.collect().toSeq == base.collect().toSeq)
+    // alias-free items keep Spark's auto names (count(*) -> count(1))
+    assert(Sql.sql(spark,
+      "SELECT color, count(*), sum(amt) FROM rw_src GROUP BY color")
+      .columns.toSeq == Seq("color", "count(1)", "sum(amt)"))
+  }
+
+  test("a coarser grouping re-aggregates the MV; a stale MV falls back") {
+    val t = s"$root/src2"
+    Forget.publishIndexed(
+      (0 until 40).map(k =>
+          (k.toLong, s"c${k % 2}", s"s${k % 4}", k.toLong))
+        .toDF("k", "color", "size", "amt"),
+      t, 2, "k", stats = true)
+    SqlDml.register(spark, "rw2_src", t, "k")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rw2_mv LOCATION '$root/mv2' AS
+         |SELECT color, size, count(*), sum(amt)
+         |FROM rw2_src GROUP BY color, size""".stripMargin)
+    // GROUP BY a SUBSET of the MV's keys → rollup from the MV frame
+    val q = "SELECT color, count(*) AS n, sum(amt) AS s " +
+      "FROM rw2_src GROUP BY color ORDER BY color"
+    val rolled = Sql.sql(spark, q)
+    assert(underPath(rolled.inputFiles, s"$root/mv2"))
+    val rows = rolled.collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(20L, 20L))
+    assert(rows.map(_.getLong(2)).toSeq
+      == Seq((0 until 40 by 2).map(_.toLong).sum,
+             (1 until 40 by 2).map(_.toLong).sum))
+    // stale: the source moves, the view is NOT refreshed — fall back to
+    // the base (correct values beat cheap scans)
+    Sql.execute(spark, "UPDATE rw2_src SET amt = 1000 WHERE k = 0")
+    val fresh = Sql.sql(spark, q)
+    assert(!underPath(fresh.inputFiles, s"$root/mv2"),
+      "stale MV must not answer the query")
+    assert(fresh.collect().head.getAs[Long]("s")
+      == 1000L + (2 until 40 by 2).map(_.toLong).sum)
+    assert(fresh.schema("s").dataType.typeName == "long")
+    // a REFRESH re-arms the rewrite
+    Sql.execute(spark, "REFRESH MATERIALIZED VIEW rw2_mv")
+    assert(underPath(Sql.sql(spark, q).inputFiles, s"$root/mv2"))
+  }
+
+  test("unmappable shapes fall through untouched") {
+    val t = s"$root/src3"
+    Forget.publishIndexed(
+      (0 until 12).map(k => (k.toLong, s"c${k % 2}", k.toLong))
+        .toDF("k", "color", "amt"),
+      t, 1, "k", stats = true)
+    SqlDml.register(spark, "rw3_src", t, "k")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rw3_mv LOCATION '$root/mv3' AS
+         |SELECT color, count(*), sum(amt) FROM rw3_src
+         |GROUP BY color""".stripMargin)
+    val mustFallThrough = Seq(
+      // WHERE: the MV has no filtered slice
+      "SELECT color, sum(amt) AS s FROM rw3_src WHERE k > 3 GROUP BY color",
+      // avg is not in the self-maintainable algebra
+      "SELECT color, avg(amt) AS a FROM rw3_src GROUP BY color",
+      // sum of a non-materialized column
+      "SELECT color, sum(k) AS s FROM rw3_src GROUP BY color",
+      // expression group key
+      "SELECT upper(color) AS c, count(*) AS n FROM rw3_src " +
+        "GROUP BY upper(color)",
+      // HAVING rides the group-by segment and must not match
+      "SELECT color, count(*) AS n FROM rw3_src GROUP BY color " +
+        "HAVING count(*) > 0")
+    mustFallThrough.foreach { q =>
+      val df = Sql.sql(spark, q)
+      assert(!underPath(df.inputFiles, s"$root/mv3"),
+        s"'$q' wrongly rewrote to the MV")
+      assert(df.collect().nonEmpty)
+    }
+    // the happy path still fires for this MV
+    assert(underPath(Sql.sql(spark,
+      "SELECT color, count(*) FROM rw3_src GROUP BY color")
+      .inputFiles, s"$root/mv3"))
+  }
+}

@@ -270,7 +270,7 @@ class SqlDdlSpec extends SparkSpec {
   }
 
   test("TABLE_CHANGES(t, a[, b]) in SELECT text == Cdf.changesSince, " +
-      "start version included; RENAME COLUMN rejects with the remedy") {
+      "start version included; RENAME COLUMN routes to column mapping") {
     val t = s"$root/tc"
     Forget.publishIndexed(seed(10), t, 2, "k", stats = true)
     SqlDml.register(spark, "tc_t", t, "k")
@@ -289,10 +289,13 @@ class SqlDdlSpec extends SparkSpec {
     assert(Sql.sql(spark,
       "SELECT 'TABLE_CHANGES(tc_t, 2)' AS s").head().getString(0)
       == "TABLE_CHANGES(tc_t, 2)")
-    val e = intercept[IllegalArgumentException] {
-      Sql.execute(spark, "ALTER TABLE tc_t RENAME COLUMN v TO w")
-    }
-    assert(e.getMessage.contains("column mapping"))
+    // RENAME COLUMN is metadata-only via column mapping (the files keep
+    // their physical names; full contract in RenameColumnSpec) — here:
+    // the statement routes and the view re-binds under the new name
+    val v5 = Sql.execute(spark, "ALTER TABLE tc_t RENAME COLUMN v TO w")
+    assert(v5 == 5L)
+    assert(spark.sql("SELECT w FROM tc_t WHERE k = 1").head()
+      .getString(0) == "v2")
   }
 
   test("executeScript runs a statement FILE: comments stripped, " +
