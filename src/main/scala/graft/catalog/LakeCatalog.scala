@@ -9,7 +9,9 @@ import graft.lake.{Cdf, Versioned}
  * Versioned-lake READ paths over the committed DML fixture
  * (`fixtures/lake/orders_lk`, built once by
  * [[graft.tools.BuildLakeFixture]] through the SQL surface: CTAS → MERGE
- * → zero-copy DELETE → metadata-only ADD COLUMNS → DV UPDATE → RESTORE)
+ * → zero-copy DELETE → metadata-only ADD COLUMNS → DV UPDATE → RENAME
+ * COLUMN via column mapping → DV UPDATE through the renamed schema →
+ * RESTORE)
  * — the cross-engine hash gate for the lake machinery itself. The
  * reference's loader rewrites whole day partitions in place
  * (/root/reference/src/pipeline/loaders/s3_loader.py:23-58, a
@@ -17,7 +19,8 @@ import graft.lake.{Cdf, Versioned}
  * readable, and these queries prove the LAYOUT is engine-open: each
  * Spark arm exercises one lake read mechanism (restore-ref resolution,
  * deletion-vector anti-join, schema-overlay null-fill + append union,
- * change-feed assembly) while its DuckDB oracle reconstructs the same
+ * column-mapping rename resolution, change-feed assembly) while its
+ * DuckDB oracle reconstructs the same
  * snapshot from the RAW committed bytes — plain parquet plus the `_dv`
  * and `_changes` sidecars — with no graft code in the loop.
  *
@@ -119,6 +122,47 @@ object LakeCatalog extends Family {
   }
 
   // ------------------------------------------------------------------
+  // TIME TRAVEL through a COLUMN-MAPPING rename (v7): the marker spells
+  // the logical schema (o_priority), the mapping resolves it to the
+  // untouched PHYSICAL name (o_orderpriority) in every file — base AND
+  // the post-rename DV-merge appends alike — on top of the accumulated
+  // vector and the o_note overlay. The oracle reads the raw bytes under
+  // the physical name and applies the rename as a plain alias: if the
+  // mapping resolution is right, the two are the same projection.
+  private val asofRenamed = Q(
+    "lake_time_travel_renamed",
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority AS o_priority,
+               CAST(NULL AS VARCHAR) AS o_note,
+               parse_filename(filename) AS f, file_row_number AS ri
+        FROM read_parquet('${fix()}/v=2/*.parquet', filename=true,
+                          file_row_number=true, hive_partitioning=false)),
+      dv AS (
+        SELECT file, row_index
+        FROM read_parquet('${fix()}/v=7/_dv/*.parquet',
+                          hive_partitioning=false)),
+      kept AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_priority, o_note
+        FROM base ANTI JOIN dv
+          ON base.f = dv.file AND base.ri = dv.row_index),
+      app AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority AS o_priority, o_note
+        FROM read_parquet('${fix()}/v=7/part-*.parquet',
+                          hive_partitioning=false))
+      SELECT * FROM kept UNION ALL SELECT * FROM app
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    Versioned.readVersion(spark, fix(), 7)
+      .select(Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_priority", "o_note").map(col): _*)
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ------------------------------------------------------------------
   // CHANGE FEED assembly across the DML span (versions 2..5): the MERGE's
   // U rows, the DELETE's key-only D rows, the evolution's feed entry
   // bridging to zero rows (its S poison is streaming-only metadata), and
@@ -153,5 +197,5 @@ object LakeCatalog extends Family {
       .orderBy(col("_version"), col("_op"), col("o_orderkey"))
   }
 
-  def specs: Seq[Q] = Seq(live, asofDv, asofEvolved, changes)
+  def specs: Seq[Q] = Seq(live, asofDv, asofEvolved, asofRenamed, changes)
 }

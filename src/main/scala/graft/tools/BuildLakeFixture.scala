@@ -32,7 +32,11 @@ import graft.{Conf, Sql}
  *   v4  ADD COLUMNS        — o_note STRING (metadata-only overlay)
  *   v5  UPDATE             — o_note on urgent %10=1 keys (DV merge:
  *                            appends + accumulated `_dv`)
- *   v6  RESTORE AS OF 2    — zero-copy rewind (live reads v2's dir)
+ *   v6  RENAME COLUMN      — o_orderpriority → o_priority (column
+ *                            mapping: `_column_mapping` overlay)
+ *   v7  UPDATE             — o_note through the RENAMED schema (DV
+ *                            merge: appends under PHYSICAL names)
+ *   v8  RESTORE AS OF 2    — zero-copy rewind (live reads v2's dir)
  *
  * Usage: runMain graft.tools.BuildLakeFixture [sfDir] [outDir]
  */
@@ -65,6 +69,9 @@ object BuildLakeFixture {
          |ALTER TABLE olk ADD COLUMNS (o_note STRING);
          |UPDATE olk SET o_note = 'urgent-sample'
          |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 1;
+         |ALTER TABLE olk RENAME COLUMN o_orderpriority TO o_priority;
+         |UPDATE olk SET o_note = 'renamed-high'
+         |  WHERE o_priority = '2-HIGH' AND o_orderkey % 10 = 3;
          |RESTORE TABLE olk TO VERSION AS OF 2
          |""".stripMargin,
       zeroCopyDelete = true)
