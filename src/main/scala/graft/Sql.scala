@@ -58,6 +58,7 @@ object Sql {
       case _ => df
     }
     hinted.createOrReplaceTempView(name)
+    SqlDml.boundVersions.put(name.toLowerCase, v)
     v
   }
 
@@ -240,6 +241,28 @@ object Sql {
               "INSERT OVERWRITE inside BEGIN...COMMIT — a restatement " +
                 "clears the unversioned COPY INTO ingest ledger, which an " +
                 "abort cannot restore; run it outside the block")
+          //  - DROP removes the SESSION binding and (when a durable
+          //    catalog is attached) the Metastore entry — neither is
+          //    versioned content an abort can restore
+          else if (b.matches("(?is)^DROP\\s+(TABLE|MATERIALIZED\\s+" +
+              "VIEW)\\b.*"))
+            throw new IllegalArgumentException(
+              "DROP inside BEGIN...COMMIT — the unbind (and the durable " +
+                "catalog entry removal, when one is attached) is not " +
+                "versioned content, so an abort could not restore it; " +
+                "run it outside the block")
+          //  - ANALYZE overwrites the unversioned _table_stats sidecar
+          //    (and skipping indexes); USE CATALOG re-binds the session
+          else if (b.matches("(?is)^ANALYZE\\s+TABLE\\b.*"))
+            throw new IllegalArgumentException(
+              "ANALYZE TABLE inside BEGIN...COMMIT — table stats and " +
+                "skipping indexes are unversioned sidecars an abort " +
+                "cannot restore; run it outside the block")
+          else if (b.matches("(?is)^USE\\s+CATALOG\\b.*"))
+            throw new IllegalArgumentException(
+              "USE CATALOG inside BEGIN...COMMIT — attaching a catalog " +
+                "re-binds the whole session, which an abort cannot " +
+                "undo; run it outside the block")
           else body += b
           i += 1
         }

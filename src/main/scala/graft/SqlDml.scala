@@ -67,6 +67,14 @@ object SqlDml {
   /** Registered DML targets: view name → (table path, key column). */
   private val registry = new TrieMap[String, (String, String)]()
 
+  /** The VERSION each registered temp view is currently bound to
+    * ([[Sql.registerTable]] records it) — what the session actually
+    * READS under that name, as opposed to the table's live version
+    * (which may have moved under an un-rebound view). The MV rewrite
+    * gates on THIS, so a rewritten query always agrees with every other
+    * query on the same registered name. */
+  private[graft] val boundVersions = new TrieMap[String, Long]()
+
   // materialized-view bindings: view name -> view table path (the SQL
   // surface of [[graft.lake.MatView]]; session-scoped like `registry`)
   private val mvRegistry = new TrieMap[String, String]()
@@ -88,25 +96,35 @@ object SqlDml {
     * discoverable, readable after its first landing. Returns the number
     * of bindings restored. Also reachable as SQL: `USE CATALOG '<dir>'`. */
   def useCatalog(spark: SparkSession, dir: String): Int = {
-    catalogDir = Some(dir)
-    val ts = graft.lake.Metastore.tables(spark, dir)
-    ts.foreach {
-      case graft.lake.Metastore.Binding(name, path, Some(k)) =>
-        register(spark, name, path, k, allowMissing = true)
-      case graft.lake.Metastore.Binding(name, path, None) =>
-        if (Versioned.currentVersion(spark, path).isDefined) {
-          Sql.registerTable(spark, name, path)
-          ()
-        }
-    }
-    val vs = graft.lake.Metastore.views(spark, dir)
-    vs.foreach { case (name, path) =>
-      Versioned.currentVersion(spark, path).foreach { v =>
-        mvRegistry.put(name, path)
-        Versioned.readVersion(spark, path, v).createOrReplaceTempView(name)
+    // attach only AFTER the load loop: register() re-records into the
+    // attached catalog, and re-claiming |tables| byte-identical entries
+    // we just read would pay |tables| redundant claim+verify round trips
+    // on every session start
+    catalogDir = None
+    var restored = 0
+    try {
+      graft.lake.Metastore.tables(spark, dir).foreach {
+        case graft.lake.Metastore.Binding(name, path, Some(k)) =>
+          register(spark, name, path, k, allowMissing = true)
+          restored += 1
+        case graft.lake.Metastore.Binding(name, path, None) =>
+          // a key-less entry binds read-only — and only when readable;
+          // an unreadable one is skipped and NOT counted (the return
+          // value promises bindings RESTORED, not entries seen)
+          if (Versioned.currentVersion(spark, path).isDefined) {
+            Sql.registerTable(spark, name, path)
+            restored += 1
+          }
       }
-    }
-    ts.size + vs.size
+      graft.lake.Metastore.views(spark, dir).foreach { case (name, path) =>
+        Versioned.currentVersion(spark, path).foreach { v =>
+          mvRegistry.put(name, path)
+          Versioned.readVersion(spark, path, v).createOrReplaceTempView(name)
+          restored += 1
+        }
+      }
+    } finally catalogDir = Some(dir)
+    restored
   }
 
   /** Detach the durable catalog (session bindings stay). */
@@ -122,6 +140,7 @@ object SqlDml {
     }
     registry.clear()
     mvRegistry.clear()
+    boundVersions.clear()
     catalogDir = None
   }
 
@@ -374,7 +393,7 @@ object SqlDml {
       case vdrH(name, h) =>
         val table = lookup(name)._1
         vacuumDryRun(spark, table, Versioned.vacuumPlanOlderThan(spark,
-          table, System.currentTimeMillis() - h.toLong * 3600000L))
+          table, System.currentTimeMillis() - hoursToMillis(h)))
       case smv() => showMaterializedViews(spark)
       case st() => showTables(spark)
       case _ => reject(s, "expected DESCRIBE HISTORY|DETAIL <table>, " +
@@ -461,6 +480,22 @@ object SqlDml {
         StructField("live_version", LongType, nullable = true))))
   }
 
+  // RETAIN n HOURS → millis, overflow-guarded: an absurd hour count
+  // (13+ digits) would overflow the multiplication into a NEGATIVE
+  // span, turning "retain forever" into a cutoff in the FUTURE that
+  // vacuums nearly the whole history — the worst possible reading of a
+  // maximal-retention request. Reject loudly instead.
+  private def hoursToMillis(h: String): Long = {
+    val hours = h.toLongOption.getOrElse(
+      throw new IllegalArgumentException(s"RETAIN $h HOURS — not a number"))
+    try Math.multiplyExact(hours, 3600000L)
+    catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"RETAIN $hours HOURS overflows the retention window — a span " +
+          "that large means 'never vacuum'; simply don't run VACUUM")
+    }
+  }
+
   // VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] — drop version dirs
   // older than live-n, or (time form, Delta's contract) every version
   // outside the n-hour window except the as-of-cutoff anchor
@@ -479,7 +514,7 @@ object SqlDml {
         (Option(n), Option(unit).map(_.toUpperCase)) match {
           case (Some(h), Some("HOURS")) =>
             Versioned.vacuumOlderThan(spark, table,
-              System.currentTimeMillis() - h.toLong * 3600000L)
+              System.currentTimeMillis() - hoursToMillis(h))
           case (k, _) =>
             Versioned.vacuum(spark, table,
               k.map(_.toInt).getOrElse(1))
@@ -549,10 +584,23 @@ object SqlDml {
           Versioned.currentVersion(spark, path).isEmpty,
           s"a table already exists at $path — CREATE OR REPLACE TABLE " +
             s"to restate it, or INSERT/MERGE INTO to change it")
-        // a replace is a restatement: ingest history must not survive
-        // it (a stale COPY INTO ledger would skip re-landing files the
-        // new incarnation never saw)
-        if (replacing) graft.lake.CopyInto.clearLedger(spark, path)
+        // with a durable catalog attached, claim the NAME before any
+        // side effect: a conflict (name bound to another path) must
+        // reject BEFORE the publish / ledger clear / registry mutation —
+        // validating after would leave this session bound to the new
+        // path while the catalog (and every other session) points at
+        // the old one. A failed CTAS after a FRESH claim removes it.
+        val claimedNew = catalogDir.exists { d =>
+          val fresh = !graft.lake.Metastore.hasTable(spark, d, name)
+          graft.lake.Metastore.recordTable(spark, d, name, path,
+            Option(keyOpt).map(_.stripPrefix("`").stripSuffix("`")))
+          fresh
+        }
+        try {
+          // a replace is a restatement: ingest history must not survive
+          // it (a stale COPY INTO ledger would skip re-landing files the
+          // new incarnation never saw)
+          if (replacing) graft.lake.CopyInto.clearLedger(spark, path)
         val df = Sql.sql(spark, select.trim)
         // persist: the key audit and the publish must serve from ONE
         // materialization — a non-deterministic select could otherwise
@@ -579,6 +627,15 @@ object SqlDml {
             recordInCatalog(spark, name, path, None)
         }
         v
+        } catch {
+          case t: Throwable =>
+            // unwind a FRESH durable claim when the CTAS itself failed —
+            // a name pointing at a table that never published can never
+            // read (pre-existing entries were verified-identical and stay)
+            if (claimedNew) catalogDir.foreach(d =>
+              graft.lake.Metastore.removeTable(spark, d, name))
+            throw t
+        }
       case _ => reject(sql,
         "expected CREATE [OR REPLACE] TABLE n [KEY k] LOCATION 'p' AS " +
           "<select>, or CREATE TABLE d SHALLOW CLONE s [VERSION AS OF " +
@@ -675,9 +732,10 @@ object SqlDml {
     *    min of min_c, max of max_c — the algebra is re-aggregable by
     *    construction), and every select item maps onto materialized
     *    columns;
-    *  - the MV is CURRENT: its sync watermark equals the source's LIVE
-    *    version (a stale MV answers nothing — fall back to the base, the
-    *    always-correct path).
+    *  - the MV is CURRENT for THIS SESSION: its sync watermark equals
+    *    the version the source's registered temp view is BOUND to (a
+    *    stale MV — or one synced ahead of an un-rebound view — answers
+    *    nothing; fall back to the base, the always-correct path).
     *
     * The rewritten scan reads the MV's live version through a pinned
     * temp view, so the 100 TB base is never touched. Ambiguity resolves
@@ -748,7 +806,11 @@ object SqlDml {
           case AggItem(_, c, _) =>
             sp.minMaxCols.exists(_.equalsIgnoreCase(c))
         } &&
-        Versioned.currentVersion(spark, sp.source).contains(sp.synced)
+        // currency is judged against the VERSION the session's temp view
+        // is bound to — not the table's live version: if the table moved
+        // under an un-rebound view, a live-synced MV would answer from a
+        // DIFFERENT snapshot than every other query on this name
+        boundVersions.get(srcName.toLowerCase).contains(sp.synced)
     }.sortBy(_._2.groupCols.size)
     val (mvPath, _) = candidates.headOption.getOrElse(return None)
 

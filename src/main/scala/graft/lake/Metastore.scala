@@ -67,7 +67,13 @@ object Metastore {
         try out.write(body.getBytes(StandardCharsets.UTF_8))
         finally out.close()
       } catch {
-        case _: java.io.IOException =>
+        case e: java.io.IOException =>
+          // name-taken vs transient fault: only an EXISTING entry means
+          // the claim lost — a disk-full/permission/network IOException
+          // with no entry present must surface as itself, not as a
+          // phantom "already bound" that sends the user chasing a
+          // nonexistent name conflict
+          if (!f.exists(entry)) throw e
           val existing = Versioned.readSmallFile(f, entry)
           if (!existing.contains(body))
             throw new IllegalStateException(
@@ -83,6 +89,11 @@ object Metastore {
                   path: String, keyCol: Option[String]): Unit =
     claim(fs(spark, catalogDir), tableEntry(catalogDir, name),
       s"t $path ${keyCol.getOrElse("-")}", "table", name)
+
+  /** Does a TABLE binding for `name` exist (any target)? */
+  def hasTable(spark: SparkSession, catalogDir: String,
+               name: String): Boolean =
+    fs(spark, catalogDir).exists(tableEntry(catalogDir, name))
 
   /** Record a durable MATERIALIZED VIEW binding. */
   def recordView(spark: SparkSession, catalogDir: String, name: String,

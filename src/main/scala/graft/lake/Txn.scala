@@ -214,20 +214,32 @@ object Txn {
     val out = ctx.recordFs.create(commitMarker(rec), false) // COMMIT POINT
     out.close()
     // the create succeeds even when a concurrent heal (run in violation
-    // of its no-active-writers contract) already adjudicated this txn as
-    // crashed and DELETED the record and participant dirs — finalizing
-    // then would pointer-update tables toward dirs that no longer exist,
-    // advancing the cache past the real live version. Verify the record
-    // survived the commit point; if it is gone the txn was healed away:
-    // delete the now-orphaned marker and throw (nothing was exposed —
-    // the heal's abort already removed every participant).
+    // of its no-active-writers contract) already adjudicated this txn
+    // and DELETED the record — finalizing blindly could pointer-update
+    // tables toward dirs that no longer exist. A vanished record has TWO
+    // readings, distinguished by the participant dirs themselves:
+    //  - the heal adjudicated COMMITTED (it saw an earlier .commit) and
+    //    ran the finalize — every participant dir SURVIVES. Complete our
+    //    own (idempotent) finalize: the work is done, the txn committed,
+    //    and throwing 'aborted, re-run' here would DOUBLE-APPLY it.
+    //  - the heal adjudicated CRASHED and aborted — every participant
+    //    dir is GONE. Delete the now-orphaned marker and throw.
     if (!ctx.recordFs.exists(rec)) {
-      ctx.recordFs.delete(commitMarker(rec), false)
-      throw new IllegalStateException(
-        s"transaction ${ctx.id} was healed away before its commit " +
-          "flip — Versioned.healClaims ran concurrently with an active " +
-          "writer (it is exclusive maintenance); the txn aborted: no " +
-          "participant version is visible. Re-run the transaction.")
+      val survived = ctx.parts.forall { case (table, v, f) =>
+        f.exists(new Path(s"$table/v=$v/_commit_ts"))
+      }
+      if (!survived) {
+        ctx.recordFs.delete(commitMarker(rec), false)
+        throw new IllegalStateException(
+          s"transaction ${ctx.id} was healed away before its commit " +
+            "flip — Versioned.healClaims ran concurrently with an " +
+            "active writer (it is exclusive maintenance); the txn " +
+            "aborted: no participant version is visible. Re-run the " +
+            "transaction.")
+      }
+      // committed-and-finalized by the heal: finalizeCommitted below
+      // re-runs the idempotent per-participant steps and removes our
+      // orphaned .commit marker (its record delete no-ops)
     }
     finalizeCommitted(ctx.recordFs, rec,
       ctx.parts.toSeq.map(p => (p._1, p._2, p._3)))

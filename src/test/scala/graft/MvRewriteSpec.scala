@@ -89,6 +89,18 @@ class MvRewriteSpec extends SparkSpec {
     // a REFRESH re-arms the rewrite
     Sql.execute(spark, "REFRESH MATERIALIZED VIEW rw2_mv")
     assert(underPath(Sql.sql(spark, q).inputFiles, s"$root/mv2"))
+    // the gate is the session's BOUND version, not the table's live
+    // version: advance the source + MV via the direct API (no re-bind)
+    // — the pinned view still shows the old snapshot, so a live-synced
+    // MV must NOT answer (it would disagree with every other query on
+    // this name); a re-bind re-arms it
+    lake.Upsert.merge(spark, t, "k",
+      Seq((0L, "c0", "s0", 7777L)).toDF("k", "color", "size", "amt"))
+    lake.MatView.catchUp(spark, s"$root/mv2")
+    assert(!underPath(Sql.sql(spark, q).inputFiles, s"$root/mv2"),
+      "an MV synced AHEAD of the un-rebound view must not answer")
+    Sql.registerTable(spark, "rw2_src", t)
+    assert(underPath(Sql.sql(spark, q).inputFiles, s"$root/mv2"))
   }
 
   test("unmappable shapes fall through untouched") {

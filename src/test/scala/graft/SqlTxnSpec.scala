@@ -139,8 +139,25 @@ class SqlTxnSpec extends SparkSpec {
         "BEGIN; INSERT OVERWRITE sfx VALUES (1, 'a', 1); COMMIT")
     }
     assert(iow.getMessage.contains("INSERT OVERWRITE inside BEGIN"))
-    // nothing half-ran
+    // DROP (session unbind + durable catalog removal), ANALYZE (stats
+    // sidecar) and USE CATALOG (session re-bind) are likewise
+    // un-rollbackable
+    val drop = intercept[IllegalArgumentException] {
+      Sql.executeScript(spark, "BEGIN; DROP TABLE sfx; COMMIT")
+    }
+    assert(drop.getMessage.contains("DROP inside BEGIN"))
+    val ana = intercept[IllegalArgumentException] {
+      Sql.executeScript(spark,
+        "BEGIN; ANALYZE TABLE sfx COMPUTE STATISTICS; COMMIT")
+    }
+    assert(ana.getMessage.contains("ANALYZE TABLE inside BEGIN"))
+    val usec = intercept[IllegalArgumentException] {
+      Sql.executeScript(spark, "BEGIN; USE CATALOG '/tmp/nowhere'; COMMIT")
+    }
+    assert(usec.getMessage.contains("USE CATALOG inside BEGIN"))
+    // nothing half-ran (and sfx stays registered — the DROP rejected)
     assert(Versioned.currentVersion(spark, t).contains(1L))
+    assert(spark.sql("SELECT count(*) FROM sfx").head().getLong(0) == 3L)
   }
 
   test("a plain CREATE TABLE inside an aborted block leaves no binding") {

@@ -106,6 +106,37 @@ class MetastoreSpec extends SparkSpec {
     assert(Metastore.tables(spark, cat).size == 1)
   }
 
+  test("a CREATE TABLE name conflict rejects BEFORE publishing") {
+    val cat = s"$root/cat6"
+    SqlDml.useCatalog(spark, cat)
+    Sql.execute(spark,
+      s"CREATE TABLE ctab KEY k LOCATION '$root/ctabA' AS " +
+        "SELECT CAST(id AS BIGINT) AS k FROM range(4)")
+    // a second session (simulated) tries to CREATE the same NAME at a
+    // DIFFERENT path: the durable claim must reject before any data
+    // publishes or the session re-binds
+    freshSession()
+    SqlDml.useCatalog(spark, cat)
+    val e = intercept[IllegalStateException] {
+      Sql.execute(spark,
+        s"CREATE TABLE ctab KEY k LOCATION '$root/ctabB' AS " +
+          "SELECT CAST(id AS BIGINT) AS k FROM range(99)")
+    }
+    assert(e.getMessage.contains("already bound"))
+    // nothing published at the conflicting path; the session still
+    // reads the CATALOG's binding, not the attempted one
+    assert(Versioned.currentVersion(spark, s"$root/ctabB").isEmpty)
+    assert(spark.sql("SELECT count(*) FROM ctab").head().getLong(0) == 4L)
+    // and a failed CTAS after a FRESH claim unwinds the claim
+    intercept[Exception] {
+      Sql.execute(spark,
+        s"CREATE TABLE dupkey KEY k LOCATION '$root/dupkey' AS " +
+          "SELECT CAST(id % 2 AS BIGINT) AS k FROM range(8)") // dup keys
+    }
+    assert(!Metastore.hasTable(spark, cat, "dupkey"),
+      "a failed CTAS left its fresh durable claim behind")
+  }
+
   test("an aborted txn block's CREATE leaves no durable entry") {
     val cat = s"$root/cat4"
     SqlDml.useCatalog(spark, cat)

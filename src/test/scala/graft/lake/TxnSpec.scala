@@ -411,6 +411,35 @@ class TxnSpec extends SparkSpec {
     assert(Versioned.read(spark, t).head().getLong(1) == 7L)
   }
 
+  test("a flip racing a COMMITTED-then-finalized heal completes instead " +
+      "of claiming abort (no double-apply)") {
+    val t = s"$root/flipdone"
+    Forget.publishIndexed(Seq((1L, 5L)).toDF("k", "x"), t, 1, "k",
+      stats = true)
+    val ctx = Txn.begin(spark)
+    Upsert.merge(spark, t, "k", Seq((1L, 6L)).toDF("k", "x"))
+    Txn.detach()
+    // a concurrent heal that saw the .commit marker adjudicates the txn
+    // COMMITTED and finalizes (pointer advanced, record+marker deleted)
+    val rec = new Path(ctx.recordPath)
+    val f = hfs(t)
+    f.create(new Path(rec.getParent, rec.getName + ".commit"), false)
+      .close()
+    outside(Versioned.healClaims(spark, t))
+    assert(Versioned.currentVersion(spark, t).contains(2L))
+    // the owner's flip must RECOGNIZE the committed outcome — throwing
+    // 'aborted, re-run' here would double-apply the merge
+    Txn.flip(ctx)
+    assert(Versioned.currentVersion(spark, t).contains(2L))
+    assert(Versioned.read(spark, t).head().getLong(1) == 6L)
+    // no orphaned record artifacts
+    val txns = new Path(s"$t/_txns")
+    val leftover =
+      if (!f.exists(txns)) Seq.empty
+      else f.listStatus(txns).toSeq.map(_.getPath.getName)
+    assert(leftover.isEmpty, s"orphaned txn artifacts: $leftover")
+  }
+
   test("nested atomically rejects; empty txn is a no-op") {
     val e = intercept[IllegalArgumentException] {
       Txn.atomically(spark) {

@@ -114,5 +114,16 @@ class VacuumHoursSpec extends SparkSpec {
     // count-based form still works through the same statement
     Sql.execute(spark, "VACUUM vh_t RETAIN 1 VERSIONS")
     assert(Versioned.versions(spark, t) == Seq(3L, 4L))
+    // an hour count that would OVERFLOW the window rejects — the
+    // "retain forever" misspelling must never vacuum the whole history
+    val of = intercept[IllegalArgumentException] {
+      Sql.execute(spark, "VACUUM vh_t RETAIN 99999999999999 HOURS")
+    }
+    assert(of.getMessage.contains("overflows"))
+    assert(Versioned.versions(spark, t) == Seq(3L, 4L))
+    // merely-huge (non-overflowing) spans vacuum nothing: cutoff is in
+    // the pre-epoch past, so every version is inside the window
+    assert(Sql.execute(spark, "VACUUM vh_t RETAIN 1000000 HOURS") == 4L)
+    assert(Versioned.versions(spark, t) == Seq(3L, 4L))
   }
 }
