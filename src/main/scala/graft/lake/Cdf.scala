@@ -244,6 +244,23 @@ object Cdf {
     if (srcLive == since) return replicaLive
     if (Upsert.recentBatchTags(spark, replica).contains(syncTag(srcLive)))
       return replicaLive // crashed sync replay: already applied
+    // a NARROWING schema change (drop, or rename via column mapping)
+    // cannot cross the feed: post-change rows simply LACK the old
+    // column, so an evolveSchema apply would keep it on the replica —
+    // old rows with stale values, new rows with nulls — silently
+    // diverging from a source that no longer has the column at all.
+    // Additive evolution is fine (the replica grows the same column);
+    // anything the replica has that the source dropped rejects toward
+    // reseed, the same loud posture changesSince takes on a break.
+    val srcCols = Versioned.schemaAt(spark, source, srcLive)
+      .fieldNames.map(_.toLowerCase).toSet
+    val repExtra = Versioned.schemaAt(spark, replica, replicaLive)
+      .fieldNames.filterNot(c => srcCols(c.toLowerCase))
+    require(repExtra.isEmpty,
+      s"replica $replica carries column(s) ${repExtra.toSeq.sorted} the " +
+        s"source no longer has (a DROP or RENAME happened at the " +
+        "source) — the change feed cannot express a narrowing; reseed " +
+        "the replica (Cdf.seed)")
     // bounded at the srcLive the tag names: a concurrent source publish
     // between the version read and here must NOT leak post-watermark
     // changes into a merge tagged with the older version

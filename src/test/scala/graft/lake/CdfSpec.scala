@@ -123,4 +123,28 @@ class CdfSpec extends SparkSpec {
     assert(rep.filter($"k" === 5L).select($"score").as[Int].head() == 9)
     assert(rep.filter($"score".isNull).count() == 99L)
   }
+
+  test("sync rejects a NARROWING schema change (rename/drop) toward " +
+      "reseed instead of silently diverging") {
+    val t = fresh("narrow", 20L)
+    val r = s"$root/narrow_replica"
+    Cdf.seed(spark, t, r)
+    // source renames v via column mapping, then changes a row: the feed
+    // rows now carry 'label' and LACK 'v' — an evolveSchema apply would
+    // keep v on the replica (stale on old rows) while the source no
+    // longer has it at all
+    Evolve.renameColumn(spark, t, "v", "label", "k")
+    Dv.merge(spark, t, "k", Seq((3L, "renamed-3")).toDF("k", "label"))
+    val e = intercept[IllegalArgumentException] {
+      Cdf.sync(spark, t, r, "k")
+    }
+    assert(e.getMessage.contains("reseed"))
+    // the replica is untouched by the reject; a reseed converges it
+    assert(Versioned.read(spark, r).columns.toSeq == Seq("k", "v"))
+    Cdf.seed(spark, t, r)
+    val rep = Versioned.read(spark, r)
+    assert(rep.columns.toSeq == Seq("k", "label"))
+    assert(rep.filter($"k" === 3L).select($"label").as[String].head()
+      == "renamed-3")
+  }
 }
