@@ -377,6 +377,8 @@ object SqlDml {
     val s = stripSemi(sql)
     val h = "(?is)^DESCRIBE\\s+HISTORY\\s+(\\S+)$".r
     val d = "(?is)^DESCRIBE\\s+DETAIL\\s+(\\S+)$".r
+    val dt = "(?is)^DESCRIBE\\s+(?:TABLE\\s+)?(\\S+)$".r
+    val sct = "(?is)^SHOW\\s+CREATE\\s+TABLE\\s+(\\S+)$".r
     val vdr = ("(?is)^VACUUM\\s+(\\S+?)(?:\\s+RETAIN\\s+(\\d+)\\s+" +
       "VERSIONS)?\\s+DRY\\s+RUN$").r
     val vdrH = ("(?is)^VACUUM\\s+(\\S+?)\\s+RETAIN\\s+(\\d+)\\s+" +
@@ -396,9 +398,12 @@ object SqlDml {
           table, System.currentTimeMillis() - hoursToMillis(h)))
       case smv() => showMaterializedViews(spark)
       case st() => showTables(spark)
-      case _ => reject(s, "expected DESCRIBE HISTORY|DETAIL <table>, " +
-        "VACUUM <table> [RETAIN n VERSIONS | RETAIN n HOURS] DRY RUN, " +
-        "SHOW TABLES, or SHOW MATERIALIZED VIEWS")
+      case sct(name) => showCreateTable(spark, name)
+      case dt(name) => describeTable(spark, name)
+      case _ => reject(s, "expected DESCRIBE [TABLE] <table>, DESCRIBE " +
+        "HISTORY|DETAIL <table>, VACUUM <table> [RETAIN n VERSIONS | " +
+        "RETAIN n HOURS] DRY RUN, SHOW CREATE TABLE <table>, SHOW " +
+        "TABLES, or SHOW MATERIALIZED VIEWS")
     }
   }
 
@@ -460,6 +465,60 @@ object SqlDml {
         StructField("minmax_cols", StringType, nullable = true),
         StructField("synced_source_version", LongType, nullable = true),
         StructField("live_version", LongType, nullable = true))))
+  }
+
+  // DESCRIBE [TABLE] t — the live schema, with the column-mapping story
+  // visible: each LOGICAL column alongside the PHYSICAL name the parquet
+  // footers spell (identical unless a rename overlay is live)
+  private def describeTable(spark: SparkSession, name: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (table, _) = lookup(name)
+    val live = Versioned.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    val schema = Versioned.schemaAt(spark, table, live)
+    val mapping = Versioned.readColumnMapping(
+      new org.apache.hadoop.fs.Path(table).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), s"$table/v=$live")
+      .getOrElse(Map.empty[String, String])
+    val rows = schema.fields.toSeq.map { f =>
+      Row(f.name, f.dataType.simpleString, f.nullable,
+        mapping.getOrElse(f.name, f.name))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("col_name", StringType, nullable = false),
+        StructField("data_type", StringType, nullable = false),
+        StructField("nullable", BooleanType, nullable = false),
+        StructField("physical_name", StringType, nullable = false))))
+  }
+
+  // SHOW CREATE TABLE t — the statement that would re-create this
+  // session's binding (name, key, location): what an operator pastes
+  // into another session without a durable catalog
+  private def showCreateTable(spark: SparkSession,
+                              name: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (table, keyCol) = lookup(name)
+    val live = Versioned.currentVersion(spark, table)
+    val schema = live.map(v => Versioned.schemaAt(spark, table, v))
+    val cols = schema.map(_.fields.toSeq
+      .map(f => s"${f.name} ${f.dataType.sql}").mkString(", "))
+      .getOrElse("<no published version>")
+    val stmt = s"-- register the existing lake table (path IS the " +
+      s"table):\n-- SqlDml.register(spark, \"$name\", \"$table\", " +
+      s"\"$keyCol\")\nCREATE TABLE $name KEY $keyCol LOCATION " +
+      s"'$table' AS SELECT ... -- columns: $cols"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(name, table, keyCol, stmt)), 1),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("location", StringType, nullable = false),
+        StructField("key_column", StringType, nullable = false),
+        StructField("create_statement", StringType, nullable = false))))
   }
 
   // SHOW TABLES — the session's registered DML targets

@@ -663,7 +663,7 @@ object Versioned {
     * zero-copy DML ([[Dv]]), [[Restore]], [[Clone.shallow]] and
     * [[Evolve]] overlay; a materialize/compaction REWRITES files under
     * the logical names and drops the mapping (rename baked in). */
-  private[lake] def readColumnMapping(
+  private[graft] def readColumnMapping(
       f: FileSystem, dir: String): Option[Map[String, String]] =
     readSmallFile(f, new Path(s"$dir/_column_mapping")).map {
       _.linesIterator.filter(_.nonEmpty).map { l =>

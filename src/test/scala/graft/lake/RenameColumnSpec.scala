@@ -117,6 +117,25 @@ class RenameColumnSpec extends SparkSpec {
       .getString(0) == "x")
   }
 
+  test("DESCRIBE TABLE shows the logical/physical mapping; SHOW CREATE " +
+      "TABLE carries the binding") {
+    val t = s"$root/desc"
+    Forget.publishIndexed(seed(4), t, 1, "k", stats = true)
+    SqlDml.register(spark, "dsc_t", t, "k")
+    Sql.execute(spark, "ALTER TABLE dsc_t RENAME COLUMN v TO label")
+    val d = Sql.describe(spark, "DESCRIBE TABLE dsc_t").collect()
+      .map(r => (r.getString(0), r.getString(3))).toMap
+    assert(d == Map("k" -> "k", "label" -> "v", "n" -> "n"))
+    val types = Sql.describe(spark, "DESCRIBE dsc_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types("k") == "bigint" && types("label") == "string")
+    val c = Sql.describe(spark, "SHOW CREATE TABLE dsc_t").head()
+    assert(c.getString(0) == "dsc_t" && c.getString(1) == t &&
+      c.getString(2) == "k")
+    assert(c.getString(3).contains(s"LOCATION '$t'"))
+    assert(c.getString(3).contains("label STRING"))
+  }
+
   test("guards: key column, missing/colliding names, constraints") {
     val t = s"$root/guards"
     Forget.publishIndexed(seed(3), t, 1, "k", stats = true)
