@@ -58,6 +58,7 @@ object Sql {
       case _ => df
     }
     hinted.createOrReplaceTempView(name)
+    SqlDml.readOnlyRegistry.put(name.toLowerCase, table)
     SqlDml.boundVersions.put(name.toLowerCase, v)
     v
   }
@@ -67,8 +68,14 @@ object Sql {
     * The live view and any number of as-of views of one table coexist
     * (each is just a pinned relation over an immutable version dir). */
   def registerAsOf(spark: SparkSession, name: String, table: String,
-                   version: Long): Unit =
+                   version: Long): Unit = {
     Versioned.readVersion(spark, table, version).createOrReplaceTempView(name)
+    // re-pinning a REGISTERED name (registerSnapshot does this) must
+    // move its bound-version note with it, or the MV rewrite's currency
+    // gate would compare against the superseded binding; synthetic
+    // pinned views (t__asof_vN) are not registered names and stay out
+    SqlDml.noteBoundIfRegistered(name, version)
+  }
 
   /** `TIMESTAMP AS OF`: register the newest version committed at or before
     * `tsMillis` ([[Versioned.versionAsOf]] — the same resolution

@@ -75,6 +75,31 @@ object SqlDml {
     * query on the same registered name. */
   private[graft] val boundVersions = new TrieMap[String, Long]()
 
+  /** READ-ONLY bindings: every name [[Sql.registerTable]] has bound →
+    * its table path, so introspection (DESCRIBE TABLE, SHOW CREATE
+    * TABLE) resolves key-less registrations too (a key-less CTAS or
+    * catalog entry never enters the DML `registry`). DML names appear
+    * in both maps; lookups prefer the keyed entry. */
+  private[graft] val readOnlyRegistry = new TrieMap[String, String]()
+
+  // the bound-version note for names the session actually registered —
+  // synthetic pinned views (`t__asof_vN`, change feeds) stay out
+  private[graft] def noteBoundIfRegistered(name: String, v: Long): Unit = {
+    val lower = name.toLowerCase
+    if (registry.contains(lower) || readOnlyRegistry.contains(lower)) {
+      boundVersions.put(lower, v)
+      ()
+    }
+  }
+
+  // name → (path, Some(key) for DML bindings, None for read-only)
+  private def lookupAny(name: String): (String, Option[String]) =
+    registry.get(name.toLowerCase).map { case (p, k) => (p, Some(k)) }
+      .orElse(readOnlyRegistry.get(name.toLowerCase).map(p => (p, None)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$name' is not a registered table — SqlDml.register (DML) or " +
+          "Sql.registerTable (read-only) first"))
+
   // materialized-view bindings: view name -> view table path (the SQL
   // surface of [[graft.lake.MatView]]; session-scoped like `registry`)
   private val mvRegistry = new TrieMap[String, String]()
@@ -134,12 +159,14 @@ object SqlDml {
     * and detach the catalog, so a following [[useCatalog]] exercises the
     * cold-start discovery path inside one JVM. */
   private[graft] def resetSessionBindings(spark: SparkSession): Unit = {
-    (registry.keySet ++ mvRegistry.keySet).foreach { n =>
-      spark.catalog.dropTempView(n)
-      ()
-    }
+    (registry.keySet ++ mvRegistry.keySet ++ readOnlyRegistry.keySet)
+      .foreach { n =>
+        spark.catalog.dropTempView(n)
+        ()
+      }
     registry.clear()
     mvRegistry.clear()
+    readOnlyRegistry.clear()
     boundVersions.clear()
     catalogDir = None
   }
@@ -154,18 +181,19 @@ object SqlDml {
     * write's rebind; schema-needing statements reject until then).
     * Returns 0 for an allowed-missing registration. */
   def register(spark: SparkSession, name: String, table: String,
-               keyCol: String, allowMissing: Boolean = false): Long = {
+               keyCol: String, allowMissing: Boolean = false,
+               durableRecord: Boolean = true): Long = {
     if (Versioned.currentVersion(spark, table).isEmpty) {
       require(allowMissing,
         s"no published version at $table — a typo'd path registers a " +
           "table that can never read; pass allowMissing = true only " +
           "for the COPY INTO bootstrap flow (register, land, rebind)")
       registry.put(name.toLowerCase, (table, keyCol))
-      recordInCatalog(spark, name, table, Some(keyCol))
+      if (durableRecord) recordInCatalog(spark, name, table, Some(keyCol))
       0L
     } else {
       registry.put(name.toLowerCase, (table, keyCol))
-      recordInCatalog(spark, name, table, Some(keyCol))
+      if (durableRecord) recordInCatalog(spark, name, table, Some(keyCol))
       Sql.registerTable(spark, name, table)
     }
   }
@@ -196,6 +224,24 @@ object SqlDml {
           // catalog record the CREATE wrote) so the session's next use
           // says 'not registered', not vanished-files
           registry.remove(name)
+          catalogDir.foreach(d =>
+            graft.lake.Metastore.removeTable(spark, d, name))
+          spark.catalog.dropTempView(name)
+          ()
+        }
+      }
+    }
+    // read-only bindings (key-less CTAS): same healing contract — a
+    // binding whose path still reads re-binds to live, one whose path
+    // has no published version left (the aborted CTAS) drops entirely
+    readOnlyRegistry.foreach { case (name, table) =>
+      if (tables.contains(table) && !registry.contains(name)) {
+        if (Versioned.currentVersion(spark, table).isDefined) {
+          Sql.registerTable(spark, name, table)
+          ()
+        } else {
+          readOnlyRegistry.remove(name)
+          boundVersions.remove(name)
           catalogDir.foreach(d =>
             graft.lake.Metastore.removeTable(spark, d, name))
           spark.catalog.dropTempView(name)
@@ -407,6 +453,15 @@ object SqlDml {
     }
   }
 
+
+  // the shared scaffold of every metadata statement that RETURNS a
+  // frame: driver rows → one single-partition DataFrame
+  private def driverFrame(spark: SparkSession,
+                          rows: Seq[org.apache.spark.sql.Row],
+                          schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
   // VACUUM ... DRY RUN — Versioned.vacuumPlan's first-sweep list with
   // per-version OWN bytes (a ref version holds no data of its own; the
   // shared dir it references is reclaimed only when the pin-release
@@ -428,8 +483,7 @@ object SqlDml {
       Row(v, Versioned.isShallowRef(spark, table, v),
         own.size.toLong, own.sum)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
+    driverFrame(spark, rows,
       StructType(Seq(
         StructField("version", LongType, nullable = false),
         StructField("is_ref", BooleanType, nullable = false),
@@ -454,8 +508,7 @@ object SqlDml {
         Versioned.currentVersion(spark, path)
           .map(java.lang.Long.valueOf).orNull)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
+    driverFrame(spark, rows,
       StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("location", StringType, nullable = false),
@@ -473,7 +526,7 @@ object SqlDml {
   private def describeTable(spark: SparkSession, name: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val (table, _) = lookup(name)
+    val (table, _) = lookupAny(name)
     val live = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
     val schema = Versioned.schemaAt(spark, table, live)
@@ -485,8 +538,7 @@ object SqlDml {
       Row(f.name, f.dataType.simpleString, f.nullable,
         mapping.getOrElse(f.name, f.name))
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
+    driverFrame(spark, rows,
       StructType(Seq(
         StructField("col_name", StringType, nullable = false),
         StructField("data_type", StringType, nullable = false),
@@ -501,19 +553,19 @@ object SqlDml {
                               name: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val (table, keyCol) = lookup(name)
+    val (table, keyOpt) = lookupAny(name)
+    val keyCol = keyOpt.getOrElse("-")
     val live = Versioned.currentVersion(spark, table)
     val schema = live.map(v => Versioned.schemaAt(spark, table, v))
     val cols = schema.map(_.fields.toSeq
       .map(f => s"${f.name} ${f.dataType.sql}").mkString(", "))
       .getOrElse("<no published version>")
+    val keyClause = keyOpt.map(k => s" KEY $k").getOrElse("")
     val stmt = s"-- register the existing lake table (path IS the " +
       s"table):\n-- SqlDml.register(spark, \"$name\", \"$table\", " +
-      s"\"$keyCol\")\nCREATE TABLE $name KEY $keyCol LOCATION " +
+      s"\"$keyCol\")\nCREATE TABLE $name$keyClause LOCATION " +
       s"'$table' AS SELECT ... -- columns: $cols"
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        Seq(Row(name, table, keyCol, stmt)), 1),
+    driverFrame(spark, Seq(Row(name, table, keyCol, stmt)),
       StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("location", StringType, nullable = false),
@@ -530,8 +582,7 @@ object SqlDml {
         Versioned.currentVersion(spark, path)
           .map(java.lang.Long.valueOf).orNull)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
+    driverFrame(spark, rows,
       StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("location", StringType, nullable = false),
@@ -648,12 +699,13 @@ object SqlDml {
         // reject BEFORE the publish / ledger clear / registry mutation —
         // validating after would leave this session bound to the new
         // path while the catalog (and every other session) points at
-        // the old one. A failed CTAS after a FRESH claim removes it.
+        // the old one. recordTable's return IS the atomic freshness
+        // signal (two racing identical CTAS get exactly one true, so a
+        // loser's failure-unwind can never delete the winner's entry);
+        // a failed CTAS after a FRESH claim removes it.
         val claimedNew = catalogDir.exists { d =>
-          val fresh = !graft.lake.Metastore.hasTable(spark, d, name)
           graft.lake.Metastore.recordTable(spark, d, name, path,
             Option(keyOpt).map(_.stripPrefix("`").stripSuffix("`")))
-          fresh
         }
         try {
           // a replace is a restatement: ingest history must not survive
@@ -679,11 +731,14 @@ object SqlDml {
         } finally { df.unpersist(); () }
         Option(keyOpt).map(_.stripPrefix("`").stripSuffix("`")) match {
           case Some(k) =>
-            register(spark, name, path, k)
+            // durableRecord = false: the pre-publish claim above already
+            // holds the entry — re-claiming it would pay a redundant
+            // verify round trip per CTAS (the cost useCatalog's load
+            // loop deliberately avoids)
+            register(spark, name, path, k, durableRecord = false)
             ()
           case None =>
             Sql.registerTable(spark, name, path)
-            recordInCatalog(spark, name, path, None)
         }
         v
         } catch {
@@ -959,8 +1014,14 @@ object SqlDml {
           graft.lake.Metastore.removeView(spark, d, name))
         unbind(name, path)
       case tb(name) =>
-        val (path, _) = lookup(name)
-        registry.remove(name.toLowerCase)
+        val lower = name.toLowerCase
+        val path = registry.get(lower).map(_._1)
+          .orElse(readOnlyRegistry.get(lower))
+          .getOrElse(reject(sql,
+            s"'$name' is not a registered table"))
+        registry.remove(lower)
+        readOnlyRegistry.remove(lower)
+        boundVersions.remove(lower)
         catalogDir.foreach(d =>
           graft.lake.Metastore.removeTable(spark, d, name))
         unbind(name, path)

@@ -252,15 +252,24 @@ object Cdf {
     // Additive evolution is fine (the replica grows the same column);
     // anything the replica has that the source dropped rejects toward
     // reseed, the same loud posture changesSince takes on a break.
-    val srcCols = Versioned.schemaAt(spark, source, srcLive)
-      .fieldNames.map(_.toLowerCase).toSet
-    val repExtra = Versioned.schemaAt(spark, replica, replicaLive)
-      .fieldNames.filterNot(c => srcCols(c.toLowerCase))
-    require(repExtra.isEmpty,
-      s"replica $replica carries column(s) ${repExtra.toSeq.sorted} the " +
-        s"source no longer has (a DROP or RENAME happened at the " +
-        "source) — the change feed cannot express a narrowing; reseed " +
-        "the replica (Cdf.seed)")
+    // Cost-gated on the schema MARKERS (two small-file reads): every
+    // evolve/rename/drop writes one, so two marker-less sides have
+    // never narrowed and the replication hot path skips the (footer-
+    // inferring) full schema compare entirely.
+    val anyMarker =
+      Versioned.schemaMarkerAt(spark, source, srcLive).isDefined ||
+        Versioned.schemaMarkerAt(spark, replica, replicaLive).isDefined
+    if (anyMarker) {
+      val srcCols = Versioned.schemaAt(spark, source, srcLive)
+        .fieldNames.map(_.toLowerCase).toSet
+      val repExtra = Versioned.schemaAt(spark, replica, replicaLive)
+        .fieldNames.filterNot(c => srcCols(c.toLowerCase))
+      require(repExtra.isEmpty,
+        s"replica $replica carries column(s) ${repExtra.toSeq.sorted} " +
+          "the source no longer has (a DROP or RENAME happened at the " +
+          "source) — the change feed cannot express a narrowing; " +
+          "reseed the replica (Cdf.seed)")
+    }
     // bounded at the srcLive the tag names: a concurrent source publish
     // between the version read and here must NOT leak post-watermark
     // changes into a merge tagged with the older version

@@ -56,9 +56,13 @@ object Metastore {
 
   // claim-or-verify: atomically create the entry; on a taken name accept
   // only a byte-identical binding (idempotent re-attach), reject a
-  // re-point loudly
+  // re-point loudly. Returns TRUE only when THIS call created the entry
+  // — the atomic freshness signal failure-unwind paths key on (a
+  // separate exists-then-record probe would let two racing identical
+  // claims both think they were first, and the loser's unwind would
+  // delete the winner's entry).
   private def claim(f: FileSystem, entry: Path, body: String,
-                    what: String, name: String): Unit =
+                    what: String, name: String): Boolean =
     claimLocks.getOrElseUpdate(
         f.makeQualified(entry).toString, new Object).synchronized {
       f.mkdirs(entry.getParent)
@@ -66,6 +70,7 @@ object Metastore {
         val out = f.create(entry, false)
         try out.write(body.getBytes(StandardCharsets.UTF_8))
         finally out.close()
+        true
       } catch {
         case e: java.io.IOException =>
           // name-taken vs transient fault: only an EXISTING entry means
@@ -80,13 +85,15 @@ object Metastore {
               s"$what '$name' is already bound in this catalog to " +
                 s"'${existing.getOrElse("<unreadable>")}' — re-pointing a " +
                 s"name is a DROP + CREATE, not a silent replace")
+          false
       }
     }
 
   /** Record a durable TABLE binding (idempotent for identical content;
-    * rejects a name bound to a different target). */
+    * rejects a name bound to a different target). Returns true when
+    * THIS call created the entry (vs verified an identical one). */
   def recordTable(spark: SparkSession, catalogDir: String, name: String,
-                  path: String, keyCol: Option[String]): Unit =
+                  path: String, keyCol: Option[String]): Boolean =
     claim(fs(spark, catalogDir), tableEntry(catalogDir, name),
       s"t $path ${keyCol.getOrElse("-")}", "table", name)
 
@@ -95,9 +102,10 @@ object Metastore {
                name: String): Boolean =
     fs(spark, catalogDir).exists(tableEntry(catalogDir, name))
 
-  /** Record a durable MATERIALIZED VIEW binding. */
+  /** Record a durable MATERIALIZED VIEW binding. Returns true when
+    * THIS call created the entry. */
   def recordView(spark: SparkSession, catalogDir: String, name: String,
-                 path: String): Unit =
+                 path: String): Boolean =
     claim(fs(spark, catalogDir), viewEntry(catalogDir, name),
       s"v $path", "materialized view", name)
 

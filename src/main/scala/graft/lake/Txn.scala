@@ -80,19 +80,26 @@ object Txn {
     sys.props.get("graft.txn.graceMs").flatMap(_.toLongOption)
       .getOrElse(30000L)
 
+  /** One renamed participant: table, version, its FileSystem, and the
+    * `_commit_ts` content OUR rename delivered — the identity that
+    * distinguishes our dir from a later writer's re-use of the same
+    * number after a concurrent heal freed it. */
+  private[lake] final case class Participant(table: String, v: Long,
+                                             f: FileSystem,
+                                             ts: Option[String])
+
   /** In-flight transaction state, thread-local (a txn is one driver
     * thread's sequence of publishes — Spark actions inside fan out to
     * executors as usual; only the COMMITS serialize through here). */
   private[lake] final class Ctx(val spark: SparkSession,
                                 val id: String) {
-    // (table, version, fs) per renamed participant, registration order
-    private[Txn] val parts = new ArrayBuffer[(String, Long, FileSystem)]
+    private[Txn] val parts = new ArrayBuffer[Participant]
     private[Txn] var record: Option[Path] = None
     private[Txn] var recordFs: FileSystem = _
     /** Qualified record path — the `_txn` marker's first line. */
     private[lake] def recordPath: String = record.get.toString
     private[graft] def committedVersions: Map[String, Long] =
-      parts.map(p => p._1 -> p._2).toMap
+      parts.map(p => p.table -> p.v).toMap
   }
 
   private val activeCtx = new ThreadLocal[Ctx]
@@ -186,7 +193,7 @@ object Txn {
     // would adjudicate an empty record as a zero-participant abort while
     // earlier-renamed dirs survive — their markers would then resolve
     // "no record = finalized-committed", exposing half a txn
-    val body = (ctx.parts.map(p => s"t ${p._1} ${p._2}") :+
+    val body = (ctx.parts.map(p => s"t ${p.table} ${p.v}") :+
       s"t $table $version").mkString("\n")
     val rec = ctx.record.get
     val tmp = new Path(rec.getParent, rec.getName + ".tmp")
@@ -202,10 +209,14 @@ object Txn {
     finally m.close()
   }
 
-  /** Called after the participant's rename won: track it for the flip. */
+  /** Called after the participant's rename won: track it for the flip,
+    * capturing the dir's `_commit_ts` content as OUR identity (the
+    * flip-vs-heal adjudication and the abort both key on it — a later
+    * writer re-using a heal-freed number writes a different value). */
   private[lake] def registered(ctx: Ctx, f: FileSystem, table: String,
                                version: Long): Unit =
-    ctx.parts += ((table, version, f))
+    ctx.parts += Participant(table, version, f,
+      Versioned.readSmallFile(f, new Path(s"$table/v=$version/_commit_ts")))
 
   /** COMMIT: one atomic `.commit` create, then finalize. */
   private[graft] def flip(ctx: Ctx): Unit = {
@@ -225,8 +236,13 @@ object Txn {
     //  - the heal adjudicated CRASHED and aborted — every participant
     //    dir is GONE. Delete the now-orphaned marker and throw.
     if (!ctx.recordFs.exists(rec)) {
-      val survived = ctx.parts.forall { case (table, v, f) =>
-        f.exists(new Path(s"$table/v=$v/_commit_ts"))
+      // identity-checked: the dir counts as OURS only when its
+      // `_commit_ts` content matches what our rename delivered — a
+      // later writer re-using a heal-freed number is never misread as
+      // our committed participant
+      val survived = ctx.parts.forall { p =>
+        p.ts.isDefined && Versioned.readSmallFile(p.f,
+          new Path(s"${p.table}/v=${p.v}/_commit_ts")) == p.ts
       }
       if (!survived) {
         ctx.recordFs.delete(commitMarker(rec), false)
@@ -242,22 +258,35 @@ object Txn {
       // orphaned .commit marker (its record delete no-ops)
     }
     finalizeCommitted(ctx.recordFs, rec,
-      ctx.parts.toSeq.map(p => (p._1, p._2, p._3)))
+      ctx.parts.toSeq.map(p => (p.table, p.v, p.f)))
   }
 
   /** ROLLBACK a not-yet-flipped ctx: delete every renamed participant
     * dir (never exposed — their markers are unresolved-pending), free
     * the claims, drop the record. Dir deletion precedes record deletion
     * — the invariant that makes "marked dir, no record" read as
-    * committed-finalized. */
+    * committed-finalized. IDENTITY-GUARDED like [[heal]]'s abort arm:
+    * only a dir whose `_txn` marker names THIS txn dies — if a
+    * concurrent heal already adjudicated us away and a later writer
+    * re-used the freed number, that committed dir (and its claim) is
+    * never collateral. */
   private[graft] def abort(ctx: Ctx): Unit = {
-    ctx.parts.foreach { case (table, v, f) =>
-      // claim BEFORE dir: a competitor that sees the claim vanish while
-      // the dir lingers re-adjudicates through the pending-marker wait
-      // (ends in Gone); the reverse order would let it misread the
-      // moment as an orphaned claim and fail loudly for nothing
-      f.delete(new Path(s"$table/_claims/$v"), false)
-      f.delete(new Path(s"$table/v=$v"), true)
+    ctx.parts.foreach { case Participant(table, v, f, _) =>
+      val vdir = s"$table/v=$v"
+      val ours = Versioned.readSmallFile(f, new Path(s"$vdir/_txn"))
+        .exists(_.linesIterator.toSeq.lift(1).contains(ctx.id))
+      if (ours) {
+        // claim BEFORE dir: a competitor that sees the claim vanish
+        // while the dir lingers re-adjudicates through the
+        // pending-marker wait (ends in Gone); the reverse order would
+        // let it misread the moment as an orphaned claim and fail
+        // loudly for nothing
+        f.delete(new Path(s"$table/_claims/$v"), false)
+        f.delete(new Path(vdir), true)
+        ()
+      }
+      // not ours (or already gone): a heal got here first — its abort
+      // freed the claim; whatever holds the number now is a stranger's
     }
     ctx.record.foreach { rec =>
       ctx.recordFs.delete(rec, false)

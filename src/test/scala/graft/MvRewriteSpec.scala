@@ -101,6 +101,11 @@ class MvRewriteSpec extends SparkSpec {
       "an MV synced AHEAD of the un-rebound view must not answer")
     Sql.registerTable(spark, "rw2_src", t)
     assert(underPath(Sql.sql(spark, q).inputFiles, s"$root/mv2"))
+    // registerSnapshot re-pins the name and MOVES the bound-version
+    // note with it — the rewrite stays armed through the pin
+    assert(Sql.registerSnapshot(spark, Seq("rw2_src")).nonEmpty)
+    assert(underPath(Sql.sql(spark, q).inputFiles, s"$root/mv2"),
+      "the snapshot pin lost the bound-version note")
   }
 
   test("unmappable shapes fall through untouched") {

@@ -382,6 +382,25 @@ class SqlDdlSpec extends SparkSpec {
     assert(e2.getMessage.contains("describe"))
   }
 
+  test("DESCRIBE / SHOW CREATE TABLE resolve READ-ONLY (key-less) " +
+      "bindings too") {
+    Sql.execute(spark,
+      s"CREATE TABLE ro_t LOCATION '$root/ro_t' AS " +
+        "SELECT CAST(id AS BIGINT) AS k, CAST(id AS STRING) AS v " +
+        "FROM range(3)")
+    val d = Sql.describe(spark, "DESCRIBE TABLE ro_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d == Map("k" -> "bigint", "v" -> "string"))
+    val c = Sql.describe(spark, "SHOW CREATE TABLE ro_t").head()
+    assert(c.getString(2) == "-") // no DML key
+    assert(!c.getString(3).contains(" KEY "))
+    // and a key-less binding can be DROPped (unbind) too
+    Sql.execute(spark, "DROP TABLE ro_t")
+    intercept[IllegalArgumentException] {
+      Sql.describe(spark, "DESCRIBE TABLE ro_t")
+    }
+  }
+
   test("OPTIMIZE ZORDER BY routes to the z-order re-layout") {
     val t = s"$root/zorder"
     Forget.publishIndexed(
