@@ -188,12 +188,16 @@ object SqlDml {
         s"no published version at $table — a typo'd path registers a " +
           "table that can never read; pass allowMissing = true only " +
           "for the COPY INTO bootstrap flow (register, land, rebind)")
-      registry.put(name.toLowerCase, (table, keyCol))
+      // durable claim BEFORE the session mutation: a catalog re-point
+      // reject must leave the session exactly as it was — mutating the
+      // registry first would split reads (old view) from writes (new
+      // path) on one name (the createStmt ordering argument)
       if (durableRecord) recordInCatalog(spark, name, table, Some(keyCol))
+      registry.put(name.toLowerCase, (table, keyCol))
       0L
     } else {
-      registry.put(name.toLowerCase, (table, keyCol))
       if (durableRecord) recordInCatalog(spark, name, table, Some(keyCol))
+      registry.put(name.toLowerCase, (table, keyCol))
       Sql.registerTable(spark, name, table)
     }
   }
@@ -432,14 +436,14 @@ object SqlDml {
     val st = "(?is)^SHOW\\s+TABLES$".r
     val smv = "(?is)^SHOW\\s+MATERIALIZED\\s+VIEWS$".r
     s match {
-      case h(name) => History.frame(spark, lookup(name)._1)
-      case d(name) => History.detail(spark, lookup(name)._1)
+      case h(name) => History.frame(spark, lookupAny(name)._1)
+      case d(name) => History.detail(spark, lookupAny(name)._1)
       case vdr(name, k) =>
-        val table = lookup(name)._1
+        val table = lookupAny(name)._1
         vacuumDryRun(spark, table, Versioned.vacuumPlan(spark, table,
           Option(k).map(_.toInt).getOrElse(1)))
       case vdrH(name, h) =>
-        val table = lookup(name)._1
+        val table = lookupAny(name)._1
         vacuumDryRun(spark, table, Versioned.vacuumPlanOlderThan(spark,
           table, System.currentTimeMillis() - hoursToMillis(h)))
       case smv() => showMaterializedViews(spark)
@@ -555,6 +559,11 @@ object SqlDml {
     import org.apache.spark.sql.types._
     val (table, keyOpt) = lookupAny(name)
     val keyCol = keyOpt.getOrElse("-")
+    val apiHint = keyOpt match {
+      case Some(k) =>
+        s"SqlDml.register(spark, \"$name\", \"$table\", \"$k\")"
+      case None => s"Sql.registerTable(spark, \"$name\", \"$table\")"
+    }
     val live = Versioned.currentVersion(spark, table)
     val schema = live.map(v => Versioned.schemaAt(spark, table, v))
     val cols = schema.map(_.fields.toSeq
@@ -562,8 +571,7 @@ object SqlDml {
       .getOrElse("<no published version>")
     val keyClause = keyOpt.map(k => s" KEY $k").getOrElse("")
     val stmt = s"-- register the existing lake table (path IS the " +
-      s"table):\n-- SqlDml.register(spark, \"$name\", \"$table\", " +
-      s"\"$keyCol\")\nCREATE TABLE $name$keyClause LOCATION " +
+      s"table):\n-- $apiHint\nCREATE TABLE $name$keyClause LOCATION " +
       s"'$table' AS SELECT ... -- columns: $cols"
     driverFrame(spark, Seq(Row(name, table, keyCol, stmt)),
       StructType(Seq(
@@ -573,11 +581,17 @@ object SqlDml {
         StructField("create_statement", StringType, nullable = false))))
   }
 
-  // SHOW TABLES — the session's registered DML targets
+  // SHOW TABLES — every binding the session resolves: DML targets with
+  // their key, read-only registrations (key '-') — matching what
+  // DESCRIBE / SHOW CREATE TABLE / DROP TABLE can address
   private def showTables(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val rows = registry.toSeq.sortBy(_._1).map { case (name, (path, key)) =>
+    val keyed = registry.toSeq.map { case (n, (p, k)) => (n, p, k) }
+    val readOnly = readOnlyRegistry.toSeq
+      .filterNot { case (n, _) => registry.contains(n) }
+      .map { case (n, p) => (n, p, "-") }
+    val rows = (keyed ++ readOnly).sortBy(_._1).map { case (name, path, key) =>
       Row(name, path, key,
         Versioned.currentVersion(spark, path)
           .map(java.lang.Long.valueOf).orNull)

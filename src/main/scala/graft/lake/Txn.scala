@@ -81,12 +81,16 @@ object Txn {
       .getOrElse(30000L)
 
   /** One renamed participant: table, version, its FileSystem, and the
-    * `_commit_ts` content OUR rename delivered — the identity that
-    * distinguishes our dir from a later writer's re-use of the same
-    * number after a concurrent heal freed it. */
+    * dir's parquet-file FINGERPRINT as OUR rename delivered it — the
+    * identity that distinguishes our dir from a later writer's re-use
+    * of the same number after a concurrent heal freed it. Parquet part
+    * names carry write UUIDs (and every DML version holds at least its
+    * change-feed parquet), so two different publishes can never share a
+    * fingerprint — where a timestamp marker could collide across
+    * process clocks. */
   private[lake] final case class Participant(table: String, v: Long,
                                              f: FileSystem,
-                                             ts: Option[String])
+                                             identity: Seq[String])
 
   /** In-flight transaction state, thread-local (a txn is one driver
     * thread's sequence of publishes — Spark actions inside fan out to
@@ -209,14 +213,29 @@ object Txn {
     finally m.close()
   }
 
+  // the UUID-bearing basenames under a version dir (recursive, so feed
+  // sidecars count and the `_changes_txn` -> `_changes` finalize rename
+  // does not move any NAME); empty when the dir is gone
+  private def parquetNames(f: FileSystem, dir: String): Seq[String] =
+    try {
+      val it = f.listFiles(new Path(dir), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.getName
+      }
+      b.result().sorted
+    } catch { case _: java.io.FileNotFoundException => Seq.empty }
+
   /** Called after the participant's rename won: track it for the flip,
-    * capturing the dir's `_commit_ts` content as OUR identity (the
-    * flip-vs-heal adjudication and the abort both key on it — a later
-    * writer re-using a heal-freed number writes a different value). */
+    * fingerprinting the dir (the flip-vs-heal adjudication keys on it —
+    * a later writer re-using a heal-freed number can never reproduce
+    * our part-file UUIDs). */
   private[lake] def registered(ctx: Ctx, f: FileSystem, table: String,
                                version: Long): Unit =
     ctx.parts += Participant(table, version, f,
-      Versioned.readSmallFile(f, new Path(s"$table/v=$version/_commit_ts")))
+      parquetNames(f, s"$table/v=$version"))
 
   /** COMMIT: one atomic `.commit` create, then finalize. */
   private[graft] def flip(ctx: Ctx): Unit = {
@@ -236,13 +255,13 @@ object Txn {
     //  - the heal adjudicated CRASHED and aborted — every participant
     //    dir is GONE. Delete the now-orphaned marker and throw.
     if (!ctx.recordFs.exists(rec)) {
-      // identity-checked: the dir counts as OURS only when its
-      // `_commit_ts` content matches what our rename delivered — a
-      // later writer re-using a heal-freed number is never misread as
-      // our committed participant
+      // identity-checked: the dir counts as OURS only when its parquet
+      // fingerprint matches what our rename delivered — a later writer
+      // re-using a heal-freed number is never misread as our committed
+      // participant (its part files carry different write UUIDs)
       val survived = ctx.parts.forall { p =>
-        p.ts.isDefined && Versioned.readSmallFile(p.f,
-          new Path(s"${p.table}/v=${p.v}/_commit_ts")) == p.ts
+        p.identity.nonEmpty &&
+          parquetNames(p.f, s"${p.table}/v=${p.v}") == p.identity
       }
       if (!survived) {
         ctx.recordFs.delete(commitMarker(rec), false)
