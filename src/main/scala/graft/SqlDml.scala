@@ -844,6 +844,20 @@ object SqlDml {
     }
   }
 
+  /** Bind an EXISTING materialized view (its spec sidecar already at
+    * `path` — built by a prior CREATE MATERIALIZED VIEW, this session or
+    * another) into this session: temp view at the live version +
+    * rewrite-registry entry, the MV analog of re-registering a table by
+    * path. Returns the bound version. */
+  def registerMv(spark: SparkSession, name: String, path: String): Long = {
+    MatView.spec(spark, path) // loud reject on a non-MV path
+    val v = Versioned.currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no published version at $path"))
+    mvRegistry.put(name.toLowerCase, path)
+    Versioned.readVersion(spark, path, v).createOrReplaceTempView(name)
+    v
+  }
+
   // ------------------------------------------------ MV automatic rewrite
 
   /** Try to answer a grouped SELECT from a registered MATERIALIZED VIEW

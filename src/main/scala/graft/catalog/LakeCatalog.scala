@@ -197,5 +197,39 @@ object LakeCatalog extends Family {
       .orderBy(col("_version"), col("_op"), col("o_orderkey"))
   }
 
-  def specs: Seq[Q] = Seq(live, asofDv, asofEvolved, asofRenamed, changes)
+  // ------------------------------------------------------------------
+  // AUTOMATIC MV REWRITE, hash-gated end-to-end: the query registers
+  // the fixture table + the COMMITTED materialized view, runs a plain
+  // grouped SELECT through the SQL surface, and REQUIRES that the plan
+  // scanned the MV's bytes (a silent fallback to the base would still
+  // produce matching values — the require makes the CORRECTNESS row
+  // prove the rewrite itself fired). The oracle recomputes the same
+  // aggregates from the RAW live snapshot (v2, what the restore points
+  // at), so one green row certifies MV build + rewrite mapping +
+  // re-typing against first principles, cross-engine.
+  private val mvRewrite = Q(
+    "lake_mv_rewrite",
+    Some(s"""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_custkey) AS BIGINT) AS ck,
+             min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM read_parquet('${fix()}/v=2/*.parquet', hive_partitioning=false)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)) { (spark, _) =>
+    graft.SqlDml.register(spark, "olk_rw", fix(), "o_orderkey")
+    graft.SqlDml.registerMv(spark, "olk_rw_mv",
+      Fixtures.abs("fixtures/lake/orders_mv"))
+    val df = graft.Sql.sql(spark,
+      "SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS ck, " +
+        "min(o_totalprice) AS lo, max(o_totalprice) AS hi " +
+        "FROM olk_rw GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    require(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("orders_mv")),
+      s"the MV rewrite did not fire: ${df.inputFiles.toSeq}")
+    df
+  }
+
+  def specs: Seq[Q] =
+    Seq(live, asofDv, asofEvolved, asofRenamed, changes, mvRewrite)
 }

@@ -75,7 +75,21 @@ object BuildLakeFixture {
          |RESTORE TABLE olk TO VERSION AS OF 2
          |""".stripMargin,
       zeroCopyDelete = true)
-    println(s"[lake-fixture] wrote $outDir from $sfDir; versions: $vs")
+    // a committed MATERIALIZED VIEW over the restored live snapshot
+    // (synced at the live version by construction) — the automatic MV
+    // rewrite's hash-gate leg: `lake_mv_rewrite` binds it and proves a
+    // grouped SELECT is answered from THESE committed bytes
+    val mvDir = new java.io.File(
+      new java.io.File(outDir).getParentFile, "orders_mv").getAbsolutePath
+    require(!f.exists(new Path(mvDir)) || f.delete(new Path(mvDir), true),
+      s"could not clear $mvDir")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW olk_mv LOCATION '$mvDir' AS
+         |SELECT o_orderstatus, count(*), sum(o_custkey),
+         |       min(o_totalprice), max(o_totalprice)
+         |FROM olk GROUP BY o_orderstatus""".stripMargin)
+    println(s"[lake-fixture] wrote $outDir (+$mvDir) from $sfDir; " +
+      s"versions: $vs")
     spark.stop()
   }
 }
