@@ -127,7 +127,7 @@ object SqlDml {
     // on every session start
     catalogDir = None
     var restored = 0
-    try {
+    locally {
       graft.lake.Metastore.tables(spark, dir).foreach {
         case graft.lake.Metastore.Binding(name, path, Some(k)) =>
           register(spark, name, path, k, allowMissing = true)
@@ -148,7 +148,13 @@ object SqlDml {
           restored += 1
         }
       }
-    } finally catalogDir = Some(dir)
+    }
+    // attach only on a COMPLETE restore: a load loop that threw mid-way
+    // must leave the session DETACHED — half the catalog's names bound
+    // while subsequent CREATE/DROP silently record into the catalog is
+    // the worst state (the session looks attached but isn't consistent
+    // with it); the caller retries useCatalog after fixing the fault
+    catalogDir = Some(dir)
     restored
   }
 
@@ -634,7 +640,11 @@ object SqlDml {
       "(VERSIONS|HOURS))?$").r
     sql match {
       case m(name, n, unit) =>
-        val (table, _) = lookup(name)
+        // lookupAny, matching VACUUM ... DRY RUN (Sql.describe): retention
+        // is a storage operation, not DML — a read-only binding (key-less
+        // CTAS, catalog entry) that can PREVIEW a vacuum must also be able
+        // to execute it, instead of a misleading 'not registered' reject
+        val (table, _) = lookupAny(name)
         (Option(n), Option(unit).map(_.toUpperCase)) match {
           case (Some(h), Some("HOURS")) =>
             Versioned.vacuumOlderThan(spark, table,
@@ -698,10 +708,28 @@ object SqlDml {
           "expectations do not gate SHALLOW CLONE (zero-copy of already-" +
             "gated content) — pass rules to the DML that writes rows")
         val (srcTable, srcKey) = lookup(srcName)
-        val v = Clone.shallow(spark, srcTable, path,
-          Option(vOpt).map(_.toLong))
-        register(spark, dstName, path, srcKey)
-        v
+        // claim the destination NAME before the clone lands — the same
+        // claim-before-side-effects discipline as the CTAS arm below: a
+        // name already bound elsewhere must reject BEFORE the clone
+        // publishes its data dir and pins the source, or the conflict
+        // leaves an orphaned clone dir plus a lingering source pin
+        val claimedNew = catalogDir.exists { d =>
+          graft.lake.Metastore.recordTable(spark, d, dstName, path,
+            Some(srcKey))
+        }
+        try {
+          val v = Clone.shallow(spark, srcTable, path,
+            Option(vOpt).map(_.toLong))
+          register(spark, dstName, path, srcKey, durableRecord = false)
+          v
+        } catch {
+          case t: Throwable =>
+            // unwind only a FRESH claim (pre-existing identical entries
+            // were verified, not created, and must survive)
+            if (claimedNew) catalogDir.foreach(d =>
+              graft.lake.Metastore.removeTable(spark, d, dstName))
+            throw t
+        }
       case ctas(orReplace, name, keyOpt, path, select) =>
         val replacing = orReplace != null
         require(replacing ||

@@ -149,6 +149,48 @@ object Cdf {
         throw new IllegalStateException(s"no published version at $table")))
     require(sinceV <= live, s"sinceV $sinceV is past the live version $live")
     val f = fs(spark, table)
+    // A span crossing a schema change must not assemble a SPLIT column:
+    // each version's `_changes` sidecar spells that version's LOGICAL
+    // names, so pre-rename frames carry the old name and post-rename
+    // frames the new one — a naive unionByName would null-fill each half
+    // and every consumer (not just [[sync]], which re-checks against its
+    // replica) silently diverges. Two-part answer, Delta's column-mapping
+    // posture made batch-readable:
+    //  - RENAME bridges: the until-version's `_column_mapping` records
+    //    logical → PHYSICAL, and physical names are exactly the
+    //    pre-rename logical ones — so remapping every frame physical →
+    //    live-logical (`p2l` below) re-unifies the column;
+    //  - DROP (or a rename the mapping no longer witnesses — e.g. a
+    //    mid-span compaction baked it in and dropped the mapping)
+    //    REJECTS: a column that exists at sinceV and resolves to nothing
+    //    at the until version cannot be one honest frame.
+    // Cost-gated like [[sync]]'s guard: every narrowing version writes a
+    // schema marker, so two marker-less ends skip the (footer-inferring)
+    // compare; a vacuumed sinceV dir has no "since" schema to compare
+    // (the feed walk below adjudicates bridgeability version by version).
+    val p2l: Map[String, String] =
+      Versioned.readColumnMapping(f, s"$table/v=$live")
+        .getOrElse(Map.empty).map(_.swap)
+    if (sinceV >= 1 && live > sinceV &&
+        (Versioned.schemaMarkerAt(spark, table, sinceV).isDefined ||
+          Versioned.schemaMarkerAt(spark, table, live).isDefined)) {
+      val sinceDir = Versioned.dataDir(spark, table, sinceV)
+      if (f.exists(new Path(sinceDir))) {
+        val liveCols = Versioned.schemaAt(spark, table, live)
+          .fieldNames.map(_.toLowerCase).toSet
+        val narrowed = Versioned.schemaAt(spark, table, sinceV)
+          .fieldNames.filterNot(c =>
+            liveCols(p2l.getOrElse(c, c).toLowerCase))
+        if (narrowed.nonEmpty)
+          throw new IllegalStateException(
+            s"$table column(s) ${narrowed.toSeq.sorted} present at " +
+              s"v$sinceV resolve to nothing at v$live (a DROP, or a " +
+              "rename no longer witnessed by the column mapping) — the " +
+              "change feed cannot express a narrowing as one frame; " +
+              "resync from a snapshot (Cdf.seed) or read the sub-spans " +
+              "on each side of the schema change")
+      }
+    }
     def unbridgeable(v: Long) = new IllegalStateException(
       s"$table v$v has no change record (full publish, shallow clone, " +
         "RESTORE, vacuumed, or a crash-skipped number) — the change feed " +
@@ -183,10 +225,19 @@ object Cdf {
           val feedDir =
             if (f.exists(new Path(s"$dir/_changes"))) s"$dir/_changes"
             else s"$dir/_changes_txn"
-          try Some(spark.read.parquet(feedDir)
-            .filter(col("_op") =!= "S")
-            .withColumn("_version", lit(v)))
-          catch {
+          try {
+            val frame = spark.read.parquet(feedDir)
+              .filter(col("_op") =!= "S")
+            // physical → live-logical remap (see the span guard above):
+            // a pre-rename frame's columns ARE physical names, so this
+            // re-unifies them with post-rename frames; post-rename
+            // logical names are no one's physical name and pass through
+            val unified =
+              if (p2l.isEmpty) frame
+              else frame.select(frame.columns.toSeq.map(c =>
+                col(s"`$c`").as(p2l.getOrElse(c, c))): _*)
+            Some(unified.withColumn("_version", lit(v)))
+          } catch {
             case e: org.apache.spark.sql.AnalysisException
               if e.getMessage.contains("does not exist") =>
                 throw unbridgeable(v)

@@ -29,19 +29,50 @@ import org.apache.spark.sql.SparkSession
  * a reader ends up on the wrong table. Removal is one file delete.
  *
  * Scale posture: the catalog is names, not data — one tiny file per
- * table, read once per session attach. Nothing on the query path ever
- * touches it (views bind to version dirs at registration as before), so
- * a 100 TB deployment pays exactly |tables| small reads at startup.
+ * table, read once per session attach (ONE `listStatus` of each of
+ * `tables/` and `views/` plus |bindings| small-file reads; no per-query
+ * traffic, so even a 10⁴-table catalog attaches in one directory listing
+ * per kind). Nothing on the query path ever touches it (views bind to
+ * version dirs at registration as before), so a 100 TB deployment pays
+ * exactly |tables| small reads at startup.
+ *
+ * Input hygiene: entry NAMES become filesystem path segments and entry
+ * BODIES are one space-delimited line — both are validated at the door.
+ * A name like `../x` or `a/b` would escape `<catalogDir>/tables/`
+ * (recordTable/removeTable are public API, not just SQL-parser-fed), and
+ * a path or key containing a space/newline would corrupt the line format
+ * [[tables]] parses back. Rejecting loudly here beats a catalog that
+ * silently mis-binds on the next attach.
  */
 object Metastore {
 
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // catalog entry names are path segments: SQL-identifier shape only
+  private def validName(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"catalog entry name '$name' is not a SQL identifier " +
+        "([A-Za-z_][A-Za-z0-9_]*) — names become catalog files, and a " +
+        "separator or traversal segment would escape the catalog dir")
+    name.toLowerCase
+  }
+
+  // entry bodies are ONE space-delimited line; a path with whitespace
+  // would mis-split at parse ([[tables]] splits on the LAST space) and a
+  // newline would truncate the record entirely
+  private def validToken(what: String, v: String): String = {
+    require(v.nonEmpty && !v.exists(c => c == ' ' || c == '\n' || c == '\r'),
+      s"catalog $what '$v' contains whitespace — the entry format is " +
+        "one space-delimited line; bind the table under a " +
+        "whitespace-free path")
+    v
+  }
+
   private def tableEntry(dir: String, name: String) =
-    new Path(s"$dir/tables/${name.toLowerCase}")
+    new Path(s"$dir/tables/${validName(name)}")
   private def viewEntry(dir: String, name: String) =
-    new Path(s"$dir/views/${name.toLowerCase}")
+    new Path(s"$dir/views/${validName(name)}")
 
   /** One durable binding. `keyCol = None` = registered read-only. */
   final case class Binding(name: String, path: String,
@@ -95,7 +126,9 @@ object Metastore {
   def recordTable(spark: SparkSession, catalogDir: String, name: String,
                   path: String, keyCol: Option[String]): Boolean =
     claim(fs(spark, catalogDir), tableEntry(catalogDir, name),
-      s"t $path ${keyCol.getOrElse("-")}", "table", name)
+      s"t ${validToken("table path", path)} " +
+        validToken("key column", keyCol.getOrElse("-")),
+      "table", name)
 
   /** Does a TABLE binding for `name` exist (any target)? */
   def hasTable(spark: SparkSession, catalogDir: String,
@@ -107,7 +140,7 @@ object Metastore {
   def recordView(spark: SparkSession, catalogDir: String, name: String,
                  path: String): Boolean =
     claim(fs(spark, catalogDir), viewEntry(catalogDir, name),
-      s"v $path", "materialized view", name)
+      s"v ${validToken("view path", path)}", "materialized view", name)
 
   /** Drop a table binding; true when an entry existed. Data untouched
     * (path-based tables are external — VACUUM + rm is data deletion). */

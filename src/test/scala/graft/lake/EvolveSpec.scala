@@ -322,4 +322,24 @@ class EvolveSpec extends SparkSpec {
     val ks = ch.select("k").as[Long].collect().toSet
     assert(ks == Set(1L, 2L))
   }
+
+  test("change feed REJECTS a span crossing a DROP COLUMN: the dropped " +
+      "column cannot assemble as one frame") {
+    val t = mk("feed_drop")
+    Upsert.merge(spark, t, "k", Seq((1L, "pre-drop")).toDF("k", "v")) // v2
+    Evolve.dropColumns(spark, t, Seq("v"), "k")                       // v3
+    Dv.merge(spark, t, "k", Seq(Tuple1(2L)).toDF("k"))                // v4
+    // sub-spans on either side of the drop still bridge
+    assert(Cdf.changesSince(spark, t, 1L, untilV = Some(2L))
+      .select("k").as[Long].collect().toSet == Set(1L))
+    assert(Cdf.changesSince(spark, t, 3L)
+      .select("k").as[Long].collect().toSet == Set(2L))
+    // the crossing span rejects loudly toward resync/sub-spans: pre-drop
+    // U rows carry v, post-drop rows cannot — a null-filled union would
+    // silently present dropped values as the live column's history
+    val e = intercept[IllegalStateException] {
+      Cdf.changesSince(spark, t, 1L)
+    }
+    assert(e.getMessage.contains("resolve to nothing"), e.getMessage)
+  }
 }

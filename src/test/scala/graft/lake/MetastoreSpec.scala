@@ -165,4 +165,96 @@ class MetastoreSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == Seq("boot"))
     assert(rows.head.isNullAt(3)) // no live version yet
   }
+
+  test("hostile entry names and whitespace paths reject at the door") {
+    val cat = s"$root/cat-hostile"
+    // names become catalog FILES: a separator or traversal segment would
+    // escape <catalogDir>/tables/ through the public recordTable API
+    Seq("../escape", "a/b", "..", "1leading", "sp ace", "semi;colon")
+      .foreach { n =>
+        val e = intercept[IllegalArgumentException] {
+          Metastore.recordTable(spark, cat, n, s"$root/x", Some("k"))
+        }
+        assert(e.getMessage.contains("not a SQL identifier"), n)
+        intercept[IllegalArgumentException] {
+          Metastore.removeTable(spark, cat, n)
+        }
+        intercept[IllegalArgumentException] {
+          Metastore.recordView(spark, cat, n, s"$root/x")
+        }
+      }
+    // nothing escaped: the catalog dir gained no files at all
+    assert(!new java.io.File(cat).exists() ||
+      new java.io.File(cat).listFiles().forall(d =>
+        Option(d.listFiles()).forall(_.isEmpty)))
+    // entry bodies are ONE space-delimited line: a path or key with
+    // whitespace would mis-split at the next attach's parse
+    val sp = intercept[IllegalArgumentException] {
+      Metastore.recordTable(spark, cat, "ok", s"$root/has space", Some("k"))
+    }
+    assert(sp.getMessage.contains("whitespace"))
+    intercept[IllegalArgumentException] {
+      Metastore.recordTable(spark, cat, "ok", s"$root/x", Some("k col"))
+    }
+    intercept[IllegalArgumentException] {
+      Metastore.recordView(spark, cat, "okv", s"$root/x\ny")
+    }
+    // a hand-corrupted entry still rejects loudly at parse (defense in
+    // depth for files this API never wrote)
+    val f = new java.io.File(s"$cat/tables"); f.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$cat/tables/bad"),
+      "t onlyonefield".getBytes("UTF-8"))
+    val pe = intercept[IllegalArgumentException] {
+      Metastore.tables(spark, cat)
+    }
+    assert(pe.getMessage.contains("malformed catalog entry"))
+  }
+
+  test("a FAILED useCatalog leaves the session DETACHED — later DDL " +
+      "must not record into a catalog that never attached") {
+    val cat = s"$root/cat-halffail"
+    freshSession()
+    SqlDml.useCatalog(spark, cat)
+    Sql.execute(spark,
+      s"CREATE TABLE hgood KEY k LOCATION '$root/hgood' AS " +
+        "SELECT CAST(id AS BIGINT) AS k FROM range(3)")
+    freshSession()
+    // corrupt ONE entry (sorts after hgood, so the loop restores the
+    // good binding first, then throws mid-restore)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$cat/tables/zzz_corrupt"),
+      "t nofield".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { SqlDml.useCatalog(spark, cat) }
+    // the half-restored session is NOT attached: a CREATE here must stay
+    // session-only instead of silently recording into the failed catalog
+    Sql.execute(spark,
+      s"CREATE TABLE horphan KEY k LOCATION '$root/horphan' AS " +
+        "SELECT CAST(id AS BIGINT) AS k FROM range(2)")
+    assert(!new java.io.File(s"$cat/tables/horphan").exists())
+    freshSession()
+  }
+
+  test("SHALLOW CLONE claims its destination name BEFORE publishing — " +
+      "a name conflict leaves no orphaned clone dir") {
+    val cat = s"$root/cat-clone"
+    freshSession()
+    SqlDml.useCatalog(spark, cat)
+    Sql.executeScript(spark,
+      s"""CREATE TABLE csrc KEY k LOCATION '$root/csrc' AS
+         |  SELECT CAST(id AS BIGINT) AS k FROM range(6);
+         |CREATE TABLE cheld KEY k LOCATION '$root/cheld' AS
+         |  SELECT CAST(id AS BIGINT) AS k FROM range(2)
+         |""".stripMargin)
+    val e = intercept[IllegalStateException] {
+      Sql.execute(spark,
+        s"CREATE TABLE cheld SHALLOW CLONE csrc LOCATION '$root/cheld2'")
+    }
+    assert(e.getMessage.contains("already bound"))
+    // the conflict rejected BEFORE the clone landed: no orphaned data
+    // dir at the destination, no lingering pin on the source
+    assert(!new java.io.File(s"$root/cheld2").exists())
+    // the session binding is untouched — cheld still reads its table
+    assert(spark.table("cheld").count() == 2L)
+    freshSession()
+  }
 }

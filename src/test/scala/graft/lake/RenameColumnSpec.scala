@@ -171,14 +171,16 @@ class RenameColumnSpec extends SparkSpec {
     Sql.execute(spark, "ALTER TABLE rf_t RENAME COLUMN n TO amt")   // v3
     Sql.execute(spark, "UPDATE rf_t SET amt = 200 WHERE k = 2")     // v4
     val ch = Cdf.changesSince(spark, t, 1)
-    // pre-rename rows carry n, post-rename rows carry amt (unionByName
-    // null-fills the other side) — the rename version itself bridges to
-    // zero rows (its S poison is streaming-only)
+    // the until-version's column mapping re-unifies the span: pre-rename
+    // frames (written under the physical name n) come back under the
+    // LIVE logical name amt — ONE column, never a null-filled split —
+    // and the rename version itself bridges to zero rows (its S poison
+    // is streaming-only)
     assert(ch.filter($"_version" === 3L).isEmpty)
     val cols = ch.columns.toSet
-    assert(cols.contains("n") && cols.contains("amt"))
+    assert(cols.contains("amt") && !cols.contains("n"))
     assert(ch.filter($"_version" === 2L && $"k" === 1L).head()
-      .getAs[Long]("n") == 100L)
+      .getAs[Long]("amt") == 100L)
     assert(ch.filter($"_version" === 4L && $"k" === 2L).head()
       .getAs[Long]("amt") == 200L)
     // a shallow clone of the renamed table resolves the mapping too

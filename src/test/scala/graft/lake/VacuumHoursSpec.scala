@@ -126,4 +126,21 @@ class VacuumHoursSpec extends SparkSpec {
     assert(Sql.execute(spark, "VACUUM vh_t RETAIN 1000000 HOURS") == 4L)
     assert(Versioned.versions(spark, t) == Seq(3L, 4L))
   }
+
+  test("VACUUM executes on a READ-ONLY binding — the same name set its " +
+      "DRY RUN previews (retention is storage work, not DML)") {
+    val t = s"$root/ro"
+    Versioned.publish(seed(3), t)                               // v1
+    Versioned.publish(seed(4), t)                               // v2
+    Versioned.publish(seed(5), t)                               // v3
+    Sql.registerTable(spark, "vh_ro", t)                        // key-less
+    // preview and execute must address the same name: before the
+    // lookupAny fix the execute path threw 'not registered' while the
+    // DRY RUN happily previewed the very same vacuum
+    val dry = Sql.describe(spark, "VACUUM vh_ro DRY RUN")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dry == Seq(1L))
+    assert(Sql.execute(spark, "VACUUM vh_ro") == 3L)
+    assert(Versioned.versions(spark, t) == Seq(2L, 3L))
+  }
 }
