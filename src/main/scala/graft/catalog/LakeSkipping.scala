@@ -1,0 +1,136 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.lake.{BloomIndex, StatsIndex, TokenBloom, ZOrder}
+
+/**
+ * DATA-SKIPPING reads over the committed clustered + indexed fixtures
+ * (`fixtures/lake/{orders_rc,orders_z,parts_tb}`, built once by
+ * [[graft.tools.BuildSkipFixture]]) — the cross-engine hash gate for
+ * file pruning itself. Each Spark arm answers a selective predicate
+ * through one pruned read path and `require`s the plan opened AT MOST a
+ * handful of the fixture's files (`df.inputFiles` — a silent fallback to
+ * the full scan would still match values, the require makes the green
+ * row prove pruning FIRED); the DuckDB oracle computes the same answer
+ * from ALL the raw parquet with no graft code in the loop, so one green
+ * row certifies pruned == full from first principles.
+ *
+ * Reference behavior this generalizes: the reference's only pruning is
+ * the day-partition directory layout its loader writes
+ * (/root/reference/src/pipeline/loaders/s3_loader.py:23-58) — one
+ * dimension, directory-grained. At 100 TB these are the within-partition
+ * levers: a range probe on a clustered key reads ~2 files instead of the
+ * partition (`_stats` manifest — one metadata read plans the scan, no
+ * footer opens); a point probe reads ~1 (`_bloom` sidecars); a 2-column
+ * box probe reads the files whose bounding box intersects (`_boxstats`,
+ * the z-order manifest); a conjunctive keyword probe over a
+ * name-clustered catalog reads the files whose token Blooms admit every
+ * term. All four fall back to the full scan + filter on a stale or
+ * missing manifest — advisory indexes degrade to slow, never to wrong.
+ */
+object LakeSkipping extends Family {
+
+  // committed fixture table paths — ABSOLUTE, the form the oracle SQL
+  // embeds (same contract as LakeCatalog.fix())
+  private def rc(): String = Fixtures.abs("fixtures/lake/orders_rc") + "/v=1"
+  private def zf(): String = Fixtures.abs("fixtures/lake/orders_z") + "/v=2"
+  private def tb(): String = Fixtures.abs("fixtures/lake/parts_tb") + "/v=1"
+
+  private val ocols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority")
+  private val ocolsSql = ocols.mkString(", ")
+
+  private def pruned(df: DataFrame, atMost: Int, total: Int,
+                     what: String): DataFrame = {
+    val n = df.inputFiles.length
+    require(n <= atMost && n < total,
+      s"$what did not prune: plan reads $n of $total fixture files " +
+        s"(expected <= $atMost) — ${df.inputFiles.toSeq}")
+    df
+  }
+
+  // ------------------------------------------------------------------
+  // RANGE probe through the `_stats` manifest on the range-clustered
+  // layout: 500 of 15000 keys -> 2 of 16 files, planned from ONE
+  // metadata-sized manifest read (no data-file footer opens).
+  private val statsRange = Q(
+    "lake_skip_stats_range",
+    Some(s"""
+      SELECT $ocolsSql
+      FROM read_parquet('${rc()}/part-*.parquet', hive_partitioning=false)
+      WHERE o_orderkey BETWEEN 5000 AND 5500
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    pruned(StatsIndex.readRange(spark, rc(), "o_orderkey", 5000L, 5500L),
+      atMost = 2, total = 16, what = "StatsIndex.readRange")
+      .select(ocols.map(col): _*).orderBy(col("o_orderkey"))
+  }
+
+  // ------------------------------------------------------------------
+  // POINT probe through the per-file `_bloom` sidecars on the same
+  // layout: 1 admitted file (+ false-positive slack at fpp 0.01).
+  private val bloomPoint = Q(
+    "lake_skip_bloom_point",
+    Some(s"""
+      SELECT $ocolsSql
+      FROM read_parquet('${rc()}/part-*.parquet', hive_partitioning=false)
+      WHERE o_orderkey = 7777
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    pruned(BloomIndex.lookup(spark, rc(), "o_orderkey", 7777L),
+      atMost = 3, total = 16, what = "BloomIndex.lookup")
+      .select(ocols.map(col): _*).orderBy(col("o_orderkey"))
+  }
+
+  // ------------------------------------------------------------------
+  // BOX probe through the `_boxstats` manifest on the z-ordered layout:
+  // a ~1/5 x ~1/5 box over (o_custkey, o_totalprice) intersects 2 of the
+  // 8 files' bounding boxes — the multi-column skipping one-key range
+  // clustering cannot give (a second-column predicate there admits
+  // every file).
+  private val zorderBox = Q(
+    "lake_skip_zorder_box",
+    Some(s"""
+      SELECT $ocolsSql
+      FROM read_parquet('${zf()}/part-*.parquet', hive_partitioning=false)
+      WHERE o_custkey BETWEEN 1100 AND 1400
+        AND o_totalprice BETWEEN 50000 AND 150000
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    pruned(ZOrder.readBox(spark, zf(),
+        Seq(("o_custkey", 1100L, 1400L), ("o_totalprice", 50000L, 150000L))),
+      atMost = 3, total = 8, what = "ZOrder.readBox")
+      .select(ocols.map(col): _*).orderBy(col("o_orderkey"))
+  }
+
+  // ------------------------------------------------------------------
+  // CONJUNCTIVE KEYWORD probe through the `_tokbloom` sidecars on the
+  // name-clustered parts catalog: only the files whose name range
+  // carries BOTH terms admit (2 of 16 exactly; fpp slack to 4). The
+  // residual re-applies exact token membership, so pruned == full
+  // bitwise — which is precisely what the oracle checks from raw bytes.
+  private val tokenBloom = Q(
+    "lake_skip_token_bloom",
+    Some(s"""
+      SELECT p_partkey, p_name, p_brand, p_type, p_retailprice
+      FROM read_parquet('${tb()}/part-*.parquet', hive_partitioning=false)
+      WHERE list_contains(string_split(trim(regexp_replace(regexp_replace(
+              lower(p_name), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+            'red')
+        AND list_contains(string_split(trim(regexp_replace(regexp_replace(
+              lower(p_name), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+            'widget')
+      ORDER BY p_partkey
+    """)) { (spark, _) =>
+    pruned(TokenBloom.search(spark, tb(), "p_name", Seq("red", "widget")),
+      atMost = 4, total = 16, what = "TokenBloom.search")
+      .select(Seq("p_partkey", "p_name", "p_brand", "p_type",
+        "p_retailprice").map(col): _*)
+      .orderBy(col("p_partkey"))
+  }
+
+  def specs: Seq[Q] = Seq(statsRange, bloomPoint, zorderBox, tokenBloom)
+}

@@ -59,26 +59,35 @@ object ZOrder {
     * never sees sign wrap). */
   private def bitsFor(n: Int): Int = math.min(16, 48 / n)
 
-  /** Exact equi-width bucket of `v` in [lo, hi] to [0, 2^bits): the
-    * bucket width is the power of two 2^shift with shift chosen so the
-    * span needs at most `bits` bucket numbers — so the whole transform is
-    * (v - lo) >>> shift, pure codegen'd integer bit ops with none of the
-    * precision hazard a double division of 2^63-magnitude longs carries
-    * (Spark's Column `/` is double division). Power-of-2 widths are at
-    * most 2x coarser than the ideal equi-width split — irrelevant to an
-    * approximate clustering layout, and admission works on RAW per-file
-    * min/max regardless. The astronomically wide span that overflows a
-    * signed Long (lo near MinValue AND hi near MaxValue) falls back to
-    * bucketing the sign-flipped raw value — order-preserving, no
-    * subtraction to overflow. */
+  /** Exact equi-width bucket of `v` in [lo, hi] scaled ONTO [0, 2^bits):
+    * the bucket width is the power of two 2^shift with shift chosen so
+    * the span needs at most `bits` bucket numbers — so the whole
+    * transform is (v - lo) >>> shift, pure codegen'd integer bit ops with
+    * none of the precision hazard a double division of 2^63-magnitude
+    * longs carries (Spark's Column `/` is double division). A span
+    * NARROWER than `bits` bits scales UP instead ((v - lo) << fill): a
+    * raw-valued narrow bucket would park its information in the LOW bits
+    * and leave the top bits constantly zero — the interleave then sorts
+    * by the wider columns alone and the narrow column's per-file boxes
+    * never tighten (observed: a [0,1500) key z-ordered against a 19-bit
+    * column produced files all spanning the FULL key range — zero
+    * skipping on that column). Power-of-2 widths are at most 2x coarser
+    * than the ideal equi-width split — irrelevant to an approximate
+    * clustering layout, and admission works on RAW per-file min/max
+    * regardless. The astronomically wide span that overflows a signed
+    * Long (lo near MinValue AND hi near MaxValue) falls back to bucketing
+    * the sign-flipped raw value — order-preserving, no subtraction to
+    * overflow. */
   private[lake] def bucket(v: Column, lo: Long, hi: Long, bits: Int): Column = {
     val span = BigInt(hi) - BigInt(lo)
     if (span.bitLength > 63) {
       // signed -> unsigned order flip, then keep the top `bits` bits
       shiftrightunsigned(v.bitwiseXOR(lit(Long.MinValue)), 64 - bits)
+    } else if (span.bitLength >= bits) {
+      shiftrightunsigned(v - lit(lo), span.bitLength - bits)
     } else {
-      val shift = math.max(0, span.bitLength - bits)
-      shiftrightunsigned(v - lit(lo), shift)
+      // scale up: the span's top bit must land on the bucket's top bit
+      shiftleft(v - lit(lo), bits - span.bitLength)
     }
   }
 

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.Conf
+import graft.lake.{BloomIndex, Forget, StatsIndex, TokenBloom,
+  Versioned, ZOrder}
+
+/**
+ * One-shot builder for the committed DATA-SKIPPING fixtures consumed by
+ * the `lake_skip_*` catalog queries and their DuckDB oracles — the
+ * hash-gate leg for file skipping, the same pattern
+ * [[BuildLakeFixture]] established for the DML machinery: the Spark arm
+ * reads THROUGH the pruned path (and `require`s the plan opened few
+ * files), while the oracle computes the answer from ALL the raw parquet
+ * with no graft code in the loop — one green row proves pruned == full
+ * AND that pruning fired.
+ *
+ * Three committed layouts (all from the driver's sf0.01 testdata):
+ *
+ *   fixtures/lake/orders_rc   orders range-clustered on o_orderkey into
+ *                             16 files + `_stats` manifest + `_bloom`
+ *                             sidecars — [[StatsIndex.readRange]] (range
+ *                             probe) and [[BloomIndex.lookup]] (point
+ *                             probe) both prune against it.
+ *   fixtures/lake/orders_z    orders z-ordered on (o_custkey,
+ *                             o_totalprice) with the `_boxstats`
+ *                             manifest — [[ZOrder.readBox]] box probes.
+ *   fixtures/lake/parts_tb    part projection clustered by p_name with
+ *                             per-file token-Bloom sidecars — the
+ *                             name-clustered catalog where
+ *                             [[TokenBloom.search]]'s conjunctive
+ *                             keyword probe prunes to the files whose
+ *                             name range carries the adjective.
+ *
+ * Reference behavior this gates: the reference prunes reads on exactly
+ * one dimension — the day-partition directory layout its loader writes
+ * (/root/reference/src/pipeline/loaders/s3_loader.py:23-58). These
+ * fixtures are the within-partition skipping a 100 TB lake needs on top:
+ * range manifests, multi-column boxes, and token sidecars.
+ *
+ * Usage: runMain graft.tools.BuildSkipFixture [sfDir] [fixturesDir]
+ */
+object BuildSkipFixture {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val base = args.drop(1).headOption.getOrElse(
+      new java.io.File("fixtures/lake").getAbsolutePath)
+    val spark = Conf.local(SparkSession.builder(), 8).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    def clear(dir: String): Unit = {
+      val f = new Path(dir).getFileSystem(conf)
+      require(!f.exists(new Path(dir)) || f.delete(new Path(dir), true),
+        s"could not clear $dir")
+    }
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+
+    // 1. range-clustered + _stats + _bloom (point AND range probes)
+    val rc = s"$base/orders_rc"
+    clear(rc)
+    Forget.publishClustered(orders, rc, nFiles = 16, keyCol = "o_orderkey",
+      stats = true)
+    BloomIndex.indexExisting(spark, s"$rc/v=1", "o_orderkey")
+    println(s"[skip-fixture] $rc: " +
+      s"${Versioned.dataFilePaths(spark, s"$rc/v=1").size} files, " +
+      s"stats=${StatsIndex.exists(spark, s"$rc/v=1")}")
+
+    // 2. z-ordered on (o_custkey, o_totalprice) + _boxstats
+    val z = s"$base/orders_z"
+    clear(z)
+    Versioned.publish(orders, z) // v1: layout-free seed
+    ZOrder.cluster(spark, z, Seq("o_custkey", "o_totalprice"),
+      keyCol = "o_orderkey", targetBytes = 24L * 1024) // ~16 files at sf0.01
+    println(s"[skip-fixture] $z: " +
+      s"${Versioned.dataFilePaths(spark, s"$z/v=2").size} files (v2)")
+
+    // 3. p_name-clustered parts + token-Bloom sidecars
+    val tb = s"$base/parts_tb"
+    clear(tb)
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_retailprice")
+    // name-clustered layout through the public publish (the clustering
+    // survives the write: publish writes the frame's own partitioning),
+    // then the token sidecars over the landed files
+    Versioned.publish(
+      parts.repartitionByRange(16, col("p_name"))
+        .sortWithinPartitions(col("p_name")), tb)
+    TokenBloom.index(spark, s"$tb/v=1", "p_name")
+    println(s"[skip-fixture] $tb: " +
+      s"${Versioned.dataFilePaths(spark, s"$tb/v=1").size} files, " +
+      s"tokmeta=${TokenBloom.meta(spark, s"$tb/v=1")}")
+
+    spark.stop()
+  }
+}
