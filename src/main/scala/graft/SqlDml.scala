@@ -893,15 +893,20 @@ object SqlDml {
     * story ([[createMvStmt]] builds them, this makes plain SQL use them
     * without naming them). Fires only when ALL of:
     *
-    *  - the statement is `SELECT <items> FROM <registered-src> GROUP BY
-    *    <cols> [ORDER BY <group cols>]` — no WHERE/HAVING/joins (those
-    *    fall through to the base table unchanged);
+    *  - the statement is `SELECT <items> FROM <registered-src> [WHERE
+    *    <conjuncts over MV group columns>] GROUP BY <cols> [ORDER BY
+    *    <group cols>]` — a WHERE whose every conjunct is a simple
+    *    comparison/IN on an MV GROUP column filters the MV's rows (a
+    *    group column is materialized verbatim at group grain, so the
+    *    filter commutes with the aggregation); any other WHERE shape,
+    *    HAVING, or joins fall through to the base table unchanged;
     *  - some registered MV has this source, its group columns form a
     *    SUPERSET of the query's (equal → direct read; coarser query →
-    *    re-aggregate the dimension-sized MV: sum of n_rows/sum_c,
-    *    min of min_c, max of max_c — the algebra is re-aggregable by
-    *    construction), and every select item maps onto materialized
-    *    columns;
+    *    re-aggregate the dimension-sized MV: sum of n_rows/sum_c/cnt_c,
+    *    min of min_c, max of max_c, avg = sum_c / cnt_c — the algebra is
+    *    re-aggregable by construction; AVG needs the view's `cntCols`
+    *    leg and a non-decimal source column), and every select item maps
+    *    onto materialized columns;
     *  - the MV is CURRENT for THIS SESSION: its sync watermark equals
     *    the version the source's registered temp view is BOUND to (a
     *    stale MV — or one synced ahead of an un-rebound view — answers
@@ -916,16 +921,59 @@ object SqlDml {
     * fails — the caller runs the original text. */
   private[graft] def rewriteViaMv(spark: SparkSession,
                                   text: String): Option[String] = {
-    val shape = ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)\\s+" +
-      "GROUP\\s+BY\\s+(.+?)(?:\\s+ORDER\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
-    val (items, srcName, gbyRaw, obyRaw) = text match {
-      case shape(i, s, g, o) => (i, s, g, Option(o))
+    val shape = ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+      "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)" +
+      "(?:\\s+ORDER\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
+    val (items, srcName, whereRaw, gbyRaw, obyRaw) = text match {
+      case shape(i, s, w, g, o) => (i, s, Option(w), g, Option(o))
       case _ => return None
     }
     val srcPath = registry.get(srcName.toLowerCase).map(_._1)
       .getOrElse(return None)
     def clean(c: String) = c.trim.replace("`", "")
     val gby = splitTop(gbyRaw, ',').map(clean)
+
+    // WHERE over MV GROUP columns only: a group column is materialized
+    // verbatim at group grain, so filtering MV rows on it is exactly
+    // filtering base rows before aggregation (any other column — a
+    // summed measure, an expression — falls through to the base).
+    // Accepted conjunct shapes: <col> (=|!=|<>|<|<=|>|>=) <literal> and
+    // <col> IN (<literal>, ...), AND-joined; literals are numbers or
+    // single-quoted strings. Anything else returns None (base path).
+    val lit = "(?:'[^']*'|-?\\d+(?:\\.\\d+)?)"
+    val cmp = ("(?is)^([A-Za-z_][A-Za-z0-9_]*)\\s*" +
+      s"(=|!=|<>|<=|>=|<|>)\\s*($lit)$$").r
+    val inList = ("(?is)^([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s*\\(\\s*" +
+      s"($lit(?:\\s*,\\s*$lit)*)\\s*\\)$$").r
+    // split on top-level AND, respecting single-quoted literals (an AND
+    // inside a string literal is content, not a connective)
+    def splitAnd(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var inQ = false
+      var i = 0
+      val up = s.toUpperCase
+      while (i < s.length) {
+        if (s.charAt(i) == '\'') { inQ = !inQ; cur += s.charAt(i); i += 1 }
+        else if (!inQ && i + 5 <= s.length &&
+            up.regionMatches(i, " AND ", 0, 5)) {
+          out += cur.result(); cur.clear(); i += 5
+        } else { cur += s.charAt(i); i += 1 }
+      }
+      out += cur.result()
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+    // (column, conjunct-as-written) — or None = not rewritable
+    val whereParsed: Seq[(String, String)] =
+      whereRaw.map { w =>
+        splitAnd(w).map { conj =>
+          conj.replace("`", "") match {
+            case cmp(c, op, l) => (clean(c), s"$c $op $l")
+            case inList(c, ls) => (clean(c), s"$c IN ($ls)")
+            case _ => return None
+          }
+        }
+      }.getOrElse(Seq.empty)
     if (gby.exists(c => !c.matches("[A-Za-z_][A-Za-z0-9_]*")))
       return None // an EXPRESSION group key is not a materialized column
     // the ORDER BY tail may only name query group columns — anything
@@ -941,7 +989,7 @@ object SqlDml {
 
     // parse the select list into mappable items
     val cnt = "(?i)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
-    val agg = "(?i)^(SUM|MIN|MAX)\\s*\\(\\s*([^)]+?)\\s*\\)$".r
+    val agg = "(?i)^(SUM|MIN|MAX|AVG)\\s*\\(\\s*([^)]+?)\\s*\\)$".r
     val aliased = "(?is)^(.+?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
     sealed trait Item
     case class GroupItem(c: String, out: String) extends Item
@@ -969,10 +1017,22 @@ object SqlDml {
     }.filter { case (_, sp) =>
       sp.source == srcPath &&
         gby.forall(g => sp.groupCols.exists(_.equalsIgnoreCase(g))) &&
+        // every WHERE column must be an MV GROUP column (not merely a
+        // query group column — filtering on a coarser MV's extra
+        // dimension is equally answerable from its rows)
+        whereParsed.forall { case (c, _) =>
+          sp.groupCols.exists(_.equalsIgnoreCase(c))
+        } &&
         parsed.forall {
           case GroupItem(_, _) | CountItem(_) => true
           case AggItem("sum", c, _) =>
             sp.sumCols.exists(_.equalsIgnoreCase(c))
+          case AggItem("avg", c, _) =>
+            // AVG divides the materialized sum by the materialized
+            // NON-NULL count — both legs must exist (cntCols is empty on
+            // pre-AVG views: fall through to the base)
+            sp.sumCols.exists(_.equalsIgnoreCase(c)) &&
+              sp.cntCols.exists(_.equalsIgnoreCase(c))
           case AggItem(_, c, _) =>
             sp.minMaxCols.exists(_.equalsIgnoreCase(c))
         } &&
@@ -1013,17 +1073,44 @@ object SqlDml {
         case other => other.sql
       })
     }.toMap
+    // AVG only over non-decimal numerics (base avg returns DOUBLE there,
+    // and sum/cnt division reproduces it bit-for-bit at these magnitudes);
+    // a DECIMAL source's avg carries Spark-internal rounding the derived
+    // division is not guaranteed to reproduce — fall through to the base
+    parsed.foreach {
+      case AggItem("avg", c, _) =>
+        val dt = srcSchema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(_.dataType).getOrElse(return None)
+        dt match {
+          case ByteType | ShortType | IntegerType | LongType |
+               FloatType | DoubleType => ()
+          case _ => return None
+        }
+      case _ => ()
+    }
     val sel = parsed.map {
       case GroupItem(c, out) => s"$c AS `$out`"
       case CountItem(out) => s"sum(n_rows) AS `$out`"
       case AggItem("sum", c, out) =>
         s"CAST(sum(sum_$c) AS ${sumTypes(c)}) AS `$out`"
+      // DOUBLE division, not decimal: a decimal(38,6)/bigint quotient
+      // re-adjusts to scale 6 (Spark's adjustPrecisionScale) and a cast
+      // of THAT to double is the 6-dp truncation, not the base avg.
+      // Both casts are exact at additive magnitudes; nullif keeps an
+      // all-NULL group (cnt 0) NULL — what base AVG returns — instead
+      // of a 0/0 NaN
+      case AggItem("avg", c, out) =>
+        s"CAST(CAST(sum(sum_$c) AS DOUBLE) / nullif(sum(cnt_$c), 0) " +
+          s"AS DOUBLE) AS `$out`"
       case AggItem("min", c, out) => s"min(min_$c) AS `$out`"
       case AggItem("max", c, out) => s"max(max_$c) AS `$out`"
       case AggItem(fn, _, _) =>
         throw new IllegalStateException(s"unreachable agg $fn")
     }.mkString(", ")
-    Some(s"SELECT $sel FROM $vn GROUP BY ${gby.mkString(", ")}" +
+    val whereSql =
+      if (whereParsed.isEmpty) ""
+      else whereParsed.map(_._2).mkString(" WHERE ", " AND ", "")
+    Some(s"SELECT $sel FROM $vn$whereSql GROUP BY ${gby.mkString(", ")}" +
       oby.map(o => s" ORDER BY ${o.mkString(", ")}").getOrElse(""))
   }
 

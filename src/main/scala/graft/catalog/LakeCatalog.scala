@@ -230,6 +230,39 @@ object LakeCatalog extends Family {
     df
   }
 
+  // ------------------------------------------------------------------
+  // MV rewrite with a WHERE on a group column + AVG: the filter commutes
+  // with the group grain (a group column is materialized verbatim), and
+  // AVG derives as sum_c / cnt_c — the view's maintained NON-NULL count,
+  // not n_rows, so a NULL-bearing column averages correctly. The require
+  // again proves the rewrite FIRED; the oracle filters and averages the
+  // raw live snapshot from first principles.
+  private val mvRewriteWhere = Q(
+    "lake_mv_rewrite_where",
+    Some(s"""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_custkey) AS BIGINT) AS ck,
+             avg(o_custkey) AS avg_ck
+      FROM read_parquet('${fix()}/v=2/*.parquet', hive_partitioning=false)
+      WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)) { (spark, _) =>
+    graft.SqlDml.register(spark, "olk_rww", fix(), "o_orderkey")
+    graft.SqlDml.registerMv(spark, "olk_rww_mv",
+      Fixtures.abs("fixtures/lake/orders_mv"))
+    val df = graft.Sql.sql(spark,
+      "SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS ck, " +
+        "avg(o_custkey) AS avg_ck " +
+        "FROM olk_rww WHERE o_orderstatus IN ('F', 'O') " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    require(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("orders_mv")),
+      s"the filtered MV rewrite did not fire: ${df.inputFiles.toSeq}")
+    df
+  }
+
   def specs: Seq[Q] =
-    Seq(live, asofDv, asofEvolved, asofRenamed, changes, mvRewrite)
+    Seq(live, asofDv, asofEvolved, asofRenamed, changes, mvRewrite,
+      mvRewriteWhere)
 }

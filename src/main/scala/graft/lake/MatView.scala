@@ -54,10 +54,16 @@ import org.apache.spark.sql.types.DecimalType
 object MatView {
 
   /** The view's definition + sync watermark, JSON-persisted per version.
-    * `minMaxCols` is empty on views created before the MIN/MAX leg. */
+    * `minMaxCols` is empty on views created before the MIN/MAX leg;
+    * `cntCols` (columns whose NON-NULL counts are materialized as
+    * `cnt_<c>` — what a correct AVG divides by, since `sum_<c>/n_rows`
+    * under-counts NULLs) is empty on views created before the AVG leg —
+    * the MV rewrite only derives averages when the spec lists the
+    * column here. */
   final case class Spec(source: String, keyCol: String,
                         groupCols: Seq[String], sumCols: Seq[String],
-                        synced: Long, minMaxCols: Seq[String] = Seq.empty)
+                        synced: Long, minMaxCols: Seq[String] = Seq.empty,
+                        cntCols: Seq[String] = Seq.empty)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -66,11 +72,14 @@ object MatView {
   // column identifiers — no escaping needed beyond rejecting quotes)
   private def toJson(s: Spec): String = {
     def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
-    (s.groupCols ++ s.sumCols ++ s.minMaxCols ++ Seq(s.keyCol)).foreach(c =>
-      require(!c.contains("\"") && !c.contains("\\"), s"unsafe column name $c"))
+    (s.groupCols ++ s.sumCols ++ s.minMaxCols ++ s.cntCols ++ Seq(s.keyCol))
+      .foreach(c =>
+        require(!c.contains("\"") && !c.contains("\\"),
+          s"unsafe column name $c"))
     s"""{"source":"${s.source}","keyCol":"${s.keyCol}",""" +
       s""""groupCols":${arr(s.groupCols)},"sumCols":${arr(s.sumCols)},""" +
       s""""minMaxCols":${arr(s.minMaxCols)},""" +
+      s""""cntCols":${arr(s.cntCols)},""" +
       s""""synced":${s.synced}}"""
   }
 
@@ -86,7 +95,7 @@ object MatView {
     def num(k: String) =
       s""""$k":(\\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
     Spec(str("source"), str("keyCol"), arr("groupCols"), arr("sumCols"),
-      num("synced"), arr("minMaxCols"))
+      num("synced"), arr("minMaxCols"), arr("cntCols"))
   }
 
   private def writeSpec(spark: SparkSession, dir: String, s: Spec): Unit = {
@@ -111,13 +120,20 @@ object MatView {
 
   // sign=+1 with mmCols adds min_/max_ legs; the MINUS side (sign=-1)
   // never carries them — a removed row's min/max cannot be subtracted,
-  // that is exactly what the touched-group recompute handles
+  // that is exactly what the touched-group recompute handles. cntCols'
+  // NON-NULL counts (`cnt_<c>`, what AVG divides by) are sums of signed
+  // indicators, so — like n_rows and the sums — they subtract cleanly
+  // on BOTH sides.
   private def grouped(df: DataFrame, groupCols: Seq[String],
                       sumCols: Seq[String], sign: Int,
-                      mmCols: Seq[String] = Seq.empty): DataFrame = {
+                      mmCols: Seq[String] = Seq.empty,
+                      cntCols: Seq[String] = Seq.empty): DataFrame = {
     val aggs = sum(lit(sign.toLong)).as("n_rows") +:
       (sumCols.map(c =>
         sum(col(c).cast(acc) * sign).cast(acc).as(s"sum_$c")) ++
+        cntCols.map(c =>
+          sum(when(col(c).isNotNull, sign.toLong).otherwise(0L))
+            .cast("long").as(s"cnt_$c")) ++
         (if (sign > 0) mmCols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
          else Seq.empty))
@@ -135,11 +151,17 @@ object MatView {
     val srcV = Versioned.currentVersion(spark, source).getOrElse(
       throw new IllegalStateException(s"no published version at $source"))
     val df = Versioned.readVersion(spark, source, srcV)
-    val mv = grouped(df, groupCols, sumCols, 1, minMaxCols)
+    // every sum column also materializes its non-null count (cnt_<c>):
+    // the delete-maintainable denominator AVG needs (n_rows over-counts
+    // when the column has NULLs) — a few longs per group row, and the
+    // rewrite can then answer AVG(<c>) from the view
+    val mv = grouped(df, groupCols, sumCols, 1, minMaxCols,
+      cntCols = sumCols)
     Versioned.publishWith(spark, view) { dir =>
       mv.write.mode("overwrite").parquet(dir)
       writeSpec(spark, dir,
-        Spec(source, keyCol, groupCols, sumCols, srcV, minMaxCols))
+        Spec(source, keyCol, groupCols, sumCols, srcV, minMaxCols,
+          cntCols = sumCols))
     }
   }
 
@@ -341,13 +363,16 @@ object MatView {
       // the min/max leg reads the old rows twice (minus side + touched
       // groups) — one materialization serves both
       if (mm.nonEmpty) { oldOfBatch.persist(); oldCached = Some(oldOfBatch) }
-      val minus = grouped(oldOfBatch, s.groupCols, s.sumCols, -1)
+      val minus = grouped(oldOfBatch, s.groupCols, s.sumCols, -1,
+        cntCols = s.cntCols)
       // plus side: the batch's new rows (I and U carry full rows)
       val plus = grouped(batch.filter(col(opCol) =!= "D").drop(opCol),
-        s.groupCols, s.sumCols, 1, mm)
+        s.groupCols, s.sumCols, 1, mm, cntCols = s.cntCols)
       val deltaAggs = sum(col("n_rows")).as("n_rows") +:
         (s.sumCols.map(c =>
           sum(col(s"sum_$c")).cast(acc).as(s"sum_$c")) ++
+          s.cntCols.map(c =>
+            sum(col(s"cnt_$c")).cast("long").as(s"cnt_$c")) ++
           mm.flatMap(c => Seq(min(col(s"min_$c")).as(s"min_$c"),
             max(col(s"max_$c")).as(s"max_$c"))))
       val delta = plus.unionByName(minus, allowMissingColumns = true)
@@ -359,12 +384,14 @@ object MatView {
       // min/max merge least/greatest — the insert-monotone rule, valid
       // exactly for groups that lost no rows; the recompute below replaces
       // every group that did.
-      val sumLegs = "n_rows" +: s.sumCols.map(c => s"sum_$c")
+      val sumLegs = ("n_rows" +: s.sumCols.map(c => s"sum_$c")) ++
+        s.cntCols.map(c => s"cnt_$c")
       val live = Versioned.read(spark, view)
       val merged = live.join(delta, s.groupCols, "full_outer")
         .select(s.groupCols.map(col) ++ sumLegs.map { c =>
           val summed = coalesce(live(c), lit(0)) + coalesce(delta(c), lit(0))
-          (if (c == "n_rows") summed.cast("long") else summed.cast(acc))
+          (if (c == "n_rows" || c.startsWith("cnt_")) summed.cast("long")
+           else summed.cast(acc))
             .as(c)
         } ++ mm.flatMap(c => Seq(
           least(live(s"min_$c"), delta(s"min_$c")).as(s"min_$c"),
@@ -410,7 +437,8 @@ object MatView {
             } else
               srcNow.join(touchedJ, matchCond(srcNow), "left_semi")
           val recomputed =
-            grouped(touchedRows, s.groupCols, s.sumCols, 1, mm)
+            grouped(touchedRows, s.groupCols, s.sumCols, 1, mm,
+              cntCols = s.cntCols)
           merged.join(touchedJ, matchCond(merged), "left_anti")
             .unionByName(recomputed)
         }
@@ -426,13 +454,17 @@ object MatView {
   }
 
   /** Read the live view with derived averages (`avg_<c> = sum_<c> /
-    * n_rows` as double) — the non-self-maintainable aggregates users
-    * actually want, computed at read where they're free. */
+    * cnt_<c>` as double — the NON-NULL count when the view materializes
+    * one, the pre-cntCols `n_rows` fallback otherwise) — the
+    * non-self-maintainable aggregates users actually want, computed at
+    * read where they're free. */
   def readWithAverages(spark: SparkSession, view: String): DataFrame = {
     val s = spec(spark, view)
     val df = Versioned.read(spark, view)
     s.sumCols.foldLeft(df)((d, c) =>
       d.withColumn(s"avg_$c",
-        (col(s"sum_$c") / col("n_rows")).cast("double")))
+        (col(s"sum_$c") /
+          (if (s.cntCols.exists(_.equalsIgnoreCase(c))) col(s"cnt_$c")
+           else col("n_rows"))).cast("double")))
   }
 }

@@ -120,10 +120,16 @@ class MvRewriteSpec extends SparkSpec {
          |SELECT color, count(*), sum(amt) FROM rw3_src
          |GROUP BY color""".stripMargin)
     val mustFallThrough = Seq(
-      // WHERE: the MV has no filtered slice
+      // WHERE on a NON-group column: the MV has no filtered slice
       "SELECT color, sum(amt) AS s FROM rw3_src WHERE k > 3 GROUP BY color",
-      // avg is not in the self-maintainable algebra
-      "SELECT color, avg(amt) AS a FROM rw3_src GROUP BY color",
+      // OR is not a conjunction of group-column predicates
+      "SELECT color, sum(amt) AS s FROM rw3_src " +
+        "WHERE color = 'c0' OR color = 'c1' GROUP BY color",
+      // an EXPRESSION over a group column is not a materialized column
+      "SELECT color, sum(amt) AS s FROM rw3_src " +
+        "WHERE upper(color) = 'C0' GROUP BY color",
+      // avg of a NON-materialized column
+      "SELECT color, avg(k) AS a FROM rw3_src GROUP BY color",
       // sum of a non-materialized column
       "SELECT color, sum(k) AS s FROM rw3_src GROUP BY color",
       // expression group key
@@ -142,5 +148,47 @@ class MvRewriteSpec extends SparkSpec {
     assert(underPath(Sql.sql(spark,
       "SELECT color, count(*) FROM rw3_src GROUP BY color")
       .inputFiles, s"$root/mv3"))
+  }
+
+  test("WHERE on MV group columns and AVG answer from the MV — values " +
+      "and types equal the base recompute") {
+    val t = s"$root/src4"
+    // amt = k^2 + 7 over odd counts: the averages are NON-TERMINATING
+    // decimals (e.g. 4600/15), so a derived AVG that rounds through the
+    // accumulator's 6-dp decimal instead of double division cannot pass
+    Forget.publishIndexed(
+      (0 until 30).map(k =>
+          (k.toLong, s"c${k % 2}", s"s${k % 4}", k * k + 7L))
+        .toDF("k", "color", "size", "amt"),
+      t, 2, "k", stats = true)
+    SqlDml.register(spark, "rw4_src", t, "k")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rw4_mv LOCATION '$root/mv4' AS
+         |SELECT color, size, count(*), sum(amt)
+         |FROM rw4_src GROUP BY color, size""".stripMargin)
+    def parity(q: String): Unit = {
+      val rw = Sql.sql(spark, q)
+      assert(underPath(rw.inputFiles, s"$root/mv4"),
+        s"'$q' did not rewrite to the MV: ${rw.inputFiles.toSeq}")
+      val base = spark.sql(q)
+      assert(rw.schema.map(f => (f.name, f.dataType))
+        == base.schema.map(f => (f.name, f.dataType)),
+        s"schema drifted for '$q': ${rw.schema} vs ${base.schema}")
+      assert(rw.collect().toSeq == base.collect().toSeq, s"values for '$q'")
+    }
+    // equality filter on a query group column + AVG (sum_amt / cnt_amt)
+    parity("SELECT color, count(*) AS n, sum(amt) AS s, avg(amt) AS a " +
+      "FROM rw4_src WHERE color = 'c1' GROUP BY color ORDER BY color")
+    // filter on an MV group column the query does NOT group by, with a
+    // coarser grouping: filter the MV rows, then roll up
+    parity("SELECT color, sum(amt) AS s FROM rw4_src " +
+      "WHERE size IN ('s0', 's3') AND color <> 'c9' " +
+      "GROUP BY color ORDER BY color")
+    // range comparison on a group column + bare AVG
+    parity("SELECT color, avg(amt) AS a FROM rw4_src " +
+      "WHERE size >= 's2' GROUP BY color ORDER BY color")
+    // a filter selecting NOTHING still answers (zero rows) from the MV
+    parity("SELECT color, count(*) AS n FROM rw4_src " +
+      "WHERE color = 'nope' GROUP BY color ORDER BY color")
   }
 }

@@ -68,6 +68,16 @@ class SqlJourneySpec extends SparkSpec {
     Sql.execute(spark, "REFRESH MATERIALIZED VIEW sales_by_region")
     assert(Sql.sql(spark, q).inputFiles.forall(_.contains("mv")))
 
+    // the filtered + AVG legs compose cold too: WHERE on the MV's group
+    // column and a derived average (sum_amt / cnt_amt), still answered
+    // from the view discovered by name, value-par with the base
+    val qf = "SELECT region, count(*) AS n, avg(amt) AS a FROM sales " +
+      "WHERE region IN ('1', '2') GROUP BY region ORDER BY region"
+    val viaMvF = Sql.sql(spark, qf)
+    assert(viaMvF.inputFiles.forall(_.contains("mv")),
+      s"filtered rewrite did not fire: ${viaMvF.inputFiles.toSeq}")
+    assert(viaMvF.collect().toSeq == spark.sql(qf).collect().toSeq)
+
     // ---- rename via column mapping, then DML through it --------------
     Sql.execute(spark, "ALTER TABLE sales RENAME COLUMN note TO memo")
     Sql.execute(spark, "UPDATE sales SET memo = 'vip' WHERE sid = 1")
