@@ -220,4 +220,51 @@ class CdfStreamSpec extends SparkSpec {
     assert(batch.filter($"_version" === 3L).count() == 0L)
     assert(batch.filter($"_version" === 5L && $"k" === 2L).count() == 1L)
   }
+
+  test("RENAME COLUMN mid-stream: the raw tail DELIVERS the S poison " +
+      "(start-time schema cannot read on), assemble rejects toward a " +
+      "restart; the batch feed re-unifies under the live logical name") {
+    val src = s"$root/renametail"
+    Forget.publishIndexed(
+      (0L until 20L).map(k => (k, s"p$k")).toDF("k", "v"),
+      src, nFiles = 2, keyCol = "k")
+    Upsert.applyCdc(spark, src, "k", cdcBatch(Seq(("U", 1L, "u1")))) // v2
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var assembleErr: Option[Throwable] = None
+    val q = CdfStream.changes(spark, src, sinceV = 1)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.select($"_op", $"_version")
+            .as[(String, Long)].collect()
+        }
+        if (assembleErr.isEmpty)
+          assembleErr = scala.util.Try(
+            LakeStream.assemble(df, "k").count()).failed.toOption
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(assembleErr.isEmpty)
+      graft.lake.Evolve.renameColumn(spark, src, "v", "txt", "k") // v3
+      q.processAllAvailable()
+    } finally q.stop()
+    // the contract, pinned: a rename is a SCHEMA CHANGE to a
+    // start-time-schema tail — delivered as poison, never null-bridged
+    assert(got.synchronized(got.toSet).contains(("S", 3L)))
+    assert(assembleErr.exists(e => e.getMessage.contains("poison") &&
+      e.getMessage.contains("schema")))
+    // batch feed across the rename: post-rename DML records under the
+    // new logical name, and the until-version's column mapping re-unifies
+    // PRE-rename frames under it too — one column, no null-filled split
+    graft.lake.Dv.merge(spark, src, "k",
+      Seq((2L, "u2")).toDF("k", "txt")) // v4 (zero-copy; overlay is a ref)
+    val batch = Cdf.changesSince(spark, src, 1L)
+    assert(batch.columns.contains("txt") && !batch.columns.contains("v"))
+    assert(batch.filter($"_version" === 2L && $"k" === 1L).head()
+      .getAs[String]("txt") == "u1")
+    assert(batch.filter($"_version" === 4L && $"k" === 2L).head()
+      .getAs[String]("txt") == "u2")
+  }
 }
