@@ -132,5 +132,64 @@ object LakeSkipping extends Family {
       .orderBy(col("p_partkey"))
   }
 
-  def specs: Seq[Q] = Seq(statsRange, bloomPoint, zorderBox, tokenBloom)
+  // a PLANNER-pruned frame: materialize (populates the scan's numFiles
+  // metric), require the plan opened few files, hand it back
+  private def plannerPruned(df: DataFrame, atMost: Long, total: Long,
+                            what: String): DataFrame = {
+    df.collect()
+    val n = graft.lake.SkipScan.scannedFileCount(df)
+    require(n <= atMost && n < total,
+      s"$what did not prune at planning: scan read $n of $total files " +
+        s"(expected <= $atMost)")
+    df
+  }
+
+  // ------------------------------------------------------------------
+  // PLAN-TIME skipping (SkipScan.scan — the manifest-backed FileIndex):
+  // the query is a PLAIN filter, no special read API; the relation's
+  // FileIndex evaluates Catalyst's own pushed-down data filters against
+  // the `_stats` manifest (self-named via `_stats/_key`) and admits 2 of
+  // 16 files. df.inputFiles reports the pre-pruning listing, so the
+  // require reads the executed scan's numFiles metric instead.
+  private val plannerRange = Q(
+    "lake_skip_planner_range",
+    Some(s"""
+      SELECT $ocolsSql
+      FROM read_parquet('${rc()}/part-*.parquet', hive_partitioning=false)
+      WHERE o_orderkey BETWEEN 9100 AND 9700
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    import org.apache.spark.sql.functions.col
+    plannerPruned(
+      graft.lake.SkipScan.scan(spark, rc())
+        .filter(col("o_orderkey") >= 9100L && col("o_orderkey") <= 9700L)
+        .select(ocols.map(col): _*).orderBy(col("o_orderkey")),
+      atMost = 2, total = 16, what = "SkipScan range")
+  }
+
+  // ------------------------------------------------------------------
+  // PLAN-TIME 2-column box over the z-ordered layout: the `_boxstats`
+  // manifest is self-describing, so the scan needs no column hints at
+  // all — the plain conjunctive filter admits 3 of 8 files.
+  private val plannerBox = Q(
+    "lake_skip_planner_box",
+    Some(s"""
+      SELECT $ocolsSql
+      FROM read_parquet('${zf()}/part-*.parquet', hive_partitioning=false)
+      WHERE o_custkey BETWEEN 200 AND 500
+        AND o_totalprice BETWEEN 300000 AND 360000
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    import org.apache.spark.sql.functions.col
+    plannerPruned(
+      graft.lake.SkipScan.scan(spark, zf())
+        .filter(col("o_custkey") >= 200L && col("o_custkey") <= 500L &&
+          col("o_totalprice") >= 300000L && col("o_totalprice") <= 360000L)
+        .select(ocols.map(col): _*).orderBy(col("o_orderkey")),
+      atMost = 4, total = 8, what = "SkipScan box")
+  }
+
+  def specs: Seq[Q] =
+    Seq(statsRange, bloomPoint, zorderBox, tokenBloom, plannerRange,
+      plannerBox)
 }

@@ -1,0 +1,301 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/**
+ * PLAN-TIME automatic file skipping — the manifest-backed [[FileIndex]]
+ * leg of the skipping story, Delta's `TahoeLogFileIndex` shape on this
+ * layout. [[StatsIndex.readRange]] / [[ZOrder.readBox]] prune when the
+ * CALLER routes the probe through them; [[scan]] instead returns a plain
+ * DataFrame whose relation carries a [[FileIndex]] that evaluates the
+ * query's OWN pushed-down data filters against the per-file manifest
+ * ranges (`_boxstats` when present — self-describing, multi-column — and
+ * the `_stats` key manifest via the caller-named key column), so ANY
+ * DataFrame/SQL predicate on an indexed column prunes files at PLANNING
+ * time with zero API cooperation from the query author. Catalyst still
+ * applies the full predicate to the admitted files' rows, so the result
+ * is exactly the plain scan's.
+ *
+ * Admission is CONSERVATIVE by construction — unknown expression shapes,
+ * uncovered columns, non-numeric literals, and a manifest that no longer
+ * covers the dir (files appended/rewritten since it was built) all admit
+ * rather than exclude; `AND`/`OR` compose interval logic; fractional
+ * literals compare against floor/ceil of the truncated long stats (the
+ * stats hold `CAST(col AS LONG)` min/max, truncation toward zero, so
+ * `floor(L) <= trunc(v)` / `trunc(v) <= ceil(L)` bound every satisfying
+ * row on both signs). The index can degrade to a full scan, never to a
+ * missing row.
+ *
+ * Scope: a plain parquet DATA DIR (the clustered layouts
+ * [[graft.tools.BuildSkipFixture]] commits, [[Forget.publishClustered]]
+ * tables, compacted versions). Versions carrying a deletion vector or a
+ * column mapping need [[Versioned.readVersion]]'s overlay machinery and
+ * reject loudly here.
+ *
+ * At 100 TB this is the difference between "skipping works if every
+ * query author remembers the special read API" and "the table's layout
+ * makes every ad-hoc dashboard predicate cheap" — the property Delta and
+ * Iceberg users actually rely on.
+ */
+object SkipScan {
+
+  /** Per-file long-domain column ranges: column → (min, max, nonNull),
+    * plus the file's row count. min/max None = no non-null values. */
+  private final case class Ranges(
+      by: Map[String, (Option[Long], Option[Long], Long)], rows: Long)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------- the FileIndex
+
+  private final class ManifestFileIndex(
+      spark: SparkSession, dir: String, files: Seq[FileStatus],
+      ranges: Map[String, Ranges]) extends FileIndex {
+
+    override def rootPaths: Seq[Path] = Seq(new Path(dir))
+    override def partitionSchema: StructType = StructType(Nil)
+    override def sizeInBytes: Long = files.map(_.getLen).sum
+    override def inputFiles: Array[String] =
+      files.map(_.getPath.toString).toArray
+    override def refresh(): Unit = ()
+
+    override def listFiles(partitionFilters: Seq[Expression],
+                           dataFilters: Seq[Expression])
+        : Seq[PartitionDirectory] = {
+      val admitted =
+        if (dataFilters.isEmpty || ranges.isEmpty) files
+        else files.filter { f =>
+          ranges.get(f.getPath.getName) match {
+            case None => true // file the manifest never saw: admit
+            case Some(r) => dataFilters.forall(e => mayMatch(e, r))
+          }
+        }
+      Seq(PartitionDirectory(InternalRow.empty, admitted.toArray))
+    }
+  }
+
+  // the attribute under an EXACT numeric upcast (an integral column
+  // compared against a fractional literal arrives as
+  // Cast(attr AS DOUBLE/DECIMAL) — value-preserving below 2^53, so the
+  // long-domain admission still bounds it); anything else: None
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  private def numeric(dt: org.apache.spark.sql.types.DataType): Boolean =
+    integral(dt) || (dt match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    })
+
+  private def attrOf(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case c: Cast => c.child match {
+      case a: AttributeReference
+          if integral(a.dataType) && numeric(c.dataType) =>
+        Some(a)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  // may rows of a file with `r` satisfy `e`? Conservative: anything not
+  // understood admits.
+  private def mayMatch(e: Expression, r: Ranges): Boolean = e match {
+    case And(l, rt) => mayMatch(l, r) && mayMatch(rt, r)
+    case Or(l, rt) => mayMatch(l, r) || mayMatch(rt, r)
+    case EqualTo(a, b) => cmp(a, b, r, "=")
+    case EqualNullSafe(a, b) => cmp(a, b, r, "=")
+    case GreaterThan(a, b) => cmp(a, b, r, ">")
+    case GreaterThanOrEqual(a, b) => cmp(a, b, r, ">=")
+    case LessThan(a, b) => cmp(a, b, r, "<")
+    case LessThanOrEqual(a, b) => cmp(a, b, r, "<=")
+    case In(a, vs) if attrOf(a).isDefined &&
+        vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => cmp(a, v, r, "="))
+    case InSet(a, vs) if attrOf(a).isDefined =>
+      r.by.get(attrOf(a).get.name.toLowerCase) match {
+        case Some((mn, mx, nn)) =>
+          nn > 0 && vs.exists(v => literalLong(v).fold(true) { case (lo, hi) =>
+            mn.get <= hi && mx.get >= lo
+          })
+        case None => true
+      }
+    case IsNull(a) if attrOf(a).isDefined =>
+      r.by.get(attrOf(a).get.name.toLowerCase).fold(true) {
+        case (_, _, nn) => r.rows - nn > 0
+      }
+    case IsNotNull(a) if attrOf(a).isDefined =>
+      r.by.get(attrOf(a).get.name.toLowerCase)
+        .fold(true) { case (_, _, nn) => nn > 0 }
+    case _ => true
+  }
+
+  // the literal as a CLOSED long interval [floor(v), ceil(v)] — the
+  // truncated-long stats domain; None = not a numeric literal we can
+  // bound (admit)
+  private def literalLong(v: Any): Option[(Long, Long)] = v match {
+    case l: Literal => literalLong(l.value)
+    case b: Byte => Some((b.toLong, b.toLong))
+    case s: Short => Some((s.toLong, s.toLong))
+    case i: Int => Some((i.toLong, i.toLong))
+    case l: Long => Some((l, l))
+    case f: Float => literalLong(f.toDouble)
+    case d: Double =>
+      if (d.isNaN || math.abs(d) >= 9.0e15) None // past exact-long doubles
+      else Some((math.floor(d).toLong, math.ceil(d).toLong))
+    case d: org.apache.spark.sql.types.Decimal =>
+      literalLong(d.toDouble)
+    case _ => None
+  }
+
+  // binary comparison admission; handles literal-on-the-left by flipping.
+  // For an INTEGRAL attribute the stats are exact (no truncation) and the
+  // bound tightens: v > 399.5 over longs means v >= 400, v = 399.5 can
+  // never hold. Non-integral attributes keep the closed floor/ceil
+  // interval over their truncated stats.
+  private def cmp(a: Expression, b: Expression, r: Ranges,
+                  op: String): Boolean = (a, b) match {
+    case (at, lit: Literal) if attrOf(at).isDefined =>
+      val attr = attrOf(at).get
+      r.by.get(attr.name.toLowerCase) match {
+        case None => true
+        case Some((_, _, nn)) if nn == 0 => false // all-null: no compare hits
+        case Some((mn, mx, _)) =>
+          literalLong(lit.value).fold(true) { case (lo, hi) =>
+            val exact = integral(attr.dataType)
+            val whole = lo == hi // the literal is a whole number
+            def incr(x: Long) = if (x == Long.MaxValue) x else x + 1
+            def decr(x: Long) = if (x == Long.MinValue) x else x - 1
+            op match {
+              case "=" =>
+                if (exact && !whole) false // no long equals a fraction
+                else mn.get <= hi && mx.get >= lo
+              case ">" =>
+                // integral: v > L ⇔ v >= L+1 (whole) / v >= ceil(L)
+                mx.get >= (if (!exact) lo
+                           else if (whole) incr(lo) else hi)
+              case ">=" =>
+                // integral: v >= L ⇔ v >= ceil(L) (= L when whole)
+                mx.get >= (if (!exact) lo else hi)
+              case "<" =>
+                mn.get <= (if (!exact) hi
+                           else if (whole) decr(hi) else lo)
+              case "<=" =>
+                mn.get <= (if (!exact) hi else lo)
+              case _ => true
+            }
+          }
+      }
+    case (lit: Literal, at) if attrOf(at).isDefined =>
+      cmp(at, lit, r, op match {
+        case ">" => "<"
+        case ">=" => "<="
+        case "<" => ">"
+        case "<=" => ">="
+        case o => o
+      })
+    case _ => true
+  }
+
+  // ------------------------------------------------------ manifest loads
+
+  // `_boxstats` rows (self-describing columns) and/or the `_stats` key
+  // manifest under the caller-named key column, merged per file
+  private def loadRanges(spark: SparkSession, dir: String,
+                         statsKeyCol: Option[String])
+      : Map[String, Ranges] = {
+    val fromBox: Map[String, Ranges] =
+      ZOrder.loadBoxStats(spark, dir).map { case (_, boxes) =>
+        boxes.map { case (f, b) =>
+          f -> Ranges(b.by.map { case (c, v) => c.toLowerCase -> v }, b.rows)
+        }
+      }.getOrElse(Map.empty)
+    val fromStats: Map[String, Ranges] = statsKeyCol.flatMap { k =>
+      StatsIndex.load(spark, dir).map(_.map { case (f, st) =>
+        f -> Ranges(Map(k.toLowerCase -> ((st.kmin, st.kmax, st.nonNull))),
+          st.rows)
+      })
+    }.getOrElse(Map.empty)
+    (fromBox.keySet ++ fromStats.keySet).map { f =>
+      val merged = fromBox.get(f).map(_.by).getOrElse(Map.empty) ++
+        fromStats.get(f).map(_.by).getOrElse(Map.empty)
+      val rows = fromStats.get(f).map(_.rows)
+        .orElse(fromBox.get(f).map(_.rows)).getOrElse(0L)
+      f -> Ranges(merged, rows)
+    }.toMap
+  }
+
+  /** A DataFrame over `dir` whose scan prunes files at PLANNING time
+    * from the committed manifests: `_boxstats` (self-describing) and —
+    * when `statsKeyCol` names the key — the `_stats` manifest. No
+    * manifest, or one that no longer covers the dir's files, degrades to
+    * the plain full scan (same staleness contract as
+    * [[StatsIndex.readRange]]). */
+  def scan(spark: SparkSession, dir: String,
+           statsKeyCol: Option[String] = None): DataFrame = {
+    val f = fs(spark, dir)
+    require(!f.exists(new Path(s"$dir/_dv")) &&
+        !f.exists(new Path(s"$dir/_column_mapping")) &&
+        !f.exists(new Path(s"$dir/_ref")),
+      s"$dir carries a deletion vector / column mapping / ref — " +
+        "SkipScan.scan serves plain data dirs; use Versioned.readVersion " +
+        "for overlay versions")
+    val files = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    // the `_stats` manifest names its own column since round 17
+    // (`_stats/_key`); an explicit statsKeyCol overrides / serves
+    // pre-marker manifests
+    val loaded = loadRanges(spark, dir,
+      statsKeyCol.orElse(StatsIndex.keyOf(spark, dir)))
+    // staleness: a manifest that doesn't cover the dir admits everything
+    val ranges =
+      if (loaded.nonEmpty &&
+          files.map(_.getPath.getName).forall(loaded.contains)) loaded
+      else Map.empty[String, Ranges]
+    val schema = Versioned.readSchemaMarker(f, dir)
+      .getOrElse(spark.read.parquet(dir).schema)
+    val index = new ManifestFileIndex(spark, dir, files, ranges)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
+
+  /** How many files the (already executed) frame's parquet scans read —
+    * the planning-time pruning observable (`df.inputFiles` reports the
+    * PRE-pruning relation listing, so the proof lives in the scan's
+    * numFiles metric). Run an action on `df` first. */
+  def scannedFileCount(df: DataFrame): Long = {
+    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    finalPlan(df.queryExecution.executedPlan).collectLeaves().map {
+      case s: FileSourceScanExec => s.metrics("numFiles").value
+      case _ => 0L
+    }.sum
+  }
+}

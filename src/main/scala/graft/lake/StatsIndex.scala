@@ -57,10 +57,30 @@ object StatsIndex {
         count(col("k")).as("non_null"), count(lit(1)).as("rows"))
 
   /** Build/refresh the manifest for every `part-*` file in `dir`. */
-  def build(spark: SparkSession, dir: String, keyCol: String): Unit =
+  def build(spark: SparkSession, dir: String, keyCol: String): Unit = {
     scanStats(spark, Seq(dir), keyCol)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsDir(dir))
+    writeKeyMarker(spark, dir, keyCol)
+  }
+
+  // `_stats/_key` names the indexed column — the manifest is otherwise
+  // anonymous, and a planning-time consumer ([[SkipScan]]) needs to know
+  // WHICH column the ranges describe without being told
+  private def writeKeyMarker(spark: SparkSession, dir: String,
+                             keyCol: String): Unit = {
+    require(!keyCol.contains("\n"), s"unsafe column name $keyCol")
+    val out = fs(spark, dir).create(
+      new Path(statsDir(dir), "_key"), true)
+    try out.write(keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The column the `_stats` manifest describes; None when `dir` has no
+    * manifest or it predates the key marker. */
+  def keyOf(spark: SparkSession, dir: String): Option[String] =
+    Versioned.readSmallFile(fs(spark, dir),
+      new Path(statsDir(dir), "_key"))
 
   /** Manifest rows keyed by file name; None when `dir` has no manifest.
     * Read DRIVER-SIDE with parquet-mr — the manifest is files × ~40 bytes,
@@ -247,5 +267,6 @@ object StatsIndex {
         .map(p => p.getName ->
           old.getOrElse(p.getName, footerStats(conf, p, keyCol)))
       writeManifest(conf, newDir, rows)
+      writeKeyMarker(spark, newDir, keyCol)
     }
 }

@@ -1,0 +1,128 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * [[SkipScan]]: plan-time automatic file skipping. A plain
+ * `.filter`/SQL predicate over [[SkipScan.scan]]'s frame prunes files
+ * at PLANNING time from the committed manifests (no special read API in
+ * the query), the result always equals the full scan + filter, and
+ * every not-understood shape degrades to admit-all — slow, never wrong.
+ */
+class SkipScanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-skipscan").toString
+
+  // 8 range-clustered files over k = 0..799, _stats manifest (self-named)
+  private lazy val rangeDir: String = {
+    val d = s"$root/range"
+    Cluster.writeClustered(
+      (0L until 800L).map(k => (k, s"v$k", k % 7)).toDF("k", "v", "g"),
+      d, nFiles = 8, col("k"))
+    StatsIndex.build(spark, d, "k")
+    d
+  }
+
+  private def prove(df: DataFrame, expectFiles: Long,
+                    oracle: DataFrame): Unit = {
+    val got = df.collect().toSeq
+    assert(SkipScan.scannedFileCount(df) == expectFiles,
+      s"expected $expectFiles files scanned")
+    assert(got.toSet == oracle.collect().toSet)
+  }
+
+  test("a plain DataFrame range filter prunes files at planning time; " +
+      "result equals the full scan") {
+    val full = spark.read.parquet(rangeDir)
+    // 0..799 over 8 files => ~100 keys/file
+    prove(SkipScan.scan(spark, rangeDir).filter($"k" >= 250 && $"k" <= 310),
+      expectFiles = 2, full.filter($"k" >= 250 && $"k" <= 310))
+    prove(SkipScan.scan(spark, rangeDir).filter($"k" === 512L),
+      expectFiles = 1, full.filter($"k" === 512L))
+    // no predicate: every file
+    prove(SkipScan.scan(spark, rangeDir), 8, full)
+  }
+
+  test("SQL over a temp view prunes the same way; OR unions intervals; " +
+      "IN admits per member") {
+    SkipScan.scan(spark, rangeDir).createOrReplaceTempView("skipscan_t")
+    val full = spark.read.parquet(rangeDir)
+    val orQ = spark.sql(
+      "SELECT * FROM skipscan_t WHERE k < 50 OR k > 760")
+    prove(orQ, 2, full.filter($"k" < 50 || $"k" > 760))
+    val inQ = spark.sql(
+      "SELECT * FROM skipscan_t WHERE k IN (5, 405, 406)")
+    prove(inQ, 2, full.filter($"k".isin(5L, 405L, 406L)))
+  }
+
+  test("uncovered columns and fractional literals stay conservative — " +
+      "never a missing row") {
+    val full = spark.read.parquet(rangeDir)
+    // g is not in any manifest: admit everything, filter at row level
+    prove(SkipScan.scan(spark, rangeDir).filter($"g" === 3L), 8,
+      full.filter($"g" === 3L))
+    // fractional bound: floor/ceil admission over the truncated stats
+    prove(SkipScan.scan(spark, rangeDir)
+        .filter($"k" > lit(399.5) && $"k" < lit(410.5)),
+      1, full.filter($"k" > 399.5 && $"k" < 410.5))
+  }
+
+  test("an all-NULL-key file is excluded PRECISELY: comparisons skip it, " +
+      "IS NULL reads only it") {
+    val d = s"$root/nulls"
+    val rows = (1L to 10L).map(k => (Some(k), s"v$k")) ++
+      (0 until 10).map(i => (None, s"n$i"))
+    Cluster.writeClustered(
+      rows.toDF("k", "v"), d, nFiles = 2, col("k"))
+    StatsIndex.build(spark, d, "k")
+    val full = spark.read.parquet(d)
+    prove(SkipScan.scan(spark, d).filter($"k" === 5L), 1,
+      full.filter($"k" === 5L))
+    prove(SkipScan.scan(spark, d).filter($"k".isNull), 1,
+      full.filter($"k".isNull))
+  }
+
+  test("a stale manifest (file landed after build) degrades to the full " +
+      "scan — the new file's rows are never missing") {
+    val d = s"$root/stale"
+    Cluster.writeClustered(
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v"),
+      d, nFiles = 4, col("k"))
+    StatsIndex.build(spark, d, "k")
+    // land a file the manifest never saw (raw append — the Versioned DML
+    // paths rebuild manifests; this simulates an out-of-band writer)
+    Seq((1000L, "late")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(d)
+    val df = SkipScan.scan(spark, d).filter($"k" >= 1000L)
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("late"))
+    assert(SkipScan.scannedFileCount(df) == 5) // full scan: no pruning
+  }
+
+  test("the z-order _boxstats manifest drives multi-column pruning " +
+      "through plain predicates") {
+    val d = s"$root/zbox"
+    Versioned.publish(
+      (0L until 4000L).map(k => (k, k % 64, (k * 37) % 1000))
+        .toDF("k", "a", "b"), d)
+    ZOrder.cluster(spark, d, Seq("a", "b"), keyCol = "k",
+      targetBytes = 12L * 1024)
+    val v2 = s"$d/v=2"
+    val total = Versioned.dataFilePaths(spark, v2).size.toLong
+    assert(total >= 4, s"fixture too small: $total files")
+    val full = spark.read.parquet(v2)
+    val df = SkipScan.scan(spark, v2)
+      .filter($"a" >= 8 && $"a" <= 18 && $"b" >= 100 && $"b" <= 260)
+    val got = df.collect().toSet
+    val n = SkipScan.scannedFileCount(df)
+    assert(n < total, s"box probe did not prune: $n of $total")
+    assert(got == full.filter($"a" >= 8 && $"a" <= 18 &&
+      $"b" >= 100 && $"b" <= 260).collect().toSet)
+  }
+}
