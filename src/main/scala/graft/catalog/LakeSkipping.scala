@@ -189,7 +189,29 @@ object LakeSkipping extends Family {
       atMost = 4, total = 8, what = "SkipScan box")
   }
 
+  // ------------------------------------------------------------------
+  // The WIRED surface end-to-end: a registered lake table + plain
+  // ad-hoc SQL — Sql.registerTable binds the qualifying live version
+  // through the manifest FileIndex, so the user's WHERE prunes with no
+  // graft API in the query text at all. This is the full production
+  // path a 100 TB dashboard query takes.
+  private val sqlPushdown = Q(
+    "lake_skip_sql_pushdown",
+    Some(s"""
+      SELECT $ocolsSql
+      FROM read_parquet('${rc()}/part-*.parquet', hive_partitioning=false)
+      WHERE o_orderkey BETWEEN 2000 AND 2400
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    graft.Sql.registerTable(spark, "olk_skip_sql",
+      Fixtures.abs("fixtures/lake/orders_rc"))
+    plannerPruned(
+      spark.sql("SELECT " + ocolsSql + " FROM olk_skip_sql " +
+        "WHERE o_orderkey BETWEEN 2000 AND 2400 ORDER BY o_orderkey"),
+      atMost = 2, total = 16, what = "registered-table SQL pushdown")
+  }
+
   def specs: Seq[Q] =
     Seq(statsRange, bloomPoint, zorderBox, tokenBloom, plannerRange,
-      plannerBox)
+      plannerBox, sqlPushdown)
 }

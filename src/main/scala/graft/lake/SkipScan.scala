@@ -283,6 +283,32 @@ object SkipScan {
     spark.baseRelationToDataFrame(relation)
   }
 
+  /** [[Versioned.readVersion]] routed through the manifest [[FileIndex]]
+    * when version `v` qualifies — a PLAIN data dir (no `_ref`, no
+    * deletion vector, no column mapping: those need the overlay
+    * machinery) carrying a skipping manifest. This is what
+    * [[graft.Sql.registerTable]] binds, so a registered clustered lake
+    * table gives EVERY ad-hoc SQL predicate plan-time file pruning; any
+    * non-qualifying version falls back to the plain read. Same
+    * uncommitted-txn visibility gate as readVersion. */
+  def readVersionAuto(spark: SparkSession, table: String,
+                      v: Long): DataFrame = {
+    val own = s"$table/v=$v"
+    val f = fs(spark, own)
+    val plain = !f.exists(new Path(s"$own/_ref")) &&
+      !f.exists(new Path(s"$own/_dv")) &&
+      !f.exists(new Path(s"$own/_column_mapping"))
+    val indexed = plain && (StatsIndex.keyOf(spark, own).isDefined ||
+      f.exists(new Path(s"$own/_boxstats")))
+    if (!indexed) Versioned.readVersion(spark, table, v)
+    else {
+      require(Txn.visible(f, own),
+        s"version $v of $table belongs to an uncommitted cross-table " +
+          "transaction — not readable")
+      scan(spark, own)
+    }
+  }
+
   /** How many files the (already executed) frame's parquet scans read —
     * the planning-time pruning observable (`df.inputFiles` reports the
     * PRE-pruning relation listing, so the proof lives in the scan's

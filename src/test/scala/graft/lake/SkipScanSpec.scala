@@ -105,6 +105,26 @@ class SkipScanSpec extends SparkSpec {
     assert(SkipScan.scannedFileCount(df) == 5) // full scan: no pruning
   }
 
+  test("a REGISTERED clustered lake table prunes ad-hoc SQL at planning " +
+      "time; a zero-copy DML version falls back to the plain read") {
+    val d = s"$root/registered"
+    Forget.publishClustered(
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v"),
+      d, nFiles = 4, keyCol = "k", stats = true)
+    graft.Sql.registerTable(spark, "skipreg_t", d)
+    val q = spark.sql("SELECT v FROM skipreg_t WHERE k BETWEEN 210 AND 230")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq
+      == (210L to 230L).map(k => s"v$k").sorted)
+    assert(SkipScan.scannedFileCount(q) == 1,
+      "registered-table SQL did not prune at planning")
+    // zero-copy merge -> the live version is a ref: rebind falls back to
+    // the plain (overlay-aware) read, results stay correct
+    Dv.merge(spark, d, "k", Seq((1000L, "late")).toDF("k", "v"))
+    graft.Sql.registerTable(spark, "skipreg_t", d)
+    val q2 = spark.sql("SELECT v FROM skipreg_t WHERE k >= 1000")
+    assert(q2.collect().map(_.getString(0)).toSeq == Seq("late"))
+  }
+
   test("the z-order _boxstats manifest drives multi-column pruning " +
       "through plain predicates") {
     val d = s"$root/zbox"
