@@ -211,7 +211,31 @@ object LakeSkipping extends Family {
       atMost = 2, total = 16, what = "registered-table SQL pushdown")
   }
 
+  // ------------------------------------------------------------------
+  // STRING skipping through the wired path: the `_strstats` per-file
+  // min/max manifest turns a plain LIKE-prefix over the name-clustered
+  // catalog into a 3-of-16-file read (the `LIKE 'red %'` interval
+  // [“red ”, “red!”) in UTF8-binary order intersects only the files
+  // whose name range covers “red”) — the registered table + ad-hoc SQL
+  // again, no graft API in the query text.
+  private val stringPrefix = Q(
+    "lake_skip_string_prefix",
+    Some(s"""
+      SELECT p_partkey, p_name, p_brand, p_type, p_retailprice
+      FROM read_parquet('${tb()}/part-*.parquet', hive_partitioning=false)
+      WHERE p_name LIKE 'red %'
+      ORDER BY p_partkey
+    """)) { (spark, _) =>
+    graft.Sql.registerTable(spark, "parts_skip_str",
+      Fixtures.abs("fixtures/lake/parts_tb"))
+    plannerPruned(
+      spark.sql("SELECT p_partkey, p_name, p_brand, p_type, " +
+        "p_retailprice FROM parts_skip_str WHERE p_name LIKE 'red %' " +
+        "ORDER BY p_partkey"),
+      atMost = 3, total = 16, what = "string-prefix pushdown")
+  }
+
   def specs: Seq[Q] =
     Seq(statsRange, bloomPoint, zorderBox, tokenBloom, plannerRange,
-      plannerBox, sqlPushdown)
+      plannerBox, sqlPushdown, stringPrefix)
 }

@@ -144,6 +144,9 @@ object Compact {
       // carried one (else keyword search silently degrades to full scans
       // until a manual re-index)
       TokenBloom.rebuildIfIndexed(spark, liveDir, newDir)
+      // string min/max manifest: same ride (column list is in the old
+      // manifest itself)
+      StrStats.rebuildIfPresent(spark, liveDir, newDir)
       // carry the CDC replay-dedup tag forward: compaction changes the
       // layout, not the applied-batch watermark, and a streaming sink's
       // crash-replay probe must survive a maintenance publish + vacuum

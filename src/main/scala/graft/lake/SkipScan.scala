@@ -48,10 +48,17 @@ import org.apache.spark.sql.types.StructType
  */
 object SkipScan {
 
-  /** Per-file long-domain column ranges: column → (min, max, nonNull),
-    * plus the file's row count. min/max None = no non-null values. */
+  /** Per-file column ranges: long-domain (`by`) and string-domain
+    * (`byStr`, UTF8-binary order) → (min, max, nonNull), plus the
+    * file's row count. min/max None = no non-null values. */
   private final case class Ranges(
-      by: Map[String, (Option[Long], Option[Long], Long)], rows: Long)
+      by: Map[String, (Option[Long], Option[Long], Long)],
+      rows: Long,
+      byStr: Map[String, (Option[String], Option[String], Long)] =
+        Map.empty) {
+    def nonNullOf(c: String): Option[Long] =
+      by.get(c).map(_._3).orElse(byStr.get(c).map(_._3))
+  }
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -139,13 +146,46 @@ object SkipScan {
         case None => true
       }
     case IsNull(a) if attrOf(a).isDefined =>
-      r.by.get(attrOf(a).get.name.toLowerCase).fold(true) {
-        case (_, _, nn) => r.rows - nn > 0
-      }
+      r.nonNullOf(attrOf(a).get.name.toLowerCase)
+        .fold(true)(nn => r.rows - nn > 0)
     case IsNotNull(a) if attrOf(a).isDefined =>
-      r.by.get(attrOf(a).get.name.toLowerCase)
-        .fold(true) { case (_, _, nn) => nn > 0 }
+      r.nonNullOf(attrOf(a).get.name.toLowerCase).fold(true)(_ > 0)
+    // LIKE 'p%' compiles to StartsWith: strings with prefix p form the
+    // UTF8-binary interval [p, nextPrefix(p)) — admit when the file's
+    // [min, max] intersects it (no upper bound when every byte of p is
+    // 0xFF: admit on max >= p alone)
+    case StartsWith(a, Literal(p: org.apache.spark.unsafe.types.UTF8String,
+        _)) if attrOf(a).isDefined =>
+      r.byStr.get(attrOf(a).get.name.toLowerCase) match {
+        case None => true
+        case Some((_, _, nn)) if nn == 0 => false
+        case Some((mn, mx, _)) =>
+          val lo = p
+          utf8(mx.get).compareTo(lo) >= 0 && (nextPrefix(lo) match {
+            case None => true
+            case Some(hiEx) => utf8(mn.get).compareTo(hiEx) < 0
+          })
+      }
     case _ => true
+  }
+
+  private def utf8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  // the exclusive upper bound of the prefix interval: p's bytes with the
+  // last non-0xFF byte incremented (trailing 0xFF bytes dropped); None
+  // when every byte is 0xFF (no bound — admit)
+  private def nextPrefix(p: org.apache.spark.unsafe.types.UTF8String)
+      : Option[org.apache.spark.unsafe.types.UTF8String] = {
+    val b = p.getBytes.clone()
+    var i = b.length - 1
+    while (i >= 0 && b(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      b(i) = (b(i) + 1).toByte
+      Some(org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(java.util.Arrays.copyOf(b, i + 1)))
+    }
   }
 
   // the literal as a CLOSED long interval [floor(v), ceil(v)] — the
@@ -173,6 +213,25 @@ object SkipScan {
   // interval over their truncated stats.
   private def cmp(a: Expression, b: Expression, r: Ranges,
                   op: String): Boolean = (a, b) match {
+    case (at, lit: Literal) if attrOf(at).isDefined &&
+        lit.value.isInstanceOf[org.apache.spark.unsafe.types.UTF8String] =>
+      // string comparison in UTF8-binary order against the `_strstats`
+      // interval — exact semantics, no truncation to reason around
+      val v = lit.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      r.byStr.get(attrOf(at).get.name.toLowerCase) match {
+        case None => true
+        case Some((_, _, nn)) if nn == 0 => false
+        case Some((mn, mx, _)) =>
+          val lo = utf8(mn.get); val hi = utf8(mx.get)
+          op match {
+            case "=" => lo.compareTo(v) <= 0 && hi.compareTo(v) >= 0
+            case ">" => hi.compareTo(v) > 0
+            case ">=" => hi.compareTo(v) >= 0
+            case "<" => lo.compareTo(v) < 0
+            case "<=" => lo.compareTo(v) <= 0
+            case _ => true
+          }
+      }
     case (at, lit: Literal) if attrOf(at).isDefined =>
       val attr = attrOf(at).get
       r.by.get(attr.name.toLowerCase) match {
@@ -234,12 +293,19 @@ object SkipScan {
           st.rows)
       })
     }.getOrElse(Map.empty)
-    (fromBox.keySet ++ fromStats.keySet).map { f =>
+    val fromStr: Map[String,
+        (Map[String, (Option[String], Option[String], Long)], Long)] =
+      StrStats.load(spark, dir).map(_._2.map { case (f, (by, rows)) =>
+        f -> ((by.map { case (c, v) => c.toLowerCase -> v }, rows))
+      }).getOrElse(Map.empty)
+    (fromBox.keySet ++ fromStats.keySet ++ fromStr.keySet).map { f =>
       val merged = fromBox.get(f).map(_.by).getOrElse(Map.empty) ++
         fromStats.get(f).map(_.by).getOrElse(Map.empty)
       val rows = fromStats.get(f).map(_.rows)
-        .orElse(fromBox.get(f).map(_.rows)).getOrElse(0L)
-      f -> Ranges(merged, rows)
+        .orElse(fromBox.get(f).map(_.rows))
+        .orElse(fromStr.get(f).map(_._2)).getOrElse(0L)
+      f -> Ranges(merged, rows,
+        byStr = fromStr.get(f).map(_._1).getOrElse(Map.empty))
     }.toMap
   }
 
@@ -299,7 +365,8 @@ object SkipScan {
       !f.exists(new Path(s"$own/_dv")) &&
       !f.exists(new Path(s"$own/_column_mapping"))
     val indexed = plain && (StatsIndex.keyOf(spark, own).isDefined ||
-      f.exists(new Path(s"$own/_boxstats")))
+      f.exists(new Path(s"$own/_boxstats")) ||
+      StrStats.exists(spark, own))
     if (!indexed) Versioned.readVersion(spark, table, v)
     else {
       require(Txn.visible(f, own),

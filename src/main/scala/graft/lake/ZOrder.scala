@@ -170,6 +170,7 @@ object ZOrder {
       if (hadStats) StatsIndex.build(spark, newDir, keyCol)
       // token-Bloom index: rebuilt like `_bloom`/`_stats` (see compactVersion)
       TokenBloom.rebuildIfIndexed(spark, liveDir, newDir)
+      StrStats.rebuildIfPresent(spark, liveDir, newDir)
       val tag = new Path(s"$liveDir/_cdc_batch")
       if (f.exists(tag))
         org.apache.hadoop.fs.FileUtil.copy(

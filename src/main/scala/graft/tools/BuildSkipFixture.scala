@@ -93,6 +93,9 @@ object BuildSkipFixture {
       parts.repartitionByRange(16, col("p_name"))
         .sortWithinPartitions(col("p_name")), tb)
     TokenBloom.index(spark, s"$tb/v=1", "p_name")
+    // string min/max manifest: the name-clustered layout's planner leg
+    // (equality / LIKE-prefix predicates prune through SkipScan)
+    graft.lake.StrStats.build(spark, s"$tb/v=1", Seq("p_name", "p_brand"))
     println(s"[skip-fixture] $tb: " +
       s"${Versioned.dataFilePaths(spark, s"$tb/v=1").size} files, " +
       s"tokmeta=${TokenBloom.meta(spark, s"$tb/v=1")}")

@@ -125,6 +125,34 @@ class SkipScanSpec extends SparkSpec {
     assert(q2.collect().map(_.getString(0)).toSeq == Seq("late"))
   }
 
+  test("string equality, ranges and LIKE-prefix predicates prune " +
+      "through the _strstats manifest") {
+    val d = s"$root/strings"
+    val names = ('a' to 'h').flatMap(c =>
+      (0 until 25).map(i => f"$c%c-item-$i%02d"))
+    Cluster.writeClustered(
+      names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("k", "name"),
+      d, nFiles = 4, col("name"))
+    StrStats.build(spark, d, Seq("name"))
+    val full = spark.read.parquet(d)
+    // 8 letters over 4 files => 2 letters/file
+    prove(SkipScan.scan(spark, d).filter($"name" === "f-item-10"), 1,
+      full.filter($"name" === "f-item-10"))
+    prove(SkipScan.scan(spark, d).filter($"name" > "g"), 1,
+      full.filter($"name" > "g"))
+    SkipScan.scan(spark, d).createOrReplaceTempView("skipstr_t")
+    val like = spark.sql("SELECT * FROM skipstr_t WHERE name LIKE 'c-%'")
+    prove(like, 1, full.filter($"name".startsWith("c-")))
+    // a prefix no file's interval can hold reads nothing
+    val none = spark.sql("SELECT * FROM skipstr_t WHERE name LIKE 'z%'")
+    assert(none.collect().isEmpty)
+    assert(SkipScan.scannedFileCount(none) == 0)
+    // conservative: LIKE with a non-prefix pattern admits everything
+    prove(spark.sql("SELECT * FROM skipstr_t WHERE name LIKE '%item-03'"),
+      4, full.filter($"name".endsWith("item-03")))
+  }
+
   test("the z-order _boxstats manifest drives multi-column pruning " +
       "through plain predicates") {
     val d = s"$root/zbox"
