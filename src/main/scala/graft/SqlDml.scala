@@ -904,9 +904,12 @@ object SqlDml {
     *    SUPERSET of the query's (equal → direct read; coarser query →
     *    re-aggregate the dimension-sized MV: sum of n_rows/sum_c/cnt_c,
     *    min of min_c, max of max_c, avg = sum_c / cnt_c — the algebra is
-    *    re-aggregable by construction; AVG needs the view's `cntCols`
-    *    leg and a non-decimal source column), and every select item maps
-    *    onto materialized columns;
+    *    re-aggregable by construction; SUM/AVG additionally require the
+    *    view's Decimal(38,6) accumulator to be EXACT for the source type
+    *    (integral, or decimal of scale <= 6 — float/double sources
+    *    quantize at 1e-6 in the accumulator and fall through to the
+    *    base), and AVG needs the `cntCols` leg and an integral source),
+    *    and every select item maps onto materialized columns;
     *  - the MV is CURRENT for THIS SESSION: its sync watermark equals
     *    the version the source's registered temp view is BOUND to (a
     *    stale MV — or one synced ahead of an un-rebound view — answers
@@ -1060,6 +1063,31 @@ object SqlDml {
     // column type — registered at lookup time, so always resolvable.
     import org.apache.spark.sql.types._
     val srcSchema = spark.table(srcName).schema
+    // EXACTNESS gate for the additive aggregates: the view accumulates
+    // sums as Decimal(38,6) (MatView.acc), which represents INTEGRAL
+    // values and decimals of scale <= 6 exactly but QUANTIZES
+    // float/double (a 1e-7 value materializes as 0.000000) and
+    // wider-scale decimals — a rewritten SUM/AVG there would silently
+    // diverge from the base recompute, so those sources fall through to
+    // the always-correct base scan. AVG additionally excludes decimal
+    // sources (base decimal avg carries Spark-internal rounding the
+    // derived division is not guaranteed to reproduce).
+    def accExact(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale <= 6 && d.precision - d.scale <= 32
+      case _ => false
+    }
+    parsed.foreach {
+      case AggItem("sum", c, _) =>
+        val dt = srcSchema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(_.dataType).getOrElse(return None)
+        if (!accExact(dt)) return None
+      case AggItem("avg", c, _) =>
+        val dt = srcSchema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(_.dataType).getOrElse(return None)
+        if (!accExact(dt) || dt.isInstanceOf[DecimalType]) return None
+      case _ => ()
+    }
     val sumTypes: Map[String, String] = parsed.collect {
       case AggItem("sum", c, _) => c
     }.map { c =>
@@ -1067,27 +1095,11 @@ object SqlDml {
         .map(_.dataType).getOrElse(return None)
       c -> (dt match {
         case ByteType | ShortType | IntegerType | LongType => "BIGINT"
-        case FloatType | DoubleType => "DOUBLE"
         case d: DecimalType =>
           s"DECIMAL(${math.min(38, d.precision + 10)},${d.scale})"
         case other => other.sql
       })
     }.toMap
-    // AVG only over non-decimal numerics (base avg returns DOUBLE there,
-    // and sum/cnt division reproduces it bit-for-bit at these magnitudes);
-    // a DECIMAL source's avg carries Spark-internal rounding the derived
-    // division is not guaranteed to reproduce — fall through to the base
-    parsed.foreach {
-      case AggItem("avg", c, _) =>
-        val dt = srcSchema.fields.find(_.name.equalsIgnoreCase(c))
-          .map(_.dataType).getOrElse(return None)
-        dt match {
-          case ByteType | ShortType | IntegerType | LongType |
-               FloatType | DoubleType => ()
-          case _ => return None
-        }
-      case _ => ()
-    }
     val sel = parsed.map {
       case GroupItem(c, out) => s"$c AS `$out`"
       case CountItem(out) => s"sum(n_rows) AS `$out`"

@@ -136,6 +136,12 @@ object LakeSkipping extends Family {
   // metric), require the plan opened few files, hand it back
   private def plannerPruned(df: DataFrame, atMost: Long, total: Long,
                             what: String): DataFrame = {
+    // persist so the probe materialization ALSO serves the harness's own
+    // consumption of the returned frame (hash dump / bench) — without it
+    // every planner-pruned cell would execute twice and the bench cell
+    // would time double the real query. Fixture-sized: a few hundred rows
+    // stay cached for the session.
+    df.persist()
     df.collect()
     val n = graft.lake.SkipScan.scannedFileCount(df)
     require(n <= atMost && n < total,

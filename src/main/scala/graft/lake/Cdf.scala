@@ -171,20 +171,32 @@ object Cdf {
     val p2l: Map[String, String] =
       Versioned.readColumnMapping(f, s"$table/v=$live")
         .getOrElse(Map.empty).map(_.swap)
-    if (sinceV >= 1 && live > sinceV &&
-        (Versioned.schemaMarkerAt(spark, table, sinceV).isDefined ||
-          Versioned.schemaMarkerAt(spark, table, live).isDefined)) {
-      val sinceDir = Versioned.dataDir(spark, table, sinceV)
-      if (f.exists(new Path(sinceDir))) {
+    // the live logical column set, for the per-frame stray-name check
+    // below (computed once, only when a mapping exists at all)
+    lazy val liveLogicalCols: Option[Set[String]] =
+      if (p2l.isEmpty) None
+      else Some(Versioned.schemaAt(spark, table, live)
+        .fieldNames.map(_.toLowerCase).toSet)
+    // the guard compares the FIRST IN-SPAN version's schema (sinceV + 1 —
+    // the span is exclusive of sinceV, so its schema describes no frame;
+    // using it would wrongly reject a sub-span that STARTS at the
+    // schema-change version) against the until version's
+    val firstV = sinceV + 1
+    if (firstV >= 1 && live >= firstV &&
+        (Versioned.schemaMarkerAt(spark, table, firstV).isDefined ||
+          Versioned.schemaMarkerAt(spark, table, live).isDefined) &&
+        f.exists(new Path(s"$table/v=$firstV"))) {
+      val firstDir = Versioned.dataDir(spark, table, firstV)
+      if (f.exists(new Path(firstDir))) {
         val liveCols = Versioned.schemaAt(spark, table, live)
           .fieldNames.map(_.toLowerCase).toSet
-        val narrowed = Versioned.schemaAt(spark, table, sinceV)
+        val narrowed = Versioned.schemaAt(spark, table, firstV)
           .fieldNames.filterNot(c =>
             liveCols(p2l.getOrElse(c, c).toLowerCase))
         if (narrowed.nonEmpty)
           throw new IllegalStateException(
             s"$table column(s) ${narrowed.toSeq.sorted} present at " +
-              s"v$sinceV resolve to nothing at v$live (a DROP, or a " +
+              s"v$firstV resolve to nothing at v$live (a DROP, or a " +
               "rename no longer witnessed by the column mapping) — the " +
               "change feed cannot express a narrowing as one frame; " +
               "resync from a snapshot (Cdf.seed) or read the sub-spans " +
@@ -234,8 +246,27 @@ object Cdf {
             // logical names are no one's physical name and pass through
             val unified =
               if (p2l.isEmpty) frame
-              else frame.select(frame.columns.toSeq.map(c =>
-                col(s"`$c`").as(p2l.getOrElse(c, c))): _*)
+              else {
+                val mapped = frame.select(frame.columns.toSeq.map(c =>
+                  col(s"`$c`").as(p2l.getOrElse(c, c))): _*)
+                // a frame written under an INTERMEDIATE logical name (a
+                // column renamed more than once in the span: its
+                // then-logical spelling is neither a physical name the
+                // mapping witnesses nor the live name) cannot re-unify —
+                // reject loudly instead of letting unionByName split it.
+                // The endpoint guard above can't see this: it compares
+                // only the sinceV and live schemas.
+                val stray = mapped.columns
+                  .filterNot(c => c == "_op" ||
+                    liveLogicalCols.exists(_(c.toLowerCase)))
+                if (stray.nonEmpty)
+                  throw new IllegalStateException(
+                    s"$table v$v feed column(s) ${stray.toSeq.sorted} " +
+                      s"resolve to nothing at v$live (renamed more than " +
+                      "once in the span?) — read the sub-spans on each " +
+                      "side of the schema change, or resync (Cdf.seed)")
+                mapped
+              }
             Some(unified.withColumn("_version", lit(v)))
           } catch {
             case e: org.apache.spark.sql.AnalysisException

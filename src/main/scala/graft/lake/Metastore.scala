@@ -49,12 +49,23 @@ object Metastore {
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // catalog entry names are path segments: SQL-identifier shape only
+  // catalog entry names are path segments: NEW claims take SQL-identifier
+  // shape only
   private def validName(name: String): String = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"catalog entry name '$name' is not a SQL identifier " +
         "([A-Za-z_][A-Za-z0-9_]*) — names become catalog files, and a " +
         "separator or traversal segment would escape the catalog dir")
+    name.toLowerCase
+  }
+
+  // ACCESS (has/remove) is laxer than claim: a catalog written before the
+  // identifier rule may hold e.g. a leading-digit name, and an entry that
+  // exists must stay removable — only path-escape shapes reject
+  private def safeSegment(name: String): String = {
+    require(name.nonEmpty && name != "." && name != ".." &&
+        !name.exists(c => c == '/' || c == '\\' || c.isWhitespace),
+      s"catalog entry name '$name' is not a safe path segment")
     name.toLowerCase
   }
 
@@ -69,10 +80,14 @@ object Metastore {
     v
   }
 
-  private def tableEntry(dir: String, name: String) =
-    new Path(s"$dir/tables/${validName(name)}")
-  private def viewEntry(dir: String, name: String) =
-    new Path(s"$dir/views/${validName(name)}")
+  private def tableEntry(dir: String, name: String,
+                         claiming: Boolean = false) =
+    new Path(s"$dir/tables/${if (claiming) validName(name)
+      else safeSegment(name)}")
+  private def viewEntry(dir: String, name: String,
+                        claiming: Boolean = false) =
+    new Path(s"$dir/views/${if (claiming) validName(name)
+      else safeSegment(name)}")
 
   /** One durable binding. `keyCol = None` = registered read-only. */
   final case class Binding(name: String, path: String,
@@ -125,7 +140,8 @@ object Metastore {
     * THIS call created the entry (vs verified an identical one). */
   def recordTable(spark: SparkSession, catalogDir: String, name: String,
                   path: String, keyCol: Option[String]): Boolean =
-    claim(fs(spark, catalogDir), tableEntry(catalogDir, name),
+    claim(fs(spark, catalogDir), tableEntry(catalogDir, name,
+        claiming = true),
       s"t ${validToken("table path", path)} " +
         validToken("key column", keyCol.getOrElse("-")),
       "table", name)
@@ -139,7 +155,8 @@ object Metastore {
     * THIS call created the entry. */
   def recordView(spark: SparkSession, catalogDir: String, name: String,
                  path: String): Boolean =
-    claim(fs(spark, catalogDir), viewEntry(catalogDir, name),
+    claim(fs(spark, catalogDir), viewEntry(catalogDir, name,
+        claiming = true),
       s"v ${validToken("view path", path)}", "materialized view", name)
 
   /** Drop a table binding; true when an entry existed. Data untouched

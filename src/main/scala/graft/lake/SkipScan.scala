@@ -199,7 +199,11 @@ object SkipScan {
     case l: Long => Some((l, l))
     case f: Float => literalLong(f.toDouble)
     case d: Double =>
-      if (d.isNaN || math.abs(d) >= 9.0e15) None // past exact-long doubles
+      // bound at 2^52, not 2^53: fractional doubles lose their fraction
+      // from 2^52 up (a Decimal literal 2^52 + 0.5 rounds to a WHOLE
+      // double, and the integral-column tightening would then wrongly
+      // exclude boundary files) — past it, admit
+      if (d.isNaN || math.abs(d) >= 4503599627370496.0) None
       else Some((math.floor(d).toLong, math.ceil(d).toLong))
     case d: org.apache.spark.sql.types.Decimal =>
       literalLong(d.toDouble)
@@ -386,9 +390,16 @@ object SkipScan {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
     }
-    finalPlan(df.queryExecution.executedPlan).collectLeaves().map {
-      case s: FileSourceScanExec => s.metrics("numFiles").value
-      case _ => 0L
-    }.sum
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Long =
+      finalPlan(p).collectLeaves().map {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+        // a persisted frame hides the scan behind the cache — the metric
+        // lives on the plan that BUILT the cache (populated by the
+        // materializing action)
+        case im: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => count(im.relation.cachedPlan)
+        case _ => 0L
+      }.sum
+    count(df.queryExecution.executedPlan)
   }
 }

@@ -191,4 +191,34 @@ class MvRewriteSpec extends SparkSpec {
     parity("SELECT color, count(*) AS n FROM rw4_src " +
       "WHERE color = 'nope' GROUP BY color ORDER BY color")
   }
+
+  test("SUM/AVG over a DOUBLE column fall through: the view's " +
+      "Decimal(38,6) accumulator quantizes sub-1e-6 values") {
+    val t = s"$root/src5"
+    // values below the accumulator's quantum: a rewritten sum/avg would
+    // answer 0.0 where the base answers 2e-7
+    Forget.publishIndexed(
+      (0 until 10).map(k => (k.toLong, s"c${k % 2}", k * 1e-7))
+        .toDF("k", "color", "d"),
+      t, 1, "k", stats = true)
+    SqlDml.register(spark, "rw5_src", t, "k")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rw5_mv LOCATION '$root/mv5' AS
+         |SELECT color, count(*), sum(d) FROM rw5_src
+         |GROUP BY color""".stripMargin)
+    Seq("SELECT color, sum(d) AS s FROM rw5_src GROUP BY color " +
+          "ORDER BY color",
+        "SELECT color, avg(d) AS a FROM rw5_src GROUP BY color " +
+          "ORDER BY color").foreach { q =>
+      val df = Sql.sql(spark, q)
+      assert(!underPath(df.inputFiles, s"$root/mv5"),
+        s"'$q' must not rewrite to the quantizing accumulator")
+      // the base answer keeps the sub-quantum values
+      assert(df.collect().map(_.getDouble(1)).forall(_ > 0d))
+    }
+    // count(*) alone still rewrites — n_rows is exact regardless
+    assert(underPath(Sql.sql(spark,
+      "SELECT color, count(*) AS n FROM rw5_src GROUP BY color")
+      .inputFiles, s"$root/mv5"))
+  }
 }

@@ -177,12 +177,20 @@ class MetastoreSpec extends SparkSpec {
         }
         assert(e.getMessage.contains("not a SQL identifier"), n)
         intercept[IllegalArgumentException] {
-          Metastore.removeTable(spark, cat, n)
-        }
-        intercept[IllegalArgumentException] {
           Metastore.recordView(spark, cat, n, s"$root/x")
         }
       }
+    // ACCESS is laxer than claim (a pre-rule catalog may hold such
+    // names and they must stay removable): only path-escape shapes
+    // reject on remove, odd-but-safe segments are addressable
+    Seq("../escape", "a/b", "..", "sp ace").foreach { n =>
+      intercept[IllegalArgumentException] {
+        Metastore.removeTable(spark, cat, n)
+      }
+    }
+    Seq("1leading", "semi;colon").foreach { n =>
+      assert(!Metastore.removeTable(spark, cat, n)) // no entry; no throw
+    }
     // nothing escaped: the catalog dir gained no files at all
     assert(!new java.io.File(cat).exists() ||
       new java.io.File(cat).listFiles().forall(d =>

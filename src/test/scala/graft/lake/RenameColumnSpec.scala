@@ -192,4 +192,33 @@ class RenameColumnSpec extends SparkSpec {
     assert(spark.sql("SELECT amt FROM rf_c WHERE k = 1").head()
       .getLong(0) == 100L)
   }
+
+  test("a span crossing TWO renames of one column rejects loudly: the " +
+      "intermediate logical name resolves to nothing at the until " +
+      "version; sub-spans on each side still bridge") {
+    val t = s"$root/feed2x"
+    Forget.publishIndexed(seed(4), t, 1, "k", stats = true)
+    SqlDml.register(spark, "r2x_t", t, "k")
+    Sql.execute(spark, "UPDATE r2x_t SET n = 100 WHERE k = 1")         // v2
+    Sql.execute(spark, "ALTER TABLE r2x_t RENAME COLUMN n TO amt")     // v3
+    Sql.execute(spark, "UPDATE r2x_t SET amt = 200 WHERE k = 2")       // v4
+    Sql.execute(spark, "ALTER TABLE r2x_t RENAME COLUMN amt TO amount") // v5
+    Sql.execute(spark, "UPDATE r2x_t SET amount = 300 WHERE k = 3")    // v6
+    // the full span holds a frame under the INTERMEDIATE name amt (v4):
+    // the live mapping witnesses only n -> amount, so amt resolves to
+    // nothing — loud reject, never a null-filled split
+    val e = intercept[IllegalStateException] {
+      Cdf.changesSince(spark, t, 1).collect()
+    }
+    assert(e.getMessage.contains("resolve to nothing"), e.getMessage)
+    // each single-rename sub-span re-unifies fine
+    val left = Cdf.changesSince(spark, t, 1, untilV = Some(4))
+    assert(left.columns.contains("amt") && !left.columns.contains("n"))
+    assert(left.filter($"_version" === 2L && $"k" === 1L).head()
+      .getAs[Long]("amt") == 100L)
+    val right = Cdf.changesSince(spark, t, 4)
+    assert(right.columns.contains("amount"))
+    assert(right.filter($"_version" === 6L && $"k" === 3L).head()
+      .getAs[Long]("amount") == 300L)
+  }
 }
