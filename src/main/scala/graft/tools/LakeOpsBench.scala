@@ -299,5 +299,10 @@ object LakeOpsBench {
     println(s"""{"metric":"lake_ops","rows":$nRows,"files":$nFiles,""" +
       s""""keys":$nKeys,"stats":$useStats,"arms":{$armsJson}}""")
     spark.stop()
+    // reclaim the bench table: at the default dial the version history
+    // holds tens of GB — leaked temp dirs from a few runs fill the disk
+    // (observed: two stale runs held 74 GB of /tmp)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    ()
   }
 }
