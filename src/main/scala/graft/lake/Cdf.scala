@@ -156,10 +156,12 @@ object Cdf {
     // and every consumer (not just [[sync]], which re-checks against its
     // replica) silently diverges. Two-part answer, Delta's column-mapping
     // posture made batch-readable:
-    //  - RENAME bridges: the until-version's `_column_mapping` records
-    //    logical → PHYSICAL, and physical names are exactly the
-    //    pre-rename logical ones — so remapping every frame physical →
-    //    live-logical (`p2l` below) re-unifies the column;
+    //  - RENAME bridges: each frame remaps under ITS OWN version's
+    //    `_column_mapping` (logical-as-of-v → physical; physical names
+    //    never change), then physical → live-logical (`p2l` below) —
+    //    re-unifying the column across any rename chain, including
+    //    chains that REUSE a freed name (rename y→z then x→y) and
+    //    intermediate names a multi-rename span passes through;
     //  - DROP (or a rename the mapping no longer witnesses — e.g. a
     //    mid-span compaction baked it in and dropped the mapping)
     //    REJECTS: a column that exists at sinceV and resolves to nothing
@@ -240,30 +242,44 @@ object Cdf {
           try {
             val frame = spark.read.parquet(feedDir)
               .filter(col("_op") =!= "S")
-            // physical → live-logical remap (see the span guard above):
-            // a pre-rename frame's columns ARE physical names, so this
-            // re-unifies them with post-rename frames; post-rename
-            // logical names are no one's physical name and pass through
+            // logical-as-of-v → physical → live-logical remap (see the
+            // span guard above): each frame spells ITS OWN version's
+            // logical names, so it remaps under ITS OWN version's
+            // `_column_mapping` (logical_v → physical) and only then
+            // through the live p2l. A flat physical→live remap of every
+            // frame corrupts rename chains that REUSE a freed name
+            // (rename y→z then x→y: a post-rename frame's 'y' is live y,
+            // but 'y' is also pre-rename z's physical name — flat p2l
+            // would relabel it 'z', a duplicate column the stray check
+            // cannot see). Under the per-version mapping the post-rename
+            // frame round-trips to itself, and an intermediate-name frame
+            // (renamed more than once in the span) resolves through its
+            // witnessed physical name instead of rejecting.
             val unified =
               if (p2l.isEmpty) frame
               else {
+                val l2pAtV = Versioned.readColumnMapping(f, s"$table/v=$v")
+                  .getOrElse(Map.empty[String, String])
+                def toLive(c: String): String = {
+                  val phys = l2pAtV.getOrElse(c, c)
+                  p2l.getOrElse(phys, phys)
+                }
                 val mapped = frame.select(frame.columns.toSeq.map(c =>
-                  col(s"`$c`").as(p2l.getOrElse(c, c))): _*)
-                // a frame written under an INTERMEDIATE logical name (a
-                // column renamed more than once in the span: its
-                // then-logical spelling is neither a physical name the
-                // mapping witnesses nor the live name) cannot re-unify —
-                // reject loudly instead of letting unionByName split it.
-                // The endpoint guard above can't see this: it compares
-                // only the sinceV and live schemas.
+                  col(s"`$c`").as(toLive(c))): _*)
+                // a frame whose then-logical spelling resolves to nothing
+                // live (its version's mapping was dropped by a mid-span
+                // compaction baking a rename in) cannot re-unify — reject
+                // loudly instead of letting unionByName split it. The
+                // endpoint guard above can't see this: it compares only
+                // the sinceV and live schemas.
                 val stray = mapped.columns
                   .filterNot(c => c == "_op" ||
                     liveLogicalCols.exists(_(c.toLowerCase)))
                 if (stray.nonEmpty)
                   throw new IllegalStateException(
                     s"$table v$v feed column(s) ${stray.toSeq.sorted} " +
-                      s"resolve to nothing at v$live (renamed more than " +
-                      "once in the span?) — read the sub-spans on each " +
+                      s"resolve to nothing at v$live (a rename's mapping " +
+                      "dropped mid-span?) — read the sub-spans on each " +
                       "side of the schema change, or resync (Cdf.seed)")
                 mapped
               }

@@ -206,7 +206,19 @@ object SkipScan {
       if (d.isNaN || math.abs(d) >= 4503599627370496.0) None
       else Some((math.floor(d).toLong, math.ceil(d).toLong))
     case d: org.apache.spark.sql.types.Decimal =>
-      literalLong(d.toDouble)
+      // EXACT bounds on the BigDecimal — a fractional SQL literal parses
+      // as Decimal, and routing through toDouble loses the fraction at
+      // large magnitudes (epoch-micros ~1.7e15 has double ulp 0.25:
+      // 1699999999999999.9 rounds to a WHOLE double, and the integral
+      // tightening in cmp would then wrongly EXCLUDE a boundary file —
+      // a silent missing row). floor/ceil on the decimal itself keep
+      // `lo == hi` iff the literal is genuinely whole; a magnitude past
+      // Long admits (None)
+      val bd = d.toJavaBigDecimal
+      try Some((
+        bd.setScale(0, java.math.RoundingMode.FLOOR).longValueExact(),
+        bd.setScale(0, java.math.RoundingMode.CEILING).longValueExact()))
+      catch { case _: ArithmeticException => None }
     case _ => None
   }
 

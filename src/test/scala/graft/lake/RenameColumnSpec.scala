@@ -193,9 +193,9 @@ class RenameColumnSpec extends SparkSpec {
       .getLong(0) == 100L)
   }
 
-  test("a span crossing TWO renames of one column rejects loudly: the " +
-      "intermediate logical name resolves to nothing at the until " +
-      "version; sub-spans on each side still bridge") {
+  test("a span crossing TWO renames of one column re-unifies: the " +
+      "intermediate frame remaps under ITS OWN version's mapping, so " +
+      "every change lands in ONE live column") {
     val t = s"$root/feed2x"
     Forget.publishIndexed(seed(4), t, 1, "k", stats = true)
     SqlDml.register(spark, "r2x_t", t, "k")
@@ -204,21 +204,48 @@ class RenameColumnSpec extends SparkSpec {
     Sql.execute(spark, "UPDATE r2x_t SET amt = 200 WHERE k = 2")       // v4
     Sql.execute(spark, "ALTER TABLE r2x_t RENAME COLUMN amt TO amount") // v5
     Sql.execute(spark, "UPDATE r2x_t SET amount = 300 WHERE k = 3")    // v6
-    // the full span holds a frame under the INTERMEDIATE name amt (v4):
-    // the live mapping witnesses only n -> amount, so amt resolves to
-    // nothing — loud reject, never a null-filled split
-    val e = intercept[IllegalStateException] {
-      Cdf.changesSince(spark, t, 1).collect()
-    }
-    assert(e.getMessage.contains("resolve to nothing"), e.getMessage)
-    // each single-rename sub-span re-unifies fine
+    // the v4 frame was written under the INTERMEDIATE name amt — its own
+    // version's mapping witnesses amt -> n (physical), and the live
+    // mapping takes n -> amount: one honest column across the whole span
+    val ch = Cdf.changesSince(spark, t, 1)
+    val cols = ch.columns.toSet
+    assert(cols.contains("amount") && !cols.contains("amt") &&
+      !cols.contains("n"), cols.toString)
+    assert(ch.filter($"_version" === 2L && $"k" === 1L).head()
+      .getAs[Long]("amount") == 100L)
+    assert(ch.filter($"_version" === 4L && $"k" === 2L).head()
+      .getAs[Long]("amount") == 200L)
+    assert(ch.filter($"_version" === 6L && $"k" === 3L).head()
+      .getAs[Long]("amount") == 300L)
+    // sub-spans keep their own until-version's names
     val left = Cdf.changesSince(spark, t, 1, untilV = Some(4))
     assert(left.columns.contains("amt") && !left.columns.contains("n"))
     assert(left.filter($"_version" === 2L && $"k" === 1L).head()
       .getAs[Long]("amt") == 100L)
-    val right = Cdf.changesSince(spark, t, 4)
-    assert(right.columns.contains("amount"))
-    assert(right.filter($"_version" === 6L && $"k" === 3L).head()
-      .getAs[Long]("amount") == 300L)
+  }
+
+  test("a rename chain that REUSES a freed name keeps post-rename " +
+      "frames' columns apart: live y stays y, never relabeled to z") {
+    val t = s"$root/feedreuse"
+    Forget.publishIndexed(seed(4), t, 1, "k", stats = true)
+    SqlDml.register(spark, "rru_t", t, "k")
+    Sql.execute(spark, "UPDATE rru_t SET n = 100 WHERE k = 1")        // v2
+    // free the name n, then reuse it for v: live logical n IS physical v
+    Sql.execute(spark, "ALTER TABLE rru_t RENAME COLUMN n TO amt")    // v3
+    Sql.execute(spark, "ALTER TABLE rru_t RENAME COLUMN v TO n")      // v4
+    Sql.execute(spark, "UPDATE rru_t SET amt = 200 WHERE k = 2")      // v5
+    // a flat physical->live remap would relabel the v5 frame's live
+    // column n (physical v) to amt's spelling chain and corrupt the
+    // feed with duplicate columns; the per-version remap round-trips it
+    val ch = Cdf.changesSince(spark, t, 1)
+    assert(ch.columns.count(_ == "amt") == 1 &&
+      ch.columns.count(_ == "n") == 1, ch.columns.toSeq.toString)
+    assert(ch.filter($"_version" === 2L && $"k" === 1L).head()
+      .getAs[Long]("amt") == 100L)
+    assert(ch.filter($"_version" === 5L && $"k" === 2L).head()
+      .getAs[Long]("amt") == 200L)
+    // live n (the renamed v) carries v's string content in U rows
+    assert(ch.filter($"_version" === 5L && $"k" === 2L).head()
+      .getAs[String]("n") == "v2")
   }
 }

@@ -153,6 +153,29 @@ class SkipScanSpec extends SparkSpec {
       4, full.filter($"name".endsWith("item-03")))
   }
 
+  test("fractional Decimal literals at double-ulp-losing magnitudes " +
+      "(epoch micros) bound EXACTLY — the boundary file is never skipped") {
+    val d = s"$root/micros"
+    // file 0 tops out at exactly 1_700_000_000_000_000 (the satisfying
+    // row); a toDouble-rounded bound (1699999999999999.9 → whole 1.7e15)
+    // would tighten `>` to >= 1.7e15+1 and skip it silently
+    val base = 1700000000000000L
+    val keys = (base - 10L to base) ++ (base + 1L to base + 10L)
+    Cluster.writeClustered(keys.map(k => (k, s"v$k")).toDF("k", "v"),
+      d, nFiles = 2, col("k"))
+    StatsIndex.build(spark, d, "k")
+    SkipScan.scan(spark, d).createOrReplaceTempView("skipmicros_t")
+    val q = spark.sql("SELECT k FROM skipmicros_t " +
+      "WHERE k > 1699999999999999.9 AND k < 1700000000000000.5")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(base),
+      "the boundary row went missing — Decimal bounds are not exact")
+    assert(SkipScan.scannedFileCount(q) == 1)
+    // magnitude past Long admits rather than excluding
+    val big = spark.sql("SELECT k FROM skipmicros_t " +
+      "WHERE k < 99999999999999999999999999.5")
+    assert(big.count() == keys.size.toLong)
+  }
+
   test("the z-order _boxstats manifest drives multi-column pruning " +
       "through plain predicates") {
     val d = s"$root/zbox"
