@@ -241,7 +241,55 @@ object LakeSkipping extends Family {
       atMost = 3, total = 16, what = "string-prefix pushdown")
   }
 
+  // ------------------------------------------------------------------
+  // OVERLAY skipping end-to-end: the registered live version of
+  // orders_sd is a zero-copy CDC merge — `_ref` to the clustered base +
+  // a deletion vector (updated keys' old rows + deleted keys) + one
+  // appended file carrying the fresh rows under a landing-minted
+  // `_stats`. The normal state of a production table after its first
+  // DV delete/landing — and exactly where pruning used to silently
+  // degrade to a full scan. The plain SQL range must (a) read the ONE
+  // admitted base file + the append + the deletion-sized vector, (b)
+  // hide the deleted keys, (c) show the updated rows once, post-update.
+  // The oracle replays ref + anti-join + union from raw bytes.
+  private def sd(): String = Fixtures.abs("fixtures/lake/orders_sd")
+
+  private val overlay = Q(
+    "lake_skip_overlay",
+    Some(s"""
+      WITH base AS (
+        SELECT $ocolsSql, parse_filename(filename) AS f,
+               file_row_number AS ri
+        FROM read_parquet('${sd()}/v=1/part-*.parquet', filename=true,
+                          file_row_number=true, hive_partitioning=false)),
+      dv AS (
+        SELECT file, row_index
+        FROM read_parquet('${sd()}/v=2/_dv/*.parquet',
+                          hive_partitioning=false)),
+      kept AS (
+        SELECT $ocolsSql
+        FROM base ANTI JOIN dv
+          ON base.f = dv.file AND base.ri = dv.row_index),
+      app AS (
+        SELECT $ocolsSql
+        FROM read_parquet('${sd()}/v=2/part-*.parquet',
+                          hive_partitioning=false)),
+      snap AS (SELECT * FROM kept UNION ALL SELECT * FROM app)
+      SELECT $ocolsSql FROM snap
+      WHERE o_orderkey BETWEEN 5000 AND 5600
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    graft.Sql.registerTable(spark, "olk_skip_ovl", sd())
+    // 17 data files on disk (16 base + 1 append); the admitted set is 1
+    // base file + the append, plus the deletion-sized `_dv` read the
+    // anti-join costs — which IS the overlay's scale argument
+    plannerPruned(
+      spark.sql("SELECT " + ocolsSql + " FROM olk_skip_ovl " +
+        "WHERE o_orderkey BETWEEN 5000 AND 5600 ORDER BY o_orderkey"),
+      atMost = 4, total = 17, what = "overlay-version SQL pushdown")
+  }
+
   def specs: Seq[Q] =
     Seq(statsRange, bloomPoint, zorderBox, tokenBloom, plannerRange,
-      plannerBox, sqlPushdown, stringPrefix)
+      plannerBox, sqlPushdown, stringPrefix, overlay)
 }

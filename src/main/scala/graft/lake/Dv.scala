@@ -307,6 +307,15 @@ object Dv {
             org.apache.hadoop.fs.FileUtil.copy(f, bs, fd,
               BloomIndex.sidecar(dir, p.getName), false, conf)
         }
+        // manifests ride the landing: when the base data dir is
+        // stats-indexed on this key, mint a `_stats` manifest over the
+        // new version's OWN files (fresh appends + carried priors) from
+        // their footers — driver-side, changeset-scale — so plan-time
+        // skipping ([[SkipScan]]) keeps pruning the landed files with
+        // no ANALYZE in between
+        if (StatsIndex.keyOf(spark, dataDir).exists(
+            _.equalsIgnoreCase(keyCol)))
+          StatsIndex.buildFromFooters(spark, dir, keyCol)
         // 3. ref + cumulative vector + tag + change feed, as purge
         val out = fd.create(new Path(s"$dir/_ref"), true)
         try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
@@ -427,6 +436,11 @@ object Dv {
                 org.apache.hadoop.fs.FileUtil.copy(f, bs, fd,
                   BloomIndex.sidecar(dir, p.getName), false, conf)
             }
+        // carried appends keep their manifest coverage (see mergeOnce)
+        if (dataDir != liveVDir &&
+            StatsIndex.keyOf(spark, dataDir).exists(
+              _.equalsIgnoreCase(keyCol)))
+          StatsIndex.buildFromFooters(spark, dir, keyCol)
         val out = fd.create(new Path(s"$dir/_ref"), true)
         try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
         finally out.close()

@@ -66,10 +66,10 @@ object SkipScan {
   // ------------------------------------------------------- the FileIndex
 
   private final class ManifestFileIndex(
-      spark: SparkSession, dir: String, files: Seq[FileStatus],
+      spark: SparkSession, roots: Seq[String], files: Seq[FileStatus],
       ranges: Map[String, Ranges]) extends FileIndex {
 
-    override def rootPaths: Seq[Path] = Seq(new Path(dir))
+    override def rootPaths: Seq[Path] = roots.map(new Path(_))
     override def partitionSchema: StructType = StructType(Nil)
     override def sizeInBytes: Long = files.map(_.getLen).sum
     override def inputFiles: Array[String] =
@@ -354,7 +354,7 @@ object SkipScan {
       else Map.empty[String, Ranges]
     val schema = Versioned.readSchemaMarker(f, dir)
       .getOrElse(spark.read.parquet(dir).schema)
-    val index = new ManifestFileIndex(spark, dir, files, ranges)
+    val index = new ManifestFileIndex(spark, Seq(dir), files, ranges)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
@@ -365,14 +365,27 @@ object SkipScan {
     spark.baseRelationToDataFrame(relation)
   }
 
+  // does `d` carry ANY skipping manifest a FileIndex can evaluate?
+  private def indexedDir(spark: SparkSession, d: String): Boolean = {
+    val f = fs(spark, d)
+    StatsIndex.keyOf(spark, d).isDefined ||
+      f.exists(new Path(s"$d/_boxstats")) ||
+      StrStats.exists(spark, d)
+  }
+
   /** [[Versioned.readVersion]] routed through the manifest [[FileIndex]]
-    * when version `v` qualifies — a PLAIN data dir (no `_ref`, no
-    * deletion vector, no column mapping: those need the overlay
-    * machinery) carrying a skipping manifest. This is what
+    * when version `v` carries one to evaluate: a PLAIN indexed data dir
+    * binds via [[scan]]; an OVERLAY version (`_ref` / deletion vector /
+    * column mapping — the normal state of a table that has ever taken a
+    * zero-copy landing or DV delete) binds via [[overlayScan]], which
+    * composes the pruned file listing with the overlay machinery in
+    * readVersion's order (prune files → anti-join the deletion-sized
+    * vector → apply the logical rename). This is what
     * [[graft.Sql.registerTable]] binds, so a registered clustered lake
-    * table gives EVERY ad-hoc SQL predicate plan-time file pruning; any
-    * non-qualifying version falls back to the plain read. Same
-    * uncommitted-txn visibility gate as readVersion. */
+    * table gives EVERY ad-hoc SQL predicate plan-time file pruning
+    * through its whole DML history; an unindexed version falls back to
+    * the plain read. Same uncommitted-txn visibility gate as
+    * readVersion. */
   def readVersionAuto(spark: SparkSession, table: String,
                       v: Long): DataFrame = {
     val own = s"$table/v=$v"
@@ -380,15 +393,89 @@ object SkipScan {
     val plain = !f.exists(new Path(s"$own/_ref")) &&
       !f.exists(new Path(s"$own/_dv")) &&
       !f.exists(new Path(s"$own/_column_mapping"))
-    val indexed = plain && (StatsIndex.keyOf(spark, own).isDefined ||
-      f.exists(new Path(s"$own/_boxstats")) ||
-      StrStats.exists(spark, own))
-    if (!indexed) Versioned.readVersion(spark, table, v)
+    def visible(): Unit = require(Txn.visible(f, own),
+      s"version $v of $table belongs to an uncommitted cross-table " +
+        "transaction — not readable")
+    if (plain && indexedDir(spark, own)) { visible(); scan(spark, own) }
+    else if (!plain) {
+      val data = Versioned.dataDir(spark, table, v)
+      if (indexedDir(spark, data) ||
+          (data != own && indexedDir(spark, own))) {
+        visible()
+        overlayScan(spark, table, v, own, data)
+      } else Versioned.readVersion(spark, table, v)
+    } else Versioned.readVersion(spark, table, v)
+  }
+
+  /** An OVERLAY version (shallow ref / DV / zero-copy appends / column
+    * mapping) read through the manifest [[FileIndex]] — result identical
+    * to [[Versioned.readVersion]], plan prunes files. Composition order
+    * mirrors readVersion exactly: the scan lists the base data dir's
+    * files plus the version's OWN appended files under the version's
+    * PHYSICAL schema (each file admitted against its dir's manifests —
+    * the base's committed `_stats`/`_boxstats`/`_strstats`, the appends'
+    * landing-minted `_stats`), then the deletion vector anti-joins on
+    * the scan's `_metadata` columns, then the column mapping renames
+    * physical → logical. Version-dir files are IMMUTABLE once published,
+    * so a file no manifest covers simply admits (the per-file
+    * conservative branch) — the all-or-nothing staleness gate [[scan]]
+    * applies to raw out-of-band dirs is unnecessary here. */
+  private def overlayScan(spark: SparkSession, table: String, v: Long,
+                          own: String, data: String): DataFrame = {
+    val f = fs(spark, own)
+    val mapping = Versioned.readColumnMapping(f, own)
+      .getOrElse(Map.empty[String, String])
+    // schema discipline, readVersion's: an overlay version's OWN marker
+    // (logical, possibly Evolve-extended) wins and maps to physical
+    // through the version's mapping; otherwise the base dir's marker;
+    // footer inference last (unevolved table — all files agree)
+    val ownMarker = Versioned.readSchemaMarker(f, own)
+    val readSchema = ownMarker match {
+      case Some(s) => Versioned.physicalSchema(s, mapping)
+      case None =>
+        // the base dir's marker (or footer inference) already spells
+        // PHYSICAL names — a mapped overlay always carries its own
+        // logical marker (Evolve writes them together, every carrier
+        // copies both), so no remap applies here
+        Versioned.readSchemaMarker(f, data)
+          .getOrElse(spark.read.parquet(data).schema)
+    }
+    def parts(dir: String): Seq[FileStatus] =
+      f.listStatus(new Path(dir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val dataFiles = parts(data)
+    val ownFiles = if (own == data) Seq.empty else parts(own)
+    val ranges = loadRanges(spark, data, StatsIndex.keyOf(spark, data)) ++
+      (if (own == data) Map.empty[String, Ranges]
+       else loadRanges(spark, own, StatsIndex.keyOf(spark, own)))
+    // a basename shared across the two dirs (distinct writer jobs make
+    // this ~impossible, but name-keyed stats would be ambiguous): drop
+    // those names' ranges — both files admit, never mis-skip
+    val dup = dataFiles.map(_.getPath.getName).toSet
+      .intersect(ownFiles.map(_.getPath.getName).toSet)
+    val index = new ManifestFileIndex(spark,
+      (Seq(data) ++ (if (own == data) Nil else Seq(own))),
+      dataFiles ++ ownFiles, ranges -- dup)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = readSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    val vectored = Dv.applyVector(spark, table, v,
+      spark.baseRelationToDataFrame(relation))
+    if (mapping.isEmpty) vectored
     else {
-      require(Txn.visible(f, own),
-        s"version $v of $table belongs to an uncommitted cross-table " +
-          "transaction — not readable")
-      scan(spark, own)
+      val logical = ownMarker.orElse(Versioned.readSchemaMarker(f, data))
+        .getOrElse(throw new IllegalStateException(
+          s"$table v$v carries a _column_mapping but no _table_schema " +
+            "marker — the mapping cannot resolve; the version dir is " +
+            "corrupt"))
+      vectored.select(logical.fields.toSeq.map { fd =>
+        org.apache.spark.sql.functions
+          .col(s"`${mapping.getOrElse(fd.name, fd.name)}`").as(fd.name)
+      }: _*)
     }
   }
 

@@ -248,6 +248,28 @@ object StatsIndex {
     } finally w.close()
   }
 
+  /** Mint a manifest covering exactly the `part-` files currently in
+    * `dir`, from their own just-written parquet footers — driver-side,
+    * no Spark job, touched-fraction cost. The LANDING-TIME hook
+    * ([[Dv]]'s zero-copy merge/purge version dirs, and through them
+    * [[CopyInto]]): without it a zero-copy landing leaves the new
+    * version's own appended files uncovered by any manifest and
+    * plan-time skipping ([[SkipScan]]) silently degrades those files to
+    * always-admitted until a manual rebuild. No-op on a dir with no
+    * `part-` files (a pure DV purge version appends nothing). */
+  private[lake] def buildFromFooters(spark: SparkSession, dir: String,
+                                     keyCol: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = fs(spark, dir).listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+      .map(p => p.getName -> footerStats(conf, p, keyCol))
+    if (rows.nonEmpty) {
+      writeManifest(conf, dir, rows)
+      writeKeyMarker(spark, dir, keyCol)
+    }
+  }
+
   /** Manifest for `newDir` after a file-targeted rewrite: carried files
     * keep their OLD rows (byte-identical data ⇒ identical stats), fresh
     * files read their OWN just-written footers — the whole rebuild is

@@ -41,13 +41,25 @@ import graft.lake.{BloomIndex, Forget, StatsIndex, TokenBloom,
  * fixtures are the within-partition skipping a 100 TB lake needs on top:
  * range manifests, multi-column boxes, and token sidecars.
  *
- * Usage: runMain graft.tools.BuildSkipFixture [sfDir] [fixturesDir]
+ *   fixtures/lake/orders_sd   orders range-clustered + `_stats` (v1),
+ *                             then ONE zero-copy CDC merge (v2 = `_ref`
+ *                             + DV'd old rows + appended fresh rows +
+ *                             landing-minted `_stats` over the appends)
+ *                             — the overlay layout [[graft.lake
+ *                             .SkipScan.readVersionAuto]] must keep
+ *                             pruning through.
+ *
+ * Usage: runMain graft.tools.BuildSkipFixture [sfDir] [fixturesDir] [only...]
+ * (`only` = fixture dir names to rebuild; default all — name one to
+ * leave the other committed layouts byte-identical)
  */
 object BuildSkipFixture {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val base = args.drop(1).headOption.getOrElse(
       new java.io.File("fixtures/lake").getAbsolutePath)
+    val only = args.drop(2).toSet
+    def wanted(name: String) = only.isEmpty || only.contains(name)
     val spark = Conf.local(SparkSession.builder(), 8).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -63,42 +75,76 @@ object BuildSkipFixture {
         "o_orderpriority")
 
     // 1. range-clustered + _stats + _bloom (point AND range probes)
-    val rc = s"$base/orders_rc"
-    clear(rc)
-    Forget.publishClustered(orders, rc, nFiles = 16, keyCol = "o_orderkey",
-      stats = true)
-    BloomIndex.indexExisting(spark, s"$rc/v=1", "o_orderkey")
-    println(s"[skip-fixture] $rc: " +
-      s"${Versioned.dataFilePaths(spark, s"$rc/v=1").size} files, " +
-      s"stats=${StatsIndex.exists(spark, s"$rc/v=1")}")
+    if (wanted("orders_rc")) {
+      val rc = s"$base/orders_rc"
+      clear(rc)
+      Forget.publishClustered(orders, rc, nFiles = 16, keyCol = "o_orderkey",
+        stats = true)
+      BloomIndex.indexExisting(spark, s"$rc/v=1", "o_orderkey")
+      println(s"[skip-fixture] $rc: " +
+        s"${Versioned.dataFilePaths(spark, s"$rc/v=1").size} files, " +
+        s"stats=${StatsIndex.exists(spark, s"$rc/v=1")}")
+    }
 
     // 2. z-ordered on (o_custkey, o_totalprice) + _boxstats
-    val z = s"$base/orders_z"
-    clear(z)
-    Versioned.publish(orders, z) // v1: layout-free seed
-    ZOrder.cluster(spark, z, Seq("o_custkey", "o_totalprice"),
-      keyCol = "o_orderkey", targetBytes = 24L * 1024) // ~16 files at sf0.01
-    println(s"[skip-fixture] $z: " +
-      s"${Versioned.dataFilePaths(spark, s"$z/v=2").size} files (v2)")
+    if (wanted("orders_z")) {
+      val z = s"$base/orders_z"
+      clear(z)
+      Versioned.publish(orders, z) // v1: layout-free seed
+      ZOrder.cluster(spark, z, Seq("o_custkey", "o_totalprice"),
+        keyCol = "o_orderkey", targetBytes = 24L * 1024) // ~16 files sf0.01
+      println(s"[skip-fixture] $z: " +
+        s"${Versioned.dataFilePaths(spark, s"$z/v=2").size} files (v2)")
+    }
 
     // 3. p_name-clustered parts + token-Bloom sidecars
-    val tb = s"$base/parts_tb"
-    clear(tb)
-    val parts = spark.read.parquet(s"$sfDir/part.parquet")
-      .select("p_partkey", "p_name", "p_brand", "p_type", "p_retailprice")
-    // name-clustered layout through the public publish (the clustering
-    // survives the write: publish writes the frame's own partitioning),
-    // then the token sidecars over the landed files
-    Versioned.publish(
-      parts.repartitionByRange(16, col("p_name"))
-        .sortWithinPartitions(col("p_name")), tb)
-    TokenBloom.index(spark, s"$tb/v=1", "p_name")
-    // string min/max manifest: the name-clustered layout's planner leg
-    // (equality / LIKE-prefix predicates prune through SkipScan)
-    graft.lake.StrStats.build(spark, s"$tb/v=1", Seq("p_name", "p_brand"))
-    println(s"[skip-fixture] $tb: " +
-      s"${Versioned.dataFilePaths(spark, s"$tb/v=1").size} files, " +
-      s"tokmeta=${TokenBloom.meta(spark, s"$tb/v=1")}")
+    if (wanted("parts_tb")) {
+      val tb = s"$base/parts_tb"
+      clear(tb)
+      val parts = spark.read.parquet(s"$sfDir/part.parquet")
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_retailprice")
+      // name-clustered layout through the public publish (the clustering
+      // survives the write: publish writes the frame's own partitioning),
+      // then the token sidecars over the landed files
+      Versioned.publish(
+        parts.repartitionByRange(16, col("p_name"))
+          .sortWithinPartitions(col("p_name")), tb)
+      TokenBloom.index(spark, s"$tb/v=1", "p_name")
+      // string min/max manifest: the name-clustered layout's planner leg
+      // (equality / LIKE-prefix predicates prune through SkipScan)
+      graft.lake.StrStats.build(spark, s"$tb/v=1", Seq("p_name", "p_brand"))
+      println(s"[skip-fixture] $tb: " +
+        s"${Versioned.dataFilePaths(spark, s"$tb/v=1").size} files, " +
+        s"tokmeta=${TokenBloom.meta(spark, s"$tb/v=1")}")
+    }
+
+    // 4. OVERLAY: range-clustered v1, then ONE zero-copy CDC merge — v2
+    //    is `_ref` + deletion vector (the updated keys' old rows + the
+    //    deleted keys) + appended fresh rows + landing-minted `_stats`
+    //    over the appends. The layout a production table is actually in
+    //    after its first DV delete / landing; lake_skip_overlay proves
+    //    plan-time pruning survives it.
+    if (wanted("orders_sd")) {
+      val sd = s"$base/orders_sd"
+      clear(sd)
+      Forget.publishClustered(orders, sd, nFiles = 16,
+        keyCol = "o_orderkey", stats = true)
+      import org.apache.spark.sql.functions.lit
+      val ups = orders
+        .filter(col("o_orderkey").isin(5100L, 5200L))
+        .withColumn("o_orderpriority", lit("9-UPDATED"))
+        .withColumn("op", lit("U"))
+      val dels = orders
+        .filter(col("o_orderkey").isin(5150L, 5250L))
+        .withColumn("op", lit("D"))
+      graft.lake.Dv.applyCdc(spark, sd, "o_orderkey",
+        ups.unionByName(dels), opCol = "op")
+      val own = Versioned.dataFilePaths(spark, s"$sd/v=2").size
+      println(s"[skip-fixture] $sd: v2 = ref + " +
+        s"${graft.lake.Dv.deletedRows(spark, sd, 2)} DV rows + " +
+        s"$own appended file(s), ownStats=" +
+        s"${StatsIndex.exists(spark, s"$sd/v=2")}")
+    }
 
     spark.stop()
   }

@@ -106,7 +106,8 @@ class SkipScanSpec extends SparkSpec {
   }
 
   test("a REGISTERED clustered lake table prunes ad-hoc SQL at planning " +
-      "time; a zero-copy DML version falls back to the plain read") {
+      "time; a zero-copy merge version KEEPS pruning through the overlay " +
+      "(landing-minted stats cover the appends)") {
     val d = s"$root/registered"
     Forget.publishClustered(
       (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v"),
@@ -117,12 +118,59 @@ class SkipScanSpec extends SparkSpec {
       == (210L to 230L).map(k => s"v$k").sorted)
     assert(SkipScan.scannedFileCount(q) == 1,
       "registered-table SQL did not prune at planning")
-    // zero-copy merge -> the live version is a ref: rebind falls back to
-    // the plain (overlay-aware) read, results stay correct
+    // zero-copy merge -> the live version is a ref + appended file: the
+    // rebind routes through the overlay FileIndex — the append's
+    // landing-minted stats admit ONLY it for k >= 1000, the base's
+    // manifest skips all 4 base files (the +vector scan is the _dv read)
     Dv.merge(spark, d, "k", Seq((1000L, "late")).toDF("k", "v"))
     graft.Sql.registerTable(spark, "skipreg_t", d)
     val q2 = spark.sql("SELECT v FROM skipreg_t WHERE k >= 1000")
     assert(q2.collect().map(_.getString(0)).toSeq == Seq("late"))
+    assert(SkipScan.scannedFileCount(q2) <= 2,
+      "overlay read did not prune: base files were opened")
+    // the base range still prunes to one base file through the overlay
+    val q3 = spark.sql("SELECT v FROM skipreg_t WHERE k BETWEEN 10 AND 20")
+    assert(q3.collect().map(_.getString(0)).sorted.toSeq
+      == (10L to 20L).map(k => s"v$k").sorted)
+    assert(SkipScan.scannedFileCount(q3) <= 2)
+  }
+
+  test("a DV purge version prunes AND hides the deleted rows — the " +
+      "overlay read equals readVersion exactly") {
+    val d = s"$root/dvoverlay"
+    Forget.publishClustered(
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v"),
+      d, nFiles = 4, keyCol = "k", stats = true)
+    Dv.purge(spark, d, "k", Seq(215L, 220L))                       // v2
+    graft.Sql.registerTable(spark, "skipdv_t", d)
+    val q = spark.sql("SELECT v FROM skipdv_t WHERE k BETWEEN 210 AND 230")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq ==
+      (210L to 230L).filterNot(k => k == 215L || k == 220L)
+        .map(k => s"v$k").sorted)
+    // 1 admitted data file + the deletion-vector sidecar read
+    assert(SkipScan.scannedFileCount(q) <= 2,
+      "DV overlay did not prune the base files")
+    // full parity with the plain overlay reader
+    assert(SkipScan.readVersionAuto(spark, d, 2L).collect().toSet ==
+      Versioned.readVersion(spark, d, 2L).collect().toSet)
+  }
+
+  test("a RENAMED (column-mapped) version prunes through the overlay; " +
+      "logical names resolve and the key range still skips") {
+    val d = s"$root/renoverlay"
+    Forget.publishClustered(
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v"),
+      d, nFiles = 4, keyCol = "k", stats = true)
+    Evolve.renameColumn(spark, d, "v", "label", "k")               // v2
+    graft.Sql.registerTable(spark, "skipren_t", d)
+    val q = spark.sql(
+      "SELECT label FROM skipren_t WHERE k BETWEEN 100 AND 110")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq ==
+      (100L to 110L).map(k => s"v$k").sorted)
+    assert(SkipScan.scannedFileCount(q) == 1,
+      "column-mapped overlay did not prune")
+    assert(SkipScan.readVersionAuto(spark, d, 2L).columns.toSeq ==
+      Seq("k", "label"))
   }
 
   test("string equality, ranges and LIKE-prefix predicates prune " +
