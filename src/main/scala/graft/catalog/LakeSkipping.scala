@@ -289,7 +289,32 @@ object LakeSkipping extends Family {
       atMost = 4, total = 17, what = "overlay-version SQL pushdown")
   }
 
+  // ------------------------------------------------------------------
+  // BLOOM point admission through the wired path: orders_hb is
+  // HASH-distributed on o_orderkey with `_bloom` sidecars and NO
+  // interval manifest — min/max would admit every file (each spans the
+  // full key domain), which is exactly the layout the per-file Bloom
+  // exists for. A plain registered-table IN-probe must read only the
+  // sidecar-admitted files (2 exact + fpp-0.01 slack) of 16.
+  private def hb(): String = Fixtures.abs("fixtures/lake/orders_hb") + "/v=1"
+
+  private val bloomSql = Q(
+    "lake_skip_bloom_sql",
+    Some(s"""
+      SELECT $ocolsSql
+      FROM read_parquet('${hb()}/part-*.parquet', hive_partitioning=false)
+      WHERE o_orderkey IN (7777, 12345)
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    graft.Sql.registerTable(spark, "olk_skip_hb",
+      Fixtures.abs("fixtures/lake/orders_hb"))
+    plannerPruned(
+      spark.sql("SELECT " + ocolsSql + " FROM olk_skip_hb " +
+        "WHERE o_orderkey IN (7777, 12345) ORDER BY o_orderkey"),
+      atMost = 4, total = 16, what = "Bloom point pushdown")
+  }
+
   def specs: Seq[Q] =
     Seq(statsRange, bloomPoint, zorderBox, tokenBloom, plannerRange,
-      plannerBox, sqlPushdown, stringPrefix, overlay)
+      plannerBox, sqlPushdown, stringPrefix, overlay, bloomSql)
 }

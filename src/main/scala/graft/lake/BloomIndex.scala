@@ -91,6 +91,32 @@ object BloomIndex {
       val out = f.create(new Path(bloomDir(table), s"$name.bloom"), true)
       try out.write(bytes) finally out.close()
     }
+    // `_bloom/_key` names the indexed column — the sidecars are
+    // otherwise anonymous, and the planning-time consumer ([[SkipScan]])
+    // needs to know WHICH column's point probes they answer without
+    // being told (same contract as `_stats/_key`)
+    require(!keyCol.contains("\n"), s"unsafe column name $keyCol")
+    val km = f.create(new Path(bloomDir(table), "_key"), true)
+    try km.write(keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally km.close()
+  }
+
+  /** The column the `_bloom` sidecars describe; None when `table` has no
+    * sidecars or they predate the key marker. */
+  def keyOf(spark: SparkSession, table: String): Option[String] =
+    Versioned.readSmallFile(fs(spark, table),
+      new Path(bloomDir(table), "_key"))
+
+  /** Load one file's Bloom sidecar; None when absent (advisory — a
+    * missing sidecar admits). Driver-side, ~100 KB. */
+  private[lake] def loadFilter(f: FileSystem, table: String,
+                               fileName: String): Option[BloomFilter] = {
+    val side = sidecar(table, fileName)
+    if (!f.exists(side)) None
+    else {
+      val in = f.open(side)
+      try Some(BloomFilter.readFrom(in)) finally in.close()
+    }
   }
 
   /** Does `file`'s sidecar admit ANY of `keys`? Missing sidecar = true

@@ -35,11 +35,16 @@ import org.apache.spark.sql.types.StructType
  * row on both signs). The index can degrade to a full scan, never to a
  * missing row.
  *
- * Scope: a plain parquet DATA DIR (the clustered layouts
- * [[graft.tools.BuildSkipFixture]] commits, [[Forget.publishClustered]]
- * tables, compacted versions). Versions carrying a deletion vector or a
- * column mapping need [[Versioned.readVersion]]'s overlay machinery and
- * reject loudly here.
+ * Scope: [[scan]] serves a plain parquet DATA DIR (the clustered
+ * layouts [[graft.tools.BuildSkipFixture]] commits,
+ * [[Forget.publishClustered]] tables, compacted versions) and rejects
+ * overlay versions loudly; [[readVersionAuto]] additionally routes
+ * OVERLAY versions (shallow ref / deletion vector / zero-copy appends /
+ * column mapping) through [[overlayScan]], composing pruned listing →
+ * DV anti-join → logical rename in [[Versioned.readVersion]]'s order.
+ * Point probes (=, IN) on a Bloom-indexed key consult the `_bloom`
+ * sidecars per admitted file — the hash-layout skipping dimension
+ * interval stats cannot provide.
  *
  * At 100 TB this is the difference between "skipping works if every
  * query author remembers the special read API" and "the table's layout
@@ -65,9 +70,28 @@ object SkipScan {
 
   // ------------------------------------------------------- the FileIndex
 
+  /** Per-file Bloom context for point-probe admission: the indexed
+    * column's name (None = no Bloom leg) and a MEMOIZED loader for this
+    * file's sidecar filter — evaluated only when an equality probe on
+    * the key survives interval admission, so range-only queries never
+    * open a sidecar. A missing sidecar admits (advisory). */
+  private final case class BloomCtx(
+      key: Option[String],
+      filter: () => Option[org.apache.spark.util.sketch.BloomFilter])
+
+  private val noRanges = Ranges(Map.empty, 0L)
+  private val noBloom = BloomCtx(None, () => None)
+
   private final class ManifestFileIndex(
       spark: SparkSession, roots: Seq[String], files: Seq[FileStatus],
-      ranges: Map[String, Ranges]) extends FileIndex {
+      ranges: Map[String, Ranges],
+      bloomKey: Option[String] = None,
+      bloomOf: String => Option[org.apache.spark.util.sketch.BloomFilter] =
+        _ => None) extends FileIndex {
+
+    // sidecars load at most once per file per relation (driver, ~100 KB)
+    private val bloomCache = scala.collection.concurrent
+      .TrieMap[String, Option[org.apache.spark.util.sketch.BloomFilter]]()
 
     override def rootPaths: Seq[Path] = roots.map(new Path(_))
     override def partitionSchema: StructType = StructType(Nil)
@@ -80,12 +104,16 @@ object SkipScan {
                            dataFilters: Seq[Expression])
         : Seq[PartitionDirectory] = {
       val admitted =
-        if (dataFilters.isEmpty || ranges.isEmpty) files
+        if (dataFilters.isEmpty || (ranges.isEmpty && bloomKey.isEmpty))
+          files
         else files.filter { f =>
-          ranges.get(f.getPath.getName) match {
-            case None => true // file the manifest never saw: admit
-            case Some(r) => dataFilters.forall(e => mayMatch(e, r))
-          }
+          val name = f.getPath.getName
+          val bc =
+            if (bloomKey.isEmpty) noBloom
+            else BloomCtx(bloomKey,
+              () => bloomCache.getOrElseUpdate(name, bloomOf(name)))
+          val r = ranges.getOrElse(name, noRanges) // unseen file: every
+          dataFilters.forall(e => mayMatch(e, r, bc)) // interval admits
         }
       Seq(PartitionDirectory(InternalRow.empty, admitted.toArray))
     }
@@ -124,27 +152,34 @@ object SkipScan {
   }
 
   // may rows of a file with `r` satisfy `e`? Conservative: anything not
-  // understood admits.
-  private def mayMatch(e: Expression, r: Ranges): Boolean = e match {
-    case And(l, rt) => mayMatch(l, r) && mayMatch(rt, r)
-    case Or(l, rt) => mayMatch(l, r) || mayMatch(rt, r)
-    case EqualTo(a, b) => cmp(a, b, r, "=")
-    case EqualNullSafe(a, b) => cmp(a, b, r, "=")
+  // understood admits. Point probes (=, IN) on the Bloom-indexed key
+  // additionally consult the file's sidecar filter — the skipping
+  // dimension interval stats cannot give on a HASH-distributed key
+  // (every file spans the full domain, so min/max admits everything;
+  // the Bloom answers "might this file hold key k" in a few hashes).
+  private def mayMatch(e: Expression, r: Ranges, bc: BloomCtx): Boolean =
+    e match {
+    case And(l, rt) => mayMatch(l, r, bc) && mayMatch(rt, r, bc)
+    case Or(l, rt) => mayMatch(l, r, bc) || mayMatch(rt, r, bc)
+    case EqualTo(a, b) => cmp(a, b, r, "=") && bloomAdmits(a, b, bc)
+    case EqualNullSafe(a, b) => cmp(a, b, r, "=") && bloomAdmits(a, b, bc)
     case GreaterThan(a, b) => cmp(a, b, r, ">")
     case GreaterThanOrEqual(a, b) => cmp(a, b, r, ">=")
     case LessThan(a, b) => cmp(a, b, r, "<")
     case LessThanOrEqual(a, b) => cmp(a, b, r, "<=")
     case In(a, vs) if attrOf(a).isDefined &&
         vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists(v => cmp(a, v, r, "="))
+      vs.exists(v => cmp(a, v, r, "=") && bloomAdmits(a, v, bc))
     case InSet(a, vs) if attrOf(a).isDefined =>
-      r.by.get(attrOf(a).get.name.toLowerCase) match {
-        case Some((mn, mx, nn)) =>
-          nn > 0 && vs.exists(v => literalLong(v).fold(true) { case (lo, hi) =>
-            mn.get <= hi && mx.get >= lo
-          })
-        case None => true
-      }
+      val interval: Any => Boolean =
+        r.by.get(attrOf(a).get.name.toLowerCase) match {
+          case Some((mn, mx, nn)) =>
+            v => nn > 0 && literalLong(v).fold(true) { case (lo, hi) =>
+              mn.get <= hi && mx.get >= lo
+            }
+          case None => _ => true
+        }
+      vs.exists(v => interval(v) && bloomAdmitsValue(a, v, bc))
     case IsNull(a) if attrOf(a).isDefined =>
       r.nonNullOf(attrOf(a).get.name.toLowerCase)
         .fold(true)(nn => r.rows - nn > 0)
@@ -168,6 +203,36 @@ object SkipScan {
       }
     case _ => true
   }
+
+  // Bloom admission for one equality arm: applies only when the probe
+  // names the sidecars' indexed column, the attribute is integral (the
+  // filters hold CAST(col AS LONG) — truncation makes fractional-typed
+  // columns approximate) and the literal is a WHOLE number; anything
+  // else admits. False negatives are impossible by BloomFilter contract,
+  // so intersection with interval admission never drops a real row.
+  private def bloomAdmits(x: Expression, y: Expression,
+                          bc: BloomCtx): Boolean = {
+    if (bc.key.isEmpty) return true
+    val (at, lit) = (x, y) match {
+      case (e, l: Literal) => (e, l)
+      case (l: Literal, e) => (e, l)
+      case _ => return true
+    }
+    bloomAdmitsValue(at, lit.value, bc)
+  }
+
+  private def bloomAdmitsValue(at: Expression, v: Any,
+                               bc: BloomCtx): Boolean =
+    attrOf(at) match {
+      case Some(a) if integral(a.dataType) &&
+          bc.key.exists(_.equalsIgnoreCase(a.name)) =>
+        literalLong(v) match {
+          case Some((lo, hi)) if lo == hi =>
+            bc.filter().forall(_.mightContainLong(lo))
+          case _ => true // fractional/unboundable: cmp already decides
+        }
+      case _ => true
+    }
 
   private def utf8(s: String) =
     org.apache.spark.unsafe.types.UTF8String.fromString(s)
@@ -354,7 +419,9 @@ object SkipScan {
       else Map.empty[String, Ranges]
     val schema = Versioned.readSchemaMarker(f, dir)
       .getOrElse(spark.read.parquet(dir).schema)
-    val index = new ManifestFileIndex(spark, Seq(dir), files, ranges)
+    val index = new ManifestFileIndex(spark, Seq(dir), files, ranges,
+      bloomKey = BloomIndex.keyOf(spark, dir),
+      bloomOf = n => BloomIndex.loadFilter(f, dir, n))
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
@@ -370,7 +437,8 @@ object SkipScan {
     val f = fs(spark, d)
     StatsIndex.keyOf(spark, d).isDefined ||
       f.exists(new Path(s"$d/_boxstats")) ||
-      StrStats.exists(spark, d)
+      StrStats.exists(spark, d) ||
+      BloomIndex.keyOf(spark, d).isDefined
   }
 
   /** [[Versioned.readVersion]] routed through the manifest [[FileIndex]]
@@ -453,9 +521,24 @@ object SkipScan {
     // those names' ranges — both files admit, never mis-skip
     val dup = dataFiles.map(_.getPath.getName).toSet
       .intersect(ownFiles.map(_.getPath.getName).toSet)
+    // Bloom leg: each file's sidecar lives beside ITS dir; both dirs
+    // must describe the SAME column for one key to answer both (a
+    // dir whose key differs contributes no filters — admit)
+    val bKey = BloomIndex.keyOf(spark, data)
+      .orElse(BloomIndex.keyOf(spark, own))
+    val ownNames = ownFiles.map(_.getPath.getName).toSet
+    def bloomOf(n: String)
+        : Option[org.apache.spark.util.sketch.BloomFilter] = {
+      val d = if (ownNames.contains(n) && !dup.contains(n)) own else data
+      if (BloomIndex.keyOf(spark, d).exists(k => bKey.exists(
+          _.equalsIgnoreCase(k))))
+        BloomIndex.loadFilter(f, d, n)
+      else None
+    }
     val index = new ManifestFileIndex(spark,
       (Seq(data) ++ (if (own == data) Nil else Seq(own))),
-      dataFiles ++ ownFiles, ranges -- dup)
+      dataFiles ++ ownFiles, ranges -- dup,
+      bloomKey = bKey, bloomOf = bloomOf)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),

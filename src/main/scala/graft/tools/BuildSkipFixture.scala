@@ -118,6 +118,20 @@ object BuildSkipFixture {
         s"tokmeta=${TokenBloom.meta(spark, s"$tb/v=1")}")
     }
 
+    // 4b. HASH-distributed + `_bloom` sidecars ONLY (no useful
+    //     intervals): the layout where min/max admits every file and
+    //     the Bloom sidecar is the one skipping dimension — point
+    //     predicates through plain registered-table SQL must prune via
+    //     SkipScan's Bloom admission (lake_skip_bloom_sql).
+    if (wanted("orders_hb")) {
+      val hb = s"$base/orders_hb"
+      clear(hb)
+      Forget.publishIndexed(orders, hb, nFiles = 16, keyCol = "o_orderkey")
+      println(s"[skip-fixture] $hb: " +
+        s"${Versioned.dataFilePaths(spark, s"$hb/v=1").size} files, " +
+        s"bloomKey=${BloomIndex.keyOf(spark, s"$hb/v=1")}")
+    }
+
     // 4. OVERLAY: range-clustered v1, then ONE zero-copy CDC merge — v2
     //    is `_ref` + deletion vector (the updated keys' old rows + the
     //    deleted keys) + appended fresh rows + landing-minted `_stats`

@@ -173,6 +173,55 @@ class SkipScanSpec extends SparkSpec {
       Seq("k", "label"))
   }
 
+  test("Bloom point admission prunes a HASH-distributed layout where " +
+      "intervals admit everything; ranges stay conservative; OR and IN " +
+      "compose per-probe") {
+    val d = s"$root/hashbloom"
+    // hash layout: every file spans ~the full key domain — min/max is
+    // useless here, the per-file Bloom is the only skipping dimension
+    Forget.publishIndexed(
+      (0L until 800L).map(k => (k, s"v$k")).toDF("k", "v"),
+      d, nFiles = 8, keyCol = "k")
+    val v1 = s"$d/v=1"
+    val full = spark.read.parquet(v1)
+    val eq = SkipScan.scan(spark, v1).filter($"k" === 123L)
+    prove(eq, 1, full.filter($"k" === 123L)) // fpp slack could add files;
+    // 800 keys at fpp 0.01 make a false positive unlikely across 7 files
+    val in = SkipScan.scan(spark, v1).filter($"k".isin(123L, 456L))
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(123L, 456L))
+    assert(SkipScan.scannedFileCount(in) <= 3)
+    // a range cannot use the Bloom: every file admits (conservative)
+    prove(SkipScan.scan(spark, v1).filter($"k" >= 100L && $"k" <= 110L),
+      8, full.filter($"k" >= 100L && $"k" <= 110L))
+    // OR composes per-arm: an uncovered-column arm admits everything
+    prove(SkipScan.scan(spark, v1).filter($"k" === 123L || $"v" === "v5"),
+      8, full.filter($"k" === 123L || $"v" === "v5"))
+    // registered-table SQL drives the same admission
+    graft.Sql.registerTable(spark, "skiphb_t", d)
+    val q = spark.sql("SELECT v FROM skiphb_t WHERE k = 700")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("v700"))
+    assert(SkipScan.scannedFileCount(q) <= 2)
+  }
+
+  test("Bloom and interval admission INTERSECT on a clustered+bloomed " +
+      "layout: an in-range key the file cannot hold is skipped") {
+    val d = s"$root/clusterbloom"
+    // clustered on k, Blooms over the SAME files: file 2 covers
+    // [200, 300) — a probe for k=250 admits by interval AND bloom (the
+    // key exists); k=5000 admits by NO file
+    Cluster.writeClustered(
+      (0L until 800L).map(k => (k, s"v$k")).toDF("k", "v"),
+      d, nFiles = 8, col("k"))
+    StatsIndex.build(spark, d, "k")
+    BloomIndex.indexExisting(spark, d, "k")
+    val full = spark.read.parquet(d)
+    prove(SkipScan.scan(spark, d).filter($"k" === 250L), 1,
+      full.filter($"k" === 250L))
+    val none = SkipScan.scan(spark, d).filter($"k" === 5000L)
+    assert(none.collect().isEmpty)
+    assert(SkipScan.scannedFileCount(none) == 0)
+  }
+
   test("string equality, ranges and LIKE-prefix predicates prune " +
       "through the _strstats manifest") {
     val d = s"$root/strings"
