@@ -314,7 +314,38 @@ object LakeSkipping extends Family {
       atMost = 4, total = 16, what = "Bloom point pushdown")
   }
 
+  // ------------------------------------------------------------------
+  // PARTITION pruning × manifest skipping in ONE plan: orders_pt is the
+  // reference loader's own bronze shape (Hive `oy=` year dirs) with
+  // within-partition key clustering and a partition-relative `_stats`
+  // manifest. The year + key-range predicate over the registered view
+  // must read ~1 of ~50 files: the directory eliminates 6 of 7 years,
+  // the manifest eliminates the year's other files. The oracle computes
+  // the same answer from ALL raw parquet via the equivalent
+  // year(o_orderdate) predicate (`oy` IS that projection by build).
+  private def pt(): String = Fixtures.abs("fixtures/lake/orders_pt")
+
+  private val partitioned = Q(
+    "lake_skip_partitioned",
+    Some(s"""
+      SELECT $ocolsSql
+      FROM read_parquet('${pt()}/oy=*/part-*.parquet',
+                        hive_partitioning=false)
+      WHERE year(o_orderdate) = 1997
+        AND o_orderkey BETWEEN 8000 AND 8400
+      ORDER BY o_orderkey
+    """)) { (spark, _) =>
+    graft.lake.SkipScan.scanPartitioned(spark, pt())
+      .createOrReplaceTempView("olk_skip_pt")
+    plannerPruned(
+      spark.sql("SELECT " + ocolsSql + " FROM olk_skip_pt " +
+        "WHERE oy = '1997' AND o_orderkey BETWEEN 8000 AND 8400 " +
+        "ORDER BY o_orderkey"),
+      atMost = 3, total = 54, what = "partition+manifest pushdown")
+  }
+
   def specs: Seq[Q] =
     Seq(statsRange, bloomPoint, zorderBox, tokenBloom, plannerRange,
-      plannerBox, sqlPushdown, stringPrefix, overlay, bloomSql)
+      plannerBox, sqlPushdown, stringPrefix, overlay, bloomSql,
+      partitioned)
 }

@@ -562,6 +562,138 @@ object SkipScan {
     }
   }
 
+  // ------------------------------------------------- partitioned trees
+
+  /** Hive-layout tree ([[scanPartitioned]]): directory pruning on the
+    * partition values PLUS per-file manifest admission, in one
+    * [[FileIndex]]. Partition columns are STRING-typed (the values are
+    * the dir names, verbatim); `ranges` is keyed by partition-RELATIVE
+    * path (`k=v/.../part-...`) because one partitioned write reuses
+    * basenames across partition dirs. Partition filters evaluate
+    * name-bound against each group's value row; any shape the binding
+    * can't resolve admits the group (conservative, like data filters). */
+  private final class PartitionedManifestIndex(
+      spark: SparkSession, root: String, partCols: Seq[String],
+      groups: Seq[(Seq[String], Seq[FileStatus])],
+      ranges: Map[String, Ranges]) extends FileIndex {
+
+    override def rootPaths: Seq[Path] = Seq(new Path(root))
+    override def partitionSchema: StructType = StructType(partCols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+    override def sizeInBytes: Long =
+      groups.flatMap(_._2).map(_.getLen).sum
+    override def inputFiles: Array[String] =
+      groups.flatMap(_._2).map(_.getPath.toString).toArray
+    override def refresh(): Unit = ()
+
+    private def relOf(vals: Seq[String], name: String): String =
+      partCols.zip(vals).map { case (c, v) => s"$c=$v/" }.mkString + name
+
+    // Evaluate one partition filter against a group's values: bind each
+    // AttributeReference to its partition column BY NAME, eval over the
+    // UTF8String row, admit iff TRUE (null = excluded, WHERE semantics).
+    // EXACTNESS MATTERS here, unlike data-filter admission: Spark drops
+    // partition-only filters from the post-scan residual, so a wrongly
+    // admitted group's rows would LEAK into results. A static
+    // partition-only filter always binds and evals interpreted; a shape
+    // that does NOT eval (a dynamic-pruning subquery mid-flight, an
+    // unbound attr) is by construction not one of those — it is extra
+    // pruning whose parent operator (the join) still filters rows, so
+    // admitting the group is safe there and only there.
+    private def partAdmits(e: Expression, vals: Seq[String]): Boolean = {
+      var unbound = false
+      val bound = e.transform {
+        case a: AttributeReference =>
+          val i = partCols.indexWhere(_.equalsIgnoreCase(a.name))
+          if (i < 0) { unbound = true; a }
+          else BoundReference(i, org.apache.spark.sql.types.StringType,
+            nullable = true)
+      }
+      if (unbound) return true
+      // a subquery-bearing shape (dynamic partition pruning) may not be
+      // evaluable here — admitting is safe ONLY for those (see above);
+      // a static filter that throws (e.g. an ANSI cast on a dir value)
+      // must propagate, exactly as Spark's own partition pruning would
+      val dynamic = e.exists(_.isInstanceOf[PlanExpression[_]])
+      try {
+        val row = InternalRow.fromSeq(vals.map(
+          org.apache.spark.unsafe.types.UTF8String.fromString))
+        bound.eval(row) == true
+      } catch {
+        case scala.util.control.NonFatal(t) => if (dynamic) true else throw t
+      }
+    }
+
+    override def listFiles(partitionFilters: Seq[Expression],
+                           dataFilters: Seq[Expression])
+        : Seq[PartitionDirectory] =
+      groups.filter { case (vals, _) =>
+        partitionFilters.forall(pf => partAdmits(pf, vals))
+      }.map { case (vals, fseq) =>
+        val admitted =
+          if (dataFilters.isEmpty || ranges.isEmpty) fseq
+          else fseq.filter { fst =>
+            val r = ranges.getOrElse(relOf(vals, fst.getPath.getName),
+              noRanges)
+            dataFilters.forall(e => mayMatch(e, r, noBloom))
+          }
+        PartitionDirectory(InternalRow.fromSeq(vals.map(
+          org.apache.spark.unsafe.types.UTF8String.fromString)),
+          admitted.toArray)
+      }
+  }
+
+  /** A DataFrame over a HIVE-PARTITIONED parquet tree (`k=v/` subdirs,
+    * the reference loader's own `year=/month=/day=` bronze layout) whose
+    * scan composes BOTH prunings at planning time: partition-directory
+    * elimination from the path values (string-typed columns, verbatim
+    * dir names) and per-file range admission from the tree's `_stats`
+    * manifest ([[StatsIndex.buildPartitionedTree]] — keyed by
+    * partition-relative path). A day predicate plus a key range then
+    * reads a couple of files out of the whole tree — the two levers a
+    * 100 TB bronze lake needs multiplied, not either-or. Files the
+    * manifest never saw admit; no manifest at all means partition
+    * pruning alone. */
+  def scanPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    def walk(p: Path, segs: Seq[(String, String)])
+        : Seq[(Seq[(String, String)], FileStatus)] =
+      f.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (s.isDirectory) {
+          val i = n.indexOf('=')
+          require(i > 0, s"non-partition subdir '$n' under $dir — " +
+            "scanPartitioned serves k=v Hive trees")
+          walk(s.getPath, segs :+ (n.substring(0, i) -> n.substring(i + 1)))
+        } else if (n.startsWith("part-")) Seq((segs, s))
+        else Nil
+      }
+    val listed = walk(new Path(dir), Nil)
+    require(listed.nonEmpty, s"no data files under $dir")
+    val partCols = listed.head._1.map(_._1)
+    require(partCols.nonEmpty, s"$dir has no k=v partition dirs — use " +
+      "SkipScan.scan for flat layouts")
+    require(listed.forall(_._1.map(_._1) == partCols),
+      s"inconsistent partition columns under $dir")
+    val groups = listed.groupBy(_._1.map(_._2)).toSeq
+      .map { case (vals, fs0) => vals -> fs0.map(_._2) }
+    val ranges = loadRanges(spark, dir, StatsIndex.keyOf(spark, dir))
+    val dataSchema = spark.read
+      .parquet(listed.head._2.getPath.toString).schema
+    val index = new PartitionedManifestIndex(spark, dir, partCols,
+      groups, ranges)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
+
   /** How many files the (already executed) frame's parquet scans read —
     * the planning-time pruning observable (`df.inputFiles` reports the
     * PRE-pruning relation listing, so the proof lives in the scan's

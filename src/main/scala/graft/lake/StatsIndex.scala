@@ -64,6 +64,28 @@ object StatsIndex {
     writeKeyMarker(spark, dir, keyCol)
   }
 
+  /** Build the manifest for a HIVE-PARTITIONED tree (`k=v/` subdirs):
+    * rows keyed by the file's PARTITION-RELATIVE path
+    * (`k=v/.../part-...`), NOT the basename — one partitioned write job
+    * reuses task file names across partition dirs, so basenames
+    * collide. One column-pruned scan of the whole tree; consumed by
+    * [[SkipScan.scanPartitioned]], which composes directory pruning on
+    * the partition values with per-file range admission. */
+  def buildPartitionedTree(spark: SparkSession, dir: String,
+                           keyCol: String): Unit = {
+    spark.read.parquet(dir)
+      .select(
+        regexp_extract(input_file_name(),
+          "((?:[^/]+=[^/]+/)+[^/]+)$", 1).as("file"),
+        col(keyCol).cast("long").as("k"))
+      .groupBy(col("file"))
+      .agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"),
+        count(col("k")).as("non_null"), count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsDir(dir))
+    writeKeyMarker(spark, dir, keyCol)
+  }
+
   // `_stats/_key` names the indexed column — the manifest is otherwise
   // anonymous, and a planning-time consumer ([[SkipScan]]) needs to know
   // WHICH column the ranges describe without being told

@@ -160,6 +160,36 @@ object BuildSkipFixture {
         s"${StatsIndex.exists(spark, s"$sd/v=2")}")
     }
 
+    // 5. HIVE-PARTITIONED tree (the reference loader's own bronze shape,
+    //    year-grained here) with WITHIN-partition key clustering + the
+    //    partition-relative `_stats` manifest: lake_skip_partitioned
+    //    proves directory pruning and manifest skipping compose in one
+    //    plan (a year + key-range predicate reads ~1 file of ~50).
+    if (wanted("orders_pt")) {
+      val pt = s"$base/orders_pt"
+      clear(pt)
+      // o_orderdate stays as a DATA column beside the derived oy dir —
+      // the DuckDB oracle answers from raw bytes via year(o_orderdate),
+      // proving the partition projection without trusting dir names
+      val o2 = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"), col("o_orderdate"),
+          org.apache.spark.sql.functions.date_format(col("o_orderdate"),
+            "yyyy").as("oy"))
+      // (oy, key)-major range layout: each partition dir's files cover
+      // contiguous key sub-ranges — the within-partition clustering the
+      // manifest then describes
+      o2.repartitionByRange(48, col("oy"), col("o_orderkey"))
+        .sortWithinPartitions(col("oy"), col("o_orderkey"))
+        .write.partitionBy("oy").parquet(pt)
+      StatsIndex.buildPartitionedTree(spark, pt, "o_orderkey")
+      val nf = graft.lake.SkipScan.scanPartitioned(spark, pt)
+        .inputFiles.length
+      println(s"[skip-fixture] $pt: $nf files across " +
+        s"${new java.io.File(pt).list().count(_.startsWith("oy="))} " +
+        s"partitions, stats=${StatsIndex.exists(spark, pt)}")
+    }
+
     spark.stop()
   }
 }

@@ -273,6 +273,44 @@ class SkipScanSpec extends SparkSpec {
     assert(big.count() == keys.size.toLong)
   }
 
+  test("a Hive-partitioned tree composes DIRECTORY pruning with " +
+      "manifest file skipping; the partition filter is exact (no row " +
+      "leaks — Spark drops it from the residual)") {
+    val d = s"$root/hive"
+    val rows = (0L until 600L).map(k => (k, s"v$k", s"g${k % 3}"))
+    rows.toDF("k", "v", "p")
+      .repartitionByRange(12, col("p"), col("k"))
+      .sortWithinPartitions(col("p"), col("k"))
+      .write.partitionBy("p").parquet(d)
+    StatsIndex.buildPartitionedTree(spark, d, "k")
+    val total = SkipScan.scanPartitioned(spark, d).inputFiles.length
+    assert(total >= 9, s"fixture too small: $total files")
+    SkipScan.scanPartitioned(spark, d).createOrReplaceTempView("skippt_t")
+    val full = spark.read.parquet(d)
+    // partition filter alone: only g1's dir is listed
+    val p1 = spark.sql("SELECT k, v FROM skippt_t WHERE p = 'g1'")
+    assert(p1.count() == 200L)
+    assert(SkipScan.scannedFileCount(p1) <= total / 2)
+    // compound: one dir AND one key-range file within it
+    val q = spark.sql("SELECT v FROM skippt_t " +
+      "WHERE p = 'g1' AND k BETWEEN 100 AND 140")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq ==
+      full.filter($"p" === "g1" && $"k" >= 100 && $"k" <= 140)
+        .select("v").collect().map(_.getString(0)).sorted.toSeq)
+    assert(SkipScan.scannedFileCount(q) <= 2,
+      "partition + manifest pruning did not compose")
+    // exactness of partition admission: != and IN shapes return exactly
+    // the full scan's rows (a leaked group would show extra rows here)
+    val ne = spark.sql(
+      "SELECT k FROM skippt_t WHERE p != 'g1' AND k < 30")
+    assert(ne.collect().map(_.getLong(0)).sorted.toSeq ==
+      full.filter($"p" =!= "g1" && $"k" < 30)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq)
+    val in = spark.sql(
+      "SELECT count(*) AS c FROM skippt_t WHERE p IN ('g0', 'g2')")
+    assert(in.head().getLong(0) == 400L)
+  }
+
   test("the z-order _boxstats manifest drives multi-column pruning " +
       "through plain predicates") {
     val d = s"$root/zbox"
