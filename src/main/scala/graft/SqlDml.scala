@@ -824,6 +824,27 @@ object SqlDml {
   // view are fixed (n_rows, sum_<c>, min_<c>, max_<c>) — aliases
   // reject, pointing there. min(c) or max(c) each materialize BOTH
   // legs (the maintenance algebra needs the pair).
+  // Whitelisted DETERMINISTIC bucket expressions usable as MV group
+  // keys: `YEAR/MONTH/DAY(col)` and `DATE_TRUNC('unit', col)` — the
+  // month/day dashboard grains the reference declares. Returns
+  // (storage column name, canonical SQL) — the canonical form is what
+  // [[rewriteViaMv]] matches a query's grouping expression against, so
+  // spelling/case/whitespace differences never break the match.
+  private def groupExprOf(raw: String): Option[(String, String)] = {
+    val t = raw.trim.replace("`", "")
+    val fn = ("(?i)^(YEAR|MONTH|DAY)\\s*\\(\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$").r
+    val dt = ("(?i)^DATE_TRUNC\\s*\\(\\s*'([A-Za-z]+)'\\s*,\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$").r
+    t match {
+      case fn(f, c) => Some((s"${f.toLowerCase}_${c.toLowerCase}",
+        s"${f.toLowerCase}(${c.toLowerCase})"))
+      case dt(u, c) => Some((s"dt_${u.toLowerCase}_${c.toLowerCase}",
+        s"date_trunc('${u.toLowerCase}', ${c.toLowerCase})"))
+      case _ => None
+    }
+  }
+
   private def createMvStmt(spark: SparkSession, sql: String): Long = {
     val m = ("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+(\\S+)\\s+LOCATION" +
       "\\s+'([^']+)'\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+(\\S+)\\s+" +
@@ -832,7 +853,23 @@ object SqlDml {
       case m(name, path, selectList, srcName, groupByRaw) =>
         val (srcTable, keyCol) = lookup(srcName)
         def clean(c: String) = c.trim.replace("`", "")
-        val groupCols = groupByRaw.split(",").map(clean).toSeq
+        // group keys: plain columns, or whitelisted bucket EXPRESSIONS
+        // (year/month/day/date_trunc) — an expression materializes as a
+        // derived storage column the maintenance algebra then treats
+        // like any group column (MatView.withDerived)
+        var groupExprs = Seq.empty[(String, String)]
+        val groupCols = splitTop(groupByRaw, ',').map { g =>
+          groupExprOf(g) match {
+            case Some((storage, canonical)) =>
+              require(!spark.table(srcName).columns
+                  .exists(_.equalsIgnoreCase(storage)),
+                s"derived group column '$storage' collides with a " +
+                  "source column — rename the source column")
+              groupExprs :+= (storage -> canonical)
+              storage
+            case None => clean(g)
+          }
+        }
         val cnt = "(?i)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
         val agg = "(?i)^(SUM|MIN|MAX)\\s*\\(\\s*([^)]+?)\\s*\\)$".r
         var sums = Seq.empty[String]
@@ -844,6 +881,8 @@ object SqlDml {
                 "names are fixed by the maintenance algebra (n_rows, " +
                 "sum_<c>, min_<c>, max_<c>); query them as such")
             else item match {
+              case _ if groupExprOf(item).exists(ge =>
+                  groupExprs.exists(_._2 == ge._2)) => () // an expr key
               case cnt() => () // always materialized as n_rows
               case agg(fn, c) =>
                 if (fn.equalsIgnoreCase("SUM")) sums :+= clean(c)
@@ -859,7 +898,7 @@ object SqlDml {
             }
         }
         val v = MatView.create(spark, srcTable, keyCol, path,
-          groupCols, sums.distinct, minMax)
+          groupCols, sums.distinct, minMax, groupExprs)
         mvRegistry.put(name.toLowerCase, path)
         catalogDir.foreach(d =>
           graft.lake.Metastore.recordView(spark, d, name, path))
@@ -926,15 +965,29 @@ object SqlDml {
                                   text: String): Option[String] = {
     val shape = ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
       "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)" +
+      "(?:\\s+HAVING\\s+(.+?))?" +
       "(?:\\s+ORDER\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
-    val (items, srcName, whereRaw, gbyRaw, obyRaw) = text match {
-      case shape(i, s, w, g, o) => (i, s, Option(w), g, Option(o))
-      case _ => return None
-    }
+    val (items, srcName, whereRaw, gbyRaw, havingRaw, obyRaw) =
+      text match {
+        case shape(i, s, w, g, h, o) =>
+          (i, s, Option(w), g, Option(h), Option(o))
+        case _ => return None
+      }
     val srcPath = registry.get(srcName.toLowerCase).map(_._1)
       .getOrElse(return None)
     def clean(c: String) = c.trim.replace("`", "")
-    val gby = splitTop(gbyRaw, ',').map(clean)
+    // query group keys: plain columns, or whitelisted bucket
+    // expressions normalized to their canonical form (matched against
+    // the MV spec's groupExprs — the storage name substitutes in the
+    // rewritten text). Left = plain column, Right = canonical expr.
+    val gkeys: Seq[Either[String, String]] =
+      splitTop(gbyRaw, ',').map { g =>
+        groupExprOf(g) match {
+          case Some((_, canonical)) => Right(canonical)
+          case None => Left(clean(g))
+        }
+      }
+    val gby = gkeys.collect { case Left(c) => c }
 
     // WHERE over MV GROUP columns only: a group column is materialized
     // verbatim at group grain, so filtering MV rows on it is exactly
@@ -979,23 +1032,15 @@ object SqlDml {
       }.getOrElse(Seq.empty)
     if (gby.exists(c => !c.matches("[A-Za-z_][A-Za-z0-9_]*")))
       return None // an EXPRESSION group key is not a materialized column
-    // the ORDER BY tail may only name query group columns — anything
-    // else (an aggregate, an expression) might not survive the mapping
-    val oby = obyRaw.map(o => splitTop(o, ',').map { seg =>
-      val parts = clean(seg).split("\\s+").toSeq
-      val dir = parts.drop(1).map(_.toUpperCase)
-      if (parts.isEmpty ||
-          !gby.exists(_.equalsIgnoreCase(parts.head)) ||
-          !dir.forall(d => d == "ASC" || d == "DESC")) return None
-      parts.head + dir.mkString(" ", " ", "")
-    })
-
     // parse the select list into mappable items
     val cnt = "(?i)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
     val agg = "(?i)^(SUM|MIN|MAX|AVG)\\s*\\(\\s*([^)]+?)\\s*\\)$".r
     val aliased = "(?is)^(.+?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
     sealed trait Item
     case class GroupItem(c: String, out: String) extends Item
+    // an EXPRESSION group key in the select list, matched by canonical
+    // form — substitutes as the MV's derived storage column
+    case class ExprGroupItem(canonical: String, out: String) extends Item
     case class CountItem(out: String) extends Item
     case class AggItem(fn: String, c: String, out: String) extends Item
     val parsed: Seq[Item] = splitTop(items, ',').map { raw =>
@@ -1005,6 +1050,9 @@ object SqlDml {
       }
       body match {
         case cnt() => CountItem(alias.getOrElse("count(1)"))
+        case e if groupExprOf(e).exists(ge =>
+            gkeys.contains(Right(ge._2))) =>
+          ExprGroupItem(groupExprOf(e).get._2, alias.getOrElse(e.trim))
         case agg(fn, c) =>
           val fl = fn.toLowerCase
           AggItem(fl, clean(c), alias.getOrElse(s"$fl(${clean(c)})"))
@@ -1014,12 +1062,80 @@ object SqlDml {
       }
     }
 
+    // the ORDER BY tail may only name query group keys — by column
+    // name, by a group item's output alias, or by the expression itself
+    // (canonical match); each resolves to its OUTPUT name in the
+    // rewritten text. Anything else (an aggregate) might not survive
+    // the mapping — base path.
+    def groupOutOf(ref: String): Option[String] = {
+      val r = clean(ref)
+      parsed.collectFirst {
+        case GroupItem(c, out)
+            if c.equalsIgnoreCase(r) || out.equalsIgnoreCase(r) => out
+        case ExprGroupItem(can, out)
+            if out.equalsIgnoreCase(r) ||
+              groupExprOf(r).exists(_._2 == can) => out
+      }.orElse(if (gby.exists(_.equalsIgnoreCase(r))) Some(r) else None)
+    }
+    val oby = obyRaw.map(o => splitTop(o, ',').map { seg =>
+      // an expression ref may contain spaces inside parens — peel only
+      // a trailing ASC/DESC, keep the head intact
+      val dirM = "(?is)^(.*?)(?:\\s+(ASC|DESC))?\\s*$".r
+      val (headRaw, dir) = seg.trim match {
+        case dirM(h, d) => (h, Option(d).map(_.toUpperCase))
+        case other => (other, None)
+      }
+      val out = groupOutOf(headRaw).getOrElse(return None)
+      s"`$out`" + dir.map(" " + _).getOrElse("")
+    })
+
+    // HAVING over rewritable aggregates: AND-joined conjuncts of
+    // <count(*) | sum/min/max/avg(col)> <cmp> <numeric literal> — the
+    // same mappable algebra as the select items (same coverage and
+    // exactness gates), rewritten to the MV-derived form. The values on
+    // both sides of the comparison are identical to the base query's by
+    // the exactness gates, so the group filter commutes. Any other
+    // HAVING shape falls through to the base.
+    case class HavingPred(fn: String, c: String, op: String, lit: String)
+    val hcmp = ("(?is)^(.+?)\\s*(=|!=|<>|<=|>=|<|>)\\s*" +
+      "(-?\\d+(?:\\.\\d+)?)$").r
+    val havingParsed: Seq[HavingPred] = havingRaw.map { h =>
+      splitAnd(h).map { conj =>
+        conj.replace("`", "") match {
+          case hcmp(a, op, l) => a.trim match {
+            case cnt() => HavingPred("count", "", op, l)
+            case agg(fn, c) => HavingPred(fn.toLowerCase, clean(c), op, l)
+            case _ => return None
+          }
+          case _ => return None
+        }
+      }
+    }.getOrElse(Seq.empty)
+
     // candidate MVs over this source: current, covering, smallest first
     val candidates = mvRegistry.values.toSeq.distinct.flatMap { path =>
       scala.util.Try(MatView.spec(spark, path)).toOption.map(path -> _)
     }.filter { case (_, sp) =>
+      // one coverage rule for SELECT items and HAVING predicates alike
+      def aggCovered(fn: String, c: String): Boolean = fn match {
+        case "count" => true
+        case "sum" => sp.sumCols.exists(_.equalsIgnoreCase(c))
+        case "avg" =>
+          // AVG divides the materialized sum by the materialized
+          // NON-NULL count — both legs must exist (cntCols is empty on
+          // pre-AVG views: fall through to the base)
+          sp.sumCols.exists(_.equalsIgnoreCase(c)) &&
+            sp.cntCols.exists(_.equalsIgnoreCase(c))
+        case _ => sp.minMaxCols.exists(_.equalsIgnoreCase(c))
+      }
       sp.source == srcPath &&
-        gby.forall(g => sp.groupCols.exists(_.equalsIgnoreCase(g))) &&
+        gkeys.forall {
+          case Left(g) => sp.groupCols.exists(_.equalsIgnoreCase(g))
+          // expression keys match by CANONICAL form against the MV's
+          // declared group expressions — the derived storage column
+          // substitutes in the rewritten text
+          case Right(can) => sp.groupExprs.exists(_._2 == can)
+        } &&
         // every WHERE column must be an MV GROUP column (not merely a
         // query group column — filtering on a coarser MV's extra
         // dimension is equally answerable from its rows)
@@ -1027,25 +1143,20 @@ object SqlDml {
           sp.groupCols.exists(_.equalsIgnoreCase(c))
         } &&
         parsed.forall {
-          case GroupItem(_, _) | CountItem(_) => true
-          case AggItem("sum", c, _) =>
-            sp.sumCols.exists(_.equalsIgnoreCase(c))
-          case AggItem("avg", c, _) =>
-            // AVG divides the materialized sum by the materialized
-            // NON-NULL count — both legs must exist (cntCols is empty on
-            // pre-AVG views: fall through to the base)
-            sp.sumCols.exists(_.equalsIgnoreCase(c)) &&
-              sp.cntCols.exists(_.equalsIgnoreCase(c))
-          case AggItem(_, c, _) =>
-            sp.minMaxCols.exists(_.equalsIgnoreCase(c))
+          case GroupItem(_, _) | ExprGroupItem(_, _) | CountItem(_) =>
+            true
+          case AggItem(fn, c, _) => aggCovered(fn, c)
         } &&
+        havingParsed.forall(h => aggCovered(h.fn, h.c)) &&
         // currency is judged against the VERSION the session's temp view
         // is bound to — not the table's live version: if the table moved
         // under an un-rebound view, a live-synced MV would answer from a
         // DIFFERENT snapshot than every other query on this name
         boundVersions.get(srcName.toLowerCase).contains(sp.synced)
     }.sortBy(_._2.groupCols.size)
-    val (mvPath, _) = candidates.headOption.getOrElse(return None)
+    val (mvPath, mvSpec) = candidates.headOption.getOrElse(return None)
+    def storageOf(can: String): String =
+      mvSpec.groupExprs.find(_._2 == can).get._1
 
     // pin the MV's live version under a throwaway view and re-aggregate
     // (exact-match groupings re-aggregate one row per group — same
@@ -1077,20 +1188,25 @@ object SqlDml {
       case d: DecimalType => d.scale <= 6 && d.precision - d.scale <= 32
       case _ => false
     }
-    parsed.foreach {
-      case AggItem("sum", c, _) =>
+    val allAggs: Seq[(String, String)] = parsed.collect {
+      case AggItem(fn, c, _) => (fn, c)
+    } ++ havingParsed.collect {
+      case h if h.fn != "count" => (h.fn, h.c)
+    }
+    allAggs.foreach {
+      case ("sum", c) =>
         val dt = srcSchema.fields.find(_.name.equalsIgnoreCase(c))
           .map(_.dataType).getOrElse(return None)
         if (!accExact(dt)) return None
-      case AggItem("avg", c, _) =>
+      case ("avg", c) =>
         val dt = srcSchema.fields.find(_.name.equalsIgnoreCase(c))
           .map(_.dataType).getOrElse(return None)
         if (!accExact(dt) || dt.isInstanceOf[DecimalType]) return None
       case _ => ()
     }
-    val sumTypes: Map[String, String] = parsed.collect {
-      case AggItem("sum", c, _) => c
-    }.map { c =>
+    val sumTypes: Map[String, String] = allAggs.collect {
+      case ("sum", c) => c
+    }.distinct.map { c =>
       val dt = srcSchema.fields.find(_.name.equalsIgnoreCase(c))
         .map(_.dataType).getOrElse(return None)
       c -> (dt match {
@@ -1100,29 +1216,56 @@ object SqlDml {
         case other => other.sql
       })
     }.toMap
+    // ONE derived-form generator serves select items and HAVING alike.
+    // AVG: DOUBLE division, not decimal — a decimal(38,6)/bigint
+    // quotient re-adjusts to scale 6 (Spark's adjustPrecisionScale) and
+    // a cast of THAT to double is the 6-dp truncation, not the base
+    // avg. nullif keeps an all-NULL group (cnt 0) NULL — what base AVG
+    // returns — instead of a 0/0 NaN.
+    //
+    // AVG exactness contract: the gate above admits only INTEGRAL
+    // sources, where the base's double-accumulated sum is EXACT as long
+    // as every partial sum stays below 2^53 (integer + integer with a
+    // representable result is exact), and the derived
+    // exact-decimal-sum → double cast then reproduces it bit-for-bit.
+    // Past 2^53 — a group summing >9e15, i.e. ~1e9 rows of ~1e7 values
+    // — the BASE's own answer becomes order-dependent (Spark sums
+    // partitions in nondeterministic order), so no rewrite decision can
+    // be bit-stable against it; the rewrite's answer stays within the
+    // same ulp band. DOCUMENTED trade-off, not gated: bounding partial
+    // sums would need per-value magnitude legs (min/max of the summed
+    // column) most views don't materialize, and the base it would fall
+    // back to is itself unstable there.
+    def aggSql(fn: String, c: String): String = fn match {
+      case "count" => "sum(n_rows)"
+      case "sum" => s"CAST(sum(sum_$c) AS ${sumTypes(c)})"
+      case "avg" =>
+        s"CAST(CAST(sum(sum_$c) AS DOUBLE) / nullif(sum(cnt_$c), 0) " +
+          "AS DOUBLE)"
+      case "min" => s"min(min_$c)"
+      case "max" => s"max(max_$c)"
+      case other =>
+        throw new IllegalStateException(s"unreachable agg $other")
+    }
     val sel = parsed.map {
       case GroupItem(c, out) => s"$c AS `$out`"
-      case CountItem(out) => s"sum(n_rows) AS `$out`"
-      case AggItem("sum", c, out) =>
-        s"CAST(sum(sum_$c) AS ${sumTypes(c)}) AS `$out`"
-      // DOUBLE division, not decimal: a decimal(38,6)/bigint quotient
-      // re-adjusts to scale 6 (Spark's adjustPrecisionScale) and a cast
-      // of THAT to double is the 6-dp truncation, not the base avg.
-      // Both casts are exact at additive magnitudes; nullif keeps an
-      // all-NULL group (cnt 0) NULL — what base AVG returns — instead
-      // of a 0/0 NaN
-      case AggItem("avg", c, out) =>
-        s"CAST(CAST(sum(sum_$c) AS DOUBLE) / nullif(sum(cnt_$c), 0) " +
-          s"AS DOUBLE) AS `$out`"
-      case AggItem("min", c, out) => s"min(min_$c) AS `$out`"
-      case AggItem("max", c, out) => s"max(max_$c) AS `$out`"
-      case AggItem(fn, _, _) =>
-        throw new IllegalStateException(s"unreachable agg $fn")
+      case ExprGroupItem(can, out) => s"${storageOf(can)} AS `$out`"
+      case CountItem(out) => s"${aggSql("count", "")} AS `$out`"
+      case AggItem(fn, c, out) => s"${aggSql(fn, c)} AS `$out`"
     }.mkString(", ")
     val whereSql =
       if (whereParsed.isEmpty) ""
       else whereParsed.map(_._2).mkString(" WHERE ", " AND ", "")
-    Some(s"SELECT $sel FROM $vn$whereSql GROUP BY ${gby.mkString(", ")}" +
+    val havingSql =
+      if (havingParsed.isEmpty) ""
+      else havingParsed.map(h => s"${aggSql(h.fn, h.c)} ${h.op} ${h.lit}")
+        .mkString(" HAVING ", " AND ", "")
+    val gbyOut = gkeys.map {
+      case Left(g) => g
+      case Right(can) => storageOf(can)
+    }
+    Some(s"SELECT $sel FROM $vn$whereSql " +
+      s"GROUP BY ${gbyOut.mkString(", ")}$havingSql" +
       oby.map(o => s" ORDER BY ${o.mkString(", ")}").getOrElse(""))
   }
 

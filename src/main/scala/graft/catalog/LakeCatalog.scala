@@ -262,7 +262,69 @@ object LakeCatalog extends Family {
     df
   }
 
+  // ------------------------------------------------------------------
+  // MV rewrite with HAVING over rewritable aggregates: the group filter
+  // maps onto the MV's derived form (count(*) → sum(n_rows)) with
+  // base-equal values by the exactness gates, so the kept-group set is
+  // identical — here it drops the 'F' slice (4,933 orders < the 4,950
+  // threshold). The require proves the rewrite FIRED; the oracle
+  // filters groups from the raw live snapshot.
+  private val mvRewriteHaving = Q(
+    "lake_mv_rewrite_having",
+    Some(s"""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_custkey) AS BIGINT) AS ck
+      FROM read_parquet('${fix()}/v=2/*.parquet', hive_partitioning=false)
+      GROUP BY o_orderstatus
+      HAVING count(*) > 4950
+      ORDER BY o_orderstatus
+    """)) { (spark, _) =>
+    graft.SqlDml.register(spark, "olk_rwh", fix(), "o_orderkey")
+    graft.SqlDml.registerMv(spark, "olk_rwh_mv",
+      Fixtures.abs("fixtures/lake/orders_mv"))
+    val df = graft.Sql.sql(spark,
+      "SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS ck " +
+        "FROM olk_rwh GROUP BY o_orderstatus HAVING count(*) > 4950 " +
+        "ORDER BY o_orderstatus")
+    require(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("orders_mv")),
+      s"the HAVING MV rewrite did not fire: ${df.inputFiles.toSeq}")
+    df
+  }
+
+  // ------------------------------------------------------------------
+  // MV rewrite through an EXPRESSION group key: the committed
+  // orders_dt_mv groups by year(o_orderdate) (the derived bucket
+  // column the maintenance algebra materializes), and a plain
+  // year()-grained SQL — the reference's declared dashboard grain —
+  // answers from the year-count-sized MV instead of the base table.
+  // The oracle recomputes the buckets from the raw committed parquet.
+  private def dt(): String = Fixtures.abs("fixtures/lake/orders_dt")
+
+  private val mvRewriteExprKey = Q(
+    "lake_mv_rewrite_expr_key",
+    Some(s"""
+      SELECT year(o_orderdate) AS oy, count(*) AS n,
+             CAST(sum(o_custkey) AS BIGINT) AS ck
+      FROM read_parquet('${dt()}/v=1/part-*.parquet',
+                        hive_partitioning=false)
+      GROUP BY year(o_orderdate)
+      ORDER BY oy
+    """)) { (spark, _) =>
+    graft.SqlDml.register(spark, "olk_dt", dt(), "o_orderkey")
+    graft.SqlDml.registerMv(spark, "olk_dt_mv",
+      Fixtures.abs("fixtures/lake/orders_dt_mv"))
+    val df = graft.Sql.sql(spark,
+      "SELECT year(o_orderdate) AS oy, count(*) AS n, " +
+        "sum(o_custkey) AS ck FROM olk_dt " +
+        "GROUP BY year(o_orderdate) ORDER BY oy")
+    require(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("orders_dt_mv")),
+      s"the expr-key MV rewrite did not fire: ${df.inputFiles.toSeq}")
+    df
+  }
+
   def specs: Seq[Q] =
     Seq(live, asofDv, asofEvolved, asofRenamed, changes, mvRewrite,
-      mvRewriteWhere)
+      mvRewriteWhere, mvRewriteHaving, mvRewriteExprKey)
 }

@@ -60,10 +60,18 @@ object MatView {
     * under-counts NULLs) is empty on views created before the AVG leg —
     * the MV rewrite only derives averages when the spec lists the
     * column here. */
+  /** `groupExprs` (storage column name → deterministic SQL expression
+    * over source columns) backs EXPRESSION group keys — `year(o_col)` /
+    * `date_trunc('month', o_col)` bucket grains: the view materializes
+    * the derived value under the storage name, every maintenance path
+    * derives it on its row-level frames before grouping
+    * ([[withDerived]]), and the rewrite matches a query's normalized
+    * grouping expression against it. Empty on plain-column views. */
   final case class Spec(source: String, keyCol: String,
                         groupCols: Seq[String], sumCols: Seq[String],
                         synced: Long, minMaxCols: Seq[String] = Seq.empty,
-                        cntCols: Seq[String] = Seq.empty)
+                        cntCols: Seq[String] = Seq.empty,
+                        groupExprs: Seq[(String, String)] = Seq.empty)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -76,10 +84,16 @@ object MatView {
       .foreach(c =>
         require(!c.contains("\"") && !c.contains("\\"),
           s"unsafe column name $c"))
+    s.groupExprs.foreach { case (n, e) =>
+      require(!n.contains("\"") && !e.contains("\"") &&
+        !n.contains("\\") && !e.contains("\\") && !e.contains("}"),
+        s"unsafe group expression $n := $e") }
     s"""{"source":"${s.source}","keyCol":"${s.keyCol}",""" +
       s""""groupCols":${arr(s.groupCols)},"sumCols":${arr(s.sumCols)},""" +
       s""""minMaxCols":${arr(s.minMaxCols)},""" +
       s""""cntCols":${arr(s.cntCols)},""" +
+      s""""groupExprs":{${s.groupExprs.map { case (n, e) =>
+        s""""$n":"$e"""" }.mkString(",")}},""" +
       s""""synced":${s.synced}}"""
   }
 
@@ -94,9 +108,23 @@ object MatView {
         .getOrElse(Seq.empty)
     def num(k: String) =
       s""""$k":(\\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
+    // groupExprs: a {"name":"expr",...} object — exprs may contain
+    // commas (date_trunc('month', c)), so pairs parse inside the braces
+    // (absent on pre-expression spec files = empty)
+    val gx = s""""groupExprs":\\{([^}]*)\\}""".r.findFirstMatchIn(j)
+      .map(m => """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(m.group(1))
+        .map(p => p.group(1) -> p.group(2)).toSeq)
+      .getOrElse(Seq.empty)
     Spec(str("source"), str("keyCol"), arr("groupCols"), arr("sumCols"),
-      num("synced"), arr("minMaxCols"), arr("cntCols"))
+      num("synced"), arr("minMaxCols"), arr("cntCols"), gx)
   }
+
+  /** Materialize the spec's derived group columns on a row-level frame
+    * — applied before EVERY grouping over source/batch rows so the
+    * storage-named columns exist wherever plain group columns would. */
+  private def withDerived(df: DataFrame, s: Spec): DataFrame =
+    s.groupExprs.foldLeft(df) { case (d, (n, e)) =>
+      d.withColumn(n, expr(e)) }
 
   private def writeSpec(spark: SparkSession, dir: String, s: Spec): Unit = {
     val f = fs(spark, dir)
@@ -146,11 +174,16 @@ object MatView {
   def create(spark: SparkSession, source: String, keyCol: String,
              view: String, groupCols: Seq[String],
              sumCols: Seq[String],
-             minMaxCols: Seq[String] = Seq.empty): Long = {
+             minMaxCols: Seq[String] = Seq.empty,
+             groupExprs: Seq[(String, String)] = Seq.empty): Long = {
     require(groupCols.nonEmpty, "a grouped view needs group columns")
+    require(groupExprs.forall { case (n, _) => groupCols.contains(n) },
+      "every group expression's storage name must be a group column")
     val srcV = Versioned.currentVersion(spark, source).getOrElse(
       throw new IllegalStateException(s"no published version at $source"))
-    val df = Versioned.readVersion(spark, source, srcV)
+    val s0 = Spec(source, keyCol, groupCols, sumCols, srcV, minMaxCols,
+      cntCols = sumCols, groupExprs = groupExprs)
+    val df = withDerived(Versioned.readVersion(spark, source, srcV), s0)
     // every sum column also materializes its non-null count (cnt_<c>):
     // the delete-maintainable denominator AVG needs (n_rows over-counts
     // when the column has NULLs) — a few longs per group row, and the
@@ -159,9 +192,7 @@ object MatView {
       cntCols = sumCols)
     Versioned.publishWith(spark, view) { dir =>
       mv.write.mode("overwrite").parquet(dir)
-      writeSpec(spark, dir,
-        Spec(source, keyCol, groupCols, sumCols, srcV, minMaxCols,
-          cntCols = sumCols))
+      writeSpec(spark, dir, s0)
     }
   }
 
@@ -170,7 +201,7 @@ object MatView {
   def recreate(spark: SparkSession, view: String): Long = {
     val s = spec(spark, view)
     create(spark, s.source, s.keyCol, view, s.groupCols, s.sumCols,
-      s.minMaxCols)
+      s.minMaxCols, s.groupExprs)
   }
 
   private def preBatchDir(spark: SparkSession, source: String,
@@ -352,21 +383,24 @@ object MatView {
       // collect: [[oldRowsJoin]] semi-joins instead (same guard as
       // [[Upsert.applyChanges]] — a restatement-sized batch must not be a
       // driver OOM).
-      val oldOfBatch =
+      val oldOfBatch = withDerived(
         if (nk <= maxDriverKeys) {
           val udKeys = batch.select(col(s.keyCol).cast("long"))
             .as[Long].collect().toSeq.distinct
           oldRows(spark, s.source, s.synced, s.keyCol, udKeys)
         } else oldRowsJoin(spark, s.source, s.synced, s.keyCol,
-          batch.select(col(s.keyCol).cast("long").as("_k")).distinct())
+          batch.select(col(s.keyCol).cast("long").as("_k")).distinct()), s)
       val mm = s.minMaxCols
       // the min/max leg reads the old rows twice (minus side + touched
       // groups) — one materialization serves both
       if (mm.nonEmpty) { oldOfBatch.persist(); oldCached = Some(oldOfBatch) }
       val minus = grouped(oldOfBatch, s.groupCols, s.sumCols, -1,
         cntCols = s.cntCols)
-      // plus side: the batch's new rows (I and U carry full rows)
-      val plus = grouped(batch.filter(col(opCol) =!= "D").drop(opCol),
+      // plus side: the batch's new rows (I and U carry full rows) — the
+      // derived group columns materialize on the batch like any source
+      // frame ([[withDerived]])
+      val plus = grouped(
+        withDerived(batch.filter(col(opCol) =!= "D").drop(opCol), s),
         s.groupCols, s.sumCols, 1, mm, cntCols = s.cntCols)
       val deltaAggs = sum(col("n_rows")).as("n_rows") +:
         (s.sumCols.map(c =>
@@ -417,7 +451,8 @@ object MatView {
           val touchedSmall =
             touched.limit(maxDriverKeys + 1).count() <= maxDriverKeys
           val touchedJ = if (touchedSmall) broadcast(touched) else touched
-          val srcNow = Versioned.readVersion(spark, s.source, srcLive)
+          val srcNow = withDerived(
+            Versioned.readVersion(spark, s.source, srcLive), s)
           val matchCond = (f: DataFrame) => s.groupCols
             .map(g => f(g) <=> touched(s"_tg_$g")).reduce(_ && _)
           // one group column + a driver-bounded touched set: an `isin`

@@ -190,6 +190,29 @@ object BuildSkipFixture {
         s"partitions, stats=${StatsIndex.exists(spark, pt)}")
     }
 
+    // 6. date-bearing versioned table + an EXPRESSION-KEY materialized
+    //    view (GROUP BY year(o_orderdate)) — the MV rewrite's bucket-
+    //    grain leg (lake_mv_rewrite_expr_key): the reference's declared
+    //    dashboards are month/day grain, and this is the committed MV
+    //    that answers them without touching the base.
+    if (wanted("orders_dt")) {
+      val dt = s"$base/orders_dt"
+      val dtMv = s"$base/orders_dt_mv"
+      clear(dt); clear(dtMv)
+      val od = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate")
+      Forget.publishClustered(od, dt, nFiles = 8, keyCol = "o_orderkey",
+        stats = true)
+      graft.SqlDml.register(spark, "odt_fixture", dt, "o_orderkey")
+      graft.Sql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW odt_fixture_mv LOCATION '$dtMv' AS
+           |SELECT year(o_orderdate), count(*), sum(o_custkey)
+           |FROM odt_fixture GROUP BY year(o_orderdate)""".stripMargin)
+      println(s"[skip-fixture] $dt + $dtMv: mv rows = " +
+        s"${Versioned.read(spark, dtMv).count()}")
+    }
+
     spark.stop()
   }
 }

@@ -132,12 +132,16 @@ class MvRewriteSpec extends SparkSpec {
       "SELECT color, avg(k) AS a FROM rw3_src GROUP BY color",
       // sum of a non-materialized column
       "SELECT color, sum(k) AS s FROM rw3_src GROUP BY color",
-      // expression group key
+      // a NON-whitelisted expression group key (only year/month/day/
+      // date_trunc buckets are normalizable)
       "SELECT upper(color) AS c, count(*) AS n FROM rw3_src " +
         "GROUP BY upper(color)",
-      // HAVING rides the group-by segment and must not match
+      // HAVING over an aggregate the MV does not materialize
       "SELECT color, count(*) AS n FROM rw3_src GROUP BY color " +
-        "HAVING count(*) > 0")
+        "HAVING sum(k) > 0",
+      // HAVING with a non-conjunct shape (OR)
+      "SELECT color, count(*) AS n FROM rw3_src GROUP BY color " +
+        "HAVING count(*) > 0 OR sum(amt) > 0")
     mustFallThrough.foreach { q =>
       val df = Sql.sql(spark, q)
       assert(!underPath(df.inputFiles, s"$root/mv3"),
@@ -220,5 +224,72 @@ class MvRewriteSpec extends SparkSpec {
     assert(underPath(Sql.sql(spark,
       "SELECT color, count(*) AS n FROM rw5_src GROUP BY color")
       .inputFiles, s"$root/mv5"))
+  }
+
+  test("EXPRESSION group keys (year/month buckets) rewrite when the MV " +
+      "grouped by the same expression; maintenance keeps the derived " +
+      "column current") {
+    val t = s"$root/src6"
+    Forget.publishIndexed(
+      (0 until 24).map(k => (k.toLong, k.toLong,
+          java.sql.Date.valueOf(s"${2020 + k % 3}-0${1 + k % 9}-15")))
+        .toDF("k", "amt", "d"),
+      t, 1, "k", stats = true)
+    SqlDml.register(spark, "rw6_src", t, "k")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rw6_mv LOCATION '$root/mv6' AS
+         |SELECT year(d), count(*), sum(amt) FROM rw6_src
+         |GROUP BY year(d)""".stripMargin)
+    // spelling/case/whitespace differences normalize to one canonical
+    // form; the derived storage column substitutes under the alias
+    val q = "SELECT YEAR( d ) AS yr, count(*) AS n, sum(amt) AS s " +
+      "FROM rw6_src GROUP BY YEAR( d ) ORDER BY yr"
+    val rw = Sql.sql(spark, q)
+    assert(underPath(rw.inputFiles, s"$root/mv6"),
+      s"expr-key rewrite did not fire: ${rw.inputFiles.toSeq}")
+    assert(rw.collect().toSeq == spark.sql(q).collect().toSeq)
+    // INCREMENTAL maintenance derives the bucket on the batch: merge a
+    // row into 2022, refresh, re-register — the rewrite answers current
+    Sql.execute(spark, "INSERT INTO rw6_src (k, amt, d) VALUES " +
+      "(100, 1000, CAST('2022-01-01' AS DATE))")
+    Sql.execute(spark, "REFRESH MATERIALIZED VIEW rw6_mv")
+    SqlDml.register(spark, "rw6_src", t, "k")
+    val rw2 = Sql.sql(spark, q)
+    assert(underPath(rw2.inputFiles, s"$root/mv6"))
+    assert(rw2.collect().toSeq == spark.sql(q).collect().toSeq)
+    // a different bucket expression over the same column falls through
+    val other = Sql.sql(spark, "SELECT month(d) AS m, count(*) AS n " +
+      "FROM rw6_src GROUP BY month(d)")
+    assert(!underPath(other.inputFiles, s"$root/mv6"))
+  }
+
+  test("HAVING over rewritable aggregates filters groups from the MV " +
+      "with base-equal values") {
+    val t = s"$root/src7"
+    Forget.publishIndexed(
+      (0 until 30).map(k => (k.toLong, s"c${k % 3}", k.toLong))
+        .toDF("k", "color", "amt"),
+      t, 1, "k", stats = true)
+    SqlDml.register(spark, "rw7_src", t, "k")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rw7_mv LOCATION '$root/mv7' AS
+         |SELECT color, count(*), sum(amt), min(amt), max(amt)
+         |FROM rw7_src GROUP BY color""".stripMargin)
+    // sum(amt) per color: c0=135, c1=145, c2=155 — the HAVING keeps 2
+    val q = "SELECT color, count(*) AS n, sum(amt) AS s FROM rw7_src " +
+      "GROUP BY color HAVING sum(amt) > 140 ORDER BY color"
+    val rw = Sql.sql(spark, q)
+    assert(underPath(rw.inputFiles, s"$root/mv7"),
+      s"HAVING rewrite did not fire: ${rw.inputFiles.toSeq}")
+    assert(rw.collect().toSeq == spark.sql(q).collect().toSeq)
+    assert(rw.count() == 2)
+    // HAVING on an aggregate NOT in the select list; compound WHERE +
+    // HAVING + min/max legs
+    val q2 = "SELECT color, max(amt) AS hi FROM rw7_src " +
+      "WHERE color != 'c9' GROUP BY color HAVING count(*) >= 10 " +
+      "AND min(amt) <= 2 ORDER BY color"
+    val rw2 = Sql.sql(spark, q2)
+    assert(underPath(rw2.inputFiles, s"$root/mv7"))
+    assert(rw2.collect().toSeq == spark.sql(q2).collect().toSeq)
   }
 }

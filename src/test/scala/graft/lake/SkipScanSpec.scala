@@ -87,6 +87,14 @@ class SkipScanSpec extends SparkSpec {
       full.filter($"k" === 5L))
     prove(SkipScan.scan(spark, d).filter($"k".isNull), 1,
       full.filter($"k".isNull))
+    // IS NOT NULL excludes the all-null file PRECISELY (its non-null
+    // count is 0 in the manifest) — Spark injects this predicate on
+    // every comparison, so the exclusion compounds with range admission
+    prove(SkipScan.scan(spark, d).filter($"k".isNotNull), 1,
+      full.filter($"k".isNotNull))
+    // IN admits per member: both named keys live in the non-null file
+    prove(SkipScan.scan(spark, d).filter($"k".isin(3L, 9L)), 1,
+      full.filter($"k".isin(3L, 9L)))
   }
 
   test("a stale manifest (file landed after build) degrades to the full " +
