@@ -17,7 +17,8 @@ object SparkEntry {
 
   private val families: Seq[Family] =
     Seq(Relational, Events, TextLlm, Vectors, MediaCatalog, Nested, Corpus,
-      Warehouse, Mining, Search, Lm, Eval, LakeCatalog, LakeSkipping)
+      Warehouse, Mining, Search, Lm, Eval, LakeCatalog, LakeSkipping,
+      JdbcSource)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

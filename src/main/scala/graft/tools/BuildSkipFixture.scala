@@ -213,6 +213,23 @@ object BuildSkipFixture {
         s"${Versioned.read(spark, dtMv).count()}")
     }
 
+    // 7. JDBC fixture: a deterministic 200-key orders slice as ONE
+    //    parquet file — the committed bytes BOTH sides of
+    //    jdbc_pushdown_extract share (the Spark arm loads them into an
+    //    embedded Derby table and reads back over JDBC; the oracle
+    //    reads the parquet directly, no JDBC code in its loop).
+    if (wanted("orders_jdbc")) {
+      val jd = s"${new java.io.File(base).getParent}/jdbc"
+      clear(s"$jd/orders_jdbc.parquet")
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority")
+        .filter(col("o_orderkey") < 200L)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$jd/orders_jdbc.parquet")
+      println(s"[skip-fixture] $jd/orders_jdbc.parquet written")
+    }
+
     spark.stop()
   }
 }
