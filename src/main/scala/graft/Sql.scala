@@ -71,10 +71,15 @@ object Sql {
   /** Time travel on the SQL surface: register a SPECIFIC published version
     * of a lake table as temp view `name` — Delta's `VERSION AS OF` here.
     * The live view and any number of as-of views of one table coexist
-    * (each is just a pinned relation over an immutable version dir). */
+    * (each is just a pinned relation over an immutable version dir).
+    * Bound through the same manifest-FileIndex routing as the live view
+    * ([[graft.lake.SkipScan.readVersionAuto]]) — an indexed historical
+    * version prunes ad-hoc predicates exactly like the live one, and
+    * unindexed versions fall back to the plain read. */
   def registerAsOf(spark: SparkSession, name: String, table: String,
                    version: Long): Unit = {
-    Versioned.readVersion(spark, table, version).createOrReplaceTempView(name)
+    graft.lake.SkipScan.readVersionAuto(spark, table, version)
+      .createOrReplaceTempView(name)
     // re-pinning a REGISTERED name (registerSnapshot does this) must
     // move its bound-version note with it, or the MV rewrite's currency
     // gate would compare against the superseded binding; synthetic

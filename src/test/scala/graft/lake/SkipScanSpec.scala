@@ -281,6 +281,33 @@ class SkipScanSpec extends SparkSpec {
     assert(big.count() == keys.size.toLong)
   }
 
+  test("COPY INTO landings keep pruning with no ANALYZE in between; " +
+      "time-travel views (VERSION AS OF) prune like the live one") {
+    val d = s"$root/copyprune"
+    Forget.publishClustered(
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v"),
+      d, nFiles = 4, keyCol = "k", stats = true)
+    // stage a source file and land it zero-copy (CopyInto -> Dv.merge)
+    val srcDir = s"$root/copyprune-src"
+    (2000L to 2009L).map(k => (k, s"late$k")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    CopyInto.load(spark, d, "k", srcDir)
+    graft.Sql.registerTable(spark, "skipcp_t", d)
+    // the landed file's rows prune IN (its landing-minted stats admit
+    // it alone) and the base files prune OUT — no ANALYZE ran
+    val q = spark.sql("SELECT v FROM skipcp_t WHERE k = 2004")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("late2004"))
+    assert(SkipScan.scannedFileCount(q) <= 2, // landed file + _dv read
+      "landing degraded pruning until an ANALYZE")
+    // a pinned VERSION AS OF view of the indexed base version prunes too
+    graft.Sql.registerAsOf(spark, "skipcp_v1", d, 1L)
+    val q1 = spark.sql("SELECT v FROM skipcp_v1 WHERE k BETWEEN 110 AND 130")
+    assert(q1.collect().map(_.getString(0)).sorted.toSeq ==
+      (110L to 130L).map(k => s"v$k").sorted)
+    assert(SkipScan.scannedFileCount(q1) == 1,
+      "the as-of view did not prune at planning")
+  }
+
   test("a Hive-partitioned tree composes DIRECTORY pruning with " +
       "manifest file skipping; the partition filter is exact (no row " +
       "leaks — Spark drops it from the residual)") {
