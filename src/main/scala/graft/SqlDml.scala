@@ -874,7 +874,9 @@ object SqlDml {
         val agg = "(?i)^(SUM|MIN|MAX)\\s*\\(\\s*([^)]+?)\\s*\\)$".r
         var sums = Seq.empty[String]
         var minMax = Seq.empty[String]
-        selectList.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+        // top-level split, NOT split(",") — a date_trunc('unit', col)
+        // select item carries an internal comma
+        splitTop(selectList, ',').map(_.trim).filter(_.nonEmpty).foreach {
           item =>
             if (item.matches("(?i).*\\sAS\\s.*"))
               reject(sql, s"alias in '$item' — the stored view's column " +
@@ -1052,7 +1054,13 @@ object SqlDml {
         case cnt() => CountItem(alias.getOrElse("count(1)"))
         case e if groupExprOf(e).exists(ge =>
             gkeys.contains(Right(ge._2))) =>
-          ExprGroupItem(groupExprOf(e).get._2, alias.getOrElse(e.trim))
+          // unaliased default = the CANONICAL form, which is also
+          // Spark's auto-generated name for year/month/day — so the
+          // column name does not depend on whether the rewrite fired
+          // (date_trunc auto-names drop the unit quotes base-side;
+          // alias those in queries that care)
+          ExprGroupItem(groupExprOf(e).get._2,
+            alias.getOrElse(groupExprOf(e).get._2))
         case agg(fn, c) =>
           val fl = fn.toLowerCase
           AggItem(fl, clean(c), alias.getOrElse(s"$fl(${clean(c)})"))

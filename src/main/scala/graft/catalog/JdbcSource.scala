@@ -11,7 +11,7 @@ import graft.lake.Tables
  * a BigQuery connection, WHERE shipped remote, one slice per query);
  * [[graft.lake.Tables.loadJdbc]] is that connector shape on Spark, and
  * this row drives it END TO END against an embedded Derby engine: the
- * committed fixture rows load into a fresh Derby table at query time
+ * committed fixture rows load into a per-JVM Derby table on first use
  * (the same bytes the DuckDB oracle reads as parquet, so the oracle has
  * no JDBC code in the loop), then read back through Spark's JDBC
  * relation with a key-range predicate and range-parallel cursors. The
@@ -30,6 +30,26 @@ object JdbcSource extends Family {
 
   private def fx(): String = Fixtures.abs("fixtures/jdbc/orders_jdbc.parquet")
 
+  // ONE embedded engine per JVM, seeded on first use (repeat catalog
+  // runs — bench's warmup+timed passes, Verify — reuse it instead of
+  // booting and leaking a Derby instance + temp dir per execution; the
+  // dir registers deleteOnExit best-effort)
+  @volatile private var seeded: Option[String] = None
+  private def seededUrl(
+      spark: org.apache.spark.sql.SparkSession): String = synchronized {
+    seeded.getOrElse {
+      val dbDir = java.nio.file.Files
+        .createTempDirectory("graft-jdbc-cat").toFile
+      dbDir.deleteOnExit()
+      val url = s"jdbc:derby:${dbDir.getAbsolutePath}/wh;create=true"
+      spark.read.parquet(fx())
+        .write.mode("overwrite").jdbc(url, "orders_src",
+          new java.util.Properties())
+      seeded = Some(url)
+      url
+    }
+  }
+
   private val pushdownExtract = Q(
     "jdbc_pushdown_extract",
     Some(s"""
@@ -38,14 +58,9 @@ object JdbcSource extends Family {
       WHERE o_orderkey BETWEEN 40 AND 160
       ORDER BY o_orderkey
     """)) { (spark, _) =>
-    // fresh embedded engine per run (statement-free teardown; the dir is
-    // session-temp) seeded from the SAME committed bytes the oracle reads
-    val dbDir = java.nio.file.Files
-      .createTempDirectory("graft-jdbc-cat").toFile
-    val url = s"jdbc:derby:${dbDir.getAbsolutePath}/wh;create=true"
-    val props = new java.util.Properties()
-    spark.read.parquet(fx())
-      .write.mode("overwrite").jdbc(url, "orders_src", props)
+    // the per-JVM embedded engine, seeded once from the SAME committed
+    // bytes the oracle reads
+    val url = seededUrl(spark)
     val df = Tables.loadJdbc(spark, url, "orders_src",
         partitionCol = Some("o_orderkey"), bounds = Some((0L, 200L)),
         numPartitions = 4)

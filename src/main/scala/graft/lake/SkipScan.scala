@@ -522,17 +522,27 @@ object SkipScan {
     val dup = dataFiles.map(_.getPath.getName).toSet
       .intersect(ownFiles.map(_.getPath.getName).toSet)
     // Bloom leg: each file's sidecar lives beside ITS dir; both dirs
-    // must describe the SAME column for one key to answer both (a
-    // dir whose key differs contributes no filters — admit)
-    val bKey = BloomIndex.keyOf(spark, data)
-      .orElse(BloomIndex.keyOf(spark, own))
+    // must describe the SAME column for one key to answer both (a dir
+    // whose key differs contributes no filters — admit). Keys resolve
+    // ONCE here, not per file (each keyOf is a small-file FS read — at
+    // plan time on object storage that would be one GET per candidate).
+    // A dup basename is as ambiguous for Blooms as for ranges: loading
+    // either dir's sidecar could skip the OTHER dir's same-named file's
+    // rows — no filter for those names, both files admit.
+    val dataBKey = BloomIndex.keyOf(spark, data)
+    val ownBKey = if (own == data) None else BloomIndex.keyOf(spark, own)
+    val bKey = dataBKey.orElse(ownBKey)
+    val dataBloomServes = dataBKey.exists(k =>
+      bKey.exists(_.equalsIgnoreCase(k)))
+    val ownBloomServes = ownBKey.exists(k =>
+      bKey.exists(_.equalsIgnoreCase(k)))
     val ownNames = ownFiles.map(_.getPath.getName).toSet
     def bloomOf(n: String)
         : Option[org.apache.spark.util.sketch.BloomFilter] = {
-      val d = if (ownNames.contains(n) && !dup.contains(n)) own else data
-      if (BloomIndex.keyOf(spark, d).exists(k => bKey.exists(
-          _.equalsIgnoreCase(k))))
-        BloomIndex.loadFilter(f, d, n)
+      if (dup.contains(n)) None
+      else if (ownNames.contains(n)) {
+        if (ownBloomServes) BloomIndex.loadFilter(f, own, n) else None
+      } else if (dataBloomServes) BloomIndex.loadFilter(f, data, n)
       else None
     }
     val index = new ManifestFileIndex(spark,

@@ -261,6 +261,33 @@ class MvRewriteSpec extends SparkSpec {
     val other = Sql.sql(spark, "SELECT month(d) AS m, count(*) AS n " +
       "FROM rw6_src GROUP BY month(d)")
     assert(!underPath(other.inputFiles, s"$root/mv6"))
+    // UNALIASED expression key: the output name is the canonical form —
+    // identical whether or not the rewrite fired
+    assert(Sql.sql(spark,
+      "SELECT year(d), count(*) FROM rw6_src GROUP BY year(d)")
+      .columns.toSeq == Seq("year(d)", "count(1)"))
+  }
+
+  test("date_trunc group keys parse through CREATE (internal comma) and " +
+      "rewrite by canonical match") {
+    val t = s"$root/src8"
+    Forget.publishIndexed(
+      (0 until 12).map(k => (k.toLong, k.toLong,
+          java.sql.Date.valueOf(s"2021-${"%02d".format(1 + k % 4)}-10")))
+        .toDF("k", "amt", "d"),
+      t, 1, "k", stats = true)
+    SqlDml.register(spark, "rw8_src", t, "k")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rw8_mv LOCATION '$root/mv8' AS
+         |SELECT date_trunc('month', d), count(*), sum(amt)
+         |FROM rw8_src GROUP BY date_trunc('month', d)""".stripMargin)
+    val q = "SELECT DATE_TRUNC('MONTH', d) AS m, count(*) AS n, " +
+      "sum(amt) AS s FROM rw8_src GROUP BY DATE_TRUNC('MONTH', d) " +
+      "ORDER BY m"
+    val rw = Sql.sql(spark, q)
+    assert(underPath(rw.inputFiles, s"$root/mv8"),
+      s"date_trunc rewrite did not fire: ${rw.inputFiles.toSeq}")
+    assert(rw.collect().toSeq == spark.sql(q).collect().toSeq)
   }
 
   test("HAVING over rewritable aggregates filters groups from the MV " +
