@@ -717,6 +717,11 @@ object SkipScan {
     def count(p: org.apache.spark.sql.execution.SparkPlan): Long =
       finalPlan(p).collectLeaves().map {
         case s: FileSourceScanExec => s.metrics("numFiles").value
+        // AQE materializes exchanges as query stages whose plans hide
+        // the scans from the OUTER plan's leaves (a broadcast-joined
+        // read — the DV overlay shape — would otherwise count ZERO)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          count(q.plan)
         // a persisted frame hides the scan behind the cache — the metric
         // lives on the plan that BUILT the cache (populated by the
         // materializing action)

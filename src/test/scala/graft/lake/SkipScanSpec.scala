@@ -134,13 +134,15 @@ class SkipScanSpec extends SparkSpec {
     graft.Sql.registerTable(spark, "skipreg_t", d)
     val q2 = spark.sql("SELECT v FROM skipreg_t WHERE k >= 1000")
     assert(q2.collect().map(_.getString(0)).toSeq == Seq("late"))
-    assert(SkipScan.scannedFileCount(q2) <= 2,
+    // EXACTLY the appended file — 0 base files, and the fresh-key
+    // merge's EMPTY vector wrote no data file for its scan to read
+    assert(SkipScan.scannedFileCount(q2) == 1,
       "overlay read did not prune: base files were opened")
     // the base range still prunes to one base file through the overlay
     val q3 = spark.sql("SELECT v FROM skipreg_t WHERE k BETWEEN 10 AND 20")
     assert(q3.collect().map(_.getString(0)).sorted.toSeq
       == (10L to 20L).map(k => s"v$k").sorted)
-    assert(SkipScan.scannedFileCount(q3) <= 2)
+    assert(SkipScan.scannedFileCount(q3) == 1) // 1 base, empty-dv scan 0
   }
 
   test("a DV purge version prunes AND hides the deleted rows — the " +
@@ -155,8 +157,8 @@ class SkipScanSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).sorted.toSeq ==
       (210L to 230L).filterNot(k => k == 215L || k == 220L)
         .map(k => s"v$k").sorted)
-    // 1 admitted data file + the deletion-vector sidecar read
-    assert(SkipScan.scannedFileCount(q) <= 2,
+    // EXACTLY 1 admitted data file + the deletion-vector sidecar read
+    assert(SkipScan.scannedFileCount(q) == 2,
       "DV overlay did not prune the base files")
     // full parity with the plain overlay reader
     assert(SkipScan.readVersionAuto(spark, d, 2L).collect().toSet ==
@@ -297,7 +299,9 @@ class SkipScanSpec extends SparkSpec {
     // it alone) and the base files prune OUT — no ANALYZE ran
     val q = spark.sql("SELECT v FROM skipcp_t WHERE k = 2004")
     assert(q.collect().map(_.getString(0)).toSeq == Seq("late2004"))
-    assert(SkipScan.scannedFileCount(q) <= 2, // landed file + _dv read
+    // exactly the landed file (the fresh-key landing's empty vector
+    // scans no data file)
+    assert(SkipScan.scannedFileCount(q) == 1,
       "landing degraded pruning until an ANALYZE")
     // a pinned VERSION AS OF view of the indexed base version prunes too
     graft.Sql.registerAsOf(spark, "skipcp_v1", d, 1L)
