@@ -162,7 +162,22 @@ object SkipScan {
     case And(l, rt) => mayMatch(l, r, bc) && mayMatch(rt, r, bc)
     case Or(l, rt) => mayMatch(l, r, bc) || mayMatch(rt, r, bc)
     case EqualTo(a, b) => cmp(a, b, r, "=") && bloomAdmits(a, b, bc)
-    case EqualNullSafe(a, b) => cmp(a, b, r, "=") && bloomAdmits(a, b, bc)
+    case EqualNullSafe(a, b) =>
+      val nullLit = Seq(a, b).exists {
+        case l: Literal => l.value == null
+        case _ => false
+      }
+      if (nullLit) {
+        // `<=> NULL` selects EXACTLY the null rows — the all-null file
+        // is the canonical match, the OPPOSITE of "="'s nn==0 exclusion
+        // (routing this through cmp would skip precisely the file that
+        // holds every matching row). Admit iff the file can hold a null.
+        attrOf(if (a.isInstanceOf[Literal]) b else a) match {
+          case Some(ar) => r.nonNullOf(ar.name.toLowerCase)
+            .fold(true)(nn => r.rows - nn > 0)
+          case None => true
+        }
+      } else cmp(a, b, r, "=") && bloomAdmits(a, b, bc)
     case GreaterThan(a, b) => cmp(a, b, r, ">")
     case GreaterThanOrEqual(a, b) => cmp(a, b, r, ">=")
     case LessThan(a, b) => cmp(a, b, r, "<")

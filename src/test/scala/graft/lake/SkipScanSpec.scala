@@ -95,6 +95,14 @@ class SkipScanSpec extends SparkSpec {
     // IN admits per member: both named keys live in the non-null file
     prove(SkipScan.scan(spark, d).filter($"k".isin(3L, 9L)), 1,
       full.filter($"k".isin(3L, 9L)))
+    // `<=> NULL` selects exactly the NULL rows — it must read the
+    // all-null file (the opposite of "="'s nn==0 exclusion), never
+    // route through the equality path and skip it
+    prove(SkipScan.scan(spark, d).filter($"k" <=> lit(null)), 1,
+      full.filter($"k" <=> lit(null)))
+    // non-null `<=>` behaves as equality admission
+    prove(SkipScan.scan(spark, d).filter($"k" <=> 5L), 1,
+      full.filter($"k" <=> 5L))
   }
 
   test("a stale manifest (file landed after build) degrades to the full " +
