@@ -597,9 +597,19 @@ object SkipScan {
     * basenames across partition dirs. Partition filters evaluate
     * name-bound against each group's value row; any shape the binding
     * can't resolve admits the group (conservative, like data filters). */
+  /** One partition-dir group: the RAW `k=v` path segments (the manifest
+    * key space — file keys must reproduce the on-disk spelling) and the
+    * DECODED column values (what the scan's partition columns carry:
+    * URL-unescaped, with Hive's `__HIVE_DEFAULT_PARTITION__` sentinel
+    * read back as NULL — `spark.read.parquet`'s semantics, so swapping
+    * the reader never changes values). */
+  private final case class PartGroup(rawSegs: Seq[String],
+                                     values: Seq[String],
+                                     files: Seq[FileStatus])
+
   private final class PartitionedManifestIndex(
       spark: SparkSession, root: String, partCols: Seq[String],
-      groups: Seq[(Seq[String], Seq[FileStatus])],
+      groups: Seq[PartGroup],
       ranges: Map[String, Ranges]) extends FileIndex {
 
     override def rootPaths: Seq[Path] = Seq(new Path(root))
@@ -607,13 +617,13 @@ object SkipScan {
       org.apache.spark.sql.types.StructField(c,
         org.apache.spark.sql.types.StringType)))
     override def sizeInBytes: Long =
-      groups.flatMap(_._2).map(_.getLen).sum
+      groups.flatMap(_.files).map(_.getLen).sum
     override def inputFiles: Array[String] =
-      groups.flatMap(_._2).map(_.getPath.toString).toArray
+      groups.flatMap(_.files).map(_.getPath.toString).toArray
     override def refresh(): Unit = ()
 
-    private def relOf(vals: Seq[String], name: String): String =
-      partCols.zip(vals).map { case (c, v) => s"$c=$v/" }.mkString + name
+    private def relOf(g: PartGroup, name: String): String =
+      g.rawSegs.map(_ + "/").mkString + name
 
     // Evaluate one partition filter against a group's values: bind each
     // AttributeReference to its partition column BY NAME, eval over the
@@ -642,30 +652,34 @@ object SkipScan {
       // must propagate, exactly as Spark's own partition pruning would
       val dynamic = e.exists(_.isInstanceOf[PlanExpression[_]])
       try {
-        val row = InternalRow.fromSeq(vals.map(
-          org.apache.spark.unsafe.types.UTF8String.fromString))
+        val row = InternalRow.fromSeq(vals.map(v =>
+          if (v == null) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(v)))
         bound.eval(row) == true
       } catch {
         case scala.util.control.NonFatal(t) => if (dynamic) true else throw t
       }
     }
 
+    private def row(vals: Seq[String]): InternalRow =
+      InternalRow.fromSeq(vals.map(v =>
+        if (v == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+
     override def listFiles(partitionFilters: Seq[Expression],
                            dataFilters: Seq[Expression])
         : Seq[PartitionDirectory] =
-      groups.filter { case (vals, _) =>
-        partitionFilters.forall(pf => partAdmits(pf, vals))
-      }.map { case (vals, fseq) =>
+      groups.filter { g =>
+        partitionFilters.forall(pf => partAdmits(pf, g.values))
+      }.map { g =>
         val admitted =
-          if (dataFilters.isEmpty || ranges.isEmpty) fseq
-          else fseq.filter { fst =>
-            val r = ranges.getOrElse(relOf(vals, fst.getPath.getName),
+          if (dataFilters.isEmpty || ranges.isEmpty) g.files
+          else g.files.filter { fst =>
+            val r = ranges.getOrElse(relOf(g, fst.getPath.getName),
               noRanges)
             dataFilters.forall(e => mayMatch(e, r, noBloom))
           }
-        PartitionDirectory(InternalRow.fromSeq(vals.map(
-          org.apache.spark.unsafe.types.UTF8String.fromString)),
-          admitted.toArray)
+        PartitionDirectory(row(g.values), admitted.toArray)
       }
   }
 
@@ -702,8 +716,18 @@ object SkipScan {
       "SkipScan.scan for flat layouts")
     require(listed.forall(_._1.map(_._1) == partCols),
       s"inconsistent partition columns under $dir")
-    val groups = listed.groupBy(_._1.map(_._2)).toSeq
-      .map { case (vals, fs0) => vals -> fs0.map(_._2) }
+    // dir values decode to what spark.read's own partition inference
+    // yields: URL-unescaped, the Hive null sentinel as a real NULL —
+    // swapping readers must never change partition VALUES
+    def decode(raw: String): String = {
+      val u = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(raw)
+      if (u == "__HIVE_DEFAULT_PARTITION__") null else u
+    }
+    val groups = listed.groupBy(_._1).toSeq.map { case (segs, fs0) =>
+      PartGroup(segs.map { case (k, v) => s"$k=$v" },
+        segs.map { case (_, v) => decode(v) }, fs0.map(_._2))
+    }
     val ranges = loadRanges(spark, dir, StatsIndex.keyOf(spark, dir))
     val dataSchema = spark.read
       .parquet(listed.head._2.getPath.toString).schema

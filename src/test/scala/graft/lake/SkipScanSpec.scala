@@ -358,6 +358,29 @@ class SkipScanSpec extends SparkSpec {
     assert(in.head().getLong(0) == 400L)
   }
 
+  test("partition VALUES match spark.read's semantics: escaped dir " +
+      "names decode, the Hive null sentinel reads back as NULL") {
+    val d = s"$root/hiveesc"
+    val rows = Seq((1L, Some("a b")), (2L, Some("a b")), (3L, None),
+      (4L, Some("x:y")))
+    rows.toDF("k", "p").write.partitionBy("p").parquet(d)
+    val mine = SkipScan.scanPartitioned(spark, d)
+    val ref = spark.read.parquet(d)
+    // value parity with Spark's own partition inference, row for row
+    assert(mine.select($"k", $"p").collect().toSet ==
+      ref.select($"k", $"p".cast("string")).collect().toSet)
+    // NULL-partition predicates behave identically
+    mine.createOrReplaceTempView("skipesc_t")
+    assert(spark.sql("SELECT k FROM skipesc_t WHERE p IS NULL")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(spark.sql("SELECT k FROM skipesc_t WHERE p = 'a b'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // the null dir is pruned OUT by an equality and IN by IS NULL
+    val eq = spark.sql("SELECT k FROM skipesc_t WHERE p = 'x:y'")
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    assert(SkipScan.scannedFileCount(eq) == 1)
+  }
+
   test("the z-order _boxstats manifest drives multi-column pruning " +
       "through plain predicates") {
     val d = s"$root/zbox"
