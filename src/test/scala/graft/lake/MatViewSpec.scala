@@ -340,4 +340,57 @@ class MatViewSpec extends SparkSpec {
     }
     assert(synced(1L) == 1L && synced(2L) == 2L)
   }
+
+  test("EXPRESSION group keys compose with the MIN/MAX leg: deletes " +
+      "drive the touched-group recompute on the DERIVED column") {
+    val t = s"$root/exprmm"
+    val df = (0 until 60).map { k =>
+      (k.toLong, k.toLong * 3,
+        java.sql.Date.valueOf(s"${2020 + k % 3}-03-0${1 + k % 9}"))
+    }.toDF("k", "amt", "d")
+    Forget.publishIndexed(df, t, nFiles = 4, keyCol = "k", stats = true)
+    val view = s"$root/exprmm_view"
+    MatView.create(spark, t, "k", view, Seq("year_d"), Seq("amt"),
+      minMaxCols = Seq("amt"), groupExprs = Seq("year_d" -> "year(d)"))
+    def recompute(): Set[(Int, Long, Long, Long)] =
+      Versioned.read(spark, t)
+        .groupBy(year($"d").as("year_d"))
+        .agg(count(lit(1)).as("n"), min($"amt").as("lo"),
+          max($"amt").as("hi"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def fromView(): Set[(Int, Long, Long, Long)] =
+      Versioned.read(spark, view).collect()
+        .map(r => (r.getAs[Int]("year_d"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("min_amt"), r.getAs[Long]("max_amt"))).toSet
+    assert(fromView() == recompute())
+    // delete each year's current MAX row — the insert-monotone merge
+    // cannot express this; the touched-group recompute must fire on the
+    // DERIVED year bucket and find the runner-up exactly
+    val maxKeys = Versioned.read(spark, t)
+      .withColumn("_y", year($"d"))
+      .groupBy($"_y").agg(max(struct($"amt", $"k")).as("m"))
+      .select($"m.k").collect().map(_.getLong(0)).toSeq
+    assert(maxKeys.size == 3)
+    val dels = maxKeys.toDF("k")
+      .withColumn("amt", lit(null: String).cast("long"))
+      .withColumn("d", lit(null: String).cast("date"))
+      .withColumn("op", lit("D"))
+      .select($"k", $"amt", $"d", $"op")
+    Upsert.applyCdc(spark, t, "k", dels)
+    MatView.refresh(spark, view, dels)
+    assert(fromView() == recompute(),
+      "derived-bucket touched-group recompute diverged from the base")
+    // and an UPDATE that migrates a row ACROSS buckets (the date moves
+    // to another year) keeps both buckets exact
+    val moved = Versioned.read(spark, t).filter($"k" === 1L)
+      .withColumn("d", lit(java.sql.Date.valueOf("2022-12-25")))
+      .withColumn("op", lit("U"))
+      .select($"k", $"amt", $"d", $"op")
+    Upsert.applyCdc(spark, t, "k", moved)
+    MatView.refresh(spark, view, moved)
+    assert(fromView() == recompute(),
+      "cross-bucket migration diverged from the base")
+  }
 }
