@@ -1021,13 +1021,33 @@ object SqlDml {
       out += cur.result()
       out.result().map(_.trim).filter(_.nonEmpty)
     }
-    // (column, conjunct-as-written) — or None = not rewritable
-    val whereParsed: Seq[(String, String)] =
+    // (filter target, render-under-resolved-name) — or None = not
+    // rewritable. The target is Left(plain group column) or Right(a
+    // whitelisted bucket expression's CANONICAL form — `WHERE
+    // year(d) = 2021` filters the MV's derived storage column, which is
+    // a group column like any other, so the filter commutes the same
+    // way); the render closure is applied once the candidate MV (and so
+    // the storage name) is known.
+    val ecmp = ("(?is)^(.+?)\\s*" +
+      s"(=|!=|<>|<=|>=|<|>)\\s*($lit)$$").r
+    val einList = ("(?is)^(.+?)\\s+IN\\s*\\(\\s*" +
+      s"($lit(?:\\s*,\\s*$lit)*)\\s*\\)$$").r
+    val whereParsed: Seq[(Either[String, String], String => String)] =
       whereRaw.map { w =>
         splitAnd(w).map { conj =>
           conj.replace("`", "") match {
-            case cmp(c, op, l) => (clean(c), s"$c $op $l")
-            case inList(c, ls) => (clean(c), s"$c IN ($ls)")
+            case cmp(c, op, l) =>
+              (Left(clean(c)): Either[String, String],
+                (_: String) => s"$c $op $l")
+            case ecmp(e, op, l) if groupExprOf(e).isDefined =>
+              (Right(groupExprOf(e).get._2): Either[String, String],
+                (n: String) => s"$n $op $l")
+            case inList(c, ls) =>
+              (Left(clean(c)): Either[String, String],
+                (_: String) => s"$c IN ($ls)")
+            case einList(e, ls) if groupExprOf(e).isDefined =>
+              (Right(groupExprOf(e).get._2): Either[String, String],
+                (n: String) => s"$n IN ($ls)")
             case _ => return None
           }
         }
@@ -1144,11 +1164,13 @@ object SqlDml {
           // substitutes in the rewritten text
           case Right(can) => sp.groupExprs.exists(_._2 == can)
         } &&
-        // every WHERE column must be an MV GROUP column (not merely a
-        // query group column — filtering on a coarser MV's extra
-        // dimension is equally answerable from its rows)
-        whereParsed.forall { case (c, _) =>
-          sp.groupCols.exists(_.equalsIgnoreCase(c))
+        // every WHERE target must be an MV GROUP column / declared
+        // group expression (not merely a query group key — filtering on
+        // a coarser MV's extra dimension is equally answerable from its
+        // rows)
+        whereParsed.forall {
+          case (Left(c), _) => sp.groupCols.exists(_.equalsIgnoreCase(c))
+          case (Right(can), _) => sp.groupExprs.exists(_._2 == can)
         } &&
         parsed.forall {
           case GroupItem(_, _) | ExprGroupItem(_, _) | CountItem(_) =>
@@ -1263,7 +1285,10 @@ object SqlDml {
     }.mkString(", ")
     val whereSql =
       if (whereParsed.isEmpty) ""
-      else whereParsed.map(_._2).mkString(" WHERE ", " AND ", "")
+      else whereParsed.map {
+        case (Left(c), render) => render(c)
+        case (Right(can), render) => render(storageOf(can))
+      }.mkString(" WHERE ", " AND ", "")
     val havingSql =
       if (havingParsed.isEmpty) ""
       else havingParsed.map(h => s"${aggSql(h.fn, h.c)} ${h.op} ${h.lit}")

@@ -324,7 +324,39 @@ object LakeCatalog extends Family {
     df
   }
 
+  // ------------------------------------------------------------------
+  // The dashboard slice: WHERE on the bucket EXPRESSION itself — the
+  // filter maps onto the MV's derived storage column (a group column
+  // like any other, so it commutes with the grain) and the one-year
+  // answer comes from the 7-row MV, never the base. Oracle recomputes
+  // the slice from raw committed bytes.
+  private val mvRewriteExprWhere = Q(
+    "lake_mv_rewrite_expr_where",
+    Some(s"""
+      SELECT year(o_orderdate) AS oy, count(*) AS n,
+             CAST(sum(o_custkey) AS BIGINT) AS ck
+      FROM read_parquet('${dt()}/v=1/part-*.parquet',
+                        hive_partitioning=false)
+      WHERE year(o_orderdate) = 1997
+      GROUP BY year(o_orderdate)
+      ORDER BY oy
+    """)) { (spark, _) =>
+    graft.SqlDml.register(spark, "olk_dtw", dt(), "o_orderkey")
+    graft.SqlDml.registerMv(spark, "olk_dtw_mv",
+      Fixtures.abs("fixtures/lake/orders_dt_mv"))
+    val df = graft.Sql.sql(spark,
+      "SELECT year(o_orderdate) AS oy, count(*) AS n, " +
+        "sum(o_custkey) AS ck FROM olk_dtw " +
+        "WHERE year(o_orderdate) = 1997 " +
+        "GROUP BY year(o_orderdate) ORDER BY oy")
+    require(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("orders_dt_mv")),
+      s"the expr-WHERE MV rewrite did not fire: ${df.inputFiles.toSeq}")
+    df
+  }
+
   def specs: Seq[Q] =
     Seq(live, asofDv, asofEvolved, asofRenamed, changes, mvRewrite,
-      mvRewriteWhere, mvRewriteHaving, mvRewriteExprKey)
+      mvRewriteWhere, mvRewriteHaving, mvRewriteExprKey,
+      mvRewriteExprWhere)
 }

@@ -266,6 +266,26 @@ class MvRewriteSpec extends SparkSpec {
     assert(Sql.sql(spark,
       "SELECT year(d), count(*) FROM rw6_src GROUP BY year(d)")
       .columns.toSeq == Seq("year(d)", "count(1)"))
+    // WHERE on the bucket expression filters the MV's derived column —
+    // the dashboard shape (one year's slice at year grain)
+    val w = "SELECT year(d) AS yr, count(*) AS n FROM rw6_src " +
+      "WHERE year(d) = 2021 GROUP BY year(d) ORDER BY yr"
+    val rww = Sql.sql(spark, w)
+    assert(underPath(rww.inputFiles, s"$root/mv6"),
+      s"expr-WHERE rewrite did not fire: ${rww.inputFiles.toSeq}")
+    assert(rww.collect().toSeq == spark.sql(w).collect().toSeq)
+    // and IN-lists over the bucket; also filtering on the bucket while
+    // grouping by it is not required — WHERE-only still maps
+    val w2 = "SELECT count(*) AS n FROM rw6_src " +
+      "WHERE year(d) IN (2020, 2021) GROUP BY year(d)"
+    val rww2 = Sql.sql(spark, w2)
+    assert(underPath(rww2.inputFiles, s"$root/mv6"))
+    assert(rww2.collect().map(_.getLong(0)).sorted.toSeq ==
+      spark.sql(w2).collect().map(_.getLong(0)).sorted.toSeq)
+    // a NON-declared bucket expression in WHERE falls through
+    assert(!underPath(Sql.sql(spark,
+      "SELECT year(d) AS yr, count(*) AS n FROM rw6_src " +
+        "WHERE month(d) = 3 GROUP BY year(d)").inputFiles, s"$root/mv6"))
   }
 
   test("date_trunc group keys parse through CREATE (internal comma) and " +
