@@ -42,11 +42,13 @@ object Sql {
   def registerTable(spark: SparkSession, name: String, table: String): Long = {
     val v = Versioned.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no published version at $table"))
-    // a PLAIN live version carrying a skipping manifest binds through
-    // the manifest-backed FileIndex ([[graft.lake.SkipScan]]): every
-    // ad-hoc SQL predicate on an indexed column then prunes files at
-    // planning time — no special read API; overlay versions (ref /
-    // vector / mapping) fall back to the plain read
+    // a live version carrying a skipping manifest binds through the
+    // manifest-backed FileIndex ([[graft.lake.SkipScan]]): every ad-hoc
+    // SQL predicate on an indexed column then prunes files at planning
+    // time — no special read API. PLAIN versions bind the index
+    // directly; OVERLAY versions (ref / vector / mapping — the normal
+    // post-DML state) compose pruned listing → DV anti-join → rename;
+    // only an unindexed version falls back to the plain read
     val df = graft.lake.SkipScan.readVersionAuto(spark, table, v)
     // ANALYZE-fed cold-plan broadcast ([[graft.lake.TableStats]]): a
     // table analyzed AT THIS live version whose logical bytes fit the

@@ -1539,6 +1539,22 @@ object SqlDml {
   private def rebind(spark: SparkSession, name: String, table: String): Long =
     Sql.registerTable(spark, name, table)
 
+  /** The live snapshot a DML statement reads to locate its victims /
+    * guard its keys — routed through the skipping [[graft.lake.SkipScan
+    * FileIndex]] when the version carries manifests, exactly like a
+    * registered read: a `DELETE`/`UPDATE` whose WHERE names an indexed
+    * column (or a MERGE whose ON carries a static target-side conjunct
+    * Catalyst pushes below the join) then opens only ADMITTED files for
+    * the victim-locating pass, the single table-scale scan in the
+    * statement's cost. Admission is conservative-complete, so the frame
+    * is result-identical to [[Versioned.read]]; unindexed versions fall
+    * back to it outright. */
+  private def liveForDml(spark: SparkSession, table: String): DataFrame = {
+    val v = Versioned.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no published version at $table"))
+    graft.lake.SkipScan.readVersionAuto(spark, table, v)
+  }
+
   // DELETE FROM t [WHERE cond] — keys under the predicate, then the purge
   private def delete(spark: SparkSession, sql: String,
                      zeroCopy: Boolean): Long = {
@@ -1553,7 +1569,7 @@ object SqlDml {
         Some(rest.substring(5).trim)
       else reject(sql, s"unexpected trailing clause '$rest'")
     val (table, keyCol) = lookup(name)
-    val live = Versioned.read(spark, table)
+    val live = liveForDml(spark, table)
     val matched = cond.map(c => live.filter(expr(c))).getOrElse(live)
     val agg = matched.agg(
       count(when(col(keyCol).isNull, 1)).as("nulls"),
@@ -1709,7 +1725,7 @@ object SqlDml {
     val cond = if (whereAt < 0) None else Some(sql.substring(whereAt + 5).trim)
     val (table, keyCol) = lookup(name)
     val assigns = parseAssigns(setPart, sql)
-    val live = Versioned.read(spark, table)
+    val live = liveForDml(spark, table)
     val schema = live.schema
     assigns.keys.foreach { c =>
       require(schema.fieldNames.contains(c),
@@ -1822,8 +1838,9 @@ object SqlDml {
     val hasBySource = clauses.exists(c =>
       c.isInstanceOf[SourceUpdateClause] || c.isInstanceOf[SourceDeleteClause])
 
-    val tgtSchema = Versioned.read(spark, table).schema
-    val tgt = Versioned.read(spark, table)
+    val tgtLive = liveForDml(spark, table)
+    val tgtSchema = tgtLive.schema
+    val tgt = tgtLive
       .withColumn("_graft_matched", lit(true)).alias(tAlias)
     val src = srcDf.withColumn("_graft_src", lit(true)).alias(sAlias)
     // BY SOURCE clauses need the source-ABSENT target rows in the frame,

@@ -344,8 +344,44 @@ object LakeSkipping extends Family {
       atMost = 3, total = 54, what = "partition+manifest pushdown")
   }
 
+  // ------------------------------------------------------------------
+  // DYNAMIC partition pruning through the partitioned FileIndex: the
+  // year slice is NOT in the query text — it lives in a parquet-backed
+  // dim's rows (`tag = 'focus'`), so no static partition filter exists
+  // at planning. Spark's DPP turns the broadcast dim into an
+  // executed-time partition filter on the fact's PartitionDirectory
+  // rows, and the manifest's per-file admission (the key range) has
+  // already cut within each dir — the two prunings multiply at RUNTIME:
+  // 1 fact file + the 1-file dim of the tree's 54. The reference's
+  // bronze-shape analog: day-partitioned events joined to a small
+  // calendar slice. DuckDB recomputes the join from ALL raw parquet.
+  private def yd(): String = Fixtures.abs("fixtures/lake/years_dim")
+
+  private val dpp = Q(
+    "lake_skip_dpp",
+    Some(s"""
+      SELECT ${ocols.map("o." + _).mkString(", ")}
+      FROM read_parquet('${pt()}/oy=*/part-*.parquet',
+                        hive_partitioning=false) o
+      JOIN read_parquet('${yd()}/part-*.parquet') d
+        ON CAST(year(o.o_orderdate) AS VARCHAR) = d.oy
+      WHERE d.tag = 'focus'
+        AND o.o_orderkey BETWEEN 8000 AND 8400
+      ORDER BY o.o_orderkey
+    """)) { (spark, _) =>
+    graft.lake.SkipScan.scanPartitioned(spark, pt())
+      .createOrReplaceTempView("olk_dpp_fact")
+    spark.read.parquet(yd()).createOrReplaceTempView("olk_dpp_dim")
+    plannerPruned(
+      spark.sql("SELECT " + ocols.map("f." + _).mkString(", ") +
+        " FROM olk_dpp_fact f JOIN olk_dpp_dim d ON f.oy = d.oy " +
+        "WHERE d.tag = 'focus' AND f.o_orderkey BETWEEN 8000 AND 8400 " +
+        "ORDER BY f.o_orderkey"),
+      atMost = 3, total = 55, what = "dynamic partition pruning")
+  }
+
   def specs: Seq[Q] =
     Seq(statsRange, bloomPoint, zorderBox, tokenBloom, plannerRange,
       plannerBox, sqlPushdown, stringPrefix, overlay, bloomSql,
-      partitioned)
+      partitioned, dpp)
 }

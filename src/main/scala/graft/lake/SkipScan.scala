@@ -747,7 +747,15 @@ object SkipScan {
     * the planning-time pruning observable (`df.inputFiles` reports the
     * PRE-pruning relation listing, so the proof lives in the scan's
     * numFiles metric). Run an action on `df` first. */
-  def scannedFileCount(df: DataFrame): Long = {
+  def scannedFileCount(df: DataFrame): Long =
+    scannedFileCount(df.queryExecution.executedPlan)
+
+  /** [[scannedFileCount]] over an already-executed physical plan — for
+    * observing scans that run INSIDE an API (a DML statement's
+    * victim-locating pass) where the frame is never handed back; pair
+    * with a `QueryExecutionListener` capturing `qe.executedPlan`. */
+  def scannedFileCount(plan0: org.apache.spark.sql.execution.SparkPlan)
+      : Long = {
     def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
         : org.apache.spark.sql.execution.SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -768,6 +776,6 @@ object SkipScan {
             .InMemoryTableScanExec => count(im.relation.cachedPlan)
         case _ => 0L
       }.sum
-    count(df.queryExecution.executedPlan)
+    count(plan0)
   }
 }

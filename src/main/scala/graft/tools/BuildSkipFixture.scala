@@ -230,6 +230,29 @@ object BuildSkipFixture {
       println(s"[skip-fixture] $jd/orders_jdbc.parquet written")
     }
 
+    // 8. tiny parquet-backed year dimension over the SAME year span as
+    //    orders_pt (derived from the orders bytes, one 'focus' year):
+    //    the build side of lake_skip_dpp — its runtime-only filter
+    //    (`tag = 'focus'`) is what dynamic partition pruning turns into
+    //    an executed-time partition filter on the fact tree. A
+    //    LocalRelation dim would be constant-folded before the DPP rule
+    //    sees the join; a file-backed dim is also the honest shape (a
+    //    calendar/dim table at 100 TB is a table, not a literal).
+    if (wanted("years_dim")) {
+      val yd = s"$base/years_dim"
+      clear(yd)
+      import org.apache.spark.sql.functions.{date_format, when, lit}
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(date_format(col("o_orderdate"), "yyyy").as("oy"))
+        .distinct()
+        .withColumn("tag",
+          when(col("oy") === "1997", lit("focus")).otherwise(lit("other")))
+        .coalesce(1)
+        .write.parquet(yd)
+      println(s"[skip-fixture] $yd: " +
+        s"${spark.read.parquet(yd).count()} year rows")
+    }
+
     spark.stop()
   }
 }

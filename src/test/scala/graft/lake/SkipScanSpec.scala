@@ -401,4 +401,100 @@ class SkipScanSpec extends SparkSpec {
     assert(got == full.filter($"a" >= 8 && $"a" <= 18 &&
       $"b" >= 100 && $"b" <= 260).collect().toSet)
   }
+
+  test("runtime dynamic partition pruning composes with the partitioned " +
+      "FileIndex: a broadcast dim join on the partition column reads " +
+      "only the matching dirs' admitted files at execution") {
+    val d = s"$root/dpp"
+    val rows = (0L until 1200L).map(k => (k, s"v$k", s"g${k % 6}"))
+    rows.toDF("k", "v", "p")
+      .repartitionByRange(24, col("p"), col("k"))
+      .sortWithinPartitions(col("p"), col("k"))
+      .write.partitionBy("p").parquet(d)
+    StatsIndex.buildPartitionedTree(spark, d, "k")
+    SkipScan.scanPartitioned(spark, d).createOrReplaceTempView("skipdpp_t")
+    val total = SkipScan.scanPartitioned(spark, d).inputFiles.length
+    assert(total >= 18, s"fixture too small: $total files")
+    // the selective filter lives in a FILE-BACKED dim's rows — nothing
+    // in the query text statically names a partition (a LocalRelation
+    // dim would constant-fold before the DPP rule sees the join)
+    val dimDir = s"$root/dppdim"
+    Seq(("g1", "keep"), ("g0", "drop"), ("g2", "drop"), ("g3", "drop"),
+      ("g4", "drop"), ("g5", "drop")).toDF("p", "tag")
+      .coalesce(1).write.parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("skipdpp_dim")
+    val q = spark.sql(
+      "SELECT t.v FROM skipdpp_t t JOIN skipdpp_dim d ON t.p = d.p " +
+        "WHERE d.tag = 'keep' AND t.k BETWEEN 100 AND 140")
+    val full = spark.read.parquet(d)
+    assert(q.collect().map(_.getString(0)).sorted.toSeq ==
+      full.filter($"p" === "g1" && $"k".between(100, 140))
+        .select("v").collect().map(_.getString(0)).sorted.toSeq)
+    // without DPP the key range admits ~1 file in EACH of the 6 dirs
+    // (+1 dim file); with it only g1's dir survives to execution
+    val n = SkipScan.scannedFileCount(q)
+    assert(n <= 3, s"dynamic partition pruning did not fire: $n files")
+  }
+
+  test("DML victim location rides the manifests: every table-scale scan " +
+      "inside a DELETE/UPDATE WHERE on the indexed key opens only " +
+      "admitted files, observed via a QueryExecutionListener") {
+    val d = s"$root/dml"
+    Forget.publishClustered(
+      (0L until 800L).map(k => (k, s"v$k")).toDF("k", "v"),
+      d, nFiles = 8, keyCol = "k", stats = true)
+    graft.SqlDml.register(spark, "skipdml_t", d, "k")
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        counts.add(SkipScan.scannedFileCount(qe.executedPlan))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    // the listener bus is async: wait until the count stream goes quiet
+    def settle(): Seq[Long] = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline &&
+          (counts.size != last || counts.isEmpty)) {
+        last = counts.size
+        Thread.sleep(300)
+      }
+      import scala.jdk.CollectionConverters._
+      counts.asScala.toSeq
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // zero-copy DELETE on a plain clustered v1: the victim count, the
+      // key collect and the purge's own victim-locating pass each admit
+      // 1 of 8 files (a regression to the unindexed read scans all 8)
+      graft.SqlDml.execute(spark,
+        "DELETE FROM skipdml_t WHERE k BETWEEN 210 AND 214",
+        zeroCopyDelete = true)
+      val del = settle()
+      assert(del.nonEmpty && del.max <= 2,
+        s"a DELETE-internal scan read past the admitted files: $del")
+      counts.clear()
+      // UPDATE through the resulting OVERLAY (ref + deletion vector)
+      // version: victim scans compose pruned listing + the _dv sidecar
+      // read — still never the 8-file base
+      graft.SqlDml.execute(spark,
+        "UPDATE skipdml_t SET v = 'patched' WHERE k BETWEEN 300 AND 304")
+      val upd = settle()
+      assert(upd.nonEmpty && upd.max <= 3,
+        s"an UPDATE-internal scan read past the admitted files: $upd")
+    } finally spark.listenerManager.unregister(listener)
+    // result parity: the DML landed exactly its rows
+    val live = spark.sql(
+      "SELECT v FROM skipdml_t WHERE k BETWEEN 208 AND 216 ORDER BY k")
+    assert(live.collect().map(_.getString(0)).toSeq ==
+      Seq("v208", "v209", "v215", "v216"))
+    assert(spark.sql("SELECT v FROM skipdml_t WHERE k = 302")
+      .collect().map(_.getString(0)).toSeq == Seq("patched"))
+    assert(spark.sql("SELECT count(*) FROM skipdml_t").head().getLong(0)
+      == 795L)
+  }
 }
