@@ -486,6 +486,21 @@ class SkipScanSpec extends SparkSpec {
       val upd = settle()
       assert(upd.nonEmpty && upd.max <= 3,
         s"an UPDATE-internal scan read past the admitted files: $upd")
+      counts.clear()
+      // MERGE with a STATIC target-side ON conjunct: Catalyst pushes
+      // `t.k BETWEEN 400 AND 410` below the left-outer join into the
+      // target's scan, where the FileIndex admits 1 of 8 base files.
+      // By now the overlay carries TWO deletion vectors and the
+      // UPDATE's appended file, so a pruned pass still touches up to
+      // 4 (1 admitted base + sidecars); the unindexed regression
+      // signature is the 8-file base, i.e. >= 9
+      graft.SqlDml.execute(spark,
+        "MERGE INTO skipdml_t t USING (SELECT 405 AS k, 'merged' AS v) " +
+          "s ON t.k = s.k AND t.k BETWEEN 400 AND 410 " +
+          "WHEN MATCHED THEN UPDATE SET v = s.v")
+      val mrg = settle()
+      assert(mrg.nonEmpty && mrg.max <= 4,
+        s"a MERGE-internal scan read past the admitted files: $mrg")
     } finally spark.listenerManager.unregister(listener)
     // result parity: the DML landed exactly its rows
     val live = spark.sql(
@@ -494,6 +509,8 @@ class SkipScanSpec extends SparkSpec {
       Seq("v208", "v209", "v215", "v216"))
     assert(spark.sql("SELECT v FROM skipdml_t WHERE k = 302")
       .collect().map(_.getString(0)).toSeq == Seq("patched"))
+    assert(spark.sql("SELECT v FROM skipdml_t WHERE k = 405")
+      .collect().map(_.getString(0)).toSeq == Seq("merged"))
     assert(spark.sql("SELECT count(*) FROM skipdml_t").head().getLong(0)
       == 795L)
   }
