@@ -347,6 +347,25 @@ object SqlDml {
     out.result().map(_.trim)
   }
 
+  // split on top-level AND, respecting single-quoted literals (an AND
+  // inside a string literal is content, not a connective)
+  private def splitAndTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    val up = s.toUpperCase
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') { inQ = !inQ; cur += s.charAt(i); i += 1 }
+      else if (!inQ && i + 5 <= s.length &&
+          up.regionMatches(i, " AND ", 0, 5)) {
+        out += cur.result(); cur.clear(); i += 5
+      } else { cur += s.charAt(i); i += 1 }
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   private def reject(sql: String, why: String): Nothing =
     throw new IllegalArgumentException(
       s"unsupported SQL DML ($why) — supported forms are MERGE INTO ... " +
@@ -1003,24 +1022,7 @@ object SqlDml {
       s"(=|!=|<>|<=|>=|<|>)\\s*($lit)$$").r
     val inList = ("(?is)^([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s*\\(\\s*" +
       s"($lit(?:\\s*,\\s*$lit)*)\\s*\\)$$").r
-    // split on top-level AND, respecting single-quoted literals (an AND
-    // inside a string literal is content, not a connective)
-    def splitAnd(s: String): Seq[String] = {
-      val out = Seq.newBuilder[String]
-      val cur = new StringBuilder
-      var inQ = false
-      var i = 0
-      val up = s.toUpperCase
-      while (i < s.length) {
-        if (s.charAt(i) == '\'') { inQ = !inQ; cur += s.charAt(i); i += 1 }
-        else if (!inQ && i + 5 <= s.length &&
-            up.regionMatches(i, " AND ", 0, 5)) {
-          out += cur.result(); cur.clear(); i += 5
-        } else { cur += s.charAt(i); i += 1 }
-      }
-      out += cur.result()
-      out.result().map(_.trim).filter(_.nonEmpty)
-    }
+
     // (filter target, render-under-resolved-name) — or None = not
     // rewritable. The target is Left(plain group column) or Right(a
     // whitelisted bucket expression's CANONICAL form — `WHERE
@@ -1034,7 +1036,7 @@ object SqlDml {
       s"($lit(?:\\s*,\\s*$lit)*)\\s*\\)$$").r
     val whereParsed: Seq[(Either[String, String], String => String)] =
       whereRaw.map { w =>
-        splitAnd(w).map { conj =>
+        splitAndTop(w).map { conj =>
           conj.replace("`", "") match {
             case cmp(c, op, l) =>
               (Left(clean(c)): Either[String, String],
@@ -1128,7 +1130,7 @@ object SqlDml {
     val hcmp = ("(?is)^(.+?)\\s*(=|!=|<>|<=|>=|<|>)\\s*" +
       "(-?\\d+(?:\\.\\d+)?)$").r
     val havingParsed: Seq[HavingPred] = havingRaw.map { h =>
-      splitAnd(h).map { conj =>
+      splitAndTop(h).map { conj =>
         conj.replace("`", "") match {
           case hcmp(a, op, l) => a.trim match {
             case cnt() => HavingPred("count", "", op, l)
@@ -1299,6 +1301,285 @@ object SqlDml {
     }
     Some(s"SELECT $sel FROM $vn$whereSql " +
       s"GROUP BY ${gbyOut.mkString(", ")}$havingSql" +
+      oby.map(o => s" ORDER BY ${o.mkString(", ")}").getOrElse(""))
+  }
+
+  /** The JOIN leg of the automatic MV rewrite: answer
+    *
+    *   SELECT <group keys + count/sum/min/max/avg over FACT columns>
+    *   FROM <registered fact> JOIN <registered dim> ON <fk> = <pk>
+    *   [WHERE <conjuncts>] GROUP BY <keys> [HAVING ..] [ORDER BY ..]
+    *
+    * from a fact-side materialized view whose group columns cover the
+    * JOIN KEY plus every fact-side group key and WHERE column. The
+    * aggregate rollup COMMUTES through the equi-join because each MV
+    * partial-aggregate row replicates across its matching dim rows
+    * exactly as the base's fact rows would: k dim matches scale
+    * n_rows / sum_c / cnt_c by k on both formulations, min/max are
+    * idempotent under replication, and AVG divides two k-scaled legs —
+    * so the rewrite needs NO uniqueness assumption on the dim key, and
+    * NULL join keys drop identically (SQL equality). The rewritten
+    * plan joins the DIMENSION-SIZED view to the dim instead of
+    * scanning the 100 TB fact — the reference's declared dashboard
+    * shape (funnel / attribution metrics sliced by a dimension
+    * attribute, /root/reference/README.md:28-33) at MV cost.
+    *
+    * Gates mirror [[rewriteViaMv]]: the fact MV must be CURRENT for
+    * the session (`synced` == the fact view's bound version); the dim
+    * side needs no watermark because the rewritten text references the
+    * SAME registered dim view the original text would read — both
+    * formulations see one dim snapshot. Aggregates follow the same
+    * exactness rules (integral / scale<=6 sums; AVG integral with the
+    * cnt leg). Fall-throughs to the base: aggregates over dim columns,
+    * expression group keys, unqualified names present in BOTH schemas,
+    * unregistered names, non-equi or multi-conjunct ONs, outer joins. */
+  private[graft] def rewriteViaMvJoin(spark: SparkSession,
+                                      text: String): Option[String] = {
+    val shape = ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)\\s+" +
+      "JOIN\\s+(\\w+)\\s+ON\\s+([\\w.`]+)\\s*=\\s*([\\w.`]+)" +
+      "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)" +
+      "(?:\\s+HAVING\\s+(.+?))?" +
+      "(?:\\s+ORDER\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
+    val (items, srcName, dimName, onL, onR, whereRaw, gbyRaw,
+      havingRaw, obyRaw) = text match {
+      case shape(i, s, d, l, r, w, g, h, o) =>
+        (i, s, d, l, r, Option(w), g, Option(h), Option(o))
+      case _ => return None
+    }
+    if (srcName.equalsIgnoreCase(dimName)) return None
+    val srcPath = registry.get(srcName.toLowerCase).map(_._1)
+      .getOrElse(return None)
+    // the dim must be registered too (writable or read-only): the
+    // rewrite re-references its SESSION view, so an unregistered name
+    // has no governed binding to point at
+    if (!registry.contains(dimName.toLowerCase) &&
+        !readOnlyRegistry.contains(dimName.toLowerCase)) return None
+    import org.apache.spark.sql.types._
+    val srcSchema = spark.table(srcName).schema
+    val dimSchema = spark.table(dimName).schema
+    def clean(c: String) = c.trim.replace("`", "")
+    // resolve a (possibly table-qualified) column ref to its side:
+    // Left(fact column) / Right(dim column); None = unknown name, a
+    // foreign qualifier, or an unqualified name BOTH schemas carry
+    // (ambiguous — the base parser would reject it too, but the
+    // rewrite must never guess)
+    def side(raw: String): Option[Either[String, String]] = {
+      val r = clean(raw)
+      val (qual, col) = r.lastIndexOf('.') match {
+        case -1 => (None, r)
+        case i => (Some(r.substring(0, i)), r.substring(i + 1))
+      }
+      // resolve to the SCHEMA's spelling: Spark's output names carry
+      // the attribute's casing regardless of how the query spells it,
+      // and one canonical form keeps every Either comparison exact
+      val inSrc = srcSchema.fieldNames.find(_.equalsIgnoreCase(col))
+      val inDim = dimSchema.fieldNames.find(_.equalsIgnoreCase(col))
+      qual match {
+        case Some(q) if q.equalsIgnoreCase(srcName) => inSrc.map(Left(_))
+        case Some(q) if q.equalsIgnoreCase(dimName) => inDim.map(Right(_))
+        case Some(_) => None
+        case None => (inSrc, inDim) match {
+          case (Some(f), None) => Some(Left(f))
+          case (None, Some(d)) => Some(Right(d))
+          case _ => None
+        }
+      }
+    }
+    // ON <fk> = <pk>: exactly one fact side and one dim side
+    val (fk, pk) = (side(onL), side(onR)) match {
+      case (Some(Left(f)), Some(Right(p))) => (f, p)
+      case (Some(Right(p)), Some(Left(f))) => (f, p)
+      case _ => return None
+    }
+    // group keys, each resolved to a side
+    val gkeys: Seq[Either[String, String]] =
+      splitTop(gbyRaw, ',').map(g => side(g).getOrElse(return None))
+    val cnt = "(?i)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
+    val agg = "(?i)^(SUM|MIN|MAX|AVG)\\s*\\(\\s*([^)]+?)\\s*\\)$".r
+    val aliased = "(?is)^(.+?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+    sealed trait Item
+    case class KeyItem(k: Either[String, String], out: String)
+      extends Item
+    case class CountItem(out: String) extends Item
+    case class AggItem(fn: String, c: String, out: String) extends Item
+    val parsed: Seq[Item] = splitTop(items, ',').map { raw =>
+      val (body, alias) = raw.trim match {
+        case aliased(b, a) => (b.trim, Some(a))
+        case b => (b.trim, None)
+      }
+      body match {
+        case cnt() => CountItem(alias.getOrElse("count(1)"))
+        case agg(fn, c) => side(c) match {
+          // only FACT-side aggregates map onto the view's algebra; a
+          // dim-side aggregate has no materialized leg — base path
+          case Some(Left(f)) =>
+            // unaliased default = Spark's auto-name over the BASE text
+            // (qualifier dropped), so the output schema is identical
+            // whether or not the rewrite fired
+            AggItem(fn.toLowerCase, f,
+              alias.getOrElse(s"${fn.toLowerCase}($f)"))
+          case _ => return None
+        }
+        case bare =>
+          val s = side(bare).getOrElse(return None)
+          if (!gkeys.contains(s)) return None
+          KeyItem(s, alias.getOrElse(s.merge))
+      }
+    }
+    // WHERE conjuncts: simple cmp / IN with literals, each targeting a
+    // fact MV group column (filters the view's rows — commutes at
+    // group grain) or ANY dim column (filters the dim's rows —
+    // row-level on the join's dim side, commutes because aggregation
+    // happens after the join in BOTH formulations)
+    val lit = "(?:'[^']*'|-?\\d+(?:\\.\\d+)?)"
+    val cmpQ = ("(?is)^([\\w.`]+)\\s*" +
+      s"(=|!=|<>|<=|>=|<|>)\\s*($lit)$$").r
+    val inQ = ("(?is)^([\\w.`]+)\\s+IN\\s*\\(\\s*" +
+      s"($lit(?:\\s*,\\s*$lit)*)\\s*\\)$$").r
+    case class Pred(target: Either[String, String],
+                    render: String => String)
+    val whereParsed: Seq[Pred] = whereRaw.map { w =>
+      splitAndTop(w).map { conj =>
+        conj match {
+          case cmpQ(c, op, l) =>
+            Pred(side(c).getOrElse(return None),
+              (n: String) => s"$n $op $l")
+          case inQ(c, ls) =>
+            Pred(side(c).getOrElse(return None),
+              (n: String) => s"$n IN ($ls)")
+          case _ => return None
+        }
+      }
+    }.getOrElse(Seq.empty)
+    // HAVING over the same fact-side algebra as the select items
+    case class HavingPred(fn: String, c: String, op: String, lit: String)
+    val hcmp = ("(?is)^(.+?)\\s*(=|!=|<>|<=|>=|<|>)\\s*" +
+      "(-?\\d+(?:\\.\\d+)?)$").r
+    val havingParsed: Seq[HavingPred] = havingRaw.map { h =>
+      splitAndTop(h).map { conj =>
+        conj.replace("`", "") match {
+          case hcmp(a, op, l) => a.trim match {
+            case cnt() => HavingPred("count", "", op, l)
+            case agg(fn, c) => side(c) match {
+              case Some(Left(f)) => HavingPred(fn.toLowerCase, f, op, l)
+              case _ => return None
+            }
+            case _ => return None
+          }
+          case _ => return None
+        }
+      }
+    }.getOrElse(Seq.empty)
+    // ORDER BY may only name selected group keys (by column or alias)
+    val oby = obyRaw.map(o => splitTop(o, ',').map { seg =>
+      val dirM = "(?is)^(.*?)(?:\\s+(ASC|DESC))?\\s*$".r
+      val (headRaw, dir) = seg.trim match {
+        case dirM(h, d) => (h, Option(d).map(_.toUpperCase))
+        case other => (other, None)
+      }
+      val r = clean(headRaw)
+      val rCol = r.substring(r.lastIndexOf('.') + 1)
+      val out = parsed.collectFirst {
+        case KeyItem(k, out) if out.equalsIgnoreCase(r) ||
+            k.merge.equalsIgnoreCase(rCol) => out
+      }.getOrElse(return None)
+      s"`$out`" + dir.map(" " + _).getOrElse("")
+    })
+    // candidate MVs: current, covering fk + every fact-side key /
+    // WHERE column / aggregate, smallest first
+    val factKeys = gkeys.collect { case Left(f) => f }
+    val factWhere = whereParsed.collect { case Pred(Left(f), _) => f }
+    val candidates = mvRegistry.values.toSeq.distinct.flatMap { path =>
+      scala.util.Try(MatView.spec(spark, path)).toOption.map(path -> _)
+    }.filter { case (_, sp) =>
+      def aggCovered(fn: String, c: String): Boolean = fn match {
+        case "count" => true
+        case "sum" => sp.sumCols.exists(_.equalsIgnoreCase(c))
+        case "avg" => sp.sumCols.exists(_.equalsIgnoreCase(c)) &&
+          sp.cntCols.exists(_.equalsIgnoreCase(c))
+        case _ => sp.minMaxCols.exists(_.equalsIgnoreCase(c))
+      }
+      sp.source == srcPath &&
+        (fk +: (factKeys ++ factWhere)).forall(c =>
+          sp.groupCols.exists(_.equalsIgnoreCase(c))) &&
+        parsed.forall {
+          case AggItem(fn, c, _) => aggCovered(fn, c)
+          case _ => true
+        } &&
+        havingParsed.forall(h => aggCovered(h.fn, h.c)) &&
+        boundVersions.get(srcName.toLowerCase).contains(sp.synced)
+    }.sortBy(_._2.groupCols.size)
+    val (mvPath, _) = candidates.headOption.getOrElse(return None)
+    // exactness gates, identical to the single-table leg
+    def accExact(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale <= 6 && d.precision - d.scale <= 32
+      case _ => false
+    }
+    val allAggs: Seq[(String, String)] = parsed.collect {
+      case AggItem(fn, c, _) => (fn, c)
+    } ++ havingParsed.collect { case h if h.fn != "count" => (h.fn, h.c) }
+    allAggs.foreach {
+      case ("sum", c) =>
+        val dt = srcSchema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(_.dataType).getOrElse(return None)
+        if (!accExact(dt)) return None
+      case ("avg", c) =>
+        val dt = srcSchema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(_.dataType).getOrElse(return None)
+        if (!accExact(dt) || dt.isInstanceOf[DecimalType]) return None
+      case _ => ()
+    }
+    val sumTypes: Map[String, String] = allAggs.collect {
+      case ("sum", c) => c
+    }.distinct.map { c =>
+      val dt = srcSchema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType).getOrElse(return None)
+      c -> (dt match {
+        case ByteType | ShortType | IntegerType | LongType => "BIGINT"
+        case d: DecimalType =>
+          s"DECIMAL(${math.min(38, d.precision + 10)},${d.scale})"
+        case other => other.sql
+      })
+    }.toMap
+    // pin the MV's live version and emit the rolled-up join — every
+    // reference QUALIFIED by its view (the MV's storage names and the
+    // dim's attributes may collide)
+    val mvLive = Versioned.currentVersion(spark, mvPath).getOrElse(
+      return None)
+    val vn = s"${srcName}__mv_rwj_v$mvLive"
+    Versioned.readVersion(spark, mvPath, mvLive)
+      .createOrReplaceTempView(vn)
+    def qcol(k: Either[String, String]): String = k match {
+      case Left(f) => s"$vn.`$f`"
+      case Right(d) => s"$dimName.`$d`"
+    }
+    def aggSql(fn: String, c: String): String = fn match {
+      case "count" => s"sum($vn.n_rows)"
+      case "sum" => s"CAST(sum($vn.`sum_$c`) AS ${sumTypes(c)})"
+      case "avg" => s"CAST(CAST(sum($vn.`sum_$c`) AS DOUBLE) / " +
+        s"nullif(sum($vn.`cnt_$c`), 0) AS DOUBLE)"
+      case "min" => s"min($vn.`min_$c`)"
+      case "max" => s"max($vn.`max_$c`)"
+      case other =>
+        throw new IllegalStateException(s"unreachable agg $other")
+    }
+    val sel = parsed.map {
+      case KeyItem(k, out) => s"${qcol(k)} AS `$out`"
+      case CountItem(out) => s"${aggSql("count", "")} AS `$out`"
+      case AggItem(fn, c, out) => s"${aggSql(fn, c)} AS `$out`"
+    }.mkString(", ")
+    val whereSql =
+      if (whereParsed.isEmpty) ""
+      else whereParsed.map(p => p.render(qcol(p.target)))
+        .mkString(" WHERE ", " AND ", "")
+    val havingSql =
+      if (havingParsed.isEmpty) ""
+      else havingParsed.map(h => s"${aggSql(h.fn, h.c)} ${h.op} ${h.lit}")
+        .mkString(" HAVING ", " AND ", "")
+    Some(s"SELECT $sel FROM $vn JOIN $dimName " +
+      s"ON $vn.`$fk` = $dimName.`$pk`$whereSql " +
+      s"GROUP BY ${gkeys.map(qcol).mkString(", ")}$havingSql" +
       oby.map(o => s" ORDER BY ${o.mkString(", ")}").getOrElse(""))
   }
 

@@ -355,8 +355,50 @@ object LakeCatalog extends Family {
     df
   }
 
+  // ------------------------------------------------------------------
+  // The JOIN leg: revenue-by-segment — the reference's declared
+  // dashboard shape — rolled up through the fact⋈dim equi-join from
+  // the customer-grained MV. The rewritten plan joins the 1000-row MV
+  // to the 2-file dim; the require proves the FACT's bytes were never
+  // opened. DuckDB recomputes the join + aggregation from ALL raw
+  // parquet on both sides.
+  private def cdf(): String = Fixtures.abs("fixtures/lake/orders_cd")
+  private def cdm(): String = Fixtures.abs("fixtures/lake/cust_dim")
+
+  private val mvRewriteJoin = Q(
+    "lake_mv_rewrite_join",
+    Some(s"""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sk,
+             avg(o_orderkey) AS ak,
+             min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM read_parquet('${cdf()}/v=1/part-*.parquet',
+                        hive_partitioning=false) o
+      JOIN read_parquet('${cdm()}/v=1/part-*.parquet',
+                        hive_partitioning=false) c
+        ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """)) { (spark, _) =>
+    graft.SqlDml.register(spark, "olk_cdj", cdf(), "o_orderkey")
+    graft.SqlDml.register(spark, "olk_cdim", cdm(), "c_custkey")
+    graft.SqlDml.registerMv(spark, "olk_cdj_mv",
+      Fixtures.abs("fixtures/lake/orders_cd_mv"))
+    val df = graft.Sql.sql(spark,
+      "SELECT c_mktsegment, count(*) AS n, sum(o_orderkey) AS sk, " +
+        "avg(o_orderkey) AS ak, min(o_totalprice) AS lo, " +
+        "max(o_totalprice) AS hi " +
+        "FROM olk_cdj JOIN olk_cdim ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    require(df.inputFiles.nonEmpty &&
+      !df.inputFiles.exists(_.contains("orders_cd/v=")) &&
+      df.inputFiles.exists(_.contains("orders_cd_mv")),
+      s"the join MV rewrite did not fire: ${df.inputFiles.toSeq}")
+    df
+  }
+
   def specs: Seq[Q] =
     Seq(live, asofDv, asofEvolved, asofRenamed, changes, mvRewrite,
       mvRewriteWhere, mvRewriteHaving, mvRewriteExprKey,
-      mvRewriteExprWhere)
+      mvRewriteExprWhere, mvRewriteJoin)
 }

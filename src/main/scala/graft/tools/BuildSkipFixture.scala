@@ -253,6 +253,39 @@ object BuildSkipFixture {
         s"${spark.read.parquet(yd).count()} year rows")
     }
 
+    // 9. fact + dim + an fk-grained MV — the JOIN leg of the MV
+    //    rewrite (lake_mv_rewrite_join): revenue-by-segment is the
+    //    reference's declared dashboard shape, and the rollup answers
+    //    from the customer-grained MV joined to the dim instead of
+    //    scanning the fact. Build with an ABSOLUTE fixtures path so
+    //    the MV spec's source pointer resolves from any cwd.
+    if (wanted("orders_cd")) {
+      val cd = s"$base/orders_cd"
+      val cm = s"$base/cust_dim"
+      val cdMv = s"$base/orders_cd_mv"
+      clear(cd); clear(cm); clear(cdMv)
+      val of = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority")
+      Forget.publishClustered(of, cd, nFiles = 8, keyCol = "o_orderkey",
+        stats = true)
+      val cdim = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+      Forget.publishClustered(cdim, cm, nFiles = 2,
+        keyCol = "c_custkey", stats = true)
+      graft.SqlDml.register(spark, "ocd_fixture", cd, "o_orderkey")
+      // SUM/AVG legs on the integral o_orderkey (o_totalprice is a
+      // DOUBLE in the testdata — the rewrite's exactness gate refuses
+      // double sums by design); min/max carry the double fine
+      graft.Sql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW ocd_fixture_mv LOCATION '$cdMv' AS
+           |SELECT o_custkey, count(*), sum(o_orderkey),
+           |min(o_totalprice), max(o_totalprice)
+           |FROM ocd_fixture GROUP BY o_custkey""".stripMargin)
+      println(s"[skip-fixture] $cd + $cm + $cdMv: mv rows = " +
+        s"${Versioned.read(spark, cdMv).count()}")
+    }
+
     spark.stop()
   }
 }

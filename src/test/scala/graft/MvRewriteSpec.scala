@@ -339,4 +339,112 @@ class MvRewriteSpec extends SparkSpec {
     assert(underPath(rw2.inputFiles, s"$root/mv7"))
     assert(rw2.collect().toSeq == spark.sql(q2).collect().toSeq)
   }
+
+  test("JOIN leg: a fact⋈dim rollup answers from the fact MV joined " +
+      "to the dim — grouped by dim attrs, mixed keys, WHERE both " +
+      "sides, HAVING; schema parity with the base") {
+    val t = s"$root/srcj"
+    Forget.publishIndexed(
+      (0 until 60).map(k => (k.toLong, (k % 5).toLong, k.toLong, k * 2L))
+        .toDF("k", "fk", "amt", "qty"),
+      t, 2, "k", stats = true)
+    SqlDml.register(spark, "rwj_src", t, "k")
+    val d = s"$root/dimj"
+    Forget.publishIndexed(
+      Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"), (4L, "C"))
+        .toDF("pk", "seg"),
+      d, 1, "pk", stats = true)
+    SqlDml.register(spark, "rwj_dim", d, "pk")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rwj_mv LOCATION '$root/mvj' AS
+         |SELECT fk, count(*), sum(amt), min(qty), max(qty)
+         |FROM rwj_src GROUP BY fk""".stripMargin)
+    def fromMv(files: Array[String]): Boolean =
+      files.nonEmpty && !files.exists(_.contains("srcj")) &&
+        files.exists(_.contains("mvj"))
+    // dim-attr grouping with the full aggregate algebra (avg through
+    // the sum/cnt legs)
+    val q = "SELECT seg, count(*) AS n, sum(amt) AS s, avg(amt) AS a, " +
+      "min(qty) AS lo, max(qty) AS hi FROM rwj_src " +
+      "JOIN rwj_dim ON fk = pk GROUP BY seg ORDER BY seg"
+    val rw = Sql.sql(spark, q)
+    assert(fromMv(rw.inputFiles),
+      s"join rewrite did not fire: ${rw.inputFiles.toSeq}")
+    val base = spark.sql(q)
+    assert(rw.schema.map(f => (f.name, f.dataType))
+      == base.schema.map(f => (f.name, f.dataType)),
+      s"rewritten schema drifted: ${rw.schema} vs ${base.schema}")
+    assert(rw.collect().toSeq == base.collect().toSeq)
+    // unaliased items keep Spark's auto names
+    assert(Sql.sql(spark, "SELECT seg, count(*), sum(amt) " +
+        "FROM rwj_src JOIN rwj_dim ON fk = pk GROUP BY seg")
+      .columns.toSeq == Seq("seg", "count(1)", "sum(amt)"))
+    // mixed fact+dim keys, qualified ON, WHERE on both sides, HAVING
+    val q2 = "SELECT seg, fk, count(*) AS n, sum(amt) AS s " +
+      "FROM rwj_src JOIN rwj_dim ON rwj_src.fk = rwj_dim.pk " +
+      "WHERE seg != 'C' AND fk IN (0, 1, 2, 3) " +
+      "GROUP BY seg, fk HAVING count(*) >= 12 ORDER BY seg, fk"
+    val rw2 = Sql.sql(spark, q2)
+    assert(fromMv(rw2.inputFiles),
+      s"mixed-key join rewrite did not fire: ${rw2.inputFiles.toSeq}")
+    assert(rw2.collect().toSeq == spark.sql(q2).collect().toSeq)
+  }
+
+  test("JOIN leg: duplicate dim keys replicate partial aggregates " +
+      "exactly as base rows; fall-throughs stay on the base") {
+    val t = s"$root/srcj2"
+    Forget.publishIndexed(
+      (0 until 30).map(k => (k.toLong, (k % 3).toLong, k.toLong))
+        .toDF("k", "fk", "amt"),
+      t, 1, "k", stats = true)
+    SqlDml.register(spark, "rwj2_src", t, "k")
+    // dim keyed on id; the JOIN key pk2 carries a DUPLICATE (0 twice):
+    // the rollup must fan out the MV row exactly like base fact rows
+    val d = s"$root/dimj2"
+    Forget.publishIndexed(
+      Seq((10L, 0L, "A"), (11L, 0L, "A"), (12L, 1L, "B"),
+        (13L, 2L, "B")).toDF("id", "pk2", "seg"),
+      d, 1, "id", stats = true)
+    SqlDml.register(spark, "rwj2_dim", d, "id")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rwj2_mv LOCATION '$root/mvj2' AS
+         |SELECT fk, count(*), sum(amt), min(amt), max(amt)
+         |FROM rwj2_src GROUP BY fk""".stripMargin)
+    def fromMv(files: Array[String]): Boolean =
+      files.nonEmpty && !files.exists(_.contains("srcj2")) &&
+        files.exists(_.contains("mvj2"))
+    val q = "SELECT seg, count(*) AS n, sum(amt) AS s, avg(amt) AS a " +
+      "FROM rwj2_src JOIN rwj2_dim ON fk = pk2 " +
+      "GROUP BY seg ORDER BY seg"
+    val rw = Sql.sql(spark, q)
+    assert(fromMv(rw.inputFiles),
+      s"dup-key join rewrite did not fire: ${rw.inputFiles.toSeq}")
+    assert(rw.collect().toSeq == spark.sql(q).collect().toSeq)
+    // fk=0's rows count twice under seg A — base fan-out reproduced
+    assert(rw.filter($"seg" === "A").head().getLong(1) == 20L)
+    // fall-throughs: a dim-side aggregate has no materialized leg; an
+    // unregistered dim has no governed session binding; an outer join
+    // does not commute with the inner-join rollup
+    Seq(
+      "SELECT seg, sum(id) AS s FROM rwj2_src JOIN rwj2_dim " +
+        "ON fk = pk2 GROUP BY seg",
+      "SELECT x, count(*) AS n FROM rwj2_src JOIN unreg_dim " +
+        "ON fk = upk GROUP BY x",
+      "SELECT seg, count(*) AS n FROM rwj2_src LEFT JOIN rwj2_dim " +
+        "ON fk = pk2 GROUP BY seg"
+    ).foreach { fq =>
+      Seq((0L, "x0")).toDF("upk", "x").createOrReplaceTempView(
+        "unreg_dim")
+      val ff = Sql.sql(spark, fq)
+      assert(ff.inputFiles.exists(_.contains("srcj2")),
+        s"fall-through query was rewritten: $fq")
+    }
+    // stale MV: fact DML moves the source — the join leg falls back
+    Sql.execute(spark,
+      "INSERT INTO rwj2_src VALUES (100, 0, 1000)")
+    val stale = Sql.sql(spark, q)
+    assert(stale.inputFiles.exists(_.contains("srcj2")),
+      "stale MV must not answer the join rollup")
+    assert(stale.collect().toSeq == spark.sql(q).collect().toSeq)
+  }
 }
