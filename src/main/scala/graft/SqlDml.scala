@@ -1391,15 +1391,33 @@ object SqlDml {
       case (Some(Right(p)), Some(Left(f))) => (f, p)
       case _ => return None
     }
-    // group keys, each resolved to a side
-    val gkeys: Seq[Either[String, String]] =
-      splitTop(gbyRaw, ',').map(g => side(g).getOrElse(return None))
+    // a grouping / filter key: a plain column on either side, or a
+    // whitelisted bucket expression ([[groupExprOf]]) whose inner
+    // column resolves UNIQUELY to the FACT — the dashboard's
+    // `segment × month` grain; a dim-side or ambiguous bucket column
+    // cannot map onto a fact MV's derived storage column
+    sealed trait JKey
+    case class FactKey(c: String) extends JKey
+    case class DimKey(c: String) extends JKey
+    case class BucketKey(can: String) extends JKey
+    def jkey(raw: String): Option[JKey] = side(raw) match {
+      case Some(Left(f)) => Some(FactKey(f))
+      case Some(Right(d)) => Some(DimKey(d))
+      case None => groupExprOf(raw).flatMap { case (_, can) =>
+        "\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r.findFirstMatchIn(can)
+          .map(_.group(1)).flatMap(c => side(c) match {
+            case Some(Left(_)) => Some(BucketKey(can))
+            case _ => None
+          })
+      }
+    }
+    val gkeys: Seq[JKey] =
+      splitTop(gbyRaw, ',').map(g => jkey(g).getOrElse(return None))
     val cnt = "(?i)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
     val agg = "(?i)^(SUM|MIN|MAX|AVG)\\s*\\(\\s*([^)]+?)\\s*\\)$".r
     val aliased = "(?is)^(.+?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
     sealed trait Item
-    case class KeyItem(k: Either[String, String], out: String)
-      extends Item
+    case class KeyItem(k: JKey, out: String) extends Item
     case class CountItem(out: String) extends Item
     case class AggItem(fn: String, c: String, out: String) extends Item
     val parsed: Seq[Item] = splitTop(items, ',').map { raw =>
@@ -1409,7 +1427,7 @@ object SqlDml {
       }
       body match {
         case cnt() => CountItem(alias.getOrElse("count(1)"))
-        case agg(fn, c) => side(c) match {
+        case agg(fn, c) if side(c).isDefined => side(c) match {
           // only FACT-side aggregates map onto the view's algebra; a
           // dim-side aggregate has no materialized leg — base path
           case Some(Left(f)) =>
@@ -1420,33 +1438,37 @@ object SqlDml {
               alias.getOrElse(s"${fn.toLowerCase}($f)"))
           case _ => return None
         }
-        case bare =>
-          val s = side(bare).getOrElse(return None)
-          if (!gkeys.contains(s)) return None
-          KeyItem(s, alias.getOrElse(s.merge))
+        case other =>
+          val k = jkey(other).getOrElse(return None)
+          if (!gkeys.contains(k)) return None
+          KeyItem(k, alias.getOrElse(k match {
+            case FactKey(c) => c
+            case DimKey(c) => c
+            // the canonical form is Spark's auto-name for year/month/
+            // day, so the output schema matches the base either way
+            case BucketKey(can) => can
+          }))
       }
     }
     // WHERE conjuncts: simple cmp / IN with literals, each targeting a
-    // fact MV group column (filters the view's rows — commutes at
-    // group grain) or ANY dim column (filters the dim's rows —
-    // row-level on the join's dim side, commutes because aggregation
-    // happens after the join in BOTH formulations)
+    // fact MV group column or declared bucket expression (filters the
+    // view's rows — commutes at group grain) or ANY dim column
+    // (filters the dim's rows — row-level on the join's dim side,
+    // commutes because aggregation happens after the join in BOTH
+    // formulations)
     val lit = "(?:'[^']*'|-?\\d+(?:\\.\\d+)?)"
-    val cmpQ = ("(?is)^([\\w.`]+)\\s*" +
+    val cmpQ = ("(?is)^(.+?)\\s*" +
       s"(=|!=|<>|<=|>=|<|>)\\s*($lit)$$").r
-    val inQ = ("(?is)^([\\w.`]+)\\s+IN\\s*\\(\\s*" +
+    val inQ = ("(?is)^(.+?)\\s+IN\\s*\\(\\s*" +
       s"($lit(?:\\s*,\\s*$lit)*)\\s*\\)$$").r
-    case class Pred(target: Either[String, String],
-                    render: String => String)
+    case class Pred(target: JKey, render: String => String)
     val whereParsed: Seq[Pred] = whereRaw.map { w =>
       splitAndTop(w).map { conj =>
         conj match {
-          case cmpQ(c, op, l) =>
-            Pred(side(c).getOrElse(return None),
-              (n: String) => s"$n $op $l")
-          case inQ(c, ls) =>
-            Pred(side(c).getOrElse(return None),
-              (n: String) => s"$n IN ($ls)")
+          case cmpQ(c, op, l) if jkey(c).isDefined =>
+            Pred(jkey(c).get, (n: String) => s"$n $op $l")
+          case inQ(c, ls) if jkey(c).isDefined =>
+            Pred(jkey(c).get, (n: String) => s"$n IN ($ls)")
           case _ => return None
         }
       }
@@ -1480,15 +1502,22 @@ object SqlDml {
       val r = clean(headRaw)
       val rCol = r.substring(r.lastIndexOf('.') + 1)
       val out = parsed.collectFirst {
-        case KeyItem(k, out) if out.equalsIgnoreCase(r) ||
-            k.merge.equalsIgnoreCase(rCol) => out
+        case KeyItem(k, out) if out.equalsIgnoreCase(r) || (k match {
+          case FactKey(c) => c.equalsIgnoreCase(rCol)
+          case DimKey(c) => c.equalsIgnoreCase(rCol)
+          case BucketKey(can) => groupExprOf(r).exists(_._2 == can)
+        }) => out
       }.getOrElse(return None)
       s"`$out`" + dir.map(" " + _).getOrElse("")
     })
     // candidate MVs: current, covering fk + every fact-side key /
-    // WHERE column / aggregate, smallest first
-    val factKeys = gkeys.collect { case Left(f) => f }
-    val factWhere = whereParsed.collect { case Pred(Left(f), _) => f }
+    // bucket expression / WHERE column / aggregate, smallest first
+    val factTargets = (gkeys ++ whereParsed.map(_.target)).collect {
+      case FactKey(f) => f
+    }
+    val bucketTargets = (gkeys ++ whereParsed.map(_.target)).collect {
+      case BucketKey(can) => can
+    }
     val candidates = mvRegistry.values.toSeq.distinct.flatMap { path =>
       scala.util.Try(MatView.spec(spark, path)).toOption.map(path -> _)
     }.filter { case (_, sp) =>
@@ -1500,8 +1529,9 @@ object SqlDml {
         case _ => sp.minMaxCols.exists(_.equalsIgnoreCase(c))
       }
       sp.source == srcPath &&
-        (fk +: (factKeys ++ factWhere)).forall(c =>
+        (fk +: factTargets).forall(c =>
           sp.groupCols.exists(_.equalsIgnoreCase(c))) &&
+        bucketTargets.forall(can => sp.groupExprs.exists(_._2 == can)) &&
         parsed.forall {
           case AggItem(fn, c, _) => aggCovered(fn, c)
           case _ => true
@@ -1509,7 +1539,7 @@ object SqlDml {
         havingParsed.forall(h => aggCovered(h.fn, h.c)) &&
         boundVersions.get(srcName.toLowerCase).contains(sp.synced)
     }.sortBy(_._2.groupCols.size)
-    val (mvPath, _) = candidates.headOption.getOrElse(return None)
+    val (mvPath, mvSpec) = candidates.headOption.getOrElse(return None)
     // exactness gates, identical to the single-table leg
     def accExact(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -1550,9 +1580,11 @@ object SqlDml {
     val vn = s"${srcName}__mv_rwj_v$mvLive"
     Versioned.readVersion(spark, mvPath, mvLive)
       .createOrReplaceTempView(vn)
-    def qcol(k: Either[String, String]): String = k match {
-      case Left(f) => s"$vn.`$f`"
-      case Right(d) => s"$dimName.`$d`"
+    def qcol(k: JKey): String = k match {
+      case FactKey(f) => s"$vn.`$f`"
+      case DimKey(d) => s"$dimName.`$d`"
+      case BucketKey(can) =>
+        s"$vn.`${mvSpec.groupExprs.find(_._2 == can).get._1}`"
     }
     def aggSql(fn: String, c: String): String = fn match {
       case "count" => s"sum($vn.n_rows)"

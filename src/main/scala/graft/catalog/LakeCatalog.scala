@@ -397,8 +397,46 @@ object LakeCatalog extends Family {
     df
   }
 
+  // ------------------------------------------------------------------
+  // The full dashboard grain: segment × year, sliced to two years in
+  // WHERE — bucket-expression keys compose with the join rollup (the
+  // MV's customer × year grain re-aggregates to segment × year through
+  // the dim join; the year filter lands on the MV's derived storage
+  // column). Still never the fact's bytes.
+  private val mvRewriteJoinGrain = Q(
+    "lake_mv_rewrite_join_grain",
+    Some(s"""
+      SELECT c_mktsegment, year(o_orderdate) AS oy, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sk
+      FROM read_parquet('${cdf()}/v=1/part-*.parquet',
+                        hive_partitioning=false) o
+      JOIN read_parquet('${cdm()}/v=1/part-*.parquet',
+                        hive_partitioning=false) c
+        ON o.o_custkey = c.c_custkey
+      WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY c_mktsegment, year(o_orderdate)
+      ORDER BY c_mktsegment, oy
+    """)) { (spark, _) =>
+    graft.SqlDml.register(spark, "olk_cdj", cdf(), "o_orderkey")
+    graft.SqlDml.register(spark, "olk_cdim", cdm(), "c_custkey")
+    graft.SqlDml.registerMv(spark, "olk_cdj_mv",
+      Fixtures.abs("fixtures/lake/orders_cd_mv"))
+    val df = graft.Sql.sql(spark,
+      "SELECT c_mktsegment, year(o_orderdate) AS oy, count(*) AS n, " +
+        "sum(o_orderkey) AS sk " +
+        "FROM olk_cdj JOIN olk_cdim ON o_custkey = c_custkey " +
+        "WHERE year(o_orderdate) IN (1996, 1997) " +
+        "GROUP BY c_mktsegment, year(o_orderdate) " +
+        "ORDER BY c_mktsegment, oy")
+    require(df.inputFiles.nonEmpty &&
+      !df.inputFiles.exists(_.contains("orders_cd/v=")) &&
+      df.inputFiles.exists(_.contains("orders_cd_mv")),
+      s"the grain join rewrite did not fire: ${df.inputFiles.toSeq}")
+    df
+  }
+
   def specs: Seq[Q] =
     Seq(live, asofDv, asofEvolved, asofRenamed, changes, mvRewrite,
       mvRewriteWhere, mvRewriteHaving, mvRewriteExprKey,
-      mvRewriteExprWhere, mvRewriteJoin)
+      mvRewriteExprWhere, mvRewriteJoin, mvRewriteJoinGrain)
 }

@@ -266,7 +266,7 @@ object BuildSkipFixture {
       clear(cd); clear(cm); clear(cdMv)
       val of = spark.read.parquet(s"$sfDir/orders.parquet")
         .select("o_orderkey", "o_custkey", "o_totalprice",
-          "o_orderpriority")
+          "o_orderpriority", "o_orderdate")
       Forget.publishClustered(of, cd, nFiles = 8, keyCol = "o_orderkey",
         stats = true)
       val cdim = spark.read.parquet(s"$sfDir/customer.parquet")
@@ -274,14 +274,17 @@ object BuildSkipFixture {
       Forget.publishClustered(cdim, cm, nFiles = 2,
         keyCol = "c_custkey", stats = true)
       graft.SqlDml.register(spark, "ocd_fixture", cd, "o_orderkey")
-      // SUM/AVG legs on the integral o_orderkey (o_totalprice is a
-      // DOUBLE in the testdata — the rewrite's exactness gate refuses
-      // double sums by design); min/max carry the double fine
+      // customer × year grain — one MV answers both the segment rollup
+      // and the segment × year dashboard slice. SUM/AVG legs on the
+      // integral o_orderkey (o_totalprice is a DOUBLE in the
+      // testdata — the rewrite's exactness gate refuses double sums by
+      // design); min/max carry the double fine
       graft.Sql.execute(spark,
         s"""CREATE MATERIALIZED VIEW ocd_fixture_mv LOCATION '$cdMv' AS
-           |SELECT o_custkey, count(*), sum(o_orderkey),
-           |min(o_totalprice), max(o_totalprice)
-           |FROM ocd_fixture GROUP BY o_custkey""".stripMargin)
+           |SELECT o_custkey, year(o_orderdate), count(*),
+           |sum(o_orderkey), min(o_totalprice), max(o_totalprice)
+           |FROM ocd_fixture
+           |GROUP BY o_custkey, year(o_orderdate)""".stripMargin)
       println(s"[skip-fixture] $cd + $cm + $cdMv: mv rows = " +
         s"${Versioned.read(spark, cdMv).count()}")
     }

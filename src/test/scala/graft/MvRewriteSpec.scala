@@ -447,4 +447,48 @@ class MvRewriteSpec extends SparkSpec {
       "stale MV must not answer the join rollup")
     assert(stale.collect().toSeq == spark.sql(q).collect().toSeq)
   }
+
+  test("JOIN leg: bucket-expression keys give the segment × month " +
+      "dashboard grain; a non-declared bucket falls through") {
+    val t = s"$root/srcj3"
+    Forget.publishIndexed(
+      (0 until 48).map { k =>
+        (k.toLong, (k % 4).toLong, k.toLong,
+          java.sql.Date.valueOf(s"202${k % 2}-0${k % 3 + 1}-15"))
+      }.toDF("k", "fk", "amt", "d"),
+      t, 1, "k", stats = true)
+    SqlDml.register(spark, "rwj3_src", t, "k")
+    val d = s"$root/dimj3"
+    Forget.publishIndexed(
+      Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"))
+        .toDF("pk", "seg"),
+      d, 1, "pk", stats = true)
+    SqlDml.register(spark, "rwj3_dim", d, "pk")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rwj3_mv LOCATION '$root/mvj3' AS
+         |SELECT fk, year(d), month(d), count(*), sum(amt)
+         |FROM rwj3_src GROUP BY fk, year(d), month(d)""".stripMargin)
+    def fromMv(files: Array[String]): Boolean =
+      files.nonEmpty && !files.exists(_.contains("srcj3")) &&
+        files.exists(_.contains("mvj3"))
+    val q = "SELECT seg, year(d) AS yr, month(d) AS mo, " +
+      "count(*) AS n, sum(amt) AS s FROM rwj3_src " +
+      "JOIN rwj3_dim ON fk = pk WHERE year(d) = 2021 " +
+      "GROUP BY seg, year(d), month(d) ORDER BY seg, yr, mo"
+    val rw = Sql.sql(spark, q)
+    assert(fromMv(rw.inputFiles),
+      s"bucket-key join rewrite did not fire: ${rw.inputFiles.toSeq}")
+    assert(rw.collect().toSeq == spark.sql(q).collect().toSeq)
+    // rolling the month grain up to seg × year re-aggregates the MV
+    val q2 = "SELECT seg, year(d) AS yr, count(*) AS n FROM rwj3_src " +
+      "JOIN rwj3_dim ON fk = pk GROUP BY seg, year(d) ORDER BY seg, yr"
+    val rw2 = Sql.sql(spark, q2)
+    assert(fromMv(rw2.inputFiles))
+    assert(rw2.collect().toSeq == spark.sql(q2).collect().toSeq)
+    // day(d) is not a declared bucket of this MV — base path
+    assert(Sql.sql(spark,
+      "SELECT seg, day(d) AS dd, count(*) AS n FROM rwj3_src " +
+        "JOIN rwj3_dim ON fk = pk GROUP BY seg, day(d)")
+      .inputFiles.exists(_.contains("srcj3")))
+  }
 }
