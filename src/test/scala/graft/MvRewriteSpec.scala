@@ -446,6 +446,14 @@ class MvRewriteSpec extends SparkSpec {
     assert(stale.inputFiles.exists(_.contains("srcj2")),
       "stale MV must not answer the join rollup")
     assert(stale.collect().toSeq == spark.sql(q).collect().toSeq)
+    // REFRESH brings the view current at changeset cost — the join
+    // rewrite fires again with the post-INSERT numbers
+    Sql.execute(spark, "REFRESH MATERIALIZED VIEW rwj2_mv")
+    val fresh = Sql.sql(spark, q)
+    assert(fromMv(fresh.inputFiles),
+      s"refreshed MV did not answer: ${fresh.inputFiles.toSeq}")
+    assert(fresh.collect().toSeq == spark.sql(q).collect().toSeq)
+    assert(fresh.filter($"seg" === "A").head().getLong(1) == 22L)
   }
 
   test("JOIN leg: bucket-expression keys give the segment × month " +
