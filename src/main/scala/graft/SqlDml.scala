@@ -997,12 +997,25 @@ object SqlDml {
     val srcPath = registry.get(srcName.toLowerCase).map(_._1)
       .getOrElse(return None)
     def clean(c: String) = c.trim.replace("`", "")
+    // GROUP BY ROLLUP(keys) / CUBE(keys): the super-aggregate grains
+    // re-aggregate the SAME MV partials per grain (sum/count/min/max
+    // are re-aggregable by construction, AVG derives from two
+    // re-aggregated legs), and the super-rows' NULL key extension
+    // conflates with NULL group values identically in both
+    // formulations — so the wrapper carries through to the rewritten
+    // text verbatim. GROUPING()/GROUPING_ID() select items fall
+    // through (not a materialized column).
+    val wrapM = "(?is)^\\s*(ROLLUP|CUBE)\\s*\\((.*)\\)\\s*$".r
+    val (gbyWrap, gbyInner) = gbyRaw.trim match {
+      case wrapM(w, inner) => (Some(w.toUpperCase), inner)
+      case _ => (None, gbyRaw)
+    }
     // query group keys: plain columns, or whitelisted bucket
     // expressions normalized to their canonical form (matched against
     // the MV spec's groupExprs — the storage name substitutes in the
     // rewritten text). Left = plain column, Right = canonical expr.
     val gkeys: Seq[Either[String, String]] =
-      splitTop(gbyRaw, ',').map { g =>
+      splitTop(gbyInner, ',').map { g =>
         groupExprOf(g) match {
           case Some((_, canonical)) => Right(canonical)
           case None => Left(clean(g))
@@ -1298,9 +1311,10 @@ object SqlDml {
     val gbyOut = gkeys.map {
       case Left(g) => g
       case Right(can) => storageOf(can)
-    }
+    }.mkString(", ")
     Some(s"SELECT $sel FROM $vn$whereSql " +
-      s"GROUP BY ${gbyOut.mkString(", ")}$havingSql" +
+      s"GROUP BY ${gbyWrap.map(w => s"$w($gbyOut)").getOrElse(gbyOut)}" +
+      s"$havingSql" +
       oby.map(o => s" ORDER BY ${o.mkString(", ")}").getOrElse(""))
   }
 
@@ -1411,8 +1425,15 @@ object SqlDml {
           })
       }
     }
+    // ROLLUP/CUBE wrappers commute exactly as in the single-table leg
+    // (per-grain re-aggregation of the same joined partials)
+    val wrapM = "(?is)^\\s*(ROLLUP|CUBE)\\s*\\((.*)\\)\\s*$".r
+    val (gbyWrap, gbyInner) = gbyRaw.trim match {
+      case wrapM(w, inner) => (Some(w.toUpperCase), inner)
+      case _ => (None, gbyRaw)
+    }
     val gkeys: Seq[JKey] =
-      splitTop(gbyRaw, ',').map(g => jkey(g).getOrElse(return None))
+      splitTop(gbyInner, ',').map(g => jkey(g).getOrElse(return None))
     val cnt = "(?i)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
     val agg = "(?i)^(SUM|MIN|MAX|AVG)\\s*\\(\\s*([^)]+?)\\s*\\)$".r
     val aliased = "(?is)^(.+?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
@@ -1609,9 +1630,11 @@ object SqlDml {
       if (havingParsed.isEmpty) ""
       else havingParsed.map(h => s"${aggSql(h.fn, h.c)} ${h.op} ${h.lit}")
         .mkString(" HAVING ", " AND ", "")
+    val gbyOut = gkeys.map(qcol).mkString(", ")
     Some(s"SELECT $sel FROM $vn JOIN $dimName " +
       s"ON $vn.`$fk` = $dimName.`$pk`$whereSql " +
-      s"GROUP BY ${gkeys.map(qcol).mkString(", ")}$havingSql" +
+      s"GROUP BY ${gbyWrap.map(w => s"$w($gbyOut)").getOrElse(gbyOut)}" +
+      s"$havingSql" +
       oby.map(o => s" ORDER BY ${o.mkString(", ")}").getOrElse(""))
   }
 

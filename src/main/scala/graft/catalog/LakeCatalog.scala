@@ -398,6 +398,34 @@ object LakeCatalog extends Family {
   }
 
   // ------------------------------------------------------------------
+  // ROLLUP through the rewrite: the dashboard's totals row — leaves +
+  // grand total re-aggregate the SAME MV partials per grain, so the
+  // wrapper carries through and the 7-row view answers the whole
+  // hierarchy. Spark sorts NULLS FIRST by default; the oracle spells
+  // it so row order agrees.
+  private val mvRewriteRollup = Q(
+    "lake_mv_rewrite_rollup",
+    Some(s"""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_custkey) AS BIGINT) AS ck
+      FROM read_parquet('${fix()}/v=2/*.parquet', hive_partitioning=false)
+      GROUP BY ROLLUP(o_orderstatus)
+      ORDER BY o_orderstatus NULLS FIRST
+    """)) { (spark, _) =>
+    graft.SqlDml.register(spark, "olk_rwru", fix(), "o_orderkey")
+    graft.SqlDml.registerMv(spark, "olk_rwru_mv",
+      Fixtures.abs("fixtures/lake/orders_mv"))
+    val df = graft.Sql.sql(spark,
+      "SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS ck " +
+        "FROM olk_rwru GROUP BY ROLLUP(o_orderstatus) " +
+        "ORDER BY o_orderstatus")
+    require(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("orders_mv")),
+      s"the ROLLUP rewrite did not fire: ${df.inputFiles.toSeq}")
+    df
+  }
+
+  // ------------------------------------------------------------------
   // The full dashboard grain: segment × year, sliced to two years in
   // WHERE — bucket-expression keys compose with the join rollup (the
   // MV's customer × year grain re-aggregates to segment × year through
@@ -438,5 +466,6 @@ object LakeCatalog extends Family {
   def specs: Seq[Q] =
     Seq(live, asofDv, asofEvolved, asofRenamed, changes, mvRewrite,
       mvRewriteWhere, mvRewriteHaving, mvRewriteExprKey,
-      mvRewriteExprWhere, mvRewriteJoin, mvRewriteJoinGrain)
+      mvRewriteExprWhere, mvRewriteRollup, mvRewriteJoin,
+      mvRewriteJoinGrain)
 }

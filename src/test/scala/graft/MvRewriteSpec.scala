@@ -340,6 +340,39 @@ class MvRewriteSpec extends SparkSpec {
     assert(rw2.collect().toSeq == spark.sql(q2).collect().toSeq)
   }
 
+  test("ROLLUP / CUBE wrappers carry through the rewrite: the " +
+      "super-aggregate grains re-aggregate the same MV partials") {
+    val t = s"$root/src9"
+    Forget.publishIndexed(
+      (0 until 40).map(k =>
+          (k.toLong, s"c${k % 2}", s"s${k % 4}", k.toLong))
+        .toDF("k", "color", "size", "amt"),
+      t, 1, "k", stats = true)
+    SqlDml.register(spark, "rw9_src", t, "k")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rw9_mv LOCATION '$root/mv9' AS
+         |SELECT color, size, count(*), sum(amt)
+         |FROM rw9_src GROUP BY color, size""".stripMargin)
+    val q = "SELECT color, size, count(*) AS n, sum(amt) AS s " +
+      "FROM rw9_src GROUP BY ROLLUP(color, size) ORDER BY color, size"
+    val rw = Sql.sql(spark, q)
+    assert(underPath(rw.inputFiles, s"$root/mv9"),
+      s"ROLLUP rewrite did not fire: ${rw.inputFiles.toSeq}")
+    assert(rw.collect().toSeq == spark.sql(q).collect().toSeq)
+    // k%2 and k%4 correlate: 4 (color,size) leaves + 2 per-color + 1
+    assert(rw.count() == 7)
+    val q2 = "SELECT color, size, count(*) AS n FROM rw9_src " +
+      "GROUP BY CUBE(color, size) ORDER BY color, size"
+    val rw2 = Sql.sql(spark, q2)
+    assert(underPath(rw2.inputFiles, s"$root/mv9"))
+    assert(rw2.collect().toSeq == spark.sql(q2).collect().toSeq)
+    // GROUPING() is not a materialized column — base path
+    assert(!underPath(Sql.sql(spark,
+      "SELECT color, GROUPING(color) AS g, count(*) AS n " +
+        "FROM rw9_src GROUP BY ROLLUP(color)").inputFiles,
+      s"$root/mv9"))
+  }
+
   test("JOIN leg: a fact⋈dim rollup answers from the fact MV joined " +
       "to the dim — grouped by dim attrs, mixed keys, WHERE both " +
       "sides, HAVING; schema parity with the base") {
@@ -498,5 +531,13 @@ class MvRewriteSpec extends SparkSpec {
       "SELECT seg, day(d) AS dd, count(*) AS n FROM rwj3_src " +
         "JOIN rwj3_dim ON fk = pk GROUP BY seg, day(d)")
       .inputFiles.exists(_.contains("srcj3")))
+    // ROLLUP through the join: seg × year leaves + per-seg + total
+    val q3 = "SELECT seg, year(d) AS yr, count(*) AS n FROM rwj3_src " +
+      "JOIN rwj3_dim ON fk = pk GROUP BY ROLLUP(seg, year(d)) " +
+      "ORDER BY seg, yr"
+    val rw3 = Sql.sql(spark, q3)
+    assert(fromMv(rw3.inputFiles),
+      s"join ROLLUP rewrite did not fire: ${rw3.inputFiles.toSeq}")
+    assert(rw3.collect().toSeq == spark.sql(q3).collect().toSeq)
   }
 }
