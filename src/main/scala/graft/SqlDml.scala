@@ -1321,90 +1321,121 @@ object SqlDml {
   /** The JOIN leg of the automatic MV rewrite: answer
     *
     *   SELECT <group keys + count/sum/min/max/avg over FACT columns>
-    *   FROM <registered fact> JOIN <registered dim> ON <fk> = <pk>
-    *   [WHERE <conjuncts>] GROUP BY <keys> [HAVING ..] [ORDER BY ..]
+    *   FROM <registered fact> JOIN <dim1> ON .. [JOIN <dim2> ON ..]*
+    *   [WHERE <conjuncts>] GROUP BY [ROLLUP|CUBE] <keys>
+    *   [HAVING ..] [ORDER BY ..]
     *
-    * from a fact-side materialized view whose group columns cover the
-    * JOIN KEY plus every fact-side group key and WHERE column. The
-    * aggregate rollup COMMUTES through the equi-join because each MV
-    * partial-aggregate row replicates across its matching dim rows
-    * exactly as the base's fact rows would: k dim matches scale
-    * n_rows / sum_c / cnt_c by k on both formulations, min/max are
-    * idempotent under replication, and AVG divides two k-scaled legs —
-    * so the rewrite needs NO uniqueness assumption on the dim key, and
-    * NULL join keys drop identically (SQL equality). The rewritten
-    * plan joins the DIMENSION-SIZED view to the dim instead of
-    * scanning the 100 TB fact — the reference's declared dashboard
-    * shape (funnel / attribution metrics sliced by a dimension
-    * attribute, /root/reference/README.md:28-33) at MV cost.
+    * from a fact-side materialized view whose group columns cover
+    * every FACT column the chain touches (join keys, group keys,
+    * WHERE columns; whitelisted bucket expressions map onto the MV's
+    * derived storage columns). The aggregate rollup COMMUTES through
+    * the equi-join chain because every join predicate depends only on
+    * (fact MV group columns ∪ dim attributes) — so all fact rows of
+    * one MV group share the same total join multiplicity, and each MV
+    * partial-aggregate row replicates exactly as the base's fact rows
+    * would: k total matches scale n_rows / sum_c / cnt_c by k on both
+    * formulations, min/max are idempotent under replication, AVG
+    * divides two k-scaled legs. NO uniqueness assumption on any dim
+    * key; NULL join keys drop identically (SQL equality). The
+    * rewritten plan joins the DIMENSION-SIZED view through the same
+    * dim chain (a SNOWFLAKE tail — dim-to-dim hops — joins at
+    * dimension scale either way) instead of scanning the 100 TB
+    * fact — the reference's declared dashboard shape (funnel /
+    * attribution metrics sliced by dimension attributes,
+    * /root/reference/README.md:28-33) at MV cost.
     *
     * Gates mirror [[rewriteViaMv]]: the fact MV must be CURRENT for
     * the session (`synced` == the fact view's bound version); the dim
     * side needs no watermark because the rewritten text references the
-    * SAME registered dim view the original text would read — both
-    * formulations see one dim snapshot. Aggregates follow the same
+    * SAME registered dim views the original text would read — both
+    * formulations see one snapshot per dim. Aggregates follow the same
     * exactness rules (integral / scale<=6 sums; AVG integral with the
     * cnt leg). Fall-throughs to the base: aggregates over dim columns,
-    * expression group keys, unqualified names present in BOTH schemas,
-    * unregistered names, non-equi or multi-conjunct ONs, outer joins. */
+    * unqualified names more than one schema carries, unregistered
+    * names, non-equi or multi-conjunct ONs, outer joins, chains with
+    * no fact linkage. */
   private[graft] def rewriteViaMvJoin(spark: SparkSession,
                                       text: String): Option[String] = {
-    val shape = ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)\\s+" +
-      "JOIN\\s+(\\w+)\\s+ON\\s+([\\w.`]+)\\s*=\\s*([\\w.`]+)" +
+    val shape = ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+      "((?:\\s+JOIN\\s+\\w+\\s+ON\\s+[\\w.`]+\\s*=\\s*[\\w.`]+)+)" +
       "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)" +
       "(?:\\s+HAVING\\s+(.+?))?" +
       "(?:\\s+ORDER\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
-    val (items, srcName, dimName, onL, onR, whereRaw, gbyRaw,
+    val (items, srcName, joinSeg, whereRaw, gbyRaw,
       havingRaw, obyRaw) = text match {
-      case shape(i, s, d, l, r, w, g, h, o) =>
-        (i, s, d, l, r, Option(w), g, Option(h), Option(o))
+      case shape(i, s, j, w, g, h, o) =>
+        (i, s, j, Option(w), g, Option(h), Option(o))
       case _ => return None
     }
-    if (srcName.equalsIgnoreCase(dimName)) return None
+    // the join chain: fact JOIN d1 ON a = b [JOIN d2 ON c = e ...] —
+    // a SNOWFLAKE tail is fine (dim-to-dim hops join at dimension
+    // scale either way); the commutation argument is N-ary because
+    // every join predicate is constrained below to depend only on
+    // (fact MV group columns ∪ dim attributes), so all fact rows of
+    // one MV group share the same total join multiplicity
+    val joinRe =
+      "(?i)JOIN\\s+(\\w+)\\s+ON\\s+([\\w.`]+)\\s*=\\s*([\\w.`]+)".r
+    val joins: Seq[(String, String, String)] = joinRe
+      .findAllMatchIn(joinSeg)
+      .map(m => (m.group(1), m.group(2), m.group(3))).toSeq
+    val dimNames = joins.map(_._1)
+    val allNames = srcName +: dimNames
+    if (allNames.map(_.toLowerCase).distinct.size != allNames.size)
+      return None
     val srcPath = registry.get(srcName.toLowerCase).map(_._1)
       .getOrElse(return None)
-    // the dim must be registered too (writable or read-only): the
+    // every dim must be registered too (writable or read-only): the
     // rewrite re-references its SESSION view, so an unregistered name
     // has no governed binding to point at
-    if (!registry.contains(dimName.toLowerCase) &&
-        !readOnlyRegistry.contains(dimName.toLowerCase)) return None
+    if (!dimNames.forall(d => registry.contains(d.toLowerCase) ||
+        readOnlyRegistry.contains(d.toLowerCase))) return None
     import org.apache.spark.sql.types._
     val srcSchema = spark.table(srcName).schema
-    val dimSchema = spark.table(dimName).schema
+    val dimSchemas: Seq[(String, StructType)] =
+      dimNames.map(d => d -> spark.table(d).schema)
     def clean(c: String) = c.trim.replace("`", "")
-    // resolve a (possibly table-qualified) column ref to its side:
-    // Left(fact column) / Right(dim column); None = unknown name, a
-    // foreign qualifier, or an unqualified name BOTH schemas carry
-    // (ambiguous — the base parser would reject it too, but the
-    // rewrite must never guess)
-    def side(raw: String): Option[Either[String, String]] = {
+    // resolve a (possibly table-qualified) column ref to its relation:
+    // Left(fact column) / Right((dim name, dim column)); None = an
+    // unknown name, a foreign qualifier, or an unqualified name MORE
+    // THAN ONE schema carries (ambiguous — the base parser would
+    // reject it too, but the rewrite must never guess). Resolution
+    // returns the SCHEMA's spelling: Spark's output names carry the
+    // attribute's casing regardless of how the query spells it, and
+    // one canonical form keeps every key comparison exact.
+    def side(raw: String): Option[Either[String, (String, String)]] = {
       val r = clean(raw)
       val (qual, col) = r.lastIndexOf('.') match {
         case -1 => (None, r)
         case i => (Some(r.substring(0, i)), r.substring(i + 1))
       }
-      // resolve to the SCHEMA's spelling: Spark's output names carry
-      // the attribute's casing regardless of how the query spells it,
-      // and one canonical form keeps every Either comparison exact
-      val inSrc = srcSchema.fieldNames.find(_.equalsIgnoreCase(col))
-      val inDim = dimSchema.fieldNames.find(_.equalsIgnoreCase(col))
+      def inSrc = srcSchema.fieldNames.find(_.equalsIgnoreCase(col))
+      def inDim(d: String) = dimSchemas.find(_._1.equalsIgnoreCase(d))
+        .flatMap(_._2.fieldNames.find(_.equalsIgnoreCase(col))
+          .map(c => (d, c)))
       qual match {
         case Some(q) if q.equalsIgnoreCase(srcName) => inSrc.map(Left(_))
-        case Some(q) if q.equalsIgnoreCase(dimName) => inDim.map(Right(_))
+        case Some(q) if dimNames.exists(_.equalsIgnoreCase(q)) =>
+          inDim(dimNames.find(_.equalsIgnoreCase(q)).get).map(Right(_))
         case Some(_) => None
-        case None => (inSrc, inDim) match {
-          case (Some(f), None) => Some(Left(f))
-          case (None, Some(d)) => Some(Right(d))
-          case _ => None
-        }
+        case None =>
+          val hits: Seq[Either[String, (String, String)]] =
+            inSrc.map(Left(_)).toSeq ++
+              dimNames.flatMap(d => inDim(d).map(Right(_)))
+          if (hits.size == 1) hits.headOption else None
       }
     }
-    // ON <fk> = <pk>: exactly one fact side and one dim side
-    val (fk, pk) = (side(onL), side(onR)) match {
-      case (Some(Left(f)), Some(Right(p))) => (f, p)
-      case (Some(Right(p)), Some(Left(f))) => (f, p)
-      case _ => return None
+    // every ON side must resolve; collect the FACT columns the chain
+    // touches — each must be an MV group column (the constraint the
+    // commutation argument needs)
+    val onSides: Seq[(Either[String, (String, String)],
+                      Either[String, (String, String)])] =
+      joins.map { case (_, l, r) =>
+        (side(l).getOrElse(return None), side(r).getOrElse(return None))
+      }
+    val onFactCols: Seq[String] = onSides.flatMap { case (l, r) =>
+      Seq(l, r).collect { case Left(f) => f }
     }
+    if (onFactCols.isEmpty) return None // no fact linkage: not a rollup
     // a grouping / filter key: a plain column on either side, or a
     // whitelisted bucket expression ([[groupExprOf]]) whose inner
     // column resolves UNIQUELY to the FACT — the dashboard's
@@ -1412,11 +1443,11 @@ object SqlDml {
     // cannot map onto a fact MV's derived storage column
     sealed trait JKey
     case class FactKey(c: String) extends JKey
-    case class DimKey(c: String) extends JKey
+    case class DimKey(d: String, c: String) extends JKey
     case class BucketKey(can: String) extends JKey
     def jkey(raw: String): Option[JKey] = side(raw) match {
       case Some(Left(f)) => Some(FactKey(f))
-      case Some(Right(d)) => Some(DimKey(d))
+      case Some(Right((d, c))) => Some(DimKey(d, c))
       case None => groupExprOf(raw).flatMap { case (_, can) =>
         "\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r.findFirstMatchIn(can)
           .map(_.group(1)).flatMap(c => side(c) match {
@@ -1464,7 +1495,7 @@ object SqlDml {
           if (!gkeys.contains(k)) return None
           KeyItem(k, alias.getOrElse(k match {
             case FactKey(c) => c
-            case DimKey(c) => c
+            case DimKey(_, c) => c
             // the canonical form is Spark's auto-name for year/month/
             // day, so the output schema matches the base either way
             case BucketKey(can) => can
@@ -1525,7 +1556,7 @@ object SqlDml {
       val out = parsed.collectFirst {
         case KeyItem(k, out) if out.equalsIgnoreCase(r) || (k match {
           case FactKey(c) => c.equalsIgnoreCase(rCol)
-          case DimKey(c) => c.equalsIgnoreCase(rCol)
+          case DimKey(_, c) => c.equalsIgnoreCase(rCol)
           case BucketKey(can) => groupExprOf(r).exists(_._2 == can)
         }) => out
       }.getOrElse(return None)
@@ -1550,7 +1581,7 @@ object SqlDml {
         case _ => sp.minMaxCols.exists(_.equalsIgnoreCase(c))
       }
       sp.source == srcPath &&
-        (fk +: factTargets).forall(c =>
+        (onFactCols ++ factTargets).forall(c =>
           sp.groupCols.exists(_.equalsIgnoreCase(c))) &&
         bucketTargets.forall(can => sp.groupExprs.exists(_._2 == can)) &&
         parsed.forall {
@@ -1603,10 +1634,17 @@ object SqlDml {
       .createOrReplaceTempView(vn)
     def qcol(k: JKey): String = k match {
       case FactKey(f) => s"$vn.`$f`"
-      case DimKey(d) => s"$dimName.`$d`"
+      case DimKey(d, c) => s"$d.`$c`"
       case BucketKey(can) =>
         s"$vn.`${mvSpec.groupExprs.find(_._2 == can).get._1}`"
     }
+    def qref(s: Either[String, (String, String)]): String = s match {
+      case Left(f) => s"$vn.`$f`"
+      case Right((d, c)) => s"$d.`$c`"
+    }
+    val fromSql = joins.zip(onSides).map { case ((d, _, _), (l, r)) =>
+      s" JOIN $d ON ${qref(l)} = ${qref(r)}"
+    }.mkString
     def aggSql(fn: String, c: String): String = fn match {
       case "count" => s"sum($vn.n_rows)"
       case "sum" => s"CAST(sum($vn.`sum_$c`) AS ${sumTypes(c)})"
@@ -1631,8 +1669,7 @@ object SqlDml {
       else havingParsed.map(h => s"${aggSql(h.fn, h.c)} ${h.op} ${h.lit}")
         .mkString(" HAVING ", " AND ", "")
     val gbyOut = gkeys.map(qcol).mkString(", ")
-    Some(s"SELECT $sel FROM $vn JOIN $dimName " +
-      s"ON $vn.`$fk` = $dimName.`$pk`$whereSql " +
+    Some(s"SELECT $sel FROM $vn$fromSql$whereSql " +
       s"GROUP BY ${gbyWrap.map(w => s"$w($gbyOut)").getOrElse(gbyOut)}" +
       s"$havingSql" +
       oby.map(o => s" ORDER BY ${o.mkString(", ")}").getOrElse(""))

@@ -463,9 +463,50 @@ object LakeCatalog extends Family {
     df
   }
 
+  // ------------------------------------------------------------------
+  // The SNOWFLAKE chain: orders ⋈ customer ⋈ nation rolled up to
+  // nation grain — the dim-to-dim hop joins at dimension scale either
+  // way, and the commutation holds N-ary because every ON touches the
+  // fact only through MV group columns. The require again proves the
+  // fact's bytes stayed closed.
+  private def ndm(): String = Fixtures.abs("fixtures/lake/nation_dim")
+
+  private val mvRewriteSnowflake = Q(
+    "lake_mv_rewrite_snowflake",
+    Some(s"""
+      SELECT n_name, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sk
+      FROM read_parquet('${cdf()}/v=1/part-*.parquet',
+                        hive_partitioning=false) o
+      JOIN read_parquet('${cdm()}/v=1/part-*.parquet',
+                        hive_partitioning=false) c
+        ON o.o_custkey = c.c_custkey
+      JOIN read_parquet('${ndm()}/v=1/part-*.parquet',
+                        hive_partitioning=false) nt
+        ON c.c_nationkey = nt.n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name
+    """)) { (spark, _) =>
+    graft.SqlDml.register(spark, "olk_cdj", cdf(), "o_orderkey")
+    graft.SqlDml.register(spark, "olk_cdim", cdm(), "c_custkey")
+    graft.SqlDml.register(spark, "olk_nd", ndm(), "n_nationkey")
+    graft.SqlDml.registerMv(spark, "olk_cdj_mv",
+      Fixtures.abs("fixtures/lake/orders_cd_mv"))
+    val df = graft.Sql.sql(spark,
+      "SELECT n_name, count(*) AS n, sum(o_orderkey) AS sk " +
+        "FROM olk_cdj JOIN olk_cdim ON o_custkey = c_custkey " +
+        "JOIN olk_nd ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name")
+    require(df.inputFiles.nonEmpty &&
+      !df.inputFiles.exists(_.contains("orders_cd/v=")) &&
+      df.inputFiles.exists(_.contains("orders_cd_mv")),
+      s"the snowflake rewrite did not fire: ${df.inputFiles.toSeq}")
+    df
+  }
+
   def specs: Seq[Q] =
     Seq(live, asofDv, asofEvolved, asofRenamed, changes, mvRewrite,
       mvRewriteWhere, mvRewriteHaving, mvRewriteExprKey,
       mvRewriteExprWhere, mvRewriteRollup, mvRewriteJoin,
-      mvRewriteJoinGrain)
+      mvRewriteJoinGrain, mvRewriteSnowflake)
 }

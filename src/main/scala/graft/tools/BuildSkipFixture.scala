@@ -273,6 +273,13 @@ object BuildSkipFixture {
         .select("c_custkey", "c_mktsegment", "c_nationkey")
       Forget.publishClustered(cdim, cm, nFiles = 2,
         keyCol = "c_custkey", stats = true)
+      // the snowflake hop: customer -> nation (lake_mv_rewrite_snowflake)
+      val nd = s"$base/nation_dim"
+      clear(nd)
+      Forget.publishClustered(
+        spark.read.parquet(s"$sfDir/nation.parquet")
+          .select("n_nationkey", "n_name", "n_regionkey"),
+        nd, nFiles = 1, keyCol = "n_nationkey", stats = true)
       graft.SqlDml.register(spark, "ocd_fixture", cd, "o_orderkey")
       // customer × year grain — one MV answers both the segment rollup
       // and the segment × year dashboard slice. SUM/AVG legs on the

@@ -540,4 +540,54 @@ class MvRewriteSpec extends SparkSpec {
       s"join ROLLUP rewrite did not fire: ${rw3.inputFiles.toSeq}")
     assert(rw3.collect().toSeq == spark.sql(q3).collect().toSeq)
   }
+
+  test("JOIN leg: a SNOWFLAKE chain (fact⋈dim⋈dim) rolls up through " +
+      "the dim-to-dim hop; a chain with no fact linkage falls through") {
+    val t = s"$root/srcj4"
+    Forget.publishIndexed(
+      (0 until 40).map(k => (k.toLong, (k % 4).toLong, k.toLong))
+        .toDF("k", "fk", "amt"),
+      t, 1, "k", stats = true)
+    SqlDml.register(spark, "rwj4_src", t, "k")
+    val d1 = s"$root/dimj4a" // fk -> (seg, regionkey)
+    Forget.publishIndexed(
+      Seq((0L, "A", 10L), (1L, "A", 20L), (2L, "B", 10L),
+        (3L, "B", 20L)).toDF("pk", "seg", "rk"),
+      d1, 1, "pk", stats = true)
+    SqlDml.register(spark, "rwj4_d1", d1, "pk")
+    val d2 = s"$root/dimj4b" // regionkey -> region name
+    Forget.publishIndexed(
+      Seq((10L, "EAST"), (20L, "WEST")).toDF("rpk", "rname"),
+      d2, 1, "rpk", stats = true)
+    SqlDml.register(spark, "rwj4_d2", d2, "rpk")
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rwj4_mv LOCATION '$root/mvj4' AS
+         |SELECT fk, count(*), sum(amt)
+         |FROM rwj4_src GROUP BY fk""".stripMargin)
+    def fromMv(files: Array[String]): Boolean =
+      files.nonEmpty && !files.exists(_.contains("srcj4")) &&
+        files.exists(_.contains("mvj4"))
+    // region grain: fact -> d1 (fk = pk) -> d2 (rk = rpk)
+    val q = "SELECT rname, count(*) AS n, sum(amt) AS s " +
+      "FROM rwj4_src JOIN rwj4_d1 ON fk = pk " +
+      "JOIN rwj4_d2 ON rk = rpk GROUP BY rname ORDER BY rname"
+    val rw = Sql.sql(spark, q)
+    assert(fromMv(rw.inputFiles),
+      s"snowflake rewrite did not fire: ${rw.inputFiles.toSeq}")
+    assert(rw.collect().toSeq == spark.sql(q).collect().toSeq)
+    // mixed grain across all three relations
+    val q2 = "SELECT rname, seg, fk, count(*) AS n FROM rwj4_src " +
+      "JOIN rwj4_d1 ON fk = pk JOIN rwj4_d2 ON rk = rpk " +
+      "WHERE rname = 'EAST' GROUP BY rname, seg, fk " +
+      "ORDER BY rname, seg, fk"
+    val rw2 = Sql.sql(spark, q2)
+    assert(fromMv(rw2.inputFiles))
+    assert(rw2.collect().toSeq == spark.sql(q2).collect().toSeq)
+    // a chain rooted at a table NO registered MV covers stays on the
+    // base (here d1 plays the fact role and has no MV)
+    assert(Sql.sql(spark,
+      "SELECT rname, count(*) AS n FROM rwj4_d1 " +
+        "JOIN rwj4_d2 ON rk = rpk GROUP BY rname")
+      .inputFiles.exists(_.contains("dimj4a")))
+  }
 }
