@@ -1390,9 +1390,13 @@ object SqlDml {
     if (!dimNames.forall(d => registry.contains(d.toLowerCase) ||
         readOnlyRegistry.contains(d.toLowerCase))) return None
     import org.apache.spark.sql.types._
-    val srcSchema = spark.table(srcName).schema
+    // Try: an allowMissing-registered name (COPY INTO bootstrap) has a
+    // registry entry but no bound view yet — fall through, never throw
+    val srcSchema = scala.util.Try(spark.table(srcName).schema)
+      .getOrElse(return None)
     val dimSchemas: Seq[(String, StructType)] =
-      dimNames.map(d => d -> spark.table(d).schema)
+      dimNames.map(d => d -> scala.util.Try(spark.table(d).schema)
+        .getOrElse(return None))
     def clean(c: String) = c.trim.replace("`", "")
     // resolve a (possibly table-qualified) column ref to its relation:
     // Left(fact column) / Right((dim name, dim column)); None = an
@@ -1449,7 +1453,9 @@ object SqlDml {
       case Some(Left(f)) => Some(FactKey(f))
       case Some(Right((d, c))) => Some(DimKey(d, c))
       case None => groupExprOf(raw).flatMap { case (_, can) =>
-        "\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r.findFirstMatchIn(can)
+        // the canonical's column is the identifier before the closing
+        // paren — `year(c)` AND `date_trunc('unit', c)` alike
+        "([A-Za-z_][A-Za-z0-9_]*)\\)$".r.findFirstMatchIn(can)
           .map(_.group(1)).flatMap(c => side(c) match {
             case Some(Left(_)) => Some(BucketKey(can))
             case _ => None

@@ -539,6 +539,21 @@ class MvRewriteSpec extends SparkSpec {
     assert(fromMv(rw3.inputFiles),
       s"join ROLLUP rewrite did not fire: ${rw3.inputFiles.toSeq}")
     assert(rw3.collect().toSeq == spark.sql(q3).collect().toSeq)
+    // date_trunc buckets resolve through the join leg too (the
+    // canonical's inner column sits after a comma, not a paren)
+    Sql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW rwj3_mv_dt LOCATION '$root/mvj3dt' AS
+         |SELECT fk, date_trunc('month', d), count(*)
+         |FROM rwj3_src GROUP BY fk, date_trunc('month', d)""".stripMargin)
+    val q4 = "SELECT seg, date_trunc('month', d) AS m, count(*) AS n " +
+      "FROM rwj3_src JOIN rwj3_dim ON fk = pk " +
+      "GROUP BY seg, date_trunc('month', d) ORDER BY seg, m"
+    val rw4 = Sql.sql(spark, q4)
+    assert(rw4.inputFiles.nonEmpty &&
+      !rw4.inputFiles.exists(_.contains("srcj3")) &&
+      rw4.inputFiles.exists(_.contains("mvj3dt")),
+      s"date_trunc join rewrite did not fire: ${rw4.inputFiles.toSeq}")
+    assert(rw4.collect().toSeq == spark.sql(q4).collect().toSeq)
   }
 
   test("JOIN leg: a SNOWFLAKE chain (fact⋈dim⋈dim) rolls up through " +
