@@ -212,6 +212,27 @@ object LakeOpsBench {
     println(f"mv rewrite: answered from the view in $tMvAns%.2f s " +
       f"(${rwRows.length}%d groups) vs base recompute $tBaseAns%.2f s")
 
+    // JOIN rewrite: the same rollup THROUGH a fact⋈dim equi-join —
+    // the |groups|-sized view joins the 1024-row dim instead of the
+    // nRows-row fact scanning into the join
+    // ([[graft.SqlDml.rewriteViaMvJoin]])
+    val dimT = s"$root/dim"
+    Forget.publishIndexed(
+      spark.range(1024).select(col("id").as("dg"),
+        concat(lit("seg-"), col("id") % 8).as("seg")),
+      dimT, 1, "dg")
+    graft.SqlDml.register(spark, "lob_dim", dimT, "dg")
+    val rwjQ = "SELECT seg, count(*) AS n, sum(amt) AS s " +
+      "FROM lob_src JOIN lob_dim ON g = dg GROUP BY seg"
+    require(graft.SqlDml.rewriteViaMvJoin(spark, rwjQ).isDefined,
+      "join rewrite did not engage — the arm would time the base")
+    val (rwjRows, tMvJoin) = timeS(graft.Sql.sql(spark, rwjQ).collect())
+    arms("mv_rewrite_join_answer") = tMvJoin
+    val (_, tBaseJoin) = timeS(spark.sql(rwjQ).collect())
+    arms("mv_rewrite_join_base") = tBaseJoin
+    println(f"mv join rewrite: ${rwjRows.length}%d segments from the " +
+      f"view in $tMvJoin%.2f s vs base join $tBaseJoin%.2f s")
+
     // Cross-table txn arm: the CDC-merge + view-refresh pair committed as
     // ONE atomic flip (Txn.atomically) vs sequentially. The txn adds only
     // metadata ops per participant — a record rewrite, a marker file, the
