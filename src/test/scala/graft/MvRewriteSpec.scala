@@ -556,6 +556,45 @@ class MvRewriteSpec extends SparkSpec {
     assert(rw4.collect().toSeq == spark.sql(q4).collect().toSeq)
   }
 
+  test("property: the join rollup equals the base on random facts and " +
+      "dims (duplicate dim keys, unmatched fks, full aggregate set)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val t = s"$root/jp$trial"
+      val d = s"$root/jpd$trial"
+      val nf = 2 + rnd.nextInt(3)
+      val facts = (0 until 50 + rnd.nextInt(50)).map(k =>
+        // fk may exceed the dim's domain: unmatched fact rows must
+        // drop identically in both formulations
+        (k.toLong, rnd.nextInt(nf + 1).toLong, rnd.nextInt(100).toLong))
+      Forget.publishIndexed(facts.toDF("k", "fk", "amt"), t, 1, "k",
+        stats = true)
+      SqlDml.register(spark, s"jp${trial}_src", t, "k")
+      val dimRows = (0 until nf).flatMap { p =>
+        (0 to rnd.nextInt(2)).map(j => // some pks duplicated
+          (p.toLong * 10 + j, p.toLong, s"s${p % 2}"))
+      }
+      Forget.publishIndexed(dimRows.toDF("id", "pk", "seg"), d, 1,
+        "id", stats = true)
+      SqlDml.register(spark, s"jp${trial}_dim", d, "id")
+      Sql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW jp${trial}_mv
+           |LOCATION '$root/jpmv$trial' AS
+           |SELECT fk, count(*), sum(amt), min(amt), max(amt)
+           |FROM jp${trial}_src GROUP BY fk""".stripMargin)
+      val q = s"SELECT seg, count(*) AS n, sum(amt) AS s, " +
+        s"avg(amt) AS a, min(amt) AS lo, max(amt) AS hi " +
+        s"FROM jp${trial}_src JOIN jp${trial}_dim ON fk = pk " +
+        "GROUP BY seg ORDER BY seg"
+      val rw = Sql.sql(spark, q)
+      assert(rw.inputFiles.exists(_.contains(s"jpmv$trial")) &&
+        !rw.inputFiles.exists(_.contains(s"jp$trial/")),
+        s"trial $trial did not rewrite: ${rw.inputFiles.toSeq}")
+      assert(rw.collect().toSeq == spark.sql(q).collect().toSeq,
+        s"trial $trial diverged from the base")
+    }
+  }
+
   test("JOIN leg: a SNOWFLAKE chain (fact⋈dim⋈dim) rolls up through " +
       "the dim-to-dim hop; a chain with no fact linkage falls through") {
     val t = s"$root/srcj4"
