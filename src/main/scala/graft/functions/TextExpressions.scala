@@ -139,6 +139,110 @@ object TextHashing {
     acc
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hex32(dig: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((dig(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(dig(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** DISTINCT md5-hex hashes of every 8-token span of the document, in
+    * first-occurrence order — the one-pass JVM twin of
+    * `array_distinct(transform(sequence(1, size(t)-7), i ->
+    *    md5(concat_ws(' ', slice(t, i, 8)))))` over `t = split(text, ' ')`.
+    * The HOF formulation is interpreted per span (~µs/span: md5 + concat +
+    * slice allocation each through the lambda interpreter); this kernel runs
+    * the whole document in one tight loop and stays codegen-friendly.
+    * Empty array when the document has fewer than 8 tokens (explode then
+    * yields no rows — exactly what the `size(t) >= 8` pre-filter produced).
+    * Called from generated code — keep signature stable. */
+  def spanHashes8(text: UTF8String): ArrayData = {
+    if (text == null) return null
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < 8) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    val d = md5.get()
+    var i = 0
+    while (i + 7 < n) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + 8) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      d.reset()
+      seen.add(hex32(d.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** 1-based token positions where `toks(pos) == first` and
+    * `toks(pos+1) == second` (positions into `split(text, ' ')`) — the
+    * one-pass twin of `filter(sequence(1, size(tk)-1), i ->
+    *    element_at(tk,i) = first AND element_at(tk,i+1) = second)`.
+    * That HOF re-evaluates `split(text)` INSIDE the lambda for every
+    * sequence element (Catalyst does not CSE under LambdaFunction), an
+    * O(tokens²) scan per document; this kernel splits once and scans once.
+    * Empty array for documents with fewer than 2 tokens. */
+  def phrasePositions(text: UTF8String, first: String, second: String): ArrayData = {
+    if (text == null) return null
+    val toks = text.toString.split(" ", -1)
+    var cnt = 0
+    var i = 0
+    while (i < toks.length - 1) {
+      if (toks(i) == first && toks(i + 1) == second) cnt += 1
+      i += 1
+    }
+    val out = new Array[Int](cnt)
+    var k = 0
+    i = 0
+    while (i < toks.length - 1) {
+      if (toks(i) == first && toks(i + 1) == second) { out(k) = i + 1; k += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Space-joined adjacent token bigrams ("tok_i tok_{i+1}") in document
+    * order, duplicates kept — the one-pass JVM twin of
+    * `transform(sequence(1, size(tk)-1), i ->
+    *    concat_ws(' ', element_at(tk,i), element_at(tk,i+1)))` over
+    * `tk = split(text, ' ')`. The HOF formulation is interpreted per
+    * element with element_at re-walking the array; this splits once and
+    * builds every bigram in one loop. Empty array below 2 tokens (the
+    * `size(tk) >= 2` guard's empty-array branch, for free).
+    * Called from generated code — keep signature stable. */
+  def adjacentBigrams(text: UTF8String): ArrayData = {
+    if (text == null) return null
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val sb = new java.lang.StringBuilder(toks(i).length + 1 + toks(i + 1).length)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Count of the most-repeated adjacent token bigram in the document
     * (0 when fewer than 2 tokens) — the numerator of the repetition
     * quality rule (Rae et al., "Scaling Language Models" §A1.1 style:
@@ -311,6 +415,78 @@ case class TopBigramCount(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.topBigramCount($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TopBigramCount =
+    copy(child = newChild)
+}
+
+/** `span_hashes8(text)`: distinct md5-hex hashes of every 8-token span, in
+  * first-occurrence order; empty array below 8 tokens (see
+  * TextHashing.spanHashes8 for the HOF-formulation equivalence). */
+case class SpanHashes8(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "span_hashes8"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.spanHashes8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.spanHashes8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes8 =
+    copy(child = newChild)
+}
+
+/** `phrase_positions(text, first, second)`: 1-based positions of exact
+  * adjacent-token phrase matches (see TextHashing.phrasePositions). */
+case class PhrasePositions(child: Expression, first: String, second: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "phrase_positions"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.phrasePositions(input.asInstanceOf[UTF8String], first, second)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("first", first, "java.lang.String")
+    val s = ctx.addReferenceObj("second", second, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.phrasePositions($c, $f, $s)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PhrasePositions =
+    copy(child = newChild)
+}
+
+/** `adjacent_bigrams(text)`: space-joined adjacent token bigrams in
+  * document order, duplicates kept (see TextHashing.adjacentBigrams). */
+case class AdjacentBigrams(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "adjacent_bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.adjacentBigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.adjacentBigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AdjacentBigrams =
     copy(child = newChild)
 }
 

@@ -31,6 +31,20 @@ package object functions {
   def top_bigram_count(text: Column): Column =
     bridge.toColumn(TopBigramCount(bridge.toExpression(text)))
 
+  /** Distinct md5-hex hashes of every 8-token span (exact-span dedup
+    * grain); empty array below 8 tokens. */
+  def span_hashes8(text: Column): Column =
+    bridge.toColumn(SpanHashes8(bridge.toExpression(text)))
+
+  /** 1-based positions of exact adjacent-token phrase matches. */
+  def phrase_positions(text: Column, first: String, second: String): Column =
+    bridge.toColumn(PhrasePositions(bridge.toExpression(text), first, second))
+
+  /** Space-joined adjacent token bigrams in document order, duplicates
+    * kept; empty array below 2 tokens. */
+  def adjacent_bigrams(text: Column): Column =
+    bridge.toColumn(AdjacentBigrams(bridge.toExpression(text)))
+
   /** Jaro-Winkler similarity in [0,1] of two string columns (linkage
     * scoring; bit-compatible with DuckDB's jaro_winkler_similarity on
     * ASCII inputs). */

@@ -84,6 +84,38 @@ object TextKernelPropsSpec extends Properties("functions.TextHashing") {
       TextHashing.simhash60(UTF8String.fromString(s)) == expected
     }
 
+  property("spanHashes8 == distinct md5 of every 8-token span, first-seen order") =
+    forAll(genText) { s =>
+      val toks = s.split(" ", -1)
+      val expected =
+        if (toks.length < 8) Seq.empty[String]
+        else toks.sliding(8).map(sp => md5hex(sp.mkString(" "))).toSeq.distinct
+      TextHashing.spanHashes8(UTF8String.fromString(s))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq == expected
+    }
+
+  property("phrasePositions == 1-based adjacent-match positions") =
+    forAll(genText, Gen.oneOf("a", "b", "the"), Gen.oneOf("a", "b", "the")) {
+      (s, f, sec) =>
+        val toks = s.split(" ", -1)
+        val expected = (0 until math.max(toks.length - 1, 0))
+          .filter(i => toks(i) == f && toks(i + 1) == sec).map(_ + 1)
+        TextHashing.phrasePositions(UTF8String.fromString(s), f, sec)
+          .toIntArray.toSeq == expected
+    }
+
+  property("adjacentBigrams == sliding(2) space-joined, duplicates kept") =
+    forAll(genText) { s =>
+      val toks = s.split(" ", -1)
+      val expected =
+        if (toks.length < 2) Seq.empty[String]
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      TextHashing.adjacentBigrams(UTF8String.fromString(s))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq == expected
+    }
+
   property("topBigramCount == max groupBy count over adjacent bigrams") =
     forAll(genText) { s =>
       val toks = s.split(" ", -1)
