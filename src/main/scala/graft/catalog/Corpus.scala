@@ -104,8 +104,12 @@ object Corpus extends Family {
     """)) { (spark, dir) =>
     val sh = docs(spark, dir).select(col("doc_id"),
       array_distinct(graft.functions.trigram_hashes(col("text"))).as("hs"))
+    // eval-sized (suite n-grams — metadata next to the corpus at any
+    // scale): localCheckpoint so the bloom-build action and the
+    // exact-confirm join don't each re-pay the eval shingle pass
     val ev = sh.filter(col("doc_id") % 97 === 0)
       .select(explode(col("hs")).as("h")).distinct()
+      .localCheckpoint()
     // Distributed bloom build: partial sketches merge up a tree; only the
     // final ~1.2 MB bitset reaches the driver, then broadcasts out once.
     val bloom = ev.stat.bloomFilter("h", 1000000L, 0.01)
@@ -364,13 +368,11 @@ object Corpus extends Family {
       SELECT source_a, source_b, n_shared_spans
       FROM p ORDER BY source_a, source_b
     """)) { (spark, dir) =>
-    val toks = docs(spark, dir)
-      .select(col("source"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 8)
-    val spans = toks.select(col("source"),
-      explode(array_distinct(transform(
-        sequence(lit(1), size(col("t")) - 7),
-        i => md5(concat_ws(" ", slice(col("t"), i, lit(8))))))).as("sh"))
+    // one-pass codegen span-hash kernel (see dedup_span_8gram) — the HOF
+    // transform formulation is interpreted per span; <8-token docs yield
+    // an empty array and drop at the explode
+    val spans = docs(spark, dir).select(col("source"),
+      explode(graft.functions.span_hashes8(col("text"))).as("sh"))
       .distinct()
     spans.alias("a")
       .join(spans.alias("b"),
@@ -448,13 +450,10 @@ object Corpus extends Family {
           / exact_distinct AS est_ratio
       FROM e CROSS JOIN x
     """)) { (spark, dir) =>
-    val toks = docs(spark, dir)
-      .select(split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 8)
-    val h = toks.select(
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("t")) - 7),
-          i => md5(concat_ws(" ", slice(col("t"), i, lit(8))))))).as("sh"))
+    // one-pass codegen span-hash kernel (see dedup_span_8gram) — the HOF
+    // transform formulation is interpreted per span
+    val h = docs(spark, dir).select(
+        explode(graft.functions.span_hashes8(col("text"))).as("sh"))
       .distinct()
       .select(conv(substring(col("sh"), 1, 15), 16, 10).cast("long").as("hv"))
     val e = h.orderBy(col("hv")).limit(256)
@@ -535,13 +534,11 @@ object Corpus extends Family {
       LEFT JOIN ex ON ex.sa = est.sa AND ex.sb = est.sb
       ORDER BY source_a, source_b
     """)) { (spark, dir) =>
+    // one-pass codegen span-hash kernel (see dedup_span_8gram) — the HOF
+    // transform formulation is interpreted per span
     val sh = docs(spark, dir)
-      .select(col("source"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 8)
       .select(col("source"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("t")) - 7),
-          i => md5(concat_ws(" ", slice(col("t"), i, lit(8))))))).as("s8"))
+        explode(graft.functions.span_hashes8(col("text"))).as("s8"))
       .distinct()
       .select(col("source"),
         conv(substring(col("s8"), 1, 15), 16, 10).cast("long").as("hv"))

@@ -60,11 +60,10 @@ object Lm extends Family {
     * (production thresholds track corpus size for the same reason). */
   private[graft] def rareBigramRatio(spark: SparkSession, dir: String,
                                      rareMax: Long): DataFrame = {
-    val tk = TextOps.tokens(col("text"))
-    val bigrams = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1), i =>
-        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // one-pass codegen bigram kernel ([[graft.functions.adjacent_bigrams]])
+    // — the transform(sequence(...)) HOF was interpreted per element, with
+    // element_at re-walking the array; the arrays_zip struct formulation
+    // pays a struct-array materialization + a second concat projection.
     // The (doc, bigram) partial frame is consumed THREE times (corpus
     // frequency build, bloom tagging, per-doc totals); localCheckpoint
     // materializes the explode + first aggregate ONCE instead of
@@ -72,7 +71,8 @@ object Lm extends Family {
     // materialize-the-spine posture a deployment takes with its bigram
     // table (MEMORY_AND_DISK, spills instead of OOMing at scale).
     val btf = docs(spark, dir)
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .select(col("doc_id"),
+        explode(graft.functions.adjacent_bigrams(col("text"))).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("bcnt"))
       .localCheckpoint()
@@ -359,14 +359,11 @@ object Lm extends Family {
     * count-ordered top-100 cut; LmKnSpec checks the KN closure property on
     * this frame (per context w1, probabilities sum to exactly 1). */
   private[catalog] def knTableFull(spark: SparkSession, dir: String): DataFrame = {
-    val tk = TextOps.tokens(col("text"))
-    val pairs = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1), i =>
-        struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    // codegen arrays_zip pair build ([[TextOps.adjacentPairs]]) — the
+    // transform(sequence(...)) HOF was interpreted per element
     val c12 = docs(spark, dir)
-      .select(explode(pairs).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .select(explode(TextOps.adjacentPairs(TextOps.tokens(col("text")))).as("p"))
+      .select(col("p.wa").as("w1"), col("p.wb").as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint()
@@ -470,14 +467,12 @@ object Lm extends Family {
         MIN(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS min_pkn
       FROM sc GROUP BY doc_id ORDER BY doc_id
     """)) { (spark, dir) =>
-    val tk = TextOps.tokens(col("text"))
-    val pairs = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1), i =>
-        struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    // codegen arrays_zip pair build ([[TextOps.adjacentPairs]]) — the
+    // transform(sequence(...)) HOF was interpreted per element
     val occ = docs(spark, dir)
-      .select(col("doc_id"), explode(pairs).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .select(col("doc_id"),
+        explode(TextOps.adjacentPairs(TextOps.tokens(col("text")))).as("p"))
+      .select(col("doc_id"), col("p.wa").as("w1"), col("p.wb").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("bcnt"))
       .localCheckpoint() // consumed twice: model build spine + scoring join

@@ -56,14 +56,13 @@ object Mining extends Family {
         CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_frac
       FROM per ORDER BY doc_id
     """)) { (spark, dir) =>
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 8)
-    // distinct 8-gram span hashes per doc, hashed in one projection
-    val spans = toks.select(col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(1), size(col("t")) - 7),
-        i => md5(concat_ws(" ", slice(col("t"), i, lit(8))))))).as("sh"))
+    // distinct 8-gram span hashes per doc in ONE codegen kernel pass
+    // ([[graft.functions.span_hashes8]]) — the transform(sequence(...))
+    // HOF formulation is interpreted per span (lambda interpreter + slice
+    // allocation + md5 per element); docs under 8 tokens yield an empty
+    // array and drop at the explode (the old size(t) >= 8 pre-filter)
+    val spans = docs(spark, dir).select(col("doc_id"),
+      explode(graft.functions.span_hashes8(col("text"))).as("sh"))
     val dup = spans.groupBy(col("sh"))
       .agg(count(lit(1)).as("nd")) // spans are per-doc distinct => nd = #docs
     spans.join(dup, Seq("sh"))
@@ -131,11 +130,15 @@ object Mining extends Family {
       ORDER BY p_brand, rn
     """)) { (spark, dir) =>
     val top3 = udaf(new graft.functions.TopKAgg(3))
+    // pre-aggregate revenue by l_partkey BELOW the join (p_partkey is
+    // part's key, so per-partkey sums equal per-(brand, partkey) sums
+    // exactly — decimal addition is order-free): the broadcast probe and
+    // the shuffle then carry part-count rows, not every lineitem
     t(spark, dir, "lineitem")
-      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"), col("p_partkey"))
+      .groupBy(col("l_partkey"))
       .agg(Exact.sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(top3(col("revenue"), col("p_partkey")).as("top"))
       .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "e")))

@@ -148,11 +148,12 @@ object Search extends Family {
       FROM m WHERE len(hits) > 0
       ORDER BY doc_id
     """)) { (spark, dir) =>
-    val tk = TextOps.tokens(col("text"))
-    val hits = when(size(tk) >= 2,
-      filter(sequence(lit(1), size(tk) - 1), i =>
-        element_at(tk, i) === "slow" && element_at(tk, i + 1) === "query"))
-      .otherwise(array().cast("array<int>"))
+    // one-pass codegen kernel ([[graft.functions.phrase_positions]]) — the
+    // filter(sequence(...)) HOF re-evaluates split(text) INSIDE the lambda
+    // for every position (Catalyst does not CSE under LambdaFunction:
+    // O(tokens²) per document), and the whole expression ran twice (pushed
+    // filter + project); the kernel splits once and scans once
+    val hits = graft.functions.phrase_positions(col("text"), "slow", "query")
     docs(spark, dir)
       .select(col("doc_id"), hits.as("hits"))
       .filter(size(col("hits")) > 0)

@@ -945,12 +945,18 @@ object TextLlm extends Family {
       ORDER BY doc_id, rn
     """)) { (spark, dir) =>
     val d = docs(spark, dir)
+    // The (doc, term) tf frame is consumed THREE times (dl re-aggregate,
+    // doc_freq build, the scored join's left side); localCheckpoint
+    // materializes the normalize + explode + first aggregate ONCE instead
+    // of re-running the corpus-width regex pass per consumer — the
+    // rareBigramRatio spine posture.
     val tf = d
       .select(col("doc_id"),
         explode(split(TextOps.normalize(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("term_count"))
+      .localCheckpoint()
     val dl = tf.groupBy(col("doc_id"))
       .agg(sum(col("term_count")).as("doc_len"))
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
