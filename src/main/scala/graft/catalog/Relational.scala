@@ -688,10 +688,14 @@ object Relational extends Family {
     """)) { (spark, dir) =>
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("revenue").desc, col("p_partkey"))
+    // pre-aggregate revenue by l_partkey BELOW the join (p_partkey is
+    // part's key, so per-partkey sums equal per-(brand, partkey) sums
+    // exactly — decimal addition is order-free): the broadcast probe and
+    // the shuffle then carry part-count rows, not every lineitem
     t(spark, dir, "lineitem")
-      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"), col("p_partkey"))
+      .groupBy(col("l_partkey"))
       .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("p_brand"), col("p_partkey"), col("revenue"), col("rn"))
