@@ -611,7 +611,8 @@ object Mining extends Family {
       .filter(col("n_orders") >= 2)
       .select(col("part_a").as("u"), col("part_b").as("v"))
     val labels = graft.ops.Lpa.propagate(e, rounds = 4)
-      .localCheckpoint() // consumed 3x: sizes, top-5, term frame
+    // consumed 3x (sizes, top-5, term frame) — propagate's result is
+    // already checkpointed
     val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
       .localCheckpoint() // consumed 2x: top-5 cut + final join
     val top5 = sz.orderBy(col("n_members").desc, col("label")).limit(5)

