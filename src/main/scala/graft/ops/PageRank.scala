@@ -70,10 +70,19 @@ object PageRank {
     val spark = edges.sparkSession
     val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
     val eCnt = e0.count()
-    val parts = math.max(1L, math.min(
-      spark.sessionState.conf.numShufflePartitions.toLong,
-      eCnt / 500000L + 1)).toInt
-    val e = e0.repartition(parts, col("src")).localCheckpoint()
+    // Scale-adaptive (the Lpa dial): below one shuffle-partition's worth
+    // of edges the per-iteration exchange is trivia and the extra
+    // repartition + checkpoint materialization costs more than it saves —
+    // keep the plain checkpoint. Past it, pre-partitioning by the join
+    // key pays once and every iteration's edge-width exchange disappears.
+    val e =
+      if (eCnt < 500000L) e0
+      else {
+        val parts = math.min(
+          spark.sessionState.conf.numShufflePartitions.toLong,
+          eCnt / 500000L + 1).toInt
+        e0.repartition(parts, col("src")).localCheckpoint()
+      }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -91,10 +100,14 @@ object PageRank {
     // probe it once; symmetric graphs (every undirected edge emitted both
     // ways, e.g. the co-purchase graph) then skip the per-iteration
     // dangling-mass aggregate entirely, halving driver-side actions.
-    val danglingNodes = nodes
+    // probe existence BEFORE checkpointing: symmetric graphs (every node
+    // has out-edges) have an EMPTY dangling frame that is never consumed
+    // again — checkpointing it would be a wasted materialization job
+    val danglingNodes0 = nodes
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-      .localCheckpoint()
-    val hasDangling = !danglingNodes.isEmpty
+    val hasDangling = !danglingNodes0.isEmpty
+    val danglingNodes =
+      if (hasDangling) danglingNodes0.localCheckpoint() else danglingNodes0
     var ranks = nodes.withColumn("rank",
       lit(JBigDecimal.ONE.divide(nBig, 18, RoundingMode.HALF_UP)).cast(Dec))
     for (i <- 1 to iters) {
@@ -154,10 +167,16 @@ object PageRank {
     require(scale <= 1000000000000000L, "scale beyond 1e15 risks damping-product overflow")
     val spark = edges.sparkSession
     val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
-    val parts = math.max(1L, math.min(
-      spark.sessionState.conf.numShufflePartitions.toLong,
-      e0.count() / 500000L + 1)).toInt
-    val e = e0.repartition(parts, col("src")).localCheckpoint()
+    // scale-adaptive pre-partitioning — see run()
+    val eCnt = e0.count()
+    val e =
+      if (eCnt < 500000L) e0
+      else {
+        val parts = math.min(
+          spark.sessionState.conf.numShufflePartitions.toLong,
+          eCnt / 500000L + 1).toInt
+        e0.repartition(parts, col("src")).localCheckpoint()
+      }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -168,10 +187,14 @@ object PageRank {
     // Scala Long `/` truncates toward zero == floor for the non-negative
     // operands here; mirrors SQL `x div y` / DuckDB `x // y` exactly.
     val base = scale * (dampDen - dampNum) / dampDen / n
-    val danglingNodes = nodes
+    // probe existence BEFORE checkpointing: symmetric graphs (every node
+    // has out-edges) have an EMPTY dangling frame that is never consumed
+    // again — checkpointing it would be a wasted materialization job
+    val danglingNodes0 = nodes
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-      .localCheckpoint()
-    val hasDangling = !danglingNodes.isEmpty
+    val hasDangling = !danglingNodes0.isEmpty
+    val danglingNodes =
+      if (hasDangling) danglingNodes0.localCheckpoint() else danglingNodes0
     var ranks = nodes.withColumn("r", lit(scale / n))
     for (i <- 1 to iters) {
       val danglingOverN =
@@ -222,10 +245,16 @@ object PageRank {
     require(scale <= 1000000000000000L, "scale beyond 1e15 risks damping-product overflow")
     val spark = edges.sparkSession
     val e0 = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
-    val parts = math.max(1L, math.min(
-      spark.sessionState.conf.numShufflePartitions.toLong,
-      e0.count() / 500000L + 1)).toInt
-    val e = e0.repartition(parts, col("src")).localCheckpoint()
+    // scale-adaptive pre-partitioning — see run()
+    val eCnt = e0.count()
+    val e =
+      if (eCnt < 500000L) e0
+      else {
+        val parts = math.min(
+          spark.sessionState.conf.numShufflePartitions.toLong,
+          eCnt / 500000L + 1).toInt
+        e0.repartition(parts, col("src")).localCheckpoint()
+      }
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -234,10 +263,14 @@ object PageRank {
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = scale * (dampDen - dampNum) / dampDen / n
-    val danglingNodes = nodes
+    // probe existence BEFORE checkpointing: symmetric graphs (every node
+    // has out-edges) have an EMPTY dangling frame that is never consumed
+    // again — checkpointing it would be a wasted materialization job
+    val danglingNodes0 = nodes
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-      .localCheckpoint()
-    val hasDangling = !danglingNodes.isEmpty
+    val hasDangling = !danglingNodes0.isEmpty
+    val danglingNodes =
+      if (hasDangling) danglingNodes0.localCheckpoint() else danglingNodes0
     var ranks = nodes.withColumn("r", lit(scale / n))
     for (i <- 1 to iters) {
       val danglingOverN =
