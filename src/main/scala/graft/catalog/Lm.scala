@@ -486,6 +486,14 @@ object Lm extends Family {
     val num = greatest(lit(4L) * col("c12") - 3L, lit(0L)) * col("n_types") +
       lit(3L) * col("n_after") * col("n_before")
     val den = lit(4L) * col("c1") * col("n_types")
+    // Join shape kept deliberately (r19 A/B): folding the model onto c12
+    // first (model = c12 ⋈ c1 ⋈ nb ⋈ tot, then ONE occ ⋈ model join)
+    // measured SLOWER at sf0.1 — 0.69 s → 0.91 s unhinted (the planner
+    // broadcast the checkpointed doc-grain occ side), 0.81 s with the model
+    // side hinted. Here occ streams through three successive broadcast
+    // probes with NO exchange at all, which beats paying the model-build
+    // join chain up front; the occ side only re-shuffles if the model
+    // frames outgrow broadcast, which at this catalog's scale they don't.
     occ.join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).join(nb, Seq("w2"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("bcnt"), num.as("num"), den.as("den"))

@@ -404,9 +404,14 @@ object Mining extends Family {
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    // The oriented edge list feeds THREE join legs (both wedge sides + the
+    // closure probe); without a lineage cut each leg re-runs the whole
+    // degree + orientation derivation — a 5-SortMergeJoin chain in the
+    // plan. One |E|-linear materialization replaces the 3x recompute.
     val e = ew.select(
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint()
     val wedges = e.select(col("src").as("a"), col("dst").as("b"))
       .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
     val tri = wedges

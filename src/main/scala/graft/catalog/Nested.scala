@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.lake.Tables
@@ -16,12 +17,13 @@ import graft.ops.Exact
  * same cardinalities) identically in both engines, making the explode
  * oracle-checkable end to end.
  *
- * Scale posture: the array build is one hash aggregation on l_orderkey
- * (bounded per-order arrays — TPC-H orders have ≤7 lines; GA4 carts are
- * similarly tiny), and the explode is a Generate over it — one shuffle
- * total, then a map-side-partial hash agg on item_id. At 100 TB a real GA4
- * lake SKIPS the build half: `items` is already materialized, so the plan
- * is scan → Generate(inline) → partial agg, no shuffle before the final
+ * Scale posture: the build+explode round-trip is algebraically the
+ * identity on the row set, so the query runs as one order-keyed window
+ * (bounded per-order groups — TPC-H orders have ≤7 lines; GA4 carts are
+ * similarly tiny) followed by a map-side-partial hash agg on item_id: one
+ * shuffle to order grain, one to item grain. At 100 TB a real GA4 lake
+ * skips the first: `items` is already materialized, so the plan is
+ * scan → Generate(inline) → partial agg, no shuffle before the final
  * per-item combine.
  */
 object Nested extends Family {
@@ -56,25 +58,31 @@ object Nested extends Family {
       ORDER BY item_id
     """)) { (spark, dir) =>
     val li = Tables.load(spark, dir, "lineitem")
-    // array_sort on structs orders field-by-field — the same total order as
-    // the oracle's ORDER BY over the four fields (full tiebreak: synthetic
-    // lineitem has duplicate l_linenumber within an order)
-    val perOrder = li
-      .groupBy(col("l_orderkey").as("order_id"))
-      .agg(array_sort(collect_list(struct(
-        col("l_linenumber").as("line_no"),
-        col("l_partkey").as("item_id"),
+    // The exploded rows ARE the lineitem rows, and slot 0 is the row that
+    // ranks FIRST within its order under the array's 4-field sort order
+    // (line_no, item_id, quantity, price — the same total order as the
+    // oracle's ORDER BY; full tiebreak, since synthetic lineitem has
+    // duplicate l_linenumber within an order). So the collect_list →
+    // interpreted array_sort comparator → posexplode round-trip collapses
+    // to one window row_number: ties on all four fields are field-identical
+    // rows, so which one takes rank 1 cannot change any aggregate below.
+    // Same two exchanges as the array plan, but codegen sort instead of
+    // ObjectHashAggregate + per-comparison interpreted lambda.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+    li
+      .select(col("l_partkey").as("item_id"),
         col("l_quantity").as("quantity"),
-        col("l_extendedprice").as("price")))).as("items"))
-    perOrder
-      .select(col("order_id"), posexplode(col("items")).as(Seq("slot", "item")))
-      .groupBy(col("item.item_id").as("item_id"))
+        col("l_extendedprice").as("price"),
+        (row_number().over(w) === 1).as("is_first"))
+      .groupBy(col("item_id"))
       .agg(
         count(lit(1)).as("n_lines"),
-        Exact.sumMoney(col("item.quantity")).as("qty_total"),
-        count(when(col("slot") === 0, lit(1))).as("first_slot_lines"),
+        Exact.sumMoney(col("quantity")).as("qty_total"),
+        count(when(col("is_first"), lit(1))).as("first_slot_lines"),
         coalesce(
-          sum(when(col("slot") === 0, Exact.dec2(col("item.price"))))
+          sum(when(col("is_first"), Exact.dec2(col("price"))))
             .cast("double"),
           lit(0.0)).as("first_slot_revenue"))
       .orderBy(col("item_id"))

@@ -400,9 +400,12 @@ object Relational extends Family {
       JOIN customer ON c_custkey = o_custkey
       ORDER BY total_cents DESC, o_orderkey LIMIT 25
     """)) { (spark, dir) =>
+    // each row's dec2(qty)*100 is an exact integer, so summing LONG cents
+    // equals (sum of decimals)*100 exactly — same value, but the aggregate
+    // buffer is one 8-byte long instead of decimal128 + isEmpty
     val big = t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg((sum(dec2(col("l_quantity"))) * 100).cast("long").as("sum_qty2"))
+      .agg(sum((dec2(col("l_quantity")) * 100).cast("long")).as("sum_qty2"))
       .filter(col("sum_qty2") > 21000L)
     t(spark, dir, "orders")
       .join(big, col("o_orderkey") === col("l_orderkey"))
