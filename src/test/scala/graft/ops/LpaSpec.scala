@@ -47,4 +47,32 @@ class LpaSpec extends SparkSpec {
     // round 1: each node takes min neighbor label; clique converges to 20
     assert(out.values.toSet == Set(20L), out.toString)
   }
+
+  test("packed-decimal argmax matches the straight-line reference on random graphs") {
+    // One propagate round = per node the (largest count, then smallest
+    // label) among neighbor labels; labels stress the long range up to
+    // Long.MaxValue to pin the 10^19 packing headroom.
+    val rnd = new scala.util.Random(421)
+    for (trial <- 1 to 5) {
+      val ids = (rnd.shuffle((1L to 40L).toVector).take(12) :+
+        (Long.MaxValue - trial)).distinct
+      val es = for {
+        u <- ids; v <- ids
+        if u < v && rnd.nextInt(3) == 0
+      } yield (u, v)
+      if (es.nonEmpty) {
+        val out = Lpa.propagate(es.toDF("u", "v"), rounds = 1)
+          .as[(Long, Long)].collect().toMap
+        val nbrs = (es ++ es.map(_.swap)).groupBy(_._1).view
+          .mapValues(_.map(_._2)).toMap
+        val expect = nbrs.map { case (n, vs) =>
+          val counts = vs.groupBy(identity).view.mapValues(_.size).toMap
+          // initial label of a neighbor is its own id
+          n -> counts.toSeq.map { case (l, c) => (c, l) }
+            .sortBy { case (c, l) => (-c, l) }.head._2
+        }
+        assert(out == expect, s"trial $trial: $out vs $expect")
+      }
+    }
+  }
 }
