@@ -454,10 +454,11 @@ object Eval extends Family {
   // engines follow the SQL rule: first buckets take the extra rows —
   // deterministic. Scale shape: one map-side-combinable per-customer
   // aggregate; the NTILE window sorts the CUSTOMER-grain table (dimension
-  // cardinality, not fact rows); the decile rollup is 10 groups. Exact
-  // NTILE needs that total order — past ~1e8 customers swap in sketch
-  // cutoffs (agg_quantiles_sketch's mergeable bins) and trade exact
-  // equal-frequency for one-bin-width bound, as production bucketizers do.
+  // cardinality, not fact rows); the decile rollup is 10 groups. Past the
+  // Prefix.SingleWindowMaxBytes dial the single-partition NTILE swaps for
+  // the EXACT distributed form (range shuffle + partition-local rank +
+  // driver prefix offsets + the SQL bucket rule in arithmetic) — same
+  // rows at any scale, no sketch tradeoff needed.
   private val decileBins = Q(
     "train_decile_bins",
     Some("""
@@ -472,12 +473,18 @@ object Eval extends Family {
         CAST(MAX(cents) AS DOUBLE) / 100.0 AS hi_spend
       FROM d GROUP BY decile ORDER BY decile
     """)) { (spark, dir) =>
-    val s = Tables.load(spark, dir, "orders")
+    val orders = Tables.load(spark, dir, "orders")
+    val s = orders
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum((graft.ops.Exact.dec2(col("o_totalprice")) * 100)
         .cast("long")).as("cents"))
-    val d = s.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("cents"), col("custkey"))))
+    // past the dial the single-partition NTILE window swaps for the
+    // arithmetic bucket over the two-phase distributed rank
+    // (graft.ops.Prefix.globalNtile) — row-identical on either arm
+    val d = graft.ops.Prefix.globalNtile(s,
+      Seq(col("cents"), col("custkey")), 10, "decile",
+      distributed = orders.queryExecution.optimizedPlan.stats.sizeInBytes >
+        graft.ops.Prefix.SingleWindowMaxBytes)
     d.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         (min(col("cents")).cast("double") / 100.0).as("lo_spend"),

@@ -962,9 +962,11 @@ object Warehouse extends Family {
   // would drift and int64×1e6 would overflow past ~9e12 total cents).
   // Scale shape: one orders aggregate to customer grain, then ONE global
   // sort window computing rank and running sum together (same window
-  // frame ⇒ one sort pass) — dimension-bounded like train_decile_bins,
-  // with the same documented sketch-cutoff swap past ~1e8 customers; the
-  // percentile probes are a 5-row broadcast.
+  // frame ⇒ one sort pass) — dimension-bounded like train_decile_bins.
+  // Past the Prefix.SingleWindowMaxBytes dial the single-partition window
+  // swaps for the EXACT two-phase distributed scan (range shuffle +
+  // partition-local window + driver prefix offsets) — same rows at any
+  // scale; the percentile probes are a 5-row broadcast.
   private val paretoShare = Q(
     "profile_revenue_concentration",
     Some("""
@@ -989,16 +991,21 @@ object Warehouse extends Family {
       GROUP BY v.pct ORDER BY v.pct
     """)) { (spark, dir) =>
     import spark.implicits._
-    val spend = Tables.load(spark, dir, "orders")
+    val orders = Tables.load(spark, dir, "orders")
+    val spend = orders
       .groupBy(col("o_custkey"))
       .agg(sum((graft.ops.Exact.dec2(col("o_totalprice")) * 100)
         .cast("long")).as("cents"))
-    // rank and running sum share ONE window ordering → one sort pass
-    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-    val cum = spend.select(
-      row_number().over(w).as("rn"),
-      sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)).as("cum_cents"))
+    // rank and running sum share ONE window ordering → one sort pass;
+    // past the dial the single-partition window swaps for the two-phase
+    // distributed scan (graft.ops.Prefix.globalRankSum) — row-identical,
+    // so the oracle sees the same output on either arm
+    val cum = graft.ops.Prefix.globalRankSum(spend,
+        Seq(col("cents").desc, col("o_custkey")), Some("cents"),
+        "rn", "cum_cents",
+        distributed = orders.queryExecution.optimizedPlan.stats.sizeInBytes >
+          graft.ops.Prefix.SingleWindowMaxBytes)
+      .select(col("rn"), col("cum_cents"))
     val tot = spend.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
     val pcts = Seq(1, 5, 10, 20, 50).toDF("pct")
     cum.crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))

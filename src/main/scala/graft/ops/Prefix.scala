@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,118 @@ object Prefix {
         sum(col(valueCol)).over(inPartW) +
           coalesce(element_at(offsetOf, col("_pid")), lit(0L)))
       .drop("_pid")
+  }
+
+  /** Dial for the exact global-order operators below: inputs whose SOURCE
+    * table scan is under this many bytes keep the plain single-partition
+    * window (two extra jobs and a range shuffle cost more than they save on
+    * a dimension-sized frame); past it the distributed two-phase path
+    * engages. BOTH arms produce row-identical results (spec-checked), so
+    * the dial is purely a latency choice — at 100 TB the single-reducer
+    * window would serialize on one task, which is what this removes. */
+  val SingleWindowMaxBytes: Long = 1L << 30
+
+  /**
+   * Adds `rnCol` = row_number() and (when `valueCol` is set) `cumCol` =
+   * inclusive running sum of `valueCol`, both over the GLOBAL `orderCols`
+   * order. `orderCols` must be a total order (full tiebreak) — ties could
+   * otherwise straddle a range-partition boundary and rank differently
+   * than the window arm. `distributed = false` is the plain un-partitioned
+   * window; `true` is the two-phase shape: one range shuffle, partition-
+   * local window, per-partition (count, sum) offsets collected (one row
+   * per partition — metadata) and prefix-summed on the driver.
+   */
+  /** Distributed global rank (+ optional running sum): one range shuffle,
+    * partition-local window, per-partition (count, sum) offsets collected
+    * (one row per partition — metadata) and prefix-summed on the driver.
+    * Returns the frame and the driver-known total row count. */
+  private def distRankSum(df: DataFrame, orderCols: Seq[Column],
+                          valueCol: Option[String], rnCol: String,
+                          cumCol: String): (DataFrame, Long) = {
+    valueCol.foreach { v =>
+      require({
+        import org.apache.spark.sql.types._
+        Set[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(v).dataType)
+      }, s"globalRankSum requires an integral $v (cents, counts, bytes)")
+    }
+    // same determinism requirement as runningSum: pin the range
+    // boundaries before the two consumers (offsets job + final plan)
+    val withPid = org.apache.spark.sql.graftbridge.bridge.freshFrame(
+      df.repartitionByRange(orderCols: _*)
+        .withColumn("_pid", spark_partition_id()).localCheckpoint(true))
+    val offsets = withPid.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_pcnt"),
+        valueCol.map(v => sum(coalesce(col(v), lit(0L))))
+          .getOrElse(sum(lit(0L))).as("_ptot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.getAs[Number]("_ptot")).map(_.longValue()).getOrElse(0L)))
+      .sortBy(_._1)
+    val cntBefore = offsets.map(_._2).scanLeft(0L)(_ + _)
+    val sumBefore = offsets.map(_._3).scanLeft(0L)(_ + _)
+    val cntOf = typedlit(offsets.map(_._1).zip(cntBefore).toMap)
+    val sumOf = typedlit(offsets.map(_._1).zip(sumBefore).toMap)
+    val inPartW = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+    val ranked = withPid.withColumn(rnCol,
+      row_number().over(inPartW).cast("long") +
+        coalesce(element_at(cntOf, col("_pid")), lit(0L)))
+    val out = valueCol match {
+      case Some(v) => ranked.withColumn(cumCol,
+        sum(col(v)).over(inPartW.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)) +
+          coalesce(element_at(sumOf, col("_pid")), lit(0L)))
+      case None => ranked
+    }
+    (out.drop("_pid"), offsets.map(_._2).sum)
+  }
+
+  def globalRankSum(df: DataFrame, orderCols: Seq[Column],
+                    valueCol: Option[String], rnCol: String, cumCol: String,
+                    distributed: Boolean): DataFrame = {
+    if (!distributed) {
+      val w = Window.orderBy(orderCols: _*)
+      // long rank in both arms: the distributed arm must not truncate past
+      // 2^31 rows, and the arms must stay schema-identical
+      val ranked = df.withColumn(rnCol, row_number().over(w).cast("long"))
+      valueCol match {
+        case Some(v) => ranked.withColumn(cumCol, sum(col(v)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        case None => ranked
+      }
+    } else distRankSum(df, orderCols, valueCol, rnCol, cumCol)._1
+  }
+
+  /**
+   * Adds `outCol` = NTILE(k) over the GLOBAL `orderCols` order (SQL rule:
+   * with n rows the first n mod k buckets take ceil(n/k) rows). The
+   * distributed arm derives the bucket arithmetically from the two-phase
+   * global rank — bucket sizes need only the total row count, which the
+   * offsets collect already carries to the driver. `orderCols` must be a
+   * total order, as in [[globalRankSum]].
+   */
+  def globalNtile(df: DataFrame, orderCols: Seq[Column], k: Int,
+                  outCol: String, distributed: Boolean): DataFrame = {
+    require(k > 0)
+    if (!distributed)
+      df.withColumn(outCol, ntile(k).over(Window.orderBy(orderCols: _*)))
+    else {
+      val (ranked, n) = distRankSum(df, orderCols, None, "_grn", "")
+      val base = n / k
+      val rem = n % k
+      val split = rem * (base + 1)
+      // exact long floor-division via DIV (rank and n can pass 2^53, where
+      // double-division floor would drift); base=0 (n < k) never reaches
+      // the otherwise-branch because rn <= n = split there
+      val bucket = when(col("_grn") <= split,
+        expr(s"(_grn - 1) DIV ${base + 1}") + 1)
+        .otherwise(lit(rem) +
+          expr(s"(_grn - 1 - $split) DIV ${math.max(base, 1L)}") + 1)
+      // the branches cover every rank, so the coalesce default is never
+      // taken — it only restores ntile()'s non-nullable output schema
+      ranked.withColumn(outCol, coalesce(bucket.cast("int"), lit(-1)))
+        .drop("_grn")
+    }
   }
 
   /**

@@ -57,7 +57,11 @@ object ScaleSweep {
     "profile_revenue_concentration", "q14_promo_revenue",
     "q4_priority_late_ship", "q19_disjunctive_revenue",
     "q10_returned_revenue", "q15_top_supplier", "q17_small_qty_revenue",
-    "q18_large_orders", "train_pit_features", "q6_forecast_revenue")
+    "q18_large_orders", "train_pit_features", "q6_forecast_revenue",
+    // r19 serial-vs-floor triage: the 8-vs-32-core ratio≈1 cells from the
+    // round-18 scaling block, swept at 16x data to separate genuinely
+    // serial plans from floor-bound small cells
+    "profile_price_histogram", "sample_pps_systematic", "decontam_bloom")
 
   /** Replicate one base table `factor`x with per-copy key offsets. */
   private def scaled(spark: SparkSession, base: String, name: String,

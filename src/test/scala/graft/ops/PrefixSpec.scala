@@ -33,6 +33,43 @@ class PrefixSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("globalRankSum: distributed arm == window arm, desc order with tiebreak") {
+    val d = t.withColumn("grp", $"doc_id" % 17)
+    val order = Seq($"n_tokens".desc, $"doc_id".asc)
+    val dist = Prefix.globalRankSum(d, order, Some("n_tokens"), "rn", "cum",
+        distributed = true)
+      .select($"doc_id", $"rn", $"cum")
+    val plain = Prefix.globalRankSum(d, order, Some("n_tokens"), "rn", "cum",
+        distributed = false)
+      .select($"doc_id", $"rn", $"cum")
+    assert(dist.exceptAll(plain).isEmpty && plain.exceptAll(dist).isEmpty)
+    assert(dist.schema == plain.schema)
+  }
+
+  test("globalNtile: distributed arm == window arm, including remainder buckets") {
+    // 500 docs % 7 != 0 exercises the first-buckets-take-the-extra rule;
+    // also check a k larger than n (every bucket gets <= 1 row)
+    for (k <- Seq(7, 10, 1, 600)) {
+      val dist = Prefix.globalNtile(t, Seq($"n_tokens", $"doc_id"), k, "b",
+          distributed = true)
+        .select($"doc_id", $"b")
+      val plain = Prefix.globalNtile(t, Seq($"n_tokens", $"doc_id"), k, "b",
+          distributed = false)
+        .select($"doc_id", $"b")
+      assert(dist.exceptAll(plain).isEmpty && plain.exceptAll(dist).isEmpty, s"k=$k")
+      assert(dist.schema == plain.schema, s"k=$k")
+    }
+  }
+
+  test("globalRankSum distributed arm never funnels data through one reducer") {
+    val out = Prefix.globalRankSum(t, Seq($"n_tokens".desc, $"doc_id"),
+      Some("n_tokens"), "rn", "cum", distributed = true)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("packBins: bins fill to budget in key order; straddlers stay with their start") {
     val df = Seq((1L, 900L), (2L, 900L), (3L, 900L), (4L, 100L), (5L, 3000L))
       .toDF("doc_id", "n_tokens")
