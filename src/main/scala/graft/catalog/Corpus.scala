@@ -25,6 +25,19 @@ object Corpus extends Family {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(spark, dir))
 
+  /** Reuse-vs-recompute dial: localCheckpoint `df` only when the corpus it
+    * derives from is big enough that re-running the derivation per consumer
+    * costs more than materializing once. At sf0.1 the A/B is unambiguous
+    * the OTHER way — checkpointing the kmv span frame measured SLOWER
+    * (0.78 s → 0.88 s overlap, 0.33 s → 0.48 s kmv; the extra job +
+    * write/read beats three cheap warm-cache recomputes) — while at 100 TB
+    * the repeated corpus passes dominate. Same posture as the PageRank/Lpa
+    * 500k dial; the threshold is the source scan's statistics, free. */
+  private def checkpointAtScale(df: DataFrame, source: DataFrame): DataFrame =
+    if (source.queryExecution.optimizedPlan.stats.sizeInBytes > (1L << 30))
+      df.localCheckpoint()
+    else df
+
   // ---------------------------------------------------------------------
   // Benchmark decontamination: docs with doc_id % 97 == 0 play the held-out
   // eval suite; report every training doc sharing at least one word-3-gram
@@ -452,10 +465,14 @@ object Corpus extends Family {
     """)) { (spark, dir) =>
     // one-pass codegen span-hash kernel (see dedup_span_8gram) — the HOF
     // transform formulation is interpreted per span
-    val h = docs(spark, dir).select(
+    val raw = docs(spark, dir)
+    // consumed 2x (k-smallest cut + exact count) — materialized once past
+    // the corpus-size dial, recomputed below it (see checkpointAtScale)
+    val h = checkpointAtScale(raw.select(
         explode(graft.functions.span_hashes8(col("text"))).as("sh"))
       .distinct()
-      .select(conv(substring(col("sh"), 1, 15), 16, 10).cast("long").as("hv"))
+      .select(conv(substring(col("sh"), 1, 15), 16, 10).cast("long").as("hv")),
+      raw)
     val e = h.orderBy(col("hv")).limit(256)
       .agg(max(col("hv")).as("kth_hash"), count(lit(1)).as("k"))
     val x = h.agg(count(lit(1)).as("exact_distinct"))
@@ -536,12 +553,17 @@ object Corpus extends Family {
     """)) { (spark, dir) =>
     // one-pass codegen span-hash kernel (see dedup_span_8gram) — the HOF
     // transform formulation is interpreted per span
-    val sh = docs(spark, dir)
+    val raw = docs(spark, dir)
+    // consumed 4x (per-source counts, the sketch window, both sides of the
+    // exact-arm self-join) — materialized once past the corpus-size dial,
+    // recomputed below it (see checkpointAtScale)
+    val sh = checkpointAtScale(raw
       .select(col("source"),
         explode(graft.functions.span_hashes8(col("text"))).as("s8"))
       .distinct()
       .select(col("source"),
-        conv(substring(col("s8"), 1, 15), 16, 10).cast("long").as("hv"))
+        conv(substring(col("s8"), 1, 15), 16, 10).cast("long").as("hv")),
+      raw)
     val ns = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val sk = sh
       .withColumn("rn", row_number().over(

@@ -97,17 +97,21 @@ object PageRank {
     val nBig = JBigDecimal.valueOf(n)
     val base = JBigDecimal.ONE.subtract(d).divide(nBig, 18, RoundingMode.HALF_UP)
     // Dangling-node existence is a property of the GRAPH, not the ranks —
-    // probe it once; symmetric graphs (every undirected edge emitted both
-    // ways, e.g. the co-purchase graph) then skip the per-iteration
-    // dangling-mass aggregate entirely, halving driver-side actions.
-    // probe existence BEFORE checkpointing: symmetric graphs (every node
-    // has out-edges) have an EMPTY dangling frame that is never consumed
-    // again — checkpointing it would be a wasted materialization job
-    val danglingNodes0 = nodes
-      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-    val hasDangling = !danglingNodes0.isEmpty
+    // and it is already decided by two counts we have for free: a dangling
+    // node is one with no out-edges, so some exist iff |V| > |{src}| =
+    // deg's row count (deg is checkpointed; counting it reads the
+    // materialized RDD). This replaces the old left_anti isEmpty probe,
+    // which ran the anti-join once to test emptiness and — on graphs that
+    // DO have dangling nodes — a second time for the checkpoint
+    // materialization. Symmetric graphs (every undirected edge emitted
+    // both ways, e.g. the co-purchase graph) skip the per-iteration
+    // dangling-mass aggregate entirely.
+    val hasDangling = n > deg.count()
     val danglingNodes =
-      if (hasDangling) danglingNodes0.localCheckpoint() else danglingNodes0
+      if (hasDangling)
+        nodes.join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+          .localCheckpoint()
+      else null
     var ranks = nodes.withColumn("rank",
       lit(JBigDecimal.ONE.divide(nBig, 18, RoundingMode.HALF_UP)).cast(Dec))
     for (i <- 1 to iters) {
@@ -187,14 +191,16 @@ object PageRank {
     // Scala Long `/` truncates toward zero == floor for the non-negative
     // operands here; mirrors SQL `x div y` / DuckDB `x // y` exactly.
     val base = scale * (dampDen - dampNum) / dampDen / n
-    // probe existence BEFORE checkpointing: symmetric graphs (every node
-    // has out-edges) have an EMPTY dangling frame that is never consumed
-    // again — checkpointing it would be a wasted materialization job
-    val danglingNodes0 = nodes
-      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-    val hasDangling = !danglingNodes0.isEmpty
+    // dangling existence from counts already on hand (|V| vs deg's row
+    // count — deg is checkpointed, so its count reads the materialized
+    // RDD): no isEmpty probe job, and the anti-join below executes exactly
+    // once, only on graphs that have dangling nodes — see run()
+    val hasDangling = n > deg.count()
     val danglingNodes =
-      if (hasDangling) danglingNodes0.localCheckpoint() else danglingNodes0
+      if (hasDangling)
+        nodes.join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+          .localCheckpoint()
+      else null
     var ranks = nodes.withColumn("r", lit(scale / n))
     for (i <- 1 to iters) {
       val danglingOverN =
@@ -263,14 +269,16 @@ object PageRank {
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = scale * (dampDen - dampNum) / dampDen / n
-    // probe existence BEFORE checkpointing: symmetric graphs (every node
-    // has out-edges) have an EMPTY dangling frame that is never consumed
-    // again — checkpointing it would be a wasted materialization job
-    val danglingNodes0 = nodes
-      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-    val hasDangling = !danglingNodes0.isEmpty
+    // dangling existence from counts already on hand (|V| vs deg's row
+    // count — deg is checkpointed, so its count reads the materialized
+    // RDD): no isEmpty probe job, and the anti-join below executes exactly
+    // once, only on graphs that have dangling nodes — see run()
+    val hasDangling = n > deg.count()
     val danglingNodes =
-      if (hasDangling) danglingNodes0.localCheckpoint() else danglingNodes0
+      if (hasDangling)
+        nodes.join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+          .localCheckpoint()
+      else null
     var ranks = nodes.withColumn("r", lit(scale / n))
     for (i <- 1 to iters) {
       val danglingOverN =
