@@ -16,19 +16,24 @@ import org.apache.spark.sql.SparkSession
 object ProfileCell {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val repeat = args.sliding(2).collectFirst {
-      case Array("--repeat", n) => n.toInt
-    }.getOrElse(3)
-    val plansDir = args.sliding(2).collectFirst {
-      case Array("--plans", d) => d
+    // positional parse: consume flag+value PAIRS, everything else is a
+    // query name — filtering out any arg that merely EQUALS a flag value
+    // silently dropped queries whose name collided with one
+    var repeat = 3
+    var plansDir = Option.empty[String]
+    var suffix = "before"
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--repeat" => repeat = args(i + 1).toInt; i += 2
+        case "--plans" => plansDir = Some(args(i + 1)); i += 2
+        case "--suffix" => suffix = args(i + 1); i += 2
+        case f if f.startsWith("--") =>
+          sys.error(s"unknown flag $f (expected --repeat/--plans/--suffix)")
+        case q => names += q; i += 1
+      }
     }
-    val suffix = args.sliding(2).collectFirst {
-      case Array("--suffix", s) => s
-    }.getOrElse("before")
-    val flagVals = Set(repeat.toString) ++ plansDir ++ Set(suffix)
-    val names = args.drop(1)
-      .filterNot(_.startsWith("--"))
-      .filterNot(flagVals.contains)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
@@ -43,6 +48,9 @@ object ProfileCell {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = graft.SparkEntry.queries
+    val unknown = names.filterNot(qs.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} (see SparkEntry.queries)")
     // Bench-parity warmup: JIT/codegen on the tiny SF, then shared spines
     // on the timed SF.
     names.foreach { n =>
