@@ -383,10 +383,12 @@ object Corpus extends Family {
     """)) { (spark, dir) =>
     // one-pass codegen span-hash kernel (see dedup_span_8gram) — the HOF
     // transform formulation is interpreted per span; <8-token docs yield
-    // an empty array and drop at the explode
-    val spans = docs(spark, dir).select(col("source"),
+    // an empty array and drop at the explode. Both self-join legs consume
+    // the frame — materialized once past the corpus-size dial.
+    val raw = docs(spark, dir)
+    val spans = checkpointAtScale(raw.select(col("source"),
       explode(graft.functions.span_hashes8(col("text"))).as("sh"))
-      .distinct()
+      .distinct(), raw)
     spans.alias("a")
       .join(spans.alias("b"),
         col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
