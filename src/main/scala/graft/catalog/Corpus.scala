@@ -273,8 +273,11 @@ object Corpus extends Family {
       .groupBy(md5(TextOps.normalize(col("text"))).as("nh"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val sh = d.select(col("doc_id"),
-      array_distinct(graft.functions.trigram_hashes(col("text"))).as("hs"))
+    // consumed 2x (eval shingles + training-side probe) — materialized once
+    // past the corpus-size dial, recomputed below it (see checkpointAtScale)
+    val sh = checkpointAtScale(d.select(col("doc_id"),
+      array_distinct(graft.functions.trigram_hashes(col("text"))).as("hs")),
+      d)
     val ev = sh.filter(col("doc_id") % 97 === 0)
       .select(explode(col("hs")).as("h")).distinct()
     val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
