@@ -52,16 +52,36 @@ object Prefix {
       .collect()
       .map(r => r.getInt(0) -> r.getAs[Number]("_ptot").longValue())
       .sortBy(_._1)
-    // offset of partition i = sum of the totals of partitions before it
-    val sumsBefore = offsets.map(_._2).scanLeft(0L)(_ + _)
-    val offsetOf = typedlit(offsets.map(_._1).zip(sumsBefore).toMap)
+    // offset of partition i = sum of the totals of partitions before it.
+    // Dense ARRAY indexed by _pid (pids are 0..P-1; empty partitions carry
+    // the running value and are never referenced): element_at on an array
+    // literal is O(1) per row, where the previous map literal was a linear
+    // scan over P entries per row — P is thousands at cluster widths.
+    val sumArr = denseOffsets(withPid.rdd.getNumPartitions,
+      offsets.map { case (p, t) => (p, t) })
     val inPartW = Window.partitionBy(col("_pid")).orderBy(col(key))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withPid
       .withColumn(cumCol,
         sum(col(valueCol)).over(inPartW) +
-          coalesce(element_at(offsetOf, col("_pid")), lit(0L)))
+          element_at(typedlit(sumArr), col("_pid") + 1))
       .drop("_pid")
+  }
+
+  /** Dense prefix-offset array over partition ids 0..P-1: entry p = sum of
+    * the totals of partitions before p (empty partitions contribute 0). */
+  private def denseOffsets(numPartitions: Int,
+                           totals: Seq[(Int, Long)]): Seq[Long] = {
+    val byPid = totals.toMap
+    val out = new Array[Long](numPartitions)
+    var running = 0L
+    var p = 0
+    while (p < numPartitions) {
+      out(p) = running
+      running += byPid.getOrElse(p, 0L)
+      p += 1
+    }
+    out.toSeq
   }
 
   /** Dial for the exact global-order operators below: inputs whose SOURCE
@@ -73,16 +93,6 @@ object Prefix {
     * window would serialize on one task, which is what this removes. */
   val SingleWindowMaxBytes: Long = 1L << 30
 
-  /**
-   * Adds `rnCol` = row_number() and (when `valueCol` is set) `cumCol` =
-   * inclusive running sum of `valueCol`, both over the GLOBAL `orderCols`
-   * order. `orderCols` must be a total order (full tiebreak) — ties could
-   * otherwise straddle a range-partition boundary and rank differently
-   * than the window arm. `distributed = false` is the plain un-partitioned
-   * window; `true` is the two-phase shape: one range shuffle, partition-
-   * local window, per-partition (count, sum) offsets collected (one row
-   * per partition — metadata) and prefix-summed on the driver.
-   */
   /** Distributed global rank (+ optional running sum): one range shuffle,
     * partition-local window, per-partition (count, sum) offsets collected
     * (one row per partition — metadata) and prefix-summed on the driver.
@@ -110,24 +120,32 @@ object Prefix {
       .map(r => (r.getInt(0), r.getLong(1),
         Option(r.getAs[Number]("_ptot")).map(_.longValue()).getOrElse(0L)))
       .sortBy(_._1)
-    val cntBefore = offsets.map(_._2).scanLeft(0L)(_ + _)
-    val sumBefore = offsets.map(_._3).scanLeft(0L)(_ + _)
-    val cntOf = typedlit(offsets.map(_._1).zip(cntBefore).toMap)
-    val sumOf = typedlit(offsets.map(_._1).zip(sumBefore).toMap)
+    // dense arrays indexed by _pid — O(1) per-row lookup (see denseOffsets)
+    val nParts = withPid.rdd.getNumPartitions
+    val cntArr = denseOffsets(nParts, offsets.map { case (p, c, _) => (p, c) })
+    val sumArr = denseOffsets(nParts, offsets.map { case (p, _, t) => (p, t) })
     val inPartW = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
     val ranked = withPid.withColumn(rnCol,
       row_number().over(inPartW).cast("long") +
-        coalesce(element_at(cntOf, col("_pid")), lit(0L)))
+        element_at(typedlit(cntArr), col("_pid") + 1))
     val out = valueCol match {
       case Some(v) => ranked.withColumn(cumCol,
         sum(col(v)).over(inPartW.rowsBetween(
           Window.unboundedPreceding, Window.currentRow)) +
-          coalesce(element_at(sumOf, col("_pid")), lit(0L)))
+          element_at(typedlit(sumArr), col("_pid") + 1))
       case None => ranked
     }
     (out.drop("_pid"), offsets.map(_._2).sum)
   }
 
+  /**
+   * Adds `rnCol` = row_number() and (when `valueCol` is set) `cumCol` =
+   * inclusive running sum of `valueCol`, both over the GLOBAL `orderCols`
+   * order. `orderCols` must be a total order (full tiebreak) — ties could
+   * otherwise straddle a range-partition boundary and rank differently
+   * than the window arm. `distributed = false` is the plain un-partitioned
+   * window; `true` is the two-phase [[distRankSum]] shape.
+   */
   def globalRankSum(df: DataFrame, orderCols: Seq[Column],
                     valueCol: Option[String], rnCol: String, cumCol: String,
                     distributed: Boolean): DataFrame = {
